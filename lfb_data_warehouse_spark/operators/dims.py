@@ -1,0 +1,86 @@
+"""Dimension-building operators — SURVEY §7.1 module 6.
+
+- :func:`date_spine` — contiguous daily calendar dimension from a date
+  range (reference date-dimension.py:36-75: sequence/explode + attribute
+  derivations, including the ISO weekday remap — Spark's dayofweek is
+  Sunday=1, the warehouse wants Monday=1).
+- :func:`collapse_per_key` — one row per key taking, per column, the
+  value from the "first" row by a deterministic ordering (reference
+  ward-dimension.py:42-46 uses first(ignorenulls) *without* an order —
+  nondeterministic under parallelism; we require an order column).
+- :func:`latest_per_group` — SCD-style "most recent value wins"
+  (reference lfb-cleanse.py:61-66 window-first over desc date).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def date_spine(
+    spark: SparkSession,
+    start: Column | str,
+    end: Column | str,
+    date_col: str = "date",
+) -> DataFrame:
+    """Daily date dimension over [start, end] with the reference's
+    attribute battery (date-dimension.py:51-75)."""
+    lo = F.lit(start).cast("date") if isinstance(start, str) else start.cast("date")
+    hi = F.lit(end).cast("date") if isinstance(end, str) else end.cast("date")
+    spine = spark.range(1).select(
+        F.explode(F.sequence(lo, hi, F.expr("interval 1 day"))).alias(date_col)
+    )
+    d = F.col(date_col)
+    iso_dow = F.when(F.dayofweek(d) == 1, 7).otherwise(F.dayofweek(d) - 1)
+    return spine.select(
+        d,
+        F.year(d).cast("long").alias("year"),
+        F.quarter(d).cast("long").alias("quarter"),
+        F.month(d).cast("long").alias("month"),
+        F.date_format(d, "MMMM").alias("month_name"),
+        F.weekofyear(d).cast("long").alias("week_of_year"),
+        F.dayofmonth(d).cast("long").alias("day_of_month"),
+        iso_dow.cast("long").alias("day_of_week"),
+        F.date_format(d, "EEEE").alias("day_name"),
+        iso_dow.isin(6, 7).alias("is_weekend"),
+    )
+
+
+def collapse_per_key(
+    df: DataFrame,
+    key: Sequence[str],
+    order_col: str,
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """One row per key; each value column takes the first non-null value
+    ordered by ``order_col`` ascending (deterministic A3 collapse).
+
+    Implemented as min_by-style aggregation: ``min(struct(order, value))``
+    over non-null values — a single hash aggregate, no window shuffle.
+    """
+    value_cols = [c for c in (value_cols or df.columns) if c not in key and c != order_col]
+    aggs = []
+    for c in value_cols:
+        pair = F.when(
+            F.col(c).isNotNull(), F.struct(F.col(order_col).alias("o"), F.col(c).alias("v"))
+        )
+        aggs.append(F.min(pair).getField("v").alias(c))
+    return df.groupBy(*key).agg(*aggs)
+
+
+def latest_per_group(
+    df: DataFrame,
+    key: Sequence[str],
+    order_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Keep each group's most-recent row (order_col desc, then tiebreak
+    desc) — deterministic W1/W2 top-1."""
+    order = [F.col(order_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(*key).orderBy(*order)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

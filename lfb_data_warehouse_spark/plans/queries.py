@@ -1,0 +1,695 @@
+"""Query/oracle registry — the engine's enumerable query surface.
+
+Every operator from SURVEY.md §2 (plus the large-scale data-pipeline
+operators) is exposed here as a named query over the driver's TPC-H-ish
+test tables, paired with an ANSI-SQL oracle that DuckDB runs on the same
+parquet. The driver compares row count + schema + order-insensitive
+value hash at sf0.01 (CORRECTNESS_r{N}.json).
+
+Determinism rules (so value hashes match bit-for-bit):
+- every aggregate over floats goes through exact DECIMAL arithmetic and
+  is cast back to DOUBLE (functions.exact) — order-independent;
+- every computed column is explicitly cast to one of
+  {string, bigint, double, date, timestamp, boolean} on BOTH sides;
+- every window/top-k has a total order (explicit tiebreak columns);
+- shared lookup tables (bucket strategies, hash salts, stopword lists)
+  generate both the Spark expression and the oracle SQL from one source.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.bucketing import NullPolicy, bucketize, bucketize_sql
+from ..functions.exact import avg_exact, sum_exact
+from ..functions.keys import hash_key, hash_key_nullable, sentinel_row, with_hash_id
+from ..operators.agg import pivot_agg, rollup_mart
+from ..operators.checks import profile, referential_orphans
+from ..operators.dims import collapse_per_key, date_spine, latest_per_group
+from ..operators.incremental import incremental_new_rows
+from ..operators.temporal import nearest_within
+from ..operators.topk import top_k_per_group
+from ..sources.testdata import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None
+    headline: bool = False  # included in bench.py's headline set
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, headline: bool = False):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, headline=headline)
+        return fn
+
+    return deco
+
+
+DEC = "decimal(18,2)"
+SUM_DEC = "CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# A1/O1 — rollup marts (reference load_sample_aggregates.py:28-43 et al.)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mart_per_month",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           strftime(o_orderdate, '%Y-%m') AS year_month,
+           COUNT(*) AS order_count,
+           {SUM_DEC.format(x='o_totalprice')} AS total_price,
+           {SUM_DEC.format(x='o_totalprice')} / COUNT(o_totalprice) AS avg_price
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+    headline=True,
+)
+def mart_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month mart (reference analytics.per_month shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return rollup_mart(
+        orders,
+        keys=[
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        ],
+        measures=[
+            F.count(F.lit(1)).alias("order_count"),
+            sum_exact("o_totalprice").alias("total_price"),
+            avg_exact("o_totalprice").alias("avg_price"),
+        ],
+        order_by=["order_year", "order_month"],
+    )
+
+
+@register(
+    "mart_per_segment",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS order_count,
+           COUNT(DISTINCT o_custkey) AS customer_count,
+           {SUM_DEC.format(x='o_totalprice')} AS total_price,
+           {SUM_DEC.format(x='o_totalprice')} / COUNT(o_totalprice) AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    headline=True,
+)
+def mart_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment mart over a broadcast dimension join (analytics.per_ward
+    shape — dim side broadcast, zero shuffle of the fact)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return rollup_mart(
+        joined,
+        keys=["c_mktsegment"],
+        measures=[
+            F.count(F.lit(1)).alias("order_count"),
+            F.countDistinct("o_custkey").alias("customer_count"),
+            sum_exact("o_totalprice").alias("total_price"),
+            avg_exact("o_totalprice").alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        ],
+    )
+
+
+@register(
+    "mart_types_per_segment",
+    oracle=f"""
+    SELECT c_mktsegment, o_orderpriority,
+           COUNT(*) AS order_count,
+           {SUM_DEC.format(x='o_totalprice')} AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def mart_types_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key mart (analytics.types_per_ward shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return rollup_mart(
+        joined,
+        keys=["c_mktsegment", "o_orderpriority"],
+        measures=[
+            F.count(F.lit(1)).alias("order_count"),
+            sum_exact("o_totalprice").alias("total_price"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — pivot aggregate (reference aq-cleanse.py:214-219)
+# ---------------------------------------------------------------------------
+
+PRIORITIES = {
+    "1-URGENT": "urgent",
+    "2-HIGH": "high",
+    "3-MEDIUM": "medium",
+    "4-NOT SPECIFIED": "not_specified",
+    "5-LOW": "low",
+}
+
+
+def _pivot_oracle() -> str:
+    cols = []
+    for val, short in PRIORITIES.items():
+        s = f"CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderpriority = '{val}') AS DOUBLE)"
+        n = f"COUNT(o_totalprice) FILTER (o_orderpriority = '{val}')"
+        cols.append(f"{s} / {n} AS avg_{short}")
+    return (
+        "SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, "
+        + ", ".join(cols)
+        + " FROM orders GROUP BY 1"
+    )
+
+
+@register("pivot_priority_by_year", oracle=_pivot_oracle(), headline=True)
+def pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with a FIXED value list (schema-stable, and Spark
+    skips the distinct-values pre-job — one aggregate total)."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = pivot_agg(
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            "o_orderpriority",
+            "o_totalprice",
+        ),
+        key=["order_year"],
+        pivot_col="o_orderpriority",
+        values=list(PRIORITIES),
+        agg=F.struct(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("s"),
+            F.count("o_totalprice").alias("n"),
+        ),
+    )
+    cols = [F.col("order_year")]
+    for val, short in PRIORITIES.items():
+        cols.append(
+            (F.col(f"`{val}`").getField("s") / F.col(f"`{val}`").getField("n")).alias(f"avg_{short}")
+        )
+    return piv.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# A3 — deterministic first-per-key collapse (reference ward-dimension.py:42-46)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dim_collapse_first",
+    oracle="""
+    SELECT c_nationkey,
+           arg_min(c_name, c_custkey) AS first_name,
+           arg_min(c_acctbal, c_custkey) AS first_acctbal
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def dim_collapse_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-non-null per key with a deterministic order (the reference's
+    unordered first(ignorenulls) is nondeterministic under parallelism —
+    SURVEY §7.4). Single hash aggregate, no window shuffle."""
+    customer = load_table(spark, sf_dir, "customer")
+    out = collapse_per_key(
+        customer, key=["c_nationkey"], order_col="c_custkey", value_cols=["c_name", "c_acctbal"]
+    )
+    return out.select(
+        "c_nationkey",
+        F.col("c_name").alias("first_name"),
+        F.col("c_acctbal").alias("first_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/W2 — latest-per-group, top-k (reference lfb-cleanse.py:61-66,
+# load_fact.py:278-290)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scd_latest_order",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def scd_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-style most-recent-row-wins per key, deterministic tiebreak."""
+    orders = load_table(spark, sf_dir, "orders")
+    return latest_per_group(orders, key=["o_custkey"], order_col="o_orderdate", tiebreak="o_orderkey").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+
+
+@register(
+    "topk_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice,
+           CAST(row_number() OVER (
+               PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rank
+    FROM part
+    QUALIFY rank <= 5
+    """,
+)
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    out = top_k_per_group(
+        part,
+        group=["p_brand"],
+        order_by=[F.col("p_retailprice").desc(), F.col("p_partkey").asc()],
+        k=5,
+    )
+    return out.select(
+        "p_brand", "p_partkey", "p_name", "p_retailprice", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4/J5 — left joins with sentinel coalesce (reference load_fact.py:181-204,
+# 329-336)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_enrich_brand_revenue",
+    oracle="""
+    SELECT COALESCE(p_brand, 'Unknown') AS brand,
+           COUNT(*) AS item_count,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    headline=True,
+)
+def join_enrich_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact←dimension enrichment: broadcast left join + Unknown coalesce
+    (the reference's post-join FK pattern), then rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"), "left"
+    )
+    return joined.groupBy(F.coalesce("p_brand", F.lit("Unknown")).alias("brand")).agg(
+        F.count(F.lit(1)).alias("item_count"),
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "join_composite_customer_year",
+    oracle=f"""
+    WITH cy AS (
+        SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               {SUM_DEC.format(x='o_totalprice')} AS cy_total,
+               COUNT(*) AS cy_orders
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           cy.cy_total, cy.cy_orders
+    FROM orders o
+    LEFT JOIN cy ON o.o_custkey = cy.o_custkey
+               AND CAST(year(o.o_orderdate) AS BIGINT) = cy.order_year
+    """,
+)
+def join_composite_customer_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key left join (reference well-being join on
+    (WardCode, YearOfCall), load_fact.py:329-336)."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.withColumn("order_year", F.year("o_orderdate").cast("long"))
+    cy = keyed.groupBy("o_custkey", "order_year").agg(
+        sum_exact("o_totalprice").alias("cy_total"),
+        F.count(F.lit(1)).alias("cy_orders"),
+    )
+    return keyed.join(cy, on=["o_custkey", "order_year"], how="left").select(
+        "o_orderkey", "o_custkey", "order_year", "cy_total", "cy_orders"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J3 — incremental anti-join, referential integrity
+# (reference lfb-extract.py:36-47, ref-int-load-check.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "incremental_new_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderkey % 3 <> 0
+    """,
+)
+def incremental_new_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change detection: staged ∖ existing on the natural key — the
+    idempotent at-least-once upsert core."""
+    orders = load_table(spark, sf_dir, "orders")
+    staged = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    existing = orders.filter(F.col("o_orderkey") % 3 == 0)
+    return incremental_new_rows(staged, existing, keys=["o_orderkey"]).select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+_FK_PAIRS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _ref_int_oracle() -> str:
+    parts = []
+    for fact, fk, dim, dk in _FK_PAIRS:
+        parts.append(
+            f"SELECT '{fact}.{fk}' AS fk, (SELECT COUNT(*) FROM "
+            f"(SELECT DISTINCT {fk} FROM {fact}) f WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {dim} d WHERE d.{dk} = f.{fk})) AS orphan_count"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("dq_referential_integrity", oracle=_ref_int_oracle())
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All FK orphan probes of the star schema in one result (reference
+    runs one job per pair; here one unioned plan)."""
+    out = None
+    for fact, fk, dim, dk in _FK_PAIRS:
+        orphans = referential_orphans(
+            load_table(spark, sf_dir, fact), fk, load_table(spark, sf_dir, dim), dk
+        )
+        one = orphans.agg(F.count(F.lit(1)).alias("orphan_count")).select(
+            F.lit(f"{fact}.{fk}").alias("fk"), "orphan_count"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@register(
+    "dq_profile_customer",
+    oracle="""
+    SELECT COUNT(*) AS row_count,
+           COUNT(DISTINCT c_custkey) AS distinct_c_custkey,
+           COUNT(*) FILTER (c_custkey IS NULL) AS nulls_c_custkey,
+           COUNT(*) FILTER (c_name IS NULL) AS nulls_c_name,
+           COUNT(*) FILTER (c_nationkey IS NULL) AS nulls_c_nationkey,
+           COUNT(*) FILTER (c_acctbal IS NULL) AS nulls_c_acctbal,
+           COUNT(*) FILTER (c_mktsegment IS NULL) AS nulls_c_mktsegment
+    FROM customer
+    """,
+)
+def dq_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass DQ profile (reference post-extract contract as ONE job)."""
+    return profile(load_table(spark, sf_dir, "customer"), pk="c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# §1.2 — content-hash surrogate keys + sentinel dimension
+# ---------------------------------------------------------------------------
+
+@register(
+    "hash_surrogate_keys",
+    oracle="""
+    SELECT n_nationkey,
+           sha256(concat_ws('|', n_name, CAST(n_nationkey AS VARCHAR))) AS nation_hash,
+           COALESCE(sha256(NULLIF(n_name, 'FRANCE') || '|' || CAST(n_nationkey AS VARCHAR)),
+                    'Unknown') AS nullable_hash
+    FROM nation
+    """,
+)
+def hash_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both hash-key variants: concat_ws (NULL-skipping) and concat
+    (NULL-propagating, patched to Unknown) — reference §1.2 semantics."""
+    nation = load_table(spark, sf_dir, "nation")
+    nullable_name = F.when(F.col("n_name") == "FRANCE", None).otherwise(F.col("n_name"))
+    return nation.select(
+        "n_nationkey",
+        hash_key("n_name", "n_nationkey").alias("nation_hash"),
+        hash_key_nullable(nullable_name, F.col("n_nationkey")).alias("nullable_hash"),
+    )
+
+
+@register(
+    "dim_region_sentinel",
+    oracle="""
+    SELECT sha256(r_name) AS region_id, r_regionkey, r_name FROM region
+    UNION ALL
+    SELECT 'Unknown', NULL, 'Unknown'
+    """,
+)
+def dim_region_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension build: content-hash id + Unknown sentinel member."""
+    region = load_table(spark, sf_dir, "region")
+    dim = with_hash_id(region, "region_id", ["r_name"]).select("region_id", "r_regionkey", "r_name")
+    return sentinel_row(dim, key_col="region_id")
+
+
+# ---------------------------------------------------------------------------
+# Date spine (reference date-dimension.py:36-75)
+# ---------------------------------------------------------------------------
+
+@register(
+    "date_spine_orders",
+    oracle="""
+    WITH b AS (SELECT CAST(MIN(o_orderdate) AS DATE) lo, CAST(MAX(o_orderdate) AS DATE) hi FROM orders),
+    s AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date FROM b)
+    SELECT date,
+           CAST(year(date) AS BIGINT) AS year,
+           CAST(quarter(date) AS BIGINT) AS quarter,
+           CAST(month(date) AS BIGINT) AS month,
+           monthname(date) AS month_name,
+           CAST(week(date) AS BIGINT) AS week_of_year,
+           CAST(day(date) AS BIGINT) AS day_of_month,
+           CAST(isodow(date) AS BIGINT) AS day_of_week,
+           dayname(date) AS day_name,
+           isodow(date) IN (6, 7) AS is_weekend
+    FROM s
+    """,
+)
+def date_spine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous calendar dimension over the fact's date range, with the
+    ISO weekday remap (Spark Sunday=1 → Monday=1) and weekend flag."""
+    orders = load_table(spark, sf_dir, "orders")
+    lo, hi = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")), F.max(F.col("o_orderdate").cast("date"))
+    ).collect()[0]
+    return date_spine(spark, F.lit(lo), F.lit(hi))
+
+
+# ---------------------------------------------------------------------------
+# Bucketing when-chain (reference weather-cleanse.py:117-137)
+# ---------------------------------------------------------------------------
+
+ACCTBAL_BUCKETS = [
+    (None, 0.0, "negative"),
+    (0.0, 1000.0, "low"),
+    (1000.0, 5000.0, "medium"),
+    (5000.0, None, "high"),
+]
+
+
+@register(
+    "bucketize_acctbal",
+    oracle=f"""
+    SELECT {bucketize_sql('c_acctbal', ACCTBAL_BUCKETS)} AS balance_band,
+           COUNT(*) AS customer_count,
+           {SUM_DEC.format(x='c_acctbal')} AS total_balance
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def bucketize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy-table bucketing: the Spark when-chain and the oracle CASE
+    are generated from the SAME table (no drift possible)."""
+    customer = load_table(spark, sf_dir, "customer")
+    banded = customer.withColumn("balance_band", bucketize("c_acctbal", ACCTBAL_BUCKETS))
+    return banded.groupBy("balance_band").agg(
+        F.count(F.lit(1)).alias("customer_count"),
+        sum_exact("c_acctbal").alias("total_balance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score outlier scrub (reference aq-cleanse.py:123-157), exact stats
+# ---------------------------------------------------------------------------
+
+@register(
+    "zscore_scrub_prices",
+    oracle="""
+    WITH stats AS (
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) / COUNT(l_extendedprice) AS mean,
+               sqrt((CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+                     - COUNT(l_extendedprice) * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) / COUNT(l_extendedprice))
+                       * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) / COUNT(l_extendedprice)))
+                    / (COUNT(l_extendedprice) - 1)) AS std
+        FROM lineitem
+    )
+    SELECT COUNT(*) FILTER (abs((l_extendedprice - mean) / std) <= 3) AS kept_count,
+           COUNT(*) FILTER (abs((l_extendedprice - mean) / std) > 3) AS scrubbed_count,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (abs((l_extendedprice - mean) / std) <= 3) AS DOUBLE)
+             / COUNT(*) FILTER (abs((l_extendedprice - mean) / std) <= 3) AS kept_avg
+    FROM lineitem, stats
+    """,
+)
+def zscore_scrub_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier scrub with exact (decimal-derived) mean/std so
+    the scrub set is deterministic; all column stats in ONE pass."""
+    from ..functions.cleanse import zscore_scrub
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    before = li.withColumnRenamed("l_extendedprice", "orig")
+    scrubbed = zscore_scrub(li, ["l_extendedprice"], threshold=3.0)
+    return scrubbed.agg(
+        F.count("l_extendedprice").alias("kept_count"),
+        F.sum(F.col("l_extendedprice").isNull().cast("long")).alias("scrubbed_count"),
+        avg_exact("l_extendedprice").alias("kept_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6/J7 — nearest-within as-of join (reference load_fact.py:225-290)
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_nearest_purchase",
+    oracle="""
+    SELECT event_id, user_id, purchase_event_id, dt_us, purchase_value
+    FROM (
+        SELECT c.event_id, c.user_id, p.event_id AS purchase_event_id,
+               abs(epoch_us(c.ts) - epoch_us(p.ts)) AS dt_us,
+               p.value AS purchase_value,
+               row_number() OVER (
+                   PARTITION BY c.event_id
+                   ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), p.event_id) AS rn
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND p.event_type = 'purchase'
+         AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 43200000000
+        WHERE c.event_type = 'click'
+    ) WHERE rn = 1
+    """,
+    headline=True,
+)
+def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest purchase within ±12h of each click, per user — the
+    reference's bucketed as-of join with intended (bug-fixed) semantics
+    and a deterministic tiebreak. Scales as a plain equi-join on
+    (user, time-bucket), never a range cross-join."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    matched = nearest_within(
+        clicks,
+        purchases,
+        left_ts="ts",
+        right_ts="ts",
+        tolerance_sec=43200,
+        on=["user_id"],
+        left_key="event_id",
+        right_tiebreak="right_event_id",
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        F.col("right_event_id").alias("purchase_event_id"),
+        F.col("nearest_dt_us").alias("dt_us"),
+        F.col("right_value").alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization + tumbling windows (beyond-reference, streaming-shaped)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS session_count,
+           COUNT(*) AS event_count
+    FROM gaps GROUP BY 1
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    flag — the batch twin of streaming session windows."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    lag_us = F.lag(us).over(w)
+    new_session = F.when(lag_us.isNull() | ((us - lag_us) > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        events.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("session_count"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+    )
+
+
+@register(
+    "tumbling_hourly_events",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation via F.window — identical semantics to
+    the Structured Streaming windowed aggregate (streaming/ops.py)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )

@@ -1,0 +1,115 @@
+"""Readers and writers (SURVEY §2.1 S1-S10).
+
+The reference reads CSV with schema inference at the raw edge and
+re-applies declared StructTypes positionally over ``df.rdd``
+(/root/reference/etl/load/load_fact.py:387 et al.). This engine replaces
+that idiom with :func:`conform` — an explicit name-mapped cast/select
+that keeps Catalyst pushdown and whole-stage codegen (no RDD
+round-trip, SURVEY §1.4).
+
+Delta-specific maintenance (OPTIMIZE/ZORDER,
+/root/reference/etl/load/load_fact.py:392-405) is feature-detected;
+on plain OSS Spark the equivalent data-clustering effect comes from
+``repartitionByRange().sortWithinPartitions()`` before the write so
+parquet row-group min/max statistics enable data skipping.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    recursive: bool = False,
+) -> DataFrame:
+    """CSV scan (S1/S2). Prefer an explicit schema; inference is allowed
+    only at the raw edge (it costs an extra full scan of the files)."""
+    reader = spark.read.option("header", str(header).lower())
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan (S3) — columnar, predicate pushdown, column pruning."""
+    return spark.read.parquet(path)
+
+
+def conform(df: DataFrame, schema: StructType, renames: Mapping[str, str] | None = None) -> DataFrame:
+    """Re-type/rename a frame to a declared schema *by name* (replaces the
+    reference's positional ``createDataFrame(df.rdd, schema)`` idiom, S10).
+
+    ``renames`` maps source column → target column for tables where the
+    reference renamed positionally (e.g. WindStrength→Wind,
+    /root/reference/etl/load/load_weather_dim.py:24-37).
+    """
+    renames = dict(renames or {})
+    inverse = {v: k for k, v in renames.items()}
+    cols = []
+    for field in schema.fields:
+        src = inverse.get(field.name, field.name)
+        cols.append(F.col(src).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Parquet sink (S5)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def _delta_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.Class.forName("org.apache.spark.sql.delta.DeltaLog")  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+def write_table(
+    df: DataFrame,
+    name: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    cluster_by: Sequence[str] | None = None,
+) -> None:
+    """Managed-table sink (S7) with data clustering (S8).
+
+    With Delta on the classpath this maps to a Delta ``saveAsTable`` (the
+    reference then runs ``OPTIMIZE ... ZORDER BY``); on OSS Spark we get
+    the same file-skipping effect by range-partitioning + sorting on the
+    cluster columns before a Parquet ``saveAsTable`` — parquet row-group
+    stats then prune on those columns.
+    """
+    spark = df.sparkSession
+    if cluster_by:
+        df = df.repartitionByRange(*[F.col(c) for c in cluster_by]).sortWithinPartitions(
+            *[F.col(c) for c in cluster_by]
+        )
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if _delta_available(spark):
+        writer = writer.format("delta").option("delta.autoOptimize.optimizeWrite", "true")
+    else:
+        writer = writer.format("parquet")
+    writer.saveAsTable(name)
