@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from lfb_data_warehouse_spark.plans.queries import REGISTRY  # noqa: E402
+from lfb_data_warehouse_spark.plans import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,109 @@
+"""Text-analysis column expressions with generated SQL twins.
+
+Every expression here has a ``*_sql`` generator producing the DuckDB
+equivalent **from the same constants** (salt counts, marker lists,
+shingle sizes), so the engine and the oracle cannot drift.
+
+Parity rules worth noting:
+- tokenization is ``regexp_extract_all(lower(text), '\\S+')`` on both
+  engines (Java regex vs RE2 agree on this pattern);
+- all doc-level hashes are md5/sha256 of explicit strings (identical
+  hex on any engine) — never engine-native hash functions
+  (Spark murmur3 vs DuckDB's hash are incompatible);
+- ratios/scores are integer-count arithmetic lifted to double in a
+  fixed expression order — bit-identical across engines;
+- no transcendental functions (ln/exp differ in final ulps across
+  libm implementations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\S+"
+
+# deterministic "language" marker lists for the heuristic language-ID
+# operator (the synthetic corpus shares one vocabulary, so these are
+# arbitrary-but-fixed word groups; on real corpora supply real stopword
+# lists per language)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a"],
+    "de": ["data", "batch"],
+    "fr": ["line", "row"],
+    "es": ["key", "value"],
+}
+
+STOPWORDS = ["the", "a", "of", "and"]
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
+
+
+def tokens_sql(text: str) -> str:
+    return f"regexp_extract_all(lower({text}), '\\S+')"
+
+
+def shingles(words: Column, n: int) -> Column:
+    """Word n-grams (space-joined), empty when the doc has < n words.
+
+    Guarded: Spark's ``sequence(1, 0)`` would count DOWN (step inferred
+    -1), so short docs must short-circuit to an empty array.
+    """
+    if n == 1:
+        return words
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(words: str, n: int) -> str:
+    if n == 1:
+        return words
+    return (
+        f"[array_to_string({words}[i:i+{n - 1}], ' ') "
+        f"for i in range(1, greatest(len({words}) - {n - 2}, 1))]"
+    )
+
+
+def salted_minhash(shingle: Column | str, salt: int, hex_chars: int = 16) -> Column:
+    """One MinHash value: lexicographic min over ``md5(salt || ':' || s)``
+    prefixes (uniform — avoids unsigned-int64 parity headaches)."""
+    c = F.col(shingle) if isinstance(shingle, str) else shingle
+    return F.min(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), c)), 1, hex_chars))
+
+
+def salted_minhash_sql(shingle: str, salt: int, hex_chars: int = 16) -> str:
+    return f"min(substr(md5('{salt}:' || {shingle}), 1, {hex_chars}))"
+
+
+HEX_HIGH = list("89abcdef")  # hex digits whose high bit is 1
+
+
+def simhash_bit_weight(word: Column, bit: int) -> Column:
+    """±1 contribution of a token to SimHash bit ``bit`` (0-based):
+    the high bit of hex digit ``bit`` of md5(word) — 32 bits from 32
+    nibbles, no integer conversion needed."""
+    return F.when(F.substring(F.md5(word), bit + 1, 1).isin(HEX_HIGH), 1).otherwise(-1)
+
+
+def simhash_bit_weight_sql(word: str, bit: int) -> str:
+    digits = ", ".join(f"'{d}'" for d in HEX_HIGH)
+    return f"CASE WHEN substr(md5({word}), {bit + 1}, 1) IN ({digits}) THEN 1 ELSE -1 END"
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, whitespace collapsed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def normalized_text_sql(text: str) -> str:
+    # DuckDB regexp_replace replaces only the first match without 'g'
+    return f"trim(regexp_replace(lower({text}), '\\s+', ' ', 'g'))"

@@ -1,0 +1,185 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale design (the point of each algorithm at 100 TB):
+
+- **exact**: one hash-groupBy on ``sha256(text)`` — a single shuffle of
+  (hash, id) pairs, never of document bodies.
+- **MinHash + LSH**: per-doc signatures are a groupBy over exploded
+  shingles (map-side partial min, tiny shuffle). Banding turns the
+  quadratic all-pairs problem into an equi-join on (band, band_hash):
+  only docs sharing a band bucket ever meet. Candidates are then
+  *verified* with true Jaccard, so false positives cost extra work but
+  never wrong output.
+- **SimHash**: one aggregation pass → 32-bit fingerprint per doc;
+  near-dup lookup becomes fingerprint-equality (or small-radius
+  neighborhoods) — no pairwise stage at all.
+- **n-gram Jaccard**: exact pairwise similarity via an equi-join on the
+  shingle value. Quadratic in docs-per-shingle; use it within candidate
+  sets or small groups, not corpus-wide (that is what LSH is for).
+
+All hashing is md5/sha256 of explicit strings so results are
+reproducible on any engine (see functions.text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import salted_minhash, shingles, simhash_bit_weight, tokens
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts: (text_sha256, survivor_id, dup_count).
+    Survivor = smallest id (deterministic keep-first policy)."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_sha256"))
+        .groupBy("text_sha256")
+        .agg(F.min(id_col).alias("survivor_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct (id, shingle) pairs — the set representation used by both
+    MinHash and Jaccard."""
+    ws = tokens(text_col)
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(ws, n))).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    sets: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """Per-doc MinHash signature: one groupBy computing all ``num_hashes``
+    mins (columns h0..h{k-1}) in a single pass."""
+    aggs = [salted_minhash("shingle", i).alias(f"h{i}") for i in range(num_hashes)]
+    return sets.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Banded LSH: hash each band's signature slice, self-join on
+    (band, band_hash). Returns distinct candidate (id_a < id_b) pairs."""
+    rows = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        slice_cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *slice_cols)).alias("bh"))
+        )
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame, sets: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact Jaccard for given (id_a, id_b) pairs via two joins against the
+    shingle sets: |A∩B| from the shingle equi-join, |A|,|B| from set
+    sizes. Output: id_a, id_b, jaccard (double, exact integer division)."""
+    sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    ea = sets.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    eb = sets.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        pairs.join(ea, "id_a")
+        .join(eb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: shingle → sign →
+    band-join → verify candidates with exact Jaccard ≥ threshold."""
+    sets = shingle_sets(df, id_col, text_col, shingle_n)
+    sig = minhash_signatures(sets, id_col, num_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    verified = jaccard_for_pairs(cand, sets, id_col)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def all_pairs_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    threshold: float,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard (optionally only within ``group_col``
+    groups). The shingle equi-join bounds the blow-up to docs sharing a
+    shingle; restrict to groups / candidates at corpus scale."""
+    ws = tokens(text_col)
+    keep = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
+    sets = df.select(*keep, F.explode(F.array_distinct(shingles(ws, shingle_n))).alias("shingle"))
+    join_cols = ["shingle"] + ([group_col] if group_col else [])
+    a = sets.select(*[F.col(c) for c in join_cols], F.col(id_col).alias("id_a"))
+    b = sets.select(*[F.col(c) for c in join_cols], F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, join_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Term-frequency-weighted SimHash: explode tokens, sum ±1 bit
+    weights (one aggregation, ``bits`` sums), emit a bitstring. Bit j
+    comes from the high bit of hex nibble j of md5(token) — identical on
+    any engine, no 64-bit unsigned arithmetic."""
+    exploded = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    aggs = [F.sum(simhash_bit_weight(F.col("w"), j)).alias(f"b{j}") for j in range(bits)]
+    sums = exploded.groupBy(id_col).agg(*aggs)
+    bit_chars = [F.when(F.col(f"b{j}") > 0, "1").otherwise("0") for j in range(bits)]
+    return sums.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))

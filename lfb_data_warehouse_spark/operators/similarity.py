@@ -1,0 +1,204 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two execution paths:
+
+- **Exact/JVM path** (:func:`cosine_topk`, :func:`cosine_pairs`,
+  :func:`ivf_assign`): embeddings are quantized to integer vectors
+  (``round(x * 10000)``) so dot products are exact int64 arithmetic —
+  bit-identical on any engine and order-independent. Stays in
+  whole-stage codegen (zip_with/aggregate are codegen'd higher-order
+  functions). This is the correctness/oracle path.
+
+- **Vectorized numpy path** (:func:`cosine_topk_np`): mapInPandas with
+  a broadcast probe matrix; each Arrow batch becomes one BLAS matmul.
+  ~100× the JVM path for wide fan-outs; float results (not
+  oracle-exact). This is the throughput path for 100 TB: per-partition
+  matmuls, no shuffle, probes broadcast once per executor.
+
+Quantization note: scale 1e4 on float32 inputs is exact in double
+(24-bit × 14-bit mantissas < 53 bits) and can never land on a .5
+rounding boundary (denominator 5^4 is not a binary fraction), so both
+engines round identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 10000
+
+
+def quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, q: array<bigint>, norm: bigint) — integer vector + self-dot."""
+    q = F.transform(F.col(vec_col), lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"))
+    out = df.select(F.col(id_col), q.alias("q"))
+    norm = F.aggregate(
+        F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return out.withColumn("norm", norm)
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def _cosine(dot, norm_a, norm_b):
+    return dot.cast("double") / (F.sqrt(norm_a.cast("double")) * F.sqrt(norm_b.cast("double")))
+
+
+def cosine_topk(
+    emb: DataFrame, id_col: str, vec_col: str, probe_ids, k: int
+) -> DataFrame:
+    """Exact brute-force top-k neighbors for each probe id.
+
+    Probes are broadcast (small side); candidates stream through a
+    map-only stage — the only shuffle is the final per-probe top-k
+    window over k·|probes| rows.
+    """
+    q = quantize(emb, id_col, vec_col)
+    probes = q.filter(F.col(id_col).isin(list(probe_ids))).select(
+        F.col(id_col).alias("probe_id"), F.col("q").alias("pq"), F.col("norm").alias("pnorm")
+    )
+    cand = q.select(F.col(id_col).alias("neighbor_id"), "q", "norm")
+    scored = (
+        cand.crossJoin(F.broadcast(probes))
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            _cosine(_dot(F.col("q"), F.col("pq")), F.col("norm"), F.col("pnorm")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "score")
+    )
+
+
+def cosine_pairs(emb: DataFrame, id_col: str, vec_col: str, threshold: float) -> DataFrame:
+    """All-pairs cosine ≥ threshold (embedding near-dup detection).
+    O(n²) — for corpus scale, pre-bucket with LSH/IVF and feed candidate
+    sets instead; kept exact here as the verification kernel."""
+    q = quantize(emb, id_col, vec_col)
+    a = q.select(F.col(id_col).alias("id_a"), F.col("q").alias("qa"), F.col("norm").alias("na"))
+    b = q.select(F.col(id_col).alias("id_b"), F.col("q").alias("qb"), F.col("norm").alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def label_centroids(emb: DataFrame, id_col: str, vec_col: str, label_col: str) -> DataFrame:
+    """Per-label centroid in quantized space: exact integer per-dimension
+    sums → mean → re-quantized integer centroid (deterministic).
+    posexplode + two aggregations; dimension count is small (64)."""
+    q = quantize(emb, id_col, vec_col)
+    dims = q.select(F.col(id_col), F.posexplode(F.col("q")).alias("pos", "v")).join(
+        emb.select(F.col(id_col), F.col(label_col)), id_col
+    )
+    per_dim = dims.groupBy(label_col, "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cq = F.round(F.col("s").cast("double") / F.col("n")).cast("long")
+    per_dim = per_dim.select(F.col(label_col), "pos", cq.alias("cv"))
+    collected = per_dim.groupBy(label_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs")
+    )
+    centroid = F.transform(F.col("pairs"), lambda p: p.getField("cv"))
+    out = collected.select(F.col(label_col).alias("centroid_label"), centroid.alias("cq"))
+    cnorm = F.aggregate(
+        F.zip_with(F.col("cq"), F.col("cq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return out.withColumn("cnorm", cnorm)
+
+
+def ivf_assign(emb: DataFrame, id_col: str, vec_col: str, label_col: str) -> DataFrame:
+    """IVF building block: assign each vector to its nearest label
+    centroid by cosine. Centroids are broadcast (num_partitions rows);
+    assignment is a map-only argmax per vector."""
+    q = quantize(emb, id_col, vec_col).join(emb.select(F.col(id_col), F.col(label_col)), id_col)
+    cents = label_centroids(emb, id_col, vec_col, label_col)
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col("centroid_label"),
+        _cosine(_dot(F.col("q"), F.col("cq")), F.col("norm"), F.col("cnorm")).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("centroid_label").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.col("centroid_label").alias("assigned_label"),
+            F.col("score").alias("centroid_score"),
+        )
+    )
+
+
+def cosine_topk_np(
+    emb: DataFrame, id_col: str, vec_col: str, probe_ids, k: int
+) -> DataFrame:
+    """Throughput path: per-Arrow-batch numpy matmul against a broadcast
+    probe matrix; per-partition top-k then global top-k. Float scores
+    (not oracle-exact) — use for benchmarks / production fan-out."""
+    import numpy as np
+
+    probes_pd = (
+        emb.filter(F.col(id_col).isin(list(probe_ids)))
+        .select(F.col(id_col), F.col(vec_col))
+        .toPandas()
+    )
+    pids = probes_pd[id_col].to_numpy()
+    P = np.array(probes_pd[vec_col].tolist(), dtype=np.float64)
+    P /= np.linalg.norm(P, axis=1, keepdims=True)
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((pids, P))
+
+    schema = f"probe_id long, neighbor_id long, score double"
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pids_, P_ = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            S = X @ P_.T  # (batch, probes)
+            nid = pdf[id_col].to_numpy()
+            # per-batch top-(k+1) per probe to bound output
+            kk = min(k + 1, S.shape[0])
+            idx = np.argpartition(-S, kk - 1, axis=0)[:kk]
+            out = {
+                "probe_id": np.repeat(pids_, kk),
+                "neighbor_id": nid[idx].T.ravel(),
+                "score": np.take_along_axis(S, idx, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    scored = emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(score_batches, schema=schema)
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.filter(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,425 @@
+"""Large-scale training-data pipeline queries (dedup, similarity,
+text analysis, multimodal) with generated DuckDB oracles.
+
+Beyond-reference surface (BASELINE.json north star): each operator a
+100 TB LLM-data pipeline needs, expressed Spark-first over the
+``documents`` / ``embeddings`` test tables. Oracle SQL is *generated
+from the same constants* as the Spark expressions (salts, shingle
+sizes, marker lists, quantization scale) — see functions.text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    normalized_text,
+    normalized_text_sql,
+    salted_minhash_sql,
+    shingles,
+    shingles_sql,
+    simhash_bit_weight_sql,
+    tokens,
+    tokens_sql,
+)
+from ..operators.dedup import (
+    all_pairs_jaccard,
+    exact_dup_groups,
+    minhash_near_dups,
+    simhash_fingerprints,
+)
+from ..operators.multimodal import attach_payload, extract_features
+from ..operators.similarity import cosine_pairs, cosine_topk, ivf_assign
+from ..sources.testdata import load_table
+from .queries import register
+
+# ---------------------------------------------------------------------------
+# Dedup: exact
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT sha256(text) AS text_sha256,
+           MIN(doc_id) AS survivor_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-groupBy on sha256(text) — shuffles (hash, id)
+    pairs, never document bodies; keep-first (min id) survivor policy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Dedup: MinHash + LSH (shingle → sign → band → verify)
+# ---------------------------------------------------------------------------
+
+MINHASH_N = 2
+MINHASH_HASHES = 8
+MINHASH_BANDS = 4
+MINHASH_THRESHOLD = 0.5
+
+
+def _minhash_oracle() -> str:
+    rows = MINHASH_HASHES // MINHASH_BANDS
+    sig_cols = ", ".join(
+        f"{salted_minhash_sql('shingle', i)} AS h{i}" for i in range(MINHASH_HASHES)
+    )
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        cat = " || ',' || ".join(f"h{b * rows + r}" for r in range(rows))
+        band_selects.append(f"SELECT doc_id, {b} AS band, md5({cat}) AS bh FROM sig")
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH ws AS (SELECT doc_id, {tokens_sql('text')} AS w FROM documents),
+    sh AS (SELECT doc_id, list_distinct({shingles_sql('w', MINHASH_N)}) AS ss FROM ws),
+    e AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
+    sig AS (SELECT doc_id, {sig_cols} FROM e GROUP BY doc_id),
+    bands AS ({bands}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, len(ss) AS sz FROM sh),
+    inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+              FROM cand c
+              JOIN e a ON a.doc_id = c.id_a
+              JOIN e b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sz sa ON id_a = sa.doc_id
+    JOIN sz sb ON id_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {MINHASH_THRESHOLD}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), headline=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: banded signature equi-join turns the
+    all-pairs problem into bucket joins; candidates verified with exact
+    Jaccard ≥ 0.5 (false positives never reach the output)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dups(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=MINHASH_N,
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD,
+    ).select(F.col("id_a"), F.col("id_b"), F.col("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact n-gram Jaccard within source groups
+# ---------------------------------------------------------------------------
+
+JACCARD_N = 2
+JACCARD_THRESHOLD = 0.2
+
+
+def _jaccard_oracle() -> str:
+    return f"""
+    WITH ws AS (SELECT doc_id, source, {tokens_sql('text')} AS w FROM documents),
+    sh AS (SELECT doc_id, source, list_distinct({shingles_sql('w', JACCARD_N)}) AS ss FROM ws),
+    e AS (SELECT doc_id, source, unnest(ss) AS shingle FROM sh),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM e a JOIN e b
+                ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(ss) AS sz FROM sh)
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("dedup_ngram_jaccard", oracle=_jaccard_oracle())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-Jaccard near-dup pairs within each source group —
+    the verification kernel, bounded by group size (corpus-wide pairing
+    goes through LSH instead)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return all_pairs_jaccard(
+        docs, "doc_id", "text", shingle_n=JACCARD_N, threshold=JACCARD_THRESHOLD, group_col="source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: SimHash fingerprints
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def _simhash_oracle() -> str:
+    sums = ", ".join(
+        f"SUM({simhash_bit_weight_sql('w', j)}) AS b{j}" for j in range(SIMHASH_BITS)
+    )
+    chars = " || ".join(
+        f"(CASE WHEN b{j} > 0 THEN '1' ELSE '0' END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH e AS (SELECT doc_id, unnest({tokens_sql('text')}) AS w FROM documents),
+    s AS (SELECT doc_id, {sums} FROM e GROUP BY doc_id)
+    SELECT doc_id, {chars} AS simhash FROM s
+    """
+
+
+@register("dedup_simhash_fingerprints", oracle=_simhash_oracle())
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency SimHash fingerprints (32 bits from md5 nibble high
+    bits) — near-dup lookup becomes fingerprint equality, no pair stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, "doc_id", "text", bits=SIMHASH_BITS)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: quality stats, language ID, fingerprints
+# ---------------------------------------------------------------------------
+
+def _stop_list_sql() -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_quality_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {tokens_sql('text')} AS w, length(text) AS chars
+               FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(w) AS BIGINT) AS token_count,
+           CAST(len(list_distinct(w)) AS BIGINT) AS distinct_tokens,
+           CAST(chars AS BIGINT) AS char_count,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS avg_token_len,
+           CAST(len(list_filter(w, x -> x IN ({_stop_list_sql()}))) AS DOUBLE) / len(w) AS stopword_ratio,
+           (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+             * (1 - CAST(len(list_filter(w, x -> x IN ({_stop_list_sql()}))) AS DOUBLE) / len(w)) AS quality
+    FROM t
+    """,
+    headline=True,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics — token counts, length, stopword
+    ratio, lexical-diversity quality score — all as codegen'd array
+    expressions (no UDF, no explode: one map-only pass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens("text")
+    d = docs.select("doc_id", "lang", F.length("text").alias("chars"), ws.alias("w"))
+    token_count = F.size("w")
+    distinct_tokens = F.size(F.array_distinct("w"))
+    total_len = F.aggregate(
+        F.transform("w", lambda x: F.length(x)), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    stop_count = F.size(F.filter("w", lambda x: x.isin(STOPWORDS)))
+    stop_ratio = stop_count.cast("double") / token_count
+    return d.select(
+        "doc_id",
+        "lang",
+        token_count.cast("long").alias("token_count"),
+        distinct_tokens.cast("long").alias("distinct_tokens"),
+        F.col("chars").cast("long").alias("char_count"),
+        (total_len.cast("double") / token_count).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        ((distinct_tokens.cast("double") / token_count) * (1 - stop_ratio)).alias("quality"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        score_cols.append(f"len(list_filter(w, x -> x IN ({lst}))) AS s_{lang}")
+    langs = list(LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    chain = " ".join(f"WHEN s_{l} = g THEN '{l}'" for l in langs)
+    return f"""
+    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS w FROM documents),
+    s AS (SELECT doc_id, {", ".join(score_cols)} FROM t),
+    m AS (SELECT doc_id, s_{langs[0]}, s_{langs[1]}, s_{langs[2]}, s_{langs[3]}, {g} AS g FROM s)
+    SELECT doc_id,
+           CASE WHEN g = 0 THEN 'und' {chain} END AS predicted_lang,
+           CAST(g AS BIGINT) AS marker_hits
+    FROM m
+    """
+
+
+@register("text_lang_id", oracle=_lang_id_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-word hit counts per language, argmax
+    with a fixed priority order, 'und' when no marker hits. (Synthetic
+    corpus shares one vocabulary — this exercises the machinery; real
+    corpora supply real per-language stopword lists.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens("text").alias("w"))
+
+    def marker_score(markers: list[str]):
+        # NB: F.filter dispatches on lambda arity — a 2-arg lambda would
+        # receive (element, index), so capture markers via closure only
+        return F.size(F.filter("w", lambda x: x.isin(markers)))
+
+    scores = {lang: marker_score(markers) for lang, markers in LANG_MARKERS.items()}
+    g = F.greatest(*scores.values())
+    pred = F.when(g == 0, "und")
+    for lang in LANG_MARKERS:
+        pred = pred.when(scores[lang] == g, lang)
+    return d.select(
+        "doc_id", pred.alias("predicted_lang"), g.cast("long").alias("marker_hits")
+    )
+
+
+FP_SHINGLE_N = 2
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {normalized_text_sql('text')} AS norm,
+                      {tokens_sql('text')} AS w
+               FROM documents)
+    SELECT doc_id,
+           md5(norm) AS norm_md5,
+           list_min(list_transform({shingles_sql('w', FP_SHINGLE_N)}, s -> md5(s))) AS min_shingle_md5
+    FROM t
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized text plus the
+    minimum shingle hash (winnowing-style content anchor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.md5(normalized_text("text")).alias("norm_md5"),
+        F.array_min(F.transform(shingles(ws, FP_SHINGLE_N), lambda s: F.md5(s))).alias(
+            "min_shingle_md5"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+KNN_K = 5
+KNN_PROBES = 20
+NEAR_DUP_COS = 0.45
+
+_Q = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+_QCTE = f"""
+    q AS (SELECT vec_id, label, {_Q} AS q FROM embeddings),
+    qn AS (SELECT vec_id, label, q,
+                  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm
+           FROM q)
+"""
+
+
+def _cos_sql(dot: str, na: str, nb: str) -> str:
+    return f"CAST({dot} AS DOUBLE) / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+
+
+def _knn_oracle() -> str:
+    dot = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> p.q[i] * c.q[i]))"
+    return f"""
+    WITH {_QCTE}
+    SELECT probe_id, neighbor_id, rank, score FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               {_cos_sql(dot, 'c.norm', 'p.norm')} AS score,
+               CAST(row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY {_cos_sql(dot, 'c.norm', 'p.norm')} DESC, c.vec_id) AS BIGINT) AS rank
+        FROM qn p JOIN qn c ON p.vec_id <> c.vec_id
+        WHERE p.vec_id < {KNN_PROBES}
+    ) WHERE rank <= {KNN_K}
+    """
+
+
+@register("knn_bruteforce_cosine", oracle=_knn_oracle())
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (quantized-integer dot products —
+    deterministic on any engine). The numpy mapInPandas fast path
+    (similarity.cosine_topk_np) is benchmarked separately."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, "vec_id", "embedding", probe_ids=range(KNN_PROBES), k=KNN_K)
+
+
+def _near_dup_oracle() -> str:
+    dot = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> a.q[i] * b.q[i]))"
+    return f"""
+    WITH {_QCTE}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_sql(dot, 'a.norm', 'b.norm')} AS score
+    FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql(dot, 'a.norm', 'b.norm')} >= {NEAR_DUP_COS}
+    """
+
+
+@register("embedding_near_dup_pairs", oracle=_near_dup_oracle())
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above threshold (exact kernel; at
+    corpus scale feed LSH/IVF candidate sets instead of all pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, "vec_id", "embedding", threshold=NEAR_DUP_COS)
+
+
+def _ivf_oracle() -> str:
+    dot = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> v.q[i] * c.cq[i]))"
+    return f"""
+    WITH {_QCTE},
+    d AS (SELECT label, i AS pos, SUM(q[i]) AS s, COUNT(*) AS n
+          FROM q, range(1, {EMB_DIM + 1}) t(i) GROUP BY 1, 2),
+    cent AS (SELECT label AS centroid_label,
+                    list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cq
+             FROM d GROUP BY 1),
+    cn AS (SELECT centroid_label, cq,
+                  CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS cnorm
+           FROM cent)
+    SELECT vec_id, label, assigned_label, centroid_score FROM (
+        SELECT v.vec_id, v.label, c.centroid_label AS assigned_label,
+               {_cos_sql(dot, 'v.norm', 'c.cnorm')} AS centroid_score,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_cos_sql(dot, 'v.norm', 'c.cnorm')} DESC, c.centroid_label) AS rn
+        FROM qn v CROSS JOIN cn c
+    ) WHERE rn = 1
+    """
+
+
+@register("ivf_centroid_assign", oracle=_ivf_oracle())
+def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF building block: exact integer label centroids (order-independent
+    sums), broadcast to a map-only nearest-centroid argmax per vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, "vec_id", "embedding", "label")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (stubbed decode over real mapInPandas)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha256,
+           CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS fake_width,
+           CAST(octet_length(encode(text)) // 64 % 64 + 1 AS BIGINT) AS fake_height,
+           CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS fake_frames
+    FROM documents
+    """,
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through Arrow-batched
+    mapInPandas — the decode itself is a deterministic stub (media libs
+    absent here), the Spark plumbing (binary column, batch shape, UDF
+    schema) is real."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_payload(docs, "doc_id", "text"))
