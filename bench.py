@@ -1,0 +1,87 @@
+"""Headline-query benchmark.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full plan executes,
+nothing written) — count() alone would let column pruning skip most of
+the work and flatter the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lfb_data_warehouse_spark.plans import REGISTRY  # noqa: E402
+from lfb_data_warehouse_spark.session import get_spark  # noqa: E402
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+EXTRA_BENCH = ("knn_numpy_topk",)
+
+
+def knn_numpy_topk(spark, sf_dir):
+    """Throughput-path ANN benchmark: numpy mapInPandas brute-force top-k
+    for 100 probes (the oracle-exact JVM variant is correctness-gated
+    separately; this is the production fan-out path)."""
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.similarity import cosine_topk_np
+    from lfb_data_warehouse_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_ids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(100).collect()]
+    return cosine_topk_np(emb, "vec_id", "embedding", probe_ids, k=10)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+
+    # untimed warmup: JVM/codegen spin-up should not be billed to the
+    # first query
+    REGISTRY["mart_per_month"].fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    names = [n for n, s in REGISTRY.items() if s.headline]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    for name in EXTRA_BENCH:
+        t0 = time.time()
+        globals()[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock (noop-sink materialization)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

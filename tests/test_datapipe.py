@@ -1,0 +1,114 @@
+"""Unit tests: dedup / similarity / text / multimodal operators."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from lfb_data_warehouse_spark.operators.dedup import (
+    all_pairs_jaccard,
+    exact_dup_groups,
+    minhash_near_dups,
+    simhash_fingerprints,
+)
+from lfb_data_warehouse_spark.operators.multimodal import attach_payload, extract_features
+from lfb_data_warehouse_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    cosine_topk_np,
+    ivf_assign,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+    (3, "completely different words appear in this one"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    groups = exact_dup_groups(docs, "doc_id", "text").collect()
+    by_survivor = {r["survivor_id"]: r["dup_count"] for r in groups}
+    assert by_survivor[1] == 2  # docs 1 and 4 identical
+    assert by_survivor[2] == 1 and by_survivor[3] == 1
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=8, bands=4, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 4) in got  # exact dup always collides (jaccard 1.0)
+    # the near-dup pair shares 7/9 bigrams = 0.78
+    assert (1, 2) in got or (2, 4) in got
+
+
+def test_jaccard_exact_values(docs):
+    pairs = all_pairs_jaccard(docs, "doc_id", "text", shingle_n=2, threshold=0.1)
+    vals = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert vals[(1, 4)] == 1.0
+    assert abs(vals[(1, 2)] - 7 / 9) < 1e-12
+
+
+def test_simhash_properties(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs, "doc_id", "text").collect()}
+    assert fps[1] == fps[4]  # identical text → identical fingerprint
+    assert len(fps[1]) == 32 and set(fps[1]) <= {"0", "1"}
+    ham_12 = sum(a != b for a, b in zip(fps[1], fps[2]))
+    ham_13 = sum(a != b for a, b in zip(fps[1], fps[3]))
+    assert ham_12 < ham_13  # near-dup is closer than unrelated doc
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0], 0),
+    (1, [0.99, 0.1, 0.0], 0),
+    (2, [0.0, 1.0, 0.0], 1),
+    (3, [0.0, 0.95, 0.3], 1),
+    (4, [-1.0, 0.0, 0.0], 2),
+]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_exact(emb):
+    out = cosine_topk(emb, "vec_id", "embedding", probe_ids=[0], k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+    assert out[0]["score"] > 0.99
+
+
+def test_cosine_pairs_threshold(emb):
+    pairs = {(r["id_a"], r["id_b"]) for r in cosine_pairs(emb, "vec_id", "embedding", 0.9).collect()}
+    assert pairs == {(0, 1), (2, 3)}
+
+
+def test_ivf_assign_matches_labels(emb):
+    out = ivf_assign(emb, "vec_id", "embedding", "label").collect()
+    agree = {r["vec_id"]: r["assigned_label"] == r["label"] for r in out}
+    assert all(agree.values())  # tight synthetic clusters assign home
+
+
+def test_numpy_path_agrees_with_exact(emb):
+    ex = cosine_topk(emb, "vec_id", "embedding", probe_ids=[0, 2], k=2)
+    np_ = cosine_topk_np(emb, "vec_id", "embedding", probe_ids=[0, 2], k=2)
+    ex_ids = {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in ex.collect()}
+    np_ids = {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in np_.collect()}
+    assert ex_ids == np_ids
+
+
+def test_multimodal_stub_features(docs):
+    feats = extract_features(attach_payload(docs, "doc_id", "text"))
+    r = {f["doc_id"]: f for f in feats.collect()}[1]
+    raw = DOCS[0][1].encode()
+    assert r["n_bytes"] == len(raw)
+    assert r["payload_sha256"] == hashlib.sha256(raw).hexdigest()
+    assert r["fake_width"] == len(raw) % 64 + 1
+    assert r["media_type"] == "text/plain"

@@ -1,0 +1,102 @@
+"""Unit tests: functions layer (keys, bucketing, cleanse, exact)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from lfb_data_warehouse_spark.functions.bucketing import NullPolicy, bucketize, bucketize_sql
+from lfb_data_warehouse_spark.functions.cleanse import (
+    linked_scrub,
+    null_sentinels,
+    standardize_names,
+    zero_to_null,
+    zscore_scrub,
+)
+from lfb_data_warehouse_spark.functions.exact import avg_exact, sum_exact
+from lfb_data_warehouse_spark.functions.keys import (
+    hash_key,
+    hash_key_nullable,
+    sentinel_row,
+)
+
+
+def test_hash_key_matches_sha256(spark):
+    df = spark.createDataFrame([("Camden", 7)], "name string, code int")
+    out = df.select(hash_key("name", "code").alias("k")).collect()[0]["k"]
+    assert out == hashlib.sha256(b"Camden|7").hexdigest()
+
+
+def test_hash_key_skips_nulls_concat_ws(spark):
+    df = spark.createDataFrame([(None, 7)], "name string, code int")
+    out = df.select(hash_key("name", "code").alias("k")).collect()[0]["k"]
+    # concat_ws drops the NULL entirely (no separator kept)
+    assert out == hashlib.sha256(b"7").hexdigest()
+
+
+def test_hash_key_nullable_propagates_and_patches(spark):
+    df = spark.createDataFrame([(None, 7), ("x", 1)], "name string, code int")
+    rows = df.select(hash_key_nullable("name", "code").alias("k")).collect()
+    assert rows[0]["k"] == "Unknown"
+    assert rows[1]["k"] == hashlib.sha256(b"x|1").hexdigest()
+
+
+def test_sentinel_row_types(spark):
+    df = spark.createDataFrame([("k1", "a", 1.5)], "id string, attr string, num double")
+    out = sentinel_row(df, "id").orderBy("id").collect()
+    sent = [r for r in out if r["id"] == "Unknown"][0]
+    assert sent["attr"] == "Unknown" and sent["num"] is None
+    assert len(out) == 2
+
+
+BUCKETS = [(None, 0.0, "neg"), (0.0, 10.0, "low"), (10.0, None, "high")]
+
+
+def test_bucketize_edges_and_null_policies(spark):
+    df = spark.createDataFrame(
+        [(-1.0,), (0.0,), (9.999,), (10.0,), (None,)], "v double"
+    )
+    got = [r[0] for r in df.select(bucketize("v", BUCKETS)).collect()]
+    assert got == ["neg", "low", "low", "high", "Unknown"]
+    got2 = [
+        r[0]
+        for r in df.select(bucketize("v", BUCKETS, null_policy=NullPolicy.NULL)).collect()
+    ]
+    assert got2 == ["neg", "low", "low", "high", None]
+
+
+def test_bucketize_sql_twin(spark):
+    import duckdb
+
+    sql = f"SELECT {bucketize_sql('v', BUCKETS)} FROM (VALUES (-1.0),(0.0),(9.999),(10.0),(NULL)) t(v)"
+    got = [r[0] for r in duckdb.connect().execute(sql).fetchall()]
+    assert got == ["neg", "low", "low", "high", "Unknown"]
+
+
+def test_cleansing_scrubs(spark):
+    df = spark.createDataFrame(
+        [("NULL", 0, 0.0, 51.5, "camden TOWN")],
+        "s string, usrn int, lat double, lon double, ward string",
+    )
+    out = null_sentinels(df, subset=["s"])
+    out = zero_to_null(out, ["usrn"])
+    out = linked_scrub(out, F.col("lat") == 0.0, ["lat", "lon"])
+    out = standardize_names(out, ["ward"])
+    r = out.collect()[0]
+    assert r["s"] is None and r["usrn"] is None
+    assert r["lat"] is None and r["lon"] is None
+    assert r["ward"] == "Camden Town"
+
+
+def test_zscore_scrub_single_pass(spark):
+    vals = [(float(i),) for i in range(100)] + [(10_000.0,)]
+    df = spark.createDataFrame(vals, "v double")
+    out = zscore_scrub(df, ["v"], threshold=3.0)
+    kept = out.filter(F.col("v").isNotNull()).count()
+    assert kept == 100  # the planted outlier is scrubbed
+
+
+def test_exact_aggregates_deterministic(spark):
+    df = spark.createDataFrame([(0.1,), (0.2,), (0.3,)], "v double")
+    r = df.agg(sum_exact("v").alias("s"), avg_exact("v").alias("a")).collect()[0]
+    assert r["s"] == 0.6  # decimal-exact, not 0.6000000000000001
+    assert r["a"] == 0.6 / 3  # deterministic double division of the exact sum

@@ -1,0 +1,154 @@
+"""Unit tests: relational operators (incremental, temporal, dims, topk,
+agg, checks) on tiny in-memory frames."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lfb_data_warehouse_spark.operators.agg import pivot_agg, rollup_mart
+from lfb_data_warehouse_spark.operators.checks import (
+    assert_unique,
+    profile,
+    referential_orphans,
+    run_contract,
+)
+from lfb_data_warehouse_spark.operators.dims import (
+    collapse_per_key,
+    date_spine,
+    latest_per_group,
+)
+from lfb_data_warehouse_spark.operators.incremental import (
+    incremental_append,
+    incremental_new_rows,
+)
+from lfb_data_warehouse_spark.operators.temporal import nearest_within
+from lfb_data_warehouse_spark.operators.topk import max_by_per_group, top_k_per_group
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_incremental_idempotent_replay(spark):
+    """3-batch cumulative replay (reference batching/ harness): each batch
+    re-delivers earlier rows; re-running a batch adds 0 new rows."""
+    batches = [
+        [(1, "a"), (2, "b")],
+        [(1, "a"), (2, "b"), (3, "c")],
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")],
+    ]
+    existing = spark.createDataFrame([], "id int, v string")
+    for batch in batches:
+        staged = spark.createDataFrame(batch, "id int, v string")
+        new = incremental_new_rows(staged, existing, ["id"])
+        existing = incremental_append(staged, existing, ["id"])
+        # re-run the same batch: nothing new
+        assert incremental_new_rows(staged, existing, ["id"]).count() == 0
+    assert existing.count() == 4
+    assert new.count() == 1  # last batch delivered exactly one new row
+
+
+def test_nearest_within_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, ts("2024-01-01 12:00:00")), (2, 10, ts("2024-01-03 00:00:00")),
+         (3, 20, ts("2024-01-01 12:00:00"))],
+        "id int, k int, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(101, 10, ts("2024-01-01 10:00:00")), (102, 10, ts("2024-01-01 13:30:00")),
+         (103, 20, ts("2024-01-02 13:00:00"))],
+        "rid int, k int, rts timestamp",
+    )
+    out = nearest_within(
+        left, right, "lts", "rts", tolerance_sec=43200, on=["k"],
+        left_key="id", right_tiebreak="rid",
+    )
+    got = {r["id"]: r["rid"] for r in out.collect()}
+    # id=1 matches rid=102 (1.5h) not 101 (2h); id=2 has no reading within
+    # 12h; id=3 is key 20, nothing within tolerance (25h away)
+    assert got == {1: 102}
+    # left join keeps unmatched rows with NULL right side
+    outer = nearest_within(
+        left, right, "lts", "rts", tolerance_sec=43200, on=["k"],
+        left_key="id", right_tiebreak="rid", how="left",
+    )
+    rows = {r["id"]: r["rid"] for r in outer.collect()}
+    assert rows == {1: 102, 2: None, 3: None}
+
+
+def test_nearest_within_tie_deterministic(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01 12:00:00"))], "id int, lts timestamp")
+    right = spark.createDataFrame(
+        [(9, ts("2024-01-01 11:00:00")), (5, ts("2024-01-01 13:00:00"))],
+        "rid int, rts timestamp",
+    )
+    out = nearest_within(
+        left, right, "lts", "rts", 7200, left_key="id", right_tiebreak="rid"
+    ).collect()
+    assert out[0]["rid"] == 5  # equal |dt| → smallest rid wins
+
+
+def test_date_spine_attributes(spark):
+    out = date_spine(spark, "2024-01-05", "2024-01-08").orderBy("date").collect()
+    assert [r["date"].isoformat() for r in out] == [
+        "2024-01-05", "2024-01-06", "2024-01-07", "2024-01-08"]
+    # 2024-01-05 is a Friday: ISO dow 5, not weekend; Sunday the 7th: dow 7
+    assert out[0]["day_of_week"] == 5 and out[0]["is_weekend"] is False
+    assert out[2]["day_of_week"] == 7 and out[2]["is_weekend"] is True
+    assert out[0]["day_name"] == "Friday" and out[0]["month_name"] == "January"
+
+
+def test_collapse_and_latest(spark):
+    df = spark.createDataFrame(
+        [("w1", 1, None), ("w1", 2, "B"), ("w1", 3, "C"), ("w2", 1, "X")],
+        "key string, ord int, v string",
+    )
+    c = {r["key"]: r["v"] for r in collapse_per_key(df, ["key"], "ord").collect()}
+    assert c == {"w1": "B", "w2": "X"}  # first NON-NULL by order
+    latest = {r["key"]: r["v"] for r in latest_per_group(df, ["key"], "ord").collect()}
+    assert latest == {"w1": "C", "w2": "X"}
+
+
+def test_topk_and_maxby(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 5.0), ("g", 2, 9.0), ("g", 3, 9.0), ("h", 4, 1.0)],
+        "grp string, id int, v double",
+    )
+    top = top_k_per_group(df, ["grp"], [F.col("v").desc(), F.col("id")], k=2)
+    got = [(r["grp"], r["id"]) for r in top.orderBy("grp", "rank").collect()]
+    assert got == [("g", 2), ("g", 3), ("h", 4)]
+    mb = max_by_per_group(df, ["grp"], "v", ["id"])
+    assert {(r["grp"], r["v"]) for r in mb.collect()} == {("g", 9.0), ("h", 1.0)}
+
+
+def test_pivot_fixed_values(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)], "k string, p string, v double"
+    )
+    out = pivot_agg(df, ["k"], "p", ["x", "y", "z"], F.sum("v"))
+    assert set(out.columns) == {"k", "x", "y", "z"}
+    row = {r["k"]: r for r in out.collect()}
+    assert row["a"]["x"] == 1.0 and row["a"]["y"] == 2.0 and row["a"]["z"] is None
+
+
+def test_checks_suite(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None), (2, "c")], "id int, v string")
+    p = profile(df, pk="id").collect()[0]
+    assert p["row_count"] == 3 and p["distinct_id"] == 2 and p["nulls_v"] == 1
+    dups = assert_unique(df, ["id"]).collect()
+    assert len(dups) == 1 and dups[0]["id"] == 2
+    dim = spark.createDataFrame([(1,)], "id int")
+    orphans = referential_orphans(df, "id", dim, "id").collect()
+    assert [r["id"] for r in orphans] == [2]
+    results = run_contract(df, expected_columns=2, pk="id", non_nullable=["v"])
+    by_name = {r.name: r.passed for r in results}
+    assert by_name["column_count"] and by_name["non_empty"]
+    assert not by_name["unique_id"] and not by_name["non_null_v"]
+
+
+def test_rollup_mart(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 3.0)], "k string, v double")
+    out = rollup_mart(
+        df, ["k"], [F.count(F.lit(1)).alias("n")], order_by=[F.col("k")]
+    ).collect()
+    assert [(r["k"], r["n"]) for r in out] == [("a", 2), ("b", 1)]
