@@ -61,7 +61,8 @@ def collapse_per_key(
     Implemented as min_by-style aggregation: ``min(struct(order, value))``
     over non-null values — a single hash aggregate, no window shuffle.
     """
-    value_cols = [c for c in (value_cols or df.columns) if c not in key and c != order_col]
+    # order_col may itself be collapsed (min(struct(v, v)) ≡ min(v))
+    value_cols = [c for c in (value_cols or df.columns) if c not in key]
     aggs = []
     for c in value_cols:
         pair = F.when(
