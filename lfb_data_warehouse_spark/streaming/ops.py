@@ -1,0 +1,106 @@
+"""Structured Streaming operators.
+
+The reference is batch-only; its "streaming" capability is hand-rolled
+incremental loading — anti-join change detection + append
+(SURVEY §2.9). These operators are the Structured Streaming twins of
+the engine's batch semantics, so a pipeline can switch a source from
+parquet-batch to a stream without changing meaning:
+
+- :func:`stream_windowed_agg` ≡ plans.queries.tumbling_hourly_events
+  (same F.window expression), plus watermark-bounded state.
+- :func:`stream_session_agg` ≡ the batch gap-sessionization query,
+  via native session_window.
+- :func:`stream_dedup` ≡ batch dropDuplicates/anti-join idempotency;
+  the watermark bounds the key state a 100 TB stream would otherwise
+  accumulate forever.
+- :func:`stream_incremental_upsert` ≡ operators.incremental as a
+  foreachBatch sink: each micro-batch anti-joins the sink before
+  append — exactly-once-per-key without MERGE support.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def stream_windowed_agg(
+    stream: DataFrame,
+    ts_col: str,
+    window: str = "1 hour",
+    keys: Sequence[str] = (),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window count/sum with late-data bound."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), *keys, "event_count", "total_value")
+    )
+
+
+def stream_session_agg(
+    stream: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native session windows (gap-based) — the streaming twin of the
+    batch lag+cumsum sessionization."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *keys)
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            *keys,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "event_count",
+        )
+    )
+
+
+def stream_dedup(
+    stream: DataFrame, keys: Sequence[str], ts_col: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """At-least-once → effectively-once: drop re-deliveries by key.
+    The watermark lets Spark expire key state (unbounded otherwise)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+
+
+def stream_incremental_upsert(
+    stream: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    checkpoint: str,
+) -> DataStreamWriter:
+    """foreachBatch sink: per micro-batch, anti-join the target on the
+    natural key and append only new rows (idempotent under replay —
+    the streaming twin of the reference's extract jobs)."""
+    from ..operators.incremental import incremental_new_rows
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        # intra-batch re-deliveries first (the sink anti-join can only
+        # see previous batches), then new-vs-sink change detection
+        batch = batch.dropDuplicates(list(keys))
+        try:
+            existing = spark.read.parquet(target_path)
+        except Exception:
+            existing = None
+        new = batch if existing is None else incremental_new_rows(batch, existing, keys)
+        new.write.mode("append").parquet(target_path)
+
+    return (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(upsert)
+    )

@@ -1,0 +1,84 @@
+"""Streaming operators driven synchronously: parquet file source →
+memory sink → processAllAvailable, compared against batch semantics."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from lfb_data_warehouse_spark.streaming.ops import (
+    stream_dedup,
+    stream_incremental_upsert,
+    stream_windowed_agg,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+ROWS = [
+    (1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+    (2, ts("2024-01-01 10:20:00"), 1, "click", 2.0),
+    (3, ts("2024-01-01 11:10:00"), 2, "view", 3.0),
+    (3, ts("2024-01-01 11:10:00"), 2, "view", 3.0),  # duplicate delivery
+]
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_src"))
+    spark.createDataFrame(ROWS, SCHEMA).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_to_memory(df, name):
+    q = df.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_stream_windowed_agg_matches_batch(spark, source_dir):
+    stream = spark.readStream.schema(SCHEMA).parquet(source_dir)
+    out = stream_windowed_agg(stream, "ts", window="1 hour", keys=["event_type"])
+    run_to_memory(out, "win_agg")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["event_count"], r["total_value"])
+        for r in spark.sql("select * from win_agg").collect()
+    }
+    assert got[("2024-01-01 10:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 11:00:00", "view")] == (2, 6.0)
+
+
+def test_stream_dedup(spark, source_dir):
+    stream = spark.readStream.schema(SCHEMA).parquet(source_dir)
+    out = stream_dedup(stream, ["event_id"], "ts")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from dedup_out").collect()
+    assert len(rows) == 3  # duplicate event_id=3 delivery collapsed
+
+
+def test_stream_incremental_upsert_idempotent(spark, source_dir, tmp_path):
+    target = str(tmp_path / "target")
+    ck1 = str(tmp_path / "ck1")
+    stream = spark.readStream.schema(SCHEMA).parquet(source_dir)
+    q = stream_incremental_upsert(stream, target, ["event_id"], ck1).start()
+    q.processAllAvailable()
+    q.stop()
+    first = spark.read.parquet(target).count()
+    assert first == 3  # intra-batch dup arrives once (anti-join on sink...)
+    # replay the same source from a FRESH checkpoint: all rows re-delivered,
+    # anti-join keeps the sink unchanged
+    ck2 = str(tmp_path / "ck2")
+    stream2 = spark.readStream.schema(SCHEMA).parquet(source_dir)
+    q2 = stream_incremental_upsert(stream2, target, ["event_id"], ck2).start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(target).count() == first
