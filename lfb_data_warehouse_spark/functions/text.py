@@ -49,11 +49,25 @@ def tokens_sql(text: str) -> str:
 def shingles(words: Column, n: int) -> Column:
     """Word n-grams (space-joined), empty when the doc has < n words.
 
+    Performance note: higher-order functions run interpreted (outside
+    whole-stage codegen), and an expression referenced *inside* a lambda
+    re-evaluates per element — composing ``shingles(tokens(text), 2)``
+    with an index-loop would re-run the tokenizer regex once per shingle.
+    The zip_with formulation evaluates its slice arguments once per row,
+    so the cost is O(words), not O(words²).
+
     Guarded: Spark's ``sequence(1, 0)`` would count DOWN (step inferred
     -1), so short docs must short-circuit to an empty array.
     """
     if n == 1:
         return words
+    if n == 2:
+        bigrams = F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        return F.when(F.size(words) >= 2, bigrams).otherwise(F.array().cast("array<string>"))
     return F.when(
         F.size(words) >= n,
         F.transform(

@@ -126,8 +126,13 @@ def minhash_near_dups(
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: shingle → sign →
-    band-join → verify candidates with exact Jaccard ≥ threshold."""
-    sets = shingle_sets(df, id_col, text_col, shingle_n)
+    band-join → verify candidates with exact Jaccard ≥ threshold.
+
+    The shingle sets feed three consumers (signatures, and both sides of
+    the verification join) whose exchanges differ, so exchange reuse
+    cannot deduplicate them — persist the exploded sets once (at
+    warehouse scale: checkpoint them to storage instead)."""
+    sets = shingle_sets(df, id_col, text_col, shingle_n).persist()
     sig = minhash_signatures(sets, id_col, num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
     verified = jaccard_for_pairs(cand, sets, id_col)

@@ -26,6 +26,16 @@ TESTDATA_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}")
+    if name in ("documents", "embeddings"):
+        # these arrive as one small parquet file — a single input split
+        # would serialize every downstream stage. Fan out to the session's
+        # parallelism (at warehouse scale inputs arrive pre-partitioned
+        # and this branch is a no-op).
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        cores = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, cores // 2):
+            df = df.repartition(cores)
+        return df
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond
         # timestamp type, so read it as a long and truncate to microseconds
