@@ -178,6 +178,67 @@ def all_pairs_jaccard(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the fingerprint into ``bands`` slices
+    and self-join on slice equality — by pigeonhole, any pair within
+    hamming distance < ``bands`` shares at least one identical slice, so
+    banding is *exact* (no recall loss) for ``max_hamming ≤ bands - 1``.
+    Candidates are verified with the true hamming distance
+    (``bit_count(a XOR b)`` on the conv'd fingerprint — one CPU
+    instruction per pair, no per-bit loop).
+
+    Scale shape: fingerprints shuffle once on (band, slice); the
+    quadratic blow-up is bounded per bucket, exactly like MinHash-LSH
+    but with zero false negatives inside the radius.
+    """
+    if max_hamming >= bands:
+        raise ValueError("banding is only exact for max_hamming <= bands - 1")
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    fp = simhash_fingerprints(df, id_col, text_col, bits)
+    slices = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * width + 1, width).alias("sl"),
+        )
+        for b in range(bands)
+    ]
+    banded = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*slices)).alias("b")
+    ).select(id_col, "simhash", F.col("b.band").alias("band"), F.col("b.sl").alias("sl"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sl") == F.col("b.sl"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    to_long = lambda c: F.conv(c, 2, 10).cast("long")  # noqa: E731
+    hamming = F.bit_count(to_long("sh_a").bitwiseXOR(to_long("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Term-frequency-weighted SimHash: explode tokens, sum ±1 bit
     weights (one aggregation, ``bits`` sums), emit a bitstring. Bit j

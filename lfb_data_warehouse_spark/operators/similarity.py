@@ -155,6 +155,64 @@ def ivf_assign(emb: DataFrame, id_col: str, vec_col: str, label_col: str) -> Dat
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    probe_ids,
+    k: int,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: each probe searches only the inverted lists
+    of its ``nprobe`` nearest centroids instead of the whole corpus.
+
+    Scale shape: centroids are broadcast twice (once to build the
+    inverted lists, once to rank probe-centroids); the candidate join is
+    a broadcast of the tiny (probe × nprobe) table against the
+    assignment table partitioned by centroid — a map-side join, so the
+    only shuffle is the final per-probe top-k over the candidates.
+    Recall < 1 by construction (vectors in unprobed lists are unseen);
+    the deterministic quantized arithmetic keeps it oracle-checkable.
+    """
+    q = quantize(emb, id_col, vec_col)
+    cents = label_centroids(emb, id_col, vec_col, label_col)
+    inv = ivf_assign(emb, id_col, vec_col, label_col).select(
+        F.col(id_col).alias("neighbor_id"), "assigned_label"
+    )
+    inv = inv.join(
+        q.select(F.col(id_col).alias("neighbor_id"), F.col("q").alias("nq"), F.col("norm").alias("nn")),
+        "neighbor_id",
+    )
+    probes = q.filter(F.col(id_col).isin(list(probe_ids))).select(
+        F.col(id_col).alias("probe_id"), F.col("q").alias("pq"), F.col("norm").alias("pnorm")
+    )
+    pc = probes.crossJoin(F.broadcast(cents)).select(
+        "probe_id",
+        "pq",
+        "pnorm",
+        "centroid_label",
+        _cosine(_dot(F.col("pq"), F.col("cq")), F.col("pnorm"), F.col("cnorm")).alias("cscore"),
+    )
+    wp = Window.partitionBy("probe_id").orderBy(F.col("cscore").desc(), F.col("centroid_label").asc())
+    pc = pc.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= nprobe)
+    cand = inv.join(
+        F.broadcast(pc.select("probe_id", "pq", "pnorm", "centroid_label")),
+        pc.centroid_label == inv.assigned_label,
+    ).filter(F.col("neighbor_id") != F.col("probe_id"))
+    scored = cand.select(
+        "probe_id",
+        "neighbor_id",
+        _cosine(_dot(F.col("nq"), F.col("pq")), F.col("nn"), F.col("pnorm")).alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "score")
+    )
+
+
 def cosine_topk_np(
     emb: DataFrame, id_col: str, vec_col: str, probe_ids, k: int
 ) -> DataFrame:

@@ -1,2 +1,3 @@
 from .queries import REGISTRY, QuerySpec  # noqa: F401
 from . import datapipe_queries  # noqa: F401  (registers datapipe queries)
+from . import streaming_queries  # noqa: F401  (registers streaming queries)

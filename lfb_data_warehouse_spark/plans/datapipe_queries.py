@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     LANG_MARKERS,
     STOPWORDS,
+    bpe_tokens,
+    bpe_tokens_sql,
     normalized_text,
     normalized_text_sql,
     salted_minhash_sql,
@@ -30,9 +32,10 @@ from ..operators.dedup import (
     exact_dup_groups,
     minhash_near_dups,
     simhash_fingerprints,
+    simhash_near_dup_pairs,
 )
 from ..operators.multimodal import attach_payload, extract_features
-from ..operators.similarity import cosine_pairs, cosine_topk, ivf_assign
+from ..operators.similarity import cosine_pairs, cosine_topk, ivf_assign, ivf_topk
 from ..sources.testdata import load_table
 from .queries import register
 
@@ -303,6 +306,88 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_token_counts",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS w, {bpe_tokens_sql('text')} AS bt,
+                      length(text) AS chars
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS ws_tokens,
+           CAST(len(bt) AS BIGINT) AS bpe_tokens,
+           CAST(chars AS BIGINT) AS char_count,
+           CAST(chars AS DOUBLE) / len(bt) AS chars_per_bpe_token
+    FROM t
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for LLM-data budgeting: whitespace tokens and a
+    GPT-2-style BPE pre-tokenizer piece count (functions.text.BPE_PATTERN)
+    — one map-only regexp pass, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("ws_tokens"),
+        F.size(bpe_tokens("text")).cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("char_count"),
+        (F.length("text").cast("double") / F.size(bpe_tokens("text"))).alias(
+            "chars_per_bpe_token"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: SimHash near-dup pairs (banded hamming search)
+# ---------------------------------------------------------------------------
+
+SIMHASH_PAIR_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_pairs_oracle() -> str:
+    width = SIMHASH_BITS // SIMHASH_PAIR_BANDS
+    sums = ", ".join(
+        f"SUM({simhash_bit_weight_sql('w', j)}) AS b{j}" for j in range(SIMHASH_BITS)
+    )
+    chars = " || ".join(
+        f"(CASE WHEN b{j} > 0 THEN '1' ELSE '0' END)" for j in range(SIMHASH_BITS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, substr(simhash, {b * width + 1}, {width}) AS sl FROM fp"
+        for b in range(SIMHASH_PAIR_BANDS)
+    )
+    return f"""
+    WITH e AS (SELECT doc_id, unnest({tokens_sql('text')}) AS w FROM documents),
+    s AS (SELECT doc_id, {sums} FROM e GROUP BY doc_id),
+    fp AS (SELECT doc_id, {chars} AS simhash FROM s),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.simhash AS sh_a, b.simhash AS sh_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.sl = b.sl AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sh_a::BIT, sh_b::BIT)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a::BIT, sh_b::BIT)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@register("dedup_simhash_near_dups", oracle=_simhash_pairs_oracle())
+def dedup_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded slice equi-join (exact for
+    hamming ≤ bands-1 by pigeonhole) verified with bit_count(XOR) —
+    the zero-false-negative complement to MinHash-LSH."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        bits=SIMHASH_BITS,
+        bands=SIMHASH_PAIR_BANDS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -398,6 +483,58 @@ def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums), broadcast to a map-only nearest-centroid argmax per vector."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_assign(emb, "vec_id", "embedding", "label")
+
+
+IVF_NPROBE = 2
+
+
+def _ivf_topk_oracle() -> str:
+    dot_vc = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> v.q[i] * c.cq[i]))"
+    dot_pc = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> p.q[i] * c.cq[i]))"
+    dot_pn = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> n.q[i] * p.q[i]))"
+    return f"""
+    WITH {_QCTE},
+    d AS (SELECT label, i AS pos, SUM(q[i]) AS s, COUNT(*) AS n
+          FROM q, range(1, {EMB_DIM + 1}) t(i) GROUP BY 1, 2),
+    cent AS (SELECT label AS centroid_label,
+                    list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cq
+             FROM d GROUP BY 1),
+    cn AS (SELECT centroid_label, cq,
+                  CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS cnorm
+           FROM cent),
+    assign AS (SELECT vec_id, assigned_label FROM (
+        SELECT v.vec_id, c.centroid_label AS assigned_label,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_cos_sql(dot_vc, 'v.norm', 'c.cnorm')} DESC, c.centroid_label) AS rn
+        FROM qn v CROSS JOIN cn c) WHERE rn = 1),
+    pc AS (SELECT probe_id, centroid_label FROM (
+        SELECT p.vec_id AS probe_id, c.centroid_label,
+               row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY {_cos_sql(dot_pc, 'p.norm', 'c.cnorm')} DESC, c.centroid_label) AS rn
+        FROM qn p CROSS JOIN cn c WHERE p.vec_id < {KNN_PROBES}) WHERE rn <= {IVF_NPROBE})
+    SELECT probe_id, neighbor_id, rank, score FROM (
+        SELECT pc.probe_id, a.vec_id AS neighbor_id,
+               {_cos_sql(dot_pn, 'n.norm', 'p.norm')} AS score,
+               CAST(row_number() OVER (PARTITION BY pc.probe_id
+                   ORDER BY {_cos_sql(dot_pn, 'n.norm', 'p.norm')} DESC, a.vec_id) AS BIGINT) AS rank
+        FROM pc
+        JOIN assign a ON a.assigned_label = pc.centroid_label AND a.vec_id <> pc.probe_id
+        JOIN qn n ON n.vec_id = a.vec_id
+        JOIN qn p ON p.vec_id = pc.probe_id
+    ) WHERE rank <= {KNN_K}
+    """
+
+
+@register("ann_ivf_topk", oracle=_ivf_topk_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest-neighbor search — probes scan only their
+    nprobe nearest centroids' inverted lists (the 100 TB scale path;
+    brute force is the recall baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, "vec_id", "embedding", "label",
+        probe_ids=range(KNN_PROBES), k=KNN_K, nprobe=IVF_NPROBE,
+    )
 
 
 # ---------------------------------------------------------------------------

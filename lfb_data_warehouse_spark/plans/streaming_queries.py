@@ -1,0 +1,92 @@
+"""Structured Streaming queries exposed through the correctness gate.
+
+Each query actually executes a streaming pipeline (parquet file source →
+streaming aggregation → memory sink, availableNow-style bounded run) and
+returns the sink contents, so the DuckDB oracle checks *streaming*
+semantics against batch SQL — the point being that the engine's stream
+operators are meaning-preserving twins of the batch ones (SURVEY §2.9:
+the reference is batch-only; this is the beyond-reference extension).
+
+The file source re-stages the events table to a temp dir first because
+the driver's events.parquet is TIMESTAMP(NANOS), which the streaming
+reader can't take directly (sources.testdata handles the batch side);
+re-staging also mirrors a real deployment where the stream reads a
+landing zone, not the warehouse.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.testdata import load_table
+from ..streaming.ops import stream_session_agg, stream_windowed_agg
+from .queries import register
+
+SESSION_GAP = "30 minutes"
+
+
+def _stage_events(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="lfb_stream_src_")
+    events.write.mode("overwrite").parquet(src)
+    return events, src
+
+
+def _run_complete(out: DataFrame, prefix: str) -> DataFrame:
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    return out.sparkSession.table(name)
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregate, executed for real through a
+    memory sink — must equal the batch tumbling_hourly_events oracle."""
+    events, src = _stage_events(spark, sf_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = stream_windowed_agg(stream, "ts", window="1 hour", keys=["event_type"])
+    return _run_complete(out, "stream_win")
+
+
+@register(
+    "stream_sessionize",
+    oracle=f"""
+    WITH l AS (SELECT user_id, ts,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                           THEN 1 ELSE 0 END AS ns
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts,
+                 SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM l)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS event_count
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (gap {SESSION_GAP}) through a
+    memory sink; the oracle rebuilds the identical sessions with the
+    batch lag+cumsum formulation (new session when gap ≥ 30 min —
+    session_window's half-open [start, last+gap) semantics)."""
+    events, src = _stage_events(spark, sf_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = stream_session_agg(stream, "ts", keys=["user_id"], gap=SESSION_GAP)
+    return _run_complete(out, "stream_sess")

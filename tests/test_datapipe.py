@@ -5,11 +5,13 @@ import hashlib
 import pytest
 from pyspark.sql import functions as F
 
+from lfb_data_warehouse_spark.functions.text import bpe_tokens, tokens
 from lfb_data_warehouse_spark.operators.dedup import (
     all_pairs_jaccard,
     exact_dup_groups,
     minhash_near_dups,
     simhash_fingerprints,
+    simhash_near_dup_pairs,
 )
 from lfb_data_warehouse_spark.operators.multimodal import attach_payload, extract_features
 from lfb_data_warehouse_spark.operators.similarity import (
@@ -17,6 +19,7 @@ from lfb_data_warehouse_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_np,
     ivf_assign,
+    ivf_topk,
 )
 
 DOCS = [
@@ -102,6 +105,37 @@ def test_numpy_path_agrees_with_exact(emb):
     ex_ids = {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in ex.collect()}
     np_ids = {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in np_.collect()}
     assert ex_ids == np_ids
+
+
+def test_simhash_near_dup_pairs(docs):
+    pairs = simhash_near_dup_pairs(docs, "doc_id", "text", bits=32, bands=4, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 4)] == 0  # identical text → hamming 0, found via any band
+    assert all(h <= 3 for h in got.values())
+
+
+def test_simhash_banding_guard(docs):
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(docs, "doc_id", "text", bands=4, max_hamming=4)
+
+
+def test_ivf_topk_recall_within_probed_lists(emb):
+    # nprobe covering all 3 centroids makes IVF equal to brute force
+    full = ivf_topk(emb, "vec_id", "embedding", "label", probe_ids=[0], k=2, nprobe=3)
+    brute = cosine_topk(emb, "vec_id", "embedding", probe_ids=[0], k=2)
+    assert [
+        (r["rank"], r["neighbor_id"]) for r in sorted(full.collect(), key=lambda r: r["rank"])
+    ] == [(r["rank"], r["neighbor_id"]) for r in sorted(brute.collect(), key=lambda r: r["rank"])]
+    # nprobe=1: only the home list (label 0 → vectors {0,1}) is searched
+    near = ivf_topk(emb, "vec_id", "embedding", "label", probe_ids=[0], k=2, nprobe=1)
+    assert {r["neighbor_id"] for r in near.collect()} == {1}
+
+
+def test_bpe_tokens_contractions_and_digits(spark):
+    df = spark.createDataFrame([("It's 2024, don't panic!",)], "text string")
+    out = df.select(bpe_tokens("text").alias("t"), tokens("text").alias("w")).collect()[0]
+    assert list(out["t"]) == ["it", "'s", " 2024", ",", " don", "'t", " panic", "!"]
+    assert len(out["w"]) == 4  # whitespace tokens for comparison
 
 
 def test_multimodal_stub_features(docs):
