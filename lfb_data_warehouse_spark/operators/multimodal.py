@@ -85,3 +85,74 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield feats
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, media_type string, orig_bytes long, payload binary, resized_bytes long"
+)
+
+
+def resize_payload(media: DataFrame, max_bytes: int) -> DataFrame:
+    """Stubbed image/audio resize: 1→1 Arrow-batched transform that
+    re-emits a (smaller) binary payload column. The stub truncates to
+    ``max_bytes`` (a real resize decodes → scales → re-encodes in the
+    same batch loop); the Spark side — binary in AND binary out through
+    Arrow, payload column regenerated not mutated — is the real
+    production shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            orig = pdf["payload"].map(len).astype("int64")
+            resized = pdf["payload"].map(lambda b: b[:max_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "orig_bytes": orig,
+                    "payload": resized,
+                    "resized_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_index long, frame_bytes long, payload binary"
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Stubbed video frame sampling: 1→N Arrow-batched explode. Frame
+    count/boundaries derive deterministically from the payload (frames =
+    n_bytes % 7 + 1, fixed stride — matching the decode stub's
+    fake_frames); every ``every_n``-th frame's byte-slice is emitted as
+    its own row. A real sampler seeks keyframes in the container; the
+    Spark plumbing — one input row yielding multiple binary rows through
+    mapInPandas — is exactly the production shape."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_len, out_payload = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                frames = n % 7 + 1
+                stride = max(1, math.ceil(n / frames))
+                for i in range(0, frames, every_n):
+                    frame = payload[i * stride : (i + 1) * stride]
+                    out_ids.append(doc_id)
+                    out_idx.append(i)
+                    out_len.append(len(frame))
+                    out_payload.append(frame)
+            if out_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(out_ids, dtype="int64"),
+                        "frame_index": pd.Series(out_idx, dtype="int64"),
+                        "frame_bytes": pd.Series(out_len, dtype="int64"),
+                        "payload": out_payload,
+                    }
+                )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

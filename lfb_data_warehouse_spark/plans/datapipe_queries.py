@@ -34,7 +34,12 @@ from ..operators.dedup import (
     simhash_fingerprints,
     simhash_near_dup_pairs,
 )
-from ..operators.multimodal import attach_payload, extract_features
+from ..operators.multimodal import (
+    attach_payload,
+    extract_features,
+    resize_payload,
+    sample_frames,
+)
 from ..operators.similarity import cosine_pairs, cosine_topk, ivf_assign, ivf_topk
 from ..sources.testdata import load_table
 from .queries import register
@@ -560,3 +565,65 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema) is real."""
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_payload(docs, "doc_id", "text"))
+
+
+RESIZE_MAX = 512
+FRAME_EVERY = 2
+
+# The oracles below slice VARCHAR where the operator slices bytes; the
+# synthetic corpus is pure ASCII (verified: octet_length == length for
+# every doc), so the two are byte-identical. Raw binary stays inside
+# the operators; queries project it to sha256 hex, which both engines
+# spell identically.
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+           CAST(least(octet_length(encode(text)), {RESIZE_MAX}) AS BIGINT) AS resized_bytes,
+           sha256(substring(text, 1, {RESIZE_MAX})) AS resized_sha256
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed resize through real binary-in/binary-out mapInPandas;
+    output projects the regenerated payload to its sha256."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_payload(attach_payload(docs, "doc_id", "text"), RESIZE_MAX)
+    return resized.select(
+        "doc_id",
+        "orig_bytes",
+        "resized_bytes",
+        F.lower(F.sha2("payload", 256)).alias("resized_sha256"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
+                      octet_length(encode(text)) % 7 + 1 AS frames
+               FROM documents),
+    f AS (SELECT doc_id, text, n, frames,
+                 CAST(ceil(CAST(n AS DOUBLE) / frames) AS BIGINT) AS stride
+          FROM t),
+    x AS (SELECT doc_id, text, stride, unnest(range(0, frames, {FRAME_EVERY})) AS i FROM f)
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_index,
+           CAST(length(substring(text, i * stride + 1, stride)) AS BIGINT) AS frame_bytes,
+           sha256(substring(text, i * stride + 1, stride)) AS frame_sha256
+    FROM x
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed video frame sampling: 1→N binary explode through
+    mapInPandas, frames projected to sha256 for the oracle compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_payload(docs, "doc_id", "text"), FRAME_EVERY)
+    return frames.select(
+        "doc_id",
+        "frame_index",
+        "frame_bytes",
+        F.lower(F.sha2("payload", 256)).alias("frame_sha256"),
+    )

@@ -13,7 +13,12 @@ from lfb_data_warehouse_spark.operators.dedup import (
     simhash_fingerprints,
     simhash_near_dup_pairs,
 )
-from lfb_data_warehouse_spark.operators.multimodal import attach_payload, extract_features
+from lfb_data_warehouse_spark.operators.multimodal import (
+    attach_payload,
+    extract_features,
+    resize_payload,
+    sample_frames,
+)
 from lfb_data_warehouse_spark.operators.similarity import (
     cosine_pairs,
     cosine_topk,
@@ -146,3 +151,24 @@ def test_multimodal_stub_features(docs):
     assert r["payload_sha256"] == hashlib.sha256(raw).hexdigest()
     assert r["fake_width"] == len(raw) % 64 + 1
     assert r["media_type"] == "text/plain"
+
+
+def test_multimodal_resize_binary_roundtrip(docs):
+    out = {r["doc_id"]: r for r in resize_payload(attach_payload(docs, "doc_id", "text"), 10).collect()}
+    raw = DOCS[0][1].encode()
+    assert out[1]["orig_bytes"] == len(raw)
+    assert out[1]["resized_bytes"] == 10
+    assert bytes(out[1]["payload"]) == raw[:10]  # binary column survives Arrow both ways
+
+
+def test_multimodal_frame_sample_explodes(docs):
+    frames = sample_frames(attach_payload(docs, "doc_id", "text"), every_n=2).collect()
+    import math
+
+    raw = DOCS[0][1].encode()
+    n = len(raw)
+    nframes = n % 7 + 1
+    stride = max(1, math.ceil(n / nframes))
+    got = sorted((r["frame_index"], bytes(r["payload"])) for r in frames if r["doc_id"] == 1)
+    want = [(i, raw[i * stride : (i + 1) * stride]) for i in range(0, nframes, 2)]
+    assert got == want
