@@ -1,0 +1,120 @@
+"""Physical-plan regression tests (the 100 TB guardrails).
+
+These assert the *shape* of the plans Catalyst produces for the
+registry queries — the properties that decide whether a query survives
+a 1000-executor scale-up:
+
+- no row-at-a-time Python (``BatchEvalPython``) anywhere: Python only
+  enters through Arrow (``MapInPandas`` / ``ArrowEvalPython``);
+- parquet scans prune columns (ReadSchema ⊂ table schema) and push
+  predicates down;
+- dimension joins broadcast instead of shuffling the fact side;
+- the as-of join never degrades to a cartesian/nested-loop product.
+
+Plans are inspected pre-execution (AQE initial plan) — anything
+asserted here holds statically, so it holds at any scale factor.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from lfb_data_warehouse_spark.plans import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# streaming queries execute eagerly inside fn() (memory sink); their
+# batch twins' plans are asserted instead
+SKIP = {"stream_tumbling_hourly", "stream_sessionize"}
+
+
+def plan_str(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, spec in REGISTRY.items():
+        if name in SKIP:
+            continue
+        out[name] = plan_str(spec.fn(spark, SF_DIR))
+    return out
+
+
+def test_no_row_at_a_time_python(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not offenders, f"row-wise Python UDFs in: {offenders}"
+
+
+# queries whose plan deliberately contains a broadcast nested-loop /
+# cross join against a PROVABLY SMALL broadcast side: probe sets and
+# centroid tables (k·probes rows) fanned out map-only over the corpus,
+# and the one documented n² verification kernel
+INTENDED_CROSS = {
+    "embedding_near_dup_pairs",  # exact all-pairs kernel (docstring: feed LSH candidates at scale)
+    "knn_bruteforce_cosine",  # corpus × broadcast(probes)
+    "ivf_centroid_assign",  # corpus × broadcast(centroids)
+    "ann_ivf_topk",  # corpus × broadcast(centroids), lists × broadcast(probe-centroids)
+}
+
+
+def test_no_cartesian_products(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if ("CartesianProduct" in p or "BroadcastNestedLoopJoin" in p)
+        and n not in INTENDED_CROSS
+    ]
+    assert not offenders, f"unplanned cartesian joins in: {offenders}"
+    # the intended ones must broadcast the small side, never shuffle-NLJ
+    for n in INTENDED_CROSS & plans.keys():
+        assert "CartesianProduct" not in plans[n], f"{n} lost its broadcast"
+
+
+def test_scan_prunes_columns(plans):
+    # the per-month mart touches orders only for 2 columns; the scan
+    # must not read the rest of the table
+    p = plans["mart_per_month"]
+    scans = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert scans, "no parquet scan found"
+    assert any(
+        "o_orderdate" in s and "o_totalprice" in s and "o_comment" not in s for s in scans
+    ), scans
+
+
+def test_incremental_pushes_filter(plans):
+    p = plans["incremental_new_orders"]
+    assert "PushedFilters" in p
+    assert any(
+        "PushedFilters" in l and "IsNotNull" in l for l in p.splitlines()
+    ), "anti-join key null-filter not pushed to scan"
+
+
+def test_dimension_joins_broadcast(plans):
+    # brand revenue enriches lineitem from the small part table: the
+    # build side must broadcast (shuffling 100 TB of lineitem on
+    # partkey would be the scale failure mode)
+    assert "BroadcastHashJoin" in plans["join_enrich_brand_revenue"]
+
+
+def test_asof_join_stays_bucketed(plans):
+    # the nearest-within join must remain an equi-join on the time
+    # bucket (plus window top-1) — never a range cross-join
+    p = plans["asof_nearest_purchase"]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_marts_aggregate_partially_and_scan_vectorized(plans):
+    # (AQE initial plans carry no WholeStageCodegen annotation — the
+    # enforceable static properties are map-side combine and the
+    # vectorized parquet reader)
+    for name in ("mart_per_month", "mart_per_segment", "mart_types_per_segment"):
+        p = plans[name]
+        assert "partial_" in p, f"{name}: no map-side partial aggregation"
+        assert "Batched: true" in p, f"{name}: parquet scan not vectorized"
