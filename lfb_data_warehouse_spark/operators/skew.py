@@ -1,0 +1,105 @@
+"""Skew mitigation: salted two-phase aggregation and salted joins.
+
+AQE's skew-join splitting (on by default in the engine session) handles
+most runtime skew; these operators are for the cases AQE cannot fix:
+
+- a groupBy where one key holds a double-digit percentage of all rows
+  (one reducer owns the key no matter how AQE splits scan partitions) —
+  :func:`salted_agg` shards the hot key across ``salt`` reducers with a
+  partial aggregate, then combines the shards;
+- a shuffle join against a hot key — :func:`salted_join` replicates the
+  small side over the salt range so each shard of the hot key joins
+  locally.
+
+The salt must be deterministic (tests and oracles replay) but
+well-spread: derived by hashing a high-cardinality column, never
+``rand()`` (which breaks task retry idempotency — a retried task would
+re-salt rows differently and double-count).
+
+Salting is algebra-aware: COUNT recombines by SUM, SUM by SUM, MIN by
+MIN, MAX by MAX (AVG must be decomposed to SUM+COUNT by the caller —
+an average of partial averages is wrong under skew by construction).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_RECOMBINE = {
+    "count": F.sum,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+_PARTIAL = {
+    "count": F.count,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salt_column(spread_col: Column | str, buckets: int) -> Column:
+    """Deterministic salt in [0, buckets): hash of a high-cardinality
+    column. xxhash64 is Spark-side only — fine, because results of
+    salted operators are salt-invariant (the salt never reaches the
+    output)."""
+    c = F.col(spread_col) if isinstance(spread_col, str) else spread_col
+    return F.pmod(F.xxhash64(c), F.lit(buckets)).cast("int")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    measures: Sequence[tuple[str, str, str]],
+    spread_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys.
+
+    ``measures`` is (column, fn, alias) with fn ∈ {count,sum,min,max}.
+    Phase 1 aggregates on (keys, salt) — the hot key's rows split
+    across ``buckets`` reducers; phase 2 combines the ≤ buckets partial
+    rows per key. Output is identical to the unsalted groupBy (the
+    oracle for any salted query is the plain GROUP BY).
+    """
+    for _, fn, _ in measures:
+        if fn not in _PARTIAL:
+            raise ValueError(f"non-decomposable aggregate {fn!r} (decompose avg to sum+count)")
+    salted = df.withColumn("_salt", salt_column(spread_col, buckets))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[_PARTIAL[fn](col).alias(alias) for col, fn, alias in measures]
+    )
+    return partial.groupBy(*keys).agg(
+        *[_RECOMBINE[fn](alias).alias(alias) for _, fn, alias in measures]
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    spread_col: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Shuffle join with the big side's hot keys sharded: the big side
+    gets a salt from ``spread_col``; the small side is replicated once
+    per salt value (explode over 0..buckets-1), so the join keys become
+    (on..., salt) and the hot key spreads over ``buckets`` tasks.
+
+    Use when the small side is too large to broadcast but the key
+    distribution is pathological. Output equals ``big.join(small, on,
+    how)`` for how ∈ {inner, left}.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (semantics proven salt-invariant)")
+    salted_big = big.withColumn("_salt", salt_column(spread_col, buckets))
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<int>"))
+    )
+    return salted_big.join(replicated, [*on, "_salt"], how).drop("_salt")

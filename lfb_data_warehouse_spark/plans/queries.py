@@ -693,3 +693,83 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) windows + skew-salted aggregation (beyond-reference)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sliding_window_events",
+    oracle="""
+    WITH x AS (SELECT event_type, value,
+                      make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT))
+                        - k * INTERVAL '30 minutes' AS window_start
+               FROM events, unnest([0, 1]) t(k))
+    SELECT window_start, event_type,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregate (1 h window, 30 min slide): each event
+    lands in window_size/slide = 2 windows. F.window generates the
+    window copies JVM-side; the oracle replicates via an unnest over the
+    two hop offsets (both engines align windows to the Unix epoch)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "salted_agg_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events GROUP BY 1
+    """,
+)
+def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation: events has ~5 event types
+    over 100k+ rows — the canonical hot-key shape. The salted plan
+    shards each type over 16 reducers then recombines; the oracle is the
+    plain GROUP BY (salting must be output-invariant)."""
+    from ..operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,4)")
+    )
+    out = salted_agg(
+        events,
+        keys=["event_type"],
+        measures=[
+            ("value", "count", "event_count"),
+            ("value_dec", "sum", "total_value"),
+            ("value", "min", "min_value"),
+            ("value", "max", "max_value"),
+        ],
+        spread_col="event_id",
+        buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("event_count").cast("long").alias("event_count"),
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )

@@ -152,3 +152,52 @@ def test_rollup_mart(spark):
         df, ["k"], [F.count(F.lit(1)).alias("n")], order_by=[F.col("k")]
     ).collect()
     assert [(r["k"], r["n"]) for r in out] == [("a", 2), ("b", 1)]
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    from lfb_data_warehouse_spark.operators.skew import salted_agg
+
+    rows = [(i, "hot" if i % 10 else "cold", float(i)) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    got = {
+        r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            measures=[("v", "count", "n"), ("v", "sum", "s"), ("v", "min", "lo"), ("v", "max", "hi")],
+            spread_col="id",
+            buckets=8,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+        for r in df.groupBy("k")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_agg_rejects_avg(spark):
+    import pytest
+
+    from lfb_data_warehouse_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, k string, v double")
+    with pytest.raises(ValueError):
+        salted_agg(df, ["k"], [("v", "avg", "bad")], "id")
+
+
+def test_salted_join_equals_plain_join(spark):
+    from lfb_data_warehouse_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 5 else "rare") for i in range(1, 101)], "id long, k string"
+    )
+    small = spark.createDataFrame([("hot", 1), ("rare", 2), ("absent", 3)], "k string, dim int")
+    for how in ("inner", "left"):
+        got = sorted(
+            (r["id"], r["k"], r["dim"]) for r in salted_join(big, small, ["k"], "id", 4, how).collect()
+        )
+        want = sorted((r["id"], r["k"], r["dim"]) for r in big.join(small, ["k"], how).collect())
+        assert got == want, how
