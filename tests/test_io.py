@@ -1,0 +1,94 @@
+"""IO layer tests (SURVEY §2.1): CSV scans, schema conformance, parquet
+sinks with partitioning, managed-table sink with clustering fallback."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from lfb_data_warehouse_spark.sources.io import (
+    conform,
+    read_csv,
+    write_parquet,
+    write_table,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", IntegerType()),
+        StructField("name", StringType()),
+    ]
+)
+
+
+def test_read_csv_explicit_schema(spark, tmp_path):
+    p = tmp_path / "flat"
+    p.mkdir()
+    (p / "a.csv").write_text("id,name\n1,x\n2,y\n")
+    df = read_csv(spark, str(p), schema=SCHEMA)
+    assert df.schema == SCHEMA
+    assert {(r["id"], r["name"]) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_read_csv_recursive_lookup(spark, tmp_path):
+    # mirrors the reference's recursiveFileLookup AQ ingest
+    # (/root/reference/etl/transform/aq-cleanse.py:194-199)
+    root = tmp_path / "nested"
+    (root / "2023").mkdir(parents=True)
+    (root / "2024").mkdir()
+    (root / "2023" / "a.csv").write_text("id,name\n1,x\n")
+    (root / "2024" / "b.csv").write_text("id,name\n2,y\n")
+    df = read_csv(spark, str(root), schema=SCHEMA, recursive=True)
+    assert df.count() == 2
+
+
+def test_conform_casts_and_renames_by_name(spark):
+    # replaces the reference's positional createDataFrame(df.rdd, schema)
+    # (/root/reference/etl/load/load_weather_dim.py:24-38)
+    src = spark.createDataFrame([("1", "gale")], "id string, WindStrength string")
+    target = StructType(
+        [StructField("id", IntegerType()), StructField("Wind", StringType())]
+    )
+    out = conform(src, target, renames={"WindStrength": "Wind"})
+    assert out.schema == target
+    assert out.collect()[0]["Wind"] == "gale"
+    assert out.collect()[0]["id"] == 1
+
+
+def test_write_parquet_partitioned_prunes(spark, tmp_path):
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], "id long, part int")
+    dest = str(tmp_path / "part_out")
+    write_parquet(df, dest, partition_by=["part"])
+    back = spark.read.parquet(dest).filter(F.col("part") == 1)
+    assert back.count() == 10
+    # partition pruning must reach the file index: only one partition dir scanned
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain()
+    assert "PartitionFilters: [isnotnull(part" in buf.getvalue()
+
+
+def test_write_table_cluster_by_fallback(spark, tmp_path):
+    # no Delta on this classpath: write_table must fall back to a
+    # parquet saveAsTable with range-partition + sort clustering
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 100) for i in range(1000)], "id long, ck int"
+    )
+    write_table(df, "t_cluster_test", mode="overwrite", cluster_by=["ck"])
+    try:
+        back = spark.table("t_cluster_test")
+        assert back.count() == 1000
+        # clustering means each file holds a narrow ck range: within every
+        # parquet file the ck values must arrive sorted
+        files = back.select("ck", F.input_file_name().alias("f"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+        ordered = files.withColumn("prev", F.lag("ck").over(w)).filter(
+            F.col("prev").isNotNull() & (F.col("ck") < F.col("prev"))
+        )
+        assert ordered.count() == 0, "ck not sorted within files — no row-group skipping"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cluster_test")
