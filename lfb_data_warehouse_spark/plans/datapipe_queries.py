@@ -530,7 +530,7 @@ def _ivf_topk_oracle() -> str:
     """
 
 
-@register("ann_ivf_topk", oracle=_ivf_topk_oracle())
+@register("ann_ivf_topk", oracle=_ivf_topk_oracle(), headline=True)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest-neighbor search — probes scan only their
     nprobe nearest centroids' inverted lists (the 100 TB scale path;

@@ -735,6 +735,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "salted_agg_events",
+    headline=True,
     oracle="""
     SELECT event_type,
            COUNT(*) AS event_count,

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the trickiest kernels: the
+as-of join, the bucketing fold, and the shingle fast path. Each property
+compares the Spark operator against a direct Python model on randomized
+inputs — examples are kept few because every example is a Spark job."""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from lfb_data_warehouse_spark.functions.bucketing import NullPolicy, bucketize
+from lfb_data_warehouse_spark.functions.text import shingles
+from lfb_data_warehouse_spark.operators.temporal import nearest_within
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def ts(sec: int) -> dt.datetime:
+    return EPOCH + dt.timedelta(seconds=sec)
+
+
+SETTINGS = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+
+@SETTINGS
+@given(
+    left=st.lists(st.integers(0, 500), min_size=1, max_size=8, unique=True),
+    right=st.lists(st.integers(0, 500), min_size=1, max_size=8, unique=True),
+    tol=st.integers(1, 120),
+)
+def test_nearest_within_matches_bruteforce(spark, left, right, tol):
+    ldf = spark.createDataFrame([(i, ts(s)) for i, s in enumerate(left)], "lid long, lts timestamp")
+    rdf = spark.createDataFrame([(i, ts(s)) for i, s in enumerate(right)], "rid long, rts timestamp")
+    got = {
+        r["lid"]: (r["rid"], r["nearest_dt_us"])
+        for r in nearest_within(
+            ldf, rdf, "lts", "rts", tol, left_key="lid", right_tiebreak="rid"
+        ).collect()
+    }
+    want = {}
+    for i, ls in enumerate(left):
+        cands = [
+            (abs(ls - rs) * 1_000_000, j) for j, rs in enumerate(right) if abs(ls - rs) <= tol
+        ]
+        if cands:
+            dt_us, j = min(cands)
+            want[i] = (j, dt_us)
+    assert got == want
+
+
+BUCKETS = [(None, -10.0, "low"), (-10.0, 0.0, "neg"), (0.0, 10.0, "pos"), (10.0, None, "high")]
+
+
+def model_bucketize(v, policy):
+    if v is None:
+        return "Unknown" if policy is NullPolicy.UNKNOWN else None
+    for lo, hi, label in BUCKETS:
+        if (lo is None or v >= lo) and (hi is None or v < hi):
+            return label
+    return None
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)), min_size=1, max_size=20
+    ),
+    policy=st.sampled_from([NullPolicy.UNKNOWN, NullPolicy.NULL]),
+)
+def test_bucketize_matches_model(spark, vals, policy):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    got = {
+        r["i"]: r["b"]
+        for r in df.select("i", bucketize("v", BUCKETS, null_policy=policy).alias("b")).collect()
+    }
+    assert got == {i: model_bucketize(v, policy) for i, v in enumerate(vals)}
+
+
+@SETTINGS
+@given(
+    words=st.lists(st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=10),
+    n=st.integers(1, 4),
+)
+def test_shingles_match_python_ngrams(spark, words, n):
+    # exercises the n==2 zip_with fast path against the general path's
+    # semantics: space-joined word n-grams, empty when len(words) < n
+    df = spark.createDataFrame([(words,)], "w array<string>")
+    got = df.select(shingles(F.col("w"), n).alias("s")).collect()[0]["s"]
+    want = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)] if len(words) >= n else []
+    assert list(got) == want
