@@ -249,7 +249,10 @@ def simhash_near_dup_pairs(
     if bits % bands:
         raise ValueError("bits must divide evenly into bands")
     width = bits // bands
-    fp = simhash_fingerprints(df, id_col, text_col, bits)
+    # both sides of the band self-join scan the fingerprints; the table
+    # is flat (id + bitstring) so its columnar cache is near-free and
+    # saves the token-explode 32-agg signing from running twice
+    fp = simhash_fingerprints(df, id_col, text_col, bits).persist()
     slices = [
         F.struct(
             F.lit(b).alias("band"),
@@ -261,7 +264,16 @@ def simhash_near_dup_pairs(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*slices)).alias("b")
     ).select(id_col, "simhash", F.col("b.band").alias("band"), F.col("b.sl").alias("sl"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    to_long = lambda c: F.conv(c, 2, 10).cast("long")  # noqa: E731
+    hamming = F.bit_count(
+        to_long("a.simhash").bitwiseXOR(to_long("b.simhash"))
+    ).cast("long")
+    # hamming is computed and filtered BEFORE the cross-band dedup: the
+    # distinct then runs over (id_a, id_b, hamming) triples of surviving
+    # pairs only, instead of shuffling two 32-char fingerprints per raw
+    # band collision (on a self-similar corpus that is ~4× the rows at
+    # ~10× the bytes)
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -271,17 +283,10 @@ def simhash_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    to_long = lambda c: F.conv(c, 2, 10).cast("long")  # noqa: E731
-    hamming = F.bit_count(to_long("sh_a").bitwiseXOR(to_long("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
