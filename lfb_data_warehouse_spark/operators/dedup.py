@@ -24,10 +24,10 @@ reproducible on any engine (see functions.text).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import salted_minhash, shingles, simhash_bit_weight, tokens
+from ..functions.text import HEX_HIGH, salted_minhash, shingles, simhash_bit_weight, tokens
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -291,12 +291,29 @@ def simhash_near_dup_pairs(
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
-    """Term-frequency-weighted SimHash: explode tokens, sum ±1 bit
-    weights (one aggregation, ``bits`` sums), emit a bitstring. Bit j
-    comes from the high bit of hex nibble j of md5(token) — identical on
-    any engine, no 64-bit unsigned arithmetic."""
-    exploded = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
-    aggs = [F.sum(simhash_bit_weight(F.col("w"), j)).alias(f"b{j}") for j in range(bits)]
-    sums = exploded.groupBy(id_col).agg(*aggs)
-    bit_chars = [F.when(F.col(f"b{j}") > 0, "1").otherwise("0") for j in range(bits)]
-    return sums.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))
+    """Term-frequency-weighted SimHash, computed entirely map-side: the
+    per-token md5 is materialized ONCE into an array column (a lambda
+    referencing an outer expression would re-run it per aggregate), then
+    each bit is an ``aggregate`` walk summing ±1 weights — the high bit
+    of hex nibble j of md5(token), identical on any engine, no 64-bit
+    unsigned arithmetic. Zero shuffle: the aggregation never leaves the
+    row (the explode→groupBy formulation shuffles every token).
+
+    Docs with no tokens are filtered (the exploded formulation — and the
+    oracle's ``unnest`` — produce no row for them)."""
+    ws = tokens(text_col)
+    md5s = df.select(
+        F.col(id_col), F.transform(ws, lambda t: F.md5(t)).alias("__md5s")
+    ).filter(F.size("__md5s") > 0)
+
+    def bit_sum(j: int) -> Column:
+        digits = HEX_HIGH
+        return F.aggregate(
+            F.col("__md5s"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, j + 1, 1).isin(digits), 1).otherwise(-1),
+        )
+
+    bit_chars = [F.when(bit_sum(j) > 0, "1").otherwise("0") for j in range(bits)]
+    return md5s.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))

@@ -774,3 +774,33 @@ def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_value").cast("double").alias("min_value"),
         F.col("max_value").cast("double").alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured columns: typed JSON extraction (beyond-reference)
+# ---------------------------------------------------------------------------
+
+@register(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+    FROM events GROUP BY 1
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload extraction: events.props is a JSON string;
+    from_json with an explicit schema (the scale path — a declared
+    struct column prunes and vectorizes, unlike per-row get_json_object
+    string scans) then a typed aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum("p.k").cast("long").alias("k_sum"),
+        F.min("p.k").cast("long").alias("k_min"),
+        F.max("p.k").cast("long").alias("k_max"),
+    )
