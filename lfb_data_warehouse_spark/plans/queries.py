@@ -804,3 +804,106 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p.k").cast("long").alias("k_min"),
         F.max("p.k").cast("long").alias("k_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OLAP battery: exact percentiles, ROLLUP grouping, window functions
+# (beyond-reference completeness — none of these appear in the reference)
+# ---------------------------------------------------------------------------
+
+@register(
+    "percentile_prices_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS cnt,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95
+    FROM lineitem GROUP BY 1
+    """,
+)
+def percentile_prices_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — both engines implement
+    PERCENTILE_CONT identically on doubles). At 100 TB use
+    percentile_approx (t-digest sketch, mergeable map-side); the exact
+    variant is the oracle-checkable correctness anchor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+
+
+@register(
+    "rollup_priority_year",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY ROLLUP (o_orderpriority, order_year)
+    """,
+)
+def rollup_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: (priority, year) + (priority) + grand total
+    in ONE aggregation pass (Catalyst Expand — no N-pass union of
+    GROUP BYs)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderpriority",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            "o_totalprice",
+        )
+        .rollup("o_orderpriority", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "window_battery_customer_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER w AS BIGINT) AS seq,
+           CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank,
+           CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS BIGINT) AS priority_drank,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_battery_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window battery the reference never needed (it uses
+    only first/row_number, SURVEY §2.5): rank, dense_rank, ntile, lag,
+    lead, running sum — one shuffle on the partition key serves every
+    frame (all windows share PARTITION BY o_custkey)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_prio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    running = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.rank().over(w_price).cast("long").alias("price_rank"),
+        F.dense_rank().over(w_prio).cast("long").alias("priority_drank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        running.alias("running_total"),
+    )
