@@ -90,3 +90,22 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(events.schema).parquet(src)
     out = stream_session_agg(stream, "ts", keys=["user_id"], gap=SESSION_GAP)
     return _run_complete(out, "stream_sess")
+
+
+@register("stream_stateful_user_stats", oracle=None)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running
+    per-user accumulators with event-time idle finalization, executed
+    for real through a memory sink. No oracle — the timeout/finalize
+    semantics are not expressible in batch SQL (the driver records the
+    weaker rows-only check)."""
+    from ..streaming.ops import stream_running_user_stats
+
+    events, src = _stage_events(spark, sf_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = stream_running_user_stats(stream, watermark="1 hour", idle_timeout="2 hours")
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(name).outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

@@ -104,3 +104,88 @@ def stream_incremental_upsert(
         .option("checkpointLocation", checkpoint)
         .foreachBatch(upsert)
     )
+
+
+def stream_running_user_stats(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+    idle_timeout: str = "2 hours",
+):
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-user accumulator (event count, value sum, last-seen) that emits
+    an updated row per user per micro-batch and FINALIZES the user when
+    it stays idle past ``idle_timeout`` in *event time* (the timeout row
+    carries ``final=true``) — semantics no built-in aggregation
+    expresses.
+
+    The timeout anchors to the key's last event time, never to the
+    processing-time watermark at update moment (the first batch's
+    watermark is 0 — anchoring there finalizes every key in the
+    trailing no-data batch). State is one tiny tuple per key,
+    Arrow-batched per key group; at scale the state store shards by key
+    across executors and the watermark bounds its lifetime.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, event_count long, value_sum double, last_seen timestamp, final boolean"
+    )
+    state_schema = "count long, total double, last long"
+
+    unit_ms = {"second": 1000, "minute": 60_000, "hour": 3_600_000}
+    num, unit = idle_timeout.split()
+    idle_ms = int(num) * unit_ms[unit.rstrip("s")]
+
+    def update(key, pdfs, state: GroupState):
+        (uid,) = key
+        if state.hasTimedOut:
+            count, total, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [uid],
+                    "event_count": [count],
+                    "value_sum": [total],
+                    "last_seen": [pd.Timestamp(last, unit="us")],
+                    "final": [True],
+                }
+            )
+            return
+        count, total, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf[value_col].sum())
+            batch_last_us = int(pdf[ts_col].astype("datetime64[us]").astype("int64").max())
+            last = max(last, batch_last_us)
+        state.update((count, total, last))
+        # event-time anchor; must stay ahead of the current watermark or
+        # Spark rejects the timestamp
+        state.setTimeoutTimestamp(
+            max(last // 1000 + idle_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [uid],
+                "event_count": [count],
+                "value_sum": [total],
+                "last_seen": [pd.Timestamp(last, unit="us")],
+                "final": [False],
+            }
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

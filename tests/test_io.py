@@ -92,3 +92,36 @@ def test_write_table_cluster_by_fallback(spark, tmp_path):
         assert ordered.count() == 0, "ck not sorted within files — no row-group skipping"
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cluster_test")
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Co-located join (the 100 TB answer to lineitem ⋈ orders): both
+    sides bucketed by the join key at write time join with ZERO
+    exchanges — the one shuffle TPC-H Q5 calls irreducible becomes a
+    write-time cost paid once."""
+    import contextlib
+    import io as _io
+
+    a = spark.createDataFrame([(i, i * 2) for i in range(1000)], "k long, va long")
+    b = spark.createDataFrame([(i, i * 3) for i in range(1000)], "k long, vb long")
+    # at test scale Spark would broadcast instead (bypassing buckets);
+    # disable it to expose the big-big path buckets exist for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name, df in (("t_bkt_a", a), ("t_bkt_b", b)):
+            df.write.mode("overwrite").format("parquet").bucketBy(8, "k").sortBy(
+                "k"
+            ).saveAsTable(name)
+        joined = spark.table("t_bkt_a").join(spark.table("t_bkt_b"), "k")
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")

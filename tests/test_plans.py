@@ -26,7 +26,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # streaming queries execute eagerly inside fn() (memory sink); their
 # batch twins' plans are asserted instead
-SKIP = {"stream_tumbling_hourly", "stream_sessionize"}
+SKIP = {"stream_tumbling_hourly", "stream_sessionize", "stream_stateful_user_stats"}
 
 
 def plan_str(df, mode="formatted") -> str:

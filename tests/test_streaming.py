@@ -82,3 +82,48 @@ def test_stream_incremental_upsert_idempotent(spark, source_dir, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(target).count() == first
+
+
+def test_stream_running_user_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState: state accumulates across micro-batches and
+    idle keys finalize via event-time timeout."""
+    from lfb_data_warehouse_spark.streaming.ops import stream_running_user_stats
+
+    src = str(tmp_path / "stateful_src")
+    spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+         (2, ts("2024-01-01 10:00:30"), 1, "click", 2.0),
+         (3, ts("2024-01-01 10:01:00"), 2, "view", 5.0)],
+        SCHEMA,
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = stream_running_user_stats(stream, watermark="1 minute", idle_timeout="2 hours")
+    q = (
+        out.writeStream.format("memory").queryName("stateful_out").outputMode("update").start()
+    )
+    q.processAllAvailable()
+    # second batch: user 1 again (state continues), user 2 idle; ts jumps
+    # +6h so the watermark passes user 2's timeout
+    spark.createDataFrame(
+        [(4, ts("2024-01-01 16:00:00"), 1, "click", 4.0)], SCHEMA
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    # third batch triggers timeout processing under the advanced watermark
+    spark.createDataFrame(
+        [(5, ts("2024-01-01 16:30:00"), 3, "view", 1.0)], SCHEMA
+    ).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from stateful_out").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1: count grew 2 -> 3 across batches, state carried the sum
+    u1 = sorted(by_user[1], key=lambda r: r["event_count"])
+    assert (u1[0]["event_count"], u1[0]["value_sum"]) == (2, 3.0)
+    assert (u1[-1]["event_count"], u1[-1]["value_sum"]) == (3, 7.0)
+    assert not u1[-1]["final"]
+    # user 2 went idle past the timeout: finalized exactly once
+    finals = [r for r in by_user[2] if r["final"]]
+    assert len(finals) == 1
+    assert (finals[0]["event_count"], finals[0]["value_sum"]) == (1, 5.0)
