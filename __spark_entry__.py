@@ -24,9 +24,11 @@ from lfb_data_warehouse_spark.plans import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the per-month rollup mart
-    (scan → derive → hash-aggregate → sort)."""
-    return REGISTRY["mart_per_month"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: star-schema fact
+    assembly (the reference's load_fact shape — content-hash surrogate
+    keys, four broadcast dimension joins with Unknown-coalesced FKs,
+    decimal-exact derived measures)."""
+    return REGISTRY["flagship_star_fact"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1050,3 +1050,61 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: star-schema fact assembly (the reference's load_fact shape —
+# /root/reference/etl/load/load_fact.py:143-408 — on the TPC-H tables)
+# ---------------------------------------------------------------------------
+
+@register(
+    "flagship_star_fact",
+    headline=True,
+    oracle="""
+    SELECT sha256(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)) AS line_key,
+           l_orderkey, l_linenumber,
+           COALESCE(p_brand, 'Unknown') AS brand,
+           COALESCE(c_mktsegment, 'Unknown') AS segment,
+           COALESCE(n_name, 'Unknown') AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS revenue,
+           CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) / l_quantity AS revenue_per_unit
+    FROM lineitem
+    LEFT JOIN part     ON l_partkey = p_partkey
+    LEFT JOIN orders   ON l_orderkey = o_orderkey
+    LEFT JOIN customer ON o_custkey = c_custkey
+    LEFT JOIN nation   ON c_nationkey = n_nationkey
+    """,
+)
+def flagship_star_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-fact assembly, the reference's flagship shape: content-hash
+    surrogate key (sha2 over '|'-joined naturals — idempotent across
+    incremental loads), every dimension LEFT-joined with FK coalesced to
+    'Unknown' (reference load_fact.py:186,205,...), derived measures in
+    decimal-exact arithmetic. All dimension sides broadcast; lineitem is
+    never shuffled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    fact = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return fact.select(
+        hash_key("l_orderkey", "l_linenumber").alias("line_key"),
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce("p_brand", F.lit("Unknown")).alias("brand"),
+        F.coalesce("c_mktsegment", F.lit("Unknown")).alias("segment"),
+        F.coalesce("n_name", F.lit("Unknown")).alias("nation"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        revenue.cast("double").alias("revenue"),
+        # plain double division: decimal division scale rules differ across
+        # engines, IEEE double division does not
+        (revenue.cast("double") / F.col("l_quantity")).alias("revenue_per_unit"),
+    )
