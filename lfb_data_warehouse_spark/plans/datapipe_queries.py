@@ -627,3 +627,43 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_bytes",
         F.lower(F.sha2("payload", 256)).alias("frame_sha256"),
     )
+
+
+ROLL_BASE = 257
+ROLL_MOD = 1_000_000_007
+
+
+@register(
+    "doc_rolling_hash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(list_reduce(
+               list_prepend(0, list_transform(w, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT))),
+               (a, b) -> (a * {ROLL_BASE} + b) % {ROLL_MOD}) AS BIGINT) AS rolling_hash
+    FROM t
+    """,
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling (polynomial) hash over the token stream —
+    the Rabin-Karp-style fingerprint: content moves anywhere → hash
+    changes; the min-shingle anchor (doc_fingerprints) is the
+    order-robust complement. Map-only: per-token 32-bit md5 prefixes
+    folded left with (acc·B + x) mod M, all inside one codegen'd
+    higher-order expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    token_hashes = F.transform(
+        w, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+    )
+    rolling = F.aggregate(
+        token_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_BASE + x) % ROLL_MOD,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        rolling.cast("long").alias("rolling_hash"),
+    )
