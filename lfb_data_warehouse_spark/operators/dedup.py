@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import HEX_HIGH, salted_minhash, shingles, simhash_bit_weight, tokens
+from ..functions.text import HEX_HIGH, shingles, tokens
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -38,24 +38,6 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy("text_sha256")
         .agg(F.min(id_col).alias("survivor_id"), F.count(F.lit(1)).alias("dup_count"))
     )
-
-
-def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Distinct (id, shingle) pairs — the set representation used by both
-    MinHash and Jaccard."""
-    ws = tokens(text_col)
-    return df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(ws, n))).alias("shingle")
-    )
-
-
-def minhash_signatures(
-    sets: DataFrame, id_col: str, num_hashes: int = 8
-) -> DataFrame:
-    """Per-doc MinHash signature: one groupBy computing all ``num_hashes``
-    mins (columns h0..h{k-1}) in a single pass."""
-    aggs = [salted_minhash("shingle", i).alias(f"h{i}") for i in range(num_hashes)]
-    return sets.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -87,41 +69,21 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_for_pairs(
-    pairs: DataFrame, sets: DataFrame, id_col: str
-) -> DataFrame:
-    """Exact Jaccard for given (id_a, id_b) pairs via two joins against the
-    shingle sets: |A∩B| from the shingle equi-join, |A|,|B| from set
-    sizes. Output: id_a, id_b, jaccard (double, exact integer division)."""
-    sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    ea = sets.select(F.col(id_col).alias("id_a"), F.col("shingle"))
-    eb = sets.select(F.col(id_col).alias("id_b"), F.col("shingle"))
-    inter = (
-        pairs.join(ea, "id_a")
-        .join(eb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-            ).alias("jaccard"),
-        )
-    )
-
-
 def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, ss: array<string>) — distinct shingles kept as one array per
     doc (the compact set representation: one row per doc, not one per
-    shingle, so downstream joins shuffle O(docs), not O(shingles))."""
+    shingle, so downstream joins shuffle O(docs), not O(shingles)).
+
+    Docs with no shingles (fewer than ``n`` tokens) are filtered — they
+    can never pair, and keeping them would give every such doc an
+    all-NULL MinHash signature whose band keys all collapse to
+    ``md5('')``, making the whole short-doc population mutual LSH
+    candidates (an O(shorts²) join blow-up for pairs the jaccard filter
+    discards anyway)."""
     ws = tokens(text_col)
-    return df.select(F.col(id_col), F.array_distinct(shingles(ws, n)).alias("ss"))
+    return df.select(F.col(id_col), F.array_distinct(shingles(ws, n)).alias("ss")).filter(
+        F.size("ss") > 0
+    )
 
 
 def minhash_signatures_mapside(
@@ -231,6 +193,7 @@ def simhash_near_dup_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    persist_fp: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the fingerprint into ``bands`` slices
     and self-join on slice equality — by pigeonhole, any pair within
@@ -248,11 +211,21 @@ def simhash_near_dup_pairs(
         raise ValueError("banding is only exact for max_hamming <= bands - 1")
     if bits % bands:
         raise ValueError("bits must divide evenly into bands")
+    if bits > 62:
+        # the hamming kernel goes through conv(bitstring, 2, 10) cast to
+        # long; at 63+ bits the unsigned value overflows to NULL and
+        # every pair would be silently dropped
+        raise ValueError("bits must be <= 62 (hamming uses signed-long XOR)")
     width = bits // bands
     # both sides of the band self-join scan the fingerprints; the table
     # is flat (id + bitstring) so its columnar cache is near-free and
-    # saves the token-explode 32-agg signing from running twice
-    fp = simhash_fingerprints(df, id_col, text_col, bits).persist()
+    # saves the md5-array signing from running twice. NOTE: the cache
+    # entry lives until the session ends (Spark's CacheManager holds it);
+    # callers looping over many corpora should pass persist_fp=False or
+    # checkpoint fingerprints to storage themselves.
+    fp = simhash_fingerprints(df, id_col, text_col, bits)
+    if persist_fp:
+        fp = fp.persist()
     slices = [
         F.struct(
             F.lit(b).alias("band"),

@@ -130,12 +130,24 @@ def label_centroids(emb: DataFrame, id_col: str, vec_col: str, label_col: str) -
     return out.withColumn("cnorm", cnorm)
 
 
-def ivf_assign(emb: DataFrame, id_col: str, vec_col: str, label_col: str) -> DataFrame:
+def ivf_assign(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    cents: DataFrame | None = None,
+    quantized: DataFrame | None = None,
+) -> DataFrame:
     """IVF building block: assign each vector to its nearest label
     centroid by cosine. Centroids are broadcast (num_partitions rows);
-    assignment is a map-only argmax per vector."""
-    q = quantize(emb, id_col, vec_col).join(emb.select(F.col(id_col), F.col(label_col)), id_col)
-    cents = label_centroids(emb, id_col, vec_col, label_col)
+    assignment is a map-only argmax per vector. Callers that already
+    quantized the corpus / built the centroids (ivf_topk) pass them in
+    instead of paying the posexplode aggregation twice."""
+    if quantized is None:
+        quantized = quantize(emb, id_col, vec_col)
+    q = quantized.join(emb.select(F.col(id_col), F.col(label_col)), id_col)
+    if cents is None:
+        cents = label_centroids(emb, id_col, vec_col, label_col)
     scored = q.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(label_col),
@@ -177,7 +189,7 @@ def ivf_topk(
     """
     q = quantize(emb, id_col, vec_col)
     cents = label_centroids(emb, id_col, vec_col, label_col)
-    inv = ivf_assign(emb, id_col, vec_col, label_col).select(
+    inv = ivf_assign(emb, id_col, vec_col, label_col, cents=cents, quantized=q).select(
         F.col(id_col).alias("neighbor_id"), "assigned_label"
     )
     inv = inv.join(

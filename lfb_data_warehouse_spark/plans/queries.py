@@ -738,7 +738,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle="""
     SELECT event_type,
-           COUNT(*) AS event_count,
+           COUNT(value) AS event_count,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
            CAST(MIN(value) AS DOUBLE) AS min_value,
            CAST(MAX(value) AS DOUBLE) AS max_value

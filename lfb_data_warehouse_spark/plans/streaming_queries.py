@@ -25,13 +25,21 @@ from ..sources.testdata import load_table
 from ..streaming.ops import stream_session_agg, stream_windowed_agg
 from .queries import register
 
-SESSION_GAP = "30 minutes"
+SESSION_GAP_MIN = 30
+SESSION_GAP = f"{SESSION_GAP_MIN} minutes"
+
+# one staged copy per (warehouse-dir, sf_dir) per process — repeated
+# bench/correctness runs in one session must not pile up temp copies
+_STAGED: dict[str, str] = {}
 
 
 def _stage_events(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     events = load_table(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="lfb_stream_src_")
-    events.write.mode("overwrite").parquet(src)
+    src = _STAGED.get(sf_dir)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="lfb_stream_src_")
+        events.write.mode("overwrite").parquet(src)
+        _STAGED[sf_dir] = src
     return events, src
 
 
@@ -64,28 +72,30 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_sessionize",
     oracle=f"""
-    WITH l AS (SELECT user_id, ts,
+    WITH l AS (SELECT user_id, ts, event_id,
                       CASE WHEN lag(ts) OVER w IS NULL
-                                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                                OR ts - lag(ts) OVER w >= INTERVAL '{SESSION_GAP_MIN} minutes'
                            THEN 1 ELSE 0 END AS ns
                FROM events
                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (SELECT user_id, ts,
-                 SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                 SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS sid
           FROM l)
     SELECT user_id,
            MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           MAX(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS session_end,
            COUNT(*) AS event_count
     FROM s GROUP BY user_id, sid
     """,
 )
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native streaming session windows (gap {SESSION_GAP}) through a
+    """Native streaming session windows (SESSION_GAP gap) through a
     memory sink; the oracle rebuilds the identical sessions with the
-    batch lag+cumsum formulation (new session when gap ≥ 30 min —
-    session_window's half-open [start, last+gap) semantics)."""
+    batch lag+cumsum formulation — the cumulative-sum window carries the
+    event_id tiebreak too, so duplicate (user, ts) rows at a session
+    boundary cannot land in the wrong session (session_window's
+    half-open [start, last+gap) semantics)."""
     events, src = _stage_events(spark, sf_dir)
     stream = spark.readStream.schema(events.schema).parquet(src)
     out = stream_session_agg(stream, "ts", keys=["user_id"], gap=SESSION_GAP)
