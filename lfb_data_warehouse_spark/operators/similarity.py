@@ -225,6 +225,82 @@ def ivf_topk(
     )
 
 
+def lsh_hyperplanes(planes: int, dim: int, scale: int = 10000) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH: integer
+    components in [-scale, scale] derived from md5 — no RNG state, so
+    the engine and the SQL oracle generate the identical planes."""
+    import hashlib
+
+    out = []
+    for j in range(planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"lsh:{j}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(h % (2 * scale + 1) - scale)
+        out.append(row)
+    return out
+
+
+def cosine_lsh_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float,
+    bands: int = 4,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """Banded sign-LSH cosine near-dup pairs: each vector hashes to one
+    sign pattern per band (integer hyperplane dot products — exact
+    signs, no float-order ambiguity); vectors pair when ANY band's
+    pattern matches (OR-amplification), then candidates are verified
+    with exact cosine ≥ threshold.
+
+    Recall for a pair at angle θ is 1 - (1 - (1-θ/π)^planes)^bands —
+    banding trades candidate volume for recall exactly like MinHash-LSH
+    banding does for Jaccard. The scale shape: one map-only signing
+    pass, a (band, pattern) self-join bounded per bucket, exact verify
+    on survivors only. The exact all-pairs kernel (:func:`cosine_pairs`)
+    is the recall-1 baseline this approximates.
+    """
+    hps = lsh_hyperplanes(bands * planes_per_band, dim)
+    q = quantize(emb, id_col, vec_col)
+
+    def sign_bit(row: list[int]):
+        plane = F.array(*[F.lit(v) for v in row])
+        return F.when(_dot(F.col("q"), plane) > 0, "1").otherwise("0")
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(
+                *[sign_bit(hps[b * planes_per_band + p]) for p in range(planes_per_band)]
+            ).alias("pattern"),
+        )
+        for b in range(bands)
+    ]
+    banded = q.select(
+        F.col(id_col), F.col("q"), F.col("norm"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, "q", "norm", F.col("bk.band").alias("band"), F.col("bk.pattern").alias("pattern"))
+    a = banded.select(
+        "band", "pattern", F.col(id_col).alias("id_a"), F.col("q").alias("qa"), F.col("norm").alias("na")
+    )
+    b = banded.select(
+        "band", "pattern", F.col(id_col).alias("id_b"), F.col("q").alias("qb"), F.col("norm").alias("nb")
+    )
+    return (
+        a.join(b, ["band", "pattern"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+        .distinct()
+    )
+
+
 def cosine_topk_np(
     emb: DataFrame, id_col: str, vec_col: str, probe_ids, k: int
 ) -> DataFrame:

@@ -667,3 +667,53 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(w).cast("long").alias("n_tokens"),
         rolling.cast("long").alias("rolling_hash"),
     )
+
+
+LSH_BANDS = 4
+LSH_PLANES_PER_BAND = 4
+
+
+def _lsh_pairs_oracle() -> str:
+    from ..operators.similarity import lsh_hyperplanes
+
+    hps = lsh_hyperplanes(LSH_BANDS * LSH_PLANES_PER_BAND, EMB_DIM)
+
+    def bit(row):
+        lits = "[" + ", ".join(str(v) for v in row) + "]"
+        dot = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> q[i] * ({lits})[i]))"
+        return f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)"
+
+    band_selects = []
+    for b in range(LSH_BANDS):
+        pattern = " || ".join(
+            bit(hps[b * LSH_PLANES_PER_BAND + p]) for p in range(LSH_PLANES_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT vec_id, q, norm, {b} AS band, {pattern} AS pattern FROM qn"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    pair_dot = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> a.q[i] * b.q[i]))"
+    return f"""
+    WITH {_QCTE},
+    bk AS ({bands})
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_sql(pair_dot, 'a.norm', 'b.norm')} AS score
+    FROM bk a JOIN bk b
+      ON a.band = b.band AND a.pattern = b.pattern AND a.vec_id < b.vec_id
+    WHERE {_cos_sql(pair_dot, 'a.norm', 'b.norm')} >= {NEAR_DUP_COS}
+    """
+
+
+@register("embedding_lsh_near_dups", oracle=_lsh_pairs_oracle())
+def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH embedding near-dup pairs — the corpus-scale
+    complement to the exact all-pairs kernel (embedding_near_dup_pairs):
+    map-only integer signing, per-band bucket self-join
+    (OR-amplification for recall), exact-cosine verify on survivors."""
+    from ..operators.similarity import cosine_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_lsh_pairs(
+        emb, "vec_id", "embedding", dim=EMB_DIM, threshold=NEAR_DUP_COS,
+        bands=LSH_BANDS, planes_per_band=LSH_PLANES_PER_BAND,
+    )

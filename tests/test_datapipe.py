@@ -172,3 +172,21 @@ def test_multimodal_frame_sample_explodes(docs):
     got = sorted((r["frame_index"], bytes(r["payload"])) for r in frames if r["doc_id"] == 1)
     want = [(i, raw[i * stride : (i + 1) * stride]) for i in range(0, nframes, 2)]
     assert got == want
+
+
+def test_lsh_pairs_subset_of_exact(emb):
+    from lfb_data_warehouse_spark.operators.similarity import cosine_lsh_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"]) for r in cosine_pairs(emb, "vec_id", "embedding", 0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_lsh_pairs(
+            emb, "vec_id", "embedding", dim=3, threshold=0.9, bands=4, planes_per_band=2
+        ).collect()
+    }
+    # LSH never invents pairs (exact verify) and with 4 bands over these
+    # near-parallel vectors it recovers them
+    assert lsh <= exact
+    assert lsh, "banded LSH found no pairs for near-parallel vectors"
