@@ -1053,6 +1053,248 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# TPC-H semi/anti/outer-join battery (Q4, Q6, Q13, Q16, Q18 — adapted to the
+# driver's column subset; no partsupp/commitdate in testdata). These cover
+# the join shapes the reference never uses (SURVEY §2.3: "no inner/semi"):
+# existential semi join, NOT-IN anti join, outer-join distribution,
+# aggregate-filtered join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (l_shipdate lag standing in for the absent
+    commit/receipt dates): EXISTS → LEFT SEMI join, so lineitem rows are
+    never duplicated into the probe side and the aggregate input stays
+    one-row-per-order. The date filter pushes to the orders scan; the
+    semi join's non-equi clause rides on the orderkey equi-join."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    headline=True,
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS item_count
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure scan-aggregate. Every predicate is a parquet
+    pushed filter (`PushedFilters` in .explain), the projection prunes to
+    4 columns, and the whole plan is one map-side partial aggregate —
+    the query 100 TB scans live or die on."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("item_count"),
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution. The LEFT join keeps
+    zero-order customers (COUNT of a NULL key = 0 rows counted), then a
+    second aggregation histograms the counts. The join condition filters
+    the fact side BEFORE the join so the filter never becomes a
+    post-join residual."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem standing in for the absent partsupp):
+    NOT IN → broadcast LEFT ANTI join against the excluded-supplier set,
+    a broadcast dimension join, then COUNT(DISTINCT). The anti join runs
+    before the part join so excluded rows never reach the wider plan."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 2000)
+        .select("s_suppkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    kept = li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+    joined = kept.join(F.broadcast(part), kept.l_partkey == part.p_partkey)
+    return joined.groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size")).agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@register(
+    "tpch_q18_large_volume",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume orders. The HAVING subquery becomes an
+    aggregate + LEFT SEMI join on orderkey; at scale the heavy
+    lineitem⋈orders shuffle only carries the ~1% of orders that survive
+    the quantity gate, and AQE converts the semi join's probe side to
+    broadcast when the survivor set is small."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "big_orderkey"),
+        F.col("o_orderkey") == F.col("big_orderkey"),
+        "left_semi",
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
+        li, F.col("o_orderkey") == li.l_orderkey
+    )
+    return joined.groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets + set operations (beyond-reference OLAP completeness)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_segment_priority",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority,
+           COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderpriority)
+    """,
+)
+def cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 4 groupings (segment×priority, segment,
+    priority, grand total) in ONE aggregation pass via Catalyst's Expand
+    — 4× the aggregate input but a single shuffle, vs 4 separate jobs."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return joined.cube("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "cohort_intersect_except",
+    oracle="""
+    SELECT 'retained' AS cohort, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+    UNION ALL
+    SELECT 'churned', o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+    """,
+)
+def cohort_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT cohort analysis (set ops the reference lacks —
+    SURVEY §2.7 'no intersect/except'). Both compile to hash semi/anti
+    joins on the distinct key sets; each side is pre-aggregated to
+    distinct keys so the set op shuffles keys, not order rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    retained = y97.intersect(y98).select(F.lit("retained").alias("cohort"), "o_custkey")
+    churned = y97.subtract(y98).select(F.lit("churned").alias("cohort"), "o_custkey")
+    return retained.unionByName(churned)
+
+
+# ---------------------------------------------------------------------------
 # Flagship: star-schema fact assembly (the reference's load_fact shape —
 # /root/reference/etl/load/load_fact.py:143-408 — on the TPC-H tables)
 # ---------------------------------------------------------------------------
