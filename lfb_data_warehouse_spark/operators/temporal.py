@@ -30,6 +30,60 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    on: Sequence[str] = (),
+    granularity_sec: int = 3600,
+) -> DataFrame:
+    """Point-in-interval (range) join: each ``points`` row matched to
+    every ``intervals`` row whose ``[start_ts, end_ts]`` contains it
+    (optionally also matching equality keys ``on``).
+
+    Spark would execute the naive ``p.ts BETWEEN i.start AND i.end``
+    predicate as a broadcast-nested-loop (O(|P|·|I|)). The scalable
+    form mirrors ``nearest_within``'s bucket trick: intervals are
+    replicated into every ``granularity_sec`` bucket they overlap
+    (``sequence`` + ``explode`` — fan-out is interval_len/granularity,
+    bounded and data-independent), points carry one bucket, and the
+    match becomes a plain shuffled/broadcast hash equi-join on
+    (keys, bucket) plus a residual containment filter. Each
+    (point, interval) pair meets in exactly one bucket (the point's),
+    so no dedup pass is needed.
+
+    Interval columns that collide with point columns are returned with
+    an ``ivl_`` prefix.
+    """
+    g_us = int(granularity_sec) * 1_000_000
+    overlap = set(points.columns) & set(intervals.columns) - set(on)
+    ivl = intervals
+    for c in overlap:
+        ivl = ivl.withColumnRenamed(c, f"ivl_{c}")
+        if start_ts == c:
+            start_ts = f"ivl_{c}"
+        if end_ts == c:
+            end_ts = f"ivl_{c}"
+
+    p_us = F.unix_micros(F.col(point_ts).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_ts).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_ts).cast("timestamp"))
+
+    probe = points.withColumn("__bucket", F.floor(p_us / F.lit(g_us)))
+    build = ivl.withColumn(
+        "__bucket",
+        F.explode(F.sequence(F.floor(s_us / F.lit(g_us)), F.floor(e_us / F.lit(g_us)))),
+    )
+    join_keys = list(on) + ["__bucket"]
+    return (
+        probe.join(build, on=join_keys, how="inner")
+        .filter((F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts)))
+        .drop("__bucket")
+    )
+
+
 def nearest_within(
     left: DataFrame,
     right: DataFrame,

@@ -342,6 +342,56 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Text analysis: TF-IDF salient terms
+# ---------------------------------------------------------------------------
+
+
+def _tfidf_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    docfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT doc_id, term, tf,
+           ROUND(CAST(tf AS DOUBLE) * ln(n_docs / df), 6) AS tfidf
+    FROM tf JOIN docfreq USING (term), n
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3
+    """
+
+
+@register("text_tfidf_top_terms", oracle=_tfidf_oracle())
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic salient-term /
+    keyword-extraction pass of a text pipeline. Two hash aggregates
+    (term frequency per doc, document frequency per term), one join on
+    term, one per-doc window. The corpus size enters as a broadcast
+    scalar (one count action). JVM Math.log and libm ln differ by 1 ulp,
+    so the score is rounded to 6 decimals BEFORE ranking — both engines
+    then rank identical values, with the term as the tiebreak."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(docfreq, "term").withColumn(
+        "tfidf", F.round(F.col("tf").cast("double") * F.log(F.lit(n_docs) / F.col("df")), 6)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup: SimHash near-dup pairs (banded hamming search)
 # ---------------------------------------------------------------------------
 

@@ -629,6 +629,53 @@ def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "interval_join_purchase_clicks",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           COUNT(*) AS click_count,
+           MIN(c.event_id) AS first_click_id
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND epoch_us(c.ts) >= epoch_us(p.ts)
+     AND epoch_us(c.ts) <= epoch_us(p.ts) + 7200000000
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def interval_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap (range) join: clicks inside each purchase's
+    2-hour attribution window, per user. Spark would run the naive
+    BETWEEN predicate as a nested-loop product; ``interval_join``
+    buckets both sides so it executes as a hash equi-join on
+    (user, time-bucket) with a residual containment filter."""
+    from ..operators.temporal import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withColumn("end_ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    joined = interval_join(
+        clicks,
+        purchases,
+        point_ts="ts",
+        start_ts="ts",
+        end_ts="end_ts",
+        on=["user_id"],
+        granularity_sec=7200,
+    )
+    return joined.groupBy(
+        F.col("ivl_event_id").alias("purchase_id"), F.col("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("click_count"),
+        F.min("event_id").alias("first_click_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization + tumbling windows (beyond-reference, streaming-shaped)
 # ---------------------------------------------------------------------------

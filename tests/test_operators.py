@@ -21,7 +21,7 @@ from lfb_data_warehouse_spark.operators.incremental import (
     incremental_append,
     incremental_new_rows,
 )
-from lfb_data_warehouse_spark.operators.temporal import nearest_within
+from lfb_data_warehouse_spark.operators.temporal import interval_join, nearest_within
 from lfb_data_warehouse_spark.operators.topk import max_by_per_group, top_k_per_group
 
 
@@ -86,6 +86,50 @@ def test_nearest_within_tie_deterministic(spark):
         left, right, "lts", "rts", 7200, left_key="id", right_tiebreak="rid"
     ).collect()
     assert out[0]["rid"] == 5  # equal |dt| → smallest rid wins
+
+
+def test_interval_join_containment(spark):
+    points = spark.createDataFrame(
+        [(1, 10, ts("2024-01-01 12:00:00")),  # inside A
+         (2, 10, ts("2024-01-01 14:00:00")),  # on A's end boundary (inclusive)
+         (3, 10, ts("2024-01-01 14:00:01")),  # just past A
+         (4, 20, ts("2024-01-01 12:00:00"))],  # right time, wrong key
+        "pid int, k int, pts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [("A", 10, ts("2024-01-01 12:00:00"), ts("2024-01-01 14:00:00"))],
+        "ivl string, k int, start_t timestamp, end_t timestamp",
+    )
+    out = interval_join(points, intervals, "pts", "start_t", "end_t", on=["k"], granularity_sec=3600)
+    assert {r["pid"] for r in out.collect()} == {1, 2}
+
+
+def test_interval_join_long_interval_spans_buckets(spark):
+    # interval 10× the bucket granularity: every covered bucket matches,
+    # and each (point, interval) pair appears exactly once
+    points = spark.createDataFrame(
+        [(i, ts(f"2024-01-01 {h:02d}:30:00")) for i, h in enumerate(range(24))],
+        "pid int, pts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [("long", ts("2024-01-01 05:00:00"), ts("2024-01-01 15:00:00"))],
+        "ivl string, start_t timestamp, end_t timestamp",
+    )
+    out = interval_join(points, intervals, "pts", "start_t", "end_t", granularity_sec=3600)
+    rows = out.collect()
+    assert sorted(r["pid"] for r in rows) == list(range(5, 15))
+    assert len(rows) == len({(r["pid"], r["ivl"]) for r in rows})  # no dup pairs
+
+
+def test_interval_join_renames_colliding_columns(spark):
+    points = spark.createDataFrame([(1, ts("2024-01-01 00:30:00"))], "event_id int, ts timestamp")
+    intervals = spark.createDataFrame(
+        [(7, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"))],
+        "event_id int, ts timestamp, end_ts timestamp",
+    )
+    out = interval_join(points, intervals, "ts", "ts", "end_ts")
+    row = out.collect()[0]
+    assert row["event_id"] == 1 and row["ivl_event_id"] == 7
 
 
 def test_date_spine_attributes(spark):
