@@ -140,3 +140,48 @@ def normalized_text(text: Column | str) -> Column:
 def normalized_text_sql(text: str) -> str:
     # DuckDB regexp_replace replaces only the first match without 'g'
     return f"trim(regexp_replace(lower({text}), '\\s+', ' ', 'g'))"
+
+
+# PII patterns restricted to syntax Java regex and RE2 read identically
+# (no backrefs, no lookaround). Email before phone: once emails are
+# replaced, their digit runs can no longer feed the phone pattern.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9() -]{6,}[0-9]"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails/phones with typed placeholders — the anonymization
+    pass of a training-data pipeline. Two codegen'd regexp_replace
+    calls, map-only."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, EMAIL_PATTERN, "[EMAIL]")
+    return F.regexp_replace(out, PHONE_PATTERN, "[PHONE]")
+
+
+def redact_pii_sql(text: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({text}, '{EMAIL_PATTERN}', '[EMAIL]', 'g'), "
+        f"'{PHONE_PATTERN}', '[PHONE]', 'g')"
+    )
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column]:
+    """(email_count, phone_count) per document — audit metric for the
+    redaction pass."""
+    c = F.col(text) if isinstance(text, str) else text
+    emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), 0))
+    phones = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(c, EMAIL_PATTERN, "[EMAIL]"), F.lit(PHONE_PATTERN), 0
+        )
+    )
+    return emails, phones
+
+
+def pii_counts_sql(text: str) -> tuple[str, str]:
+    emails = f"len(regexp_extract_all({text}, '{EMAIL_PATTERN}'))"
+    phones = (
+        f"len(regexp_extract_all(regexp_replace({text}, '{EMAIL_PATTERN}', '[EMAIL]', 'g'), "
+        f"'{PHONE_PATTERN}'))"
+    )
+    return emails, phones

@@ -1,0 +1,88 @@
+"""Deterministic content-hash sampling — reproducible, oracle-checkable.
+
+``df.sample()`` is seed-dependent and partitioning-dependent, which
+makes samples irreproducible across runs/engines — useless for an
+incremental 100 TB pipeline where the same row must make the same
+keep/drop decision on every run (and on every engine: the DuckDB
+oracle must agree bit-for-bit).
+
+The deterministic form hashes the row's natural key with a salt and
+keeps the row when the first 8 hex chars of sha256 (a uniform 32-bit
+value rendered as fixed-width hex) sort below ``fraction * 16^8``.
+Comparison happens on the *hex strings* — '0'-'9' < 'a'-'f' in every
+collation both engines use for ASCII, so no integer conversion is
+needed and the predicate is a pure map-side filter (zero shuffle,
+pushable after the scan).
+
+Changing ``salt`` draws an independent sample; the same salt always
+reproduces the same sample — that also makes train/test splits stable
+across pipeline re-runs (the classic ML-data requirement).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _threshold_hex(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(round(fraction * 16**8)), 16**8 - 1), "08x")
+
+
+def _bucket_col(keys: Sequence[str], salt: str) -> Column:
+    parts = [F.lit(salt)] + [F.col(k).cast("string") for k in keys]
+    return F.substring(F.sha2(F.concat_ws("|", *parts), 256), 1, 8)
+
+
+def _bucket_sql(keys: Sequence[str], salt: str) -> str:
+    parts = ", ".join([f"'{salt}'"] + [f"CAST({k} AS VARCHAR)" for k in keys])
+    return f"substring(sha256(concat_ws('|', {parts})), 1, 8)"
+
+
+def deterministic_sample(
+    df: DataFrame, keys: Sequence[str], fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep a reproducible ``fraction`` of rows, decided per natural key."""
+    return df.filter(_bucket_col(keys, salt) < F.lit(_threshold_hex(fraction)))
+
+
+def deterministic_sample_sql(keys: Sequence[str], fraction: float, salt: str = "sample") -> str:
+    """The oracle predicate for :func:`deterministic_sample` (same hash,
+    same threshold — generated from the same constants)."""
+    return f"{_bucket_sql(keys, salt)} < '{_threshold_hex(fraction)}'"
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    keys: Sequence[str],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum sampling rates (e.g. downsample the majority class,
+    keep all of the rare one). One map-side filter; the when-chain
+    threshold is a Catalyst expression, not a UDF."""
+    thr: Column = F.lit(_threshold_hex(default_fraction))
+    for value, frac in fractions.items():
+        thr = F.when(F.col(stratum_col) == value, F.lit(_threshold_hex(frac))).otherwise(thr)
+    return df.filter(_bucket_col(keys, salt) < thr)
+
+
+def stratified_sample_sql(
+    stratum_col: str,
+    fractions: dict[str, float],
+    keys: Sequence[str],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> str:
+    """Oracle CASE predicate for :func:`stratified_sample`."""
+    whens = " ".join(
+        f"WHEN {stratum_col} = '{v}' THEN '{_threshold_hex(f)}'" for v, f in fractions.items()
+    )
+    case = f"CASE {whens} ELSE '{_threshold_hex(default_fraction)}' END"
+    return f"{_bucket_sql(keys, salt)} < {case}"

@@ -392,6 +392,126 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Text analysis: PII redaction (anonymization pass)
+# ---------------------------------------------------------------------------
+
+
+def _pii_oracle() -> str:
+    from ..functions.text import pii_counts_sql, redact_pii_sql
+
+    synth = (
+        "text || ' reach user' || doc_id || '@mail.example or +1 555 010 ' || doc_id"
+    )
+    emails, phones = pii_counts_sql(synth)
+    return f"""
+    SELECT doc_id,
+           CAST({emails} AS BIGINT) AS email_count,
+           CAST({phones} AS BIGINT) AS phone_count,
+           sha256({redact_pii_sql(synth)}) AS redacted_sha256
+    FROM documents
+    """
+
+
+@register("text_pii_redact", oracle=_pii_oracle())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII anonymization: email/phone detection counts + redacted-text
+    hash. The corpus is synthetic, so deterministic PII is appended from
+    doc_id before redaction (same construction in the oracle) — what's
+    verified is the redaction semantics, byte-for-byte via sha256.
+    Map-only regexp pass, no UDF."""
+    from ..functions.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id"),
+        F.lit("@mail.example or +1 555 010 "),
+        F.col("doc_id"),
+    )
+    emails, phones = pii_counts(synth)
+    return docs.select(
+        "doc_id",
+        emails.cast("long").alias("email_count"),
+        phones.cast("long").alias("phone_count"),
+        F.sha2(redact_pii(synth), 256).alias("redacted_sha256"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite C4-style cleaning pipeline (filter → quality gate → dedup)
+# ---------------------------------------------------------------------------
+
+C4_MIN_CHARS = 150
+C4_MIN_TOKENS = 30
+C4_MAX_STOP_RATIO = 0.5
+
+
+def _c4_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    WITH gated AS (
+        SELECT doc_id, text, lang, n_chars,
+               {tokens_sql('text')} AS w
+        FROM documents
+        WHERE lang = 'en' AND n_chars >= {C4_MIN_CHARS}
+    ),
+    scored AS (
+        SELECT doc_id, text, lang, n_chars,
+               len(w) AS token_count,
+               CAST(len(list_filter(w, x -> x IN ({stop_list}))) AS DOUBLE) / len(w) AS stop_ratio
+        FROM gated
+        WHERE len(w) >= {C4_MIN_TOKENS}
+    ),
+    quality AS (SELECT * FROM scored WHERE stop_ratio <= {C4_MAX_STOP_RATIO}),
+    deduped AS (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(token_count AS BIGINT) AS token_count, stop_ratio
+        FROM quality
+        QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+    )
+    SELECT * FROM deduped
+    """
+
+
+@register("c4_clean_documents", oracle=_c4_oracle())
+def c4_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning composite: language gate → length gate → token
+    gate → stopword-ratio quality gate → exact dedup (first doc_id per
+    text hash survives). Every gate is a map-side filter over one scan;
+    the only shuffle is the dedup window on the text hash — at 100 TB
+    hash first, so the window carries a 64-char key, never the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    gated = (
+        docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= C4_MIN_CHARS))
+        .withColumn("w", w)
+        .withColumn("token_count", F.size("w"))
+        .filter(F.col("token_count") >= C4_MIN_TOKENS)
+        .withColumn(
+            "stop_ratio",
+            F.size(F.filter("w", lambda x: x.isin(STOPWORDS))).cast("double")
+            / F.col("token_count"),
+        )
+        .filter(F.col("stop_ratio") <= C4_MAX_STOP_RATIO)
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    return (
+        gated.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("token_count").cast("long").alias("token_count"),
+            "stop_ratio",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup: SimHash near-dup pairs (banded hamming search)
 # ---------------------------------------------------------------------------
 

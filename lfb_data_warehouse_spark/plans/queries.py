@@ -1287,6 +1287,61 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling (beyond-reference: reproducible splits at 100 TB)
+# ---------------------------------------------------------------------------
+
+STRATA_FRACTIONS = {"1-URGENT": 0.5, "2-HIGH": 0.25}
+
+
+def _sample_oracle() -> str:
+    from ..operators.sampling import deterministic_sample_sql, stratified_sample_sql
+
+    uniform = deterministic_sample_sql(["o_orderkey"], 0.1, salt="split1")
+    strat = stratified_sample_sql(
+        "o_orderpriority", STRATA_FRACTIONS, ["o_orderkey"], default_fraction=0.05, salt="split1"
+    )
+    return f"""
+    SELECT 'uniform' AS method, o_orderpriority, COUNT(*) AS sampled_count,
+           {SUM_DEC.format(x='o_totalprice')} AS sampled_total
+    FROM orders WHERE {uniform} GROUP BY 1, 2
+    UNION ALL
+    SELECT 'stratified', o_orderpriority, COUNT(*),
+           {SUM_DEC.format(x='o_totalprice')}
+    FROM orders WHERE {strat} GROUP BY 1, 2
+    """
+
+
+@register("sample_orders_deterministic", oracle=_sample_oracle())
+def sample_orders_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sampling: uniform 10% and per-priority stratified
+    rates, both decided by a salted content hash of the natural key —
+    the same row makes the same keep/drop decision on every run and
+    every engine (seeded df.sample() can't promise either). Pure
+    map-side filters; the Spark predicate and the oracle CASE are
+    generated from the same constants."""
+    from ..operators.sampling import deterministic_sample, stratified_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    uniform = deterministic_sample(orders, ["o_orderkey"], 0.1, salt="split1")
+    strat = stratified_sample(
+        orders,
+        "o_orderpriority",
+        STRATA_FRACTIONS,
+        ["o_orderkey"],
+        default_fraction=0.05,
+        salt="split1",
+    )
+
+    def agg(df: DataFrame, method: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("sampled_count"),
+            sum_exact("o_totalprice").alias("sampled_total"),
+        ).select(F.lit(method).alias("method"), "o_orderpriority", "sampled_count", "sampled_total")
+
+    return agg(uniform, "uniform").unionByName(agg(strat, "stratified"))
+
+
+# ---------------------------------------------------------------------------
 # CUBE grouping sets + set operations (beyond-reference OLAP completeness)
 # ---------------------------------------------------------------------------
 

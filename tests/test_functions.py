@@ -100,3 +100,24 @@ def test_exact_aggregates_deterministic(spark):
     r = df.agg(sum_exact("v").alias("s"), avg_exact("v").alias("a")).collect()[0]
     assert r["s"] == 0.6  # decimal-exact, not 0.6000000000000001
     assert r["a"] == 0.6 / 3  # deterministic double division of the exact sum
+
+
+def test_redact_pii(spark):
+    from lfb_data_warehouse_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [("call +44 (20) 7946-0958 or mail a.b+c@ex-ample.co.uk today",),
+         ("no pii here",),
+         ("two mails x@y.io z@w.dev and digits 12 34",)],
+        "t string",
+    )
+    emails, phones = pii_counts("t")
+    rows = df.select(
+        redact_pii("t").alias("r"), emails.alias("e"), phones.alias("p")
+    ).collect()
+    assert rows[0]["r"] == "call [PHONE] or mail [EMAIL] today"
+    assert (rows[0]["e"], rows[0]["p"]) == (1, 1)
+    assert rows[1]["r"] == "no pii here" and rows[1]["e"] == 0 and rows[1]["p"] == 0
+    # short digit runs (< 8 chars) are not phones
+    assert rows[2]["r"] == "two mails [EMAIL] [EMAIL] and digits 12 34"
+    assert (rows[2]["e"], rows[2]["p"]) == (2, 0)

@@ -132,6 +132,32 @@ def test_interval_join_renames_colliding_columns(spark):
     assert row["event_id"] == 1 and row["ivl_event_id"] == 7
 
 
+def test_deterministic_sample_reproducible_and_unbiased(spark):
+    from lfb_data_warehouse_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(10000).withColumn(
+        "stratum", F.when(F.col("id") % 10 == 0, "rare").otherwise("common")
+    )
+    s1 = deterministic_sample(df, ["id"], 0.2, salt="x")
+    s2 = deterministic_sample(df, ["id"], 0.2, salt="x")
+    ids1 = sorted(r["id"] for r in s1.collect())
+    assert ids1 == sorted(r["id"] for r in s2.collect())  # same salt → same sample
+    assert 0.17 < len(ids1) / 10000 < 0.23  # unbiased rate
+    other = {r["id"] for r in deterministic_sample(df, ["id"], 0.2, salt="y").collect()}
+    assert set(ids1) != other  # different salt → independent draw
+    # nested fractions: the 10% sample is a subset of the 20% sample
+    sub = {r["id"] for r in deterministic_sample(df, ["id"], 0.1, salt="x").collect()}
+    assert sub < set(ids1)
+
+    strat = stratified_sample(df, "stratum", {"rare": 1.0}, ["id"], default_fraction=0.1, salt="x")
+    counts = {r["stratum"]: r["n"] for r in strat.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+    assert counts["rare"] == 1000  # fraction 1.0 keeps everything
+    assert 700 < counts["common"] < 1100
+
+
 def test_date_spine_attributes(spark):
     out = date_spine(spark, "2024-01-05", "2024-01-08").orderBy("date").collect()
     assert [r["date"].isoformat() for r in out] == [
