@@ -1287,6 +1287,115 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Approximate sketches (the 100 TB scale path for distincts/percentiles).
+# Sketch estimates are engine-specific, so the oracle checks a CLAIM the
+# estimate must satisfy — the exact value plus a within-tolerance boolean
+# (DuckDB asserts the boolean as a literal TRUE). The sketches are
+# deterministic, so the boolean is stable run-to-run.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_distinct_segments",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS approx_within_5pct
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def approx_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counting next to the exact count, graded
+    as a ≤5% relative-error claim. At 100 TB the exact COUNT(DISTINCT)
+    needs a full shuffle of the key; the HLL sketch is a few KB per
+    group, map-side mergeable, and rsd=0.01 keeps well inside the
+    claimed tolerance."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx"),
+    )
+    err = F.abs(F.col("approx") - F.col("exact_customers")) / F.col("exact_customers")
+    return agg.select(
+        "c_mktsegment", "exact_customers", (err <= 0.05).alias("approx_within_5pct")
+    )
+
+
+@register(
+    "sketch_mart_mergeable",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS y, month(o_orderdate) AS m, o_custkey
+        FROM orders
+    )
+    SELECT y,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS merged_within_5pct
+    FROM monthly GROUP BY 1
+    """,
+)
+def sketch_mart_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-aggregatable sketch mart: persist a DataSketches HLL
+    binary per (year, month), then answer the yearly question by
+    MERGING the 12 monthly sketches — never re-touching the fact table.
+    This is the pattern that makes 100 TB distinct-count marts cheap:
+    the mart stores KB-sized sketches, and any coarser rollup is a
+    sketch union, not a rescan. Verified as a ≤5% claim against the
+    exact yearly distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            "o_custkey",
+        )
+        .groupBy("y", "m")
+        .agg(F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sketch"))
+    )
+    yearly = monthly.groupBy("y").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx")
+    )
+    exact = orders.groupBy(F.year("o_orderdate").cast("long").alias("y")).agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    joined = exact.join(yearly, "y")
+    err = F.abs(F.col("approx") - F.col("exact_customers")) / F.col("exact_customers")
+    return joined.select("y", "exact_customers", (err <= 0.05).alias("merged_within_5pct"))
+
+
+@register(
+    "approx_percentile_claim",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+           quantile_cont(l_extendedprice, 0.99) AS exact_p99,
+           TRUE AS approx_within_1pct
+    FROM lineitem GROUP BY 1
+    """,
+)
+def approx_percentile_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable quantile sketch) graded as a ≤1%
+    relative-error claim against the exact interpolated percentile.
+    At 100 TB the exact form needs a per-group sort; the sketch is
+    map-side mergeable with bounded memory (accuracy 10000 ≈ 0.01%
+    rank error — orders of magnitude inside the claim)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("exact_p99"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("a99"),
+    )
+    ok = (F.abs(F.col("a50") - F.col("exact_p50")) / F.col("exact_p50") <= 0.01) & (
+        F.abs(F.col("a99") - F.col("exact_p99")) / F.col("exact_p99") <= 0.01
+    )
+    return agg.select("l_returnflag", "exact_p50", "exact_p99", ok.alias("approx_within_1pct"))
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sampling (beyond-reference: reproducible splits at 100 TB)
 # ---------------------------------------------------------------------------
 
