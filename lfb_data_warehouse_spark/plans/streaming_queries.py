@@ -102,6 +102,49 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_complete(out, "stream_sess")
 
 
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND epoch_us(c.ts) >= epoch_us(p.ts)
+     AND epoch_us(c.ts) <= epoch_us(p.ts) + 7200000000
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join executed for real (two file streams →
+    watermarked range join → append memory sink): clicks attributed to
+    the purchase windows they fall into. Must equal the batch range-join
+    oracle — the streaming twin of interval_join_purchase_clicks'
+    pre-aggregation pair set."""
+    from ..streaming.ops import stream_stream_interval_join
+
+    events, src = _stage_events(spark, sf_dir)
+    purchases = (
+        spark.readStream.schema(events.schema)
+        .parquet(src)
+        .filter("event_type = 'purchase'")
+        .selectExpr("event_id AS purchase_id", "user_id", "ts AS p_ts")
+    )
+    clicks = (
+        spark.readStream.schema(events.schema)
+        .parquet(src)
+        .filter("event_type = 'click'")
+        .selectExpr("event_id AS click_id", "user_id", "ts AS c_ts")
+    )
+    joined = stream_stream_interval_join(
+        purchases, clicks, left_ts="p_ts", right_ts="c_ts", on=["user_id"], window="2 hours"
+    ).select("purchase_id", "click_id", "user_id")
+    name = f"stream_ivl_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 @register("stream_stateful_user_stats", oracle=None)
 def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): running

@@ -76,6 +76,40 @@ def stream_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    on: Sequence[str],
+    window: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: right rows whose timestamp falls in
+    [left_ts, left_ts + window], per equality key — the streaming twin
+    of operators.temporal.interval_join (e.g. click attribution against
+    a live purchase stream).
+
+    Both sides carry watermarks and the join condition carries the time
+    range, so Spark bounds the join state: a buffered left row is
+    dropped once the right watermark passes left_ts + window. Without
+    the range the state would grow forever on an unbounded stream.
+    Caller must pre-rename colliding columns (streaming joins can't
+    rename post-hoc without breaking the watermark lineage).
+    """
+    keys = list(on)
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    cond = None
+    for k in keys:
+        c = l_wm[k] == r_wm[k]
+        cond = c if cond is None else cond & c
+    time_lo = r_wm[right_ts] >= l_wm[left_ts]
+    time_hi = r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {window}")
+    cond = (cond & time_lo & time_hi) if cond is not None else (time_lo & time_hi)
+    return l_wm.join(r_wm, cond, "inner").drop(*(r_wm[k] for k in keys))
+
+
 def stream_incremental_upsert(
     stream: DataFrame,
     target_path: str,

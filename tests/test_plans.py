@@ -26,7 +26,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # streaming queries execute eagerly inside fn() (memory sink); their
 # batch twins' plans are asserted instead
-SKIP = {"stream_tumbling_hourly", "stream_sessionize", "stream_stateful_user_stats"}
+SKIP = {
+    "stream_tumbling_hourly",
+    "stream_sessionize",
+    "stream_stateful_user_stats",
+    "stream_interval_join",
+}
 
 
 def plan_str(df, mode="formatted") -> str:
