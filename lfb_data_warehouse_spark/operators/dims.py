@@ -85,3 +85,48 @@ def latest_per_group(
         order.append(F.col(tiebreak).desc())
     w = Window.partitionBy(*key).orderBy(*order)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def scd2_from_history(
+    df: DataFrame,
+    key: Sequence[str],
+    order_col: str,
+    attrs: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Build an SCD Type 2 dimension (effective-dated versions) from a
+    change-event history.
+
+    Consecutive rows per key whose tracked ``attrs`` are unchanged
+    collapse into one version; each surviving change row opens a
+    version with ``valid_from`` = its ``order_col``, ``valid_to`` =
+    the next version's start (NULL on the current version), and an
+    ``is_current`` flag. The reference only needs SCD-style
+    latest-value overwrite (lfb-cleanse.py:61-66, W1); this is the full
+    slowly-changing-dimension form a warehouse needs for time-travel
+    joins (fact.date BETWEEN dim.valid_from AND dim.valid_to — which
+    ``interval_join`` then executes scalably).
+
+    Two windows over the same (key, order) partitioning — one shuffle.
+    Attribute comparison is null-safe (NULL → NULL is "no change").
+    """
+    order = [F.col(order_col).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*key).orderBy(*order)
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    first_row = F.row_number().over(w) == 1
+    versions = df.withColumn("__new_version", first_row | changed).filter("__new_version")
+    w2 = Window.partitionBy(*key).orderBy(*order)
+    valid_to = F.lead(order_col).over(w2)
+    return (
+        versions.select(
+            *key,
+            *attrs,
+            F.col(order_col).alias("valid_from"),
+            valid_to.alias("valid_to"),
+            valid_to.isNull().alias("is_current"),
+        )
+    )

@@ -268,6 +268,99 @@ def scd_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_customer_priority",
+    oracle="""
+    WITH h AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+               lag(o_orderpriority) OVER w AS prev,
+               row_number() OVER w AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    versions AS (
+        SELECT * FROM h WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority
+    )
+    SELECT o_custkey, o_orderpriority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           lead(o_orderdate) OVER w2 IS NULL AS is_current
+    FROM versions
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension build: each customer's order-priority
+    history collapsed into effective-dated versions (valid_from /
+    valid_to / is_current). The full slowly-changing form behind the
+    reference's latest-value-only W1 window; versioned dims then join
+    facts by date range via interval_join."""
+    from ..operators.dims import scd2_from_history
+
+    orders = load_table(spark, sf_dir, "orders")
+    return scd2_from_history(
+        orders,
+        key=["o_custkey"],
+        order_col="o_orderdate",
+        attrs=["o_orderpriority"],
+        tiebreak="o_orderkey",
+    )
+
+
+@register(
+    "incremental_mart_update",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           o_orderpriority,
+           COUNT(*) AS order_count,
+           {SUM_DEC.format(x='o_totalprice')} AS total_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def incremental_mart_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental mart maintenance: the mart is materialized from
+    history (< 1998), then a delta batch (≥ 1998) is folded in WITHOUT
+    rescanning history — algebraic recombine (COUNT/SUM by SUM, MIN by
+    MIN, MAX by MAX). The oracle is the full recompute over all rows:
+    incremental maintenance must be indistinguishable from it."""
+    from ..operators.incremental import merge_mart
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    keyed = orders.select(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("o_totalprice").cast(DEC).alias("price_dec"),
+        "o_orderdate",
+    )
+    measures = [
+        ("o_totalprice", "count", "order_count"),
+        ("price_dec", "sum", "total_price_dec"),
+        ("o_totalprice", "min", "min_price"),
+        ("o_totalprice", "max", "max_price"),
+    ]
+    history = keyed.filter(F.col("o_orderdate") < cutoff)
+    delta = keyed.filter(F.col("o_orderdate") >= cutoff)
+    existing_mart = history.groupBy("order_year", "o_orderpriority").agg(
+        F.count("o_totalprice").alias("order_count"),
+        F.sum("price_dec").alias("total_price_dec"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    merged = merge_mart(existing_mart, delta, keys=["order_year", "o_orderpriority"], measures=measures)
+    return merged.select(
+        "order_year",
+        "o_orderpriority",
+        F.col("order_count").cast("long").alias("order_count"),
+        F.col("total_price_dec").cast("double").alias("total_price"),
+        "min_price",
+        "max_price",
+    )
+
+
+@register(
     "topk_parts_per_brand",
     oracle="""
     SELECT p_brand, p_partkey, p_name, p_retailprice,

@@ -271,3 +271,44 @@ def test_salted_join_equals_plain_join(spark):
         )
         want = sorted((r["id"], r["k"], r["dim"]) for r in big.join(small, ["k"], how).collect())
         assert got == want, how
+
+
+def test_scd2_from_history(spark):
+    from lfb_data_warehouse_spark.operators.dims import scd2_from_history
+
+    hist = spark.createDataFrame(
+        [  # key 1: A, A (no change), B, B, A  → versions A, B, A
+            (1, 1, "A"), (1, 2, "A"), (1, 3, "B"), (1, 4, "B"), (1, 5, "A"),
+            # key 2: NULL, NULL, C → versions NULL, C (null-safe compare)
+            (2, 1, None), (2, 2, None), (2, 3, "C"),
+        ],
+        "k int, seq int, attr string",
+    )
+    out = scd2_from_history(hist, key=["k"], order_col="seq", attrs=["attr"]).collect()
+    by_key = {}
+    for r in sorted(out, key=lambda r: (r["k"], r["valid_from"])):
+        by_key.setdefault(r["k"], []).append((r["attr"], r["valid_from"], r["valid_to"], r["is_current"]))
+    assert by_key[1] == [("A", 1, 3, False), ("B", 3, 5, False), ("A", 5, None, True)]
+    assert by_key[2] == [(None, 1, 3, False), ("C", 3, None, True)]
+
+
+def test_merge_mart_equals_full_recompute(spark):
+    from lfb_data_warehouse_spark.operators.incremental import merge_mart
+
+    full = spark.createDataFrame(
+        [("x", 1.0), ("x", 2.0), ("y", 5.0), ("x", 3.0), ("z", 7.0)], "k string, v double"
+    )
+    measures = [("v", "count", "n"), ("v", "sum", "s"), ("v", "min", "lo"), ("v", "max", "hi")]
+    history, delta = full.limit(2), full.subtract(full.limit(2))
+    existing = history.groupBy("k").agg(
+        F.count("v").alias("n"), F.sum("v").alias("s"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    merged = {r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+              for r in merge_mart(existing, delta, ["k"], measures).collect()}
+    recomputed = {r["k"]: (r["n"], r["s"], r["lo"], r["hi"])
+                  for r in full.groupBy("k").agg(
+                      F.count("v").alias("n"), F.sum("v").alias("s"),
+                      F.min("v").alias("lo"), F.max("v").alias("hi")).collect()}
+    assert merged == recomputed
+    # a key arriving only in the delta must appear too
+    assert "z" in merged
