@@ -132,20 +132,27 @@ JACCARD_N = 2
 JACCARD_THRESHOLD = 0.2
 
 
-def _jaccard_oracle() -> str:
+def _jaccard_pairs_ctes() -> str:
+    """CTE chain ending in ``pairs(id_a, id_b, jaccard)`` — shared by the
+    pair query's oracle and the connected-components oracle."""
     return f"""
-    WITH ws AS (SELECT doc_id, source, {tokens_sql('text')} AS w FROM documents),
+    ws AS (SELECT doc_id, source, {tokens_sql('text')} AS w FROM documents),
     sh AS (SELECT doc_id, source, list_distinct({shingles_sql('w', JACCARD_N)}) AS ss FROM ws),
     e AS (SELECT doc_id, source, unnest(ss) AS shingle FROM sh),
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
               FROM e a JOIN e b
                 ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
-    sz AS (SELECT doc_id, len(ss) AS sz FROM sh)
-    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-    FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {JACCARD_THRESHOLD}
-    """
+    sz AS (SELECT doc_id, len(ss) AS sz FROM sh),
+    pairs AS (
+        SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+        FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {JACCARD_THRESHOLD}
+    )"""
+
+
+def _jaccard_oracle() -> str:
+    return f"WITH {_jaccard_pairs_ctes()} SELECT id_a, id_b, jaccard FROM pairs"
 
 
 @register("dedup_ngram_jaccard", oracle=_jaccard_oracle())
@@ -156,6 +163,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return all_pairs_jaccard(
         docs, "doc_id", "text", shingle_n=JACCARD_N, threshold=JACCARD_THRESHOLD, group_col="source"
+    )
+
+
+def _components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes()},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS component,
+           COUNT(DISTINCT b) AS cluster_size
+    FROM reach GROUP BY 1
+    """
+
+
+@register("dedup_components", oracle=_components_oracle())
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster assignment: connected components (iterative
+    min-label propagation) over the Jaccard near-dup pair graph, plus
+    per-cluster size — the union-find step that turns pair findings
+    into keep/drop decisions (keep component == doc_id, drop the rest).
+    The oracle computes the same closure with a recursive CTE."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = all_pairs_jaccard(
+        docs, "doc_id", "text", shingle_n=JACCARD_N, threshold=JACCARD_THRESHOLD, group_col="source"
+    )
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "component", "cluster_size"
     )
 
 

@@ -312,3 +312,18 @@ def test_merge_mart_equals_full_recompute(spark):
     assert merged == recomputed
     # a key arriving only in the delta must appear too
     assert "z" in merged
+
+
+def test_connected_components_chain_and_islands(spark):
+    from lfb_data_warehouse_spark.operators.graph import connected_components
+
+    # a 12-node chain (diameter 11 → forces many propagation rounds and
+    # the lineage checkpoint path) + a separate triangle + an edge pair
+    chain = [(i, i + 1) for i in range(1, 12)]
+    edges = spark.createDataFrame(
+        chain + [(20, 21), (21, 22), (22, 20), (30, 31)], "src int, dst int"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert all(out[n] == 1 for n in range(1, 13))
+    assert all(out[n] == 20 for n in (20, 21, 22))
+    assert out[30] == 30 and out[31] == 30
