@@ -1049,6 +1049,75 @@ def window_battery_customer_orders(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "window_trailing_30d",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_total,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey
+               ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_30d_orders
+    FROM orders
+    """,
+)
+def window_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window frame (RANGE, not ROWS): each order's trailing
+    30-day revenue per customer. The frame is keyed on a day-number
+    column (datediff from an epoch) so the RANGE offsets are integers —
+    the portable formulation of a time-range frame, and the only one
+    Spark's rangeBetween accepts. One shuffle on the partition key."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_no = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_no)
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("trailing_30d_total"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_30d_orders"),
+    )
+
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 600000.0, 12
+
+
+@register(
+    "histogram_order_prices",
+    oracle=f"""
+    SELECT CAST(LEAST(GREATEST(floor((o_totalprice - {HIST_LO}) / (({HIST_HI} - {HIST_LO}) / {HIST_BINS})), 0), {HIST_BINS - 1}) AS BIGINT) AS bin,
+           CAST({HIST_LO} + LEAST(GREATEST(floor((o_totalprice - {HIST_LO}) / (({HIST_HI} - {HIST_LO}) / {HIST_BINS})), 0), {HIST_BINS - 1}) * (({HIST_HI} - {HIST_LO}) / {HIST_BINS}) AS DOUBLE) AS bin_lo,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histogram (12 bins, clamped edges) — the
+    profiling primitive behind NDV/selectivity estimation. One map-side
+    bin expression + one aggregate; at 100 TB this is how you look at a
+    column's shape without sorting it (histogram_numeric's approximate
+    variant trades the fixed grid for adaptive bins)."""
+    orders = load_table(spark, sf_dir, "orders")
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    raw_bin = F.floor((F.col("o_totalprice") - HIST_LO) / width)
+    bin_ = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(HIST_BINS - 1))
+    return (
+        orders.select(
+            bin_.cast("long").alias("bin"),
+            (F.lit(HIST_LO) + bin_ * width).cast("double").alias("bin_lo"),
+        )
+        .groupBy("bin", "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H classics (adapted to the driver's column subset) — the canonical
 # multi-join OLAP competence check on this star schema
