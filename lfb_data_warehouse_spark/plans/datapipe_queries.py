@@ -206,6 +206,84 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Train/test decontamination (split leakage detection)
+# ---------------------------------------------------------------------------
+
+DECON_N = 3  # shingle order for contamination detection
+DECON_SPLIT_FRACTION = 0.8  # deterministic train share
+
+
+def _decontaminate_oracle() -> str:
+    from ..operators.sampling import deterministic_sample_sql
+
+    train_pred = deterministic_sample_sql(["doc_id"], DECON_SPLIT_FRACTION, salt="split")
+    return f"""
+    WITH ws AS (SELECT doc_id, {tokens_sql('text')} AS w,
+                       {train_pred} AS is_train
+                FROM documents),
+    sh AS (SELECT doc_id, is_train,
+                  list_distinct({shingles_sql('w', DECON_N)}) AS ss FROM ws),
+    e AS (SELECT doc_id, is_train, unnest(ss) AS shingle FROM sh),
+    train_shingles AS (SELECT DISTINCT shingle FROM e WHERE is_train),
+    test_hits AS (
+        SELECT e.doc_id, COUNT(*) AS contaminated_shingles
+        FROM e JOIN train_shingles t ON e.shingle = t.shingle
+        WHERE NOT e.is_train
+        GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(len(s.ss) AS BIGINT) AS total_shingles,
+           COALESCE(h.contaminated_shingles, 0) AS contaminated_shingles,
+           CAST(COALESCE(h.contaminated_shingles, 0) AS DOUBLE) / len(s.ss)
+               AS contamination_ratio
+    FROM sh s LEFT JOIN test_hits h ON s.doc_id = h.doc_id
+    WHERE NOT s.is_train AND len(s.ss) > 0
+    """
+
+
+@register("decontaminate_test_split", oracle=_decontaminate_oracle())
+def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: split the corpus 80/20 with the
+    deterministic content-hash sampler, then score every test document
+    by the share of its 3-gram shingles that also occur anywhere in the
+    train split (evals leak when contamination_ratio is high). The
+    train side collapses to a distinct-shingle set before the join —
+    at 100 TB that set is the only thing shuffled, and a bloom filter
+    over it turns the probe into a map-side membership test."""
+    from ..operators.sampling import _bucket_col, _threshold_hex
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_train = _bucket_col(["doc_id"], "split") < F.lit(
+        _threshold_hex(DECON_SPLIT_FRACTION)
+    )
+    sh = docs.select(
+        "doc_id",
+        is_train.alias("is_train"),
+        F.array_distinct(shingles(tokens("text"), DECON_N)).alias("ss"),
+    ).persist()
+    exploded = sh.select("doc_id", "is_train", F.explode("ss").alias("shingle"))
+    train_shingles = exploded.filter("is_train").select("shingle").distinct()
+    test_hits = (
+        exploded.filter(~F.col("is_train"))
+        .join(train_shingles, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("contaminated_shingles"))
+    )
+    test_docs = sh.filter(~F.col("is_train") & (F.size("ss") > 0))
+    return (
+        test_docs.join(test_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ss").cast("long").alias("total_shingles"),
+            F.coalesce("contaminated_shingles", F.lit(0)).alias("contaminated_shingles"),
+            (
+                F.coalesce("contaminated_shingles", F.lit(0)).cast("double") / F.size("ss")
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup: SimHash fingerprints
 # ---------------------------------------------------------------------------
 
@@ -520,7 +598,7 @@ def _c4_oracle() -> str:
     """
 
 
-@register("c4_clean_documents", oracle=_c4_oracle())
+@register("c4_clean_documents", oracle=_c4_oracle(), headline=True)
 def c4_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cleaning composite: language gate → length gate → token
     gate → stopword-ratio quality gate → exact dedup (first doc_id per

@@ -724,6 +724,7 @@ def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "interval_join_purchase_clicks",
+    headline=True,
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id,
            COUNT(*) AS click_count,
@@ -1051,6 +1052,7 @@ def window_battery_customer_orders(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "window_trailing_30d",
+    headline=True,
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderdate,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
@@ -1409,6 +1411,7 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q18_large_volume",
+    headline=True,
     oracle="""
     SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
