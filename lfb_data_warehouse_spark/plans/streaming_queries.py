@@ -43,11 +43,32 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     return events, src
 
 
+class _state_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions for a bounded
+    streaming run. A stateful stream fixes its state-store partition
+    count at query start from this conf — a vanilla session's default
+    (200) means 200 state tasks per micro-batch for a local test run.
+    The conf is restored afterwards (the running query keeps the value
+    it started with)."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def _run_complete(out: DataFrame, prefix: str) -> DataFrame:
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = out.writeStream.format("memory").queryName(name).outputMode("complete").start()
-    q.processAllAvailable()
-    q.stop()
+    with _state_partitions(out.sparkSession):
+        q = out.writeStream.format("memory").queryName(name).outputMode("complete").start()
+        q.processAllAvailable()
+        q.stop()
     return out.sparkSession.table(name)
 
 
@@ -139,9 +160,10 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, clicks, left_ts="p_ts", right_ts="c_ts", on=["user_id"], window="2 hours"
     ).select("purchase_id", "click_id", "user_id")
     name = f"stream_ivl_{uuid.uuid4().hex[:8]}"
-    q = joined.writeStream.format("memory").queryName(name).outputMode("append").start()
-    q.processAllAvailable()
-    q.stop()
+    with _state_partitions(spark):
+        q = joined.writeStream.format("memory").queryName(name).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name)
 
 
@@ -158,7 +180,8 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(events.schema).parquet(src)
     out = stream_running_user_stats(stream, watermark="1 hour", idle_timeout="2 hours")
     name = f"stream_state_{uuid.uuid4().hex[:8]}"
-    q = out.writeStream.format("memory").queryName(name).outputMode("update").start()
-    q.processAllAvailable()
-    q.stop()
+    with _state_partitions(spark):
+        q = out.writeStream.format("memory").queryName(name).outputMode("update").start()
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name)
