@@ -734,6 +734,63 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, "vec_id", "embedding", probe_ids=range(KNN_PROBES), k=KNN_K)
 
 
+def _int8_claim_oracle() -> str:
+    dot = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> p.q[i] * c.q[i]))"
+    return f"""
+    WITH {_QCTE}
+    SELECT probe_id, exact_score, TRUE AS int8_within_2pct FROM (
+        SELECT p.vec_id AS probe_id,
+               {_cos_sql(dot, 'c.norm', 'p.norm')} AS exact_score,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY {_cos_sql(dot, 'c.norm', 'p.norm')} DESC, c.vec_id) AS rank
+        FROM qn p JOIN qn c ON p.vec_id <> c.vec_id
+        WHERE p.vec_id < {KNN_PROBES}
+    ) WHERE rank = 1
+    """
+
+
+@register("int8_ann_topk_claim", oracle=_int8_claim_oracle())
+def int8_ann_topk_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized ANN graded as a claim: run top-1 search in int8
+    space (4× smaller vectors — the memory-bandwidth scale path), then
+    rescore the int8 winner with the exact integer kernel and assert
+    its true cosine is within 0.02 of the exact winner's. The oracle
+    pins the exact winner's score; the boolean grades quantization
+    quality without depending on int8 bit patterns."""
+    from ..operators.similarity import int8_topk, quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact1 = (
+        cosine_topk(emb, "vec_id", "embedding", probe_ids=range(KNN_PROBES), k=1)
+        .select("probe_id", F.col("score").alias("exact_score"))
+    )
+    int8_1 = int8_topk(emb, "vec_id", "embedding", probe_ids=range(KNN_PROBES), k=1).select(
+        "probe_id", F.col("neighbor_id").alias("n8")
+    )
+    q = quantize(emb, "vec_id", "embedding")
+    probes = q.select(F.col("vec_id").alias("probe_id"), F.col("q").alias("pq"), F.col("norm").alias("pn"))
+    cands = q.select(F.col("vec_id").alias("n8"), F.col("q").alias("cq"), F.col("norm").alias("cn"))
+    from ..operators.similarity import _cosine, _dot
+
+    rescored = (
+        int8_1.join(probes, "probe_id")
+        .join(cands, "n8")
+        .select(
+            "probe_id",
+            _cosine(_dot(F.col("cq"), F.col("pq")), F.col("cn"), F.col("pn")).alias("s8_exact"),
+        )
+    )
+    return (
+        exact1.join(rescored, "probe_id")
+        .select(
+            "probe_id",
+            "exact_score",
+            ((F.col("exact_score") - F.col("s8_exact")) <= 0.02).alias("int8_within_2pct"),
+        )
+    )
+
+
 def _near_dup_oracle() -> str:
     dot = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> a.q[i] * b.q[i]))"
     return f"""

@@ -65,6 +65,7 @@ INTENDED_CROSS = {
     "knn_bruteforce_cosine",  # corpus × broadcast(probes)
     "ivf_centroid_assign",  # corpus × broadcast(centroids)
     "ann_ivf_topk",  # corpus × broadcast(centroids), lists × broadcast(probe-centroids)
+    "int8_ann_topk_claim",  # corpus × broadcast(probes), twice (exact + int8 paths)
 }
 
 
