@@ -92,3 +92,65 @@ def test_shingles_match_python_ngrams(spark, words, n):
     got = df.select(shingles(F.col("w"), n).alias("s")).collect()[0]["s"]
     want = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)] if len(words) >= n else []
     assert list(got) == want
+
+
+@SETTINGS
+@given(
+    points=st.lists(st.integers(0, 400), min_size=1, max_size=10, unique=True),
+    ivls=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 200)), min_size=1, max_size=6
+    ),
+    gran=st.integers(10, 120),
+)
+def test_interval_join_matches_bruteforce(spark, points, ivls, gran):
+    from lfb_data_warehouse_spark.operators.temporal import interval_join
+
+    pdf = spark.createDataFrame(
+        [(i, ts(s)) for i, s in enumerate(points)], "pid long, pts timestamp"
+    )
+    idf = spark.createDataFrame(
+        [(j, ts(s), ts(s + d)) for j, (s, d) in enumerate(ivls)],
+        "iid long, start_t timestamp, end_t timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(pdf, idf, "pts", "start_t", "end_t", granularity_sec=gran).collect()
+    }
+    want = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (s, d) in enumerate(ivls)
+        if s <= p <= s + d
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=1, max_size=30
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from lfb_data_warehouse_spark.operators.graph import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    edf = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["component"] for r in connected_components(edf).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
