@@ -775,6 +775,68 @@ def interval_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 @register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.t_view
+          GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+          GROUP BY 1)
+    SELECT COUNT(*) AS viewed,
+           COUNT(t_click) AS clicked,
+           COUNT(t_purchase) AS purchased,
+           COUNT(*) FILTER (
+               epoch_us(t_purchase) - epoch_us(t_view) <= 86400000000) AS converted_24h
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: view → first click at-or-after the
+    first view → first purchase at-or-after that click, plus 24h
+    conversion — the sequential-pattern query every events warehouse
+    runs. Expressed as three conditional-min aggregations chained by
+    joins (each stage shrinks the key set), not a self-join explosion:
+    per-user event counts never multiply."""
+    events = load_table(spark, sf_dir, "events")
+
+    def first_at_or_after(etype: str, anchor: DataFrame, anchor_ts: str, out_ts: str) -> DataFrame:
+        e = events.filter(F.col("event_type") == etype).select("user_id", "ts")
+        return (
+            e.join(anchor, "user_id")
+            .filter(F.col("ts") >= F.col(anchor_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = first_at_or_after("click", v, "t_view", "t_click")
+    p = first_at_or_after("purchase", c, "t_click", "t_purchase")
+    funnel = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return funnel.agg(
+        F.count(F.lit(1)).alias("viewed"),
+        F.count("t_click").alias("clicked"),
+        F.count("t_purchase").alias("purchased"),
+        F.coalesce(
+            F.sum(
+                (
+                    (F.unix_micros("t_purchase") - F.unix_micros("t_view")) <= 86_400_000_000
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("converted_24h"),
+    )
+
+
+@register(
     "sessionize_events",
     oracle="""
     WITH gaps AS (
