@@ -515,6 +515,42 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _heavy_hitters_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT source, unnest({tokens_sql('text')}) AS term FROM documents
+    ),
+    counts AS (SELECT source, term, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+    SELECT source, term, n,
+           CAST(row_number() OVER (
+               PARTITION BY source ORDER BY n DESC, term) AS BIGINT) AS rank
+    FROM counts
+    QUALIFY rank <= 10
+    """
+
+
+@register("text_heavy_hitters", oracle=_heavy_hitters_oracle())
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent tokens per source — corpus vocabulary
+    profiling (stopword discovery, boilerplate detection). Exact
+    count + per-group top-k window; at 100 TB swap the exact count for
+    a count-min sketch and keep the same top-k tail."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("source", "term", "n", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: PII redaction (anonymization pass)
 # ---------------------------------------------------------------------------
