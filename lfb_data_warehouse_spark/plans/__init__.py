@@ -1,3 +1,4 @@
 from .queries import REGISTRY, QuerySpec  # noqa: F401
 from . import datapipe_queries  # noqa: F401  (registers datapipe queries)
 from . import streaming_queries  # noqa: F401  (registers streaming queries)
+from . import io_queries  # noqa: F401  (registers IO round-trip queries)

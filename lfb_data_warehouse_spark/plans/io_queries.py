@@ -1,0 +1,126 @@
+"""IO round-trip queries — the sources layer made driver-visible.
+
+The reference's scan/sink surface (SURVEY §2.1: CSV with schema
+inference at the edge, parquet staging, partitioned warehouse writes)
+is unit-tested in tests/test_io.py; these queries additionally put it
+through the DuckDB oracle gate: each stages the driver's parquet data
+through a different format/layout with the engine's io helpers, reads
+it back, and aggregates. The oracle runs the same aggregate on the
+ORIGINAL parquet — so a hash match proves the round-trip preserved
+every value (types, timestamps, NULLs), not just that the code ran.
+
+Staged copies are cached per (format, sf_dir) like the streaming
+staging — repeated gate/bench runs must not rewrite them.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .queries import SUM_DEC, register
+
+_STAGED: dict[tuple[str, str], str] = {}
+
+
+def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    key = (fmt, sf_dir)
+    path = _STAGED.get(key)
+    if path is not None:
+        return path
+    path = tempfile.mkdtemp(prefix=f"lfb_io_{fmt}_")
+    if fmt == "jsonl":
+        # default JSON timestampFormat truncates to milliseconds — pin µs
+        load_table(spark, sf_dir, "events").write.mode("overwrite").option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ).json(path)
+    elif fmt == "csv":
+        orders = load_table(spark, sf_dir, "orders")
+        orders.write.mode("overwrite").option("header", "true").csv(path)
+    elif fmt == "partitioned":
+        load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(path)
+    else:
+        raise ValueError(fmt)
+    _STAGED[key] = path
+    return path
+
+
+@register(
+    "jsonl_roundtrip_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_ts_us
+    FROM events GROUP BY 1
+    """,
+)
+def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink → source round-trip (the landing-zone format of most
+    event pipelines): write events as line-delimited JSON, read back
+    with an EXPLICIT schema (no sampling-based inference pass — at
+    100 TB schema inference is a full extra scan), aggregate. Oracle
+    aggregates the original parquet: a hash match proves timestamps
+    (µs), doubles, and strings survived the text round-trip."""
+    events = load_table(spark, sf_dir, "events")
+    path = _stage(spark, sf_dir, "jsonl")
+    back = spark.read.schema(events.schema).option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).json(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        F.min(F.unix_micros("ts")).cast("long").alias("first_ts_us"),
+    )
+
+
+@register(
+    "csv_roundtrip_orders",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS order_count,
+           {SUM_DEC.format(x='o_totalprice')} AS total_price,
+           CAST(MIN(o_orderdate) AS DATE) AS first_order_date
+    FROM orders GROUP BY 1
+    """,
+)
+def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → source round-trip with an explicit schema on re-read
+    (the engine's replacement for the reference's inferSchema +
+    re-inference idiom, SURVEY §1.4/S6). Proves numeric text formatting
+    and timestamp parsing are lossless both ways."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _stage(spark, sf_dir, "csv")
+    back = spark.read.schema(orders.schema).option("header", "true").csv(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_order_date"),
+    )
+
+
+@register(
+    "partitioned_scan_pruning",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+    """,
+)
+def partitioned_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-pruned read: events
+    partitioned by event_type on disk, then a single-partition filter —
+    the scan touches only the purchase/ directory (PartitionFilters in
+    the plan; tests/test_io.py asserts the pruning statically). This is
+    the reference's warehouse layout (S7 partitionBy) as a gate query."""
+    path = _stage(spark, sf_dir, "partitioned")
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
