@@ -515,6 +515,25 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dense_ids_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS dense_id
+    FROM documents
+    """,
+)
+def dense_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0-based corpus ids in doc_id order via the
+    range-partition + offset-broadcast scheme (operators/ids.py) — the
+    oracle's single-window row_number() is the semantics, the engine's
+    plan is the one that survives 100 TB (no single-reducer sort)."""
+    from ..operators.ids import assign_dense_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return assign_dense_ids(docs, ["doc_id"]).select("doc_id", "dense_id")
+
+
 def _heavy_hitters_oracle() -> str:
     return f"""
     WITH toks AS (

@@ -327,3 +327,12 @@ def test_connected_components_chain_and_islands(spark):
     assert all(out[n] == 1 for n in range(1, 13))
     assert all(out[n] == 20 for n in (20, 21, 22))
     assert out[30] == 30 and out[31] == 30
+
+
+def test_assign_dense_ids_matches_global_rank(spark):
+    from lfb_data_warehouse_spark.operators.ids import assign_dense_ids
+
+    df = spark.range(0, 997).select((F.col("id") * 7919 % 997).alias("k"))  # permuted keys
+    out = assign_dense_ids(df, ["k"], num_partitions=8).collect()
+    got = sorted((r["k"], r["dense_id"]) for r in out)
+    assert got == [(i, i) for i in range(997)]  # dense, 0-based, order-aligned
