@@ -534,6 +534,61 @@ def dense_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_dense_ids(docs, ["doc_id"]).select("doc_id", "dense_id")
 
 
+# target domain mixture for the resampling operator (weights sum to 1
+# over the sources kept; absent sources drop to 0)
+MIX_TARGETS = {"src0": 0.4, "src1": 0.4, "src2": 0.2}
+MIX_SALT = "mix"
+
+
+def _remix_oracle() -> str:
+    vals = ", ".join(f"('{s}', {w})" for s, w in MIX_TARGETS.items())
+    return f"""
+    WITH w AS (SELECT * FROM (VALUES {vals}) t(source, wt)),
+    counts AS (SELECT d.source, COUNT(*) AS n
+               FROM documents d JOIN w ON d.source = w.source GROUP BY 1),
+    tt AS (SELECT MIN(n / wt) AS T FROM counts JOIN w USING (source)),
+    fr AS (SELECT source, LEAST(1.0, T * wt / n) AS f
+           FROM counts JOIN w USING (source), tt),
+    thr AS (SELECT source,
+                   printf('%08x', LEAST(CAST(round(f * 4294967296.0) AS BIGINT),
+                                        4294967295)) AS h
+            FROM fr)
+    SELECT d.source, COUNT(*) AS sampled_count
+    FROM documents d JOIN thr ON d.source = thr.source
+    WHERE substring(sha256(concat_ws('|', '{MIX_SALT}', CAST(doc_id AS VARCHAR))), 1, 8) < h
+    GROUP BY 1
+    """
+
+
+@register("remix_source_mixture", oracle=_remix_oracle())
+def remix_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture resampling — the data-mixing step of an LLM
+    pipeline: given target source proportions, find the largest total T
+    with take_s = T·target_s ≤ count_s for every source (so at least
+    one source is kept whole), and sample each source at its derived
+    rate with the deterministic content-hash sampler. Rates come from
+    one tiny aggregate (collected scalar per source); the sampling pass
+    is a map-side filter. The oracle derives the SAME rates in SQL and
+    applies the SAME hash predicate — counts match bit-exactly, not
+    statistically."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.filter(F.col("source").isin(list(MIX_TARGETS)))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    T = min(counts[s] / w for s, w in MIX_TARGETS.items())
+    fractions = {s: min(1.0, T * w / counts[s]) for s, w in MIX_TARGETS.items()}
+    sampled = stratified_sample(
+        docs, "source", fractions, ["doc_id"], default_fraction=0.0, salt=MIX_SALT
+    )
+    return sampled.groupBy("source").agg(F.count(F.lit(1)).alias("sampled_count"))
+
+
 def _heavy_hitters_oracle() -> str:
     return f"""
     WITH toks AS (
