@@ -1677,6 +1677,98 @@ def sample_orders_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(uniform, "uniform").unionByName(agg(strat, "stratified"))
 
 
+@register(
+    "tpch_q2_cheapest_supplier",
+    oracle="""
+    WITH px AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_price
+        FROM lineitem GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT l_partkey, l_suppkey, unit_price,
+               MIN(unit_price) OVER (PARTITION BY l_partkey) AS best_price
+        FROM px
+    )
+    SELECT p_partkey, p_brand, s_name, unit_price
+    FROM best
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE unit_price = best_price AND p_size <= 5
+    QUALIFY row_number() OVER (PARTITION BY p_partkey ORDER BY s_name) = 1
+    """,
+)
+def tpch_q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (lineitem standing in for partsupp): the
+    correlated 'supplier with the minimum price for this part'
+    subquery, decorrelated into a window-min + filter — one shuffle on
+    partkey instead of a per-row subquery; deterministic tiebreak when
+    two suppliers tie on price."""
+    li = load_table(spark, sf_dir, "lineitem")
+    px = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = px.withColumn("best_price", F.min("unit_price").over(w)).filter(
+        F.col("unit_price") == F.col("best_price")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select(
+        "p_partkey", "p_brand"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+    )
+    w_tie = Window.partitionBy("p_partkey").orderBy("s_name")
+    return (
+        joined.withColumn("__rn", F.row_number().over(w_tie))
+        .filter(F.col("__rn") == 1)
+        .select("p_partkey", "p_brand", "s_name", "unit_price")
+    )
+
+
+@register(
+    "tpch_q22_prospects",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS a
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1998-01-01')
+    GROUP BY 1
+    """,
+)
+def tpch_q22_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and no
+    recent orders. The scalar subquery becomes a broadcast one-row aggregate
+    (decimal-exact mean), the NOT EXISTS a LEFT ANTI join on the
+    distinct order keys — both decorrelations Catalyst can't be
+    trusted to find from a row-at-a-time formulation."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        avg_exact("c_acctbal").alias("a")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    prospects = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return prospects.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        sum_exact("c_acctbal").alias("totacctbal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # CUBE grouping sets + set operations (beyond-reference OLAP completeness)
 # ---------------------------------------------------------------------------

@@ -66,6 +66,7 @@ INTENDED_CROSS = {
     "ivf_centroid_assign",  # corpus × broadcast(centroids)
     "ann_ivf_topk",  # corpus × broadcast(centroids), lists × broadcast(probe-centroids)
     "int8_ann_topk_claim",  # corpus × broadcast(probes), twice (exact + int8 paths)
+    "tpch_q22_prospects",  # scalar subquery: customer × broadcast(1-row avg aggregate)
 }
 
 
