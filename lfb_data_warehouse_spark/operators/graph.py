@@ -80,5 +80,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        sym.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter) — labels would be silently "
+            "wrong; raise max_iter"
+        )
     sym.unpersist()
-    return labels
+    # hand back a lineage-truncated frame and release the loop's pinned
+    # cache: localCheckpoint blocks are GC-managed (ContextCleaner),
+    # persist() blocks would stay pinned until the caller unpersists
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out

@@ -30,7 +30,13 @@ from pyspark.sql import functions as F
 def _threshold_hex(fraction: float) -> str:
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(min(int(round(fraction * 16**8)), 16**8 - 1), "08x")
+    if fraction >= 1.0:
+        # 'g' sorts after every hex digit, so `prefix < 'g'` keeps ALL
+        # rows — a saturated hex threshold with strict '<' would drop
+        # rows whose prefix is exactly 'ffffffff' (p=2^-32 per row,
+        # expected hits at 100 TB scale)
+        return "g"
+    return format(int(round(fraction * 16**8)), "08x")
 
 
 def _bucket_col(keys: Sequence[str], salt: str) -> Column:
@@ -38,8 +44,12 @@ def _bucket_col(keys: Sequence[str], salt: str) -> Column:
     return F.substring(F.sha2(F.concat_ws("|", *parts), 256), 1, 8)
 
 
+def _sql_str(v: str) -> str:
+    return "'" + v.replace("'", "''") + "'"
+
+
 def _bucket_sql(keys: Sequence[str], salt: str) -> str:
-    parts = ", ".join([f"'{salt}'"] + [f"CAST({k} AS VARCHAR)" for k in keys])
+    parts = ", ".join([_sql_str(salt)] + [f"CAST({k} AS VARCHAR)" for k in keys])
     return f"substring(sha256(concat_ws('|', {parts})), 1, 8)"
 
 
@@ -82,7 +92,8 @@ def stratified_sample_sql(
 ) -> str:
     """Oracle CASE predicate for :func:`stratified_sample`."""
     whens = " ".join(
-        f"WHEN {stratum_col} = '{v}' THEN '{_threshold_hex(f)}'" for v, f in fractions.items()
+        f"WHEN {stratum_col} = {_sql_str(v)} THEN '{_threshold_hex(f)}'"
+        for v, f in fractions.items()
     )
     case = f"CASE {whens} ELSE '{_threshold_hex(default_fraction)}' END"
     return f"{_bucket_sql(keys, salt)} < {case}"

@@ -55,35 +55,47 @@ def _cosine(dot, norm_a, norm_b):
     return dot.cast("double") / (F.sqrt(norm_a.cast("double")) * F.sqrt(norm_b.cast("double")))
 
 
-def cosine_topk(
-    emb: DataFrame, id_col: str, vec_col: str, probe_ids, k: int
+def _bruteforce_topk(
+    q: DataFrame, id_col: str, vec_field: str, norm_field: str, probe_ids, k: int, score_name: str
 ) -> DataFrame:
-    """Exact brute-force top-k neighbors for each probe id.
-
-    Probes are broadcast (small side); candidates stream through a
-    map-only stage — the only shuffle is the final per-probe top-k
-    window over k·|probes| rows.
-    """
-    q = quantize(emb, id_col, vec_col)
+    """Shared brute-force top-k plan over any quantized representation:
+    probes broadcast (small side), candidates stream through a map-only
+    scoring stage, one per-probe top-k window over k·|probes| rows —
+    the single place the tiebreak/self-filter/rank semantics live."""
     probes = q.filter(F.col(id_col).isin(list(probe_ids))).select(
-        F.col(id_col).alias("probe_id"), F.col("q").alias("pq"), F.col("norm").alias("pnorm")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_field).alias("pq"),
+        F.col(norm_field).alias("pnorm"),
     )
-    cand = q.select(F.col(id_col).alias("neighbor_id"), "q", "norm")
+    cand = q.select(F.col(id_col).alias("neighbor_id"), vec_field, norm_field)
     scored = (
         cand.crossJoin(F.broadcast(probes))
         .filter(F.col("neighbor_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "neighbor_id",
-            _cosine(_dot(F.col("q"), F.col("pq")), F.col("norm"), F.col("pnorm")).alias("score"),
+            _cosine(_dot(F.col(vec_field), F.col("pq")), F.col(norm_field), F.col("pnorm")).alias(
+                score_name
+            ),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col(score_name).desc(), F.col("neighbor_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "rank", "score")
+        .select("probe_id", "neighbor_id", "rank", score_name)
     )
+
+
+def cosine_topk(
+    emb: DataFrame, id_col: str, vec_col: str, probe_ids, k: int
+) -> DataFrame:
+    """Exact brute-force top-k neighbors for each probe id (integer
+    kernel — oracle-exact)."""
+    q = quantize(emb, id_col, vec_col)
+    return _bruteforce_topk(q, id_col, "q", "norm", probe_ids, k, "score")
 
 
 def int8_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -112,31 +124,10 @@ def int8_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def int8_topk(emb: DataFrame, id_col: str, vec_col: str, probe_ids, k: int) -> DataFrame:
-    """Brute-force top-k in int8 space — same plan shape as
-    :func:`cosine_topk` (broadcast probes, map-only scoring, one
-    top-k window) on quarter-width vectors."""
+    """Brute-force top-k in int8 space — the shared
+    :func:`_bruteforce_topk` plan on quarter-width vectors."""
     q = int8_quantize(emb, id_col, vec_col)
-    probes = q.filter(F.col(id_col).isin(list(probe_ids))).select(
-        F.col(id_col).alias("probe_id"), F.col("q8").alias("pq8"), F.col("norm8").alias("pnorm8")
-    )
-    cand = q.select(F.col(id_col).alias("neighbor_id"), "q8", "norm8")
-    scored = (
-        cand.crossJoin(F.broadcast(probes))
-        .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "neighbor_id",
-            _cosine(_dot(F.col("q8"), F.col("pq8")), F.col("norm8"), F.col("pnorm8")).alias(
-                "score8"
-            ),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.col("score8").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "rank", "score8")
-    )
+    return _bruteforce_topk(q, id_col, "q8", "norm8", probe_ids, k, "score8")
 
 
 def cosine_pairs(emb: DataFrame, id_col: str, vec_col: str, threshold: float) -> DataFrame:

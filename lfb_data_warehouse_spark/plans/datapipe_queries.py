@@ -256,11 +256,14 @@ def decontaminate_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_train = _bucket_col(["doc_id"], "split") < F.lit(
         _threshold_hex(DECON_SPLIT_FRACTION)
     )
+    # no persist: the two consumers below re-run the map-only shingling
+    # (one extra scan) instead of pinning the largest intermediate in
+    # executor storage for the session's lifetime
     sh = docs.select(
         "doc_id",
         is_train.alias("is_train"),
         F.array_distinct(shingles(tokens("text"), DECON_N)).alias("ss"),
-    ).persist()
+    )
     exploded = sh.select("doc_id", "is_train", F.explode("ss").alias("shingle"))
     train_shingles = exploded.filter("is_train").select("shingle").distinct()
     test_hits = (
@@ -550,8 +553,9 @@ def _remix_oracle() -> str:
     fr AS (SELECT source, LEAST(1.0, T * wt / n) AS f
            FROM counts JOIN w USING (source), tt),
     thr AS (SELECT source,
-                   printf('%08x', LEAST(CAST(round(f * 4294967296.0) AS BIGINT),
-                                        4294967295)) AS h
+                   CASE WHEN f >= 1.0 THEN 'g'  -- keep-all sentinel ('g' > any hex)
+                        ELSE printf('%08x', CAST(round(f * 4294967296.0) AS BIGINT))
+                   END AS h
             FROM fr)
     SELECT d.source, COUNT(*) AS sampled_count
     FROM documents d JOIN thr ON d.source = thr.source
@@ -581,8 +585,13 @@ def remix_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    T = min(counts[s] / w for s, w in MIX_TARGETS.items())
-    fractions = {s: min(1.0, T * w / counts[s]) for s, w in MIX_TARGETS.items()}
+    # sources absent from the data are skipped (the oracle's inner join
+    # does the same), rather than KeyError-ing the whole build
+    present = {s: w for s, w in MIX_TARGETS.items() if s in counts}
+    if not present:
+        return docs.limit(0).groupBy("source").agg(F.count(F.lit(1)).alias("sampled_count"))
+    T = min(counts[s] / w for s, w in present.items())
+    fractions = {s: min(1.0, T * w / counts[s]) for s, w in present.items()}
     sampled = stratified_sample(
         docs, "source", fractions, ["doc_id"], default_fraction=0.0, salt=MIX_SALT
     )
