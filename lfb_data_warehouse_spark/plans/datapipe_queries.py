@@ -598,6 +598,41 @@ def remix_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("source").agg(F.count(F.lit(1)).alias("sampled_count"))
 
 
+@register(
+    "regression_chars_vs_tokens",
+    oracle=f"""
+    WITH x AS (SELECT source, CAST(n_chars AS DOUBLE) AS y,
+                      CAST(len({tokens_sql('text')}) AS DOUBLE) AS t
+               FROM documents)
+    SELECT source,
+           COUNT(*) AS n,
+           ROUND(regr_slope(y, t), 6) AS slope,
+           ROUND(regr_intercept(y, t), 6) AS intercept,
+           ROUND(corr(y, t), 6) AS corr
+    FROM x GROUP BY 1
+    """,
+)
+def regression_chars_vs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression/correlation aggregate family (regr_slope,
+    regr_intercept, corr): chars-per-document as a linear function of
+    token count, per source — the profiling regression every corpus
+    audit runs. All three are single-pass algebraic aggregates
+    (map-side partial moments); results rounded to 6dp because the
+    engines' summation orders differ in the last ulp."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select(
+        "source",
+        F.col("n_chars").cast("double").alias("y"),
+        F.size(tokens("text")).cast("double").alias("t"),
+    )
+    return x.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("y", "t"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "t"), 6).alias("intercept"),
+        F.round(F.corr("y", "t"), 6).alias("corr"),
+    )
+
+
 def _heavy_hitters_oracle() -> str:
     return f"""
     WITH toks AS (
