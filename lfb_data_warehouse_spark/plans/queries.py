@@ -837,6 +837,39 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_event_sequences",
+    oracle="""
+    SELECT user_id,
+           list(event_type ORDER BY ts, event_id) AS sequence,
+           CAST(len(list(event_type ORDER BY ts, event_id)) AS BIGINT) AS seq_len
+    FROM events
+    WHERE epoch_us(ts) < 1704153600000000
+    GROUP BY 1
+    """,
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: each user's event-type sequence (the
+    input shape for sequence mining / next-event models). collect_list
+    gives no ordering guarantee under parallel merge, so the rows are
+    collected as (ts, id, type) structs and sorted IN the array —
+    deterministic regardless of partitioning. Filtered to the first day
+    to keep arrays bounded (unbounded per-key arrays are the classic
+    grouped-aggregation OOM at 100 TB)."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.unix_micros("ts") < 1_704_153_600_000_000
+    )
+    seq = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+        ),
+        lambda s: s.getField("event_type"),
+    )
+    return events.groupBy("user_id").agg(
+        seq.alias("sequence"), F.size(seq).cast("long").alias("seq_len")
+    )
+
+
+@register(
     "sessionize_events",
     oracle="""
     WITH gaps AS (
