@@ -105,6 +105,88 @@ def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "csv_permissive_corrupt_rows",
+    oracle="""
+    SELECT COUNT(*) FILTER (o_orderkey % 100 <> 0) AS parsed_rows,
+           COUNT(*) FILTER (o_orderkey % 100 = 0) AS corrupt_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (o_orderkey % 100 <> 0) AS DOUBLE) AS parsed_total
+    FROM orders
+    """,
+)
+def csv_permissive_corrupt_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling: a CSV landing file where every 100th
+    order line is corrupted (deterministic rule, shared with the
+    oracle), read back in PERMISSIVE mode with a _corrupt_record
+    column — bad lines are quarantined into the audit count instead of
+    failing the job or silently vanishing (FAILFAST/DROPMALFORMED).
+    That audit-don't-drop contract is what a 100 TB ingest needs when
+    one bad file shouldn't kill a day's load."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = (F.col("o_orderkey") % 100 == 0)
+    line = F.when(
+        key, F.concat_ws(",", F.col("o_orderkey").cast("string"), F.lit("###NOT,A0VALID£ROW"))
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_totalprice").cast("string"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="lfb_io_corrupt_")
+    orders.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema("o_orderkey BIGINT, o_totalprice DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("parsed_rows"),
+        F.count("_corrupt_record").alias("corrupt_rows"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("o_totalprice").cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("parsed_total"),
+    )
+
+
+@register(
+    "partition_overwrite_backfill",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def partition_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent backfill: the first
+    load writes the click partition DOUBLED (a bad day), the backfill
+    rewrites ONLY that partition (partitionOverwriteMode=dynamic leaves
+    every other partition untouched), and the final table must equal
+    the clean source. The alternative — mode('overwrite') without
+    dynamic — would silently drop every other partition; this query is
+    the regression proof that backfills repair without collateral."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    path = tempfile.mkdtemp(prefix="lfb_io_backfill_")
+    clicks = events.filter(F.col("event_type") == "click")
+    bad_first_load = events.unionByName(clicks)  # clicks doubled
+    bad_first_load.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        clicks.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
     "partitioned_scan_pruning",
     oracle="""
     SELECT user_id, COUNT(*) AS n,
