@@ -307,6 +307,83 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH h AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+               lag(o_orderpriority) OVER w AS prev,
+               row_number() OVER w AS rn
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    versions AS (
+        SELECT o_custkey, o_orderpriority AS effective_priority,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+        FROM h WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, v.effective_priority,
+           v.valid_to IS NULL AS from_current_version
+    FROM orders o JOIN versions v
+      ON o.o_custkey = v.o_custkey
+     AND o.o_orderdate >= v.valid_from
+     AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The time-travel join: every order enriched with the dimension
+    version that was effective ON ITS DATE — scd2_from_history builds
+    the half-open [valid_from, valid_to) versions, interval_join
+    executes the range predicate as a bucketed equi-join (open-ended
+    current versions closed at the global max date, end shifted 1 µs
+    for half-open semantics). This is the composition the SCD2 and
+    interval-join operators exist for."""
+    from ..operators.dims import scd2_from_history
+    from ..operators.temporal import interval_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    versions = scd2_from_history(
+        orders,
+        key=["o_custkey"],
+        order_col="o_orderdate",
+        attrs=["o_orderpriority"],
+        tiebreak="o_orderkey",
+    ).select(
+        F.col("o_custkey").alias("v_custkey"),
+        F.col("o_orderpriority").alias("effective_priority"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+    max_date = orders.agg(F.max("o_orderdate")).collect()[0][0]
+    closed = versions.withColumn(
+        "valid_end",
+        F.coalesce(
+            F.col("valid_to"), F.lit(max_date).cast("timestamp") + F.expr("INTERVAL 1 DAY")
+        )
+        - F.expr("INTERVAL 1 MICROSECOND"),
+    )
+    points = orders.select("o_orderkey", F.col("o_custkey").alias("v_custkey"), "o_orderdate")
+    joined = interval_join(
+        points,
+        closed,
+        point_ts="o_orderdate",
+        start_ts="valid_from",
+        end_ts="valid_end",
+        on=["v_custkey"],
+        granularity_sec=90 * 86400,
+    )
+    return joined.select(
+        "o_orderkey",
+        F.col("v_custkey").alias("o_custkey"),
+        "o_orderdate",
+        "effective_priority",
+        F.col("is_current").alias("from_current_version"),
+    )
+
+
+@register(
     "incremental_mart_update",
     oracle=f"""
     SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
