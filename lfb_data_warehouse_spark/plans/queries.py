@@ -1788,6 +1788,88 @@ def sample_orders_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mom_revenue_growth",
+    oracle=f"""
+    WITH m AS (
+        SELECT c_mktsegment,
+               strftime(o_orderdate, '%Y-%m') AS ym,
+               {SUM_DEC.format(x='o_totalprice')} AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, ym, revenue,
+           lag(revenue) OVER w AS prev_revenue,
+           ROUND((revenue - lag(revenue) OVER w) / lag(revenue) OVER w * 100, 6)
+               AS pct_change
+    FROM m WINDOW w AS (PARTITION BY c_mktsegment ORDER BY ym)
+    """,
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: window-over-aggregate (lag on the
+    monthly mart, not the fact) — the mart is tiny, so the growth
+    window costs nothing regardless of fact size. Percent change
+    rounded to 6dp (double division is deterministic; the rounding
+    guards the display grid)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(sum_exact("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("ym")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "c_mktsegment",
+        "ym",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev * 100, 6).alias("pct_change"),
+    )
+
+
+@register(
+    "null_semantics_battery",
+    oracle="""
+    WITH x AS (
+        SELECT c_custkey,
+               NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_or_null
+        FROM customer
+    )
+    SELECT COALESCE(seg_or_null, 'suppressed') AS segment,
+           COUNT(*) AS n,
+           COUNT(bal_or_null) AS non_null_bals,
+           COUNT(*) FILTER (seg_or_null IS NOT DISTINCT FROM NULL) AS nullsafe_null_matches,
+           CAST(SUM(CAST(COALESCE(bal_or_null, 0) AS DECIMAL(18,2))) AS DOUBLE) AS bal_total
+    FROM x GROUP BY 1
+    """,
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics battery: NULLIF suppression, conditional
+    null-out, COUNT(col) vs COUNT(*), null-safe equality (<=> /
+    IS NOT DISTINCT FROM), COALESCE defaults — the exact semantics the
+    reference leans on for its sentinel logic (SURVEY §1.2), pinned
+    against the oracle in one query."""
+    cust = load_table(spark, sf_dir, "customer")
+    x = cust.select(
+        "c_custkey",
+        F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg_or_null"),
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal_or_null"),
+    )
+    return x.groupBy(F.coalesce("seg_or_null", F.lit("suppressed")).alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("bal_or_null").alias("non_null_bals"),
+        F.sum(F.col("seg_or_null").eqNullSafe(F.lit(None)).cast("long")).alias(
+            "nullsafe_null_matches"
+        ),
+        F.sum(F.coalesce("bal_or_null", F.lit(0)).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("bal_total"),
+    )
+
+
+@register(
     "tpch_q2_cheapest_supplier",
     oracle="""
     WITH px AS (
