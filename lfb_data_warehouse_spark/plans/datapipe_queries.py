@@ -599,6 +599,54 @@ def remix_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_zscore_chars",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean,
+               sqrt((CAST(SUM(n_chars * n_chars) AS DOUBLE)
+                     - COUNT(*) * (CAST(SUM(n_chars) AS DOUBLE) / COUNT(*))
+                       * (CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)))
+                    / (COUNT(*) - 1)) AS std
+        FROM documents GROUP BY 1
+    )
+    SELECT doc_id, d.source,
+           ROUND((n_chars - mean) / std, 6) AS chars_z
+    FROM documents d JOIN s ON d.source = s.source
+    """,
+)
+def grouped_zscore_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Arrow op (applyInPandas): per-source z-score of
+    document length — each source's rows arrive as ONE pandas frame,
+    the whole-group access pattern ``groupBy().agg()`` can't express
+    directly. Stats use int64 sums (exact in pandas and DuckDB alike),
+    so the only float math is the final scalar formula — identical on both
+    engines, rounded to 6dp. This is the batch twin of the streaming
+    applyInPandasWithState operator: same Arrow boundary, no state."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        s = int(pdf["n_chars"].sum())
+        sq = int((pdf["n_chars"].astype("int64") ** 2).sum())
+        mean = s / n
+        std = ((sq - n * mean * mean) / (n - 1)) ** 0.5
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "chars_z": ((pdf["n_chars"] - mean) / std).round(6),
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        zscore, schema="doc_id long, source string, chars_z double"
+    )
+
+
+@register(
     "regression_chars_vs_tokens",
     oracle=f"""
     WITH x AS (SELECT source, CAST(n_chars AS DOUBLE) AS y,

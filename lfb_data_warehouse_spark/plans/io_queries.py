@@ -187,6 +187,44 @@ def partition_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "clustered_write_skipping",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-02-01'
+    GROUP BY 1
+    """,
+)
+def clustered_write_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-ORDER fallback as a gate query (SURVEY §2.1 S8): lineitem
+    rewritten range-partitioned + sorted on l_shipdate, then a narrow
+    date filter reads it back. Clustering gives every parquet row group
+    a tight min/max on the sort key, so the pushed filter skips almost
+    all of them — the OSS substitute for Delta's OPTIMIZE ZORDER, paid
+    once at write time. The oracle proves the clustered copy is
+    value-identical to the original."""
+    from ..sources.io import write_parquet
+
+    key = ("clustered", sf_dir)
+    path = _STAGED.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="lfb_io_clustered_")
+        li = load_table(spark, sf_dir, "lineitem")
+        write_parquet(li, path, mode="overwrite", cluster_by=["l_shipdate"])
+        _STAGED[key] = path
+    back = spark.read.parquet(path).filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+@register(
     "partitioned_scan_pruning",
     oracle="""
     SELECT user_id, COUNT(*) AS n,

@@ -69,8 +69,15 @@ def write_parquet(
     path: str,
     mode: str = "overwrite",
     partition_by: Sequence[str] | None = None,
+    cluster_by: Sequence[str] | None = None,
 ) -> None:
-    """Parquet sink (S5)."""
+    """Parquet sink (S5); ``cluster_by`` applies the S8 clustering
+    fallback (range-partition + sort, see :func:`write_table`) to a
+    path-based write."""
+    if cluster_by:
+        df = df.repartitionByRange(*[F.col(c) for c in cluster_by]).sortWithinPartitions(
+            *[F.col(c) for c in cluster_by]
+        )
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
