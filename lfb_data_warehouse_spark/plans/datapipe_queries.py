@@ -631,14 +631,20 @@ def grouped_zscore_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = len(pdf)
         s = int(pdf["n_chars"].sum())
         sq = int((pdf["n_chars"].astype("int64") ** 2).sum())
-        mean = s / n
-        std = ((sq - n * mean * mean) / (n - 1)) ** 0.5
+        # degenerate groups (one row, or zero variance) yield NULL —
+        # matching SQL semantics (double/0 is NULL in the oracle), not
+        # a ZeroDivisionError / NaN
+        if n < 2:
+            z = pd.Series([None] * n, dtype=object)
+        else:
+            mean = s / n
+            std = ((sq - n * mean * mean) / (n - 1)) ** 0.5
+            if std == 0:
+                z = pd.Series([None] * n, dtype=object)
+            else:
+                z = ((pdf["n_chars"] - mean) / std).round(6)
         return pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "source": pdf["source"],
-                "chars_z": ((pdf["n_chars"] - mean) / std).round(6),
-            }
+            {"doc_id": pdf["doc_id"], "source": pdf["source"], "chars_z": z}
         )
 
     return docs.groupBy("source").applyInPandas(

@@ -44,6 +44,36 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         load_table(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
             "event_type"
         ).parquet(path)
+    elif fmt == "clustered":
+        from ..sources.io import write_parquet
+
+        li = load_table(spark, sf_dir, "lineitem")
+        write_parquet(li, path, mode="overwrite", cluster_by=["l_shipdate"])
+    elif fmt == "corrupt_csv":
+        orders = load_table(spark, sf_dir, "orders")
+        bad = F.col("o_orderkey") % 100 == 0
+        line = F.when(
+            bad,
+            F.concat_ws(",", F.col("o_orderkey").cast("string"), F.lit("###NOT,A0VALID£ROW")),
+        ).otherwise(
+            F.concat_ws(
+                ",", F.col("o_orderkey").cast("string"), F.col("o_totalprice").cast("string")
+            )
+        )
+        orders.select(line.alias("value")).write.mode("overwrite").text(path)
+    elif fmt == "backfill":
+        # bad first load (clicks doubled), then dynamic-overwrite repair
+        # of ONLY the click partition; the staged result is the repaired
+        # table — deterministic, so cached like every other format
+        events = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+        clicks = events.filter(F.col("event_type") == "click")
+        events.unionByName(clicks).write.mode("overwrite").partitionBy("event_type").parquet(path)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            clicks.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     else:
         raise ValueError(fmt)
     _STAGED[key] = path
@@ -122,19 +152,7 @@ def csv_permissive_corrupt_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     failing the job or silently vanishing (FAILFAST/DROPMALFORMED).
     That audit-don't-drop contract is what a 100 TB ingest needs when
     one bad file shouldn't kill a day's load."""
-    orders = load_table(spark, sf_dir, "orders")
-    key = (F.col("o_orderkey") % 100 == 0)
-    line = F.when(
-        key, F.concat_ws(",", F.col("o_orderkey").cast("string"), F.lit("###NOT,A0VALID£ROW"))
-    ).otherwise(
-        F.concat_ws(
-            ",",
-            F.col("o_orderkey").cast("string"),
-            F.col("o_totalprice").cast("string"),
-        )
-    )
-    path = tempfile.mkdtemp(prefix="lfb_io_corrupt_")
-    orders.select(line.alias("value")).write.mode("overwrite").text(path)
+    path = _stage(spark, sf_dir, "corrupt_csv")
     back = (
         spark.read.schema("o_orderkey BIGINT, o_totalprice DOUBLE, _corrupt_record STRING")
         .option("mode", "PERMISSIVE")
@@ -168,17 +186,7 @@ def partition_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clean source. The alternative — mode('overwrite') without
     dynamic — would silently drop every other partition; this query is
     the regression proof that backfills repair without collateral."""
-    events = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
-    path = tempfile.mkdtemp(prefix="lfb_io_backfill_")
-    clicks = events.filter(F.col("event_type") == "click")
-    bad_first_load = events.unionByName(clicks)  # clicks doubled
-    bad_first_load.write.mode("overwrite").partitionBy("event_type").parquet(path)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        clicks.write.mode("overwrite").partitionBy("event_type").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    path = _stage(spark, sf_dir, "backfill")
     back = spark.read.parquet(path)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -205,15 +213,7 @@ def clustered_write_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     all of them — the OSS substitute for Delta's OPTIMIZE ZORDER, paid
     once at write time. The oracle proves the clustered copy is
     value-identical to the original."""
-    from ..sources.io import write_parquet
-
-    key = ("clustered", sf_dir)
-    path = _STAGED.get(key)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="lfb_io_clustered_")
-        li = load_table(spark, sf_dir, "lineitem")
-        write_parquet(li, path, mode="overwrite", cluster_by=["l_shipdate"])
-        _STAGED[key] = path
+    path = _stage(spark, sf_dir, "clustered")
     back = spark.read.parquet(path).filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))

@@ -356,14 +356,12 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "is_current",
     )
-    max_date = orders.agg(F.max("o_orderdate")).collect()[0][0]
-    closed = versions.withColumn(
+    max_date = orders.agg(F.max("o_orderdate").alias("__max_date"))
+    closed = versions.crossJoin(F.broadcast(max_date)).withColumn(
         "valid_end",
-        F.coalesce(
-            F.col("valid_to"), F.lit(max_date).cast("timestamp") + F.expr("INTERVAL 1 DAY")
-        )
+        F.coalesce(F.col("valid_to"), F.col("__max_date") + F.expr("INTERVAL 1 DAY"))
         - F.expr("INTERVAL 1 MICROSECOND"),
-    )
+    ).drop("__max_date")
     points = orders.select("o_orderkey", F.col("o_custkey").alias("v_custkey"), "o_orderdate")
     joined = interval_join(
         points,
@@ -917,8 +915,8 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_sequences",
     oracle="""
     SELECT user_id,
-           list(event_type ORDER BY ts, event_id) AS sequence,
-           CAST(len(list(event_type ORDER BY ts, event_id)) AS BIGINT) AS seq_len
+           list(event_type ORDER BY epoch_us(ts), event_id) AS sequence,
+           CAST(len(list(event_type ORDER BY epoch_us(ts), event_id)) AS BIGINT) AS seq_len
     FROM events
     WHERE epoch_us(ts) < 1704153600000000
     GROUP BY 1

@@ -43,11 +43,6 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # runtime bloom-filter pushdown: a selective dimension filter is
-        # turned into a bloom filter applied at the fact scan — the
-        # shuffle then carries only probable matches (biggest win on the
-        # lineitem-side joins at scale; harmless locally)
-        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

@@ -64,6 +64,14 @@ def conform(df: DataFrame, schema: StructType, renames: Mapping[str, str] | None
     return df.select(*cols)
 
 
+def _cluster(df: DataFrame, cluster_by: Sequence[str]) -> DataFrame:
+    """S8 clustering fallback: range-partition + in-partition sort on the
+    cluster columns, so parquet row-group min/max stats prune on them
+    (the OSS substitute for Delta OPTIMIZE ZORDER)."""
+    cols = [F.col(c) for c in cluster_by]
+    return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
@@ -72,12 +80,9 @@ def write_parquet(
     cluster_by: Sequence[str] | None = None,
 ) -> None:
     """Parquet sink (S5); ``cluster_by`` applies the S8 clustering
-    fallback (range-partition + sort, see :func:`write_table`) to a
-    path-based write."""
+    fallback (see :func:`_cluster`) to a path-based write."""
     if cluster_by:
-        df = df.repartitionByRange(*[F.col(c) for c in cluster_by]).sortWithinPartitions(
-            *[F.col(c) for c in cluster_by]
-        )
+        df = _cluster(df, cluster_by)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -109,9 +114,7 @@ def write_table(
     """
     spark = df.sparkSession
     if cluster_by:
-        df = df.repartitionByRange(*[F.col(c) for c in cluster_by]).sortWithinPartitions(
-            *[F.col(c) for c in cluster_by]
-        )
+        df = _cluster(df, cluster_by)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -67,6 +67,7 @@ INTENDED_CROSS = {
     "ann_ivf_topk",  # corpus × broadcast(centroids), lists × broadcast(probe-centroids)
     "int8_ann_topk_claim",  # corpus × broadcast(probes), twice (exact + int8 paths)
     "tpch_q22_prospects",  # scalar subquery: customer × broadcast(1-row avg aggregate)
+    "scd2_point_in_time_join",  # versions × broadcast(1-row max-date aggregate)
 }
 
 
