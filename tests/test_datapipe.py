@@ -190,3 +190,27 @@ def test_lsh_pairs_subset_of_exact(emb):
     # near-parallel vectors it recovers them
     assert lsh <= exact
     assert lsh, "banded LSH found no pairs for near-parallel vectors"
+
+
+def test_grouped_zscore_degenerate_groups(spark, tmp_path):
+    """Single-doc and zero-variance sources must yield NULL z-scores
+    (matching SQL division-by-zero semantics), not crash/NaN."""
+    from lfb_data_warehouse_spark.plans import REGISTRY
+
+    docs = spark.createDataFrame(
+        [(1, "only one doc", "en", "solo", 12),
+         (2, "same length..", "en", "flat", 13),
+         (3, "same length!!", "en", "flat", 13),
+         (4, "normal one", "en", "vary", 10),
+         (5, "normal longer two", "en", "vary", 17)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r["source"], r["doc_id"]): r["chars_z"]
+        for r in REGISTRY["grouped_zscore_chars"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[("solo", 1)] is None
+    assert out[("flat", 2)] is None and out[("flat", 3)] is None
+    assert out[("vary", 4)] is not None and out[("vary", 5)] is not None
+    assert abs(out[("vary", 4)] + out[("vary", 5)]) < 1e-9  # symmetric z-scores
