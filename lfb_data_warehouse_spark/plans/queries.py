@@ -1123,6 +1123,71 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "map_explode_props",
+    oracle="""
+    SELECT k AS key,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS min_val,
+           CAST(MAX(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS max_val
+    FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+    GROUP BY 1
+    """,
+)
+def map_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType semantics: the JSON payload parsed as map<string,string>
+    and EXPLODED into (key, value) rows — the schema-free cousin of the
+    typed-struct extraction (json_extract_events) for payloads whose
+    keys aren't known at plan time. Generate + aggregate, all JVM-side."""
+    events = load_table(spark, sf_dir, "events")
+    kv = events.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "value")
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("value").cast("long")).alias("min_val"),
+        F.max(F.col("value").cast("long")).alias("max_val"),
+    )
+
+
+@register(
+    "unpivot_priority_measures",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           o_orderpriority AS priority,
+           {SUM_DEC.format(x='o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+    GROUP BY 1, 2
+    """,
+)
+def unpivot_priority_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide per-year priority matrix built by the
+    pivot operator is melted BACK to long via stack() — proving
+    pivot→unpivot is lossless. The oracle is the direct long aggregate,
+    so both the pivot's cell values and the melt's label mapping are
+    checked in one query. stack() is a Generate (row-expanding
+    projection), not a shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    keep = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    wide = pivot_agg(
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            "o_orderpriority",
+            "o_totalprice",
+        ),
+        key=["order_year"],
+        pivot_col="o_orderpriority",
+        values=keep,
+        agg=F.sum(F.col("o_totalprice").cast(DEC)).cast("double"),
+    )
+    stack_args = ", ".join(f"'{v}', `{v}`" for v in keep)
+    long = wide.selectExpr(
+        "order_year", f"stack({len(keep)}, {stack_args}) AS (priority, total_price)"
+    )
+    return long.filter(F.col("total_price").isNotNull())
+
+
+@register(
     "percentile_prices_by_flag",
     oracle="""
     SELECT l_returnflag,
