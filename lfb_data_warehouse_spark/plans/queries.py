@@ -1123,6 +1123,83 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "try_cast_dirty_ingest",
+    oracle="""
+    WITH dirty AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0
+                    THEN CAST(o_totalprice AS VARCHAR) || 'x'
+                    ELSE CAST(o_totalprice AS VARCHAR) END AS raw_price,
+               o_orderpriority
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           COUNT(TRY_CAST(raw_price AS DOUBLE)) AS parsed,
+           COUNT(*) - COUNT(TRY_CAST(raw_price AS DOUBLE)) AS rejected,
+           CAST(SUM(CAST(TRY_CAST(raw_price AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE)
+               AS parsed_total
+    FROM dirty GROUP BY 1
+    """,
+)
+def try_cast_dirty_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant typed ingest: try_cast turns unparseable values
+    into NULL instead of failing the job (ANSI mode) or silently
+    corrupting (legacy CAST) — counted as an explicit reject metric.
+    Every 7th price is deterministically dirtied so both engines reject
+    the same rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    raw = F.when(
+        F.col("o_orderkey") % 7 == 0, F.concat(F.col("o_totalprice").cast("string"), F.lit("x"))
+    ).otherwise(F.col("o_totalprice").cast("string"))
+    dirty = orders.select(raw.alias("raw_price"), "o_orderpriority")
+    typed = dirty.withColumn("p", F.expr("try_cast(raw_price AS DOUBLE)"))
+    return typed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("p").alias("parsed"),
+        (F.count(F.lit(1)) - F.count("p")).alias("rejected"),
+        F.sum(F.col("p").cast("decimal(18,2)")).cast("double").alias("parsed_total"),
+    )
+
+
+@register(
+    "string_function_battery",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up,
+           trim(p_name) AS trimmed,
+           substring(p_name, 1, 5) AS first5,
+           reverse(p_brand) AS rev_brand,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           replace(p_type, ' ', '_') AS type_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CAST(levenshtein(p_brand, 'Brand#45') AS BIGINT) AS brand_dist,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS first_a
+    FROM part
+    """,
+)
+def string_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery (SURVEY §2.8 made gate-visible): case
+    mapping, trim, substring, reverse, length, replace, pad,
+    levenshtein edit distance, first-occurrence position — all pinned
+    byte-for-byte against the oracle (ASCII corpus; collation-sensitive
+    functions like initcap are exercised in the LFB pipeline tests
+    instead, where the dialects' word-boundary rules are controlled)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.trim("p_name").alias("trimmed"),
+        F.substring("p_name", 1, 5).alias("first5"),
+        F.reverse("p_brand").alias("rev_brand"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#45")).cast("long").alias("brand_dist"),
+        F.locate("a", F.col("p_name")).cast("long").alias("first_a"),
+    )
+
+
+@register(
     "map_explode_props",
     oracle="""
     SELECT k AS key,
