@@ -68,6 +68,8 @@ INTENDED_CROSS = {
     "int8_ann_topk_claim",  # corpus × broadcast(probes), twice (exact + int8 paths)
     "tpch_q22_prospects",  # scalar subquery: customer × broadcast(1-row avg aggregate)
     "scd2_point_in_time_join",  # versions × broadcast(1-row max-date aggregate)
+    "tpch_q11_important_parts",  # per_part × broadcast(1-row scoped total)
+    "tpch_q15_top_supplier",  # revenue × broadcast(1-row max aggregate)
 }
 
 
