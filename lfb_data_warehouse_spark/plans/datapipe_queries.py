@@ -1276,3 +1276,58 @@ def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", dim=EMB_DIM, threshold=NEAR_DUP_COS,
         bands=LSH_BANDS, planes_per_band=LSH_PLANES_PER_BAND,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: documents -> fixed-token-budget training sequences
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_LEN = 2048
+
+
+@register(
+    "pack_sequences_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT source, doc_id, tok,
+               SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+               AS start_offset
+        FROM t
+    )
+    SELECT source,
+           CAST(FLOOR(CAST(start_offset AS DOUBLE) / {PACK_SEQ_LEN}.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """,
+)
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pre-training: per source, documents in
+    doc_id order are concatenated and chunked into 2048-token
+    sequences; a document belongs to the pack its first token falls in.
+    Runs the two-phase distributed prefix sum (operators.packing — no
+    per-source single reducer); the oracle asserts it equals the naive
+    per-source window cumsum bit-for-bit."""
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs.select("source", "doc_id", F.size(tokens("text")).cast("long").alias("tok")),
+        group_col="source",
+        order_cols=["doc_id"],
+        token_col="tok",
+        seq_len=PACK_SEQ_LEN,
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("long").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

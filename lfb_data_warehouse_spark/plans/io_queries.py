@@ -244,3 +244,58 @@ def partitioned_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "bucketed_join_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS line_count,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (co-located) fact-to-fact join — THE 100 TB lever for
+    the one join broadcasting can't fix: lineitem ⋈ orders on orderkey.
+    Both tables are written once with bucketBy(16, orderkey) +
+    sortBy, so every future join on the key is a SortMergeJoin with
+    ZERO shuffle exchanges (tests/test_io.py asserts the plan has
+    none) — at 100 TB that converts the dominant all-to-all network
+    stage of every fact join into a map-side merge, paid once at write
+    time. The oracle proves the bucketed copies are value-identical to
+    the originals."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    key = ("bucketed", sf_dir)
+    if key not in _STAGED:
+        # a previous PROCESS may have left the managed-table directory on
+        # disk while this session's in-memory catalog has no entry for it
+        # — saveAsTable then fails LOCATION_ALREADY_EXISTS; clear orphans
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in (f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"):
+            if not spark.catalog.tableExists(t):
+                shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+        (li.write.mode("overwrite").bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+         .saveAsTable(f"bkt_lineitem_{tag}"))
+        (orders.write.mode("overwrite").bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+         .saveAsTable(f"bkt_orders_{tag}"))
+        _STAGED[key] = tag
+    li_b = spark.table(f"bkt_lineitem_{tag}")
+    o_b = spark.table(f"bkt_orders_{tag}")
+    joined = li_b.hint("merge").join(o_b, F.col("l_orderkey") == F.col("o_orderkey"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("line_count"),
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -336,3 +336,36 @@ def test_assign_dense_ids_matches_global_rank(spark):
     out = assign_dense_ids(df, ["k"], num_partitions=8).collect()
     got = sorted((r["k"], r["dense_id"]) for r in out)
     assert got == [(i, i) for i in range(997)]  # dense, 0-based, order-aligned
+
+
+def test_pack_sequences_matches_naive_window(spark):
+    from pyspark.sql import Window
+
+    from lfb_data_warehouse_spark.operators.packing import pack_sequences
+
+    # skewed groups: 'big' has 200 docs, 'small' has 3; varied token sizes
+    rows = [("big", i, (i * 37) % 900 + 1) for i in range(200)]
+    rows += [("small", i, t) for i, t in [(0, 5), (1, 4096), (2, 1)]]
+    df = spark.createDataFrame(rows, "source string, doc_id long, tok long")
+
+    got = pack_sequences(
+        df, group_col="source", order_cols=["doc_id"], token_col="tok",
+        seq_len=2048, num_partitions=7,
+    ).select("source", "doc_id", "start_offset", "pack_id")
+
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.select(
+        "source",
+        "doc_id",
+        (F.sum("tok").over(w) - F.col("tok")).cast("long").alias("start_offset"),
+        F.floor((F.sum("tok").over(w) - F.col("tok")).cast("double") / 2048.0)
+        .cast("long")
+        .alias("pack_id"),
+    )
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+    # a doc starting exactly on a boundary opens the next pack:
+    # small: starts 0, 5, 4101 -> packs 0, 0, 2
+    small = {r.doc_id: r.pack_id for r in got.filter(F.col("source") == "small").collect()}
+    assert small == {0: 0, 1: 0, 2: 2}
