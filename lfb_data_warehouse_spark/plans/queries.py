@@ -2212,3 +2212,79 @@ def flagship_star_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # engines, IEEE double division does not
         (revenue.cast("double") / F.col("l_quantity")).alias("revenue_per_unit"),
     )
+
+
+@register(
+    "gap_fill_daily_revenue",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS lo, CAST(MAX(o_orderdate) AS DATE) AS hi
+        FROM orders
+    ),
+    days AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    segs AS (SELECT DISTINCT c_mktsegment AS segment FROM customer),
+    actual AS (
+        SELECT c_mktsegment AS segment, CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT s.segment, d.day, a.revenue,
+           LAST_VALUE(a.revenue IGNORE NULLS) OVER (
+               PARTITION BY s.segment ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_revenue,
+           a.revenue IS NULL AS is_gap
+    FROM days d
+    CROSS JOIN segs s
+    LEFT JOIN actual a ON a.segment = s.segment AND a.day = d.day
+    """,
+)
+def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill — the resample/forward-fill idiom every
+    revenue dashboard needs: a complete (segment x day) spine
+    (sequence+explode from a one-row min/max aggregate, cross join with
+    the tiny segment list), sparse actuals LEFT-joined on, gaps
+    forward-filled with F.last(ignorenulls) over an unbounded-preceding
+    frame. The spine sides are provably tiny (days x segments), so the
+    cross join broadcasts; the only data-sized shuffle is the daily
+    aggregate itself."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    actual = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(sum_exact("o_totalprice").alias("revenue"))
+    )
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    segs = cust.select(F.col("c_mktsegment").alias("segment")).distinct()
+    spine = days.crossJoin(F.broadcast(segs))
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(actual, ["segment", "day"], "left")
+        .select(
+            "segment",
+            "day",
+            "revenue",
+            F.last("revenue", ignorenulls=True).over(w).alias("filled_revenue"),
+            F.col("revenue").isNull().alias("is_gap"),
+        )
+    )

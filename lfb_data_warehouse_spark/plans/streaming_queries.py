@@ -185,3 +185,39 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the canonical streaming
+    dimension lookup: the event stream joins a STATIC broadcast
+    dimension (no watermark, no join state; the dimension is re-read
+    per micro-batch, which is what keeps slowly-changing lookups fresh
+    in production), then a streaming aggregate per (segment, type).
+    Executed for real through a memory sink; the oracle is the plain
+    batch join — stream-static semantics must be value-identical."""
+    from pyspark.sql import functions as F
+
+    events, src = _stage_events(spark, sf_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    out = (
+        stream.join(dim, stream.user_id == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+    return _run_complete(out, "stream_dim")

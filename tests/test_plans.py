@@ -31,6 +31,7 @@ SKIP = {
     "stream_sessionize",
     "stream_stateful_user_stats",
     "stream_interval_join",
+    "stream_static_enrich",
 }
 
 
@@ -70,6 +71,7 @@ INTENDED_CROSS = {
     "scd2_point_in_time_join",  # versions × broadcast(1-row max-date aggregate)
     "tpch_q11_important_parts",  # per_part × broadcast(1-row scoped total)
     "tpch_q15_top_supplier",  # revenue × broadcast(1-row max aggregate)
+    "gap_fill_daily_revenue",  # day spine × broadcast(segment list) — both tiny
 }
 
 
