@@ -299,3 +299,93 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "schema_evolution_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS order_count,
+           COUNT(o_totalprice) AS priced_rows,
+           CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM (
+        SELECT o_orderkey, o_orderpriority, NULL AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY 1
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read — the additive-column migration every
+    long-lived warehouse hits: batch 1 landed BEFORE o_totalprice
+    existed (narrow schema), batch 2 after (wide schema). A plain read
+    takes one file's schema and silently drops or fails on the other;
+    option(mergeSchema) unions the schemas and NULL-fills the missing
+    column — the oracle proves old rows surface with NULL totals and
+    new rows keep exact values. (At 100 TB pin an explicit schema and
+    keep mergeSchema for the migration window only — it footer-scans
+    every file.)"""
+    key = ("evolve", sf_dir)
+    path = _STAGED.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="lfb_io_evolve_")
+        orders = load_table(spark, sf_dir, "orders")
+        old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderpriority"
+        )
+        new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        old.write.mode("overwrite").parquet(f"{path}/batch=1")
+        new.write.mode("overwrite").parquet(f"{path}/batch=2")
+        _STAGED[key] = path
+    back = spark.read.option("mergeSchema", "true").parquet(f"{path}/batch=1", f"{path}/batch=2")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.count("o_totalprice").alias("priced_rows"),
+        F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0)).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@register(
+    "compaction_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT event_id) AS distinct_ids
+    FROM events GROUP BY 1
+    """,
+)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the operational fix for the 100 TB
+    small-files problem (a streaming sink dribbling thousands of
+    KB-sized files turns every scan into an open()-bound crawl, and at
+    cloud-storage latencies each open is a network round trip): the
+    events table is first shattered into 64 fragments (the pathological
+    landing-zone state), then compacted with a single coalesce() write
+    — coalesce merges partitions WITHOUT a shuffle, so compaction cost
+    is one read+write pass. The staged result must be value-identical
+    to the source (the oracle checks per-type counts, sums, and
+    distinct ids), and the test suite asserts the file count actually
+    dropped."""
+    key = ("compacted", sf_dir)
+    path = _STAGED.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="lfb_io_compact_")
+        events = load_table(spark, sf_dir, "events")
+        events.repartition(64).write.mode("overwrite").parquet(f"{path}/shattered")
+        (spark.read.parquet(f"{path}/shattered").coalesce(4)
+         .write.mode("overwrite").parquet(f"{path}/compacted"))
+        _STAGED[key] = path
+    back = spark.read.parquet(f"{path}/compacted")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        F.countDistinct("event_id").alias("distinct_ids"),
+    )

@@ -177,6 +177,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q9_product_profit",
+    headline=True,
     oracle="""
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -631,6 +632,7 @@ def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q21_waiting_supplier",
+    headline=True,
     oracle="""
     WITH per_order AS (
         SELECT l_orderkey,

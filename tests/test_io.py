@@ -125,3 +125,22 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bkt_a")
         spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_compaction_reduces_file_count(spark):
+    """compaction_roundtrip's staged layout: 64 shattered fragments in,
+    ≤4 compacted files out, values identical."""
+    from lfb_data_warehouse_spark.plans.io_queries import _STAGED, compaction_roundtrip
+
+    sf_dir = "/root/testdata/sf0.001"
+    compaction_roundtrip(spark, sf_dir)  # stages on first call
+    path = _STAGED[("compacted", sf_dir)]
+    import glob
+
+    shattered = glob.glob(f"{path}/shattered/part-*")
+    compacted = glob.glob(f"{path}/compacted/part-*")
+    assert len(shattered) == 64
+    assert 0 < len(compacted) <= 4
+    a = spark.read.parquet(f"{path}/shattered")
+    b = spark.read.parquet(f"{path}/compacted")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
