@@ -44,6 +44,49 @@ def standardize_names(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return df.withColumns({c: F.initcap(F.col(c)) for c in cols})
 
 
+def mad_scrub_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    threshold: float = 3.5,
+    consistency: float = 0.6745,
+) -> DataFrame:
+    """Robust (median/MAD) per-group outlier scrub: NULL-out values with
+    ``|x - median| > threshold * MAD / consistency`` within their group.
+
+    The robust sibling of :func:`zscore_scrub` (reference
+    aq-cleanse.py:123-157 uses mean/stddev): median and MAD have a 50%
+    breakdown point, so heavy outliers cannot drag the statistics that
+    decide their own removal. ``consistency`` = 0.6745 rescales MAD to
+    a normal-equivalent sigma (the modified z-score of Iglewicz & the
+    classic 3.5 cutoff).
+
+    Scale shape: two grouped exact-percentile passes over (group, value)
+    pairs, then ONE broadcast join back — group cardinality is small by
+    construction (a scrub keyed on a category column), so the stats
+    frame broadcasts and the scrub itself is a map-only pass over the
+    fact. At 100 TB swap ``F.percentile`` for ``percentile_approx``
+    (mergeable t-digest) without touching the join shape.
+
+    Returns the input with ``value_col`` scrubbed plus ``{value_col}_med``
+    and ``{value_col}_mad`` stat columns (constant per group).
+    """
+    gc = list(group_cols)
+    med_col, mad_col = f"{value_col}_med", f"{value_col}_mad"
+    med = df.groupBy(*gc).agg(F.percentile(value_col, F.lit(0.5)).alias(med_col))
+    mad = (
+        df.join(F.broadcast(med), gc)
+        .groupBy(*gc)
+        .agg(F.percentile(F.abs(F.col(value_col) - F.col(med_col)), F.lit(0.5)).alias(mad_col))
+    )
+    stats = med.join(mad, gc)
+    cutoff = F.lit(threshold) * F.col(mad_col) / F.lit(consistency)
+    return df.join(F.broadcast(stats), gc).withColumn(
+        value_col,
+        F.when(F.abs(F.col(value_col) - F.col(med_col)) > cutoff, None).otherwise(F.col(value_col)),
+    )
+
+
 def zscore_scrub(df: DataFrame, cols: Sequence[str], threshold: float = 3.0) -> DataFrame:
     """NULL-out values with |z| > threshold, all columns in one stats pass.
 

@@ -1331,3 +1331,110 @@ def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition filter (RefinedWeb/Gopher-style rep. removal)
+# ---------------------------------------------------------------------------
+
+REPEAT_NGRAM_N = 2
+REPEAT_DUP_MAX = 0.1
+
+
+@register(
+    "text_repeated_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS w FROM documents),
+    g AS (SELECT doc_id, unnest({shingles_sql('w', REPEAT_NGRAM_N)}) AS ngram FROM t),
+    c AS (SELECT doc_id, ngram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+           CAST(MAX(cnt) AS BIGINT) AS max_repeat,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS dup_fraction,
+           (1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt)) <= {REPEAT_DUP_MAX} AS keep
+    FROM c GROUP BY 1
+    """,
+)
+def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (the Gopher/RefinedWeb
+    duplicated-n-gram quality gate): fraction of word bigrams that are
+    repeats of an earlier bigram in the SAME document; docs above the
+    dup threshold are flagged for removal.
+
+    Shape: explode n-grams → two-level aggregation keyed on
+    (doc_id, ngram) then doc_id. Both aggregations partial-aggregate
+    map-side and partition by doc-local keys, so the shuffle carries
+    (hash, count) pairs — never document text. Docs shorter than N
+    words produce no n-grams and drop out (same as the oracle's empty
+    unnest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(shingles(tokens("text"), REPEAT_NGRAM_N)).alias("ngram")
+    )
+    counts = grams.groupBy("doc_id", "ngram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_ngrams"),
+        F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+        F.max("cnt").cast("long").alias("max_repeat"),
+    )
+    dup = F.lit(1.0) - F.col("distinct_ngrams").cast("double") / F.col("n_ngrams")
+    return per_doc.select(
+        "doc_id",
+        "n_ngrams",
+        "distinct_ngrams",
+        "max_repeat",
+        dup.alias("dup_fraction"),
+        (dup <= F.lit(REPEAT_DUP_MAX)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array-function battery (vector-column toolkit)
+# ---------------------------------------------------------------------------
+
+@register(
+    "array_hof_battery",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           round(list_sum(list_transform(list_zip(embedding, list_reverse(embedding)),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 6) AS dot_reversed,
+           round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs,
+           list_slice(list_sort(list_transform(embedding,
+                 x -> round(abs(CAST(x AS DOUBLE)), 6)), 'DESC'), 1, 3) AS top3_abs
+    FROM embeddings
+    """,
+)
+def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column — the
+    vector-column toolkit (transform / filter / aggregate / zip_with /
+    reverse / sort_array / slice) every multimodal pipeline leans on.
+    All map-only JVM expressions: zero shuffle, zero Python. Float
+    elements are widened to double INSIDE the lambdas so Spark and the
+    oracle fold identical doubles in identical order; transcendental-free
+    results are rounded at 6dp only to absorb list_sum association."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    as_d = lambda x: x.cast("double")  # noqa: E731
+    sum_sq = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + as_d(x) * as_d(x))
+    dot_rev = F.aggregate(
+        F.zip_with(e, F.reverse(e), lambda a, b: as_d(a) * as_d(b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    abs_d = F.transform(e, lambda x: F.abs(as_d(x)))
+    return emb.select(
+        "vec_id",
+        F.size(e).cast("long").alias("dim"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.sqrt(sum_sq), 6).alias("l2_norm"),
+        F.round(dot_rev, 6).alias("dot_reversed"),
+        F.round(F.array_max(abs_d), 6).alias("max_abs"),
+        F.slice(
+            F.sort_array(F.transform(abs_d, lambda x: F.round(x, 6)), asc=False), 1, 3
+        ).alias("top3_abs"),
+    )

@@ -746,6 +746,50 @@ def zscore_scrub_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Robust median/MAD outlier scrub (grouped sibling of zscore_scrub_prices)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mad_scrub_event_values",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT e.event_type, any_value(m.med) AS med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN m USING (event_type) GROUP BY 1
+    )
+    SELECT e.event_type,
+           COUNT(*) AS cnt,
+           SUM(CASE WHEN abs(e.value - s.med) > 3.5 * s.mad / 0.6745
+                    THEN 1 ELSE 0 END) AS n_outliers,
+           round(any_value(s.med), 4) AS med,
+           round(any_value(s.mad), 4) AS mad
+    FROM events e JOIN s USING (event_type)
+    GROUP BY 1
+    """,
+)
+def mad_scrub_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier scrub: median/MAD modified z-score
+    (cutoff 3.5), the heavy-tail-safe sibling of the reference's
+    mean/stddev scrub (aq-cleanse.py:123-157). Exact percentiles match
+    the oracle bit-for-bit (linear interpolation is identical on
+    doubles); at 100 TB the same shape runs on percentile_approx."""
+    from ..functions.cleanse import mad_scrub_grouped
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    scrubbed = mad_scrub_grouped(ev, "value", ["event_type"], threshold=3.5)
+    return scrubbed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_outliers"),
+        F.round(F.first("value_med"), 4).alias("med"),
+        F.round(F.first("value_mad"), 4).alias("mad"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # J6/J7 — nearest-within as-of join (reference load_fact.py:225-290)
 # ---------------------------------------------------------------------------
 

@@ -121,3 +121,20 @@ def test_redact_pii(spark):
     # short digit runs (< 8 chars) are not phones
     assert rows[2]["r"] == "two mails [EMAIL] [EMAIL] and digits 12 34"
     assert (rows[2]["e"], rows[2]["p"]) == (2, 0)
+
+
+def test_mad_scrub_grouped_robust_to_planted_outliers(spark):
+    from lfb_data_warehouse_spark.functions.cleanse import mad_scrub_grouped
+
+    # group "a": tight cluster + one far outlier; group "b": no outliers.
+    rows = [("a", float(v)) for v in range(10, 21)] + [("a", 10_000.0)]
+    rows += [("b", float(v)) for v in (1.0, 2.0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_scrub_grouped(df, "v", ["g"], threshold=3.5)
+    got = {(r["g"], r["v"]) for r in out.collect()}
+    assert ("a", None) in got and ("a", 10_000.0) not in got
+    assert sum(1 for g, v in got if g == "a" and v is not None) == 11
+    assert all(v is not None for g, v in got if g == "b")
+    # stat columns are constant per group and survive into the output
+    med = {r["g"]: r["v_med"] for r in out.select("g", "v_med").distinct().collect()}
+    assert med["a"] == 15.5 and med["b"] == 2.0
