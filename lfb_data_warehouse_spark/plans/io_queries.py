@@ -389,3 +389,36 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         F.countDistinct("event_id").alias("distinct_ids"),
     )
+
+
+@register(
+    "orc_roundtrip_lineitem",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS line_count,
+           {SUM_DEC.format(x='l_extendedprice')} AS total_price,
+           CAST(MIN(l_shipdate) AS DATE) AS first_ship,
+           CAST(MAX(l_shipdate) AS DATE) AS last_ship
+    FROM lineitem GROUP BY 1
+    """,
+)
+def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → source round-trip: the second columnar format Spark
+    ships natively (Hive-ecosystem interchange). Same contract as the
+    other round-trips — stage the driver's lineitem through ORC, read
+    back, aggregate; the oracle aggregates the ORIGINAL parquet, so a
+    hash match proves doubles, dates, and strings survived the format
+    conversion bit-for-bit."""
+    key = ("orc", sf_dir)
+    path = _STAGED.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="lfb_io_orc_")
+        load_table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(path)
+        _STAGED[key] = path
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("line_count"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+    )

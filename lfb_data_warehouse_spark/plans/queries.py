@@ -1161,6 +1161,34 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "variant_shred_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                           THEN 1 END) AS BIGINT) AS k_over_50
+    FROM events GROUP BY 1
+    """,
+)
+def variant_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for schema-FREE payloads: parse_json once
+    into the binary-encoded VariantType, then variant_get typed
+    extraction. Unlike from_json (json_extract_events) this needs no
+    declared struct — the right default when payload schemas drift; the
+    binary encoding parses once and shreds lazily instead of re-scanning
+    JSON text per field. Same aggregate as the from_json twin, so the
+    oracle also proves the two semi-structured paths agree."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return events.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.count(F.when(F.col("k") > 50, 1)).cast("long").alias("k_over_50"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # OLAP battery: exact percentiles, ROLLUP grouping, window functions
 # (beyond-reference completeness — none of these appear in the reference)
