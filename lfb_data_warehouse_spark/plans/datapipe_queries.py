@@ -1438,3 +1438,53 @@ def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.transform(abs_d, lambda x: F.round(x, 6)), asc=False), 1, 3
         ).alias("top3_abs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (sliding token windows — RAG / training-sequence prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+
+
+@register(
+    "chunk_documents_sliding",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS w FROM documents),
+    s AS (SELECT doc_id, w,
+                 unnest(range(1, greatest(len(w) - {CHUNK_TOKENS} + 1, 1) + 1,
+                              {CHUNK_STRIDE})) AS start
+          FROM t)
+    SELECT doc_id,
+           CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(w[start:start + {CHUNK_TOKENS} - 1]) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(w[start:start + {CHUNK_TOKENS} - 1], ' ')) AS chunk_md5
+    FROM s
+    """,
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (RAG retrieval units / training
+    sequences): fixed {CHUNK_TOKENS}-token windows at stride
+    {CHUNK_STRIDE}, tail window kept partial. All array expressions —
+    sequence() builds the start offsets, posexplode emits (ordinal,
+    start) pairs, slice() cuts the window — so chunking is a map-only
+    pass with NO shuffle and no Python; 1→N row expansion happens
+    inside the scan stage. Chunk text is emitted as md5 so the gate
+    compares content without hauling window bodies through the
+    comparator."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", tokens("text").alias("w"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("w") - F.lit(CHUNK_TOKENS - 1), F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    exploded = w.select("doc_id", "w", F.posexplode(starts).alias("chunk_idx", "start"))
+    chunk = F.slice("w", F.col("start"), CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

@@ -1554,6 +1554,49 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_api_top_segment_customers",
+    oracle="""
+    WITH rev AS (
+        SELECT c_mktsegment AS segment, c_custkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    )
+    SELECT segment, c_custkey, revenue, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT segment, c_custkey, revenue,
+                 row_number() OVER (PARTITION BY segment
+                                    ORDER BY revenue DESC, c_custkey) AS rnk
+          FROM rev)
+    WHERE rnk <= 5
+    """,
+)
+def sql_api_top_segment_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end as a first-class entry point: temp views +
+    ``spark.sql`` running ANSI SQL (CTE, 3-way join, windowed top-k) —
+    the same Catalyst plan the DataFrame queries compile to, proving
+    users can drive this engine from either API. Deterministic top-5:
+    revenue ties break on c_custkey."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v")
+    return spark.sql("""
+        WITH rev AS (
+            SELECT c_mktsegment AS segment, c_custkey,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+                            JOIN lineitem_v ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        )
+        SELECT segment, c_custkey, revenue, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT segment, c_custkey, revenue,
+                     row_number() OVER (PARTITION BY segment
+                                        ORDER BY revenue DESC, c_custkey) AS rnk
+              FROM rev)
+        WHERE rnk <= 5
+    """)
+
+
+@register(
     "tpch_q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,

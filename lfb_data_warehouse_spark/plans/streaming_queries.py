@@ -221,3 +221,50 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_complete(out, "stream_dim")
+
+
+@register(
+    "stream_upsert_idempotent",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT event_id) AS distinct_ids,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental upsert, idempotency PROVEN in the gate:
+    the same source stream runs to completion TWICE against one target
+    (fresh checkpoint on the second run forces full re-delivery); the
+    per-batch anti-join on event_id (streaming/ops.py
+    stream_incremental_upsert — the streaming twin of the reference's
+    extract-job anti-joins, lfb-extract.py:36-47) must swallow every
+    replayed row, so the target aggregates exactly equal the source's.
+    Duplicate-free counts AND sums are asserted — an append bug that
+    doubled rows would break both."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.ops import stream_incremental_upsert
+
+    events, src = _stage_events(spark, sf_dir)
+    key = ("upsert", sf_dir)
+    root = _STAGED.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="lfb_stream_upsert_")
+        target = f"{root}/target"
+        with _state_partitions(spark):
+            for run in (1, 2):  # run 2 = full replay, separate checkpoint
+                stream = spark.readStream.schema(events.schema).parquet(src)
+                q = stream_incremental_upsert(
+                    stream, target, keys=["event_id"], checkpoint=f"{root}/ckpt{run}"
+                ).start()
+                q.processAllAvailable()
+                q.stop()
+        _STAGED[key] = root
+    back = spark.read.parquet(f"{root}/target")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("distinct_ids"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )

@@ -32,6 +32,7 @@ SKIP = {
     "stream_stateful_user_stats",
     "stream_interval_join",
     "stream_static_enrich",
+    "stream_upsert_idempotent",
 }
 
 
