@@ -1488,3 +1488,50 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized scalar Pandas UDF (the Arrow scalar path, when Python is a must)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pandas_udf_quality_sigmoid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS w FROM documents),
+    r AS (SELECT doc_id,
+                 CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS diversity
+          FROM t)
+    SELECT doc_id, diversity,
+           round(1.0 / (1.0 + exp(-(4.0 * diversity - 2.0))), 6) AS quality_p
+    FROM r
+    """,
+)
+def pandas_udf_quality_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar ``@pandas_udf`` — the third Arrow surface next
+    to applyInPandas (grouped_zscore_chars) and mapInPandas
+    (multimodal): a logistic quality calibration applied to the lexical
+    diversity score. The feature (distinct-token ratio) stays JVM-side
+    array expressions; ONLY the model function crosses to Python, in
+    Arrow column batches (plan shows ArrowEvalPython, never the
+    row-at-a-time BatchEvalPython). Output rounded 6dp: numpy's SIMD
+    exp and the oracle's libm exp may differ in the last ulp."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # module-level `from __future__ import annotations` stringifies type
+    # hints, which pandas_udf cannot resolve — declare SCALAR explicitly
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def sigmoid(x):
+        import numpy as np
+
+        return 1.0 / (1.0 + np.exp(-x))
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    r = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias("diversity"),
+    )
+    logit = F.lit(4.0) * F.col("diversity") - F.lit(2.0)
+    return r.select(
+        "doc_id", "diversity", F.round(sigmoid(logit), 6).alias("quality_p")
+    )
