@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TESTDATA_TABLES = (
     "region",
@@ -37,13 +38,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.repartition(cores)
         return df
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond
-        # timestamp type, so read it as a long and truncate to microseconds
-        # (integer division — a double division would lose precision at
-        # ~1.7e18). Matches engines that truncate ns→µs on read.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+        # TIMESTAMP(MICROS) across testdata generations, so branch on the
+        # schema Spark actually reads rather than assuming either:
+        #   - TIMESTAMP(NANOS): Spark has no ns timestamp type; with
+        #     nanosAsLong it arrives as LongType — truncate ns→µs with
+        #     integer division (a double division would lose precision at
+        #     ~1.7e18) like engines that truncate on read.
+        #   - TIMESTAMP(MICROS) without isAdjustedToUTC: arrives as
+        #     TIMESTAMP_NTZ — cast to session-tz TIMESTAMP (session tz is
+        #     pinned UTC, so the cast is value-preserving).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
