@@ -2300,17 +2300,26 @@ def flagship_star_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     surrogate key (sha2 over '|'-joined naturals — idempotent across
     incremental loads), every dimension LEFT-joined with FK coalesced to
     'Unknown' (reference load_fact.py:186,205,...), derived measures in
-    decimal-exact arithmetic. All dimension sides broadcast; lineitem is
-    never shuffled."""
+    decimal-exact arithmetic.
+
+    Broadcast policy (scale-safe): only fixed-cardinality dims are
+    force-broadcast — nation is 25 rows at EVERY scale factor. part,
+    orders and customer all grow linearly with SF (TPC-H: 200k / 1.5M /
+    150k rows per SF), so forcing them into a broadcast would OOM the
+    driver at warehouse scale; AQE picks broadcast at small SF and
+    shuffled joins at large SF on its own. The orders and customer
+    joins share no key with lineitem's, so the two shuffles are
+    irreducible without a bucketed layout (see io_queries
+    bucketed_join_colocated for that path)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     fact = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "left")
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        li.join(part, li.l_partkey == part.p_partkey, "left")
+        .join(orders, li.l_orderkey == orders.o_orderkey, "left")
+        .join(cust, orders.o_custkey == cust.c_custkey, "left")
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
