@@ -999,23 +999,129 @@ def int8_ann_topk_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _near_dup_oracle() -> str:
-    dot = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> a.q[i] * b.q[i]))"
+# Banded sign-LSH parameters for the production near-dup path. 16 bands
+# of 3 planes: a pair at the gate threshold (cos 0.45, plane-agreement
+# p = 1 - θ/π ≈ 0.648) matches some band with prob 1-(1-p³)^16 ≈ 0.994;
+# at real near-dup thresholds (cos ≥ 0.9, p ≈ 0.856) recall is ~1-1e-9.
+NEAR_DUP_BANDS = 16
+NEAR_DUP_PLANES = 3
+
+
+def _banded_pairs_sql(bands: int, planes_per_band: int) -> str:
+    """DuckDB replication of cosine_lsh_pairs: the hyperplanes are
+    deterministic (md5-derived integers), so the SQL embeds the exact
+    same planes and reproduces candidate generation bit-for-bit."""
+    from ..operators.similarity import lsh_hyperplanes
+
+    hps = lsh_hyperplanes(bands * planes_per_band, EMB_DIM)
+
+    def bit(row):
+        lits = "[" + ", ".join(str(v) for v in row) + "]"
+        dot = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> q[i] * ({lits})[i]))"
+        return f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)"
+
+    band_selects = []
+    for b in range(bands):
+        pattern = " || ".join(
+            bit(hps[b * planes_per_band + p]) for p in range(planes_per_band)
+        )
+        band_selects.append(
+            f"SELECT vec_id, q, norm, {b} AS band, {pattern} AS pattern FROM qn"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    pair_dot = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> a.q[i] * b.q[i]))"
     return f"""
-    WITH {_QCTE}
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_cos_sql(dot, 'a.norm', 'b.norm')} AS score
-    FROM qn a JOIN qn b ON a.vec_id < b.vec_id
-    WHERE {_cos_sql(dot, 'a.norm', 'b.norm')} >= {NEAR_DUP_COS}
+    bk AS ({bands_sql}),
+    lsh_pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_cos_sql(pair_dot, 'a.norm', 'b.norm')} AS score
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.pattern = b.pattern AND a.vec_id < b.vec_id
+        WHERE {_cos_sql(pair_dot, 'a.norm', 'b.norm')} >= {NEAR_DUP_COS}
+    )
     """
 
 
-@register("embedding_near_dup_pairs", oracle=_near_dup_oracle())
+_EXACT_PAIRS_SQL = f"""
+    exact_pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_cos_sql(
+                   f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> a.q[i] * b.q[i]))",
+                   'a.norm', 'b.norm')} AS score
+        FROM qn a JOIN qn b ON a.vec_id < b.vec_id
+        WHERE {_cos_sql(
+                   f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> a.q[i] * b.q[i]))",
+                   'a.norm', 'b.norm')} >= {NEAR_DUP_COS}
+    )
+"""
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH {_QCTE},
+    {_banded_pairs_sql(NEAR_DUP_BANDS, NEAR_DUP_PLANES)}
+    SELECT id_a, id_b, score FROM lsh_pairs
+    """,
+)
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above threshold (exact kernel; at
-    corpus scale feed LSH/IVF candidate sets instead of all pairs)."""
+    """Embedding-cosine near-dup pairs — the 100-TB path: banded sign-LSH
+    candidate generation (map-only integer signing, per-bucket equi-join)
+    with exact-cosine verification on survivors only. No full O(n²)
+    self-join anywhere in the plan; the exact kernel survives as the
+    bounded verification baseline in near_dup_recall_audit.
+
+    16×3 banding holds recall ≈ 0.994 even at the deliberately weak test
+    threshold (0.45 — the synthetic corpus has no high-cos pairs; max
+    pair cosine at sf0.01 is 0.513). Candidate volume scales with the
+    threshold: at production near-dup thresholds (≥ 0.9) bucket collisions
+    are rare and the join is strongly subquadratic."""
+    from ..operators.similarity import cosine_lsh_pairs
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, "vec_id", "embedding", threshold=NEAR_DUP_COS)
+    return cosine_lsh_pairs(
+        emb, "vec_id", "embedding", dim=EMB_DIM, threshold=NEAR_DUP_COS,
+        bands=NEAR_DUP_BANDS, planes_per_band=NEAR_DUP_PLANES,
+    )
+
+
+@register(
+    "near_dup_recall_audit",
+    oracle=f"""
+    WITH {_QCTE},
+    {_banded_pairs_sql(NEAR_DUP_BANDS, NEAR_DUP_PLANES)},
+    {_EXACT_PAIRS_SQL}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(l.id_a) AS BIGINT) AS n_found,
+           CAST(COUNT(l.id_a) AS DOUBLE) / COUNT(*) AS recall
+    FROM exact_pairs e
+    LEFT JOIN lsh_pairs l ON e.id_a = l.id_a AND e.id_b = l.id_b
+    """,
+)
+def near_dup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the LSH near-dup path: the exact all-pairs kernel
+    (cosine_pairs — O(n²) BY DESIGN, the verification baseline) against
+    the banded-LSH pairs the production gate emits. At warehouse scale
+    this audit runs on a bounded sample, never the corpus; here the whole
+    corpus IS the sample. One row: exact-pair count, found count, recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_pairs(emb, "vec_id", "embedding", threshold=NEAR_DUP_COS).select(
+        "id_a", "id_b"
+    )
+    from ..operators.similarity import cosine_lsh_pairs
+
+    lsh = cosine_lsh_pairs(
+        emb, "vec_id", "embedding", dim=EMB_DIM, threshold=NEAR_DUP_COS,
+        bands=NEAR_DUP_BANDS, planes_per_band=NEAR_DUP_PLANES,
+    ).select("id_a", "id_b", F.lit(1).alias("found"))
+    return (
+        exact.join(lsh, ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("found").alias("n_found"),
+            (F.count("found").cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+    )
 
 
 def _ivf_oracle() -> str:
@@ -1233,33 +1339,10 @@ LSH_PLANES_PER_BAND = 4
 
 
 def _lsh_pairs_oracle() -> str:
-    from ..operators.similarity import lsh_hyperplanes
-
-    hps = lsh_hyperplanes(LSH_BANDS * LSH_PLANES_PER_BAND, EMB_DIM)
-
-    def bit(row):
-        lits = "[" + ", ".join(str(v) for v in row) + "]"
-        dot = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> q[i] * ({lits})[i]))"
-        return f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)"
-
-    band_selects = []
-    for b in range(LSH_BANDS):
-        pattern = " || ".join(
-            bit(hps[b * LSH_PLANES_PER_BAND + p]) for p in range(LSH_PLANES_PER_BAND)
-        )
-        band_selects.append(
-            f"SELECT vec_id, q, norm, {b} AS band, {pattern} AS pattern FROM qn"
-        )
-    bands = " UNION ALL ".join(band_selects)
-    pair_dot = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> a.q[i] * b.q[i]))"
     return f"""
     WITH {_QCTE},
-    bk AS ({bands})
-    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_cos_sql(pair_dot, 'a.norm', 'b.norm')} AS score
-    FROM bk a JOIN bk b
-      ON a.band = b.band AND a.pattern = b.pattern AND a.vec_id < b.vec_id
-    WHERE {_cos_sql(pair_dot, 'a.norm', 'b.norm')} >= {NEAR_DUP_COS}
+    {_banded_pairs_sql(LSH_BANDS, LSH_PLANES_PER_BAND)}
+    SELECT id_a, id_b, score FROM lsh_pairs
     """
 
 

@@ -77,7 +77,7 @@ def test_no_row_at_a_time_python(spark, name):
 # centroid tables (k·probes rows) fanned out map-only over the corpus,
 # and the one documented n² verification kernel
 INTENDED_CROSS = {
-    "embedding_near_dup_pairs",  # LSH candidates + exact verify (kernel documented)
+    "near_dup_recall_audit",  # exact O(n²) kernel BY DESIGN: the LSH recall baseline
     "knn_bruteforce_cosine",  # corpus × broadcast(probes)
     "ivf_centroid_assign",  # corpus × broadcast(centroids)
     "ann_ivf_topk",  # corpus × broadcast(centroids), lists × broadcast(probe-centroids)
