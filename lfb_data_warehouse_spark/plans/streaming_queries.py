@@ -19,7 +19,8 @@ from __future__ import annotations
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
 from ..streaming.ops import stream_session_agg, stream_windowed_agg
@@ -167,13 +168,28 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("stream_stateful_user_stats", oracle=None)
+@register(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
+           MAX(ts) AS last_seen
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): running
     per-user accumulators with event-time idle finalization, executed
-    for real through a memory sink. No oracle — the timeout/finalize
-    semantics are not expressible in batch SQL (the driver records the
-    weaker rows-only check)."""
+    for real through a memory sink.
+
+    The gate checks the running-stats VALUES against the batch groupBy
+    twin: each user's newest non-final emission must carry the full
+    count/sum/last-seen (the operator accumulates value in integer
+    ten-thousandths, so the sum is bit-identical to a decimal(18,4) SQL
+    sum). The idle-timeout/finalize path — not expressible in batch SQL
+    (watermark-relative) — is pinned by unit test instead
+    (test_streaming.py::test_stream_running_user_stats_stateful)."""
     from ..streaming.ops import stream_running_user_stats
 
     events, src = _stage_events(spark, sf_dir)
@@ -184,7 +200,17 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = out.writeStream.format("memory").queryName(name).outputMode("update").start()
         q.processAllAvailable()
         q.stop()
-    return spark.table(name)
+    sink = spark.table(name)
+    # newest update-mode emission per user (multi-batch runs emit one row
+    # per user per batch; finals replay the same totals with final=true)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("event_count").desc(), F.col("final").asc()
+    )
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_count", "value_sum", "last_seen")
+    )
 
 
 @register(

@@ -169,7 +169,10 @@ def stream_running_user_stats(
     out_schema = (
         f"{key_col} long, event_count long, value_sum double, last_seen timestamp, final boolean"
     )
-    state_schema = "count long, total double, last long"
+    # total accumulates in integer ten-thousandths: float summation
+    # order varies with Arrow batching, integer addition never does —
+    # keeps value_sum bit-identical to a decimal(18,4) SQL sum
+    state_schema = "count long, total long, last long"
 
     unit_ms = {"second": 1000, "minute": 60_000, "hour": 3_600_000}
     num, unit = idle_timeout.split()
@@ -184,16 +187,16 @@ def stream_running_user_stats(
                 {
                     key_col: [uid],
                     "event_count": [count],
-                    "value_sum": [total],
+                    "value_sum": [total / 10000.0],
                     "last_seen": [pd.Timestamp(last, unit="us")],
                     "final": [True],
                 }
             )
             return
-        count, total, last = state.get if state.exists else (0, 0.0, 0)
+        count, total, last = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             count += len(pdf)
-            total += float(pdf[value_col].sum())
+            total += int((pdf[value_col] * 10000).round().astype("int64").sum())
             batch_last_us = int(pdf[ts_col].astype("datetime64[us]").astype("int64").max())
             last = max(last, batch_last_us)
         state.update((count, total, last))
@@ -206,7 +209,7 @@ def stream_running_user_stats(
             {
                 key_col: [uid],
                 "event_count": [count],
-                "value_sum": [total],
+                "value_sum": [total / 10000.0],
                 "last_seen": [pd.Timestamp(last, unit="us")],
                 "final": [False],
             }
