@@ -33,10 +33,13 @@ from pyspark.sql import functions as F
 QUANT_SCALE = 10000
 
 
-def quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, q: array<bigint>, norm: bigint) — integer vector + self-dot."""
+def quantize(df: DataFrame, id_col: str, vec_col: str, keep: tuple = ()) -> DataFrame:
+    """(id, *keep, q: array<bigint>, norm: bigint) — integer vector +
+    self-dot. ``keep`` carries extra columns (e.g. a label) through the
+    map-only pass so downstream consumers never join back to the source
+    just to recover them."""
     q = F.transform(F.col(vec_col), lambda x: F.round(x.cast("double") * QUANT_SCALE).cast("long"))
-    out = df.select(F.col(id_col), q.alias("q"))
+    out = df.select(F.col(id_col), *[F.col(c) for c in keep], q.alias("q"))
     norm = F.aggregate(
         F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -148,24 +151,39 @@ def cosine_pairs(emb: DataFrame, id_col: str, vec_col: str, threshold: float) ->
     )
 
 
-def label_centroids(emb: DataFrame, id_col: str, vec_col: str, label_col: str) -> DataFrame:
+def label_centroids(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int | None = None,
+    quantized: DataFrame | None = None,
+) -> DataFrame:
     """Per-label centroid in quantized space: exact integer per-dimension
     sums → mean → re-quantized integer centroid (deterministic).
-    posexplode + two aggregations; dimension count is small (64)."""
-    q = quantize(emb, id_col, vec_col)
-    dims = q.select(F.col(id_col), F.posexplode(F.col("q")).alias("pos", "v")).join(
-        emb.select(F.col(id_col), F.col(label_col)), id_col
+
+    ONE hash aggregate with ``dim`` element_at sums — no posexplode (a
+    dim× row blow-up), no second shuffle, no collect_list/array_sort.
+    Map-side partial aggregation means each executor contributes one
+    partial row per label regardless of corpus size."""
+    if dim is None:
+        dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
+    q = quantized if quantized is not None else quantize(emb, id_col, vec_col)
+    if label_col in q.columns:  # label carried through quantize(keep=...)
+        ql = q
+    else:
+        ql = q.join(emb.select(F.col(id_col), F.col(label_col)), id_col)
+    sums = ql.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at("q", i + 1)).alias(f"_s{i}") for i in range(dim)],
     )
-    per_dim = dims.groupBy(label_col, "pos").agg(
-        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    cq = F.array(
+        *[
+            F.round(F.col(f"_s{i}").cast("double") / F.col("n")).cast("long")
+            for i in range(dim)
+        ]
     )
-    cq = F.round(F.col("s").cast("double") / F.col("n")).cast("long")
-    per_dim = per_dim.select(F.col(label_col), "pos", cq.alias("cv"))
-    collected = per_dim.groupBy(label_col).agg(
-        F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs")
-    )
-    centroid = F.transform(F.col("pairs"), lambda p: p.getField("cv"))
-    out = collected.select(F.col(label_col).alias("centroid_label"), centroid.alias("cq"))
+    out = sums.select(F.col(label_col).alias("centroid_label"), cq.alias("cq"))
     cnorm = F.aggregate(
         F.zip_with(F.col("cq"), F.col("cq"), lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -181,32 +199,44 @@ def ivf_assign(
     label_col: str,
     cents: DataFrame | None = None,
     quantized: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF building block: assign each vector to its nearest label
     centroid by cosine. Centroids are broadcast (num_partitions rows);
-    assignment is a map-only argmax per vector. Callers that already
-    quantized the corpus / built the centroids (ivf_topk) pass them in
-    instead of paying the posexplode aggregation twice."""
+    assignment is a map-only score fan-out + a max_by aggregate (partial
+    on the map side — no window sort, no per-id row_number shuffle).
+    Callers that already quantized the corpus / built the centroids
+    (ivf_topk) pass them in instead of paying the aggregation twice."""
     if quantized is None:
-        quantized = quantize(emb, id_col, vec_col)
-    q = quantized.join(emb.select(F.col(id_col), F.col(label_col)), id_col)
+        quantized = quantize(emb, id_col, vec_col, keep=(label_col,))
+    if label_col in quantized.columns:
+        q = quantized
+    else:
+        q = quantized.join(emb.select(F.col(id_col), F.col(label_col)), id_col)
     if cents is None:
-        cents = label_centroids(emb, id_col, vec_col, label_col)
+        cents = label_centroids(emb, id_col, vec_col, label_col, dim=dim, quantized=q)
     scored = q.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(label_col),
         F.col("centroid_label"),
         _cosine(_dot(F.col("q"), F.col("cq")), F.col("norm"), F.col("cnorm")).alias("score"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("centroid_label").asc())
+    # deterministic argmax: highest score, then smallest centroid label
+    pick = F.max_by(
+        F.struct(
+            F.col("centroid_label").alias("assigned_label"),
+            F.col("score").alias("centroid_score"),
+        ),
+        F.struct(F.col("score").alias("s"), (-F.col("centroid_label")).alias("nl")),
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy(id_col, label_col)
+        .agg(pick.alias("_b"))
         .select(
             F.col(id_col),
             F.col(label_col),
-            F.col("centroid_label").alias("assigned_label"),
-            F.col("score").alias("centroid_score"),
+            F.col("_b.assigned_label").alias("assigned_label"),
+            F.col("_b.centroid_score").alias("centroid_score"),
         )
     )
 
@@ -219,6 +249,7 @@ def ivf_topk(
     probe_ids,
     k: int,
     nprobe: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: each probe searches only the inverted lists
     of its ``nprobe`` nearest centroids instead of the whole corpus.
@@ -231,14 +262,30 @@ def ivf_topk(
     Recall < 1 by construction (vectors in unprobed lists are unseen);
     the deterministic quantized arithmetic keeps it oracle-checkable.
     """
-    q = quantize(emb, id_col, vec_col)
-    cents = label_centroids(emb, id_col, vec_col, label_col)
-    inv = ivf_assign(emb, id_col, vec_col, label_col, cents=cents, quantized=q).select(
-        F.col(id_col).alias("neighbor_id"), "assigned_label"
+    q = quantize(emb, id_col, vec_col, keep=(label_col,))
+    cents = label_centroids(emb, id_col, vec_col, label_col, dim=dim, quantized=q)
+    # inverted list built inline: one broadcast fan-out + one max_by
+    # aggregate whose payload carries (q, norm) — no join back to the
+    # corpus to recover vectors
+    iscored = q.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("centroid_label"),
+        F.col("q"),
+        F.col("norm"),
+        _cosine(_dot(F.col("q"), F.col("cq")), F.col("norm"), F.col("cnorm")).alias("cscore"),
     )
-    inv = inv.join(
-        q.select(F.col(id_col).alias("neighbor_id"), F.col("q").alias("nq"), F.col("norm").alias("nn")),
-        "neighbor_id",
+    ipick = F.max_by(
+        F.struct(
+            F.col("centroid_label").alias("assigned_label"),
+            F.col("q").alias("nq"),
+            F.col("norm").alias("nn"),
+        ),
+        F.struct(F.col("cscore").alias("s"), (-F.col("centroid_label")).alias("nl")),
+    )
+    inv = (
+        iscored.groupBy("neighbor_id")
+        .agg(ipick.alias("_b"))
+        .select("neighbor_id", "_b.assigned_label", "_b.nq", "_b.nn")
     )
     probes = q.filter(F.col(id_col).isin(list(probe_ids))).select(
         F.col(id_col).alias("probe_id"), F.col("q").alias("pq"), F.col("norm").alias("pnorm")

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import sum_exact
 from ..sources.testdata import load_table
 from .queries import register
 
@@ -34,7 +35,8 @@ def _disc_price():
 
 
 def _sum_rev():
-    return F.sum(_disc_price().cast("decimal(18,4)")).cast("double")
+    # rides functions.exact long-scaled fast path (aggregate contexts only)
+    return sum_exact(_disc_price(), "decimal(18,4)")
 
 
 # ---------------------------------------------------------------------------
@@ -214,9 +216,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "n_name")
     )
-    profit = (
-        _disc_price() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
-    ).cast("decimal(18,4)")
+    profit = _disc_price() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     joined = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -224,7 +224,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(
         F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year")
-    ).agg(F.sum(profit).cast("double").alias("sum_profit"))
+    ).agg(sum_exact(profit, "decimal(18,4)").alias("sum_profit"))
 
 
 # ---------------------------------------------------------------------------

@@ -138,3 +138,39 @@ def test_mad_scrub_grouped_robust_to_planted_outliers(spark):
     # stat columns are constant per group and survive into the output
     med = {r["g"]: r["v_med"] for r in out.select("g", "v_med").distinct().collect()}
     assert med["a"] == 15.5 and med["b"] == 2.0
+
+
+def test_ansi_mode_pinned_for_long_sum_overflow(spark):
+    """functions.exact's long-accumulator fast path relies on ANSI mode
+    to turn a (pathological) long-sum overflow into a loud error
+    instead of a silent wrap. If this default ever flips, sum_exact
+    must switch its low-scale path to the wide accumulator."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
+def test_sum_exact_matches_decimal_formulation(spark):
+    """Fast path == decimal formulation, bit for bit, on on-grid data
+    (both accumulator widths)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.functions.exact import avg_exact, sum_exact
+
+    random.seed(7)
+    rows = [(i, round(random.uniform(-1e5, 1e5), 2)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    got = df.agg(
+        sum_exact("x").alias("s2"),
+        sum_exact("x", "decimal(18,4)").alias("s4"),
+        sum_exact("x", wide=True).alias("s2w"),
+        avg_exact("x").alias("a2"),
+    ).first()
+    want = df.agg(
+        F.sum(F.col("x").cast("decimal(18,2)")).cast("double").alias("s2"),
+        F.sum(F.col("x").cast("decimal(18,4)")).cast("double").alias("s4"),
+        (F.sum(F.col("x").cast("decimal(18,2)")).cast("double") / F.count("x")).alias("a2"),
+    ).first()
+    assert got.s2 == want.s2 == got.s2w
+    assert got.s4 == want.s4
+    assert got.a2 == want.a2

@@ -1,0 +1,525 @@
+"""Naive-baseline benchmark — makes the 2×-of-BASELINE criterion computable.
+
+BASELINE.md defines the baseline as "a straightforward single-pass
+PySpark implementation of each operator". This script times exactly
+that: for every headline query in bench.py, a naive twin written the
+way a first-pass user would — plain DataFrame calls, no broadcast
+hints, no bucketed as-of joins, no map-side HOF signatures, no
+IVF/numpy fast paths — in the SAME session as the engine run, so the
+comparison isolates plan/algorithm differences, not conf differences.
+
+Usage: python tools/baseline_bench.py  →  one JSON line
+  {"metric": "naive baseline wall-clock", "value": total,
+   "queries": {name: sec}, "sf": ...}
+
+Compare against bench.py's JSON: engine_sec / naive_sec ≤ 2.0 is the
+target for every query (most should be ≤ 1.0 — the engine should BEAT
+naive where it has a better algorithm).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lfb_data_warehouse_spark.functions.text import (
+    STOPWORDS,
+    salted_minhash,
+    shingles,
+    tokens,
+)
+from lfb_data_warehouse_spark.session import get_spark
+from lfb_data_warehouse_spark.sources.testdata import load_table
+
+DEC2 = "decimal(18,2)"
+DEC4 = "decimal(18,4)"
+
+
+# ---------------------------------------------------------------------------
+# Naive twins. Each mirrors the headline query's semantics with the
+# straightforward first-pass formulation.
+# ---------------------------------------------------------------------------
+
+
+def mart_per_month(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum("o_totalprice").alias("total_price"),
+            F.avg("o_totalprice").alias("avg_price"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+def mart_per_segment(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.countDistinct("o_custkey").alias("customer_count"),
+            F.sum("o_totalprice").alias("total_price"),
+            F.avg("o_totalprice").alias("avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+def pivot_priority_by_year(spark, sf_dir):
+    # naive pivot: no fixed value list → Spark runs a distinct-values
+    # pre-job before the pivot aggregate
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderpriority")
+        .agg(F.avg("o_totalprice"))
+    )
+
+
+def join_enrich_brand_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey, "left")
+        .groupBy(F.coalesce("p_brand", F.lit("Unknown")).alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("item_count"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+def window_trailing_30d(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    day_no = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(day_no).rangeBetween(-29, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum("o_totalprice").over(w).alias("trailing_30d_total"),
+        F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+    )
+
+
+def tpch_q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price).alias("sum_disc_price"),
+        F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.avg("l_extendedprice").alias("avg_price"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    # naive: chain every join, filter at the END (relies on Catalyst to
+    # push the predicates down), no broadcast hints
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("item_count"),
+    )
+
+
+def tpch_q18_large_volume(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).filter(F.col("q") > 150)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    # naive: plain inner join against the subquery instead of a semi join
+    j = (
+        o.join(big.select("l_orderkey"), o.o_orderkey == F.col("l_orderkey"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(li.select(F.col("l_orderkey").alias("lk"), "l_quantity"), F.col("o_orderkey") == F.col("lk"))
+    )
+    return j.groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice").agg(
+        F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+def flagship_star_fact(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    f = (
+        li.join(part, li.l_partkey == part.p_partkey, "left")
+        .join(o, li.l_orderkey == o.o_orderkey, "left")
+        .join(c, o.o_custkey == c.c_custkey, "left")
+        .join(n, c.c_nationkey == n.n_nationkey, "left")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return f.select(
+        F.sha2(F.concat_ws("|", "l_orderkey", "l_linenumber"), 256).alias("line_key"),
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce("p_brand", F.lit("Unknown")).alias("brand"),
+        F.coalesce("c_mktsegment", F.lit("Unknown")).alias("segment"),
+        F.coalesce("n_name", F.lit("Unknown")).alias("nation"),
+        F.year("o_orderdate").alias("order_year"),
+        rev.alias("revenue"),
+        (rev / F.col("l_quantity")).alias("revenue_per_unit"),
+    )
+
+
+def asof_nearest_purchase(spark, sf_dir):
+    # naive as-of: equi-join on user + |dt| range predicate — the whole
+    # purchase history of each user joins every click before the filter
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("c_ts")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    dt = F.abs(F.unix_micros("c_ts") - F.unix_micros("p_ts"))
+    j = clicks.join(
+        purch, (clicks.user_id == purch.p_user) & (dt <= 43_200_000_000), "inner"
+    )
+    w = Window.partitionBy("event_id").orderBy(dt.asc(), F.col("purchase_event_id").asc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "purchase_event_id", dt.alias("dt_us"), "purchase_value")
+    )
+
+
+def interval_join_purchase_clicks(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = clicks.join(
+        purch,
+        (clicks.user_id == purch.p_user)
+        & (F.unix_micros("c_ts") >= F.unix_micros("p_ts"))
+        & (F.unix_micros("c_ts") <= F.unix_micros("p_ts") + 7_200_000_000),
+    )
+    return j.groupBy("purchase_id", "user_id").agg(
+        F.count(F.lit(1)).alias("click_count"), F.min("click_id").alias("first_click_id")
+    )
+
+
+def salted_agg_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("event_count"),
+        F.sum("value").alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def tpch_q9_product_profit(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .filter(F.col("p_type") == "STANDARD")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(profit).alias("sum_profit")
+    )
+
+
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem").join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.max("l_shipdate").alias("max_ship"), F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    at_max = (
+        li.join(
+            per_order,
+            (F.col("l_orderkey") == F.col("po_orderkey")) & (F.col("l_shipdate") == F.col("max_ship")),
+        )
+        .select("l_orderkey", "l_suppkey", "n_supp")
+        .distinct()
+    )
+    blamed = (
+        at_max.filter(F.col("n_supp") > 1)
+        .groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("bk"), F.count(F.lit(1)).alias("n_at_max"))
+        .filter(F.col("n_at_max") == 1)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        blamed.join(s, F.col("bk") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+MINHASH_N, MINHASH_HASHES, MINHASH_BANDS, MINHASH_THRESHOLD = 2, 8, 4, 0.5
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    # naive minhash: explode shingles to rows and build signatures with a
+    # shuffle groupBy-min per hash (vs the engine's map-side HOF
+    # signatures), then band join + explode-join-groupBy Jaccard verify
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles(tokens("text"), MINHASH_N)).alias("ss")
+    )
+    e = sh.select("doc_id", F.explode("ss").alias("shingle"))
+    sig = e.groupBy("doc_id").agg(
+        # salted_minhash is already a min(...) aggregate expression
+        *[salted_minhash("shingle", i).alias(f"h{i}") for i in range(MINHASH_HASHES)]
+    )
+    rows = MINHASH_HASHES // MINHASH_BANDS
+    bands = None
+    for b in range(MINHASH_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[f"h{b * rows + r}" for r in range(rows)])).alias("bh"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("doc_id").alias("id_a"), "band", "bh")
+    bb = bands.select(F.col("doc_id").alias("id_b"), "band", "bh")
+    cand = (
+        a.join(bb, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+    ea = e.select(F.col("doc_id").alias("id_a"), "shingle")
+    eb = e.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(ea, "id_a").join(eb, ["id_b", "shingle"]).groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i"))
+    )
+    sz = sh.select("doc_id", F.size("ss").alias("sz"))
+    jac = F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i"))
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb")), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= MINHASH_THRESHOLD)
+    )
+
+
+def _naive_cosine_topk(spark, sf_dir, probe_ids, k):
+    # naive exact search: whole corpus × every probe, float arithmetic
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with("embedding", "embedding", lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    v = emb.select("vec_id", "embedding", norm.alias("nm"))
+    probes = v.filter(F.col("vec_id").isin(list(probe_ids))).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pv"), F.col("nm").alias("pnm")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "pv", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        v.crossJoin(probes)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot / (F.col("nm") * F.col("pnm"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_ivf_topk(spark, sf_dir):
+    # naive ANN baseline: no index — brute-force the whole corpus
+    return _naive_cosine_topk(spark, sf_dir, probe_ids=range(20), k=5)
+
+
+def knn_numpy_topk(spark, sf_dir):
+    # naive twin of the numpy fast path: same search, JVM expressions
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_ids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(100).collect()]
+    return _naive_cosine_topk(spark, sf_dir, probe_ids, k=10)
+
+
+def text_quality_stats(spark, sf_dir):
+    # naive: explode tokens and aggregate per doc (a shuffle of every
+    # token) instead of the engine's map-only array expressions
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.length("text").alias("chars"), tokens("text").alias("w"))
+    e = t.select("doc_id", "lang", "chars", F.explode("w").alias("tok"))
+    agg = e.groupBy("doc_id", "lang", "chars").agg(
+        F.count(F.lit(1)).alias("token_count"),
+        F.countDistinct("tok").alias("distinct_tokens"),
+        F.avg(F.length("tok")).alias("avg_token_len"),
+        (F.count(F.when(F.col("tok").isin(STOPWORDS), 1)).cast("double") / F.count(F.lit(1))).alias(
+            "stopword_ratio"
+        ),
+    )
+    return agg.select(
+        "doc_id",
+        "lang",
+        "token_count",
+        "distinct_tokens",
+        F.col("chars").alias("char_count"),
+        "avg_token_len",
+        "stopword_ratio",
+        (
+            (F.col("distinct_tokens").cast("double") / F.col("token_count"))
+            * (1 - F.col("stopword_ratio"))
+        ).alias("quality"),
+    )
+
+
+def c4_clean_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    gated = (
+        docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= 150))
+        .withColumn("w", w)
+        .withColumn("token_count", F.size("w"))
+        .filter(F.col("token_count") >= 30)
+        .withColumn(
+            "stop_ratio",
+            F.size(F.filter("w", lambda x: x.isin(STOPWORDS))).cast("double") / F.col("token_count"),
+        )
+        .filter(F.col("stop_ratio") <= 0.5)
+    )
+    # naive dedup: groupBy text-hash for the min survivor, join back
+    keep = gated.groupBy(F.sha2("text", 256).alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    return gated.join(keep, "doc_id").select(
+        "doc_id", "lang", "n_chars", "token_count", "stop_ratio"
+    )
+
+
+NAIVE = {
+    "flagship_star_fact": flagship_star_fact,
+    "asof_nearest_purchase": asof_nearest_purchase,
+    "interval_join_purchase_clicks": interval_join_purchase_clicks,
+    "salted_agg_events": salted_agg_events,
+    "tpch_q9_product_profit": tpch_q9_product_profit,
+    "tpch_q21_waiting_supplier": tpch_q21_waiting_supplier,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "ann_ivf_topk": ann_ivf_topk,
+    "text_quality_stats": text_quality_stats,
+    "c4_clean_documents": c4_clean_documents,
+    "mart_per_month": mart_per_month,
+    "mart_per_segment": mart_per_segment,
+    "pivot_priority_by_year": pivot_priority_by_year,
+    "join_enrich_brand_revenue": join_enrich_brand_revenue,
+    "window_trailing_30d": window_trailing_30d,
+    "tpch_q1_pricing_summary": tpch_q1_pricing_summary,
+    "tpch_q5_local_supplier_volume": tpch_q5_local_supplier_volume,
+    "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
+    "tpch_q18_large_volume": tpch_q18_large_volume,
+    "knn_numpy_topk": knn_numpy_topk,
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("baseline_bench")
+    # same warmup protocol as bench.py
+    spark.range(spark.sparkContext.defaultParallelism * 2).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, schema="id long").write.format("noop").mode("overwrite").save()
+    for fn in NAIVE.values():
+        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    timings: dict[str, float] = {}
+    for name, fn in NAIVE.items():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+    sf_tail = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "naive single-pass baseline wall-clock (noop-sink)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf_tail) if sf_tail.replace(".", "").isdigit() else -1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
