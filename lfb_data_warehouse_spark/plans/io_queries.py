@@ -20,6 +20,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import sum_exact
 from ..sources.testdata import load_table
 from .queries import SUM_DEC, register
 
@@ -104,7 +105,7 @@ def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(path)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("event_count"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        sum_exact(F.col("value"), "decimal(18,4)", wide=False).alias("total_value"),
         F.min(F.unix_micros("ts")).cast("long").alias("first_ts_us"),
     )
 
@@ -129,7 +130,7 @@ def csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(orders.schema).option("header", "true").csv(path)
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("order_count"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        sum_exact("o_totalprice").alias("total_price"),
         F.min(F.col("o_orderdate").cast("date")).alias("first_order_date"),
     )
 
@@ -190,7 +191,7 @@ def partition_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        sum_exact(F.col("value"), "decimal(18,4)", wide=False).alias("total_value"),
     )
 
 
@@ -220,7 +221,7 @@ def clustered_write_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        sum_exact("l_extendedprice").alias("total_price"),
     )
 
 
@@ -242,7 +243,7 @@ def partitioned_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
     return back.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        sum_exact(F.col("value"), "decimal(18,4)", wide=False).alias("total_value"),
     )
 
 
@@ -295,9 +296,9 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li_b.hint("merge").join(o_b, F.col("l_orderkey") == F.col("o_orderkey"))
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("line_count"),
-        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
-        .cast("double")
-        .alias("revenue"),
+        sum_exact(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "decimal(18,4)"
+        ).alias("revenue"),
     )
 
 
@@ -347,9 +348,7 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("order_count"),
         F.count("o_totalprice").alias("priced_rows"),
-        F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0)).cast("decimal(18,2)"))
-        .cast("double")
-        .alias("total_price"),
+        sum_exact(F.coalesce(F.col("o_totalprice"), F.lit(0))).alias("total_price"),
     )
 
 
@@ -386,7 +385,7 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(f"{path}/compacted")
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        sum_exact(F.col("value"), "decimal(18,4)", wide=False).alias("total_value"),
         F.countDistinct("event_id").alias("distinct_ids"),
     )
 
@@ -418,7 +417,7 @@ def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(path)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("line_count"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        sum_exact("l_extendedprice").alias("total_price"),
         F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
         F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
     )

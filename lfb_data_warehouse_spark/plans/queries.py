@@ -1039,7 +1039,7 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("event_count"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            sum_exact(F.col("value"), "decimal(18,4)", wide=False).alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -1077,7 +1077,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("event_count"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            sum_exact(F.col("value"), "decimal(18,4)", wide=False).alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -1229,7 +1229,7 @@ def try_cast_dirty_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count("p").alias("parsed"),
         (F.count(F.lit(1)) - F.count("p")).alias("rejected"),
-        F.sum(F.col("p").cast("decimal(18,2)")).cast("double").alias("parsed_total"),
+        sum_exact("p").alias("parsed_total"),
     )
 
 
@@ -1383,7 +1383,7 @@ def rollup_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("o_orderpriority", "order_year")
         .agg(
             F.count(F.lit(1)).alias("order_count"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+            sum_exact("o_totalprice").alias("total_price"),
         )
     )
 
@@ -2120,9 +2120,7 @@ def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("seg_or_null").eqNullSafe(F.lit(None)).cast("long")).alias(
             "nullsafe_null_matches"
         ),
-        F.sum(F.coalesce("bal_or_null", F.lit(0)).cast("decimal(18,2)"))
-        .cast("double")
-        .alias("bal_total"),
+        sum_exact(F.coalesce("bal_or_null", F.lit(0))).alias("bal_total"),
     )
 
 
@@ -2242,7 +2240,7 @@ def cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     return joined.cube("c_mktsegment", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("order_count"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        sum_exact("o_totalprice").alias("total_price"),
     )
 
 

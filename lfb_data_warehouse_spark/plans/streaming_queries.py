@@ -22,6 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import sum_exact
 from ..sources.testdata import load_table
 from ..streaming.ops import stream_session_agg, stream_windowed_agg
 from .queries import register
@@ -243,7 +244,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(
             F.count(F.lit(1)).alias("event_count"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            sum_exact(F.col("value"), "decimal(18,4)", wide=False).alias("total_value"),
         )
     )
     return _run_complete(out, "stream_dim")
@@ -292,5 +293,36 @@ def stream_upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("event_id").alias("distinct_ids"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        sum_exact(F.col("value"), "decimal(18,4)", wide=False).alias("total_value"),
     )
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup under at-least-once delivery, PROVEN in the gate:
+    the same file source is read as two streams and unioned — every
+    event arrives exactly twice — then ``stream_dedup`` (watermarked
+    dropDuplicates on the natural key) must swallow the second delivery
+    before the downstream aggregate. Two chained stateful operators
+    (dedup → agg) with watermark propagation; the oracle is the plain
+    distinct source aggregate, so any leaked duplicate breaks both the
+    counts and the sums."""
+    from ..streaming.ops import stream_dedup
+
+    events, src = _stage_events(spark, sf_dir)
+    s1 = spark.readStream.schema(events.schema).parquet(src)
+    s2 = spark.readStream.schema(events.schema).parquet(src)
+    doubled = s1.unionByName(s2)
+    deduped = stream_dedup(doubled, keys=["event_id"], ts_col="ts")
+    out = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        sum_exact(F.col("value"), "decimal(18,4)", wide=False).alias("total_value"),
+    )
+    return _run_complete(out, "stream_dedup")
