@@ -108,3 +108,18 @@ def avg_exact(col: Column | str, scale: str = DEC, wide: bool | None = None) -> 
     c = F.col(col) if isinstance(col, str) else col
     s = _grid_scale(scale)
     return _to_double(_scaled_total(c, s, wide), s) / F.count(c)
+
+
+def sum_scaled(col: Column | str, scale: str = DEC, wide: bool | None = None) -> Column:
+    """The PURE-AGGREGATE half of sum_exact: the exact integer total of
+    the grid-scaled values (DECIMAL). For contexts that demand a bare
+    aggregate expression — pivot aggregates — pair with :func:`unscale`
+    applied after the pivot."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _scaled_total(c, _grid_scale(scale), wide)
+
+
+def unscale(col: Column | str, scale: str = DEC) -> Column:
+    """Divide a sum_scaled total back to a correctly-rounded DOUBLE."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _to_double(c, _grid_scale(scale))

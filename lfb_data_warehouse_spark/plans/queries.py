@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.bucketing import NullPolicy, bucketize, bucketize_sql
-from ..functions.exact import avg_exact, sum_exact
+from ..functions.exact import avg_exact, sum_exact, sum_scaled, unscale
 from ..functions.keys import hash_key, hash_key_nullable, sentinel_row, with_hash_id
 from ..operators.agg import pivot_agg, rollup_mart
 from ..operators.checks import profile, referential_orphans
@@ -204,14 +204,16 @@ def pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         pivot_col="o_orderpriority",
         values=list(PRIORITIES),
         agg=F.struct(
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("s"),
+            # pivot demands bare aggregates: exact scaled total + count,
+            # divided back down after the pivot (functions.exact.unscale)
+            sum_scaled("o_totalprice").alias("s"),
             F.count("o_totalprice").alias("n"),
         ),
     )
     cols = [F.col("order_year")]
     for val, short in PRIORITIES.items():
         cols.append(
-            (F.col(f"`{val}`").getField("s") / F.col(f"`{val}`").getField("n")).alias(f"avg_{short}")
+            (unscale(F.col(f"`{val}`").getField("s")) / F.col(f"`{val}`").getField("n")).alias(f"avg_{short}")
         )
     return piv.select(*cols)
 
@@ -1327,7 +1329,7 @@ def unpivot_priority_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=["order_year"],
         pivot_col="o_orderpriority",
         values=keep,
-        agg=F.sum(F.col("o_totalprice").cast(DEC)).cast("double"),
+        agg=sum_exact("o_totalprice"),
     )
     stack_args = ", ".join(f"'{v}', `{v}`" for v in keep)
     long = wide.selectExpr(

@@ -6,11 +6,12 @@ views), then compares row count, column names, and values
 (order-insensitive, exact — including float bits, since the engine's
 aggregates are decimal-exact by design).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -45,8 +46,14 @@ def normalize(rows, columns):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from lfb_data_warehouse_spark.session import get_spark
@@ -69,10 +76,12 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            results[name] = {"ok": False, "error": f"spark: {e}"[:200]}
             print(f"FAIL {name}: spark error: {e}")
             continue
         sql = oracles.get(name)
         if sql is None:
+            results[name] = {"ok": True, "rows": len(s_rows), "rows_only": True}
             print(f"ok   {name}: rows={len(s_rows)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
             continue
         try:
@@ -81,6 +90,7 @@ def main() -> int:
             o_rows = cur.fetchall()
         except Exception as e:
             failures.append(name)
+            results[name] = {"ok": False, "error": f"duckdb: {e}"[:200]}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         ok = True
@@ -103,8 +113,21 @@ def main() -> int:
             print(f"ok   {name}: rows={len(s_rows)} [{time.time()-t0:.1f}s]")
         else:
             failures.append(name)
+        results[name] = {
+            "ok": ok,
+            "rows": len(s_rows),
+            "oracle_rows": len(o_rows),
+            "secs": round(time.time() - t0, 2),
+        }
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n_ok": len(results) - len(failures),
+                 "n_fail": len(failures), "queries": results},
+                f, indent=1,
+            )
     return 1 if failures else 0
 
 
