@@ -72,14 +72,14 @@ def main() -> None:
         globals()[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
-    # best-of-2 per query: single-shot numbers on a shared box swing up
+    # best-of-3 per query: single-shot numbers on a shared box swing up
     # to 2× from neighbor noise; the min is the reproducible cost
     timings: dict[str, float] = {}
     runners = {name: REGISTRY[name].fn for name in names}
     runners.update({name: globals()[name] for name in EXTRA_BENCH})
     for name, fn in runners.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

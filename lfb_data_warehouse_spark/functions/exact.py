@@ -123,3 +123,12 @@ def unscale(col: Column | str, scale: str = DEC) -> Column:
     """Divide a sum_scaled total back to a correctly-rounded DOUBLE."""
     c = F.col(col) if isinstance(col, str) else col
     return _to_double(c, _grid_scale(scale))
+
+
+def scale_to_long(col: Column | str, scale: str = DEC) -> Column:
+    """The PER-ROW half of sum_exact: grid-scale a value to a plain
+    LONG (HALF_UP for on-grid inputs). For multi-phase aggregations
+    that sum outside a single agg call — salted two-phase aggregation —
+    sum the longs in every phase and :func:`unscale` the final total."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _scale_to_long(c, _grid_scale(scale))

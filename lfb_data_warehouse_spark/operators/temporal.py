@@ -94,16 +94,31 @@ def nearest_within(
     left_key: str | None = None,
     right_tiebreak: str | None = None,
     how: str = "inner",
+    direction: str = "nearest",
 ) -> DataFrame:
     """For each left row, attach the right row whose ``right_ts`` is
-    nearest to ``left_ts`` within ±``tolerance_sec`` (optionally also
+    nearest to ``left_ts`` within ``tolerance_sec`` (optionally also
     matching equality keys ``on``).
+
+    ``direction`` selects the standard ASOF-join variants (kdb/QuestDB/
+    pandas ``merge_asof`` semantics):
+
+    - ``'nearest'``  — closest match on either side (±tolerance);
+    - ``'backward'`` — latest right row at-or-before ``left_ts``
+      (within tolerance) — the classic "state as of event time";
+    - ``'forward'``  — earliest right row at-or-after ``left_ts``.
+
+    Directional variants replicate probes into TWO buckets, not three
+    (the match window spans at most two tolerance-sized buckets), so
+    they shuffle 2/3 of the nearest variant's probe volume.
 
     ``left_key`` identifies left rows for the top-1 window (defaults to
     all of ``on`` + left_ts, but a unique id column is better);
     ``right_tiebreak`` breaks |Δt| ties deterministically.
     ``how='left'`` keeps unmatched left rows (right columns NULL).
     """
+    if direction not in ("nearest", "backward", "forward"):
+        raise ValueError(f"direction must be nearest|backward|forward, got {direction!r}")
     tol_us = int(tolerance_sec) * 1_000_000
     lcols = list(left.columns)
     rcols = list(right.columns)
@@ -126,16 +141,28 @@ def nearest_within(
     )
     base_bucket = F.floor(F.col("__l_us") / F.lit(tol_us))
     # replicate probes into neighbor buckets (reference does this with two
-    # unions, load_fact.py:242-256; explode keeps it one pass)
-    probe = probe.withColumn(
-        "__bucket", F.explode(F.array(base_bucket - 1, base_bucket, base_bucket + 1))
-    )
+    # unions, load_fact.py:242-256; explode keeps it one pass); a
+    # directional window spans at most two buckets
+    if direction == "backward":
+        neighbor = F.array(base_bucket - 1, base_bucket)
+    elif direction == "forward":
+        neighbor = F.array(base_bucket, base_bucket + 1)
+    else:
+        neighbor = F.array(base_bucket - 1, base_bucket, base_bucket + 1)
+    probe = probe.withColumn("__bucket", F.explode(neighbor))
 
     join_keys = list(on) + ["__bucket"]
+    delta = F.col("__l_us") - F.col("__r_us")  # >0 ⇒ right is earlier
+    if direction == "backward":
+        in_window = (delta >= 0) & (delta <= F.lit(tol_us))
+    elif direction == "forward":
+        in_window = (delta <= 0) & (-delta <= F.lit(tol_us))
+    else:
+        in_window = F.abs(delta) <= F.lit(tol_us)
     matched = (
         probe.join(build, on=join_keys, how="inner")
-        .withColumn("__dt_us", F.abs(F.col("__l_us") - F.col("__r_us")))
-        .filter(F.col("__dt_us") <= F.lit(tol_us))
+        .withColumn("__dt_us", F.abs(delta))
+        .filter(in_window)
     )
 
     part_cols: list[str | Column]

@@ -548,6 +548,138 @@ def incremental_new_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_merge_orders",
+    oracle="""
+    WITH snap AS (
+        SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, o_orderpriority
+        FROM orders
+    ), ch AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               o_totalprice + 1000.0 AS o_totalprice, o_orderpriority,
+               CAST(1 AS BIGINT) AS seq, 'U' AS op
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               o_totalprice + 500.0, o_orderpriority, 1, 'U'
+        FROM orders WHERE o_orderkey % 10 = 5
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               o_totalprice + 900.0, o_orderpriority, 2, 'U'
+        FROM orders WHERE o_orderkey % 10 = 5
+        UNION ALL
+        SELECT o_orderkey, NULL, NULL, NULL, NULL, 1, 'D'
+        FROM orders WHERE o_orderkey % 10 = 7
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, o_orderdate,
+               99.99, '9-BACKFILL', 1, 'I'
+        FROM orders WHERE o_orderkey % 10 = 9
+    ), latest AS (
+        SELECT * FROM ch
+        QUALIFY row_number() OVER (
+            PARTITION BY o_orderkey
+            ORDER BY seq DESC, CASE WHEN op = 'D' THEN 1 ELSE 0 END DESC, op
+        ) = 1
+    )
+    SELECT s.o_orderkey, s.o_custkey, s.o_orderdate, s.o_totalprice, s.o_orderpriority
+    FROM snap s
+    WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = s.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, o_orderpriority
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (Delta ``MERGE INTO`` semantics, no Delta needed): a
+    deterministic change batch — updates (keys ≡3 mod 10), conflicting
+    same-key updates where the higher sequence must win (≡5), deletes
+    (≡7), inserts of brand-new keys (≡9 shifted) — applied to the
+    orders snapshot via ``operators/cdc.py``. The snapshot is never
+    shuffled: latest-per-key windows the BATCH only, and the snapshot
+    sees one broadcast anti-join plus a union."""
+    from ..operators.cdc import apply_changes
+
+    cols = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "o_orderpriority"]
+    snap = load_table(spark, sf_dir, "orders").select(*cols)
+
+    def batch(mod: int, price_delta, seq: int, op: str) -> DataFrame:
+        src = snap.filter(F.col("o_orderkey") % 10 == mod)
+        if op == "D":
+            return src.select(
+                "o_orderkey",
+                *[F.lit(None).cast(snap.schema[c].dataType).alias(c) for c in cols[1:]],
+                F.lit(seq).cast("long").alias("seq"),
+                F.lit(op).alias("op"),
+            )
+        if op == "I":
+            return src.select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_custkey",
+                "o_orderdate",
+                F.lit(99.99).alias("o_totalprice"),
+                F.lit("9-BACKFILL").alias("o_orderpriority"),
+                F.lit(seq).cast("long").alias("seq"),
+                F.lit(op).alias("op"),
+            )
+        return src.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            (F.col("o_totalprice") + F.lit(price_delta)).alias("o_totalprice"),
+            "o_orderpriority",
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    changes = (
+        batch(3, 1000.0, 1, "U")
+        .unionByName(batch(5, 500.0, 1, "U"))
+        .unionByName(batch(5, 900.0, 2, "U"))
+        .unionByName(batch(7, None, 1, "D"))
+        .unionByName(batch(9, None, 1, "I"))
+    )
+    return apply_changes(snap, changes, keys=["o_orderkey"], seq_col="seq", op_col="op")
+
+
+@register(
+    "bloom_semijoin_revenue",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           COUNT(*) AS line_count,
+           {SUM_DEC.format(x='l_extendedprice')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
+    GROUP BY 1
+    """,
+)
+def bloom_semijoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit runtime bloom filter (operators/bloomjoin.py): the
+    selective dimension subquery (urgent 1995 orders, ~0.5% of keys)
+    builds a broadcast bitmap; the fact scan discards non-partner rows
+    map-side BEFORE the join shuffle, then the exact join removes the
+    bounded false-positive tail. Same algebra Spark's InjectRuntimeFilter
+    applies when thresholds allow; here it is explicit, always-on, and
+    built from public expressions only."""
+    from ..operators.bloomjoin import bloom_build, bloom_prune
+
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderpriority") == "1-URGENT") & (F.year("o_orderdate") == 1995))
+        .select("o_orderkey", "o_orderdate")
+    )
+    bloom = bloom_build(dim, "o_orderkey", nbits=1 << 17)
+    fact = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    pruned = bloom_prune(fact, bloom, "l_orderkey", nbits=1 << 17)
+    return (
+        pruned.join(dim, pruned.l_orderkey == dim.o_orderkey)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            sum_exact("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
 _FK_PAIRS = [
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem", "l_partkey", "part", "p_partkey"),
@@ -844,6 +976,55 @@ def asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_backward_last_click",
+    oracle="""
+    SELECT event_id, user_id, click_event_id, dt_us
+    FROM (
+        SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS dt_us,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY epoch_us(p.ts) - epoch_us(c.ts), c.event_id) AS rn
+        FROM events p
+        JOIN events c
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click'
+         AND epoch_us(c.ts) <= epoch_us(p.ts)
+         AND epoch_us(p.ts) - epoch_us(c.ts) <= 7200000000
+        WHERE p.event_type = 'purchase'
+    ) WHERE rn = 1
+    """,
+)
+def asof_backward_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional (backward) ASOF join — pandas merge_asof / kdb aj
+    semantics: each purchase attributed to the user's LATEST click
+    at-or-before it, within a 2h window. Same bucketed equi-join shape
+    as the nearest variant but probes replicate into only two buckets
+    (the backward window spans at most two), so it shuffles 2/3 of the
+    probe volume. Ties on Δt break on smallest click id."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click")
+    matched = nearest_within(
+        purchases,
+        clicks,
+        left_ts="ts",
+        right_ts="ts",
+        tolerance_sec=7200,
+        on=["user_id"],
+        left_key="event_id",
+        right_tiebreak="right_event_id",
+        direction="backward",
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        F.col("right_event_id").alias("click_event_id"),
+        F.col("nearest_dt_us").alias("dt_us"),
+    )
+
+
+@register(
     "interval_join_purchase_clicks",
     headline=True,
     oracle="""
@@ -1107,17 +1288,23 @@ def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     over 100k+ rows — the canonical hot-key shape. The salted plan
     shards each type over 16 reducers then recombines; the oracle is the
     plain GROUP BY (salting must be output-invariant)."""
+    from ..functions.exact import scale_to_long, unscale
     from ..operators.skew import salted_agg
 
+    # exact sum rides the scaled-long fast path THROUGH both salt
+    # phases: per-row grid-scale to LONG, plain long sums in the salted
+    # partial and the recombine, one decimal division at the very end
+    # (values <=1e3 at 4dp -> 1e7 scaled units/row; long headroom ~9e11
+    # rows per (type, salt) shard)
     events = load_table(spark, sf_dir, "events").withColumn(
-        "value_dec", F.col("value").cast("decimal(18,4)")
+        "value_s", scale_to_long(F.col("value"), "decimal(18,4)")
     )
     out = salted_agg(
         events,
         keys=["event_type"],
         measures=[
             ("value", "count", "event_count"),
-            ("value_dec", "sum", "total_value"),
+            ("value_s", "sum", "total_s"),
             ("value", "min", "min_value"),
             ("value", "max", "max_value"),
         ],
@@ -1127,7 +1314,7 @@ def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         F.col("event_count").cast("long").alias("event_count"),
-        F.col("total_value").cast("double").alias("total_value"),
+        unscale(F.col("total_s"), "decimal(18,4)").alias("total_value"),
         F.col("min_value").cast("double").alias("min_value"),
         F.col("max_value").cast("double").alias("max_value"),
     )

@@ -369,3 +369,79 @@ def test_pack_sequences_matches_naive_window(spark):
     # small: starts 0, 5, 4101 -> packs 0, 0, 2
     small = {r.doc_id: r.pack_id for r in got.filter(F.col("source") == "small").collect()}
     assert small == {0: 0, 1: 0, 2: 2}
+
+
+def test_asof_directional_variants(spark):
+    """backward = latest at-or-before; forward = earliest at-or-after;
+    both within tolerance, both bounded to two buckets."""
+    from lfb_data_warehouse_spark.operators.temporal import nearest_within
+
+    left = spark.createDataFrame([(1, ts("2024-01-01 12:00:00"))], "id int, lts timestamp")
+    right = spark.createDataFrame(
+        [(101, ts("2024-01-01 11:00:00")),   # 1h before
+         (102, ts("2024-01-01 11:30:00")),   # 30min before  <- backward match
+         (103, ts("2024-01-01 12:10:00")),   # 10min after   <- forward match (and nearest)
+         (104, ts("2024-01-01 13:00:00"))],
+        "rid int, rts timestamp",
+    )
+    kw = dict(left_ts="lts", right_ts="rts", tolerance_sec=3600,
+              left_key="id", right_tiebreak="rid")
+    back = nearest_within(left, right, direction="backward", **kw).collect()
+    fwd = nearest_within(left, right, direction="forward", **kw).collect()
+    near = nearest_within(left, right, direction="nearest", **kw).collect()
+    assert back[0]["rid"] == 102  # latest earlier row, NOT the nearest overall
+    assert fwd[0]["rid"] == 103
+    assert near[0]["rid"] == 103
+    # an exactly-equal timestamp matches in both directions
+    right2 = spark.createDataFrame([(201, ts("2024-01-01 12:00:00"))], "rid int, rts timestamp")
+    assert nearest_within(left, right2, direction="backward", **kw).collect()[0]["rid"] == 201
+    assert nearest_within(left, right2, direction="forward", **kw).collect()[0]["rid"] == 201
+
+
+def test_cdc_apply_changes_semantics(spark):
+    """latest-seq wins; deletes remove; inserts add; untouched pass
+    through; replay is idempotent."""
+    from lfb_data_warehouse_spark.operators.cdc import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    ch = spark.createDataFrame(
+        [(2, "b2", 25.0, 1, "U"), (2, "b3", 26.0, 2, "U"),
+         (3, None, None, 1, "D"),
+         (4, "d", 40.0, 1, "I")],
+        "k int, name string, v double, seq int, op string",
+    )
+    out = apply_changes(snap, ch, keys=["k"], seq_col="seq")
+    got = {r["k"]: (r["name"], r["v"]) for r in out.collect()}
+    assert got == {1: ("a", 10.0), 2: ("b3", 26.0), 4: ("d", 40.0)}
+    # replaying the batch onto the result changes nothing (idempotent)
+    again = apply_changes(out, ch, keys=["k"], seq_col="seq")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+    # same-sequence delete/upsert tie: delete wins (conservative)
+    tie = spark.createDataFrame(
+        [(1, "x", 1.0, 5, "U"), (1, None, None, 5, "D")],
+        "k int, name string, v double, seq int, op string",
+    )
+    assert 1 not in {r["k"] for r in apply_changes(snap, tie, ["k"], "seq").collect()}
+
+
+def test_bloom_prune_keeps_all_partners(spark):
+    """No false negatives ever; false-positive rate within the bloom
+    bound; empty build side prunes everything it can (all-zero bitmap
+    passes nothing)."""
+    from lfb_data_warehouse_spark.operators.bloomjoin import bloom_build, bloom_prune
+
+    dim = spark.range(0, 500).selectExpr("id * 7 as k")
+    fact = spark.range(0, 50000).selectExpr("id % 5000 as fk")
+    bloom = bloom_build(dim, "k", nbits=1 << 15)
+    pruned = bloom_prune(fact, bloom, "fk", nbits=1 << 15)
+    true_partners = fact.join(dim.hint("broadcast"), fact.fk == dim.k, "left_semi")
+    # every true partner survives the filter
+    assert true_partners.subtract(pruned.select("fk")).count() == 0
+    # fp rate ≤ a loose 5% of non-partners (expect ~(1-e^{-kn/m})^k ≈ 0.3%)
+    n_true, n_pruned = true_partners.count(), pruned.count()
+    assert (n_pruned - n_true) <= 0.05 * (50000 - n_true)
+    # empty build side → nothing passes
+    empty = bloom_build(dim.filter("k < 0"), "k", nbits=1 << 15)
+    assert bloom_prune(fact, empty, "fk", nbits=1 << 15).count() == 0

@@ -502,7 +502,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in NAIVE.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
