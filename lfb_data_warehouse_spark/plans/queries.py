@@ -642,6 +642,62 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "reconcile_order_snapshots",
+    oracle=f"""
+    WITH yday AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+    ), today AS (
+        SELECT o_orderkey,
+               o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 10.0 ELSE 0.0 END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ), diff AS (
+        SELECT COALESCE(y.o_orderkey, t.o_orderkey) AS o_orderkey,
+               CASE WHEN y.o_orderkey IS NULL THEN 'added'
+                    WHEN t.o_orderkey IS NULL THEN 'removed'
+                    WHEN y.o_totalprice <> t.o_totalprice THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COALESCE(abs(t.o_totalprice - y.o_totalprice), 0.0) AS drift
+        FROM yday y FULL OUTER JOIN today t ON y.o_orderkey = t.o_orderkey
+    )
+    SELECT status, COUNT(*) AS key_count,
+           {SUM_DEC.format(x='drift')} AS total_drift
+    FROM diff GROUP BY 1
+    """,
+)
+def reconcile_order_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: FULL OUTER join of two table versions on
+    the natural key, each row classified added / removed / changed /
+    unchanged, with the absolute value drift summed per class. The one
+    shuffle (both sides on the key) is irreducible for a full diff;
+    with both snapshots bucket-written on the key it disappears (the
+    engine proves that layout in ``bucketed_join_colocated``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    yday = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("y_key"), F.col("o_totalprice").alias("y_price")
+    )
+    today = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("t_key"),
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 5 == 0, F.lit(10.0)).otherwise(F.lit(0.0))
+        ).alias("t_price"),
+    )
+    diff = yday.join(today, yday.y_key == today.t_key, "full_outer").select(
+        F.when(F.col("y_key").isNull(), "added")
+        .when(F.col("t_key").isNull(), "removed")
+        .when(F.col("y_price") != F.col("t_price"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce(F.abs(F.col("t_price") - F.col("y_price")), F.lit(0.0)).alias("drift"),
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("key_count"),
+        sum_exact("drift").alias("total_drift"),
+    )
+
+
+@register(
     "bloom_semijoin_revenue",
     oracle=f"""
     SELECT strftime(o_orderdate, '%Y-%m') AS ym,

@@ -87,6 +87,7 @@ INTENDED_CROSS = {
     "tpch_q11_important_parts",  # per_part × broadcast(1-row scoped total)
     "tpch_q15_top_supplier",  # revenue × broadcast(1-row max aggregate)
     "gap_fill_daily_revenue",  # day spine × broadcast(segment list) — both tiny
+    "bloom_semijoin_revenue",  # fact × broadcast(1-row bloom bitmap) — bytes, not rows
 }
 
 
@@ -159,3 +160,28 @@ def test_flagship_broadcasts_only_fixed_dims(spark):
     analyzed = df._jdf.queryExecution().analyzed().toString()
     hints = [l for l in analyzed.splitlines() if "ResolvedHint" in l]
     assert len(hints) == 1, f"expected exactly 1 forced broadcast (nation): {hints}"
+
+
+def test_cdc_snapshot_anti_join_broadcasts(spark):
+    """The CDC merge must touch the snapshot with a broadcast anti-join
+    (the batch's winning keys), never shuffle the snapshot itself."""
+    p = get_plan(spark, "cdc_merge_orders")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p[:500]
+
+
+def test_bloom_prune_scans_only_needed_columns(spark):
+    """The bloom-pruned fact scan reads exactly the join key + measure;
+    the bitmap side reaches the fact as a 1-row broadcast."""
+    p = get_plan(spark, "bloom_semijoin_revenue")
+    scans = [l for l in p.splitlines() if "ReadSchema" in l and "l_orderkey" in l]
+    assert scans, "no lineitem scan found"
+    assert all(
+        "l_extendedprice" in s and "l_quantity" not in s and "l_shipdate" not in s
+        for s in scans
+    ), scans
+
+
+def test_asof_backward_stays_bucketed(spark):
+    p = get_plan(spark, "asof_backward_last_click")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
