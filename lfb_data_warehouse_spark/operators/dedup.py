@@ -24,7 +24,7 @@ reproducible on any engine (see functions.text).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import HEX_HIGH, shingles, tokens
@@ -279,14 +279,19 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 
         F.col(id_col), F.transform(ws, lambda t: F.md5(t)).alias("__md5s")
     ).filter(F.size("__md5s") > 0)
 
-    def bit_sum(j: int) -> Column:
-        digits = HEX_HIGH
-        return F.aggregate(
-            F.col("__md5s"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.substring(h, j + 1, 1).isin(digits), 1).otherwise(-1),
+    # The whole bits-wide fingerprint as ONE parsed SQL expression: the
+    # Python-API formulation pays a py4j round-trip per Column object
+    # (~5 per lambda-built aggregate × 32 bits of pure driver latency);
+    # one string parses JVM-side in a single call.
+    digits = ", ".join(f"'{d}'" for d in HEX_HIGH)
+
+    def bit_sum(j: int) -> str:
+        return (
+            "aggregate(__md5s, 0, (acc, h) -> acc + "
+            f"(CASE WHEN substring(h, {j + 1}, 1) IN ({digits}) THEN 1 ELSE -1 END))"
         )
 
-    bit_chars = [F.when(bit_sum(j) > 0, "1").otherwise("0") for j in range(bits)]
-    return md5s.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))
+    bit_chars = ",".join(
+        f"(CASE WHEN {bit_sum(j)} > 0 THEN '1' ELSE '0' END)" for j in range(bits)
+    )
+    return md5s.select(F.col(id_col), F.expr(f"concat({bit_chars})").alias("simhash"))

@@ -173,23 +173,27 @@ def label_centroids(
         ql = q
     else:
         ql = q.join(emb.select(F.col(id_col), F.col(label_col)), id_col)
-    sums = ql.groupBy(label_col).agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.element_at("q", i + 1)).alias(f"_s{i}") for i in range(dim)],
-    )
-    cq = F.array(
-        *[
-            F.round(F.col(f"_s{i}").cast("double") / F.col("n")).cast("long")
+    # One SQL string for the whole dim-wide aggregate: building 2·dim
+    # Column objects through the Python API costs a py4j round-trip per
+    # expression (~1.3 s of pure driver time at dim=64, dwarfing the
+    # executor work on any corpus); a single parsed expr is one call.
+    cq_sql = "array({}) AS cq".format(
+        ",".join(
+            f"CAST(round(CAST(SUM(element_at(q, {i + 1})) AS DOUBLE) / COUNT(1)) AS BIGINT)"
             for i in range(dim)
-        ]
+        )
     )
-    out = sums.select(F.col(label_col).alias("centroid_label"), cq.alias("cq"))
-    cnorm = F.aggregate(
-        F.zip_with(F.col("cq"), F.col("cq"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    out = (
+        ql.groupBy(label_col)
+        .agg(F.expr(cq_sql))
+        .select(F.col(label_col).alias("centroid_label"), "cq")
     )
-    return out.withColumn("cnorm", cnorm)
+    return out.withColumn(
+        "cnorm",
+        F.expr(
+            "aggregate(zip_with(cq, cq, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ),
+    )
 
 
 def ivf_assign(
@@ -357,21 +361,30 @@ def cosine_lsh_pairs(
     hps = lsh_hyperplanes(bands * planes_per_band, dim)
     q = quantize(emb, id_col, vec_col)
 
-    def sign_bit(row: list[int]):
-        plane = F.array(*[F.lit(v) for v in row])
-        return F.when(_dot(F.col("q"), plane) > 0, "1").otherwise("0")
+    # Entire signing stage as ONE parsed SQL expression: the Python-API
+    # formulation materializes bands·planes·dim literal Columns (~1k py4j
+    # round-trips at 16×64) before Catalyst ever sees the plan; a string
+    # parses JVM-side in one call and produces the identical expressions.
+    def sign_bit(row: list[int]) -> str:
+        plane = "array({})".format(",".join(str(v) for v in row))
+        dot = (
+            f"aggregate(zip_with(q, {plane}, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        return f"(CASE WHEN {dot} > 0 THEN '1' ELSE '0' END)"
 
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat(
-                *[sign_bit(hps[b * planes_per_band + p]) for p in range(planes_per_band)]
-            ).alias("pattern"),
+    band_structs = ",".join(
+        "struct({b} AS band, concat({bits}) AS pattern)".format(
+            b=b,
+            bits=",".join(
+                sign_bit(hps[b * planes_per_band + p]) for p in range(planes_per_band)
+            ),
         )
         for b in range(bands)
-    ]
+    )
     banded = q.select(
-        F.col(id_col), F.col("q"), F.col("norm"), F.explode(F.array(*band_structs)).alias("bk")
+        F.col(id_col), F.col("q"), F.col("norm"),
+        F.explode(F.expr(f"array({band_structs})")).alias("bk"),
     ).select(id_col, "q", "norm", F.col("bk.band").alias("band"), F.col("bk.pattern").alias("pattern"))
     a = banded.select(
         "band", "pattern", F.col(id_col).alias("id_a"), F.col("q").alias("qa"), F.col("norm").alias("na")
