@@ -245,32 +245,26 @@ def ivf_assign(
     )
 
 
-def ivf_topk(
+def ivf_build(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
     label_col: str,
-    probe_ids,
-    k: int,
-    nprobe: int = 2,
     dim: int | None = None,
-) -> DataFrame:
-    """IVF approximate top-k: each probe searches only the inverted lists
-    of its ``nprobe`` nearest centroids instead of the whole corpus.
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index: ``(inverted_list, centroids)``.
 
-    Scale shape: centroids are broadcast twice (once to build the
-    inverted lists, once to rank probe-centroids); the candidate join is
-    a broadcast of the tiny (probe × nprobe) table against the
-    assignment table partitioned by centroid — a map-side join, so the
-    only shuffle is the final per-probe top-k over the candidates.
-    Recall < 1 by construction (vectors in unprobed lists are unseen);
-    the deterministic quantized arithmetic keeps it oracle-checkable.
-    """
+    The inverted list is (neighbor_id, assigned_label, nq, nn) — each
+    corpus vector assigned to its nearest centroid WITH its quantized
+    payload, so search never joins back to the corpus. Built with one
+    broadcast fan-out + one max_by aggregate. In production this pair is
+    materialized ONCE (parquet, partitioned by assigned_label) and
+    amortized over every search batch — the build scans the corpus
+    ``nlist`` times in dot products, so single-shot build+search can
+    never beat brute force; persistent index + ``ivf_search`` is the
+    scale path (measured in tools/ivf_crossover.py)."""
     q = quantize(emb, id_col, vec_col, keep=(label_col,))
     cents = label_centroids(emb, id_col, vec_col, label_col, dim=dim, quantized=q)
-    # inverted list built inline: one broadcast fan-out + one max_by
-    # aggregate whose payload carries (q, norm) — no join back to the
-    # corpus to recover vectors
     iscored = q.crossJoin(F.broadcast(cents)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("centroid_label"),
@@ -291,9 +285,53 @@ def ivf_topk(
         .agg(ipick.alias("_b"))
         .select("neighbor_id", "_b.assigned_label", "_b.nq", "_b.nn")
     )
+    return inv, cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    probe_ids,
+    k: int,
+    nprobe: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: each probe searches only the inverted lists
+    of its ``nprobe`` nearest centroids instead of the whole corpus.
+
+    Scale shape: centroids are broadcast twice (once to build the
+    inverted lists, once to rank probe-centroids); the candidate join is
+    a broadcast of the tiny (probe × nprobe) table against the
+    assignment table partitioned by centroid — a map-side join, so the
+    only shuffle is the final per-probe top-k over the candidates.
+    Recall < 1 by construction (vectors in unprobed lists are unseen);
+    the deterministic quantized arithmetic keeps it oracle-checkable.
+
+    This convenience form builds the index inline (:func:`ivf_build`)
+    and searches it once — at scale, materialize the index and call
+    :func:`ivf_search` per query batch instead."""
+    inv, cents = ivf_build(emb, id_col, vec_col, label_col, dim=dim)
+    q = quantize(emb, id_col, vec_col)
     probes = q.filter(F.col(id_col).isin(list(probe_ids))).select(
         F.col(id_col).alias("probe_id"), F.col("q").alias("pq"), F.col("norm").alias("pnorm")
     )
+    return ivf_search(inv, cents, probes, k, nprobe=nprobe)
+
+
+def ivf_search(
+    inv: DataFrame,
+    cents: DataFrame,
+    probes: DataFrame,
+    k: int,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Search a (possibly persisted) IVF index: ``probes`` is
+    (probe_id, pq, pnorm) — quantized query vectors. Reads only the
+    ~nprobe/nlist fraction of the index the probe-centroid ranking
+    selects; with the index parquet partitioned by assigned_label the
+    broadcast pruning skips unprobed lists at the scan."""
     pc = probes.crossJoin(F.broadcast(cents)).select(
         "probe_id",
         "pq",
@@ -318,6 +356,51 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", "score")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    threshold: float,
+    dim: int | None = None,
+) -> DataFrame:
+    """Semantic dedup à la SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the corpus (here: nearest-centroid assignment over the label
+    centroids), compare pairs ONLY within a cluster, and drop every
+    vector that has a more-canonical (lower-id) cluster-mate with cosine
+    ≥ ``threshold``. Returns the surviving ``(id, assigned_label)`` set.
+
+    The clustering is what makes this subquadratic: pairwise cosine runs
+    per cluster (corpus²/nlist at uniform cluster sizes), never across
+    the whole corpus — the property that lets embedding dedup run on a
+    billion-document corpus. Deterministic end-to-end: integer quantized
+    arithmetic, min-id survivor policy."""
+    q = quantize(emb, id_col, vec_col, keep=(label_col,))
+    cents = label_centroids(emb, id_col, vec_col, label_col, dim=dim, quantized=q)
+    assigned = ivf_assign(
+        emb, id_col, vec_col, label_col, cents=cents, quantized=q
+    ).select(F.col(id_col), "assigned_label")
+    qa = q.select(F.col(id_col), "q", "norm").join(assigned, id_col)
+    a = qa.select(
+        F.col("assigned_label").alias("cl"), F.col(id_col).alias("id_a"),
+        F.col("q").alias("qa"), F.col("norm").alias("na"),
+    )
+    b = qa.select(
+        F.col("assigned_label").alias("cl"), F.col(id_col).alias("id_b"),
+        F.col("q").alias("qb"), F.col("norm").alias("nb"),
+    )
+    drops = (
+        a.join(b, "cl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")) >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return qa.join(drops, id_col, "left_anti").select(F.col(id_col), "assigned_label")
 
 
 def lsh_hyperplanes(planes: int, dim: int, scale: int = 10000) -> list[list[int]]:

@@ -40,7 +40,13 @@ from ..operators.multimodal import (
     resize_payload,
     sample_frames,
 )
-from ..operators.similarity import cosine_pairs, cosine_topk, ivf_assign, ivf_topk
+from ..operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+    semantic_dedup,
+)
 from ..sources.testdata import load_table
 from .queries import register
 
@@ -202,6 +208,69 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "component").select(
         F.col("node").alias("doc_id"), "component", "cluster_size"
+    )
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes()},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component,
+                    COUNT(DISTINCT b) AS cluster_size
+             FROM reach GROUP BY 1)
+    SELECT d.doc_id, d.source,
+           CAST(COALESCE(c.cluster_size, 1) AS BIGINT) AS represents
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.component = d.doc_id
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus dedup — the full production chain in one plan:
+    near-dup pairs (exact Jaccard kernel here; at corpus scale the
+    MinHash-LSH candidates feed the same shape) → connected components →
+    keep ONE canonical doc per cluster (the min doc_id), emit the
+    surviving corpus with how many originals each survivor represents.
+    This is the operator a training-data pipeline actually runs: the
+    pair/cluster queries are its observability views.
+
+    Scale shape: the keep/drop decision is two key joins on doc_id
+    (anti vs the non-canonical set, left vs the canonical sizes) — both
+    shuffle-partitioned by doc_id and reusable from one exchange;
+    nothing is collected."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = all_pairs_jaccard(
+        docs, "doc_id", "text", shingle_n=JACCARD_N, threshold=JACCARD_THRESHOLD, group_col="source"
+    )
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    drop = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    canon = (
+        labels.filter(F.col("node") == F.col("component"))
+        .join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), "cluster_size")
+    )
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .join(canon, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("cluster_size", F.lit(1).cast("long")).alias("represents"),
+        )
     )
 
 
@@ -723,6 +792,58 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_SIZE = 500
+
+
+@register(
+    "text_vocab_oov",
+    oracle=f"""
+    WITH ex AS (SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents),
+    counts AS (SELECT term, COUNT(*) AS n FROM ex GROUP BY 1),
+    vocab AS (SELECT term FROM counts ORDER BY n DESC, term LIMIT {VOCAB_SIZE})
+    SELECT ex.doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(*) FILTER (v.term IS NULL) AS n_oov,
+           CAST(COUNT(*) FILTER (v.term IS NULL) AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM ex LEFT JOIN vocab v ON ex.term = v.term
+    GROUP BY 1
+    """,
+)
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the corpus top-V vocabulary
+    (count desc, token asc — deterministic at the boundary), then score
+    every document's out-of-vocabulary token rate. The OOV rate is the
+    standard cheap proxy for how well a fixed tokenizer/vocab will
+    compress a candidate corpus (high-OOV docs are boilerplate, code,
+    or foreign-language contamination).
+
+    Scale shape: one token-count aggregation (map-side partial), a
+    global top-V sort-limit over the DISTINCT-token table (not the
+    corpus), then a broadcast join of the tiny vocab against the token
+    stream — per-doc totals partial-aggregate map-side because a doc's
+    exploded tokens never leave their scan partition. The oov_rate is a
+    single integer-operand division (exact on any engine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    counts = ex.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        counts.orderBy(F.col("n").desc(), F.col("term"))
+        .limit(VOCAB_SIZE)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        ex.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.col("n_oov").cast("double") / F.col("n_tokens")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: PII redaction (anonymization pass)
 # ---------------------------------------------------------------------------
@@ -1124,10 +1245,14 @@ def near_dup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle() -> str:
+def _ivf_assign_ctes() -> str:
+    """CTE chain ending in ``assign(vec_id, label, q, norm,
+    assigned_label, centroid_score)`` — the DuckDB replication of
+    quantize → label_centroids → ivf_assign, shared by the IVF and
+    semantic-dedup oracles."""
     dot = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> v.q[i] * c.cq[i]))"
     return f"""
-    WITH {_QCTE},
+    {_QCTE},
     d AS (SELECT label, i AS pos, SUM(q[i]) AS s, COUNT(*) AS n
           FROM q, range(1, {EMB_DIM + 1}) t(i) GROUP BY 1, 2),
     cent AS (SELECT label AS centroid_label,
@@ -1135,15 +1260,24 @@ def _ivf_oracle() -> str:
              FROM d GROUP BY 1),
     cn AS (SELECT centroid_label, cq,
                   CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS cnorm
-           FROM cent)
-    SELECT vec_id, label, assigned_label, centroid_score FROM (
-        SELECT v.vec_id, v.label, c.centroid_label AS assigned_label,
-               {_cos_sql(dot, 'v.norm', 'c.cnorm')} AS centroid_score,
-               row_number() OVER (
-                   PARTITION BY v.vec_id
-                   ORDER BY {_cos_sql(dot, 'v.norm', 'c.cnorm')} DESC, c.centroid_label) AS rn
-        FROM qn v CROSS JOIN cn c
-    ) WHERE rn = 1
+           FROM cent),
+    assign AS (
+        SELECT vec_id, label, q, norm, assigned_label, centroid_score FROM (
+            SELECT v.vec_id, v.label, v.q, v.norm,
+                   c.centroid_label AS assigned_label,
+                   {_cos_sql(dot, 'v.norm', 'c.cnorm')} AS centroid_score,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_cos_sql(dot, 'v.norm', 'c.cnorm')} DESC, c.centroid_label) AS rn
+            FROM qn v CROSS JOIN cn c
+        ) WHERE rn = 1
+    )"""
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH {_ivf_assign_ctes()}
+    SELECT vec_id, label, assigned_label, centroid_score FROM assign
     """
 
 
@@ -1153,6 +1287,40 @@ def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums), broadcast to a map-only nearest-centroid argmax per vector."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_assign(emb, "vec_id", "embedding", "label", dim=EMB_DIM)
+
+
+SEMDEDUP_COS = NEAR_DUP_COS  # synthetic corpus: max pair cosine ≈ 0.51
+
+
+def _semantic_dedup_oracle() -> str:
+    pair_dot = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> a.q[i] * b.q[i]))"
+    return f"""
+    WITH {_ivf_assign_ctes()},
+    drops AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a JOIN assign b
+          ON a.assigned_label = b.assigned_label AND a.vec_id < b.vec_id
+        WHERE {_cos_sql(pair_dot, 'a.norm', 'b.norm')} >= {SEMDEDUP_COS}
+    )
+    SELECT s.vec_id, s.assigned_label
+    FROM assign s LEFT JOIN drops d ON s.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """
+
+
+@register("semantic_dedup_keep", oracle=_semantic_dedup_oracle())
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup, SemDeDup-style: cluster via
+    nearest-centroid assignment, compare cosine ONLY within clusters,
+    drop every vector with a lower-id cluster-mate above the threshold —
+    emit the surviving corpus. Complements the lexical paths (MinHash /
+    SimHash / Jaccard): it removes *paraphrase* duplicates that share no
+    n-grams. The within-cluster pairing is the scale property (corpus²
+    / nlist, not corpus²); see operators/similarity.py:semantic_dedup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", "label", threshold=SEMDEDUP_COS, dim=EMB_DIM
+    )
 
 
 IVF_NPROBE = 2

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import sum_exact
@@ -420,4 +420,70 @@ def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_exact("l_extendedprice").alias("total_price"),
         F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
         F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+    )
+
+
+@register(
+    "dpp_partitioned_fact_join",
+    oracle=f"""
+    WITH yd AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS yr_orders
+        FROM orders GROUP BY 1
+    ),
+    top3 AS (
+        SELECT o_year FROM (
+            SELECT o_year,
+                   row_number() OVER (ORDER BY yr_orders DESC, o_year ASC) AS rn
+            FROM yd
+        ) WHERE rn <= 3
+    )
+    SELECT f.o_year,
+           COUNT(*) AS n_orders,
+           {SUM_DEC.format(x='o_totalprice')} AS revenue
+    FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice
+          FROM orders) f
+    JOIN top3 USING (o_year)
+    GROUP BY 1
+    """,
+)
+def dpp_partitioned_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the mechanism that makes star joins
+    against a date-partitioned 100 TB fact read only the partitions the
+    dimension filter selects, decided at RUNTIME (the filter is on a
+    dim attribute, not the partition key, so static pruning can't see
+    it). Orders are staged partitioned by order year; the dim side
+    picks the top-3 years by order count (a data-dependent selection no
+    static rule can fold); the broadcast of that dim reuses as a
+    partition filter on the fact scan — `explain` shows
+    `dynamicpruning` on PartitionFilters, pinned by
+    tests/test_plans.py. Oracle computes the same join from the
+    unpartitioned original, so a hash match also proves the
+    partitioned layout round-trips values exactly."""
+    key = ("dpp", sf_dir)
+    path = _STAGED.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="lfb_io_dpp_")
+        load_table(spark, sf_dir, "orders").withColumn(
+            "o_year", F.year("o_orderdate").cast("int")
+        ).write.mode("overwrite").partitionBy("o_year").parquet(path)
+        _STAGED[key] = path
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.count(F.lit(1)).alias("yr_orders"))
+    )
+    w = Window.orderBy(F.col("yr_orders").desc(), F.col("o_year").asc())
+    top3 = (
+        dim.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_year")
+    )
+    return (
+        fact.join(F.broadcast(top3), "o_year")
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_exact("o_totalprice").alias("revenue"),
+        )
     )

@@ -136,6 +136,39 @@ def test_ivf_topk_recall_within_probed_lists(emb):
     assert {r["neighbor_id"] for r in near.collect()} == {1}
 
 
+def test_ivf_persisted_index_search_matches_inline(emb, tmp_path):
+    # ivf_build + parquet round-trip + ivf_search == the inline ivf_topk:
+    # the persisted-index path (the production shape measured in
+    # tools/ivf_crossover.py) must return identical results
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.similarity import (
+        ivf_build,
+        ivf_search,
+        quantize,
+    )
+
+    inline = ivf_topk(emb, "vec_id", "embedding", "label", probe_ids=[0, 2], k=2, nprobe=2)
+    inv, cents = ivf_build(emb, "vec_id", "embedding", "label")
+    inv.write.mode("overwrite").partitionBy("assigned_label").parquet(str(tmp_path / "inv"))
+    cents.write.mode("overwrite").parquet(str(tmp_path / "cents"))
+    spark = emb.sparkSession
+    probes = quantize(
+        emb.filter(F.col("vec_id").isin([0, 2])), "vec_id", "embedding"
+    ).select(
+        F.col("vec_id").alias("probe_id"), F.col("q").alias("pq"), F.col("norm").alias("pnorm")
+    )
+    persisted = ivf_search(
+        spark.read.parquet(str(tmp_path / "inv")),
+        spark.read.parquet(str(tmp_path / "cents")),
+        probes,
+        k=2,
+        nprobe=2,
+    )
+    key = lambda rows: sorted((r["probe_id"], r["rank"], r["neighbor_id"]) for r in rows)  # noqa: E731
+    assert key(inline.collect()) == key(persisted.collect())
+
+
 def test_bpe_tokens_contractions_and_digits(spark):
     df = spark.createDataFrame([("It's 2024, don't panic!",)], "text string")
     out = df.select(bpe_tokens("text").alias("t"), tokens("text").alias("w")).collect()[0]

@@ -88,6 +88,7 @@ INTENDED_CROSS = {
     "tpch_q15_top_supplier",  # revenue × broadcast(1-row max aggregate)
     "gap_fill_daily_revenue",  # day spine × broadcast(segment list) — both tiny
     "bloom_semijoin_revenue",  # fact × broadcast(1-row bloom bitmap) — bytes, not rows
+    "semantic_dedup_keep",  # corpus × broadcast(centroids) — the pair join itself is an equi-join on the cluster
 }
 
 
@@ -185,3 +186,27 @@ def test_asof_backward_stays_bucketed(spark):
     p = get_plan(spark, "asof_backward_last_click")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_dpp_fact_scan_has_dynamic_partition_filter(spark):
+    """The partitioned fact's scan must carry a dynamicpruning
+    PartitionFilter — the runtime mechanism that lets a dim-side filter
+    skip fact partitions a static optimizer can't see. Asserted on the
+    executed plan (DPP subqueries are injected after logical
+    optimization)."""
+    df = REGISTRY["dpp_partitioned_fact_join"].fn(spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in p.lower(), p[:800]
+
+
+def test_semantic_dedup_pairs_only_within_clusters(spark):
+    """The semantic-dedup pair join must be an equi-join on the cluster
+    assignment (corpus²/nlist), never an all-pairs cartesian. The only
+    nested-loop joins allowed are the intended corpus ×
+    broadcast(centroids) assignment fan-outs — i.e. every BNLJ build
+    side must be the centroid table, and the broadcasts must survive
+    (no CartesianProduct)."""
+    p = get_plan(spark, "semantic_dedup_keep")
+    assert "CartesianProduct" not in p
+    # the within-cluster pair join plans as a real equi-join
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
