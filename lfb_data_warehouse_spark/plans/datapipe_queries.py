@@ -233,6 +233,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
     WHERE c.doc_id IS NULL OR c.component = d.doc_id
     """,
+    headline=True,
 )
 def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END corpus dedup — the full production chain in one plan:
@@ -792,6 +793,50 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bigram_novelty",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, {tokens_sql('text')} AS w FROM documents),
+    bg AS (SELECT doc_id, unnest({shingles_sql('w', 2)}) AS bigram FROM ws),
+    counts AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           COUNT(*) FILTER (c.n = 1) AS n_hapax,
+           CAST(COUNT(*) FILTER (c.n = 1) AS DOUBLE) / COUNT(*) AS novelty_rate
+    FROM bg JOIN counts c ON bg.bigram = c.bigram
+    GROUP BY 1
+    """,
+)
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document novelty scoring: the fraction of a document's
+    bigram OCCURRENCES that are corpus-hapax (appear exactly once in the
+    whole corpus). High novelty = unique prose; low novelty = template /
+    boilerplate / near-duplicate text — the corpus-level complement to
+    the WITHIN-document repetition filter (`text_repeated_ngrams`).
+
+    Scale shape: one bigram-count aggregation (map-side partials), then
+    the occurrences ⋈ counts equi-join on the bigram key — both sides
+    hash-partitioned by bigram by the SAME exchange, so AQE reuses it;
+    the per-doc aggregate partials collapse within scan partitions. The
+    novelty_rate is one integer-operand division (exact everywhere)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(shingles(tokens("text"), 2)).alias("bigram")
+    )
+    counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        bg.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count(F.when(F.col("n") == 1, 1)).alias("n_hapax"),
+        )
+        .withColumn(
+            "novelty_rate", F.col("n_hapax").cast("double") / F.col("n_bigrams")
+        )
+    )
+
+
 VOCAB_SIZE = 500
 
 
@@ -1308,7 +1353,7 @@ def _semantic_dedup_oracle() -> str:
     """
 
 
-@register("semantic_dedup_keep", oracle=_semantic_dedup_oracle())
+@register("semantic_dedup_keep", oracle=_semantic_dedup_oracle(), headline=True)
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) dedup, SemDeDup-style: cluster via
     nearest-centroid assignment, compare cosine ONLY within clusters,

@@ -466,6 +466,80 @@ def c4_clean_documents(spark, sf_dir):
     )
 
 
+def dedup_keep_canonical(spark, sf_dir):
+    # naive end-to-end dedup: exploded-shingle pair generation (a
+    # shuffle of every shingle OCCURRENCE, vs the engine's map-side
+    # arrays) + the same min-label closure + join-back keep/drop
+    from lfb_data_warehouse_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.array_distinct(shingles(tokens("text"), 2)).alias("ss")
+    )
+    e = sh.select("doc_id", "source", F.explode("ss").alias("shingle"))
+    ea = e.select(F.col("doc_id").alias("id_a"), "source", "shingle")
+    eb = e.select(F.col("doc_id").alias("id_b"), "source", "shingle")
+    inter = (
+        ea.join(eb, ["source", "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sz = sh.select("doc_id", F.size("ss").alias("sz"))
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    jac = F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i"))
+    pairs = inter.join(sa, "id_a").join(sb, "id_b").filter(jac >= 0.2)
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    drop = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    canon = (
+        labels.filter(F.col("node") == F.col("component"))
+        .join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), "cluster_size")
+    )
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .join(canon, "doc_id", "left")
+        .select("doc_id", "source", F.coalesce("cluster_size", F.lit(1)).alias("represents"))
+    )
+
+
+def semantic_dedup_keep(spark, sf_dir):
+    # naive semantic dedup: all-pairs cosine over the WHOLE corpus (no
+    # clustering), float arithmetic — the O(n²) formulation SemDeDup's
+    # within-cluster pairing exists to avoid
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with("embedding", "embedding", lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    v = emb.select("vec_id", "embedding", norm.alias("nm"))
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    drops = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter((dot / (F.col("na") * F.col("nb"))) >= 0.45)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(drops, "vec_id", "left_anti").select("vec_id", "label")
+
+
 NAIVE = {
     "flagship_star_fact": flagship_star_fact,
     "asof_nearest_purchase": asof_nearest_purchase,
@@ -474,6 +548,8 @@ NAIVE = {
     "tpch_q9_product_profit": tpch_q9_product_profit,
     "tpch_q21_waiting_supplier": tpch_q21_waiting_supplier,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_keep_canonical": dedup_keep_canonical,
+    "semantic_dedup_keep": semantic_dedup_keep,
     "ann_ivf_topk": ann_ivf_topk,
     "text_quality_stats": text_quality_stats,
     "c4_clean_documents": c4_clean_documents,
