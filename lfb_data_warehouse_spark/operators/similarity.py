@@ -376,7 +376,14 @@ def semantic_dedup(
     per cluster (corpus²/nlist at uniform cluster sizes), never across
     the whole corpus — the property that lets embedding dedup run on a
     billion-document corpus. Deterministic end-to-end: integer quantized
-    arithmetic, min-id survivor policy."""
+    arithmetic, min-id survivor policy.
+
+    The assignment aggregate carries only (label, score) — the quantized
+    payload joins back once afterwards; measured at sf0.1 this beats
+    carrying the 64-element payload arrays through the max_by aggregate
+    (3.3 s → 2.6 s, the payload forces SortAggregate on every reuse).
+    At warehouse scale, run dedup from the materialized
+    :func:`ivf_build` index parquet instead — one scan, no recompute."""
     q = quantize(emb, id_col, vec_col, keep=(label_col,))
     cents = label_centroids(emb, id_col, vec_col, label_col, dim=dim, quantized=q)
     assigned = ivf_assign(
