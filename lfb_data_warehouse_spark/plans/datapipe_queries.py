@@ -1638,6 +1638,76 @@ def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _prepare_corpus_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    WITH gated AS (
+        SELECT doc_id, source, text, {tokens_sql('text')} AS w
+        FROM documents
+        WHERE lang = 'en' AND n_chars >= {C4_MIN_CHARS}
+    ),
+    scored AS (
+        SELECT doc_id, source, text, len(w) AS tok,
+               CAST(len(list_filter(w, x -> x IN ({stop_list}))) AS DOUBLE) / len(w)
+               AS stop_ratio
+        FROM gated
+        WHERE len(w) >= {C4_MIN_TOKENS}
+    ),
+    quality AS (SELECT * FROM scored WHERE stop_ratio <= {C4_MAX_STOP_RATIO}),
+    survivors AS (
+        SELECT doc_id, source, CAST(tok AS BIGINT) AS tok FROM quality
+        QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+    ),
+    c AS (
+        SELECT source, doc_id, tok,
+               SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+               AS start_offset
+        FROM survivors
+    )
+    SELECT source,
+           CAST(FLOOR(CAST(start_offset AS DOUBLE) / {PACK_SEQ_LEN}.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """
+
+
+@register("prepare_training_corpus", oracle=_prepare_corpus_oracle())
+def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pre-training data-prep pipeline as ONE lazy plan:
+    C4-style gates (lang → length → token count → stopword ratio) →
+    exact dedup (min-id survivor per content hash) → fixed-budget
+    sequence packing per source. Composes the registered operators
+    (`c4_clean_documents` + `operators/packing.py:pack_sequences`)
+    without materializing between stages — what a user actually runs
+    nightly, while the stage queries remain its observability views.
+
+    The composition inherits each stage's scale shape: map-only gating,
+    one (hash → min-id) dedup shuffle, and the two-phase distributed
+    prefix sum for packing — no stage forces an extra exchange on the
+    next."""
+    from ..operators.packing import pack_sequences
+
+    clean = c4_clean_documents(spark, sf_dir).select(
+        "doc_id", F.col("token_count").cast("long").alias("tok")
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    base = clean.join(src, "doc_id")
+    packed = pack_sequences(
+        base, group_col="source", order_cols=["doc_id"], token_col="tok",
+        seq_len=PACK_SEQ_LEN,
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("long").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Within-document repetition filter (RefinedWeb/Gopher-style rep. removal)
 # ---------------------------------------------------------------------------
