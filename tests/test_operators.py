@@ -273,6 +273,50 @@ def test_salted_join_equals_plain_join(spark):
         assert got == want, how
 
 
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The engine's OTHER skew path: for plain shuffled joins with a
+    runtime-detected hot key, AQE's skew-join splits the oversized
+    partition (skew=true in the final adaptive plan) — no salting
+    needed. The salted operators (above) exist for the cases AQE can't
+    cover: aggregations (no skew-agg in AQE) and joins whose output
+    partitioning a downstream stage requires (AQE declines to split
+    unless forceOptimizeSkewedJoin). This test pins that the default
+    session config actually delivers the AQE half of the story."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        # shrink thresholds so test-sized data crosses them; at real
+        # scale the defaults (256 MB, factor 5) play the same role
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prev = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 3 == 0, 0).otherwise(F.col("id")).alias("k"),
+            F.rand(7).alias("x"),
+        )
+        right = spark.range(50_000).select(
+            (F.col("id") % 1000).alias("k"), F.lit("d").alias("tag")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:600]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_scd2_from_history(spark):
     from lfb_data_warehouse_spark.operators.dims import scd2_from_history
 
