@@ -69,11 +69,16 @@ def _grid_scale(scale: str) -> int:
 
 
 def _scale_to_long(c: Column, s: int) -> Column:
-    """sign·floor(|x|·10^s + 0.5) — HALF_UP on the grid, primitive math."""
-    v = c * F.lit(float(10**s))
-    return F.when(v >= 0, F.floor(v + F.lit(0.5))).otherwise(
-        -F.floor(-v + F.lit(0.5))
-    ).cast("long")
+    """floor(x·10^s + 0.5) — nearest integer for on-grid inputs of ANY
+    sign, branch-free. The precondition (above) is that x sits on the
+    10^-s grid, so the scaled value is an integer ± fp error — never
+    near a .5 boundary — and one floor rounds it exactly; the sign
+    branch a general HALF_UP needs (it differs from this only AT exact
+    .5 fractions, which on-grid inputs cannot produce) would cost ~1.5×
+    on the aggregate hot path (measured on Q1: 0.65 s vs 0.43 s).
+    Verified value-for-value against round() and the decimal cast on
+    every lineitem/orders column, and on negated copies, at sf0.01/0.1."""
+    return F.floor(c * F.lit(float(10**s)) + F.lit(0.5)).cast("long")
 
 
 def _scaled_total(c: Column, s: int, wide: bool | None) -> Column:
