@@ -15,9 +15,12 @@ Implementation notes (the fast path):
   buffer — measured ~2.7× slower than integer arithmetic on a 600k-row
   Q1 at sf0.1. Even ``F.round`` on a double goes through BigDecimal.
   So values are scaled onto their grid with primitive math:
-  ``sign · floor(|x|·10^s + 0.5)`` — identical to HALF_UP for on-grid
-  inputs (verified value-for-value against round() and the decimal
-  cast on every lineitem column at sf0.01/sf0.1).
+  ``floor(x·10^s + 0.5)`` — branch-free and sign-agnostic, identical
+  to HALF_UP for on-grid inputs because an on-grid value scales to an
+  integer ± fp error and can never sit at an exact .5 fraction (the
+  only place this and HALF_UP differ; see _scale_to_long). Verified
+  value-for-value against round() and the decimal cast on every
+  lineitem/orders money column AND its negation at sf0.01/sf0.1.
 
 - scale ≤ 2 (money-class): one LONG accumulator. Headroom ~9.2e18
   scaled units per group; Spark's ANSI mode (default-on in Spark 4,

@@ -191,13 +191,13 @@ def _components_oracle() -> str:
     """
 
 
-@register("dedup_components", oracle=_components_oracle())
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup cluster assignment: connected components (iterative
-    min-label propagation) over the Jaccard near-dup pair graph, plus
-    per-cluster size — the union-find step that turns pair findings
-    into keep/drop decisions (keep component == doc_id, drop the rest).
-    The oracle computes the same closure with a recursive CTE."""
+def _jaccard_cluster_labels(spark: SparkSession, sf_dir: str):
+    """Shared pair→components→sizes chain for the dedup cluster
+    queries: ``(docs, labels(node, component), sizes(component,
+    cluster_size))`` — one definition so the observability view
+    (dedup_components) and the end-to-end operator
+    (dedup_keep_canonical) can never desynchronize on shingle order,
+    threshold, or grouping."""
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
@@ -206,6 +206,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = connected_components(pairs, src="id_a", dst="id_b")
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return docs, labels, sizes
+
+
+@register("dedup_components", oracle=_components_oracle())
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster assignment: connected components (iterative
+    min-label propagation) over the Jaccard near-dup pair graph, plus
+    per-cluster size — the union-find step that turns pair findings
+    into keep/drop decisions (keep component == doc_id, drop the rest).
+    The oracle computes the same closure with a recursive CTE."""
+    _docs, labels, sizes = _jaccard_cluster_labels(spark, sf_dir)
     return labels.join(sizes, "component").select(
         F.col("node").alias("doc_id"), "component", "cluster_size"
     )
@@ -248,14 +259,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     (anti vs the non-canonical set, left vs the canonical sizes) — both
     shuffle-partitioned by doc_id and reusable from one exchange;
     nothing is collected."""
-    from ..operators.graph import connected_components
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = all_pairs_jaccard(
-        docs, "doc_id", "text", shingle_n=JACCARD_N, threshold=JACCARD_THRESHOLD, group_col="source"
-    )
-    labels = connected_components(pairs, src="id_a", dst="id_b")
-    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    docs, labels, sizes = _jaccard_cluster_labels(spark, sf_dir)
     drop = labels.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -815,10 +819,14 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the WITHIN-document repetition filter (`text_repeated_ngrams`).
 
     Scale shape: one bigram-count aggregation (map-side partials), then
-    the occurrences ⋈ counts equi-join on the bigram key — both sides
-    hash-partitioned by bigram by the SAME exchange, so AQE reuses it;
-    the per-doc aggregate partials collapse within scan partitions. The
-    novelty_rate is one integer-operand division (exact everywhere)."""
+    the occurrences ⋈ counts equi-join on the bigram key. The two join
+    inputs are different subplans (raw occurrences vs partially
+    aggregated counts), so the tokenize/explode pass runs twice and
+    each side pays its own bigram-key exchange — at corpus scale,
+    checkpoint the exploded bigrams to parquet once and build both
+    sides from it. The per-doc aggregate partials collapse within scan
+    partitions; novelty_rate is one integer-operand division (exact
+    everywhere)."""
     docs = load_table(spark, sf_dir, "documents")
     bg = docs.select(
         "doc_id", F.explode(shingles(tokens("text"), 2)).alias("bigram")

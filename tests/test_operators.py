@@ -301,9 +301,10 @@ def test_aqe_splits_skewed_join_partitions(spark):
             F.when(F.col("id") % 3 == 0, 0).otherwise(F.col("id")).alias("k"),
             F.rand(7).alias("x"),
         )
-        right = spark.range(50_000).select(
-            (F.col("id") % 1000).alias("k"), F.lit("d").alias("tag")
-        )
+        # distinct right keys: skew detection reads the shuffled INPUT
+        # partition sizes, so the join output can stay ~left-sized
+        # (~100k rows) instead of fanning out per duplicate right row
+        right = spark.range(1000).select(F.col("id").alias("k"), F.lit("d").alias("tag"))
         j = left.join(right, "k")
         assert len(j.collect()) > 0
         plan = j._jdf.queryExecution().executedPlan().toString()

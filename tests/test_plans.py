@@ -200,13 +200,14 @@ def test_dpp_fact_scan_has_dynamic_partition_filter(spark):
 
 
 def test_semantic_dedup_pairs_only_within_clusters(spark):
-    """The semantic-dedup pair join must be an equi-join on the cluster
-    assignment (corpus²/nlist), never an all-pairs cartesian. The only
-    nested-loop joins allowed are the intended corpus ×
-    broadcast(centroids) assignment fan-outs — i.e. every BNLJ build
-    side must be the centroid table, and the broadcasts must survive
-    (no CartesianProduct)."""
+    """The semantic-dedup pair join must be an equi-join ON THE CLUSTER
+    ASSIGNMENT (corpus²/nlist), never an all-pairs cartesian. Pinned
+    two ways: no CartesianProduct anywhere (the centroid fan-outs must
+    stay broadcast BNLJs), and a shuffled equi-join keyed on the
+    cluster column `cl` exists — if the pair join degraded to a
+    non-equi/nested-loop form, no join would carry `cl` as its key."""
+    import re
+
     p = get_plan(spark, "semantic_dedup_keep")
     assert "CartesianProduct" not in p
-    # the within-cluster pair join plans as a real equi-join
-    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert re.search(r"Left keys \[\d+\]: \[cl#", p), "no equi-join keyed on cluster"

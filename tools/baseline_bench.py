@@ -510,7 +510,11 @@ def dedup_keep_canonical(spark, sf_dir):
 def semantic_dedup_keep(spark, sf_dir):
     # naive semantic dedup: all-pairs cosine over the WHOLE corpus (no
     # clustering), float arithmetic — the O(n²) formulation SemDeDup's
-    # within-cluster pairing exists to avoid
+    # within-cluster pairing exists to avoid. NOTE: unlike the other
+    # twins this one is equal-TASK, not equal-RESULT — with no clusters
+    # it also drops cross-cluster pairs the engine keeps (and emits the
+    # source `label`, having no assignment). Timing comparison only; do
+    # not cross-check row hashes against the engine output.
     emb = load_table(spark, sf_dir, "embeddings")
     norm = F.sqrt(
         F.aggregate(
