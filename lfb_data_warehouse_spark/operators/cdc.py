@@ -55,7 +55,9 @@ def apply_changes(
 
     Latest-change-wins per key; Δt ties break on op ('D' sorts after
     upserts, so a delete wins a same-sequence tie — the conservative
-    choice) then on the full key for determinism.
+    choice) then on a hash of the full row image, so two upserts with
+    the same key, sequence, and op still pick the same winner on every
+    run/retry (the idempotent-replay guarantee needs a TOTAL order).
     """
     data_cols = snapshot.columns
     missing = [c for c in data_cols if c not in changes.columns]
@@ -67,6 +69,9 @@ def apply_changes(
         # same-sequence tie: delete beats upsert (conservative)
         F.when(F.col(op_col) == delete_op, F.lit(1)).otherwise(F.lit(0)).desc(),
         F.col(op_col).asc(),
+        # full-payload tiebreak: deterministic even for duplicate
+        # (key, seq, op) rows with different images
+        F.xxhash64(*[F.col(c) for c in data_cols]).asc(),
     )
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))

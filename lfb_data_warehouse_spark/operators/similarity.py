@@ -167,7 +167,15 @@ def label_centroids(
     Map-side partial aggregation means each executor contributes one
     partial row per label regardless of corpus size."""
     if dim is None:
-        dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
+        # NB: inferring dim runs a small eager job at plan-build time —
+        # pass dim explicitly in lazy/library contexts
+        row = emb.select(F.size(vec_col).alias("d")).first()
+        if row is None:
+            raise ValueError(
+                f"cannot infer vector dim from an empty DataFrame; pass dim= "
+                f"(id_col={id_col!r}, vec_col={vec_col!r})"
+            )
+        dim = row["d"]
     q = quantized if quantized is not None else quantize(emb, id_col, vec_col)
     if label_col in q.columns:  # label carried through quantize(keep=...)
         ql = q
@@ -225,13 +233,17 @@ def ivf_assign(
         F.col("centroid_label"),
         _cosine(_dot(F.col("q"), F.col("cq")), F.col("norm"), F.col("cnorm")).alias("score"),
     )
-    # deterministic argmax: highest score, then smallest centroid label
-    pick = F.max_by(
+    # deterministic argmax: highest score, then smallest centroid label.
+    # min_by over (-score, label) rather than max_by over (score,
+    # -label): score is always numeric so -score is safe, while
+    # negating the label would restrict label_col to numeric types
+    # (ANSI UnaryMinus rejects strings).
+    pick = F.min_by(
         F.struct(
             F.col("centroid_label").alias("assigned_label"),
             F.col("score").alias("centroid_score"),
         ),
-        F.struct(F.col("score").alias("s"), (-F.col("centroid_label")).alias("nl")),
+        F.struct((-F.col("score")).alias("ns"), F.col("centroid_label").alias("l")),
     )
     return (
         scored.groupBy(id_col, label_col)
@@ -272,13 +284,15 @@ def ivf_build(
         F.col("norm"),
         _cosine(_dot(F.col("q"), F.col("cq")), F.col("norm"), F.col("cnorm")).alias("cscore"),
     )
-    ipick = F.max_by(
+    # min_by over (-score, label): same any-label-type rationale as
+    # ivf_assign's pick
+    ipick = F.min_by(
         F.struct(
             F.col("centroid_label").alias("assigned_label"),
             F.col("q").alias("nq"),
             F.col("norm").alias("nn"),
         ),
-        F.struct(F.col("cscore").alias("s"), (-F.col("centroid_label")).alias("nl")),
+        F.struct((-F.col("cscore")).alias("ns"), F.col("centroid_label").alias("l")),
     )
     inv = (
         iscored.groupBy("neighbor_id")

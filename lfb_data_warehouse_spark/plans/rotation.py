@@ -1,10 +1,14 @@
 """CORRECTNESS-rotation ordering for the query registry.
 
 The driver oracle-checks the FIRST 50 registry entries (dict insertion
-order) each round. With 123 registered queries, coverage rotates: each
-round the front of the registry holds the queries that most need a green
-CORRECTNESS row, and queries already verified green in a previous round
-move to the back.
+order) each round. With far more registered queries than slots (135 as
+of late round 2 — never trust a hardcoded count here, len(REGISTRY) is
+the truth), coverage rotates: each round the front of the registry
+holds the queries that most need a green CORRECTNESS row, and queries
+already verified green in a previous round move to the back. NOTE:
+brand-new queries (in no list below) jump the queue via reorder()'s
+new-query branch, each displacing one UNCHECKED_PRIORITY entry from
+the 50-slot window.
 
 Round-1 (CORRECTNESS_r01.json) checked entries 1-50 of the old order:
 38 green, 12 fail (all from the events-loader bug, fixed in round 2).

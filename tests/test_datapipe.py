@@ -136,6 +136,17 @@ def test_ivf_topk_recall_within_probed_lists(emb):
     assert {r["neighbor_id"] for r in near.collect()} == {1}
 
 
+def test_ivf_assign_accepts_string_labels(emb):
+    # label_col is any orderable type, not just numeric: the argmax
+    # tiebreak must not arithmetically negate the label (ANSI UnaryMinus
+    # rejects strings)
+    from pyspark.sql import functions as F
+
+    named = emb.withColumn("label", F.concat(F.lit("c"), F.col("label").cast("string")))
+    out = ivf_assign(named, "vec_id", "embedding", "label").collect()
+    assert all(r["assigned_label"] == r["label"] for r in out)
+
+
 def test_ivf_persisted_index_search_matches_inline(emb, tmp_path):
     # ivf_build + parquet round-trip + ivf_search == the inline ivf_topk:
     # the persisted-index path (the production shape measured in

@@ -469,6 +469,20 @@ def test_cdc_apply_changes_semantics(spark):
         "k int, name string, v double, seq int, op string",
     )
     assert 1 not in {r["k"] for r in apply_changes(snap, tie, ["k"], "seq").collect()}
+    # duplicate (key, seq, op) upserts with different images: the window
+    # needs a TOTAL order (payload-hash tiebreak) so every run/retry
+    # picks the same winner — row_number over a partial order is free
+    # to flip between executions
+    dup = spark.createDataFrame(
+        [(1, "img_a", 1.0, 5, "U"), (1, "img_b", 2.0, 5, "U")],
+        "k int, name string, v double, seq int, op string",
+    )
+    winners = {
+        tuple(r)
+        for _ in range(3)
+        for r in apply_changes(snap, dup, ["k"], "seq").filter("k = 1").collect()
+    }
+    assert len(winners) == 1, f"nondeterministic same-seq winner: {winners}"
 
 
 def test_bloom_prune_keeps_all_partners(spark):

@@ -39,6 +39,7 @@ SKIP = {
     "stream_interval_join",
     "stream_static_enrich",
     "stream_upsert_idempotent",
+    "stream_dedup_events",
 }
 
 ALL_QUERIES = [n for n in REGISTRY if n not in SKIP]
