@@ -326,3 +326,38 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_exact(F.col("value"), "decimal(18,4)", wide=False).alias("total_value"),
     )
     return _run_complete(out, "stream_dedup")
+
+
+@register(
+    "stream_dedup_jittered",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_dedup_jittered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup for the retry-with-new-timestamp producer: the
+    second delivery of every event arrives with its event time shifted
+    +1 minute, so exact-duplicate dedup (key + ts) would KEEP both
+    copies — ``dropDuplicatesWithinWatermark`` on the business key
+    alone collapses them because the copies land within the watermark
+    delay of each other. Chained with the downstream aggregate like the
+    exact-dup gate; the oracle is the plain single-delivery aggregate,
+    so any leaked jittered duplicate breaks counts and sums."""
+    from ..streaming.ops import stream_dedup_within_watermark
+
+    events, src = _stage_events(spark, sf_dir)
+    s1 = spark.readStream.schema(events.schema).parquet(src)
+    s2 = (
+        spark.readStream.schema(events.schema)
+        .parquet(src)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE"))
+    )
+    doubled = s1.unionByName(s2)
+    deduped = stream_dedup_within_watermark(doubled, keys=["event_id"], ts_col="ts")
+    out = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        sum_exact(F.col("value"), "decimal(18,4)", wide=False).alias("total_value"),
+    )
+    return _run_complete(out, "stream_dedup_ww")

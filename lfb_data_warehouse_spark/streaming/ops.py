@@ -72,8 +72,26 @@ def stream_dedup(
     stream: DataFrame, keys: Sequence[str], ts_col: str, watermark: str = "1 hour"
 ) -> DataFrame:
     """At-least-once → effectively-once: drop re-deliveries by key.
-    The watermark lets Spark expire key state (unbounded otherwise)."""
+    The watermark lets Spark expire key state (unbounded otherwise).
+    Exact-duplicate semantics: a re-delivery must carry the SAME event
+    time (the time column is part of the dedup key — that inclusion is
+    what lets the watermark evict state). For producers that re-send
+    with a fresh timestamp, use :func:`stream_dedup_within_watermark`."""
     return stream.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+
+
+def stream_dedup_within_watermark(
+    stream: DataFrame, keys: Sequence[str], ts_col: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Dedup on the BUSINESS key alone (``dropDuplicatesWithinWatermark``):
+    re-deliveries whose event time DIFFERS from the first copy — the
+    retry-with-new-timestamp producer — still collapse, provided the
+    copies arrive within the watermark delay of each other. Per-key
+    state evicts once the watermark passes the first-seen time + delay,
+    so state stays bounded without the time column in the key. This is
+    the right tool when the time column is an ingestion timestamp
+    rather than part of the event's identity."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
 
 
 def stream_stream_interval_join(

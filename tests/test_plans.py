@@ -40,6 +40,7 @@ SKIP = {
     "stream_static_enrich",
     "stream_upsert_idempotent",
     "stream_dedup_events",
+    "stream_dedup_jittered",
 }
 
 ALL_QUERIES = [n for n in REGISTRY if n not in SKIP]

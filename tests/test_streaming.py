@@ -65,6 +65,38 @@ def test_stream_dedup(spark, source_dir):
     assert len(rows) == 3  # duplicate event_id=3 delivery collapsed
 
 
+def test_stream_dedup_within_watermark_collapses_jittered_redelivery(
+    spark, tmp_path
+):
+    # same event_id re-sent 5 min later with a fresh timestamp: the
+    # exact-dup path (dropDuplicates incl. ts) keeps both; the
+    # within-watermark path collapses them to the first copy
+    from lfb_data_warehouse_spark.streaming.ops import (
+        stream_dedup_within_watermark,
+    )
+
+    rows = [
+        (1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        (1, ts("2024-01-01 10:10:00"), 1, "click", 1.0),  # retry, new ts
+        (2, ts("2024-01-01 10:20:00"), 1, "click", 2.0),
+    ]
+    path = str(tmp_path / "jitter_src")
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(SCHEMA).parquet(path)
+    out = stream_dedup_within_watermark(stream, ["event_id"], "ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_ww_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["event_id"] for r in spark.sql("select * from dedup_ww_out").collect()}
+    assert got == {1, 2}
+    assert spark.sql("select * from dedup_ww_out").count() == 2
+
+
 def test_stream_incremental_upsert_idempotent(spark, source_dir, tmp_path):
     target = str(tmp_path / "target")
     ck1 = str(tmp_path / "ck1")
