@@ -487,3 +487,80 @@ def dpp_partitioned_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_exact("o_totalprice").alias("revenue"),
         )
     )
+
+
+@register(
+    "xml_roundtrip_part",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS part_count,
+           {SUM_DEC.format(x='p_retailprice')} AS total_price,
+           MIN(p_name) AS first_name
+    FROM part GROUP BY 1
+    """,
+)
+def xml_roundtrip_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink → source round-trip — Spark 4 ships the XML format
+    built-in (SPARK-44265), the interchange format of the document/
+    enterprise world. Stage the part table through XML, read back with
+    an EXPLICIT schema (inference would cost an extra scan), aggregate;
+    the oracle aggregates the ORIGINAL parquet, so a hash match proves
+    strings (with markup-escaping), ints, and doubles survived the
+    round-trip bit-for-bit."""
+    part = load_table(spark, sf_dir, "part")
+    key = ("xml", sf_dir)
+    path = _STAGED.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="lfb_io_xml_")
+        part.write.mode("overwrite").option("rowTag", "part").format("xml").save(path)
+        _STAGED[key] = path
+    back = (
+        spark.read.schema(part.schema).option("rowTag", "part").format("xml").load(path)
+    )
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("part_count"),
+        sum_exact("p_retailprice").alias("total_price"),
+        F.min("p_name").alias("first_name"),
+    )
+
+
+@register(
+    "python_datasource_weekday_orders",
+    oracle=f"""
+    SELECT CAST(isodow(o_orderdate) AS INT) AS iso_weekday,
+           isodow(o_orderdate) >= 6 AS is_weekend,
+           COUNT(*) AS n_orders,
+           {SUM_DEC.format(x='o_totalprice')} AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def python_datasource_weekday_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via Spark 4's Python DataSource API
+    (sources/pydatasource.py): a pure-Python calendar source with REAL
+    partition planning (one input partition per calendar month — the
+    hook where an external system's shard listing goes), registered and
+    read like any built-in format, broadcast as the date dimension for
+    an orders weekday rollup. The oracle computes the weekday directly
+    from o_orderdate, so a hash match proves the custom source's rows
+    (dates, ISO weekday numbering, weekend flags) are correct — not
+    just that the API wiring ran."""
+    from ..sources.pydatasource import calendar
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"), "o_totalprice"
+    )
+    # bounded 2-scalar job to size the calendar to the data's year span
+    yr = orders.agg(
+        F.min(F.year("day")).alias("y0"), F.max(F.year("day")).alias("y1")
+    ).first()
+    cal = calendar(spark, yr["y0"], yr["y1"]).select(
+        "day", "iso_weekday", "is_weekend"
+    )
+    return (
+        orders.join(F.broadcast(cal), "day")
+        .groupBy("iso_weekday", "is_weekend")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_exact("o_totalprice").alias("revenue"),
+        )
+    )

@@ -144,3 +144,21 @@ def test_compaction_reduces_file_count(spark):
     a = spark.read.parquet(f"{path}/shattered")
     b = spark.read.parquet(f"{path}/compacted")
     assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_python_datasource_calendar_partitions_and_values(spark):
+    # Spark 4 Python DataSource API: partition planning is real (one
+    # input partition per month) and the generated rows agree with
+    # Spark's own date functions, leap day included
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.sources.pydatasource import calendar
+
+    cal = calendar(spark, 2024)
+    assert cal.rdd.getNumPartitions() == 12
+    assert cal.count() == 366  # leap year
+    mism = cal.filter(
+        (F.col("iso_weekday") != F.expr("weekday(day) + 1"))
+        | (F.col("is_weekend") != F.expr("weekday(day) >= 5"))
+    ).count()
+    assert mism == 0
