@@ -1918,3 +1918,71 @@ def pandas_udf_quality_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "doc_id", "diversity", F.round(sigmoid(logit), 6).alias("quality_p")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation via an Arrow-optimized Python UDTF (lateral join)
+# ---------------------------------------------------------------------------
+
+_SENT_SPLIT = r"[.!?]+[ \t\n\r\f]+"
+
+
+def _split_sentences_udtf():
+    """Arrow-optimized Python UDTF (Spark 3.5+/4 table function API):
+    one input row → N sentence rows, consumed through a SQL LATERAL
+    join. The plan node is ArrowEvalPythonUDTF — batched over Arrow,
+    not row-at-a-time BatchEvalPython (pinned by the global plan
+    guard). Defined in a factory so importing this module needs no
+    active session."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    pat = _re.compile(_SENT_SPLIT)
+
+    @udtf(returnType="sent_idx int, sentence string, n_chars int", useArrow=True)
+    class SplitSentences:
+        def eval(self, text):
+            if text is None:
+                return
+            parts = [s for s in pat.split(text) if len(s) > 0]
+            for i, s in enumerate(parts):
+                yield (i, s, len(s))
+
+    return SplitSentences
+
+
+@register(
+    "text_sentences_udtf",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '{_SENT_SPLIT}'),
+                           x -> len(x) > 0) AS s
+        FROM documents
+    )
+    SELECT doc_id, CAST(e.i - 1 AS INT) AS sent_idx, e.x AS sentence,
+           CAST(len(e.x) AS INT) AS n_chars
+    FROM (SELECT doc_id,
+                 unnest(list_transform(s, (x, i) -> {{'x': x, 'i': i}})) AS e
+          FROM t)
+    """,
+)
+def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation for chunking/readability pipelines,
+    exercising the MODERN Python table-function surface: an
+    Arrow-optimized @udtf registered as a SQL table function and
+    consumed via LATERAL join. The split rule is a shared regex
+    constant, so the DuckDB oracle reproduces the exact segmentation
+    (RE2 and Python agree on this pattern — explicit whitespace class,
+    no lookbehind). Where pure HOF splitting suffices, prefer it
+    (map-only, JVM-side); the UDTF is the escape hatch for splitters
+    that need real Python (spaCy-class models) with the same plan
+    shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("split_sentences", _split_sentences_udtf())
+    docs.select("doc_id", "text").createOrReplaceTempView("docs_sentences_v")
+    return spark.sql(
+        "SELECT doc_id, s.sent_idx, s.sentence, s.n_chars "
+        "FROM docs_sentences_v, LATERAL split_sentences(text) s"
+    )
