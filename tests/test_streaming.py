@@ -159,3 +159,35 @@ def test_stream_running_user_stats_stateful(spark, tmp_path):
     finals = [r for r in by_user[2] if r["final"]]
     assert len(finals) == 1
     assert (finals[0]["event_count"], finals[0]["value_sum"]) == (1, 5.0)
+
+
+def test_streaming_agg_under_rocksdb_state_store(spark, source_dir):
+    # the production state backend: RocksDB keeps state off-heap /
+    # on-disk so stateful queries survive state larger than executor
+    # memory — the provider is a query-start conf, so one streaming
+    # query can opt in without touching the session default
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        stream = spark.readStream.schema(SCHEMA).parquet(source_dir)
+        out = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        run_to_memory(out, "rocksdb_agg")
+        got = {
+            (str(r["window"]["start"]), r["event_type"]): r["n"]
+            for r in spark.sql("select * from rocksdb_agg").collect()
+        }
+        assert got[("2024-01-01 10:00:00", "click")] == 2
+        assert got[("2024-01-01 11:00:00", "view")] == 2
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
