@@ -672,6 +672,76 @@ def remix_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("source").agg(F.count(F.lit(1)).alias("sampled_count"))
 
 
+MIXTOK_SALT = "mixtok"
+
+
+def _remix_tokens_oracle() -> str:
+    vals = ", ".join(f"('{s}', {w})" for s, w in MIX_TARGETS.items())
+    return f"""
+    WITH w AS (SELECT * FROM (VALUES {vals}) t(source, wt)),
+    tk AS (SELECT d.source, doc_id,
+                  CAST(len({tokens_sql('text')}) AS BIGINT) AS tok
+           FROM documents d JOIN w ON d.source = w.source),
+    tot AS (SELECT source, SUM(tok) AS ts FROM tk GROUP BY 1),
+    tt AS (SELECT MIN(ts / wt) AS T FROM tot JOIN w USING (source)),
+    fr AS (SELECT source, LEAST(1.0, T * wt / ts) AS f
+           FROM tot JOIN w USING (source), tt),
+    thr AS (SELECT source,
+                   CASE WHEN f >= 1.0 THEN 'g'
+                        ELSE printf('%08x', CAST(round(f * 4294967296.0) AS BIGINT))
+                   END AS h
+            FROM fr)
+    SELECT tk.source, COUNT(*) AS kept_docs, CAST(SUM(tok) AS BIGINT) AS kept_tokens
+    FROM tk JOIN thr ON tk.source = thr.source
+    WHERE substring(sha256(concat_ws('|', '{MIXTOK_SALT}', CAST(doc_id AS VARCHAR))), 1, 8) < h
+    GROUP BY 1
+    """
+
+
+@register("remix_token_budget", oracle=_remix_tokens_oracle())
+def remix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing on a TOKEN budget — the unit real training mixtures
+    are specified in (a source of long documents must contribute fewer
+    DOCS for the same token share). Same derivation as the doc-count
+    remix but over per-source token totals: the largest budget B with
+    B·target_s ≤ tokens_s for every source, each source doc-sampled at
+    its derived rate with the deterministic content-hash predicate —
+    the EXPECTED kept-token share then matches the target, and the
+    oracle re-derives the identical rates/threshold in SQL so kept
+    docs AND kept tokens match bit-exactly. Token totals are one
+    aggregate (three collected scalars); the sampling pass is map-only."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tok = docs.withColumn("tok", F.size(tokens("text")).cast("long"))
+    token_sums = {
+        r["source"]: r["ts"]
+        for r in with_tok.filter(F.col("source").isin(list(MIX_TARGETS)))
+        .groupBy("source")
+        .agg(F.sum("tok").alias("ts"))
+        .collect()
+    }
+    present = {s: w for s, w in MIX_TARGETS.items() if s in token_sums}
+    if not present:
+        return (
+            with_tok.limit(0)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("kept_docs"),
+                F.sum("tok").cast("long").alias("kept_tokens"),
+            )
+        )
+    budget = min(token_sums[s] / w for s, w in present.items())
+    fractions = {s: min(1.0, budget * w / token_sums[s]) for s, w in present.items()}
+    sampled = stratified_sample(
+        with_tok, "source", fractions, ["doc_id"], default_fraction=0.0, salt=MIXTOK_SALT
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("tok").cast("long").alias("kept_tokens"),
+    )
+
+
 @register(
     "grouped_zscore_chars",
     oracle="""
