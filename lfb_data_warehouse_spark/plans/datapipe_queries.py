@@ -2056,3 +2056,68 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, s.sent_idx, s.sentence, s.n_chars "
         "FROM docs_sentences_v, LATERAL split_sentences(text) s"
     )
+
+
+@register(
+    "text_readability_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '{_SENT_SPLIT}'),
+                                    x -> len(x) > 0)) AS BIGINT) AS n_sentences,
+               {tokens_sql('text')} AS w
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_sentences,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS token_chars
+        FROM t
+    )
+    SELECT doc_id, n_sentences, n_tokens,
+           CASE WHEN n_sentences > 0
+                THEN CAST(n_tokens AS DOUBLE) / n_sentences END AS tokens_per_sentence,
+           CASE WHEN n_tokens > 0
+                THEN CAST(token_chars AS DOUBLE) / n_tokens END AS chars_per_token
+    FROM s
+    """,
+)
+def text_readability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level readability profiling — the Flesch-style inputs
+    (tokens per sentence, characters per token) used as quality gates:
+    very long sentences flag run-on/boilerplate text, very short ones
+    flag listy/navigation content. Entirely map-only (regex split +
+    array HOFs — shares the sentence rule with the UDTF path, which is
+    the escape hatch when splitting needs real Python); the ratios are
+    single divisions of exact integer counts, guarded against empty
+    docs, so both engines produce identical doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.size(
+        F.filter(
+            F.split(F.col("text"), _SENT_SPLIT), lambda x: F.length(x) > 0
+        )
+    ).cast("long")
+    w = tokens("text")
+    stats = docs.select(
+        "doc_id",
+        sents.alias("n_sentences"),
+        F.size(w).cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+        )
+        .cast("long")
+        .alias("token_chars"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_sentences",
+        "n_tokens",
+        F.when(
+            F.col("n_sentences") > 0,
+            F.col("n_tokens").cast("double") / F.col("n_sentences"),
+        ).alias("tokens_per_sentence"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("token_chars").cast("double") / F.col("n_tokens"),
+        ).alias("chars_per_token"),
+    )
