@@ -70,8 +70,17 @@ def apply_changes(
         F.when(F.col(op_col) == delete_op, F.lit(1)).otherwise(F.lit(0)).desc(),
         F.col(op_col).asc(),
         # full-payload tiebreak: deterministic even for duplicate
-        # (key, seq, op) rows with different images
-        F.xxhash64(*[F.col(c) for c in data_cols]).asc(),
+        # (key, seq, op) rows with different images. Hash a JSON
+        # encoding that KEEPS null fields — Spark's hash functions skip
+        # NULL children, so xxhash64(cols...) would collide rows that
+        # differ only in which column is NULL. Residual: a 64-bit hash
+        # collision between distinct images can still tie (~2^-64/pair).
+        F.xxhash64(
+            F.to_json(
+                F.struct(*[F.col(c) for c in data_cols]),
+                {"ignoreNullFields": "false"},
+            )
+        ).asc(),
     )
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 
 
 def _threshold_hex(fraction: float) -> str:
+    import math
+
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     if fraction >= 1.0:
@@ -36,7 +38,11 @@ def _threshold_hex(fraction: float) -> str:
         # rows whose prefix is exactly 'ffffffff' (p=2^-32 per row,
         # expected hits at 100 TB scale)
         return "g"
-    return format(int(round(fraction * 16**8)), "08x")
+    # floor(x + 0.5), not Python round(): for positive x this equals
+    # DuckDB's round() INCLUDING exact .5 fractions (where Python
+    # rounds half-to-even), so oracles that re-derive data-dependent
+    # fractions in SQL (the remix queries) agree on every input
+    return format(math.floor(fraction * 16**8 + 0.5), "08x")
 
 
 def _bucket_col(keys: Sequence[str], salt: str) -> Column:

@@ -170,10 +170,10 @@ def label_centroids(
         # NB: inferring dim runs a small eager job at plan-build time —
         # pass dim explicitly in lazy/library contexts
         row = emb.select(F.size(vec_col).alias("d")).first()
-        if row is None:
+        if row is None or row["d"] is None or row["d"] < 0:
             raise ValueError(
-                f"cannot infer vector dim from an empty DataFrame; pass dim= "
-                f"(id_col={id_col!r}, vec_col={vec_col!r})"
+                f"cannot infer vector dim (empty DataFrame or NULL first "
+                f"vector); pass dim= (id_col={id_col!r}, vec_col={vec_col!r})"
             )
         dim = row["d"]
     q = quantized if quantized is not None else quantize(emb, id_col, vec_col)

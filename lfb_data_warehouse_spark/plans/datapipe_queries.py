@@ -618,13 +618,17 @@ MIX_SALT = "mix"
 
 
 def _remix_oracle() -> str:
-    vals = ", ".join(f"('{s}', {w})" for s, w in MIX_TARGETS.items())
+    # weights as explicit DOUBLEs: a bare 0.4 literal is DECIMAL in
+    # DuckDB and the whole rate chain would run in decimal arithmetic
+    # while the engine derives the same rates in float64 — forcing
+    # DOUBLE makes both sides the identical IEEE op sequence
+    vals = ", ".join(f"('{s}', CAST({w} AS DOUBLE))" for s, w in MIX_TARGETS.items())
     return f"""
     WITH w AS (SELECT * FROM (VALUES {vals}) t(source, wt)),
     counts AS (SELECT d.source, COUNT(*) AS n
                FROM documents d JOIN w ON d.source = w.source GROUP BY 1),
-    tt AS (SELECT MIN(n / wt) AS T FROM counts JOIN w USING (source)),
-    fr AS (SELECT source, LEAST(1.0, T * wt / n) AS f
+    tt AS (SELECT MIN(CAST(n AS DOUBLE) / wt) AS T FROM counts JOIN w USING (source)),
+    fr AS (SELECT source, LEAST(CAST(1.0 AS DOUBLE), T * wt / CAST(n AS DOUBLE)) AS f
            FROM counts JOIN w USING (source), tt),
     thr AS (SELECT source,
                    CASE WHEN f >= 1.0 THEN 'g'  -- keep-all sentinel ('g' > any hex)
@@ -676,15 +680,16 @@ MIXTOK_SALT = "mixtok"
 
 
 def _remix_tokens_oracle() -> str:
-    vals = ", ".join(f"('{s}', {w})" for s, w in MIX_TARGETS.items())
+    # DOUBLE-cast rationale: see _remix_oracle
+    vals = ", ".join(f"('{s}', CAST({w} AS DOUBLE))" for s, w in MIX_TARGETS.items())
     return f"""
     WITH w AS (SELECT * FROM (VALUES {vals}) t(source, wt)),
     tk AS (SELECT d.source, doc_id,
                   CAST(len({tokens_sql('text')}) AS BIGINT) AS tok
            FROM documents d JOIN w ON d.source = w.source),
     tot AS (SELECT source, SUM(tok) AS ts FROM tk GROUP BY 1),
-    tt AS (SELECT MIN(ts / wt) AS T FROM tot JOIN w USING (source)),
-    fr AS (SELECT source, LEAST(1.0, T * wt / ts) AS f
+    tt AS (SELECT MIN(CAST(ts AS DOUBLE) / wt) AS T FROM tot JOIN w USING (source)),
+    fr AS (SELECT source, LEAST(CAST(1.0 AS DOUBLE), T * wt / CAST(ts AS DOUBLE)) AS f
            FROM tot JOIN w USING (source), tt),
     thr AS (SELECT source,
                    CASE WHEN f >= 1.0 THEN 'g'
@@ -709,7 +714,14 @@ def remix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     the EXPECTED kept-token share then matches the target, and the
     oracle re-derives the identical rates/threshold in SQL so kept
     docs AND kept tokens match bit-exactly. Token totals are one
-    aggregate (three collected scalars); the sampling pass is map-only."""
+    aggregate (three collected scalars); the sampling pass is map-only.
+
+    The corpus tokenizes twice (rate derivation, then the kept-token
+    sum) — same recompute-over-cache choice the MinHash operator
+    measured (a map-only token count is cheaper than building Spark's
+    columnar cache, and a library operator must not leak session-lived
+    cache entries). At warehouse scale, persist the (source, doc_id,
+    tok) projection to parquet once and derive both passes from it."""
     from ..operators.sampling import stratified_sample
 
     docs = load_table(spark, sf_dir, "documents")

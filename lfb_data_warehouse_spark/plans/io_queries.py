@@ -553,6 +553,15 @@ def python_datasource_weekday_orders(spark: SparkSession, sf_dir: str) -> DataFr
     yr = orders.agg(
         F.min(F.year("day")).alias("y0"), F.max(F.year("day")).alias("y1")
     ).first()
+    if yr["y0"] is None:  # empty orders: degrade to an empty result
+        return (
+            orders.limit(0)
+            .groupBy(F.lit(0).cast("int").alias("iso_weekday"), F.lit(False).alias("is_weekend"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                sum_exact("o_totalprice").alias("revenue"),
+            )
+        )
     cal = calendar(spark, yr["y0"], yr["y1"]).select(
         "day", "iso_weekday", "is_weekend"
     )

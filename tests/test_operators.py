@@ -473,16 +473,24 @@ def test_cdc_apply_changes_semantics(spark):
     # needs a TOTAL order (payload-hash tiebreak) so every run/retry
     # picks the same winner — row_number over a partial order is free
     # to flip between executions
-    dup = spark.createDataFrame(
-        [(1, "img_a", 1.0, 5, "U"), (1, "img_b", 2.0, 5, "U")],
-        "k int, name string, v double, seq int, op string",
-    )
+    # same rows in BOTH encounter orders and different partitionings:
+    # without the payload-hash tiebreak row_number picks the
+    # first-encountered row, so the reversed/repartitioned batch would
+    # elect the other image (re-running one identical plan would not
+    # catch that — the arbitrary choice is stable per plan)
+    schema = "k int, name string, v double, seq int, op string"
+    rows = [(1, "img_a", 1.0, 5, "U"), (1, "img_b", 2.0, 5, "U")]
+    variants = [
+        spark.createDataFrame(rows, schema),
+        spark.createDataFrame(list(reversed(rows)), schema),
+        spark.createDataFrame(list(reversed(rows)), schema).repartition(3),
+    ]
     winners = {
         tuple(r)
-        for _ in range(3)
+        for dup in variants
         for r in apply_changes(snap, dup, ["k"], "seq").filter("k = 1").collect()
     }
-    assert len(winners) == 1, f"nondeterministic same-seq winner: {winners}"
+    assert len(winners) == 1, f"order-dependent same-seq winner: {winners}"
 
 
 def test_bloom_prune_keeps_all_partners(spark):
