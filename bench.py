@@ -31,7 +31,61 @@ def sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
-EXTRA_BENCH = ("knn_numpy_topk",)
+EXTRA_BENCH = ("knn_numpy_topk", "ivf_search_persisted")
+
+_IVF_INDEX_DIRS: dict[str, str] = {}
+
+
+def ivf_search_persisted(spark, sf_dir):
+    """Search-side IVF ANN benchmark over a PERSISTED index — the
+    production shape, where ivf_build materializes ONCE (parquet,
+    partitioned by assigned_label) and amortizes over every search
+    batch. Only the search is timed; the inline-rebuild variant
+    (ann_ivf_topk) stays as the correctness gate but is the wrong thing
+    to time, since rebuilding an index per query does more arithmetic
+    than one brute scan by construction (VERDICT r2 item 4; crossover
+    measured in tools/ivf_crossover.py)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.similarity import (
+        ivf_build,
+        ivf_search,
+        quantize,
+    )
+    from lfb_data_warehouse_spark.plans.datapipe_queries import (
+        EMB_DIM,
+        IVF_NPROBE,
+        KNN_K,
+        KNN_PROBES,
+    )
+    from lfb_data_warehouse_spark.sources.testdata import load_table
+
+    if sf_dir not in _IVF_INDEX_DIRS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        inv, cents = ivf_build(emb, "vec_id", "embedding", "label", dim=EMB_DIM)
+        d = tempfile.mkdtemp(prefix="lfb_ivf_index_")
+        inv.write.mode("overwrite").partitionBy("assigned_label").parquet(d + "/inv")
+        cents.write.mode("overwrite").parquet(d + "/cents")
+        quantize(
+            emb.filter(F.col("vec_id").isin(list(range(KNN_PROBES)))),
+            "vec_id",
+            "embedding",
+        ).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("q").alias("pq"),
+            F.col("norm").alias("pnorm"),
+        ).write.mode("overwrite").parquet(d + "/probes")
+        _IVF_INDEX_DIRS[sf_dir] = d
+    d = _IVF_INDEX_DIRS[sf_dir]
+    return ivf_search(
+        spark.read.parquet(d + "/inv"),
+        spark.read.parquet(d + "/cents"),
+        spark.read.parquet(d + "/probes"),
+        KNN_K,
+        nprobe=IVF_NPROBE,
+    )
 
 
 def knn_numpy_topk(spark, sf_dir):

@@ -42,7 +42,14 @@ def _threshold_hex(fraction: float) -> str:
     # DuckDB's round() INCLUDING exact .5 fractions (where Python
     # rounds half-to-even), so oracles that re-derive data-dependent
     # fractions in SQL (the remix queries) agree on every input
-    return format(math.floor(fraction * 16**8 + 0.5), "08x")
+    scaled = math.floor(fraction * 16**8 + 0.5)
+    if scaled >= 16**8:
+        # fraction in [1 - 2^-33, 1.0) rounds up to exactly 16^8, which
+        # formats as the 9-char '100000000'; the 8-char prefixes would
+        # then compare lexicographically against a longer string and
+        # keep only '0…' prefixes (~1/16 of rows). Saturate to keep-all.
+        return "g"
+    return format(scaled, "08x")
 
 
 def _bucket_col(keys: Sequence[str], salt: str) -> Column:

@@ -55,7 +55,16 @@ def _dot(a, b):
 
 
 def _cosine(dot, norm_a, norm_b):
-    return dot.cast("double") / (F.sqrt(norm_a.cast("double")) * F.sqrt(norm_b.cast("double")))
+    """Cosine from a dot product and two SQUARED norms. Zero-norm
+    vectors score 0.0, not NaN: 0/0 would float-divide to NaN, and
+    Spark orders NaN LARGEST while SQL ``ORDER BY score DESC`` oracles
+    and min_by/max_by tiebreaks disagree on it — a degenerate
+    (all-zero) vector or quantized centroid must rank below every real
+    match on both engine and oracle sides, never first."""
+    return F.when(
+        (norm_a > 0) & (norm_b > 0),
+        dot.cast("double") / (F.sqrt(norm_a.cast("double")) * F.sqrt(norm_b.cast("double"))),
+    ).otherwise(F.lit(0.0))
 
 
 def _bruteforce_topk(

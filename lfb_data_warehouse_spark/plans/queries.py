@@ -953,8 +953,8 @@ def zscore_scrub_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            COUNT(*) AS cnt,
-           SUM(CASE WHEN abs(e.value - s.med) > 3.5 * s.mad / 0.6745
-                    THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(SUM(CASE WHEN abs(e.value - s.med) > 3.5 * s.mad / 0.6745
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            round(any_value(s.med), 4) AS med,
            round(any_value(s.mad), 4) AS mad
     FROM events e JOIN s USING (event_type)
@@ -1198,7 +1198,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_sequences",
     oracle="""
     SELECT user_id,
-           list(event_type ORDER BY epoch_us(ts), event_id) AS sequence,
+           array_to_string(list(event_type ORDER BY epoch_us(ts), event_id), '|') AS sequence,
            CAST(len(list(event_type ORDER BY epoch_us(ts), event_id)) AS BIGINT) AS seq_len
     FROM events
     WHERE epoch_us(ts) < 1704153600000000
@@ -1212,7 +1212,10 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected as (ts, id, type) structs and sorted IN the array —
     deterministic regardless of partitioning. Filtered to the first day
     to keep arrays bounded (unbounded per-key arrays are the classic
-    grouped-aggregation OOM at 100 TB)."""
+    grouped-aggregation OOM at 100 TB). The sequence ships as a
+    '|'-joined string: the driver's pandas canonicalizer cannot sort
+    list columns, and a delimited string hashes identically on both
+    sides."""
     events = load_table(spark, sf_dir, "events").filter(
         F.unix_micros("ts") < 1_704_153_600_000_000
     )
@@ -1223,7 +1226,8 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: s.getField("event_type"),
     )
     return events.groupBy("user_id").agg(
-        seq.alias("sequence"), F.size(seq).cast("long").alias("seq_len")
+        F.array_join(seq, "|").alias("sequence"),
+        F.size(seq).cast("long").alias("seq_len"),
     )
 
 

@@ -218,6 +218,52 @@ def test_multimodal_frame_sample_explodes(docs):
     assert got == want
 
 
+def test_media_codec_roundtrip():
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        jpeg_bytes,
+        parse_media,
+        png_bytes,
+        wav_bytes,
+    )
+
+    png = parse_media(png_bytes(300, 144, color_type=6))
+    assert (png["media_type"], png["width"], png["height"], png["channels"]) == (
+        "image/png", 300, 144, 4,
+    )
+    jpg = parse_media(jpeg_bytes(123, 77, n_components=1))
+    assert (jpg["media_type"], jpg["width"], jpg["height"], jpg["channels"]) == (
+        "image/jpeg", 123, 77, 1,
+    )
+    wav = parse_media(wav_bytes(2, 24000, 501))
+    assert (wav["media_type"], wav["channels"], wav["sample_rate"], wav["n_samples"]) == (
+        "audio/wav", 2, 24000, 501,
+    )
+    # corrupt payloads degrade to octet-stream, never raise (poison-row safety)
+    for junk in (b"", b"garbage", b"\xff\xd8truncated", b"RIFFxxxxWAVE"):
+        assert parse_media(junk)["media_type"] == "application/octet-stream"
+
+
+def test_media_decode_distributed(docs):
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        decode_media,
+        synthesize_media,
+    )
+
+    out = {r["doc_id"]: r for r in decode_media(synthesize_media(docs, "doc_id")).collect()}
+    assert len(out) == len(DOCS)
+    # doc_id 3 -> kind 0 (PNG): width/height are functions of doc_id
+    assert out[3]["media_type"] == "image/png"
+    assert (out[3]["width"], out[3]["height"]) == (3 % 509 + 1, 3 % 251 + 1)
+    assert out[3]["sample_rate"] is None
+    # doc_id 1 -> kind 1 (JPEG), odd -> grayscale
+    assert out[1]["media_type"] == "image/jpeg"
+    assert out[1]["channels"] == 1
+    # doc_id 2 -> kind 2 (WAV): 2 % 2 + 1 = 1 channel, rate 8000*(2%3+1)
+    assert out[2]["media_type"] == "audio/wav"
+    assert (out[2]["channels"], out[2]["sample_rate"]) == (1, 24000)
+    assert out[2]["n_samples"] == 2 % 1000 + 1
+
+
 def test_lsh_pairs_subset_of_exact(emb):
     from lfb_data_warehouse_spark.operators.similarity import cosine_lsh_pairs
 

@@ -404,8 +404,9 @@ def _naive_cosine_topk(spark, sf_dir, probe_ids, k):
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ann_ivf_topk(spark, sf_dir):
-    # naive ANN baseline: no index — brute-force the whole corpus
+def ivf_search_persisted(spark, sf_dir):
+    # naive ANN baseline: no index — brute-force the whole corpus per
+    # probe batch (what a user without an index does for every search)
     return _naive_cosine_topk(spark, sf_dir, probe_ids=range(20), k=5)
 
 
@@ -554,7 +555,7 @@ NAIVE = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_keep_canonical": dedup_keep_canonical,
     "semantic_dedup_keep": semantic_dedup_keep,
-    "ann_ivf_topk": ann_ivf_topk,
+    "ivf_search_persisted": ivf_search_persisted,
     "text_quality_stats": text_quality_stats,
     "c4_clean_documents": c4_clean_documents,
     "mart_per_month": mart_per_month,

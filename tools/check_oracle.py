@@ -2,22 +2,32 @@
 
 Runs every ``queries()`` entry from __spark_entry__ on Spark and its
 ``oracle_sql()`` twin on DuckDB (same parquet tables registered as
-views), then compares row count, column names, and values
-(order-insensitive, exact — including float bits, since the engine's
-aggregates are decimal-exact by design).
+views), then compares row count, column names, and values.
+
+CRITICAL: both sides are canonicalized THROUGH PANDAS, exactly like the
+driver (Spark ``toPandas()`` / DuckDB ``.df()`` → sort columns by name
+→ ``sort_values`` over all columns → per-cell stringify). That is what
+makes this a faithful mirror: DuckDB HUGEINT becomes pandas float64
+(so an un-CAST ``SUM(int)`` oracle fails here the same way it fails on
+the driver), and list-typed columns crash pandas' sort (so an
+array-valued output fails here before the driver ever sees it). A
+``fetchall()`` tuple compare — the round-1/2 implementation — can
+never catch either hazard class; see VERDICT.md round 2, "What's
+wrong" items 1-5.
 
 Usage: python tools/check_oracle.py [--json OUT] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
 import json
-import math
 import sys
 import time
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
@@ -27,22 +37,43 @@ TABLES = (
 )
 
 
-def normalize(rows, columns):
-    """Sort columns by name, rows by value; stringify for stable compare."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
+def _cell(v) -> str:
+    """Stringify one pandas cell, dtype-sensitively.
 
-    def key(v):
-        if v is None:
-            return "\x00"
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            return repr(v)
-        return str(v)
+    ``str(np.int64(557)) == '557'`` but ``str(np.float64(557.0)) ==
+    '557.0'`` — the driver's hash distinguishes those, so we must too.
+    All NULL spellings (None / NaN / NaT / pd.NA) collapse to one
+    sentinel because pandas itself collapses them per-dtype.
 
-    out = [tuple(key(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [columns[i] for i in order], out
+    Datetime-likes normalize through pd.Timestamp: Spark DATE arrives
+    as datetime.date objects while DuckDB DATE arrives as datetime64
+    (midnight) — the driver treats those as EQUAL (date_spine_orders
+    was driver-green in round 1 with exactly that dtype split), so the
+    mirror must too.
+    """
+    try:
+        if pd.isna(v):
+            return "\x00<NA>"
+    except (TypeError, ValueError):  # arrays/lists: isna is elementwise
+        pass
+    if isinstance(v, (datetime.date, datetime.datetime, pd.Timestamp)):
+        return str(pd.Timestamp(v))
+    return str(v)
+
+
+def canon(df: pd.DataFrame) -> tuple[list[str], list[tuple[str, ...]]]:
+    """Driver-equivalent canonical form: sorted columns, sorted rows,
+    stringified cells. Raises (like the driver) on unsortable columns,
+    e.g. lists."""
+    cols = sorted(df.columns)
+    df = df.reindex(cols, axis=1)
+    if len(df):
+        df = df.sort_values(cols, kind="mergesort")
+    rows = [
+        tuple(_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+    return cols, rows
 
 
 def main() -> int:
@@ -71,9 +102,7 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            spdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
             results[name] = {"ok": False, "error": f"spark: {e}"[:200]}
@@ -81,28 +110,35 @@ def main() -> int:
             continue
         sql = oracles.get(name)
         if sql is None:
-            results[name] = {"ok": True, "rows": len(s_rows), "rows_only": True}
-            print(f"ok   {name}: rows={len(s_rows)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
+            results[name] = {"ok": True, "rows": len(spdf), "rows_only": True}
+            print(f"ok   {name}: rows={len(spdf)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
             continue
         try:
-            cur = con.execute(sql)
-            o_cols = [d[0] for d in cur.description]
-            o_rows = cur.fetchall()
+            opdf = con.execute(sql).df()
         except Exception as e:
             failures.append(name)
             results[name] = {"ok": False, "error": f"duckdb: {e}"[:200]}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         ok = True
-        if len(s_rows) != len(o_rows):
+        if len(spdf) != len(opdf):
             ok = False
-            print(f"FAIL {name}: rowcount spark={len(s_rows)} oracle={len(o_rows)}")
-        if sorted(s_cols) != sorted(o_cols):
+            print(f"FAIL {name}: rowcount spark={len(spdf)} oracle={len(opdf)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
             ok = False
-            print(f"FAIL {name}: columns spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+            print(
+                f"FAIL {name}: columns spark={sorted(spdf.columns)}"
+                f" oracle={sorted(opdf.columns)}"
+            )
         if ok:
-            _, sn = normalize(s_rows, s_cols)
-            _, on_ = normalize(o_rows, o_cols)
+            try:
+                _, sn = canon(spdf)
+                _, on_ = canon(opdf)
+            except Exception as e:  # driver-equivalent canonicalizer crash
+                failures.append(name)
+                results[name] = {"ok": False, "error": f"canon: {e}"[:200]}
+                print(f"FAIL {name}: canonicalizer crash (driver would too): {e}")
+                continue
             if sn != on_:
                 ok = False
                 diffs = [(a, b) for a, b in zip(sn, on_) if a != b]
@@ -110,13 +146,13 @@ def main() -> int:
                 for a, b in diffs[:3]:
                     print(f"   spark:  {a}\n   oracle: {b}")
         if ok:
-            print(f"ok   {name}: rows={len(s_rows)} [{time.time()-t0:.1f}s]")
+            print(f"ok   {name}: rows={len(spdf)} [{time.time()-t0:.1f}s]")
         else:
             failures.append(name)
         results[name] = {
             "ok": ok,
-            "rows": len(s_rows),
-            "oracle_rows": len(o_rows),
+            "rows": len(spdf),
+            "oracle_rows": len(opdf),
             "secs": round(time.time() - t0, 2),
         }
 
