@@ -295,3 +295,66 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 
         f"(CASE WHEN {bit_sum(j)} > 0 THEN '1' ELSE '0' END)" for j in range(bits)
     )
     return md5s.select(F.col(id_col), F.expr(f"concat({bit_chars})").alias("simhash"))
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    stride: int = 4,
+    boiler_docs: int = 2,
+    dup_max: float = 0.5,
+) -> DataFrame:
+    """Corpus-wide SPAN-level exact dedup — the paragraph-dedup stage of
+    C4/CCNet/Dolma-style pipelines, sitting between exact-doc dedup and
+    near-dup doc detection: a doc that is mostly token-spans already
+    seen in EARLIER docs (or spans shared across many docs, i.e.
+    boilerplate) is flagged even when no single whole-doc duplicate
+    exists.
+
+    Per doc: ``n_spans``, ``n_dup_spans`` (spans whose hash first
+    appeared in a smaller doc_id — keep-first policy), ``n_boiler_spans``
+    (hash present in > ``boiler_docs`` distinct docs), ``dup_ratio``,
+    and ``keep`` (dup_ratio ≤ ``dup_max``).
+
+    Scale shape: span extraction is map-only array expressions (the
+    chunking machinery — sequence/posexplode/slice, no Python); spans
+    travel as md5 hashes, never bodies. One shuffle builds per-hash
+    stats (map-side partial min/countDistinct); the join back to span
+    occurrences is an equi-join on the SAME hash key, so with AQE the
+    exchange is reused and skewed boilerplate hashes are AQE-split. No
+    collects, no windows over the whole corpus.
+    """
+    w = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("__w") - F.lit(n - 1), F.lit(1)), F.lit(stride)
+    )
+    sp = w.select(
+        F.col(id_col), F.explode(starts).alias("__start"), F.col("__w")
+    ).select(
+        F.col(id_col),
+        F.md5(F.array_join(F.slice("__w", F.col("__start"), n), " ")).alias("__h"),
+    )
+    stats = sp.groupBy("__h").agg(
+        F.min(id_col).alias("__first_doc"),
+        F.countDistinct(id_col).alias("__n_docs"),
+    )
+    per = (
+        sp.join(stats, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col(id_col) > F.col("__first_doc")).cast("long")).alias("n_dup_spans"),
+            F.sum((F.col("__n_docs") > boiler_docs).cast("long")).alias("n_boiler_spans"),
+        )
+    )
+    dup_ratio = F.col("n_dup_spans").cast("double") / F.col("n_spans")
+    return per.select(
+        F.col(id_col),
+        "n_spans",
+        "n_dup_spans",
+        "n_boiler_spans",
+        dup_ratio.alias("dup_ratio"),
+        (dup_ratio <= F.lit(dup_max)).alias("keep"),
+    )

@@ -388,6 +388,58 @@ def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(docs, "doc_id", "text", bits=SIMHASH_BITS)
 
 
+SPAN_N = 8
+SPAN_STRIDE = 4
+SPAN_BOILER_DOCS = 2
+SPAN_DUP_MAX = 0.5
+
+
+@register(
+    "span_dedup_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS w FROM documents),
+    s AS (SELECT doc_id, w,
+                 unnest(range(1, greatest(len(w) - {SPAN_N} + 1, 1) + 1,
+                              {SPAN_STRIDE})) AS start
+          FROM t),
+    sp AS (SELECT doc_id,
+                  md5(array_to_string(w[start:start + {SPAN_N} - 1], ' ')) AS h
+           FROM s),
+    st AS (SELECT h, MIN(doc_id) AS first_doc, COUNT(DISTINCT doc_id) AS n_docs
+           FROM sp GROUP BY 1),
+    p AS (SELECT sp.doc_id,
+                 COUNT(*) AS n_spans,
+                 CAST(SUM(CASE WHEN sp.doc_id > st.first_doc THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dup_spans,
+                 CAST(SUM(CASE WHEN st.n_docs > {SPAN_BOILER_DOCS} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_boiler_spans
+          FROM sp JOIN st USING (h) GROUP BY 1)
+    SELECT doc_id, n_spans, n_dup_spans, n_boiler_spans,
+           CAST(n_dup_spans AS DOUBLE) / n_spans AS dup_ratio,
+           (CAST(n_dup_spans AS DOUBLE) / n_spans) <= {SPAN_DUP_MAX} AS keep
+    FROM p
+    """,
+)
+def span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide SPAN-level exact dedup — the paragraph-dedup stage of
+    C4/CCNet/Dolma-style pipelines at {SPAN_N}-token granularity: flags
+    docs mostly made of token spans first seen in earlier docs
+    (keep-first) or shared across > {SPAN_BOILER_DOCS} docs
+    (boilerplate), even when no whole-doc duplicate exists. Span
+    extraction rides the chunking machinery (sequence/posexplode/slice,
+    map-only); spans travel as md5 hashes; one shuffle builds per-hash
+    stats and the join back is on the same key (AQE reuses/splits the
+    exchange). See operators/dedup.py:span_dedup_stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import span_dedup_stats
+
+    return span_dedup_stats(
+        docs, "doc_id", "text",
+        n=SPAN_N, stride=SPAN_STRIDE,
+        boiler_docs=SPAN_BOILER_DOCS, dup_max=SPAN_DUP_MAX,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: quality stats, language ID, fingerprints
 # ---------------------------------------------------------------------------

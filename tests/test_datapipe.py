@@ -218,6 +218,26 @@ def test_multimodal_frame_sample_explodes(docs):
     assert got == want
 
 
+def test_span_dedup_stats(docs):
+    from lfb_data_warehouse_spark.operators.dedup import span_dedup_stats
+
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup_stats(docs, "doc_id", "text", n=3, stride=3).collect()
+    }
+    assert len(out) == len(DOCS)
+    # doc 1 is first: none of its spans can be dups of an earlier doc
+    assert out[1]["n_dup_spans"] == 0 and out[1]["keep"]
+    # doc 4 is an exact copy of doc 1: every span already seen -> dropped
+    assert out[4]["n_dup_spans"] == out[4]["n_spans"]
+    assert out[4]["dup_ratio"] == 1.0 and not out[4]["keep"]
+    # doc 2 differs only in the last word: spans [1-3] and [4-6] are
+    # dups, the final span [7-9] ("the lazy cat") is novel
+    assert 0 < out[2]["n_dup_spans"] < out[2]["n_spans"]
+    # doc 3 shares no 3-token span with anything
+    assert out[3]["n_dup_spans"] == 0
+
+
 def test_media_codec_roundtrip():
     from lfb_data_warehouse_spark.operators.multimodal import (
         jpeg_bytes,
