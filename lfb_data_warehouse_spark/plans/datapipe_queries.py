@@ -1034,6 +1034,79 @@ def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UNIGRAM_VOCAB = 256
+UNIGRAM_LOGP_MIN = -9.0
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS w FROM documents),
+    e AS (SELECT doc_id, unnest(w) AS tok FROM t),
+    c AS (SELECT tok, COUNT(*) AS cnt FROM e GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+    v AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT {UNIGRAM_VOCAB}),
+    s AS (SELECT e.doc_id, COUNT(*) AS n_tokens,
+                 SUM(ln(COALESCE(CAST(v.cnt AS DOUBLE), 0.5)
+                        / (SELECT total FROM tot))) AS lp
+          FROM e LEFT JOIN v USING (tok) GROUP BY 1)
+    SELECT doc_id, n_tokens,
+           round(lp / n_tokens, 6) AS mean_logp,
+           round(exp(-(lp / n_tokens)), 2) AS ppl_proxy,
+           round(lp / n_tokens, 6) >= {UNIGRAM_LOGP_MIN} AS keep
+    FROM s
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy quality gate: score each document by
+    its mean unigram log-probability under the corpus's own top-V
+    language model (OOV tokens get a 0.5-count floor). Low-probability
+    docs are gibberish/code/foreign contamination; improbably HIGH ones
+    are repetitive boilerplate — this is the standard cheap stand-in
+    for a KenLM perplexity filter.
+
+    Scale shape: one wordcount shuffle (map-side partial) builds the
+    model; the model itself is two BOUNDED driver collects (one scalar
+    total + V vocab rows, V={UNIGRAM_VOCAB}) folded into a literal map —
+    so per-doc scoring is a PURE MAP pass (element_at on the broadcast
+    map inside array HOFs, no join, no second shuffle), unlike
+    text_vocab_oov's broadcast-join formulation: at 100 TB the token
+    stream is never re-shuffled for scoring. Scores round at 6dp (JVM
+    Math.log vs libm ln can differ in the last ulp; double summation
+    order differs too — both vanish at 1e-6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(F.explode(tokens("text")).alias("tok"))
+    counts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = float(counts.agg(F.sum("cnt")).collect()[0][0])
+    vocab_rows = (
+        counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(UNIGRAM_VOCAB).collect()
+    )
+    entries: list = []
+    for r in vocab_rows:
+        entries += [F.lit(r["tok"]), F.lit(float(r["cnt"]))]
+    vmap = F.create_map(*entries)
+    w = tokens("text")
+    lp = F.aggregate(
+        F.transform(
+            w,
+            lambda t: F.log(
+                F.coalesce(F.element_at(vmap, t), F.lit(0.5)) / F.lit(total)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(w)
+    mean = F.round(lp / n, 6)
+    return docs.filter(F.size(w) > 0).select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        mean.alias("mean_logp"),
+        F.round(F.exp(-(lp / n)), 2).alias("ppl_proxy"),
+        (mean >= F.lit(UNIGRAM_LOGP_MIN)).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: PII redaction (anonymization pass)
 # ---------------------------------------------------------------------------
@@ -1748,6 +1821,101 @@ def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_lsh_pairs(
         emb, "vec_id", "embedding", dim=EMB_DIM, threshold=NEAR_DUP_COS,
         bands=LSH_BANDS, planes_per_band=LSH_PLANES_PER_BAND,
+    )
+
+
+RP_OUT_DIM = 16
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic ±1 projection matrix (RP_OUT_DIM × EMB_DIM):
+    sign(j,i) = +1 iff the first hex digit of md5('rp|j|i') is 0-7.
+    md5 is the same function on every engine, so this matrix is
+    reproducible anywhere from the derivation rule alone — the
+    database-friendly analogue of a seeded RNG (Achlioptas-style
+    ±1 entries satisfy the JL lemma the same as Gaussians)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"rp|{j}|{i}".encode()).hexdigest()[0] in "01234567" else -1
+            for i in range(EMB_DIM)
+        ]
+        for j in range(RP_OUT_DIM)
+    ]
+
+
+def _rp_oracle() -> str:
+    signs = _rp_signs()
+    s_sql = "[" + ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in signs
+    ) + "]"
+    scale = "4.0"  # sqrt(RP_OUT_DIM) = sqrt(16)
+    return f"""
+    WITH m AS (SELECT {s_sql} AS S)
+    SELECT vec_id,
+           array_to_string(list_transform(S, row ->
+               printf('%.6f', round(
+                   list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                       i -> CAST(embedding[i] AS DOUBLE) * row[i])) / {scale}, 6))),
+               '|') AS projected,
+           round(sqrt(list_sum(list_transform(S, row ->
+               pow(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                   i -> CAST(embedding[i] AS DOUBLE) * row[i])) / {scale}, 2))))
+             / sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm_ratio
+    FROM embeddings, m
+    """
+
+
+@register("embedding_random_projection", oracle=_rp_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: compress {EMB_DIM}-dim
+    embeddings to {RP_OUT_DIM} dims with a deterministic ±1 matrix
+    (scaled 1/√k), the standard pre-step that cuts ANN/clustering cost
+    ~dim-ratio-fold while approximately preserving distances
+    (norm_ratio audits the preservation per vector). Entirely map-only
+    JVM array expressions — the matrix is a broadcast literal, each
+    output dim is one zip_with/aggregate fold, no shuffle, no Python.
+    At 100 TB this runs inside the scan stage and writes the compressed
+    column alongside the original for the ANN index to consume.
+    Projected values round at 6dp and ship as a '|'-joined string (the
+    driver's canonicalizer cannot sort list columns)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = _rp_signs()
+    scale = float(RP_OUT_DIM) ** 0.5
+
+    def proj(j: int):
+        row = F.array(*[F.lit(v) for v in signs[j]])
+        return (
+            F.aggregate(
+                F.zip_with(F.col("embedding"), row, lambda a, s: a.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.lit(scale)
+        )
+
+    comps = [proj(j) for j in range(RP_OUT_DIM)]
+    p_norm = F.sqrt(
+        sum((c * c for c in comps[1:]), comps[0] * comps[0])
+    )
+    v_norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"), F.col("embedding"),
+                lambda a, b: a.cast("double") * b.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return emb.select(
+        "vec_id",
+        F.array_join(
+            F.array(*[F.format_string("%.6f", F.round(c, 6)) for c in comps]), "|"
+        ).alias("projected"),
+        F.round(p_norm / v_norm, 4).alias("norm_ratio"),
     )
 
 

@@ -238,6 +238,25 @@ def test_span_dedup_stats(docs):
     assert out[3]["n_dup_spans"] == 0
 
 
+def test_unigram_logprob_orders_by_commonness(spark, docs, tmp_path):
+    # run the registered query against a tiny parquet dir built from DOCS
+    import pyspark.sql.functions as SF
+
+    from lfb_data_warehouse_spark.plans.datapipe_queries import text_unigram_logprob
+
+    d = str(tmp_path / "sf")
+    docs.select(
+        "doc_id", "text", SF.lit("en").alias("lang"),
+        SF.lit("src0").alias("source"), SF.length("text").alias("n_chars"),
+    ).write.parquet(d + "/documents.parquet")
+    out = {r["doc_id"]: r for r in text_unigram_logprob(spark, d).collect()}
+    # docs 1 and 4 are identical: identical scores
+    assert out[1]["mean_logp"] == out[4]["mean_logp"]
+    # doc 3 is all corpus-rare words -> strictly less probable than doc 1
+    assert out[3]["mean_logp"] < out[1]["mean_logp"]
+    assert out[3]["ppl_proxy"] > out[1]["ppl_proxy"]
+
+
 def test_media_codec_roundtrip():
     from lfb_data_warehouse_spark.operators.multimodal import (
         jpeg_bytes,
