@@ -154,3 +154,64 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+# --- pure-Python properties (no Spark job per example: full example counts) ---
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(1, 65535),
+    h=st.integers(1, 65535),
+    kind=st.sampled_from(["png", "jpeg", "wav"]),
+    ch=st.integers(1, 3),
+)
+def test_media_codec_roundtrip_property(w, h, kind, ch):
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        jpeg_bytes,
+        parse_media,
+        png_bytes,
+        wav_bytes,
+    )
+
+    if kind == "png":
+        got = parse_media(png_bytes(w, h, color_type=2))
+        assert (got["media_type"], got["width"], got["height"]) == ("image/png", w, h)
+    elif kind == "jpeg":
+        got = parse_media(jpeg_bytes(w, h, n_components=ch))
+        assert (got["media_type"], got["width"], got["height"], got["channels"]) == (
+            "image/jpeg", w, h, ch,
+        )
+    else:
+        n_samples = (w * h) % 4096 + 1
+        got = parse_media(wav_bytes(ch, 8000 * ch, n_samples))
+        assert (got["media_type"], got["channels"], got["n_samples"]) == (
+            "audio/wav", ch, n_samples,
+        )
+
+
+@settings(max_examples=300, deadline=None)
+@given(frac=st.floats(0.0, 1.0, allow_nan=False))
+def test_threshold_hex_bounds(frac):
+    from lfb_data_warehouse_spark.operators.sampling import _threshold_hex
+
+    t = _threshold_hex(frac)
+    if t == "g":
+        # keep-all sentinel appears ONLY when the rounded threshold
+        # saturates 16^8 (fraction within 2^-33 of 1.0, or exactly 1.0)
+        assert frac >= 1.0 - 2.0 ** -32
+    else:
+        # otherwise always an 8-char lexicographically comparable hex
+        # string (never the 9-char overflow that breaks the compare)
+        assert len(t) == 8
+        assert all(c in "0123456789abcdef" for c in t)
+
+
+@settings(max_examples=100, deadline=None)
+@given(f1=st.floats(0.0, 1.0), f2=st.floats(0.0, 1.0))
+def test_threshold_hex_monotone(f1, f2):
+    from lfb_data_warehouse_spark.operators.sampling import _threshold_hex
+
+    lo, hi = sorted((f1, f2))
+    # a larger fraction never keeps fewer rows: thresholds are ordered
+    assert _threshold_hex(lo) <= _threshold_hex(hi)
