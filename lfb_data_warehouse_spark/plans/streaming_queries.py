@@ -361,3 +361,109 @@ def stream_dedup_jittered(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_exact(F.col("value"), "decimal(18,4)", wide=False).alias("total_value"),
     )
     return _run_complete(out, "stream_dedup_ww")
+
+
+# ---------------------------------------------------------------------------
+# Late-data semantics: the watermark actually DROPS too-late arrivals
+# ---------------------------------------------------------------------------
+
+# one staged tranche dir per sf_dir per process (same rationale as
+# _STAGED above)
+_LATE_STAGED: dict[str, str] = {}
+
+_LATE_CUTOFF = "2024-01-02"
+
+
+def _stage_late_tranches(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as FIVE ordered single-file micro-batches:
+
+      00  day-1 events (on time)
+      01  everything after day 1 (advances the watermark far past day 1)
+      02  '__flush__' sentinel at max(ts)+48h — a spacer batch, because
+          Spark's watermark LAGS one micro-batch (batch N runs under
+          the watermark computed from batches ≤ N-2; measured here:
+          without the spacer the late tranche lands while day-1's last
+          two hourly windows are still live and double-counts them)
+      03  day-1 events AGAIN (late duplicates — watermark is now months
+          past them, so every row must be dropped)
+      04  '__flush__' sentinel at max(ts)+96h (pushes the watermark
+          past sentinel 02's window so append mode emits every real
+          window; sentinel rows are filtered from the output and 04's
+          own window never emits)
+
+    Files are named 00-04 with strictly increasing mtimes so the file
+    source (maxFilesPerTrigger=1, oldest-first) replays them as five
+    deterministic micro-batches.
+    """
+    import datetime as dt
+    import os
+    import shutil
+
+    src = _LATE_STAGED.get(sf_dir)
+    if src is not None:
+        return src
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_LATE_CUTOFF).cast("timestamp")
+    t0 = events.filter(F.col("ts") < cutoff)
+    t1 = events.filter(F.col("ts") >= cutoff)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+
+    def flush(eid: int, hours: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(eid, max_ts + dt.timedelta(hours=hours), 0, "__flush__", 0.0, None)],
+            events.schema,
+        )
+
+    src = tempfile.mkdtemp(prefix="lfb_stream_late_")
+    for i, df in enumerate((t0, t1, flush(10**12, 48), t0, flush(10**12 + 1, 96))):
+        tmp = tempfile.mkdtemp(prefix="lfb_stream_late_part_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        shutil.rmtree(tmp, ignore_errors=True)
+    _LATE_STAGED[sf_dir] = src
+    return src
+
+
+def _run_append(out: DataFrame, prefix: str) -> DataFrame:
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(out.sparkSession):
+        q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+    return out.sparkSession.table(name)
+
+
+@register(
+    "stream_late_data_drop",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, gated end to end: the stream
+    replays day-1 events, then the rest of the corpus (advancing the
+    watermark far past day 1), then THE SAME day-1 events again as late
+    arrivals, in append mode. The 1-hour watermark must drop the late
+    tranche entirely — their windows closed and evicted when the
+    watermark passed — so the streaming output equals the plain batch
+    hourly aggregate over the ORIGINAL events: duplicates contribute
+    nothing, and the oracle is the clean batch answer. (complete/update
+    modes never demonstrate this: they re-emit state, so late dupes
+    would double-count. This is THE correctness property that makes
+    bounded-state streaming safe at 100 TB/day ingest.)"""
+    events = load_table(spark, sf_dir, "events")
+    src = _stage_late_tranches(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_windowed_agg(stream, "ts", window="1 hour", keys=["event_type"], watermark="1 hour")
+    res = _run_append(out, "stream_late")
+    return res.filter(F.col("event_type") != "__flush__")

@@ -41,6 +41,7 @@ SKIP = {
     "stream_upsert_idempotent",
     "stream_dedup_events",
     "stream_dedup_jittered",
+    "stream_late_data_drop",
 }
 
 ALL_QUERIES = [n for n in REGISTRY if n not in SKIP]
