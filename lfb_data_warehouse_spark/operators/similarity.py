@@ -286,6 +286,15 @@ def ivf_build(
     scale path (measured in tools/ivf_crossover.py)."""
     q = quantize(emb, id_col, vec_col, keep=(label_col,))
     cents = label_centroids(emb, id_col, vec_col, label_col, dim=dim, quantized=q)
+    return ivf_index_from_cents(q, cents, id_col), cents
+
+
+def ivf_index_from_cents(q: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Inverted list for ANY centroid set — label-derived
+    (:func:`label_centroids`) or learned (:func:`kmeans_centroids`):
+    assign each quantized vector to its nearest centroid WITH its
+    quantized payload. One broadcast fan-out + one max-by aggregate;
+    the payload rides along so search never joins back to the corpus."""
     iscored = q.crossJoin(F.broadcast(cents)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("centroid_label"),
@@ -303,12 +312,61 @@ def ivf_build(
         ),
         F.struct((-F.col("cscore")).alias("ns"), F.col("centroid_label").alias("l")),
     )
-    inv = (
+    return (
         iscored.groupBy("neighbor_id")
         .agg(ipick.alias("_b"))
         .select("neighbor_id", "_b.assigned_label", "_b.nq", "_b.nn")
     )
-    return inv, cents
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """Distributed Lloyd's k-means in quantized integer space —
+    (centroid_label, cq, cnorm) after ``iters`` refinement rounds.
+
+    Deterministic end to end, so a SQL oracle can replay it exactly:
+    seeds are the vectors with the ``k`` smallest ids; assignment
+    tiebreaks on (score, centroid label); the centroid update is the
+    same integer round(sum/n) recipe as :func:`label_centroids`. A
+    cluster that loses every member simply disappears (both engines'
+    GROUP BY drops it).
+
+    Scale shape per iteration: one broadcast fan-out of k centroids
+    over the corpus (map-only scoring), one max-by assignment
+    aggregate, one dim-wide centroid mean aggregate — two shuffles of
+    (id, label)-sized rows, never of raw vectors, and the iteration
+    count is a constant (k-means over a fixed-size sample is also the
+    standard way to LEARN the IVF index's neighborhoods; the label
+    shortcut exists for corpora that arrive pre-clustered)."""
+    q = quantize(emb, id_col, vec_col)
+    if dim is None:
+        row = emb.select(F.size(vec_col).alias("d")).first()
+        if row is None or row["d"] is None or row["d"] < 0:
+            raise ValueError("cannot infer vector dim; pass dim=")
+        dim = row["d"]
+    cents = q.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("centroid_label"),
+        F.col("q").alias("cq"),
+        F.col("norm").alias("cnorm"),
+    )
+    for _ in range(iters):
+        assigned = ivf_index_from_cents(q, cents, id_col)
+        ql = assigned.select(
+            F.col("neighbor_id").alias(id_col),
+            F.col("assigned_label"),
+            F.col("nq").alias("q"),
+            F.col("nn").alias("norm"),
+        )
+        cents = label_centroids(
+            ql, id_col, vec_col, "assigned_label", dim=dim, quantized=ql
+        )
+    return cents
 
 
 def ivf_topk(

@@ -303,6 +303,26 @@ def test_media_decode_distributed(docs):
     assert out[2]["n_samples"] == 2 % 1000 + 1
 
 
+def test_kmeans_centroids_deterministic_and_separating(emb):
+    from lfb_data_warehouse_spark.operators.similarity import (
+        ivf_index_from_cents,
+        kmeans_centroids,
+        quantize,
+    )
+
+    c1 = kmeans_centroids(emb, "vec_id", "embedding", k=2, iters=2).collect()
+    c2 = kmeans_centroids(emb, "vec_id", "embedding", k=2, iters=2).collect()
+    key = lambda rows: sorted((r["centroid_label"], list(r["cq"])) for r in rows)  # noqa: E731
+    assert key(c1) == key(c2)  # bit-deterministic across runs
+    assert 1 <= len(c1) <= 2
+    # every vector lands in exactly one inverted list
+    q = quantize(emb, "vec_id", "embedding")
+    cents = kmeans_centroids(emb, "vec_id", "embedding", k=2, iters=2)
+    inv = ivf_index_from_cents(q, cents, "vec_id")
+    assert inv.count() == emb.count()
+    assert inv.select("neighbor_id").distinct().count() == emb.count()
+
+
 def test_lsh_pairs_subset_of_exact(emb):
     from lfb_data_warehouse_spark.operators.similarity import cosine_lsh_pairs
 

@@ -84,6 +84,9 @@ INTENDED_CROSS = {
     "knn_bruteforce_cosine",  # corpus × broadcast(probes)
     "ivf_centroid_assign",  # corpus × broadcast(centroids)
     "ann_ivf_topk",  # corpus × broadcast(centroids), lists × broadcast(probe-centroids)
+    "ivf_recall_audit",  # same two shapes + corpus × broadcast(probes) exact baseline
+    "kmeans_fit_centroids",  # corpus × broadcast(k centroids) per Lloyd round
+    "ann_ivf_kmeans_recall",  # kmeans rounds + IVF search + exact baseline
     "int8_ann_topk_claim",  # corpus × broadcast(probes), twice (exact + int8 paths)
     "tpch_q22_prospects",  # scalar subquery: customer × broadcast(1-row avg aggregate)
     "scd2_point_in_time_join",  # versions × broadcast(1-row max-date aggregate)
