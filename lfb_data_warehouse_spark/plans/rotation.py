@@ -176,6 +176,12 @@ UNCHECKED_PRIORITY: list[str] = [
     "pandas_udf_quality_sigmoid",
     "dense_ids_documents",
     "pack_sequences_documents",
+    # multimodal — ahead of streaming: multimodal_decode's green row is
+    # an explicit round-3 deliverable (VERDICT r2 item 5) and the
+    # streaming batch twins already have driver-green rows
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
     # streaming
     "stream_tumbling_hourly",
     "stream_stateful_user_stats",
@@ -183,10 +189,6 @@ UNCHECKED_PRIORITY: list[str] = [
     "stream_sessionize",
     "stream_interval_join",
     "stream_static_enrich",
-    # multimodal
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frame_sample",
     # sketches / sampling / misc analytics
     "sketch_mart_mergeable",
     "approx_percentile_claim",
