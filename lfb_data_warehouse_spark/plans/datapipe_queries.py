@@ -44,6 +44,7 @@ from ..operators.similarity import (
     cosine_topk,
     ivf_assign,
     ivf_topk,
+    quantize,
     semantic_dedup,
 )
 from ..sources.testdata import load_table
@@ -1652,6 +1653,49 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, "vec_id", "embedding", "label",
         probe_ids=range(KNN_PROBES), k=KNN_K, nprobe=IVF_NPROBE, dim=EMB_DIM,
+    )
+
+
+# one persisted index per (process, sf_dir) — repeated gate runs reuse it
+_IVF_PERSIST_DIRS: dict[str, str] = {}
+
+
+@register("ivf_persisted_search", oracle=_ivf_topk_oracle())
+def ivf_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF deployment shape as a correctness gate:
+    ivf_build materializes the index to parquet (inverted list
+    partitioned by assigned_label, centroids, quantized probes) and
+    ivf_search serves from the files — byte-identical results to the
+    inline ann_ivf_topk (same oracle), proving the persist/reload
+    round-trip loses nothing (array<long> payloads, label partition
+    column round-trip, partition pruning on probed lists). This is the
+    shape the bench times (bench.py ivf_search_persisted)."""
+    import os
+    import tempfile
+
+    from ..operators.similarity import ivf_build, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = _IVF_PERSIST_DIRS.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="lfb_ivf_gate_")
+        inv, cents = ivf_build(emb, "vec_id", "embedding", "label", dim=EMB_DIM)
+        inv.write.mode("overwrite").partitionBy("assigned_label").parquet(
+            os.path.join(d, "inv")
+        )
+        cents.write.mode("overwrite").parquet(os.path.join(d, "cents"))
+        quantize(emb.filter(F.col("vec_id") < KNN_PROBES), "vec_id", "embedding").select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("q").alias("pq"),
+            F.col("norm").alias("pnorm"),
+        ).write.mode("overwrite").parquet(os.path.join(d, "probes"))
+        _IVF_PERSIST_DIRS[sf_dir] = d
+    return ivf_search(
+        spark.read.parquet(os.path.join(d, "inv")),
+        spark.read.parquet(os.path.join(d, "cents")),
+        spark.read.parquet(os.path.join(d, "probes")),
+        KNN_K,
+        nprobe=IVF_NPROBE,
     )
 
 

@@ -195,6 +195,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "remix_source_mixture",
     "sample_orders_deterministic",
     # --- round-4 spillover from here down (siblings already green) ---
+    "ivf_persisted_search",  # same oracle as ann_ivf_topk; unit-pinned persisted==inline
     "mom_revenue_growth",
     "gap_fill_daily_revenue",
     "null_semantics_battery",

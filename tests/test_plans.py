@@ -85,6 +85,7 @@ INTENDED_CROSS = {
     "ivf_centroid_assign",  # corpus × broadcast(centroids)
     "ann_ivf_topk",  # corpus × broadcast(centroids), lists × broadcast(probe-centroids)
     "ivf_recall_audit",  # same two shapes + corpus × broadcast(probes) exact baseline
+    "ivf_persisted_search",  # probes × broadcast(centroids) ranking over the persisted index
     "kmeans_fit_centroids",  # corpus × broadcast(k centroids) per Lloyd round
     "ann_ivf_kmeans_recall",  # kmeans rounds + IVF search + exact baseline
     "int8_ann_topk_claim",  # corpus × broadcast(probes), twice (exact + int8 paths)
