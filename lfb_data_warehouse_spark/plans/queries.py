@@ -1380,6 +1380,42 @@ def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_join_events",
+    oracle="""
+    WITH dim AS (SELECT DISTINCT event_type,
+                        CAST(length(event_type) AS BIGINT) AS type_weight
+                 FROM events)
+    SELECT e.event_id, e.event_type, d.type_weight,
+           round(e.value * d.type_weight, 4) AS weighted_value
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant SHUFFLE join (the companion gate to
+    salted_agg_events): the big side's hot join keys (~5 event types
+    over the whole table) are salt-sharded over 8 reducers and the
+    small side is replicated once per salt — the shape for small sides
+    too large to broadcast over pathological key distributions. The
+    oracle is the plain join: salting must be output-invariant, row for
+    row, not just in aggregate."""
+    from ..operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = events.select("event_type").distinct().select(
+        "event_type", F.length("event_type").cast("long").alias("type_weight")
+    )
+    joined = salted_join(events, dim, ["event_type"], "event_id", buckets=8)
+    return joined.select(
+        "event_id",
+        "event_type",
+        "type_weight",
+        F.round(F.col("value") * F.col("type_weight"), 4).alias("weighted_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semi-structured columns: typed JSON extraction (beyond-reference)
 # ---------------------------------------------------------------------------
