@@ -471,6 +471,13 @@ def semantic_dedup(
         emb, id_col, vec_col, label_col, cents=cents, quantized=q
     ).select(F.col(id_col), "assigned_label")
     qa = q.select(F.col(id_col), "q", "norm").join(assigned, id_col)
+    return _within_cluster_survivors(qa, id_col, threshold)
+
+
+def _within_cluster_survivors(qa: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """SemDeDup's pair stage over an assigned corpus ``qa`` =
+    (id, assigned_label, q, norm): within-cluster cosine pairs only,
+    min-id survivor policy; returns surviving (id, assigned_label)."""
     a = qa.select(
         F.col("assigned_label").alias("cl"), F.col(id_col).alias("id_a"),
         F.col("q").alias("qa"), F.col("norm").alias("na"),
@@ -489,6 +496,22 @@ def semantic_dedup(
         .distinct()
     )
     return qa.join(drops, id_col, "left_anti").select(F.col(id_col), "assigned_label")
+
+
+def semantic_dedup_from_index(inv: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """SemDeDup over an EXISTING inverted-list assignment
+    (:func:`ivf_index_from_cents` / a persisted :func:`ivf_build`
+    index) — with LEARNED k-means clusters this is the paper's actual
+    formulation (Abbas et al. 2023 cluster with k-means, not given
+    labels), and at warehouse scale it runs straight off the
+    materialized index parquet: one scan, no re-assignment."""
+    qa = inv.select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("assigned_label"),
+        F.col("nq").alias("q"),
+        F.col("nn").alias("norm"),
+    )
+    return _within_cluster_survivors(qa, id_col, threshold)
 
 
 def lsh_hyperplanes(planes: int, dim: int, scale: int = 10000) -> list[list[int]]:

@@ -1881,6 +1881,57 @@ def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_kmeans_oracle() -> str:
+    kc = f"c{KMEANS_ITERS}"
+    dot_vc = f"list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> v.q[i] * c.cq[i]))"
+    pair_dot = f"list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> a.q[i] * b.q[i]))"
+    return f"""
+    WITH {_QCTE},
+    {_kmeans_ctes(KMEANS_ITERS)},
+    afinal AS (SELECT vec_id, assigned_label, q, norm FROM (
+        SELECT v.vec_id, c.centroid_label AS assigned_label, v.q, v.norm,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_cos_sql_guarded(dot_vc, 'v.norm', 'c.cnorm')} DESC,
+                            c.centroid_label) AS rn
+        FROM qn v CROSS JOIN {kc} c) WHERE rn = 1),
+    drops AS (
+        SELECT DISTINCT b.vec_id
+        FROM afinal a JOIN afinal b
+          ON a.assigned_label = b.assigned_label AND a.vec_id < b.vec_id
+        WHERE {_cos_sql(pair_dot, 'a.norm', 'b.norm')} >= {SEMDEDUP_COS}
+    )
+    SELECT s.vec_id, s.assigned_label
+    FROM afinal s LEFT JOIN drops d ON s.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """
+
+
+@register("semantic_dedup_kmeans", oracle=_semantic_dedup_kmeans_oracle())
+def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with LEARNED clusters — the paper's actual formulation
+    (Abbas et al. 2023 cluster with k-means before the within-cluster
+    pair stage; semantic_dedup_keep's label shortcut exists for corpora
+    that arrive pre-clustered). Fit k-means, assign the corpus once
+    (the same inverted-list pass the IVF index uses), then pair within
+    clusters under the min-id survivor policy. The within-cluster
+    restriction is still what makes it subquadratic, and the learned
+    neighborhoods make it catch MORE near-duplicates per pair examined
+    than arbitrary labels do (the same effect ann_ivf_kmeans_recall
+    measures for search)."""
+    from ..operators.similarity import (
+        ivf_index_from_cents,
+        kmeans_centroids,
+        semantic_dedup_from_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(
+        emb, "vec_id", "embedding", KMEANS_K, iters=KMEANS_ITERS, dim=EMB_DIM
+    )
+    inv = ivf_index_from_cents(quantize(emb, "vec_id", "embedding"), cents, "vec_id")
+    return semantic_dedup_from_index(inv, "vec_id", threshold=SEMDEDUP_COS)
+
+
 @register("ivf_recall_audit", oracle=_ivf_recall_oracle())
 def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k audit for the IVF ANN path — the same honesty gate the

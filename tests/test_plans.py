@@ -88,6 +88,7 @@ INTENDED_CROSS = {
     "ivf_persisted_search",  # probes × broadcast(centroids) ranking over the persisted index
     "kmeans_fit_centroids",  # corpus × broadcast(k centroids) per Lloyd round
     "ann_ivf_kmeans_recall",  # kmeans rounds + IVF search + exact baseline
+    "semantic_dedup_kmeans",  # kmeans rounds; the pair join itself is a cluster equi-join
     "int8_ann_topk_claim",  # corpus × broadcast(probes), twice (exact + int8 paths)
     "tpch_q22_prospects",  # scalar subquery: customer × broadcast(1-row avg aggregate)
     "scd2_point_in_time_join",  # versions × broadcast(1-row max-date aggregate)
