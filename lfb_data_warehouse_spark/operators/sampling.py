@@ -110,3 +110,33 @@ def stratified_sample_sql(
     )
     case = f"CASE {whens} ELSE '{_threshold_hex(default_fraction)}' END"
     return f"{_bucket_sql(keys, salt)} < {case}"
+
+
+def weighted_sample(
+    df: DataFrame, keys: Sequence[str], fraction_col: str, salt: str = "wsample"
+) -> DataFrame:
+    """Keep each row with probability equal to its OWN ``fraction_col``
+    value (in [0, 1]) — the continuous generalization of
+    :func:`stratified_sample`, e.g. keep-probability = quality score
+    so a mixing pipeline upsamples high-quality documents. Same
+    deterministic machinery: content-hash prefix vs a PER-ROW hex
+    threshold (a Catalyst expression, zero shuffle, reproducible on
+    any engine — the oracle derives the identical threshold with
+    round + printf('%08x')), with the same 16^8 saturation guard as
+    :func:`_threshold_hex` (fractions within 2^-33 of 1.0 must keep
+    all rows, not 1/16 of them)."""
+    scaled = F.round(F.col(fraction_col) * F.lit(float(16**8)))
+    thr = F.when(scaled >= F.lit(float(16**8)), F.lit("g")).otherwise(
+        F.format_string("%08x", scaled.cast("long"))
+    )
+    return df.filter(_bucket_col(keys, salt) < thr)
+
+
+def weighted_sample_sql(keys: Sequence[str], fraction_expr: str, salt: str = "wsample") -> str:
+    """Oracle predicate + threshold derivation for :func:`weighted_sample`."""
+    scaled = f"round(({fraction_expr}) * 4294967296.0)"
+    case = (
+        f"CASE WHEN {scaled} >= 4294967296.0 THEN 'g' "
+        f"ELSE printf('%08x', CAST({scaled} AS BIGINT)) END"
+    )
+    return f"{_bucket_sql(keys, salt)} < {case}"

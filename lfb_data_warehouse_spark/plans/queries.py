@@ -2335,6 +2335,43 @@ def sample_orders_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(uniform, "uniform").unionByName(agg(strat, "stratified"))
 
 
+def _weighted_sample_oracle() -> str:
+    from ..functions.text import tokens_sql
+    from ..operators.sampling import weighted_sample_sql
+
+    pred = weighted_sample_sql(["doc_id"], "diversity", salt="qsample")
+    return f"""
+    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS w FROM documents),
+    r AS (SELECT doc_id,
+                 CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS diversity
+          FROM t WHERE len(w) > 0)
+    SELECT doc_id, round(diversity, 6) AS quality
+    FROM r WHERE {pred}
+    """
+
+
+@register("quality_weighted_sample", oracle=_weighted_sample_oracle())
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling — keep-probability equals each doc's
+    OWN quality score (lexical diversity here), the continuous data-
+    mixing primitive that upsamples high-quality documents without RNG
+    state: content-hash prefix vs a PER-ROW derived hex threshold, a
+    pure map-side Catalyst predicate reproduced exactly by the oracle
+    (same hash, same round/printf threshold derivation, same 16^8
+    saturation guard)."""
+    from ..functions.text import tokens
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    scored = docs.filter(F.size(w) > 0).select(
+        "doc_id",
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias("diversity"),
+    )
+    kept = weighted_sample(scored, ["doc_id"], "diversity", salt="qsample")
+    return kept.select("doc_id", F.round("diversity", 6).alias("quality"))
+
+
 @register(
     "mom_revenue_growth",
     oracle=f"""

@@ -198,6 +198,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "ivf_persisted_search",  # same oracle as ann_ivf_topk; unit-pinned persisted==inline
     "salted_join_events",  # salted-join gate; operator unit-pinned salt-invariant
     "semantic_dedup_kmeans",  # SemDeDup over learned clusters (paper formulation)
+    "quality_weighted_sample",  # per-row keep-probability sampling (data mixing)
     "mom_revenue_growth",
     "gap_fill_daily_revenue",
     "null_semantics_battery",

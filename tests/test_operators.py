@@ -512,3 +512,24 @@ def test_bloom_prune_keeps_all_partners(spark):
     # empty build side → nothing passes
     empty = bloom_build(dim.filter("k < 0"), "k", nbits=1 << 15)
     assert bloom_prune(fact, empty, "fk", nbits=1 << 15).count() == 0
+
+
+def test_weighted_sample_bounds_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.sampling import weighted_sample
+
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id").cast("double") / 199).alias("p"),
+    )
+    all_kept = weighted_sample(df.withColumn("p", F.lit(1.0)), ["id"], "p")
+    assert all_kept.count() == 200  # p=1.0 hits the keep-all sentinel
+    none_kept = weighted_sample(df.withColumn("p", F.lit(0.0)), ["id"], "p")
+    assert none_kept.count() == 0
+    k1 = {r["id"] for r in weighted_sample(df, ["id"], "p").collect()}
+    k2 = {r["id"] for r in weighted_sample(df, ["id"], "p").collect()}
+    assert k1 == k2 and 0 < len(k1) < 200  # deterministic, non-trivial
+    # p just below 1.0 inside the saturation window still keeps all
+    sat = weighted_sample(df.withColumn("p", F.lit(1.0 - 2.0**-34)), ["id"], "p")
+    assert sat.count() == 200
