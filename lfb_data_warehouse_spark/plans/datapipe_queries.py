@@ -865,6 +865,84 @@ def grouped_zscore_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cogroup_click_purchase_profile",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n_clicks, MIN(ts) AS first_click
+               FROM events WHERE event_type = 'click' GROUP BY 1),
+    p AS (SELECT user_id, COUNT(*) AS n_purchases, MIN(ts) AS first_purchase,
+                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    e AS (SELECT user_id,
+                 COUNT(*) FILTER (event_type = 'click'
+                     AND ts < (SELECT MIN(ts) FROM events p2
+                               WHERE p2.user_id = events.user_id
+                                 AND p2.event_type = 'purchase')) AS clicks_before
+          FROM events GROUP BY 1)
+    SELECT u.user_id,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(p.n_purchases, 0) AS n_purchases,
+           COALESCE(e.clicks_before, 0) AS clicks_before_first_purchase,
+           p.purchase_value
+    FROM (SELECT DISTINCT user_id FROM events
+          WHERE event_type IN ('click', 'purchase')) u
+    LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    LEFT JOIN e USING (user_id)
+    """,
+)
+def cogroup_click_purchase_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map Arrow op (groupBy().cogroup().applyInPandas) — the
+    two-sided grouped Python surface: each user's clicks AND purchases
+    arrive as a pandas frame PAIR, the access pattern for per-key
+    merge logic that wants both sides in memory at once (per-user
+    attribution models, custom as-of merges). Counts and decimal-exact
+    sums only, so the oracle reproduces it with plain SQL. Plan shows
+    FlatMapCoGroupsInPandas (Arrow), never BatchEvalPython."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    # per-side column names MUST be distinct: both sides descend from
+    # the same scan, and the analyzer's attribute deduplication DROPS
+    # the right side's duplicate-named 'ts' from the cogroup plan
+    # (observed: purchases arrived as [user_id, value] only)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").cast("decimal(18,4)").alias("value"),
+    )
+
+    def profile(key, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        n_clicks = len(cdf)
+        n_purchases = len(pdf)
+        first_purchase = pdf["p_ts"].min() if n_purchases else None
+        clicks_before = (
+            int((cdf["c_ts"] < first_purchase).sum()) if n_purchases and n_clicks else 0
+        )
+        value = float(pdf["value"].sum()) if n_purchases else None
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [n_clicks],
+                "n_purchases": [n_purchases],
+                "clicks_before_first_purchase": [clicks_before],
+                "purchase_value": [value],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            profile,
+            schema="user_id long, n_clicks long, n_purchases long, "
+            "clicks_before_first_purchase long, purchase_value double",
+        )
+    )
+
+
+@register(
     "regression_chars_vs_tokens",
     oracle=f"""
     WITH x AS (SELECT source, CAST(n_chars AS DOUBLE) AS y,

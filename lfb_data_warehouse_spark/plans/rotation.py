@@ -199,6 +199,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "salted_join_events",  # salted-join gate; operator unit-pinned salt-invariant
     "semantic_dedup_kmeans",  # SemDeDup over learned clusters (paper formulation)
     "quality_weighted_sample",  # per-row keep-probability sampling (data mixing)
+    "cogroup_click_purchase_profile",  # two-sided grouped Arrow Python surface
     "mom_revenue_growth",
     "gap_fill_daily_revenue",
     "null_semantics_battery",
