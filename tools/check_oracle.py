@@ -15,7 +15,11 @@ array-valued output fails here before the driver ever sees it). A
 never catch either hazard class; see VERDICT.md round 2, "What's
 wrong" items 1-5.
 
-Usage: python tools/check_oracle.py [--json OUT] [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT] [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` runs the Spark side in a PLAIN SparkSession (no engine
+confs) exactly like the driver does — the full-fidelity rehearsal;
+the default engine session is faster for iteration.
 """
 
 from __future__ import annotations
@@ -82,14 +86,29 @@ def main() -> int:
     if argv and argv[0] == "--json":
         json_out = argv[1]
         argv = argv[2:]
+    vanilla = False
+    if argv and argv[0] == "--vanilla":
+        vanilla = True
+        argv = argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     results: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
-    from lfb_data_warehouse_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+    else:
+        from lfb_data_warehouse_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
