@@ -147,17 +147,17 @@ def minhash_near_dups(
     )
 
 
-def all_pairs_jaccard(
+def _shingle_pair_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int,
-    threshold: float,
     group_col: str | None = None,
 ) -> DataFrame:
-    """Exact pairwise Jaccard (optionally only within ``group_col``
-    groups). The shingle equi-join bounds the blow-up to docs sharing a
-    shingle; restrict to groups / candidates at corpus scale."""
+    """(id_a, id_b, inter, sz_a, sz_b) for every doc pair sharing ≥1
+    shingle (optionally within ``group_col``) — the common core of the
+    exact Jaccard and containment kernels. The shingle equi-join
+    bounds the blow-up to docs actually sharing a shingle."""
     ws = tokens(text_col)
     keep = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
     sets = df.select(*keep, F.explode(F.array_distinct(shingles(ws, shingle_n))).alias("shingle"))
@@ -171,19 +171,60 @@ def all_pairs_jaccard(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.join(
+        sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a"
+    ).join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+
+
+def all_pairs_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    threshold: float,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard (optionally only within ``group_col``
+    groups). Restrict to groups / candidates at corpus scale."""
+    counts = _shingle_pair_counts(df, id_col, text_col, shingle_n, group_col)
+    return counts.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    threshold: float,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    |A∩B|/|A| — catches a short document embedded inside a long one
+    (quotes, excerpts, boilerplate-wrapped copies), where symmetric
+    Jaccard stays small because the union is dominated by the long
+    side. Emits both directions plus jaccard for comparison; pairs
+    kept when the LARGER containment clears ``threshold``. Same
+    bounded shingle equi-join core as :func:`all_pairs_jaccard`."""
+    counts = _shingle_pair_counts(df, id_col, text_col, shingle_n, group_col)
+    c_ab = F.col("inter").cast("double") / F.col("sz_a")
+    c_ba = F.col("inter").cast("double") / F.col("sz_b")
+    return counts.select(
+        "id_a",
+        "id_b",
+        c_ab.alias("containment_a_in_b"),
+        c_ba.alias("containment_b_in_a"),
+        (
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        ).alias("jaccard"),
+    ).filter(F.greatest(c_ab, c_ba) >= threshold)
 
 
 def simhash_near_dup_pairs(

@@ -172,6 +172,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_THRESHOLD = 0.3
+
+
+def _containment_oracle() -> str:
+    return f"""
+    WITH ws AS (SELECT doc_id, source, {tokens_sql('text')} AS w FROM documents),
+    sh AS (SELECT doc_id, source, list_distinct({shingles_sql('w', JACCARD_N)}) AS ss FROM ws),
+    e AS (SELECT doc_id, source, unnest(ss) AS shingle FROM sh),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM e a JOIN e b
+                ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(ss) AS sz FROM sh)
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / sa.sz AS containment_a_in_b,
+           CAST(i AS DOUBLE) / sb.sz AS containment_b_in_a,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+    WHERE greatest(CAST(i AS DOUBLE) / sa.sz, CAST(i AS DOUBLE) / sb.sz)
+          >= {CONTAIN_THRESHOLD}
+    """
+
+
+@register("doc_containment_pairs", oracle=_containment_oracle())
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection — shingle containment |A∩B|/|A|,
+    the measure that catches a short document embedded inside a long
+    one (quotes, excerpts, boilerplate-wrapped copies) where symmetric
+    Jaccard stays small because the union is dominated by the long
+    side. Both directions emitted next to jaccard so the asymmetry is
+    visible; same bounded within-source shingle equi-join as the
+    Jaccard kernel (corpus-wide pairing goes through LSH candidates)."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "doc_id", "text",
+        shingle_n=JACCARD_N, threshold=CONTAIN_THRESHOLD, group_col="source",
+    )
+
+
 def _components_oracle() -> str:
     return f"""
     WITH RECURSIVE {_jaccard_pairs_ctes()},

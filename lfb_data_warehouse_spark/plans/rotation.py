@@ -200,6 +200,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "semantic_dedup_kmeans",  # SemDeDup over learned clusters (paper formulation)
     "quality_weighted_sample",  # per-row keep-probability sampling (data mixing)
     "cogroup_click_purchase_profile",  # two-sided grouped Arrow Python surface
+    "doc_containment_pairs",  # asymmetric (excerpt) near-dup measure
     "mom_revenue_growth",
     "gap_fill_daily_revenue",
     "null_semantics_battery",
