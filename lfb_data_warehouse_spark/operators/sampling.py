@@ -140,3 +140,28 @@ def weighted_sample_sql(keys: Sequence[str], fraction_expr: str, salt: str = "ws
         f"ELSE printf('%08x', CAST({scaled} AS BIGINT)) END"
     )
     return f"{_bucket_sql(keys, salt)} < {case}"
+
+
+def group_sample(
+    df: DataFrame,
+    group_col: str,
+    keys: Sequence[str],
+    k: int,
+    salt: str = "gsample",
+) -> DataFrame:
+    """Deterministic fixed-size per-group sample — the reproducible
+    replacement for per-group reservoir sampling: within each group
+    keep the ``k`` rows whose salted content hash sorts smallest
+    (ties broken by the key columns). Every run and every engine draws
+    the SAME k rows per group — the property human-eval / spot-check
+    samples need. One window per group; at 100 TB a pre-filter on the
+    hash prefix (e.g. keep '00'-'0f' first) bounds the sort input."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket_col(keys, salt).asc(), *[F.col(c).asc() for c in keys]
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -2372,6 +2372,37 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", F.round("diversity", 6).alias("quality"))
 
 
+GROUP_SAMPLE_K = 5
+
+
+def _group_sample_oracle() -> str:
+    from ..operators.sampling import _bucket_sql
+
+    h = _bucket_sql(["doc_id"], "gsample")
+    return f"""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY {h} ASC, doc_id ASC) AS rn
+          FROM documents)
+    WHERE rn <= {GROUP_SAMPLE_K}
+    """
+
+
+@register("per_source_sample", oracle=_group_sample_oracle())
+def per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sample — the reproducible
+    replacement for reservoir sampling: each source keeps the
+    {GROUP_SAMPLE_K} docs whose salted content hash sorts smallest, so
+    every run and every engine draws the SAME inspection sample per
+    domain (the human-eval / spot-check requirement seeded reservoirs
+    can't meet across engines)."""
+    from ..operators.sampling import group_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_sample(docs, "source", ["doc_id"], k=GROUP_SAMPLE_K, salt="gsample")
+
+
 @register(
     "mom_revenue_growth",
     oracle=f"""

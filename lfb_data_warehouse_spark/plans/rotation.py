@@ -201,6 +201,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "quality_weighted_sample",  # per-row keep-probability sampling (data mixing)
     "cogroup_click_purchase_profile",  # two-sided grouped Arrow Python surface
     "doc_containment_pairs",  # asymmetric (excerpt) near-dup measure
+    "per_source_sample",  # deterministic per-group inspection sample
     "mom_revenue_growth",
     "gap_fill_daily_revenue",
     "null_semantics_battery",
