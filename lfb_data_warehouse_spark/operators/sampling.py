@@ -165,3 +165,53 @@ def group_sample(
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def hash_split(
+    df: DataFrame,
+    keys: Sequence[str],
+    fractions: dict[str, float],
+    salt: str = "split",
+    split_name: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test): EVERY row gets
+    exactly one split label, decided by which hex-threshold range its
+    salted content hash falls in. The ranges partition [0, 16^8), so
+    the labels are mutually exclusive and exhaustive — re-runs, late
+    arrivals, and other engines all assign the same row to the same
+    split (the anti-leakage property ``df.randomSplit`` cannot give an
+    incremental pipeline). Pure map-side when-chain, zero shuffle.
+
+    ``fractions`` maps label → fraction, in priority order; they must
+    sum to 1 (the last label absorbs rounding residue)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = _bucket_col(keys, salt)
+    labels = list(fractions)
+    cum = 0.0
+    expr: Column | None = None
+    for label, frac in list(fractions.items())[:-1]:
+        cum += frac
+        cond = bucket < F.lit(_threshold_hex(cum))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = F.lit(labels[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_name, out)
+
+
+def hash_split_sql(
+    keys: Sequence[str], fractions: dict[str, float], salt: str = "split"
+) -> str:
+    """Oracle CASE expression for :func:`hash_split` (same hash, same
+    cumulative thresholds)."""
+    bucket = _bucket_sql(keys, salt)
+    labels = list(fractions)
+    whens = []
+    cum = 0.0
+    for label, frac in list(fractions.items())[:-1]:
+        cum += frac
+        whens.append(f"WHEN {bucket} < '{_threshold_hex(cum)}' THEN {_sql_str(label)}")
+    if not whens:
+        return _sql_str(labels[-1])
+    return f"CASE {' '.join(whens)} ELSE {_sql_str(labels[-1])} END"

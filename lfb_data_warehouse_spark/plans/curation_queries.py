@@ -1,0 +1,332 @@
+"""Data-curation battery — the remaining operators a 100 TB
+training-data pipeline runs between raw scrape and shard writing:
+deterministic train/val/test splitting, content-hash sharding, URL
+parsing/normalization, multi-grain marts via GROUPING SETS, quantile
+(NTILE) binning, and an integer-exact lexical-diversity quality gate.
+
+All queries follow queries.py's determinism rules (exact DECIMAL /
+integer arithmetic, explicit casts + aliases on both engines, total
+orders under every window). Scale notes per query; the unifying theme
+is that split/shard/URL/diversity are PURE MAP passes (zero shuffle,
+the decision function is a Catalyst expression on the row itself) and
+the two aggregates (grouping sets, ntile) shuffle once on their
+natural keys.
+
+Reference parity: the reference has no curation layer (its pipeline
+stops at warehouse marts, SURVEY.md §2) — this battery is part of the
+beyond-reference LLM-pipeline surface, same tier as datapipe_queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import avg_exact, sum_exact
+from ..operators.sampling import hash_split, hash_split_sql
+from ..sources.testdata import load_table
+from .queries import register
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (hash_split operator)
+# ---------------------------------------------------------------------------
+
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SALT = "corpus-split-v1"
+
+
+@register(
+    "stratified_split_documents",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT lang, n_chars,
+               {hash_split_sql(["doc_id"], _SPLIT_FRACTIONS, _SPLIT_SALT)} AS split
+        FROM documents
+    )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM labeled GROUP BY 1, 2
+    """,
+)
+def stratified_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-proof corpus split: every document gets exactly one of
+    train/val/test by salted content hash (mutually exclusive +
+    exhaustive hex ranges), so re-runs and late-arriving shards never
+    move a document across the split boundary — the property
+    ``randomSplit`` cannot give an incremental pipeline. The per-lang
+    counts are the split-balance audit a curation run reports.
+
+    Scale: label assignment is a map-side when-chain (zero shuffle,
+    survives any repartitioning); the audit aggregate shuffles only
+    (lang, split) — 3×|langs| groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = hash_split(docs, ["doc_id"], _SPLIT_FRACTIONS, salt=_SPLIT_SALT)
+    return labeled.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-hash shard assignment (the shard-writer's partitioner)
+# ---------------------------------------------------------------------------
+
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def _shard_col() -> F.Column:
+    # first sha256 hex char -> shard 0-15, via a 16-branch when-chain
+    # generated from the same table as the oracle CASE
+    c = F.substring(F.sha2(F.concat_ws("|", F.lit("shard-v1"), F.col("doc_id").cast("string")), 256), 1, 1)
+    expr = F.lit(None).cast("long")
+    for i, d in enumerate(_HEX_DIGITS):
+        expr = F.when(c == d, F.lit(i).cast("long")).otherwise(expr)
+    return expr
+
+
+def _shard_sql() -> str:
+    c = "substring(sha256(concat_ws('|', 'shard-v1', CAST(doc_id AS VARCHAR))), 1, 1)"
+    whens = " ".join(f"WHEN {c} = '{d}' THEN {i}" for i, d in enumerate(_HEX_DIGITS))
+    return f"CAST(CASE {whens} END AS BIGINT)"
+
+
+@register(
+    "shard_assignment_documents",
+    oracle=f"""
+    SELECT {_shard_sql()} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY 1
+    """,
+)
+def shard_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-writer partitioner: stable content-hash shard ids (16-way
+    here; the width is the prefix length) with the per-shard balance
+    audit (docs, bytes, source spread) a shard-writing job logs before
+    committing. Content hashing — not ``doc_id % n`` — so shard sizes
+    stay balanced under non-uniform id gaps and the assignment is
+    reproducible on any engine.
+
+    Scale: shard id is map-side; the writer path is
+    ``df.repartition(n, shard_col).write.partitionBy('shard_id')`` —
+    one shuffle keyed exactly like this audit's groupBy. At 100 TB use
+    2-3 hex chars (256-4096 shards) so each shard fits an output file
+    target; the audit shape is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.withColumn("shard_id", _shard_col()).groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL parsing / normalization (web-scrape provenance battery)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "url_parse_battery",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.org' AS host,
+           'https' AS scheme,
+           '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) AS path,
+           source AS ref_param,
+           CAST(2 AS BIGINT) AS path_depth,
+           'example.org' AS registered_domain
+    FROM documents
+    """,
+)
+def url_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition for scrape provenance: host, scheme, path,
+    one query param, path depth, and a registered-domain heuristic
+    (last two host labels — the crawl-dedup/per-site-quota key). The
+    documents table has no URL column, so the fixture derives one
+    deterministically from (source, lang, doc_id) and the oracle
+    checks Spark's ``parse_url`` against that ground truth — the
+    operator under test is the JVM-side parser, not the derivation.
+
+    Scale: pure map pass (parse_url is a codegen'd JVM builtin, no
+    UDF); at 100 TB this runs fused into the ingest scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat_ws(
+        "",
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc-"), F.col("doc_id").cast("string"),
+        F.lit("?ref="), F.col("source"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    path = F.parse_url(url, F.lit("PATH"))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("scheme"),
+        path.alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+        (F.size(F.split(path, "/")) - 1).cast("long").alias("path_depth"),
+        F.concat_ws(".", F.element_at(labels, n - 1), F.element_at(labels, n)).alias(
+            "registered_domain"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS multi-grain mart (one shuffle, three grains)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_mart",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority,
+           CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS grain,
+           COUNT(*) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority), (c_mktsegment), ())
+    """,
+)
+def grouping_sets_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain mart in ONE pass: segment×priority, per-segment, and
+    grand total via GROUPING SETS, disambiguated by grouping_id (bit
+    vector; verified to match DuckDB's GROUPING() convention —
+    leftmost column is the high bit on both engines). Replaces the
+    reference's three separate aggregate jobs over the same join
+    (SURVEY §2.4 A1 shape) with one shuffle.
+
+    Scale: Spark expands grouping sets BEFORE the exchange, so partial
+    aggregation still combines map-side per grain; the broadcast
+    customer join keeps the fact scan shuffle-free."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == customer.c_custkey,
+    )
+    return (
+        joined.groupingSets(
+            [["c_mktsegment", "o_orderpriority"], ["c_mktsegment"], []],
+            "c_mktsegment", "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("grain"),
+            F.count(F.lit(1)).alias("order_count"),
+            sum_exact("o_totalprice").alias("total_price"),
+        )
+        .select("c_mktsegment", "o_orderpriority", "grain", "order_count", "total_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NTILE quantile binning (value-tier segmentation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ntile_quartile_acctbal",
+    oracle="""
+    WITH tiled AS (
+        SELECT c_mktsegment, c_acctbal,
+               CAST(NTILE(4) OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey
+               ) AS BIGINT) AS quartile
+        FROM customer
+    )
+    SELECT c_mktsegment, quartile,
+           COUNT(*) AS n_customers,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+    FROM tiled GROUP BY 1, 2
+    """,
+)
+def ntile_quartile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning: NTILE(4) value tiers per market segment with
+    per-tier balance stats — the exact-quantile segmentation mart
+    (approx_percentile_claim covers the sketch path; this is the exact
+    window path with a total order so tile boundaries are stable).
+
+    Scale: one shuffle on c_mktsegment; NTILE needs the whole
+    partition sorted, so at 100 TB with few segments pre-aggregate or
+    switch to the percentile-sketch binning — documented tradeoff,
+    this query pins the exact semantics."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    tiled = customer.select(
+        "c_mktsegment", "c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+    return tiled.groupBy("c_mktsegment", "quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        avg_exact("c_acctbal").alias("avg_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity quality gate (integer-exact — no float-order hazard)
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_MIN = 0.5  # Simpson diversity below this = repetitive boilerplate
+
+
+@register(
+    "text_token_diversity",
+    oracle=f"""
+    WITH e AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+        FROM documents
+    ),
+    c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+    d AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_distinct,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+        FROM c GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+           round(1.0 - CAST(sum_sq AS DOUBLE) / (n_tokens * n_tokens), 6) AS simpson_diversity,
+           round(1.0 - CAST(sum_sq AS DOUBLE) / (n_tokens * n_tokens), 6) >= {_DIVERSITY_MIN}
+               AS keep
+    FROM d
+    """,
+)
+def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetitiveness quality gate via Gini-Simpson diversity:
+    1 - Σ(cnt/n)² is the probability two random tokens differ — low
+    values mean the doc is dominated by a few repeated tokens (the
+    boilerplate/spam signature Gopher's repetition rules target).
+    Chosen over Shannon entropy deliberately: Σcnt² and n are exact
+    integers, so the score has NO float-summation-order or libm-parity
+    hazard — bit-identical on any engine, any partitioning (the
+    ln-based queries need 6dp rounding for the same guarantee).
+
+    Scale: tokenize→count shuffles on (doc_id, tok) with map-side
+    partial aggregation; second aggregate reuses the doc_id-clustered
+    distribution (no second exchange in AQE's coalesced plan)."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    counts = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sum_sq"),
+    )
+    n = F.col("n_tokens").cast("double")
+    diversity = F.round(F.lit(1.0) - F.col("sum_sq").cast("double") / (n * n), 6)
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.round(F.col("n_distinct").cast("double") / n, 6).alias("type_token_ratio"),
+        diversity.alias("simpson_diversity"),
+        (diversity >= F.lit(_DIVERSITY_MIN)).alias("keep"),
+    )

@@ -533,3 +533,57 @@ def test_weighted_sample_bounds_and_determinism(spark):
     # p just below 1.0 inside the saturation window still keeps all
     sat = weighted_sample(df.withColumn("p", F.lit(1.0 - 2.0**-34)), ["id"], "p")
     assert sat.count() == 200
+
+
+def test_hash_split_partitions_every_row_exactly_once(spark):
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.sampling import hash_split
+
+    df = spark.range(2000)
+    out = hash_split(df, ["id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    # exhaustive + exclusive: one label per row, all rows labeled
+    assert out.count() == 2000
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # fractions approximately honored (binomial 3σ at n=2000)
+    assert 1500 < counts["train"] < 1700
+    assert 140 < counts["val"] < 260
+    assert 140 < counts["test"] < 260
+    # deterministic: same salt → identical assignment
+    a = {(r["id"], r["split"]) for r in out.collect()}
+    b = {(r["id"], r["split"]) for r in
+         hash_split(df, ["id"], {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert a == b
+    # different salt → different draw
+    c = {(r["id"], r["split"]) for r in
+         hash_split(df, ["id"], {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v2").collect()}
+    assert a != c
+    # degenerate single-label split
+    one = hash_split(df, ["id"], {"all": 1.0})
+    assert one.filter(F.col("split") == "all").count() == 2000
+    # fractions must sum to 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(df, ["id"], {"train": 0.5, "val": 0.1})
+
+
+def test_hash_split_sql_matches_engine(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.sampling import hash_split, hash_split_sql
+
+    fr = {"train": 0.6, "val": 0.2, "test": 0.2}
+    df = spark.range(500)
+    eng = {(r["id"], r["split"]) for r in hash_split(df, ["id"], fr).collect()}
+    con = duckdb.connect()
+    sql = hash_split_sql(["id"], fr)
+    ora = {
+        (r[0], r[1])
+        for r in con.execute(
+            f"SELECT id, {sql} AS split FROM range(500) t(id)"
+        ).fetchall()
+    }
+    assert eng == ora
