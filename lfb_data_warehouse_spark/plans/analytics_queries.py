@@ -17,6 +17,7 @@ the exact DECIMAL grid.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -243,4 +244,103 @@ def winsorize_prices_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.when(F.col("was_clipped"), 1).otherwise(0)).cast("long").alias("n_clipped"),
         sum_exact(F.round("clipped", 2)).alias("winsorized_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python-surface gates: grouped-agg Pandas UDF and mapInArrow
+# (the two Arrow surfaces the other batteries don't exercise; scalar
+# Pandas UDF / grouped map / cogrouped map / UDTF / state each have
+# their own gate in datapipe_queries / streaming_queries)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pandas_grouped_agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS cnt,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def pandas_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF gate (series → scalar through
+    Arrow): numpy median per group, checked against PERCENTILE_CONT
+    0.5 (identical linear-interpolation semantics; the even-count
+    midpoint (a+b)/2 is exact in both). Rounded to the input's 2dp
+    grid on both sides.
+
+    Scale caveat (why this is a SURFACE gate, not the recommended
+    median): a grouped-agg UDF materializes the whole group as one
+    pandas Series on one executor — fine for bounded groups, wrong for
+    a 100 TB fact with 3 groups. The scalable paths are the built-in
+    percentile (exact) or percentile_approx (sketch), both pinned
+    elsewhere; this pins the AggregateInPandas plumbing itself."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def np_median(v: pd.Series) -> float:
+        import math
+
+        # floor(x*100 + 0.5)/100 = DuckDB round() for positive values
+        # (Python round() is half-to-even and diverges at exact .005
+        # midpoints, which even-count medians of 2dp prices produce)
+        m = float(np.median(v.to_numpy(dtype="float64")))
+        return math.floor(m * 100 + 0.5) / 100
+
+    @pandas_udf("long")
+    def np_count(v: pd.Series) -> int:
+        # Spark disallows mixing grouped-agg pandas UDFs with JVM
+        # aggregates in one agg(), so the count rides pandas too
+        return len(v)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        np_count("l_extendedprice").alias("cnt"),
+        np_median("l_extendedprice").alias("median_price"),
+    )
+
+
+@register(
+    "maparrow_embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def maparrow_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow gate: per-vector L2 norm computed directly on Arrow
+    RecordBatches (zero pandas conversion — the lowest-overhead Python
+    surface, the one a vectorized scorer/encoder integration would
+    use). float32 storage upcast to float64 before squaring on both
+    engines; 6dp rounding absorbs numpy's pairwise vs DuckDB's
+    sequential summation order over the 64 dims.
+
+    Scale: pure map pass, batch-at-a-time, no shuffle; batch size
+    rides spark.sql.execution.arrow.maxRecordsPerBatch."""
+    import numpy as np
+    import pyarrow as pa
+
+    def norms(batches):
+        for batch in batches:
+            vec_id = batch.column("vec_id")
+            emb = batch.column("embedding")
+            # list<float> -> (n, dim) float64 matrix; flat values share
+            # one buffer, so this is a single zero-copy view + reshape
+            # for the fixed-width case
+            arr = emb.flatten().to_numpy(zero_copy_only=False).astype("float64")
+            n = len(batch)
+            mat = arr.reshape(n, -1) if n else arr.reshape(0, 1)
+            l2 = np.round(np.sqrt((mat * mat).sum(axis=1)), 6)
+            yield pa.RecordBatch.from_arrays(
+                [vec_id, pa.array(l2, type=pa.float64())], ["vec_id", "l2_norm"]
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "embedding").mapInArrow(
+        norms, "vec_id long, l2_norm double"
     )
