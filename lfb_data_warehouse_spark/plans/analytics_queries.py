@@ -344,3 +344,89 @@ def maparrow_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInArrow(
         norms, "vec_id long, l2_norm double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline observability: observe() metrics and file-provenance metadata
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "observe_ingest_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_empty
+    FROM documents
+    """,
+)
+def observe_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.observe()` gate — the production DQ-instrumentation surface:
+    named metrics ride the SAME job as the consuming action (here one
+    count()), so row counts / null rates / volume stats cost zero extra
+    passes — the mechanism behind ingest health dashboards. The oracle
+    recomputes the observed aggregates directly, proving observe()
+    reports exactly what a dedicated aggregation would.
+
+    Scale: metrics are accumulator-style (map-side partials merged on
+    the driver), no shuffle, no extra scan — strictly cheaper than a
+    second aggregate job at 100 TB."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("ingest")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.col("text") == ""), 1).otherwise(0)
+        ).cast("long").alias("n_empty"),
+    )
+    observed.count()  # the consuming action; metrics materialize here
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_chars"], m["max_chars"], m["n_empty"])],
+        "n_rows long, total_chars long, max_chars long, n_empty long",
+    )
+
+
+@register(
+    "file_provenance_documents",
+    oracle="""
+    SELECT 'documents.parquet' AS file_name,
+           COUNT(*) AS n_rows,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM documents
+    """,
+)
+def file_provenance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest provenance via the hidden `_metadata.file_path` column:
+    per-source-file row counts and id ranges — the audit that ties every
+    warehouse row back to the exact input file (quarantine/replay unit
+    at 100 TB, where a bad upstream delivery is dropped by file, not by
+    predicate). The oracle asserts the known basename as ground truth
+    (the test dir holds one file per table), so the parsed
+    `_metadata.file_path` is value-checked, not just row-counted.
+
+    Scale: _metadata is populated by the scan itself (no join, no extra
+    IO); the aggregate shuffles one row per input file."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(
+            F.regexp_extract(F.col("_metadata.file_path"), r"([^/]+)$", 1).alias(
+                "file_name"
+            ),
+            "doc_id",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
