@@ -430,3 +430,66 @@ def file_provenance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Morton (Z-order) clustering keys — the real OPTIMIZE ZORDER analogue
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from ..functions.zorder import morton_key_sql
+
+    zkey = morton_key_sql(
+        "(o_custkey & 65535)",
+        "datediff('day', DATE '1992-01-01', o_orderdate)",
+    )
+    return f"""
+    WITH z AS (
+        SELECT o_orderkey,
+               (o_custkey & 65535) AS cust_dim,
+               datediff('day', DATE '1992-01-01', o_orderdate) AS day_dim,
+               {zkey} AS zkey
+        FROM orders
+    )
+    SELECT CAST(zkey >> 20 AS BIGINT) AS zbucket,
+           COUNT(*) AS n_rows,
+           MIN(cust_dim) AS min_cust, MAX(cust_dim) AS max_cust,
+           MIN(day_dim) AS min_day, MAX(day_dim) AS max_day
+    FROM z GROUP BY 1
+    """
+
+
+@register("zorder_clustering_locality", oracle=_zorder_oracle())
+def zorder_clustering_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key clustering audit (`functions/zorder.py`): interleave
+    the bits of (customer, order-day) and group by the key's high bits
+    — each bucket is one stretch of the Z-curve, and the audited
+    min/max per dimension shows every bucket covers a bounded
+    RECTANGLE. That is exactly the row-group stats property that makes
+    `repartitionByRange(morton_key).sortWithinPartitions` skip files
+    for predicates on EITHER dimension — the true OPTIMIZE ZORDER
+    analogue on plain parquet, vs the lexicographic two-column
+    clustering of write_table(cluster_by=...) (reference
+    etl/load/load_fact.py:403-405; S8).
+
+    Scale: the key is pure integer bit arithmetic (map-side, codegen);
+    clustering a 100 TB table is one range-repartition by zkey —
+    identical shuffle cost to single-column clustering but skippable
+    on both dimensions afterwards."""
+    from ..functions.zorder import morton_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    z = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").bitwiseAND(F.lit(65535)).alias("cust_dim"),
+        F.datediff("o_orderdate", F.lit("1992-01-01")).cast("long").alias("day_dim"),
+    ).withColumn("zkey", morton_key(F.col("cust_dim"), F.col("day_dim")))
+    return (
+        z.groupBy(F.shiftright("zkey", 20).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cust_dim").alias("min_cust"), F.max("cust_dim").alias("max_cust"),
+            F.min("day_dim").alias("min_day"), F.max("day_dim").alias("max_day"),
+        )
+    )

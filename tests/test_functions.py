@@ -174,3 +174,30 @@ def test_sum_exact_matches_decimal_formulation(spark):
     assert got.s2 == want.s2 == got.s2w
     assert got.s4 == want.s4
     assert got.a2 == want.a2
+
+
+def test_morton_key_matches_reference_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.functions.zorder import morton_key
+
+    def py_morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    import random
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(200)]
+    pts += [(0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 2)]
+    df = spark.createDataFrame(pts, "x long, y long").withColumn(
+        "z", morton_key(F.col("x"), F.col("y"))
+    )
+    for r in df.collect():
+        assert r["z"] == py_morton(r["x"], r["y"]), (r["x"], r["y"])
+    # inputs beyond 16 bits are masked, not corrupted
+    big = spark.createDataFrame([(1 << 20 | 5, 3)], "x long, y long")
+    assert big.select(morton_key(F.col("x"), F.col("y")).alias("z")).collect()[0]["z"] == py_morton(5, 3)
