@@ -103,3 +103,39 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<int>"))
     )
     return salted_big.join(replicated, [*on, "_salt"], how).drop("_salt")
+
+
+def skew_audit(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Measure key skew BEFORE choosing a shuffle strategy — the
+    decision input for :func:`salted_agg` / :func:`salted_join` /
+    AQE-only. One row of distribution stats over the key's row counts:
+    top-1 key share (the fraction one reducer would own), p50/p99
+    per-key counts, and the max/p50 ratio (heavy-tail indicator).
+
+    Rule of thumb encoded downstream: top1_share above ~1/shuffle
+    partitions means AQE cannot balance the hot key by splitting scan
+    partitions — salt it. The audit is one count aggregate plus a
+    6-row reduction over the (bounded, one row per key) count table,
+    so it is safe to run inline before a 100 TB shuffle."""
+    counts = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.percentile("cnt", F.lit(0.5)).alias("p50_cnt"),
+        F.percentile("cnt", F.lit(0.99)).alias("p99_cnt"),
+    ).select(
+        "n_keys",
+        "total_rows",
+        "max_cnt",
+        "p50_cnt",
+        "p99_cnt",
+        F.round(F.col("max_cnt").cast("double") / F.col("total_rows"), 6).alias(
+            "top1_share"
+        ),
+        F.round(F.col("max_cnt").cast("double") / F.col("p50_cnt"), 6).alias(
+            "max_over_p50"
+        ),
+    )

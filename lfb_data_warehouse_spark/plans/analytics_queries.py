@@ -493,3 +493,36 @@ def zorder_clustering_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("day_dim").alias("min_day"), F.max("day_dim").alias("max_day"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew audit (the decision input for salting vs AQE-only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_audit_user_events",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1)
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS total_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           quantile_cont(cnt, 0.5) AS p50_cnt,
+           quantile_cont(cnt, 0.99) AS p99_cnt,
+           round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top1_share,
+           round(CAST(MAX(cnt) AS DOUBLE) / quantile_cont(cnt, 0.5), 6)
+               AS max_over_p50
+    FROM c
+    """,
+)
+def skew_audit_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`operators/skew.py:skew_audit` over the events stream's user_id —
+    the measurement that decides between plain groupBy, AQE skew
+    handling, and deterministic salting (salted_agg_events /
+    salted_join_events pin the cure; this pins the diagnosis). The
+    audit itself is skew-safe: the count aggregate has map-side
+    partials, and the stats reduce a one-row-per-key table."""
+    from ..operators.skew import skew_audit
+
+    events = load_table(spark, sf_dir, "events")
+    return skew_audit(events, ["user_id"])
