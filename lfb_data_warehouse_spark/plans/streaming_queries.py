@@ -467,3 +467,31 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = stream_windowed_agg(stream, "ts", window="1 hour", keys=["event_type"], watermark="1 hour")
     res = _run_append(out, "stream_late")
     return res.filter(F.col("event_type") != "__flush__")
+
+
+@register(
+    "stream_sliding_halfhour",
+    oracle="""
+    WITH x AS (SELECT event_type, value,
+                      make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT))
+                        - k * INTERVAL '30 minutes' AS window_start
+               FROM events, unnest([0, 1]) t(k))
+    SELECT window_start, event_type,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def stream_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HOPPING-window aggregate (1 h window, 30 min slide)
+    executed for real through a memory sink — the streaming twin of
+    batch sliding_window_events, same oracle. Each event feeds
+    window/slide = 2 open windows, so streaming state (and the
+    watermark's eviction pressure) doubles vs the tumbling case — the
+    scale note stream_windowed_agg's slide parameter documents."""
+    events, src = _stage_events(spark, sf_dir)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = stream_windowed_agg(
+        stream, "ts", window="1 hour", keys=["event_type"], slide="30 minutes"
+    )
+    return _run_complete(out, "stream_slide")

@@ -33,11 +33,17 @@ def stream_windowed_agg(
     window: str = "1 hour",
     keys: Sequence[str] = (),
     watermark: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window count/sum with late-data bound."""
+    """Tumbling (slide=None) or sliding windowed count/sum with a
+    late-data bound. A sliding window assigns each event to
+    window/slide overlapping windows — state grows by that factor, so
+    the watermark (which bounds state eviction) matters window/slide
+    times more than in the tumbling case."""
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     return (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window), *keys)
+        .groupBy(win, *keys)
         .agg(
             F.count(F.lit(1)).alias("event_count"),
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
