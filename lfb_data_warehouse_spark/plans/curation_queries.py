@@ -330,3 +330,141 @@ def text_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         diversity.alias("simpson_diversity"),
         (diversity >= F.lit(_DIVERSITY_MIN)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (mixing diagnostics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, 'mirror' AS source, text
+        FROM documents WHERE doc_id % 50 = 0
+    ),
+    h AS (
+        SELECT doc_id, source, sha256(text) AS text_sha FROM corpus
+    )
+    SELECT least(a.source, b.source) AS source_a,
+           greatest(a.source, b.source) AS source_b,
+           COUNT(*) AS dup_pairs,
+           COUNT(DISTINCT a.text_sha) AS dup_texts
+    FROM h a JOIN h b
+      ON a.text_sha = b.text_sha AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication matrix: for every source pair, how many
+    identical-text pairs exist — the diagnostic a mixing pipeline runs
+    BEFORE setting source weights (two sources sharing most of their
+    content should not both get full weight; the remix queries consume
+    exactly this signal). Pairs join on the content hash with doc_id<
+    ordering (each unordered pair once), sources canonicalized
+    least/greatest so (a,b) and (b,a) collapse.
+
+    Scale: the self-join shuffles (hash, id) pairs — 40 bytes/row, not
+    bodies — and only hash groups with >1 row produce join output;
+    with exact-dup rate d the join output is O(d·n), never O(n²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # deterministic cross-source duplicate fixture (every 50th doc gets
+    # a 'mirror'-source clone), derived identically in the oracle — the
+    # synthetic corpus has no exact dups at small SF, which would make
+    # this a trivially-empty gate
+    corpus = docs.select("doc_id", "source", "text").unionByName(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("mirror").alias("source"),
+            "text",
+        )
+    )
+    h = corpus.select(
+        "doc_id", "source", F.sha2(F.col("text"), 256).alias("text_sha")
+    )
+    a, b = h.alias("a"), h.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.text_sha") == F.col("b.text_sha"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return (
+        pairs.select(
+            F.least("a.source", "b.source").alias("source_a"),
+            F.greatest("a.source", "b.source").alias("source_b"),
+            F.col("a.text_sha").alias("text_sha"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("dup_pairs"),
+            F.count_distinct("text_sha").alias("dup_texts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split drift audit (is val/test distributionally representative?)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_drift_audit",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT lang,
+               {hash_split_sql(["doc_id"], _SPLIT_FRACTIONS, _SPLIT_SALT)} AS split
+        FROM documents
+    ),
+    per AS (
+        SELECT lang, split, COUNT(*) AS n FROM labeled GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT split, CAST(SUM(n) AS BIGINT) AS split_total FROM per GROUP BY 1
+    ),
+    shares AS (
+        SELECT p.lang, p.split,
+               CAST(p.n AS DOUBLE) / t.split_total AS share
+        FROM per p JOIN tot t ON p.split = t.split
+    )
+    SELECT tr.lang,
+           round(tr.share, 6) AS train_share,
+           round(COALESCE(te.share, 0.0), 6) AS test_share,
+           round(abs(tr.share - COALESCE(te.share, 0.0)), 6) AS abs_drift
+    FROM (SELECT * FROM shares WHERE split = 'train') tr
+    LEFT JOIN (SELECT * FROM shares WHERE split = 'test') te
+      ON tr.lang = te.lang
+    """,
+)
+def split_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-representativeness audit: per-language share in train vs
+    test and the absolute drift — the check that a hash split did not
+    (by unlucky hashing or skewed strata) give the eval set a different
+    language mix than training. Sums of per-split shares are exact
+    count ratios (one double division), rounded at 6dp.
+
+    Scale: reuses the split label (map-side), then two tiny aggregates
+    over (lang × split) — nothing touches document bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = hash_split(docs, ["doc_id"], _SPLIT_FRACTIONS, salt=_SPLIT_SALT)
+    per = labeled.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.groupBy("split").agg(F.sum("n").cast("long").alias("split_total"))
+    shares = per.join(tot, "split").select(
+        "lang", "split", (F.col("n").cast("double") / F.col("split_total")).alias("share")
+    )
+    tr = shares.filter(F.col("split") == "train").select(
+        "lang", F.col("share").alias("tr_share")
+    )
+    te = shares.filter(F.col("split") == "test").select(
+        "lang", F.col("share").alias("te_share")
+    )
+    joined = tr.join(te, "lang", "left")
+    te_share = F.coalesce(F.col("te_share"), F.lit(0.0))
+    return joined.select(
+        "lang",
+        F.round("tr_share", 6).alias("train_share"),
+        F.round(te_share, 6).alias("test_share"),
+        F.round(F.abs(F.col("tr_share") - te_share), 6).alias("abs_drift"),
+    )
