@@ -219,3 +219,48 @@ def test_semantic_dedup_pairs_only_within_clusters(spark):
     p = get_plan(spark, "semantic_dedup_keep")
     assert "CartesianProduct" not in p
     assert re.search(r"Left keys \[\d+\]: \[cl#", p), "no equi-join keyed on cluster"
+
+
+def test_hash_split_and_shard_are_map_side(spark):
+    # split/shard assignment must be a pure projection over the scan —
+    # an Exchange before the audit aggregate would mean the label
+    # derivation itself shuffles (it must survive ANY partitioning)
+    # stratified split: exactly the one audit-aggregate exchange.
+    # shard audit: two — its count_distinct(source) plans as a two-phase
+    # distinct aggregate (partial on (shard, source), final on shard).
+    for name, n_expected in (
+        ("stratified_split_documents", 1),
+        ("shard_assignment_documents", 2),
+    ):
+        p = get_plan(spark, name)
+        n_exchanges = p.count("Arguments: hashpartitioning")
+        assert n_exchanges == n_expected, (
+            f"{name}: expected {n_expected} agg exchange(s), plan has {n_exchanges}"
+        )
+        assert "partial_" in p, f"{name}: audit aggregate lost map-side combine"
+
+
+def test_zorder_key_single_aggregate_exchange(spark):
+    # the Morton key is integer bit arithmetic in the projection; the
+    # only shuffle is the bucket aggregate
+    p = get_plan(spark, "zorder_clustering_locality")
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert "partial_" in p
+    assert "BatchEvalPython" not in p  # bit-spread stayed JVM-side
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    # three grains must come from ONE Expand over one aggregate, not a
+    # union of three groupBys (3 scans + 3 shuffles)
+    p = get_plan(spark, "grouping_sets_mart")
+    assert "Expand" in p, "grouping sets not planned as Expand"
+    assert p.count("Arguments: hashpartitioning") == 1, "more than the one grouped-agg shuffle"
+    assert "BroadcastHashJoin" in p, "customer dim join must broadcast"
+
+
+def test_cross_source_dup_join_is_equi_on_hash(spark):
+    # the pair join must be an equi-join on the content hash (never a
+    # cartesian over documents)
+    p = get_plan(spark, "cross_source_dup_matrix")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
