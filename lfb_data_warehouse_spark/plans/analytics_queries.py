@@ -526,3 +526,77 @@ def skew_audit_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return skew_audit(events, ["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# Schema-drift union + ANSI-safe arithmetic (ingest-robustness gate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "schema_drift_union_safe_math",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_totalprice, CAST(NULL AS BIGINT) AS batch_units,
+               'v1' AS src_version
+        FROM orders WHERE year(o_orderdate) <= 1995
+    ),
+    v2 AS (
+        SELECT o_orderkey, o_totalprice, o_orderkey % 5 AS batch_units,
+               'v2' AS src_version
+        FROM orders WHERE year(o_orderdate) > 1995
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+    r AS (
+        SELECT src_version,
+               CASE WHEN batch_units IS NULL OR batch_units = 0 THEN NULL
+                    ELSE floor(o_totalprice / batch_units * 100 + 0.5) / 100
+               END AS unit_price
+        FROM u
+    )
+    SELECT src_version,
+           COUNT(*) AS n_rows,
+           COUNT(unit_price) AS n_priced,
+           CAST(SUM(CAST(COALESCE(unit_price, 0.0) AS DECIMAL(18,2)))
+                AS DOUBLE) AS priced_total
+    FROM r GROUP BY 1
+    """,
+)
+def schema_drift_union_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-robustness gate for evolving upstream schemas: an old
+    batch (v1, no ``batch_units`` column) unions with a new batch (v2,
+    with it) via ``unionByName(allowMissingColumns=True)`` — missing
+    columns NULL-fill instead of failing the load — and the derived
+    ratio uses ``try_divide``, which yields NULL on division-by-zero
+    AND on the NULL-filled v1 rows, instead of an ANSI runtime error
+    killing a 100 TB job at the one bad row. The oracle spells out both
+    behaviors (explicit NULL column + CASE guard).
+
+    Scale: union is plan-level (no data movement); one aggregate
+    shuffle on the 2-value version tag (bounded groups)."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.year("o_orderdate") <= 1995).select(
+        "o_orderkey", "o_totalprice", F.lit("v1").alias("src_version")
+    )
+    v2 = orders.filter(F.year("o_orderdate") > 1995).select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 5).alias("batch_units"),
+        F.lit("v2").alias("src_version"),
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    # floor(x*100+0.5)/100, not round(x, 2): Spark rounds doubles via
+    # exact-BigDecimal HALF_UP while DuckDB rounds the double directly —
+    # they disagree one ulp below .005 midpoints; the floor form is
+    # computed identically (IEEE) on both engines
+    ratio = F.try_divide(F.col("o_totalprice"), F.col("batch_units"))
+    unit_price = F.floor(ratio * 100 + F.lit(0.5)) / 100
+    return (
+        u.select("src_version", unit_price.alias("unit_price"))
+        .groupBy("src_version")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("unit_price").alias("n_priced"),
+            sum_exact(F.coalesce(F.col("unit_price"), F.lit(0.0))).alias("priced_total"),
+        )
+    )
