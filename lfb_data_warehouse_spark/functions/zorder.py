@@ -33,7 +33,10 @@ _SPREAD: list[tuple[int, int]] = [
 
 
 def _spread_col(x: Column) -> Column:
-    v = x.bitwiseAND(F.lit(0xFFFF))
+    # cast to long FIRST: with an IntegerType input, shiftleft would run
+    # in 32-bit space and 0x55555555 << 1 wraps negative before any
+    # outer cast — diverging from the SQL oracle's BIGINT arithmetic
+    v = x.cast("long").bitwiseAND(F.lit(0xFFFF))
     for shift, mask in _SPREAD:
         v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
     return v

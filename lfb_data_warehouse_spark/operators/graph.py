@@ -95,3 +95,94 @@ def connected_components(
     out = labels.localCheckpoint(eager=True)
     labels.unpersist()
     return out
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its strictly-LARGER
+    neighbors to the minimum of its closed neighborhood."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient edges large→small, then every node
+    connects its (all-smaller) neighbors — and itself — to the
+    neighborhood minimum."""
+    d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — converges
+    in O(log n) rounds regardless of component DIAMETER, unlike
+    :func:`connected_components`'s min-label propagation (O(diameter)
+    rounds: fine for dense dup clusters, pathological on a 100 TB
+    chain-shaped cluster).
+
+    Same contract as :func:`connected_components`: returns
+    ``(node, component)`` with component = min id in the cluster;
+    edge-less singletons absent. Fixpoint = the edge set is a star per
+    component (every node points at its component min), detected by
+    exact set comparison (count + one-sided subtract, two scalar jobs
+    per round — never the data)."""
+    e = (
+        edges.selectExpr(f"{src} AS u", f"{dst} AS v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if not e.take(1):
+        return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    n_edges = e.count()
+    for i in range(max_iter):
+        e2 = _small_star(_large_star(e))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            e2 = e2.localCheckpoint(eager=True)
+        else:
+            e2 = e2.persist()
+        n2 = e2.count()
+        # e2 == e  ⇔  |e2| == |e| and e2 \ e == ∅ (both are distinct sets)
+        if n2 == n_edges and e2.subtract(e).take(1) == []:
+            e.unpersist()
+            e = e2
+            break
+        e.unpersist()
+        e, n_edges = e2, n2
+    else:
+        e.unpersist()
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # the converged set is a star per component: (leaf, min) edges.
+    # labels = leaves → their root, plus each root → itself.
+    leaves = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    out = leaves.union(roots).distinct().localCheckpoint(eager=True)
+    e.unpersist()
+    return out

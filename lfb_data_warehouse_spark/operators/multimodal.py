@@ -149,6 +149,17 @@ def parse_media(b: bytes) -> dict:
                     i += 1
                     continue
                 marker = b[i + 1]
+                if marker == 0xFF:  # fill byte before a marker — not a marker
+                    i += 1
+                    continue
+                if marker == 0x00:  # 0xFF00 byte-stuffing inside entropy data
+                    i += 2
+                    continue
+                if marker == 0xDA:
+                    # SOS: entropy-coded data follows with no length-framed
+                    # segments — walking further would misread compressed
+                    # bytes as markers. No SOFn before SOS → fallback.
+                    break
                 if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
                     i += 2
                     continue

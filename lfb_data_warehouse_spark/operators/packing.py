@@ -78,8 +78,11 @@ def pack_sequences(
             (F.col("__offset") + F.sum("__tok").over(w_local) - F.col("__tok")).cast("long"),
         )
         .withColumn(
+            # integer DIV, not floor(double/double): start_offset is a
+            # nonnegative long, and double arithmetic loses exactness past
+            # 2^53 token offsets — DIV on longs is exact for the full range
             "pack_id",
-            F.floor(F.col("start_offset").cast("double") / F.lit(float(seq_len))).cast("long"),
+            F.expr(f"CAST(start_offset DIV {int(seq_len)} AS LONG)"),
         )
         .drop("__pid", "__offset", "__tok")
     )

@@ -124,8 +124,12 @@ def weighted_sample(
     any engine — the oracle derives the identical threshold with
     round + printf('%08x')), with the same 16^8 saturation guard as
     :func:`_threshold_hex` (fractions within 2^-33 of 1.0 must keep
-    all rows, not 1/16 of them)."""
-    scaled = F.round(F.col(fraction_col) * F.lit(float(16**8)))
+    all rows, not 1/16 of them). Out-of-range scores are clamped to
+    [0, 1] — a negative score would otherwise format as a 16-char
+    two's-complement hex string that sorts ABOVE every 8-char prefix
+    (keeping ~all rows where the semantics demand none)."""
+    clamped = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col(fraction_col).cast("double")))
+    scaled = F.round(clamped * F.lit(float(16**8)))
     thr = F.when(scaled >= F.lit(float(16**8)), F.lit("g")).otherwise(
         F.format_string("%08x", scaled.cast("long"))
     )
@@ -133,8 +137,10 @@ def weighted_sample(
 
 
 def weighted_sample_sql(keys: Sequence[str], fraction_expr: str, salt: str = "wsample") -> str:
-    """Oracle predicate + threshold derivation for :func:`weighted_sample`."""
-    scaled = f"round(({fraction_expr}) * 4294967296.0)"
+    """Oracle predicate + threshold derivation for :func:`weighted_sample`
+    (same [0, 1] clamp)."""
+    clamped = f"least(1.0, greatest(0.0, CAST(({fraction_expr}) AS DOUBLE)))"
+    scaled = f"round({clamped} * 4294967296.0)"
     case = (
         f"CASE WHEN {scaled} >= 4294967296.0 THEN 'g' "
         f"ELSE printf('%08x', CAST({scaled} AS BIGINT)) END"

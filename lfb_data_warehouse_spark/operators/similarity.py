@@ -350,11 +350,24 @@ def kmeans_centroids(
         if row is None or row["d"] is None or row["d"] < 0:
             raise ValueError("cannot infer vector dim; pass dim=")
         dim = row["d"]
-    cents = q.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("centroid_label"),
-        F.col("q").alias("cq"),
-        F.col("norm").alias("cnorm"),
+    # seed from the ACTUAL k smallest ids (takeOrdered over a k-row
+    # result, not a `id < k` filter that silently under-seeds — or
+    # yields zero centroids — on sparse/offset id spaces)
+    cents = (
+        q.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_label"),
+            F.col("q").alias("cq"),
+            F.col("norm").alias("cnorm"),
+        )
+        .localCheckpoint(eager=True)
     )
+    n_seeds = cents.count()
+    if n_seeds < k:
+        raise ValueError(
+            f"kmeans_centroids: only {n_seeds} vectors available for k={k} seeds"
+        )
     for _ in range(iters):
         assigned = ivf_index_from_cents(q, cents, id_col)
         ql = assigned.select(

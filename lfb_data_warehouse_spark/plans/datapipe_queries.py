@@ -1856,7 +1856,7 @@ def _kmeans_ctes(iters: int) -> str:
     cos = _cos_sql_guarded(dot, "v.norm", "c.cnorm")
     parts = [
         f"""c0 AS (SELECT vec_id AS centroid_label, q AS cq, norm AS cnorm
-                   FROM qn WHERE vec_id < {KMEANS_K})"""
+                   FROM qn ORDER BY vec_id LIMIT {KMEANS_K})"""
     ]
     for t in range(1, iters + 1):
         parts.append(

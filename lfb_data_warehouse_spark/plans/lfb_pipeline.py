@@ -311,10 +311,26 @@ WB_STRATEGIES: dict[str, list] = {
 }
 
 
-def well_being_dim(raw: DataFrame) -> DataFrame:
+WB_DIM_FORMATS = ("preserve-all", "only-labels", "only-numeric")
+
+
+def well_being_dim(raw: DataFrame, dimension_format: str = "preserve-all") -> DataFrame:
     """wb-cleanse + wb-dimension: rename, per-metric ordinal labels
     (NULL→NULL policy), composite-key hash id over (ward, year),
-    sentinel."""
+    sentinel.
+
+    ``dimension_format`` reproduces the reference loader's mode switch
+    (load_wb_dim.py:44-57 ``produce_schema``): ``preserve-all`` keeps
+    everything; ``only-labels`` keeps only the ordinal ``*Label``
+    columns; ``only-numeric`` keeps only the numeric metric columns.
+    Faithful to the reference, the filtered modes drop the key/ward/
+    year columns too (its suffix filter excludes them) — the sentinel
+    row is added BEFORE the filter, matching the cleanse→load ordering,
+    so it survives as a row of "Unknown" labels / NULL metrics."""
+    if dimension_format not in WB_DIM_FORMATS:
+        raise ValueError(
+            f"dimension_format must be one of {WB_DIM_FORMATS}, got {dimension_format!r}"
+        )
     df = raw.withColumnRenamed("New ward code", "WardCode").withColumnRenamed("Ward", "WardName")
     for metric, strategy in WB_STRATEGIES.items():
         df = df.withColumn(
@@ -324,7 +340,12 @@ def well_being_dim(raw: DataFrame) -> DataFrame:
     keep = ["WellBeingID", "WardCode", "WardName", "Year"] + list(WB_STRATEGIES) + [
         f"{m}Label" for m in WB_STRATEGIES
     ]
-    return sentinel_row(df.select(*keep), "WellBeingID")
+    full = sentinel_row(df.select(*keep), "WellBeingID")
+    if dimension_format == "only-labels":
+        return full.select(*[c for c in full.columns if c.endswith("Label")])
+    if dimension_format == "only-numeric":
+        return full.select(*list(WB_STRATEGIES))
+    return full
 
 
 # ---------------------------------------------------------------------------

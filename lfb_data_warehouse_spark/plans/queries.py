@@ -1859,25 +1859,21 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sql_api_top_segment_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SQL front-end as a first-class entry point: temp views +
-    ``spark.sql`` running ANSI SQL (CTE, 3-way join, windowed top-k) —
-    the same Catalyst plan the DataFrame queries compile to, proving
-    users can drive this engine from either API. Deterministic top-5:
-    revenue ties break on c_custkey. View names are sf-scoped so
-    concurrent callers against different sf_dirs in one session cannot
-    clobber each other (spark.sql resolves views eagerly, so the
-    returned plan is immune either way)."""
-    import hashlib
-
-    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    for t in ("customer", "orders", "lineitem"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_v_{sfx}")
-    return spark.sql(f"""
+    """The SQL front-end as a first-class entry point: ``spark.sql``
+    running ANSI SQL (CTE, 3-way join, windowed top-k) — the same
+    Catalyst plan the DataFrame queries compile to, proving users can
+    drive this engine from either API. Deterministic top-5: revenue
+    ties break on c_custkey. DataFrames are passed as ``{placeholder}``
+    sql() arguments (PySpark DataFrame-interpolation) — a pure lazy
+    plan with NO session-global temp-view state, so concurrent callers
+    against different sf_dirs can never interact."""
+    return spark.sql(
+        """
         WITH rev AS (
             SELECT c_mktsegment AS segment, c_custkey,
                    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-            FROM customer_v_{sfx} JOIN orders_v_{sfx} ON c_custkey = o_custkey
-                            JOIN lineitem_v_{sfx} ON l_orderkey = o_orderkey
+            FROM {customer} JOIN {orders} ON c_custkey = o_custkey
+                            JOIN {lineitem} ON l_orderkey = o_orderkey
             GROUP BY 1, 2
         )
         SELECT segment, c_custkey, revenue, CAST(rnk AS BIGINT) AS rnk
@@ -1886,7 +1882,11 @@ def sql_api_top_segment_customers(spark: SparkSession, sf_dir: str) -> DataFrame
                                         ORDER BY revenue DESC, c_custkey) AS rnk
               FROM rev)
         WHERE rnk <= 5
-    """)
+        """,
+        customer=load_table(spark, sf_dir, "customer"),
+        orders=load_table(spark, sf_dir, "orders"),
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+    )
 
 
 @register(

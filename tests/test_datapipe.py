@@ -280,6 +280,21 @@ def test_media_codec_roundtrip():
     # corrupt payloads degrade to octet-stream, never raise (poison-row safety)
     for junk in (b"", b"garbage", b"\xff\xd8truncated", b"RIFFxxxxWAVE"):
         assert parse_media(junk)["media_type"] == "application/octet-stream"
+    # real-world JPEG shapes: the marker scan must stop at SOS (0xDA)
+    # instead of walking into entropy-coded data, treat 0xFF fill bytes
+    # as padding, and skip 0xFF00-stuffed bytes — a stream whose SOS
+    # precedes any SOFn degrades to octet-stream, never garbage dims
+    import struct as _struct
+
+    sos = b"\xff\xda" + _struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    entropy = b"\x12\xff\x00\x34\xff\xc0\x99\x99"  # fake SOF0 inside entropy data
+    no_sof = b"\xff\xd8" + sos + entropy + b"\xff\xd9"
+    assert parse_media(no_sof)["media_type"] == "application/octet-stream"
+    # fill bytes (0xFFFF...) before a real SOF0 are stepped over
+    sof0 = b"\xff\xc0" + _struct.pack(">H", 11) + b"\x08" + _struct.pack(">HH", 77, 123) + b"\x01" + b"\x01\x11\x00"
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + sof0 + sos + b"\xff\xd9"
+    got = parse_media(padded)
+    assert (got["media_type"], got["width"], got["height"]) == ("image/jpeg", 123, 77)
 
 
 def test_media_decode_distributed(docs):
@@ -321,6 +336,25 @@ def test_kmeans_centroids_deterministic_and_separating(emb):
     inv = ivf_index_from_cents(q, cents, "vec_id")
     assert inv.count() == emb.count()
     assert inv.select("neighbor_id").distinct().count() == emb.count()
+
+
+def test_kmeans_centroids_sparse_offset_ids(spark, emb):
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.similarity import kmeans_centroids
+
+    # ids offset by 1000: `vec_id < k` would find ZERO seeds; the k
+    # smallest actual ids must seed instead, and the result must be the
+    # same clustering as the dense-id corpus (ids only relabel seeds)
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 1000)
+    cents = kmeans_centroids(shifted, "vec_id", "embedding", k=2, iters=2).collect()
+    base = kmeans_centroids(emb, "vec_id", "embedding", k=2, iters=2).collect()
+    assert sorted(list(r["cq"]) for r in cents) == sorted(list(r["cq"]) for r in base)
+    # fewer vectors than k: loud error, not silently-empty centroids
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k=99"):
+        kmeans_centroids(emb, "vec_id", "embedding", k=99, iters=1)
 
 
 def test_lsh_pairs_subset_of_exact(emb):

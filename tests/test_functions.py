@@ -201,3 +201,11 @@ def test_morton_key_matches_reference_interleave(spark):
     # inputs beyond 16 bits are masked, not corrupted
     big = spark.createDataFrame([(1 << 20 | 5, 3)], "x long, y long")
     assert big.select(morton_key(F.col("x"), F.col("y")).alias("z")).collect()[0]["z"] == py_morton(5, 3)
+    # IntegerType inputs with bit 15 set must not overflow 32-bit
+    # shiftleft before the long cast (y=32768: 0x55555555<<1 wraps
+    # negative in int32 space)
+    ints = spark.createDataFrame(
+        [(32768, 32768), (65535, 40000), (7, 65535)], "x int, y int"
+    )
+    for r in ints.select("x", "y", morton_key(F.col("x"), F.col("y")).alias("z")).collect():
+        assert r["z"] == py_morton(r["x"], r["y"]), (r["x"], r["y"])

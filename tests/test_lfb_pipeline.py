@@ -105,6 +105,44 @@ def test_fact_rows_and_fk_resolution(warehouse):
     assert fact["I3"]["AirQualityKey"] != "Unknown"
 
 
+def test_well_being_dim_format_modes(spark):
+    """Reference load_wb_dim.py:44-57 produce_schema parity: the three
+    dimensionFormat modes filter the dim's columns by name suffix —
+    only-labels keeps exactly the *Label ordinals, only-numeric exactly
+    the numeric metrics (faithfully including the reference's behavior
+    of dropping key/ward/year in the filtered modes)."""
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.plans.lfb_pipeline import (
+        WB_STRATEGIES,
+        well_being_dim,
+    )
+
+    wb = spark.createDataFrame(
+        [("OLD1", "W1", "Holborn", "Camden", 2021, 79.0, 6.0, 120.0, 0.5)],
+        "`Old Ward Code` string, `New ward code` string, Ward string, Borough string, "
+        "Year int, Life_Expectancy double, Unemployment double, Crime double, "
+        "Deliberate_Fires double",
+    )
+    metrics = list(WB_STRATEGIES)
+    full = well_being_dim(wb)  # preserve-all default
+    assert full.columns == (
+        ["WellBeingID", "WardCode", "WardName", "Year"]
+        + metrics
+        + [f"{m}Label" for m in metrics]
+    )
+    labels = well_being_dim(wb, "only-labels")
+    assert labels.columns == [f"{m}Label" for m in metrics]
+    numeric = well_being_dim(wb, "only-numeric")
+    assert numeric.columns == metrics
+    # sentinel row is added before the filter (cleanse→load ordering):
+    # it survives as all-"Unknown" labels / all-NULL metrics
+    assert labels.filter(" AND ".join(f"{c} = 'Unknown'" for c in labels.columns)).count() == 1
+    assert numeric.filter(" AND ".join(f"{c} IS NULL" for c in numeric.columns)).count() == 1
+    with _pytest.raises(ValueError, match="dimension_format"):
+        well_being_dim(wb, "only-ids")
+
+
 def test_cleansing_applied(warehouse):
     ward = {r["WardCode"]: r for r in warehouse["ward"].collect()}
     # mixed-case ward names standardized before collapse

@@ -374,6 +374,47 @@ def test_connected_components_chain_and_islands(spark):
     assert out[30] == 30 and out[31] == 30
 
 
+def test_connected_components_star_logarithmic_on_chain(spark):
+    from lfb_data_warehouse_spark.operators.graph import connected_components_star
+
+    # a 10k-node CHAIN is the adversarial case for min-label propagation
+    # (diameter 9 999 → ~10k shuffle rounds); large-star/small-star must
+    # converge in O(log n) rounds — max_iter=20 > 2*log2(10 000) + slack,
+    # so mere termination without RuntimeError IS the bound assertion
+    n = 10_000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges, max_iter=20).collect()
+    }
+    assert len(out) == n
+    assert set(out.values()) == {0}
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    from lfb_data_warehouse_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # chain + triangle + pair + a star fixture (hub with offset leaves)
+    chain = [(i, i + 1) for i in range(1, 12)]
+    star = [(100, 100 + i) for i in range(1, 8)]
+    edges = spark.createDataFrame(
+        chain + [(20, 21), (21, 22), (22, 20), (30, 31)] + star,
+        "src int, dst int",
+    )
+    want = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == want
+    assert all(got[100 + i] == 100 for i in range(8))
+
+
 def test_assign_dense_ids_matches_global_rank(spark):
     from lfb_data_warehouse_spark.operators.ids import assign_dense_ids
 
@@ -533,6 +574,13 @@ def test_weighted_sample_bounds_and_determinism(spark):
     # p just below 1.0 inside the saturation window still keeps all
     sat = weighted_sample(df.withColumn("p", F.lit(1.0 - 2.0**-34)), ["id"], "p")
     assert sat.count() == 200
+    # out-of-range scores clamp: p<0 keeps NOTHING (a negative scaled
+    # value would otherwise format as 16 hex chars and keep ~all rows),
+    # p>1 keeps everything
+    neg = weighted_sample(df.withColumn("p", F.lit(-0.5)), ["id"], "p")
+    assert neg.count() == 0
+    over = weighted_sample(df.withColumn("p", F.lit(3.7)), ["id"], "p")
+    assert over.count() == 200
 
 
 def test_hash_split_partitions_every_row_exactly_once(spark):
