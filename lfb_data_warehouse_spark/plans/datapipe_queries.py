@@ -263,6 +263,28 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_components_star", oracle=_components_oracle())
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster assignment as dedup_components but via alternating
+    large-star/small-star rounds (operators/graph.py:
+    connected_components_star) — O(log n) shuffle rounds regardless of
+    component DIAMETER, the 100-TB formulation that survives a
+    pathological chain-shaped dup cluster where min-label propagation
+    needs O(diameter) rounds. Identical oracle: both must yield
+    component = min doc_id per cluster."""
+    from ..operators.graph import connected_components_star
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = all_pairs_jaccard(
+        docs, "doc_id", "text", shingle_n=JACCARD_N, threshold=JACCARD_THRESHOLD, group_col="source"
+    )
+    labels = connected_components_star(pairs, src="id_a", dst="id_b")
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "component", "cluster_size"
+    )
+
+
 @register(
     "dedup_keep_canonical",
     oracle=f"""

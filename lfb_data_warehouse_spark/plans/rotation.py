@@ -1,14 +1,13 @@
 """CORRECTNESS-rotation ordering for the query registry.
 
 The driver oracle-checks the FIRST 50 registry entries (dict insertion
-order) each round. With far more registered queries than slots (~140 —
+order) each round. With far more registered queries than slots (~176 —
 never trust a hardcoded count here, len(REGISTRY) is the truth),
 coverage rotates: each round the front of the registry holds the
 queries that most need a green CORRECTNESS row, and queries already
 verified green in a previous round move to the back. NOTE: brand-new
 queries (in no list below) jump the queue via reorder()'s new-query
-branch, each displacing one UNCHECKED_PRIORITY entry from the 50-slot
-window.
+branch, each displacing one slot from the 50-slot window.
 
 History:
 - Round 1 (CORRECTNESS_r01.json): 38 green, 12 red (events-loader bug,
@@ -18,15 +17,20 @@ History:
   list column crashing the pandas sort), fixed in round 3 alongside the
   queued `array_hof_battery` landmine. Engine answers were verified
   value-exact vs DuckDB in both cases.
-- Round 3 front (this file): flagship + the 3 fixed round-2 reds, then
-  the never-checked set led by the scale-critical similarity/ANN
-  battery, the IO round-trip battery, and the text battery. ~7 tail
-  entries spill to round 4.
+- Round 3 (CORRECTNESS_r03.json): 50/50 green — the three round-2 reds
+  flipped, and the similarity/ANN, IO round-trip, streaming-slide,
+  curation, and observability batteries got their first driver rows.
+- Round 4 (this file): ALL 41 queries that have never had a driver
+  CORRECTNESS row (plus the new star-components query) fit in the
+  window with 7 spare slots; the spares re-verify the previously-green
+  queries whose code round 4 touched (kmeans seeding, zorder long-cast,
+  temp-view retirement, clustering writes). A green round 4 means every
+  registry query has been driver-proven at least once.
 
 Maintenance: after each round, append that round's green names to
-VERIFIED_GREEN and move any fixed reds into ORACLE_FIXED. The ordering
-below is deterministic and derived, so the next 50 unverified queries
-automatically move to the front.
+the _R{N}_GREEN block and rebuild UNCHECKED_PRIORITY from whatever has
+no driver row yet. The ordering below is deterministic and derived, so
+the next unverified queries automatically move to the front.
 """
 
 from __future__ import annotations
@@ -124,24 +128,40 @@ _R2_GREEN: list[str] = [
     "dedup_simhash_fingerprints",
 ]
 
-VERIFIED_GREEN: list[str] = _R1_GREEN + _R2_GREEN
-
-# Red in round 2 purely from oracle-canonicalization defects (HUGEINT
-# SUM / list columns); oracles fixed in round 3 — re-check first so the
-# red rows flip green.
-ORACLE_FIXED: list[str] = [
+# Green in CORRECTNESS_r03.json (round 3 window, 50/50 — includes the
+# three round-2 oracle-canonicalization reds, now fixed and green).
+_R3_GREEN: list[str] = [
+    "span_dedup_documents",
+    "text_unigram_logprob",
+    "kmeans_fit_centroids",
+    "ann_ivf_kmeans_recall",
+    "ivf_recall_audit",
+    "embedding_random_projection",
+    "stream_late_data_drop",
+    "stream_sliding_halfhour",
+    "stratified_split_documents",
+    "shard_assignment_documents",
+    "url_parse_battery",
+    "grouping_sets_mart",
+    "ntile_quartile_acctbal",
+    "text_token_diversity",
+    "cross_source_dup_matrix",
+    "split_drift_audit",
+    "window_frames_battery",
+    "mode_priority_per_segment",
+    "user_event_type_profile",
+    "winsorize_prices_by_flag",
+    "pandas_grouped_agg_median",
+    "maparrow_embedding_norms",
+    "observe_ingest_metrics",
+    "file_provenance_documents",
+    "zorder_clustering_locality",
+    "skew_audit_user_events",
+    "schema_drift_union_safe_math",
     "mad_scrub_event_values",
     "tpch_q12_late_priority",
     "user_event_sequences",
-]
-
-# Never-checked queries in verification-priority order. The first
-# (50 - 1 - len(ORACLE_FIXED) - n_new) of these land in the checked
-# window this round; the rest queue behind them for the next rotation.
-UNCHECKED_PRIORITY: list[str] = [
-    # Landmine fix verification (list column stringified in round 3)
     "array_hof_battery",
-    # similarity / ANN — the scale-critical claims (VERDICT r2 item 6)
     "dedup_simhash_near_dups",
     "knn_bruteforce_cosine",
     "embedding_near_dup_pairs",
@@ -150,7 +170,6 @@ UNCHECKED_PRIORITY: list[str] = [
     "int8_ann_topk_claim",
     "ivf_centroid_assign",
     "decontaminate_test_split",
-    # IO round-trips / layout
     "bucketed_join_colocated",
     "partitioned_scan_pruning",
     "partition_overwrite_backfill",
@@ -161,7 +180,38 @@ UNCHECKED_PRIORITY: list[str] = [
     "clustered_write_skipping",
     "schema_evolution_merge",
     "compaction_roundtrip",
-    # text battery
+]
+
+# Round 4 spare-slot re-verification: previously-green queries whose
+# code round 4 touched (kmeans seed-from-smallest-ids + oracle LIMIT,
+# morton long-cast, sql() DataFrame interpolation replacing temp views,
+# clustering writes) — they fill the window slots the 42 unchecked
+# entries leave free, so the fixes get fresh driver rows.
+_R4_RECHECK: list[str] = [
+    "sql_api_top_segment_customers",
+    "kmeans_fit_centroids",
+    "ann_ivf_kmeans_recall",
+    "ivf_recall_audit",
+    "dedup_components",
+    "zorder_clustering_locality",
+    "clustered_write_skipping",
+]
+
+VERIFIED_GREEN: list[str] = _R4_RECHECK + [
+    n for n in _R1_GREEN + _R2_GREEN + _R3_GREEN if n not in _R4_RECHECK
+]
+
+# Oracle-defect re-checks: none pending (the round-2 trio flipped green
+# in round 3 and lives in _R3_GREEN now).
+ORACLE_FIXED: list[str] = []
+
+# Never-driver-checked queries in verification-priority order. All 42
+# (41 carried + the new star-components twin) fit in this round's
+# window; a green round 4 closes the driver-verification gap entirely.
+UNCHECKED_PRIORITY: list[str] = [
+    # new this round: O(log n) connected components (VERDICT r3 item 3)
+    "dedup_components_star",
+    # text battery — the biggest never-checked block
     "text_quality_stats",
     "text_lang_id",
     "text_token_counts",
@@ -174,11 +224,10 @@ UNCHECKED_PRIORITY: list[str] = [
     "text_repeated_ngrams",
     "chunk_documents_sliding",
     "pandas_udf_quality_sigmoid",
+    # packing / ids (scale-shape claims)
     "dense_ids_documents",
     "pack_sequences_documents",
-    # multimodal — ahead of streaming: multimodal_decode's green row is
-    # an explicit round-3 deliverable (VERDICT r2 item 5) and the
-    # streaming batch twins already have driver-green rows
+    # multimodal
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
@@ -189,19 +238,20 @@ UNCHECKED_PRIORITY: list[str] = [
     "stream_sessionize",
     "stream_interval_join",
     "stream_static_enrich",
-    # sketches / sampling / misc analytics
+    # sketches / sampling / mixing
     "sketch_mart_mergeable",
     "approx_percentile_claim",
     "remix_source_mixture",
     "sample_orders_deterministic",
-    # --- round-4 spillover from here down (siblings already green) ---
-    "ivf_persisted_search",  # same oracle as ann_ivf_topk; unit-pinned persisted==inline
-    "salted_join_events",  # salted-join gate; operator unit-pinned salt-invariant
-    "semantic_dedup_kmeans",  # SemDeDup over learned clusters (paper formulation)
-    "quality_weighted_sample",  # per-row keep-probability sampling (data mixing)
-    "cogroup_click_purchase_profile",  # two-sided grouped Arrow Python surface
-    "doc_containment_pairs",  # asymmetric (excerpt) near-dup measure
-    "per_source_sample",  # deterministic per-group inspection sample
+    "quality_weighted_sample",
+    "per_source_sample",
+    # similarity tail
+    "ivf_persisted_search",
+    "salted_join_events",
+    "semantic_dedup_kmeans",
+    "doc_containment_pairs",
+    "cogroup_click_purchase_profile",
+    # analytics tail
     "mom_revenue_growth",
     "gap_fill_daily_revenue",
     "null_semantics_battery",
@@ -216,10 +266,10 @@ def reorder(registry: dict) -> dict:
     """Return the registry reordered for this round's CORRECTNESS window.
 
     Order: flagship first (the entry() query must have a green row),
-    then ORACLE_FIXED, then UNCHECKED_PRIORITY, then previously-green
-    queries, then anything new that no list mentions yet (new queries
-    added mid-round land right after the flagship block so they get
-    checked the same round they ship).
+    then anything new that no list mentions yet (new queries added
+    mid-round land right after the flagship block so they get checked
+    the same round they ship), then ORACLE_FIXED, then
+    UNCHECKED_PRIORITY, then previously-green queries.
     """
     front: list[str] = ["flagship_star_fact"]
     listed = set(front)

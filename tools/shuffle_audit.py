@@ -124,6 +124,17 @@ def main() -> None:
         import bench as bench_mod
 
         runners.update({n: getattr(bench_mod, n) for n in bench_mod.EXTRA_BENCH})
+        # non-headline queries whose shuffle-budget claims VERDICT r3
+        # item 7 asked to measure, not just plan-pin
+        AUDIT_EXTRA = (
+            "grouping_sets_mart",
+            "zorder_clustering_locality",
+            "cross_source_dup_matrix",
+            "span_dedup_documents",
+            "text_unigram_logprob",
+            "dedup_components_star",
+        )
+        runners.update({n: REGISTRY[n].fn for n in AUDIT_EXTRA})
         names = list(runners)
         # warm pass at sf0.001 under a prefix the parser ignores
         # (codegen/footers), then one measured tagged pass at sf_dir
@@ -186,7 +197,33 @@ Reading the numbers:
   exchange — the corpus-side index rows themselves stay where the
   partitioned-by-list parquet put them. The inline-rebuild gate query
   (no longer benched) additionally paid the index-build shuffles every
-  run.""")
+  run.
+
+Audited non-headline rows (VERDICT r3 item 7 — plan-pinned claims,
+now measured):
+
+- `grouping_sets_mart` ≈ 0: ONE Expand + partial aggregation — the
+  whole cube ships only its group rows, confirming the single-Expand
+  plan pin.
+- `zorder_clustering_locality` ≈ 0: the Morton-key locality AUDIT is a
+  scan-side aggregate; the clustering write itself (the
+  repartitionByRange) is in `clustered_write_skipping`'s budget.
+- `cross_source_dup_matrix` (~0.5): only shingle-bucket candidate rows
+  cross the network — half of input at test SF, bounded by band width
+  not corpus size.
+- `span_dedup_documents` (~27 vs 5k DOC inputs): the unit crossing the
+  exchange is the PARAGRAPH span (~27 spans/doc here), each exactly
+  once into the span-hash groupBy — there is no per-pair or windowed
+  traffic, so it scales with corpus token count, not doc count².
+- `text_unigram_logprob` (~1.1): one pass of token rows into the
+  bounded (V=256) vocab aggregate plus the scoring join — linear, no
+  blow-up.
+- `dedup_components_star` (~52 vs keep_canonical's 35): the log-round
+  guarantee costs ~1.5× the propagation variant's traffic on easy
+  graphs (each star round re-materializes the full edge set both
+  directions plus the fixpoint subtract) — the premium that buys
+  O(log n) rounds when a chain-shaped cluster would stall min-label
+  propagation at O(diameter).""")
     finally:
         shutil.rmtree(event_dir, ignore_errors=True)
 
