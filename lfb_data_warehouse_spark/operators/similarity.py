@@ -142,6 +142,143 @@ def int8_topk(emb: DataFrame, id_col: str, vec_col: str, probe_ids, k: int) -> D
     return _bruteforce_topk(q, id_col, "q8", "norm8", probe_ids, k, "score8")
 
 
+PQ_M = 4  # subspaces
+PQ_K = 16  # codewords per subspace
+
+
+def pq_codebook(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = PQ_M,
+    cb_k: int = PQ_K,
+) -> list[list[list[int]]]:
+    """Deterministic product-quantization codebook: ``cw[s][c]`` is the
+    ``s``-th subvector of the vector with the ``c``-th smallest id, in
+    the exact integer space of :func:`quantize`.
+
+    Taking the ``cb_k`` smallest-id vectors as codewords (instead of
+    running k-means per subspace) keeps the whole PQ pipeline
+    bit-replayable by a SQL oracle while exercising the REAL scale
+    mechanics — encode, asymmetric-distance lookup, reconstruction
+    norms. Swapping in :func:`kmeans_centroids`-trained sub-codebooks
+    changes only this function. Bounded driver collect: cb_k rows."""
+    q = quantize(emb, id_col, vec_col)
+    rows = q.orderBy(F.col(id_col).asc()).limit(cb_k).collect()
+    if len(rows) < cb_k:
+        raise ValueError(f"pq_codebook: only {len(rows)} vectors for cb_k={cb_k}")
+    dim = len(rows[0]["q"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [[int(v) for v in r["q"][s * sub : (s + 1) * sub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_encode(emb: DataFrame, id_col: str, vec_col: str, cw: list) -> DataFrame:
+    """Map-only PQ encode: each vector becomes ``m`` small codes — the
+    64×-compressed representation the candidate side of an ANN search
+    carries at 100 TB (codes + nothing else cross operators; raw
+    vectors stay in the scan).
+
+    Per subspace the L2² distances to all codewords form a literal
+    array; ``array_position(d, array_min(d)) - 1`` is the argmin with
+    first-occurrence (smallest code) tiebreak — one flat expression,
+    no exponential when-chain, all exact int64 arithmetic inside
+    whole-stage codegen."""
+    m, sub = len(cw), len(cw[0][0])
+    q = quantize(emb, id_col, vec_col)
+    codes = []
+    for s in range(m):
+        svec = F.slice(F.col("q"), s * sub + 1, sub)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        svec,
+                        F.array(*[F.lit(v) for v in w]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                for w in cw[s]
+            ]
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return q.withColumn("codes", F.array(*codes))
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_ids,
+    k: int,
+    m: int = PQ_M,
+    cb_k: int = PQ_K,
+) -> DataFrame:
+    """Asymmetric-distance product-quantization top-k (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search"): probes stay
+    full-precision, candidates are their PQ codes, the score is the
+    probe·reconstruction cosine computed through codeword lookups.
+
+    Scale shape: the codebook is a bounded collect folded into literal
+    arrays (broadcast with the plan); encode and scoring are map-only;
+    the only shuffle is the per-probe top-k window — same exchange
+    budget as the exact kernel but the candidate payload is m codes
+    instead of the vector. Integer dots/norms keep it oracle-exact."""
+    cw = pq_codebook(emb, id_col, vec_col, m=m, cb_k=cb_k)
+    sub = len(cw[0][0])
+    enc = pq_encode(emb, id_col, vec_col, cw)
+    # literal lookup tables: codeword arrays and their squared norms
+    cw_lits = [
+        F.array(*[F.array(*[F.lit(v) for v in w]) for w in cw[s]]) for s in range(m)
+    ]
+    cwn_lits = [
+        F.array(*[F.lit(sum(v * v for v in w)) for w in cw[s]]) for s in range(m)
+    ]
+    probes = quantize(
+        emb.filter(F.col(id_col).isin(list(probe_ids))), id_col, vec_col
+    ).select(
+        F.col(id_col).alias("probe_id"), F.col("q").alias("pq"), F.col("norm").alias("pnorm")
+    )
+    cand = enc.select(F.col(id_col).alias("neighbor_id"), "codes")
+    code = lambda s: F.element_at(F.col("codes"), s + 1)  # noqa: E731
+    adc = None
+    recon = None
+    for s in range(m):
+        dot_s = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("pq"), s * sub + 1, sub),
+                F.element_at(cw_lits[s], code(s) + 1),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        rn_s = F.element_at(cwn_lits[s], code(s) + 1)
+        adc = dot_s if adc is None else adc + dot_s
+        recon = rn_s if recon is None else recon + rn_s
+    scored = (
+        cand.crossJoin(F.broadcast(probes))
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            _cosine(adc, F.col("pnorm"), recon).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "score")
+    )
+
+
 def cosine_pairs(emb: DataFrame, id_col: str, vec_col: str, threshold: float) -> DataFrame:
     """All-pairs cosine ≥ threshold (embedding near-dup detection).
     O(n²) — for corpus scale, pre-bucket with LSH/IVF and feed candidate

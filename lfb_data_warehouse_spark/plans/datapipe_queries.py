@@ -1370,6 +1370,211 @@ def c4_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style quality rule battery (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher" §A1.1 repetition/quality filters, the
+# deterministic subset)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def _gopher_oracle() -> str:
+    stop_present = " + ".join(
+        f"CAST(list_contains(w, '{s}') AS BIGINT)" for s in STOPWORDS
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, text, {tokens_sql("text")} AS w,
+                      string_split(text, chr(10)) AS ls
+               FROM documents),
+    m AS (SELECT doc_id,
+                 len(w) AS n_words,
+                 CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                   / len(w) AS mwl,
+                 CAST(length(text) - length(replace(text, '#', ''))
+                      + length(text) - length(replace(text, '…', ''))
+                   AS DOUBLE) / len(w) AS symbol_ratio,
+                 CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '- ')
+                                            OR starts_with(ltrim(l), '* ')
+                                            OR starts_with(ltrim(l), '•')))
+                   AS DOUBLE) / len(ls) AS bullet_ratio,
+                 CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...'))
+                   AS DOUBLE) / len(ls) AS ellipsis_ratio,
+                 CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                   AS DOUBLE) / len(w) AS alpha_ratio,
+                 CAST({stop_present} AS BIGINT) AS stop_hits
+          FROM t WHERE len(w) > 0)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round(mwl, 6) AS mean_word_len,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           round(bullet_ratio, 6) AS bullet_ratio,
+           round(ellipsis_ratio, 6) AS ellipsis_ratio,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           stop_hits,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND mwl >= {GOPHER_MIN_MWL} AND mwl <= {GOPHER_MAX_MWL}
+            AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+            AND bullet_ratio <= {GOPHER_MAX_BULLET_RATIO}
+            AND ellipsis_ratio <= {GOPHER_MAX_ELLIPSIS_RATIO}
+            AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+            AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+    FROM m
+    """
+
+
+@register("gopher_quality_gates", oracle=_gopher_oracle())
+def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality battery (the deterministic subset of Rae et
+    al.'s §A1.1 filters): word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio (#/…), bullet- and ellipsis-line ratios,
+    alphabetic-word ratio, minimum stop-word presence — each metric
+    emitted alongside the conjunctive keep decision. All ratios are
+    integer-count arithmetic lifted to double in a fixed expression
+    order (bit-identical on any engine, rounded at 6dp only for
+    display). Entirely map-only array/string expressions over one scan
+    — the shape that filters 100 TB inside the read stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(w)
+    word_chars = F.aggregate(
+        F.transform(w, F.length), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    mwl = word_chars.cast("double") / n_words
+    sym_count = (
+        F.length("text") - F.length(F.translate(F.col("text"), "#", ""))
+        + F.length("text") - F.length(F.translate(F.col("text"), "…", ""))
+    )
+    symbol_ratio = sym_count.cast("double") / n_words
+    bullets = F.size(
+        F.filter(
+            lines,
+            lambda line: F.ltrim(line).startswith("- ")
+            | F.ltrim(line).startswith("* ")
+            | F.ltrim(line).startswith("•"),
+        )
+    )
+    bullet_ratio = bullets.cast("double") / F.size(lines)
+    ellipses = F.size(F.filter(lines, lambda line: F.rtrim(line).endswith("...")))
+    ellipsis_ratio = ellipses.cast("double") / F.size(lines)
+    alpha_ratio = (
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double") / n_words
+    )
+    stop_hits = None
+    for s in STOPWORDS:
+        hit = F.array_contains(w, s).cast("long")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & (mwl >= GOPHER_MIN_MWL)
+        & (mwl <= GOPHER_MAX_MWL)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_ratio <= GOPHER_MAX_BULLET_RATIO)
+        & (ellipsis_ratio <= GOPHER_MAX_ELLIPSIS_RATIO)
+        & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return docs.filter(n_words > 0).select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution entropy (compression-ratio proxy quality signal)
+# ---------------------------------------------------------------------------
+
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+LN2 = 0.6931471805599453  # shared literal: both engines divide by the
+# same double instead of each evaluating ln(2)
+
+
+def _entropy_oracle() -> str:
+    cnt = [
+        f"length(t) - length(replace(t, '{c}', ''))" for c in ENTROPY_ALPHABET
+    ]
+    cols = ",\n                 ".join(f"{e} AS c{i}" for i, e in enumerate(cnt))
+    n = len(ENTROPY_ALPHABET)
+    total = " + ".join(f"c{i}" for i in range(n))
+    ent_terms = " + ".join(
+        f"CASE WHEN c{i} > 0 THEN -(CAST(c{i} AS DOUBLE) / total) "
+        f"* ln(CAST(c{i} AS DOUBLE) / total) / {LN2!r} ELSE 0.0 END"
+        for i in range(n)
+    )
+    top = f"greatest({', '.join(f'c{i}' for i in range(n))})"
+    distinct = " + ".join(f"CAST(c{i} > 0 AS BIGINT)" for i in range(n))
+    return f"""
+    WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+    cnts AS (SELECT doc_id, length(t) AS n_chars,
+                 {cols}
+             FROM lt),
+    tot AS (SELECT *, CAST({total} AS BIGINT) AS total FROM cnts)
+    SELECT doc_id, total AS n_alpha_chars,
+           CAST({distinct} AS BIGINT) AS distinct_chars,
+           round({ent_terms}, 6) AS entropy_bits,
+           round(CAST({top} AS DOUBLE) / total, 6) AS top_char_fraction,
+           round(CAST(total AS DOUBLE) / n_chars, 6) AS alphabet_coverage
+    FROM tot WHERE total > 0
+    """
+
+
+@register("text_char_entropy", oracle=_entropy_oracle())
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document over a fixed
+    37-char alphabet — the deterministic stand-in for the
+    compression-ratio quality signal (low entropy = repetitive/
+    degenerate text, suspiciously high = random bytes), plus
+    top-char-fraction and alphabet coverage.
+
+    Per-char counts come from length-difference over ``translate``
+    (37 codegen'd string ops, no explode — the per-CHAR shuffle a naive
+    formulation would pay is the difference between a map-only pass and
+    reshuffling the entire corpus bytewise at 100 TB). The entropy sum
+    runs over the alphabet in FIXED order on both engines, divided by a
+    shared ln(2) literal, so the doubles agree to the last ulp before
+    the 6dp display rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    cnts = [
+        F.length(lt) - F.length(F.translate(lt, c, "")) for c in ENTROPY_ALPHABET
+    ]
+    total = None
+    for c in cnts:
+        total = c if total is None else total + c
+    total = total.cast("long")
+    ent = None
+    for c in cnts:
+        p = c.cast("double") / total
+        term = F.when(c > 0, -p * F.log(p) / F.lit(LN2)).otherwise(F.lit(0.0))
+        ent = term if ent is None else ent + term
+    top = F.greatest(*cnts)
+    distinct = None
+    for c in cnts:
+        d = (c > 0).cast("long")
+        distinct = d if distinct is None else distinct + d
+    return docs.select(
+        "doc_id",
+        total.alias("n_alpha_chars"),
+        distinct.alias("distinct_chars"),
+        F.round(ent, 6).alias("entropy_bits"),
+        F.round(top.cast("double") / total, 6).alias("top_char_fraction"),
+        F.round(total.cast("double") / F.length(lt), 6).alias("alphabet_coverage"),
+    ).filter(F.col("n_alpha_chars") > 0)
+
+
+# ---------------------------------------------------------------------------
 # Dedup: SimHash near-dup pairs (banded hamming search)
 # ---------------------------------------------------------------------------
 
@@ -2019,6 +2224,82 @@ def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_exact"),
         F.count("found").alias("n_found"),
         (F.count("found").cast("double") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
+PQ_SUB = 16  # EMB_DIM // PQ_M — subvector width
+
+
+def _pq_adc_oracle() -> str:
+    from ..operators.similarity import PQ_K, PQ_M
+
+    sub = EMB_DIM // PQ_M
+    d_expr = (
+        f"list_sum(list_transform(range(1, {sub + 1}), "
+        f"i -> (v.s[i] - cb.cs[i]) * (v.s[i] - cb.cs[i])))"
+    )
+    adc_dot = (
+        f"list_sum(list_transform(range(1, {sub + 1}), "
+        f"i -> list_slice(p.pq, e.m * {sub} + 1, (e.m + 1) * {sub})[i] * cb.cs[i]))"
+    )
+    cos = (
+        "CASE WHEN p.pnorm > 0 AND r.rnorm > 0 "
+        "THEN CAST(a.dotv AS DOUBLE) / (sqrt(CAST(p.pnorm AS DOUBLE)) * sqrt(CAST(r.rnorm AS DOUBLE))) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+    WITH {_QCTE},
+    cb0 AS (SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) - 1 AS c
+            FROM (SELECT vec_id, q FROM qn ORDER BY vec_id LIMIT {PQ_K})),
+    cbsub AS (SELECT c, m, list_slice(q, m * {sub} + 1, (m + 1) * {sub}) AS cs,
+                     CAST(list_sum(list_transform(
+                         list_slice(q, m * {sub} + 1, (m + 1) * {sub}), x -> x * x))
+                       AS BIGINT) AS csn
+              FROM cb0, range(0, {PQ_M}) t(m)),
+    vsub AS (SELECT vec_id, m, list_slice(q, m * {sub} + 1, (m + 1) * {sub}) AS s
+             FROM qn, range(0, {PQ_M}) t(m)),
+    enc AS (SELECT vec_id, m, c, csn FROM (
+        SELECT v.vec_id, v.m, cb.c, cb.csn,
+               row_number() OVER (PARTITION BY v.vec_id, v.m
+                                  ORDER BY {d_expr}, cb.c) AS rn
+        FROM vsub v JOIN cbsub cb ON v.m = cb.m) WHERE rn = 1),
+    recon AS (SELECT vec_id, CAST(SUM(csn) AS BIGINT) AS rnorm FROM enc GROUP BY 1),
+    probes AS (SELECT vec_id AS probe_id, q AS pq, norm AS pnorm
+               FROM qn WHERE vec_id < {KNN_PROBES}),
+    adc AS (SELECT p.probe_id, e.vec_id AS neighbor_id,
+                   CAST(SUM({adc_dot}) AS BIGINT) AS dotv
+            FROM probes p
+            JOIN enc e ON e.vec_id <> p.probe_id
+            JOIN cbsub cb ON cb.m = e.m AND cb.c = e.c
+            GROUP BY 1, 2),
+    scored AS (SELECT a.probe_id, a.neighbor_id, {cos} AS score
+               FROM adc a
+               JOIN probes p ON p.probe_id = a.probe_id
+               JOIN recon r ON r.vec_id = a.neighbor_id)
+    SELECT probe_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= {KNN_K}
+    """
+
+
+@register("ann_pq_adc_topk", oracle=_pq_adc_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance scoring (Jégou
+    et al.) — the third compression tier of the ANN battery after the
+    exact int64 kernel and int8: candidates carry only {PQ_M}
+    sub-codes (64× smaller than float32), probes stay full-precision,
+    and the score is probe·reconstruction cosine via broadcast codeword
+    lookup tables. Deterministic codebook (subvectors of the smallest-
+    id vectors, exact integer space), so DuckDB replays encode + ADC
+    bit-for-bit. Scale shape: codebook = one bounded collect folded to
+    plan literals; encode and scoring are map-only; the single shuffle
+    is the per-probe top-k window."""
+    from ..operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb, "vec_id", "embedding", probe_ids=range(KNN_PROBES), k=KNN_K
     )
 
 

@@ -338,6 +338,54 @@ def test_kmeans_centroids_deterministic_and_separating(emb):
     assert inv.select("neighbor_id").distinct().count() == emb.count()
 
 
+def test_pq_encode_and_adc_topk(spark):
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    # 32 vectors in 4 well-separated direction clusters (dim 8)
+    rows = []
+    for i in range(32):
+        base = [0.0] * 8
+        base[(i % 4) * 2] = 1.0
+        base[(i % 4) * 2 + 1] = 0.1 + 0.01 * (i // 4)  # slight in-cluster spread
+        rows.append((i, base))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cw = pq_codebook(emb, "vec_id", "embedding", m=4, cb_k=8)
+    assert len(cw) == 4 and len(cw[0]) == 8 and len(cw[0][0]) == 2
+    enc = pq_encode(emb, "vec_id", "embedding", cw)
+    codes = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in codes.values())
+    # codebook vectors encode to themselves (their own subvectors win
+    # with distance 0, first-occurrence tiebreak keeps the smallest id)
+    assert codes[0] == [0, 0, 0, 0]
+    # ADC top-k finds the same cluster the exact kernel does
+    exact = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(emb, "vec_id", "embedding", [0, 1, 2], k=3).collect()
+    }
+    approx = {
+        (r["probe_id"], r["rank"]): r["neighbor_id"]
+        for r in pq_adc_topk(emb, "vec_id", "embedding", [0, 1, 2], k=3, m=4, cb_k=8).collect()
+    }
+    same_cluster = lambda a, b: a % 4 == b % 4  # noqa: E731
+    for key, nb in approx.items():
+        assert same_cluster(key[0], nb), (key, nb, exact.get(key))
+    # sparse/offset ids: codebook seeds from the actual smallest ids
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 500)
+    cw2 = pq_codebook(shifted, "vec_id", "embedding", m=4, cb_k=8)
+    assert cw2 == cw
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cb_k=99"):
+        pq_codebook(emb, "vec_id", "embedding", m=4, cb_k=99)
+
+
 def test_kmeans_centroids_sparse_offset_ids(spark, emb):
     from pyspark.sql import functions as F
 
