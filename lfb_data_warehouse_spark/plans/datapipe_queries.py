@@ -1493,6 +1493,154 @@ def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher repetition battery (within-doc duplicate-line / top-n-gram
+# char fractions — §A1.1's repetition filters; the cross-doc analogue
+# is span_dedup_documents)
+# ---------------------------------------------------------------------------
+
+GOPHER_MAX_DUP_LINE = 0.3
+GOPHER_MAX_DUP_LINE_CHAR = 0.2
+GOPHER_MAX_TOP2_CHAR = 0.20
+GOPHER_MAX_TOP3_CHAR = 0.18
+
+
+def _repetition_oracle() -> str:
+    from ..functions.text import shingles_sql
+
+    def ngram_block(n: int) -> tuple[str, str, str]:
+        sh = shingles_sql("w", n)
+        cnt = f"s -> len(list_filter(sh{n}, x -> x = s))"
+        mx = f"list_max(list_transform(list_distinct(sh{n}), {cnt}))"
+        top = f"list_min(list_filter(list_distinct(sh{n}), s -> len(list_filter(sh{n}, x -> x = s)) = mx{n}))"
+        return sh, mx, top
+
+    sh2, mx2, top2 = ngram_block(2)
+    sh3, mx3, top3 = ngram_block(3)
+    return f"""
+    WITH t AS (SELECT doc_id, text, {tokens_sql("text")} AS w,
+                      string_split(text, chr(10)) AS ls
+               FROM documents WHERE length(text) > 0),
+    s AS (SELECT doc_id, text, ls, {sh2} AS sh2, {sh3} AS sh3
+          FROM t WHERE len(w) > 0),
+    m AS (SELECT *, {mx2} AS mx2, {mx3} AS mx3 FROM s),
+    tp AS (SELECT *,
+                  CASE WHEN len(sh2) > 0 THEN {top2} ELSE '' END AS top2,
+                  CASE WHEN len(sh3) > 0 THEN {top3} ELSE '' END AS top3
+           FROM m),
+    f AS (SELECT doc_id,
+                 CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+                   / len(ls) AS dup_line_frac,
+                 CAST(list_sum(list_transform(ls, l -> length(l)))
+                      - list_sum(list_transform(list_distinct(ls), l -> length(l)))
+                   AS DOUBLE)
+                   / greatest(list_sum(list_transform(ls, l -> length(l))), 1)
+                   AS dup_line_char_frac,
+                 CASE WHEN len(sh2) > 0
+                      THEN CAST(mx2 * length(top2) AS DOUBLE) / length(text)
+                      ELSE 0.0 END AS top2_char_frac,
+                 CASE WHEN len(sh3) > 0
+                      THEN CAST(mx3 * length(top3) AS DOUBLE) / length(text)
+                      ELSE 0.0 END AS top3_char_frac
+          FROM tp)
+    SELECT doc_id,
+           round(dup_line_frac, 6) AS dup_line_frac,
+           round(dup_line_char_frac, 6) AS dup_line_char_frac,
+           round(top2_char_frac, 6) AS top2_char_frac,
+           round(top3_char_frac, 6) AS top3_char_frac,
+           (dup_line_frac <= {GOPHER_MAX_DUP_LINE}
+            AND dup_line_char_frac <= {GOPHER_MAX_DUP_LINE_CHAR}
+            AND top2_char_frac <= {GOPHER_MAX_TOP2_CHAR}
+            AND top3_char_frac <= {GOPHER_MAX_TOP3_CHAR}) AS keep
+    FROM f
+    """
+
+
+@register("gopher_repetition_gates", oracle=_repetition_oracle())
+def gopher_repetition_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters, within-document: duplicate-line
+    fraction (by line count and by characters) and the character
+    fraction claimed by the single most frequent word 2-/3-gram —
+    the signals that catch templated/boilerplate spam which per-corpus
+    dedup never sees because each doc is unique as a whole.
+
+    All four signals are per-row array HOFs over one scan (no explode:
+    the n-gram mode is computed as array_max over per-distinct-shingle
+    counts, with an order-INDEPENDENT argmax — max count, then
+    lexicographically smallest shingle — because engines disagree on
+    distinct-list ordering). Per-doc compute is O(distinct-shingles ×
+    shingles), bounded by document length; corpus cost stays map-only
+    linear — the property that matters at 100 TB."""
+    from ..functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    dup_line = (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines
+    line_chars = F.aggregate(
+        F.transform(lines, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    dist_chars = F.aggregate(
+        F.transform(F.array_distinct(lines), F.length),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    dup_line_char = (line_chars - dist_chars).cast("double") / F.greatest(
+        line_chars, F.lit(1).cast("long")
+    )
+
+    def top_frac(n: int):
+        # mode of the shingle multiset in O(len·log len) per row: sort,
+        # then one aggregate pass tracking the current and best run —
+        # strict `>` keeps the FIRST maximal run in sorted order, i.e.
+        # the lexicographically smallest shingle among ties (the same
+        # order-independent argmax the quadratic oracle computes; the
+        # oracle keeps the O(d·n) form because DuckDB evaluates it in
+        # 0.2 s while interpreted Spark HOFs took 100× longer)
+        sh = shingles(w, n)
+        zero = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit("").alias("bestg"),
+        )
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            better = run > acc["best"]
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.when(better, run).otherwise(acc["best"]).alias("best"),
+                F.when(better, x).otherwise(acc["bestg"]).alias("bestg"),
+            )
+
+        st = F.aggregate(F.array_sort(sh), zero, step)
+        return F.when(
+            F.size(sh) > 0,
+            (st["best"] * F.length(st["bestg"])).cast("double") / F.length("text"),
+        ).otherwise(F.lit(0.0))
+
+    top2, top3 = top_frac(2), top_frac(3)
+    keep = (
+        (dup_line <= GOPHER_MAX_DUP_LINE)
+        & (dup_line_char <= GOPHER_MAX_DUP_LINE_CHAR)
+        & (top2 <= GOPHER_MAX_TOP2_CHAR)
+        & (top3 <= GOPHER_MAX_TOP3_CHAR)
+    )
+    return docs.filter((F.length("text") > 0) & (F.size(w) > 0)).select(
+        "doc_id",
+        F.round(dup_line, 6).alias("dup_line_frac"),
+        F.round(dup_line_char, 6).alias("dup_line_char_frac"),
+        F.round(top2, 6).alias("top2_char_frac"),
+        F.round(top3, 6).alias("top3_char_frac"),
+        keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Character-distribution entropy (compression-ratio proxy quality signal)
 # ---------------------------------------------------------------------------
 
