@@ -65,6 +65,30 @@ class _state_partitions:
         return False
 
 
+class _rocksdb_state:
+    """Pin the RocksDB state store provider for one bounded run —
+    ``transformWithState`` (state API v2) requires it; the conf is read
+    at query start, so setting+restoring around the run leaves the
+    session default untouched."""
+
+    KEY = "spark.sql.streaming.stateStore.providerClass"
+    PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.KEY, None)
+        self.spark.conf.set(self.KEY, self.PROVIDER)
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.KEY)
+        else:
+            self.spark.conf.set(self.KEY, self.prev)
+        return False
+
+
 def _run_complete(out: DataFrame, prefix: str) -> DataFrame:
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     with _state_partitions(out.sparkSession):
@@ -212,6 +236,18 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_count", "value_sum", "last_seen")
     )
+
+
+# NOTE — transformWithState (state API v2, SPARK-46815): the operator
+# exists (streaming/ops.py:stream_tws_user_stats, with _rocksdb_state
+# above providing the RocksDB provider it requires), but it is NOT a
+# registry query: v2's state server speaks protobuf over a local
+# socket, and `google.protobuf` is absent from this container (no
+# network to install it) — the query start fails with
+# STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. The capability probe
+# is pinned in tests/test_streaming.py::test_transform_with_state_unavailable;
+# if protobuf appears, register the query with the same oracle as
+# stream_stateful_user_stats.
 
 
 @register(

@@ -250,3 +250,71 @@ def stream_running_user_stats(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_tws_user_stats(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+):
+    """The same running per-user accumulator as
+    :func:`stream_running_user_stats`, on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (SPARK-46815, "Arbitrary State API v2"):
+    state lives in named, individually-evolvable ValueState handles
+    managed by the RocksDB state store instead of one opaque tuple, and
+    the processor is an object with an explicit lifecycle (init /
+    handleInputRows / close), which is what production pipelines need
+    for state-schema migration.
+
+    Both APIs stay registered: applyInPandasWithState pins the stable
+    surface (plus its event-time idle-timeout semantics); this pins the
+    v2 surface. Accumulation is in integer ten-thousandths / epoch
+    micros for the same bit-exactness reasons."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = f"{key_col} long, event_count long, value_sum double, last_seen timestamp"
+
+    class _UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState("acc", "count long, total long, last long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            count, total, last = self._acc.get() if self._acc.exists() else (0, 0, 0)
+            for pdf in rows:
+                count += len(pdf)
+                total += int((pdf[value_col] * 10000).round().astype("int64").sum())
+                batch_last_us = int(
+                    pdf[ts_col].astype("datetime64[us]").astype("int64").max()
+                )
+                last = max(last, batch_last_us)
+            self._acc.update((count, total, last))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "event_count": [count],
+                    "value_sum": [total / 10000.0],
+                    "last_seen": [pd.Timestamp(last, unit="us")],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_UserStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )

@@ -191,3 +191,33 @@ def test_streaming_agg_under_rocksdb_state_store(spark, source_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_transform_with_state_unavailable(spark, source_dir):
+    """Capability pin for Spark 4's transformWithState (state API v2):
+    the operator (streaming/ops.py:stream_tws_user_stats) builds its
+    lazy plan fine, but v2's state server speaks protobuf over a local
+    socket and `google.protobuf` is absent from this container (no
+    network to install it) — so the v2 path is conclusively
+    unavailable, the documented state API is applyInPandasWithState
+    (gated by stream_stateful_user_stats), and this test is the tripwire:
+    if it fails on the first assert, protobuf appeared — register the
+    stream_tws_user_stats query (streaming_queries.py NOTE) and retire
+    this pin."""
+    import importlib.util
+
+    from lfb_data_warehouse_spark.streaming.ops import stream_tws_user_stats
+
+    try:  # find_spec of a dotted name imports the parent package first
+        spec = importlib.util.find_spec("google.protobuf")
+    except ModuleNotFoundError:
+        spec = None
+    assert spec is None
+    # the plan itself constructs — only query START needs the protobuf
+    # state-server protocol (verified: start fails with
+    # STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError)
+    stream = spark.readStream.schema(SCHEMA).parquet(source_dir)
+    out = stream_tws_user_stats(stream, watermark="1 hour")
+    assert out.schema.simpleString() == (
+        "struct<user_id:bigint,event_count:bigint,value_sum:double,last_seen:timestamp>"
+    )
