@@ -600,3 +600,82 @@ def schema_drift_union_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_exact(F.coalesce(F.col("unit_price"), F.lit(0.0))).alias("priced_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts (the classic activation/retention triangle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retention_cohort_weekly",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        FROM events
+    ),
+    offsets AS (
+        SELECT f.cohort_week,
+               date_diff('day', f.cohort_week, a.active_week) // 7 AS week_offset,
+               a.user_id
+        FROM activity a JOIN firsts f USING (user_id)
+    ),
+    sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY 1)
+    SELECT o.cohort_week,
+           CAST(o.week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT o.user_id) AS BIGINT) AS active_users,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(COUNT(DISTINCT o.user_id) AS DOUBLE) / s.cohort_size AS retention
+    FROM offsets o JOIN sizes s USING (cohort_week)
+    GROUP BY o.cohort_week, o.week_offset, s.cohort_size
+    """,
+)
+def retention_cohort_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: users grouped by first-activity
+    week (Monday-truncated on both engines), each later active week
+    becoming a (cohort, week-offset) cell with distinct-user count and
+    retention rate vs cohort size — the activation triangle every
+    product-analytics stack computes.
+
+    Scale shape: one user-keyed aggregate (first event), one
+    user-keyed distinct (active weeks — weeks-per-user-bounded, not
+    events), a user-key join AQE co-partitions with them, then the
+    small cohort-week aggregate; nothing is ever keyed by a
+    high-cardinality composite. Offsets are integer day-diffs DIV 7 on
+    Monday-aligned dates — exact on both engines; retention is one
+    int/int double division."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    offsets = activity.join(firsts, "user_id").select(
+        "cohort_week",
+        (F.datediff("active_week", "cohort_week") / F.lit(7))
+        .cast("long")
+        .alias("week_offset"),
+        "user_id",
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        offsets.join(sizes, "cohort_week")
+        .groupBy("cohort_week", "week_offset", "cohort_size")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            (F.col("active_users").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+    )

@@ -205,8 +205,8 @@ VERIFIED_GREEN: list[str] = _R4_RECHECK + [
 # in round 3 and lives in _R3_GREEN now).
 ORACLE_FIXED: list[str] = []
 
-# Never-driver-checked queries in verification-priority order. All 46
-# (41 carried + the five round-4 additions) fit in this round's window;
+# Never-driver-checked queries in verification-priority order. All 47
+# (41 carried + the six round-4 additions) fit in this round's window;
 # a green round 4 closes the driver-verification gap entirely.
 UNCHECKED_PRIORITY: list[str] = [
     # new this round: O(log n) connected components (VERDICT r3 item 3),
@@ -217,6 +217,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "gopher_quality_gates",
     "gopher_repetition_gates",
     "text_char_entropy",
+    "retention_cohort_weekly",
     # text battery — the biggest never-checked block
     "text_quality_stats",
     "text_lang_id",
