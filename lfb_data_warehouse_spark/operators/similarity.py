@@ -211,6 +211,62 @@ def pq_encode(emb: DataFrame, id_col: str, vec_col: str, cw: list) -> DataFrame:
     return q.withColumn("codes", F.array(*codes))
 
 
+def pq_probe_luts(q: DataFrame, cw: list) -> DataFrame:
+    """Per-probe ADC lookup tables: for each subspace, the array of the
+    probe-subvector · codeword dot products — computed ONCE per probe
+    (the probe side is tiny and broadcast), so candidate scoring is m
+    array lookups per row instead of a dim-wide dot product. This is
+    the asymmetric-distance trick that makes PQ search
+    arithmetic-bound by m, not dim."""
+    m, sub = len(cw), len(cw[0][0])
+    out = q.select(
+        F.col(q.columns[0]).alias("probe_id"),
+        F.col("q").alias("pq"),
+        F.col("norm").alias("pnorm"),
+    )
+    for s in range(m):
+        svec = F.slice(F.col("pq"), s * sub + 1, sub)
+        lut = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(svec, F.array(*[F.lit(v) for v in w]), lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                for w in cw[s]
+            ]
+        )
+        out = out.withColumn(f"lut{s}", lut)
+    return out
+
+
+def pq_adc_score(cand: DataFrame, probes: DataFrame, cw: list) -> DataFrame:
+    """Score (neighbor_id, codes) candidates against LUT-carrying probes:
+    per candidate, m LUT lookups + m reconstruction-norm lookups — the
+    candidate row never touches a raw vector."""
+    m = len(cw)
+    cwn_lits = [
+        F.array(*[F.lit(sum(v * v for v in w)) for w in cw[s]]) for s in range(m)
+    ]
+    code = lambda s: F.element_at(F.col("codes"), s + 1)  # noqa: E731
+    adc = None
+    recon = None
+    for s in range(m):
+        dot_s = F.element_at(F.col(f"lut{s}"), code(s) + 1)
+        rn_s = F.element_at(cwn_lits[s], code(s) + 1)
+        adc = dot_s if adc is None else adc + dot_s
+        recon = rn_s if recon is None else recon + rn_s
+    return (
+        cand.crossJoin(F.broadcast(probes))
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            _cosine(adc, F.col("pnorm"), recon).alias("score"),
+        )
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     id_col: str,
@@ -231,46 +287,11 @@ def pq_adc_topk(
     budget as the exact kernel but the candidate payload is m codes
     instead of the vector. Integer dots/norms keep it oracle-exact."""
     cw = pq_codebook(emb, id_col, vec_col, m=m, cb_k=cb_k)
-    sub = len(cw[0][0])
     enc = pq_encode(emb, id_col, vec_col, cw)
-    # literal lookup tables: codeword arrays and their squared norms
-    cw_lits = [
-        F.array(*[F.array(*[F.lit(v) for v in w]) for w in cw[s]]) for s in range(m)
-    ]
-    cwn_lits = [
-        F.array(*[F.lit(sum(v * v for v in w)) for w in cw[s]]) for s in range(m)
-    ]
-    probes = quantize(
-        emb.filter(F.col(id_col).isin(list(probe_ids))), id_col, vec_col
-    ).select(
-        F.col(id_col).alias("probe_id"), F.col("q").alias("pq"), F.col("norm").alias("pnorm")
+    probes = pq_probe_luts(
+        quantize(emb.filter(F.col(id_col).isin(list(probe_ids))), id_col, vec_col), cw
     )
-    cand = enc.select(F.col(id_col).alias("neighbor_id"), "codes")
-    code = lambda s: F.element_at(F.col("codes"), s + 1)  # noqa: E731
-    adc = None
-    recon = None
-    for s in range(m):
-        dot_s = F.aggregate(
-            F.zip_with(
-                F.slice(F.col("pq"), s * sub + 1, sub),
-                F.element_at(cw_lits[s], code(s) + 1),
-                lambda a, b: a * b,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        rn_s = F.element_at(cwn_lits[s], code(s) + 1)
-        adc = dot_s if adc is None else adc + dot_s
-        recon = rn_s if recon is None else recon + rn_s
-    scored = (
-        cand.crossJoin(F.broadcast(probes))
-        .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "neighbor_id",
-            _cosine(adc, F.col("pnorm"), recon).alias("score"),
-        )
-    )
+    scored = pq_adc_score(enc.select(F.col(id_col).alias("neighbor_id"), "codes"), probes, cw)
     w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

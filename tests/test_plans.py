@@ -265,3 +265,32 @@ def test_cross_source_dup_join_is_equi_on_hash(spark):
     p = get_plan(spark, "cross_source_dup_matrix")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_quality_batteries_are_map_only(spark):
+    # the Gopher/entropy quality filters must run entirely inside the
+    # scan stage: zero Exchange nodes in the whole plan — at 100 TB
+    # these gates filter the corpus during the read, never after a
+    # shuffle (the documents loader's small-file repartition is absent
+    # at sf0.001 where input arrives pre-partitioned)
+    for name in ("gopher_quality_gates", "gopher_repetition_gates", "text_char_entropy"):
+        p = get_plan(spark, name)
+        # the loader's small-file RoundRobin fan-out is the ONLY exchange
+        # allowed (absent at warehouse scale, sources/testdata.py); any
+        # hash/range partitioning means the gate itself shuffles
+        assert "hashpartitioning" not in p and "rangepartitioning" not in p, (
+            f"{name}: quality gate shuffles — should be map-only"
+        )
+        assert "SortMergeJoin" not in p and "HashAggregate" not in p, (
+            f"{name}: quality gate aggregates/joins — should be a pure projection"
+        )
+
+
+def test_pq_candidates_carry_codes_not_vectors(spark):
+    # the PQ search's candidate side must broadcast the PROBES (tiny)
+    # and stream the encoded corpus map-side: exactly one top-k window
+    # exchange keyed by probe, plus the encode stage's input
+    p = get_plan(spark, "ann_pq_adc_topk")
+    assert "BroadcastExchange" in p  # probes broadcast
+    assert "Window" in p  # per-probe top-k
+    assert "SortMergeJoin" not in p  # never a shuffled join of corpus rows

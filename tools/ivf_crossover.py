@@ -33,6 +33,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from lfb_data_warehouse_spark.operators.similarity import (  # noqa: E402
     ivf_build,
     ivf_search,
+    pq_adc_score,
+    pq_codebook,
+    pq_encode,
+    pq_probe_luts,
     quantize,
 )
 from lfb_data_warehouse_spark.session import get_spark  # noqa: E402
@@ -109,8 +113,11 @@ def main() -> None:
     ks = [int(a) for a in args[1:]] or [1, 8, 32, 128]
     spark = get_spark("ivf-crossover")
     base = os.environ.get("IVF_CROSSOVER_TMP", "/tmp/ivf_crossover")
-    print("| corpus | index build s (once) | brute-force search s | ivf search s | search ratio |")
-    print("|---|---|---|---|---|")
+    print(
+        "| corpus | index build s (once) | brute-force search s | ivf search s "
+        "| ivf ratio | pq encode s (once) | pq adc search s | pq ratio |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
     for k in ks:
         path = amplified(spark, sf_dir, k, f"{base}/x{k}")
         emb = spark.read.parquet(path)
@@ -132,8 +139,32 @@ def main() -> None:
         )
         ivf = ivf_search(inv_p, cents_p, probes, k=K_NEIGHBORS, nprobe=2)
         bf = brute_force(spark, path, probe_ids, K_NEIGHBORS)
-        tb, ti = timed(bf), timed(ivf)
-        print(f"| {n:,} | {t_build:.2f} | {tb:.2f} | {ti:.2f} | {ti / tb:.2f} |")
+        # PQ: encode ONCE to parquet (codes only — the 64×-compressed
+        # candidate payload), time the ADC search over the code table
+        t0 = time.time()
+        cw = pq_codebook(emb, "vec_id", "embedding")
+        pq_encode(emb, "vec_id", "embedding", cw).select(
+            F.col("vec_id").alias("neighbor_id"), "codes"
+        ).write.mode("overwrite").parquet(f"{base}/x{k}_codes")
+        t_encode = time.time() - t0
+        luts = pq_probe_luts(
+            quantize(emb.filter(F.col("vec_id").isin(probe_ids)), "vec_id", "embedding"), cw
+        )
+        from pyspark.sql import Window
+
+        wnd = Window.partitionBy("probe_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id").asc()
+        )
+        pq = (
+            pq_adc_score(spark.read.parquet(f"{base}/x{k}_codes"), luts, cw)
+            .withColumn("rank", F.row_number().over(wnd))
+            .filter(F.col("rank") <= K_NEIGHBORS)
+        )
+        tb, ti, tp = timed(bf), timed(ivf), timed(pq)
+        print(
+            f"| {n:,} | {t_build:.2f} | {tb:.2f} | {ti:.2f} | {ti / tb:.2f} "
+            f"| {t_encode:.2f} | {tp:.2f} | {tp / tb:.2f} |"
+        )
 
 
 if __name__ == "__main__":
