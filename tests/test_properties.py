@@ -156,6 +156,81 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want
 
 
+@settings(max_examples=4, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=1, max_size=20
+    )
+)
+def test_connected_components_star_matches_union_find(spark, edges):
+    # each example runs several star rounds (multiple Spark jobs), so
+    # examples are fewer than the label-propagation property's
+    from lfb_data_warehouse_spark.operators.graph import connected_components_star
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    edf = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        r["node"]: r["component"] for r in connected_components_star(edf).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.lists(st.integers(-50, 50), min_size=8, max_size=8),
+        min_size=8,
+        max_size=16,
+    )
+)
+def test_pq_encode_matches_python_model(spark, data):
+    # PQ encode vs a direct python argmin over the same integer space
+    from lfb_data_warehouse_spark.operators.similarity import (
+        QUANT_SCALE,
+        pq_codebook,
+        pq_encode,
+    )
+
+    m, cb_k, sub = 4, 4, 2
+    rows = [(i, [v / 10.0 for v in vec]) for i, vec in enumerate(data)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cw = pq_codebook(emb, "vec_id", "embedding", m=m, cb_k=cb_k)
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, "vec_id", "embedding", cw).collect()}
+
+    def quant(vec):
+        import struct as _s
+
+        # float32 round-trip then the engine's round(x * 1e4)
+        return [round(_s.unpack("f", _s.pack("f", x))[0] * QUANT_SCALE) for x in vec]
+
+    want = {}
+    for i, vec in rows:
+        q = quant(vec)
+        codes = []
+        for s in range(m):
+            sv = q[s * sub : (s + 1) * sub]
+            dists = [sum((a - b) ** 2 for a, b in zip(sv, w)) for w in cw[s]]
+            codes.append(dists.index(min(dists)))  # first occurrence = smallest code
+        want[i] = codes
+    assert got == want
+
+
 # --- pure-Python properties (no Spark job per example: full example counts) ---
 
 
