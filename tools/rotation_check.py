@@ -1,0 +1,74 @@
+"""Validate the CORRECTNESS-rotation window (plans/rotation.py).
+
+Run after ANY registry or rotation edit. Checks the invariants the
+round goal depends on:
+
+1. every registry name appears in exactly one rotation list (or is the
+   flagship) — an unlisted query silently jumps the queue and evicts a
+   window slot;
+2. every UNCHECKED_PRIORITY entry lands inside the 50-slot window —
+   if not, the round will end with never-driver-checked queries;
+3. no rotation list names a query that no longer exists (stale entries
+   make the derived ordering lie).
+
+Prints the window composition and exits non-zero on any violation.
+
+Usage: python tools/rotation_check.py [window_size]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from lfb_data_warehouse_spark.plans import REGISTRY  # noqa: E402
+from lfb_data_warehouse_spark.plans import rotation as rot  # noqa: E402
+
+
+def main() -> int:
+    window_size = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    names = list(REGISTRY)
+    window = names[:window_size]
+    listed = set(rot.VERIFIED_GREEN) | set(rot.ORACLE_FIXED) | set(
+        rot.UNCHECKED_PRIORITY
+    ) | {"flagship_star_fact"}
+    problems: list[str] = []
+
+    unlisted = [n for n in names if n not in listed]
+    if unlisted:
+        problems.append(f"registry names in NO rotation list (queue-jumpers): {unlisted}")
+    stale = [n for n in listed if n not in REGISTRY]
+    if stale:
+        problems.append(f"rotation entries not in the registry (stale): {stale}")
+    dupes = [
+        n
+        for n in listed
+        if sum(
+            n in block
+            for block in (rot.VERIFIED_GREEN, rot.ORACLE_FIXED, rot.UNCHECKED_PRIORITY)
+        )
+        > 1
+    ]
+    if dupes:
+        problems.append(f"names in more than one rotation list: {sorted(set(dupes))}")
+    evicted = [n for n in rot.UNCHECKED_PRIORITY if n in REGISTRY and n not in window]
+    if evicted:
+        problems.append(
+            f"UNCHECKED_PRIORITY entries OUTSIDE the {window_size}-slot window: {evicted}"
+        )
+
+    n_unchecked = sum(1 for n in rot.UNCHECKED_PRIORITY if n in REGISTRY)
+    spares = window[1 + len(rot.ORACLE_FIXED) + n_unchecked :]
+    print(f"registry: {len(names)} queries; window: {window_size}")
+    print(f"  flagship + {len(rot.ORACLE_FIXED)} oracle-fixed + {n_unchecked} unchecked")
+    print(f"  re-verification spares ({len(spares)}): {spares}")
+    for p in problems:
+        print(f"VIOLATION: {p}")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
