@@ -185,6 +185,7 @@ def main() -> None:
     # the min is the reproducible cost
     timings: dict[str, float] = {}
     naive_timings: dict[str, float] = {}
+    ratios: dict[str, float] = {}
     for name, fn in runners.items():
         nfn = naive.get(name)
         best_e, best_n = float("inf"), float("inf")
@@ -200,12 +201,11 @@ def main() -> None:
         timings[name] = round(best_e, 3)
         if nfn is not None:
             naive_timings[name] = round(best_n, 3)
+            if best_n > 0:
+                # ratio from the UNROUNDED timings: rounding first would
+                # quantize sub-10ms queries' ratios by double-digit %
+                ratios[name] = round(best_e / best_n, 3)
 
-    ratios = {
-        n: round(timings[n] / naive_timings[n], 3)
-        for n in naive_timings
-        if naive_timings[n] > 0
-    }
     total_e = round(sum(timings.values()), 3)
     total_n = round(sum(naive_timings.values()), 3)
     paired_e = round(sum(timings[n] for n in naive_timings), 3)

@@ -155,9 +155,9 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if not e.take(1):
+    n_edges = e.count()  # one job: doubles as the empty check
+    if n_edges == 0:
         return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
-    n_edges = e.count()
     for i in range(max_iter):
         e2 = _small_star(_large_star(e))
         if checkpoint_every and (i + 1) % checkpoint_every == 0:

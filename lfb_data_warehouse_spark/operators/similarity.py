@@ -211,16 +211,19 @@ def pq_encode(emb: DataFrame, id_col: str, vec_col: str, cw: list) -> DataFrame:
     return q.withColumn("codes", F.array(*codes))
 
 
-def pq_probe_luts(q: DataFrame, cw: list) -> DataFrame:
+def pq_probe_luts(q: DataFrame, cw: list, id_col: str = "vec_id") -> DataFrame:
     """Per-probe ADC lookup tables: for each subspace, the array of the
     probe-subvector · codeword dot products — computed ONCE per probe
     (the probe side is tiny and broadcast), so candidate scoring is m
     array lookups per row instead of a dim-wide dot product. This is
     the asymmetric-distance trick that makes PQ search
-    arithmetic-bound by m, not dim."""
+    arithmetic-bound by m, not dim.
+
+    ``q`` is a :func:`quantize` result (id, q, norm); ``id_col`` names
+    its id column explicitly, like every sibling operator here."""
     m, sub = len(cw), len(cw[0][0])
     out = q.select(
-        F.col(q.columns[0]).alias("probe_id"),
+        F.col(id_col).alias("probe_id"),
         F.col("q").alias("pq"),
         F.col("norm").alias("pnorm"),
     )
@@ -289,7 +292,9 @@ def pq_adc_topk(
     cw = pq_codebook(emb, id_col, vec_col, m=m, cb_k=cb_k)
     enc = pq_encode(emb, id_col, vec_col, cw)
     probes = pq_probe_luts(
-        quantize(emb.filter(F.col(id_col).isin(list(probe_ids))), id_col, vec_col), cw
+        quantize(emb.filter(F.col(id_col).isin(list(probe_ids))), id_col, vec_col),
+        cw,
+        id_col=id_col,
     )
     scored = pq_adc_score(enc.select(F.col(id_col).alias("neighbor_id"), "codes"), probes, cw)
     w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())

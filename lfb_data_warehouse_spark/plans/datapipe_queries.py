@@ -2375,9 +2375,6 @@ def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PQ_SUB = 16  # EMB_DIM // PQ_M — subvector width
-
-
 def _pq_adc_oracle() -> str:
     from ..operators.similarity import PQ_K, PQ_M
 

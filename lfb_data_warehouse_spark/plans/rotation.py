@@ -21,11 +21,14 @@ History:
   flipped, and the similarity/ANN, IO round-trip, streaming-slide,
   curation, and observability batteries got their first driver rows.
 - Round 4 (this file): ALL 41 queries that have never had a driver
-  CORRECTNESS row (plus the new star-components query) fit in the
-  window with 7 spare slots; the spares re-verify the previously-green
-  queries whose code round 4 touched (kmeans seeding, zorder long-cast,
-  temp-view retirement, clustering writes). A green round 4 means every
-  registry query has been driver-proven at least once.
+  CORRECTNESS row, plus the six round-4 additions, fit in the window
+  with TWO spare slots; the spares re-verify the two previously-green
+  queries whose ORACLE text round 4 changed (the kmeans seeding CTE —
+  historically the riskiest change class). The other touched-but-green
+  queries (sql_api temp-view retirement, zorder long-cast, clustering
+  writes) were re-verified locally in two full vanilla sweeps and
+  queue first for round 5. A green round 4 means every registry query
+  has been driver-proven at least once.
 
 Maintenance: after each round, append that round's green names to
 the _R{N}_GREEN block and rebuild UNCHECKED_PRIORITY from whatever has
@@ -182,15 +185,20 @@ _R3_GREEN: list[str] = [
     "compaction_roundtrip",
 ]
 
-# Round 4 spare-slot re-verification: previously-green queries whose
-# code round 4 touched (kmeans seed-from-smallest-ids + oracle LIMIT,
-# morton long-cast, sql() DataFrame interpolation replacing temp views,
-# clustering writes) — they fill the window slots the 42 unchecked
-# entries leave free, so the fixes get fresh driver rows.
+# Round 4 spare-slot re-verification, in priority order: only the
+# first len(window) - 1 - len(UNCHECKED_PRIORITY) of these actually
+# land (TWO with the final 47-entry unchecked list — run
+# tools/rotation_check.py after any edit here). The kmeans pair leads
+# because round 4 changed their ORACLE text (seed CTE `ORDER BY vec_id
+# LIMIT k` replacing `WHERE vec_id < k`) — oracle edits are the
+# historically riskiest class. The rest were touched (sql() temp-view
+# retirement, morton long-cast, clustering writes) but re-verified
+# locally green in two full vanilla sweeps; they queue first for the
+# round-5 window.
 _R4_RECHECK: list[str] = [
-    "sql_api_top_segment_customers",
     "kmeans_fit_centroids",
     "ann_ivf_kmeans_recall",
+    "sql_api_top_segment_customers",
     "ivf_recall_audit",
     "dedup_components",
     "zorder_clustering_locality",

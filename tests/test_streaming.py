@@ -165,14 +165,15 @@ def test_streaming_agg_under_rocksdb_state_store(spark, source_dir):
     # the production state backend: RocksDB keeps state off-heap /
     # on-disk so stateful queries survive state larger than executor
     # memory — the provider is a query-start conf, so one streaming
-    # query can opt in without touching the session default
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    try:
-        spark.conf.set(
-            key,
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        )
+    # query can opt in without touching the session default. Uses the
+    # engine's _rocksdb_state context manager (the same one a future
+    # transformWithState registration needs), so set/restore semantics
+    # have exactly one implementation.
+    from lfb_data_warehouse_spark.plans.streaming_queries import _rocksdb_state
+
+    key = _rocksdb_state.KEY
+    with _rocksdb_state(spark):
+        assert spark.conf.get(key) == _rocksdb_state.PROVIDER
         stream = spark.readStream.schema(SCHEMA).parquet(source_dir)
         out = (
             stream.withWatermark("ts", "1 hour")
@@ -186,11 +187,7 @@ def test_streaming_agg_under_rocksdb_state_store(spark, source_dir):
         }
         assert got[("2024-01-01 10:00:00", "click")] == 2
         assert got[("2024-01-01 11:00:00", "view")] == 2
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    assert spark.conf.get(key, None) in (None, "")  # restored (unset)
 
 
 def test_transform_with_state_unavailable(spark, source_dir):

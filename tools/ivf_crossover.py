@@ -148,7 +148,9 @@ def main() -> None:
         ).write.mode("overwrite").parquet(f"{base}/x{k}_codes")
         t_encode = time.time() - t0
         luts = pq_probe_luts(
-            quantize(emb.filter(F.col("vec_id").isin(probe_ids)), "vec_id", "embedding"), cw
+            quantize(emb.filter(F.col("vec_id").isin(probe_ids)), "vec_id", "embedding"),
+            cw,
+            id_col="vec_id",
         )
         from pyspark.sql import Window
 

@@ -65,6 +65,15 @@ def main() -> int:
     print(f"registry: {len(names)} queries; window: {window_size}")
     print(f"  flagship + {len(rot.ORACLE_FIXED)} oracle-fixed + {n_unchecked} unchecked")
     print(f"  re-verification spares ({len(spares)}): {spares}")
+    # the head of VERIFIED_GREEN is the round's declared recheck
+    # priority — report explicitly which of its first entries DROP out
+    # of the window, so a shrinking spare count is a visible decision,
+    # never a silent one (dropping rechecks is a legitimate trade —
+    # they are already driver-green — so this reports, not fails)
+    recheck_head = rot.VERIFIED_GREEN[: max(len(spares), 4)]
+    dropped = [n for n in recheck_head if n not in window]
+    if dropped:
+        print(f"  NOTE: recheck-priority entries NOT re-verified this round: {dropped}")
     for p in problems:
         print(f"VIOLATION: {p}")
     return 1 if problems else 0
