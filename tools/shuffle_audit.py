@@ -133,6 +133,10 @@ def main() -> None:
             "span_dedup_documents",
             "text_unigram_logprob",
             "dedup_components_star",
+            "ann_pq_adc_topk",
+            "gopher_quality_gates",
+            "text_char_entropy",
+            "retention_cohort_weekly",
         )
         runners.update({n: REGISTRY[n].fn for n in AUDIT_EXTRA})
         names = list(runners)
@@ -223,7 +227,19 @@ now measured):
   graphs (each star round re-materializes the full edge set both
   directions plus the fixpoint subtract) — the premium that buys
   O(log n) rounds when a chain-shaped cluster would stall min-label
-  propagation at O(diameter).""")
+  propagation at O(diameter).
+- `gopher_quality_gates` / `text_char_entropy` at exactly 1.000: the
+  gates themselves add ZERO shuffle rows — the measured 1.0 is
+  entirely the documents loader's small-file fan-out (same tax as
+  text_quality_stats; absent at warehouse scale), confirming the
+  map-only plan pin.
+- `ann_pq_adc_topk` (~1.2): the embeddings loader tax plus the
+  per-probe top-k rows; encode and LUT scoring contribute nothing —
+  candidate vectors never cross the network, only their 4-code rows
+  into the final window.
+- `retention_cohort_weekly` (0.06): user-keyed aggregate + distinct +
+  join co-partition under one exchange family; only per-user week
+  rows move, never events.""")
     finally:
         shutil.rmtree(event_dir, ignore_errors=True)
 
