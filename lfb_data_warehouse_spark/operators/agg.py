@@ -44,3 +44,50 @@ def pivot_agg(
     list for schema stability. With the list supplied Spark skips the
     extra distinct-values job AND the plan stays a single aggregate."""
     return df.groupBy(*key).pivot(pivot_col, list(values)).agg(agg)
+
+
+def approx_ntile(
+    df: DataFrame,
+    value_col: str,
+    n: int,
+    out_col: str = "tile",
+    accuracy: int = 10_000,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Scalable NTILE: exact ``NTILE(n) OVER (ORDER BY value)`` needs a
+    single reducer to sort EVERY row of the (group's) frame — the plan
+    that dies first at 100 TB. This variant computes the n-1 boundary
+    quantiles with ``percentile_approx`` (mergeable sketch, one partial
+    aggregation pass) and assigns tiles with a map-side when-chain —
+    two scans, zero row-sorting, error bounded by the sketch accuracy
+    (≤ 1/accuracy rank error per boundary; ties around a boundary may
+    land one tile off vs the exact window, which is also true of exact
+    NTILE under reordered ties).
+
+    ``group_cols`` scopes the quantiles per group (boundaries become a
+    broadcast join instead of plan literals). The exact-window twin
+    stays the correctness anchor (ntile_quartile_acctbal); this is the
+    shape to run when the frame does not fit one task."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    probs = [i / n for i in range(1, n)]
+    v = F.col(value_col)
+    if not group_cols:
+        row = df.agg(
+            F.percentile_approx(v, probs, accuracy).alias("b")
+        ).collect()[0]
+        bounds = row["b"] or []
+        tile: Column = F.lit(n)
+        for i in reversed(range(len(bounds))):
+            tile = F.when(v <= F.lit(bounds[i]), F.lit(i + 1)).otherwise(tile)
+        return df.withColumn(out_col, tile.cast("long"))
+    bdf = df.groupBy(*group_cols).agg(
+        F.percentile_approx(v, probs, accuracy).alias("__bounds")
+    )
+    joined = df.join(F.broadcast(bdf), list(group_cols))
+    tile = F.lit(n)
+    for i in reversed(range(n - 1)):
+        tile = F.when(
+            v <= F.element_at(F.col("__bounds"), i + 1), F.lit(i + 1)
+        ).otherwise(tile)
+    return joined.withColumn(out_col, tile.cast("long")).drop("__bounds")

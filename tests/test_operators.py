@@ -415,6 +415,68 @@ def test_connected_components_star_matches_label_propagation(spark):
     assert all(got[100 + i] == 100 for i in range(8))
 
 
+def test_incremental_components_equals_full_recompute(spark):
+    from lfb_data_warehouse_spark.operators.graph import (
+        connected_components_star,
+        incremental_components,
+    )
+
+    # day 1: two clusters + a pair; day 2: a bridge edge merges the two
+    # clusters, plus a brand-new cluster
+    day1 = [(1, 2), (2, 3), (10, 11), (11, 12), (20, 21)]
+    day2 = [(3, 10), (30, 31), (31, 32)]
+    e1 = spark.createDataFrame(day1, "src int, dst int")
+    e2 = spark.createDataFrame(day2, "src int, dst int")
+    labels1 = connected_components_star(e1)
+    inc = {
+        r["node"]: r["component"]
+        for r in incremental_components(labels1, e2).collect()
+    }
+    full = {
+        r["node"]: r["component"]
+        for r in connected_components_star(e1.union(e2)).collect()
+    }
+    assert inc == full
+    assert all(inc[n] == 1 for n in (1, 2, 3, 10, 11, 12))  # bridged → min id 1
+    assert inc[20] == 20 and inc[30] == 30  # untouched / new clusters
+
+
+def test_approx_ntile_matches_exact_window(spark):
+    from pyspark.sql import Window
+
+    from lfb_data_warehouse_spark.operators.agg import approx_ntile
+
+    n, tiles = 4000, 8
+    df = spark.range(n).select(
+        (F.col("id") % 4).alias("g"),
+        ((F.col("id") * 7919 % 104729) / 7.0).alias("v"),  # unique values
+    )
+    exact = df.withColumn("tile", F.ntile(tiles).over(Window.orderBy("v")))
+    got = approx_ntile(df, "v", tiles, accuracy=50_000)
+    merged = exact.withColumnRenamed("tile", "exact_tile").join(got, ["g", "v"])
+    rows = merged.count()
+    mismatched = merged.filter(F.col("exact_tile") != F.col("tile")).count()
+    assert rows == n
+    assert mismatched <= 0.02 * n, f"{mismatched}/{n} off vs exact NTILE"
+    # tiles are balanced within sketch error and monotone in v
+    counts = {r["tile"]: r["c"] for r in got.groupBy("tile").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == set(range(1, tiles + 1))
+    assert all(abs(c - n / tiles) <= 0.05 * n for c in counts.values())
+    # grouped form: boundaries scoped per group, same guarantees
+    gg = approx_ntile(df, "v", tiles, accuracy=50_000, group_cols=["g"])
+    per_group = {
+        (r["g"], r["tile"]): r["c"]
+        for r in gg.groupBy("g", "tile").agg(F.count("*").alias("c")).collect()
+    }
+    assert all(
+        abs(c - (n / 4) / tiles) <= 0.05 * (n / 4) for c in per_group.values()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n must be"):
+        approx_ntile(df, "v", 1)
+
+
 def test_assign_dense_ids_matches_global_rank(spark):
     from lfb_data_warehouse_spark.operators.ids import assign_dense_ids
 
