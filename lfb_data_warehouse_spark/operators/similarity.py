@@ -513,6 +513,17 @@ def kmeans_centroids(
         if row is None or row["d"] is None or row["d"] < 0:
             raise ValueError("cannot infer vector dim; pass dim=")
         dim = row["d"]
+    return kmeans_centroids_q(q, id_col, k, iters=iters, dim=dim)
+
+
+def kmeans_centroids_q(
+    q: DataFrame, id_col: str, k: int, iters: int, dim: int
+) -> DataFrame:
+    """The Lloyd loop of :func:`kmeans_centroids` over an ALREADY
+    quantized ``(id, q, norm)`` frame — shared by the full-vector entry
+    point above and the per-subspace codebook trainer
+    (:func:`pq_codebook_kmeans`), so the seeding/tiebreak/update recipe
+    exists exactly once."""
     # seed from the ACTUAL k smallest ids (takeOrdered over a k-row
     # result, not a `id < k` filter that silently under-seeds — or
     # yields zero centroids — on sparse/offset id spaces)
@@ -540,9 +551,53 @@ def kmeans_centroids(
             F.col("nn").alias("norm"),
         )
         cents = label_centroids(
-            ql, id_col, vec_col, "assigned_label", dim=dim, quantized=ql
+            ql, id_col, "q", "assigned_label", dim=dim, quantized=ql
         )
     return cents
+
+
+def pq_codebook_kmeans(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = PQ_M,
+    cb_k: int = PQ_K,
+    iters: int = 2,
+    dim: int | None = None,
+) -> list[list[list[int]]]:
+    """PQ codebook LEARNED per subspace with the same deterministic
+    quantized-integer k-means the IVF index trainer uses — the
+    production upgrade over :func:`pq_codebook`'s smallest-id seeds
+    (Jégou et al. train exactly this: an independent k_sub-means per
+    subvector block). Returns the same ``cw[s][c]`` nested-list shape,
+    so :func:`pq_encode` / :func:`pq_probe_luts` / :func:`pq_adc_score`
+    consume it unchanged.
+
+    Codewords are ordered by centroid label (= seed ids), so codes are
+    stable across runs. A subspace cluster that loses every member
+    disappears (its codebook is shorter) — encode's argmin handles
+    ragged codebooks. m bounded driver collects of ≤ cb_k rows each;
+    the Lloyd iterations are per-subspace map+aggregate passes over
+    (id, subvector) rows, never raw full vectors."""
+    q = quantize(emb, id_col, vec_col)
+    if dim is None:
+        row = emb.select(F.size(vec_col).alias("d")).first()
+        if row is None or row["d"] is None or row["d"] < 0:
+            raise ValueError("cannot infer vector dim; pass dim=")
+        dim = row["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cbs: list[list[list[int]]] = []
+    for s in range(m):
+        sv = F.slice(F.col("q"), s * sub + 1, sub)
+        qs = q.select(F.col(id_col), sv.alias("q")).withColumn(
+            "norm", _dot(F.col("q"), F.col("q"))
+        )
+        cents = kmeans_centroids_q(qs, id_col, cb_k, iters=iters, dim=sub)
+        rows = cents.orderBy("centroid_label").collect()  # ≤ cb_k rows
+        cbs.append([[int(v) for v in r["cq"]] for r in rows])
+    return cbs
 
 
 def ivf_topk(

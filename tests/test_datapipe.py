@@ -386,6 +386,54 @@ def test_pq_encode_and_adc_topk(spark):
         pq_codebook(emb, "vec_id", "embedding", m=4, cb_k=99)
 
 
+def test_pq_codebook_kmeans_learned(spark):
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.similarity import (
+        pq_adc_score,
+        pq_codebook_kmeans,
+        pq_encode,
+        pq_probe_luts,
+        quantize,
+    )
+
+    rows = []
+    for i in range(32):
+        base = [0.0] * 8
+        base[(i % 4) * 2] = 1.0
+        base[(i % 4) * 2 + 1] = 0.1 + 0.01 * (i // 4)
+        rows.append((i, base))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cw1 = pq_codebook_kmeans(emb, "vec_id", "embedding", m=4, cb_k=4, iters=2)
+    cw2 = pq_codebook_kmeans(emb, "vec_id", "embedding", m=4, cb_k=4, iters=2)
+    assert cw1 == cw2  # bit-deterministic across runs
+    assert len(cw1) == 4 and all(1 <= len(cb) <= 4 for cb in cw1)
+    assert all(len(w) == 2 for cb in cw1 for w in cb)  # sub = 8 // 4
+    # the learned codebook plugs into the same encode/LUT/score chain
+    enc = pq_encode(emb, "vec_id", "embedding", cw1)
+    codes = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
+    assert all(
+        0 <= c < len(cw1[s]) for cd in codes.values() for s, c in enumerate(cd)
+    )
+    luts = pq_probe_luts(
+        quantize(emb.filter(F.col("vec_id").isin([0, 1, 2])), "vec_id", "embedding"),
+        cw1,
+        id_col="vec_id",
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    top = (
+        pq_adc_score(enc.select(F.col("vec_id").alias("neighbor_id"), "codes"), luts, cw1)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+    for r in top.collect():  # learned codebook keeps same-cluster recall
+        assert r["probe_id"] % 4 == r["neighbor_id"] % 4, (r["probe_id"], r["neighbor_id"])
+
+
 def test_kmeans_centroids_sparse_offset_ids(spark, emb):
     from pyspark.sql import functions as F
 
