@@ -186,6 +186,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     naive_timings: dict[str, float] = {}
     ratios: dict[str, float] = {}
+    # aggregate sums accumulate UNROUNDED (same policy as the per-query
+    # ratios): summing 3dp-rounded values would feed quantized error
+    # from every sub-10ms query into the headline ratio
+    sum_e = sum_n = paired_sum_e = 0.0
     for name, fn in runners.items():
         nfn = naive.get(name)
         best_e, best_n = float("inf"), float("inf")
@@ -199,33 +203,61 @@ def main() -> None:
                 best_n = min(best_n, run_once(nfn))
                 best_e = min(best_e, run_once(fn))
         timings[name] = round(best_e, 3)
+        sum_e += best_e
         if nfn is not None:
             naive_timings[name] = round(best_n, 3)
+            sum_n += best_n
+            paired_sum_e += best_e
             if best_n > 0:
                 # ratio from the UNROUNDED timings: rounding first would
                 # quantize sub-10ms queries' ratios by double-digit %
                 ratios[name] = round(best_e / best_n, 3)
 
-    total_e = round(sum(timings.values()), 3)
-    total_n = round(sum(naive_timings.values()), 3)
-    paired_e = round(sum(timings[n] for n in naive_timings), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall-clock (noop-sink materialization)",
-                "value": total_e,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_from_dir(sf_dir),
-                "naive_queries": naive_timings,
-                "naive_total": total_n,
-                "ratio_vs_naive": round(paired_e / total_n, 3) if total_n else None,
-                "ratios": ratios,
-                "protocol": "interleaved engine/naive pairs, best-of-3 each",
-                "box": _box_state(),
-            }
-        )
+    total_e = round(sum_e, 3)
+    total_n = round(sum_n, 3)
+    ratio = round(paired_sum_e / sum_n, 3) if sum_n else None
+    detail = {
+        "metric": "headline query wall-clock (noop-sink materialization)",
+        "value": total_e,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(sf_dir),
+        "naive_queries": naive_timings,
+        "naive_total": total_n,
+        "ratio_vs_naive": ratio,
+        "ratios": ratios,
+        "protocol": "interleaved engine/naive pairs, best-of-3 each",
+        "box": _box_state(),
+    }
+    # full detail blob goes to a FILE (BENCH_r04.json came back
+    # parsed:null — the grown stdout JSON overflowed the driver's
+    # 2000-char tail capture and beheaded the leading fields); stdout
+    # gets the compact driver-facing headline as the LAST line,
+    # guaranteed far under the capture window
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+        f.write("\n")
+    headline = {
+        "metric": "headline query wall-clock (noop-sink materialization)",
+        "value": total_e,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(sf_dir),
+        "naive_total": total_n,
+        "ratio_vs_naive": ratio,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(headline)
+    # if the suite ever grows past the capture window, drop the
+    # per-query map from stdout (it lives in BENCH_DETAIL.json) rather
+    # than ship a beheaded JSON
+    if len(line) >= 1800:
+        headline.pop("queries")
+        line = json.dumps(headline)
+    print(line)
 
 
 if __name__ == "__main__":

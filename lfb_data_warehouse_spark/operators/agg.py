@@ -67,7 +67,18 @@ def approx_ntile(
     ``group_cols`` scopes the quantiles per group (boundaries become a
     broadcast join instead of plan literals). The exact-window twin
     stays the correctness anchor (ntile_quartile_acctbal); this is the
-    shape to run when the frame does not fit one task."""
+    shape to run when the frame does not fit one task.
+
+    NULL policy (matches the exact window twin): Spark's default
+    ascending ordering is NULLS FIRST, so ``NTILE(n) OVER (ORDER BY
+    value)`` puts NULL values in tile 1 — this function does the same
+    (``percentile_approx`` ignores NULLs, so they would otherwise fall
+    through every boundary into tile n). Divergence: exact NTILE is
+    positional, so when NULLs OUTNUMBER the first tile (e.g. an
+    all-NULL group) it overflows them into tiles 2+; here they all stay
+    in tile 1. NULL *group keys* are kept as
+    their own group via a null-safe boundary join, exactly as the exact
+    window's PARTITION BY treats NULL as one partition."""
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
     probs = [i / n for i in range(1, n)]
@@ -80,14 +91,27 @@ def approx_ntile(
         tile: Column = F.lit(n)
         for i in reversed(range(len(bounds))):
             tile = F.when(v <= F.lit(bounds[i]), F.lit(i + 1)).otherwise(tile)
+        tile = F.when(v.isNull(), F.lit(1)).otherwise(tile)
         return df.withColumn(out_col, tile.cast("long"))
     bdf = df.groupBy(*group_cols).agg(
         F.percentile_approx(v, probs, accuracy).alias("__bounds")
     )
-    joined = df.join(F.broadcast(bdf), list(group_cols))
+    # null-safe equality so rows with a NULL group key keep their own
+    # boundary row instead of dropping out of the inner join
+    renamed = bdf.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols], "__bounds"
+    )
+    cond = None
+    for c in group_cols:
+        eq = df[c].eqNullSafe(renamed[f"__g_{c}"])
+        cond = eq if cond is None else cond & eq
+    joined = df.join(F.broadcast(renamed), cond).drop(
+        *[f"__g_{c}" for c in group_cols]
+    )
     tile = F.lit(n)
     for i in reversed(range(n - 1)):
         tile = F.when(
             v <= F.element_at(F.col("__bounds"), i + 1), F.lit(i + 1)
         ).otherwise(tile)
+    tile = F.when(v.isNull(), F.lit(1)).otherwise(tile)
     return joined.withColumn(out_col, tile.cast("long")).drop("__bounds")

@@ -263,7 +263,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_components_star", oracle=_components_oracle())
+@register("dedup_components_star", headline=True, oracle=_components_oracle())
 def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same cluster assignment as dedup_components but via alternating
     large-star/small-star rounds (operators/graph.py:
@@ -1427,7 +1427,7 @@ def _gopher_oracle() -> str:
     """
 
 
-@register("gopher_quality_gates", oracle=_gopher_oracle())
+@register("gopher_quality_gates", headline=True, oracle=_gopher_oracle())
 def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality battery (the deterministic subset of Rae et
     al.'s §A1.1 filters): word-count bounds, mean-word-length bounds,
@@ -2428,7 +2428,7 @@ def _pq_adc_oracle() -> str:
     """
 
 
-@register("ann_pq_adc_topk", oracle=_pq_adc_oracle())
+@register("ann_pq_adc_topk", headline=True, oracle=_pq_adc_oracle())
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance scoring (Jégou
     et al.) — the third compression tier of the ANN battery after the

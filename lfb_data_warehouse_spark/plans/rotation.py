@@ -1,8 +1,8 @@
 """CORRECTNESS-rotation ordering for the query registry.
 
 The driver oracle-checks the FIRST 50 registry entries (dict insertion
-order) each round. With far more registered queries than slots (~176 —
-never trust a hardcoded count here, len(REGISTRY) is the truth),
+order) each round. With far more registered queries than slots
+(len(REGISTRY) is the truth — never trust a hardcoded count here),
 coverage rotates: each round the front of the registry holds the
 queries that most need a green CORRECTNESS row, and queries already
 verified green in a previous round move to the back. NOTE: brand-new

@@ -477,6 +477,47 @@ def test_approx_ntile_matches_exact_window(spark):
         approx_ntile(df, "v", 1)
 
 
+def test_approx_ntile_null_keys_and_values(spark):
+    from pyspark.sql import Window
+
+    from lfb_data_warehouse_spark.operators.agg import approx_ntile
+
+    # 3 groups: "a", "b", NULL; plus NULL values sprinkled in each, and
+    # one group whose values are ALL NULL
+    rows = (
+        [("a", float(i)) for i in range(40)]
+        + [("b", float(i) * 3) for i in range(40)]
+        + [(None, float(i) * 7) for i in range(40)]
+        + [("a", None), ("b", None), (None, None)]
+        + [("allnull", None), ("allnull", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = approx_ntile(df, "v", 4, accuracy=50_000, group_cols=["g"])
+    # no rows lost: NULL group keys survive the boundary join
+    assert got.count() == df.count()
+    exact = df.withColumn(
+        "exact_tile", F.ntile(4).over(Window.partitionBy("g").orderBy("v"))
+    ).select(F.col("g").alias("eg"), F.col("v").alias("ev"), "exact_tile")
+    merged = exact.join(
+        got,
+        [F.col("eg").eqNullSafe(F.col("g")), F.col("ev").eqNullSafe(F.col("v"))],
+    )
+    # NULL values land in tile 1 in both (Spark NULLS FIRST ordering)
+    nulls = merged.filter(F.col("ev").isNull())
+    assert nulls.count() >= 5  # >= : NULL v join keys cross-match within a group
+    assert nulls.filter(F.col("tile") != 1).count() == 0
+    # exact NTILE is positional: NULLs overflow tile 1 only when they
+    # outnumber the tile (the all-NULL group) — elsewhere both agree
+    assert nulls.filter((F.col("exact_tile") != 1) & (F.col("eg") != "allnull")).count() == 0
+    # non-null rows in the NULL-key group get real per-group tiles
+    nullg = got.filter(got["g"].isNull() & got["v"].isNotNull())
+    tiles = {r["tile"] for r in nullg.select("tile").distinct().collect()}
+    assert tiles == {1, 2, 3, 4}
+    # ungrouped form: NULL values also tile 1
+    ug = approx_ntile(df, "v", 4, accuracy=50_000)
+    assert ug.filter(F.col("v").isNull() & (F.col("tile") != 1)).count() == 0
+
+
 def test_assign_dense_ids_matches_global_rank(spark):
     from lfb_data_warehouse_spark.operators.ids import assign_dense_ids
 

@@ -545,6 +545,156 @@ def semantic_dedup_keep(spark, sf_dir):
     return emb.join(drops, "vec_id", "left_anti").select("vec_id", "label")
 
 
+def dedup_components_star(spark, sf_dir):
+    # naive cluster assignment: same exploded-shingle pair generation
+    # as naive dedup_keep_canonical, then min-label PROPAGATION
+    # components (the O(diameter) first-pass loop) — the engine's
+    # large/small-star rounds pay ~1.5× the shuffle traffic to bound
+    # rounds at O(log n); this twin prices that premium
+    from lfb_data_warehouse_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.array_distinct(shingles(tokens("text"), 2)).alias("ss")
+    )
+    e = sh.select("doc_id", "source", F.explode("ss").alias("shingle"))
+    ea = e.select(F.col("doc_id").alias("id_a"), "source", "shingle")
+    eb = e.select(F.col("doc_id").alias("id_b"), "source", "shingle")
+    inter = (
+        ea.join(eb, ["source", "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sz = sh.select("doc_id", F.size("ss").alias("sz"))
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    jac = F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i"))
+    pairs = inter.join(sa, "id_a").join(sb, "id_b").filter(jac >= 0.2)
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "component", "cluster_size"
+    )
+
+
+def ann_pq_adc_topk(spark, sf_dir):
+    # naive ANN: brute-force full-precision cosine over probe × corpus
+    # — the formulation PQ exists to compress (candidates carry whole
+    # float vectors, every pair does a full-dim dot product). NOTE:
+    # equal-TASK, not equal-RESULT — brute force is exact, PQ-ADC is
+    # the documented approximation. Timing comparison only.
+    from lfb_data_warehouse_spark.plans.datapipe_queries import KNN_K, KNN_PROBES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with("embedding", "embedding", lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    v = emb.select("vec_id", "embedding", norm.alias("nm"))
+    p = v.filter(F.col("vec_id") < KNN_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pv"),
+        F.col("nm").alias("pn"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nm").alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("pv", "cv", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        p.join(c, F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", (dot / (F.col("pn") * F.col("cn"))).alias("score"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("probe_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score")
+    )
+
+
+def gopher_quality_gates(spark, sf_dir):
+    # naive Gopher battery: explode words AND lines into row streams,
+    # aggregate per doc_id, join the metric tables back — three
+    # shuffles of every token occurrence vs the engine's map-only
+    # array-HOF formulation over one scan
+    from lfb_data_warehouse_spark.plans.datapipe_queries import (
+        GOPHER_MAX_BULLET_RATIO,
+        GOPHER_MAX_ELLIPSIS_RATIO,
+        GOPHER_MAX_MWL,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_RATIO,
+        GOPHER_MIN_MWL,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    wstats = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).alias("word_chars"),
+        F.sum(F.col("w").rlike("[a-z]").cast("long")).alias("alpha_words"),
+        F.size(F.array_distinct(F.collect_list(F.when(F.col("w").isin(list(STOPWORDS)), F.col("w"))))).alias(
+            "stop_hits"
+        ),
+    )
+    lines = docs.select("doc_id", F.explode(F.split("text", "\n")).alias("line"))
+    lstats = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            (
+                F.ltrim("line").startswith("- ")
+                | F.ltrim("line").startswith("* ")
+                | F.ltrim("line").startswith("•")
+            ).cast("long")
+        ).alias("bullets"),
+        F.sum(F.rtrim("line").endswith("...").cast("long")).alias("ellipses"),
+    )
+    sym_count = (
+        F.length("text") - F.length(F.translate(F.col("text"), "#", ""))
+        + F.length("text") - F.length(F.translate(F.col("text"), "…", ""))
+    )
+    base = docs.select("doc_id", sym_count.alias("sym_count"))
+    m = base.join(wstats, "doc_id").join(lstats, "doc_id")
+    mwl = F.col("word_chars").cast("double") / F.col("n_words")
+    symbol_ratio = F.col("sym_count").cast("double") / F.col("n_words")
+    bullet_ratio = F.col("bullets").cast("double") / F.col("n_lines")
+    ellipsis_ratio = F.col("ellipses").cast("double") / F.col("n_lines")
+    alpha_ratio = F.col("alpha_words").cast("double") / F.col("n_words")
+    keep = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & (mwl >= GOPHER_MIN_MWL)
+        & (mwl <= GOPHER_MAX_MWL)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_ratio <= GOPHER_MAX_BULLET_RATIO)
+        & (ellipsis_ratio <= GOPHER_MAX_ELLIPSIS_RATIO)
+        & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
+        & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS)
+    )
+    return m.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
 NAIVE = {
     "flagship_star_fact": flagship_star_fact,
     "asof_nearest_purchase": asof_nearest_purchase,
@@ -568,6 +718,9 @@ NAIVE = {
     "tpch_q6_forecast_revenue": tpch_q6_forecast_revenue,
     "tpch_q18_large_volume": tpch_q18_large_volume,
     "knn_numpy_topk": knn_numpy_topk,
+    "dedup_components_star": dedup_components_star,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
+    "gopher_quality_gates": gopher_quality_gates,
 }
 
 
