@@ -399,3 +399,80 @@ def span_dedup_stats(
         dup_ratio.alias("dup_ratio"),
         (dup_ratio <= F.lit(dup_max)).alias("keep"),
     )
+
+
+def incremental_jaccard_pairs(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    threshold: float,
+    group_col: str | None = None,
+) -> DataFrame:
+    """NEW-BATCH near-dup pair finding for incremental (daily-ingest)
+    dedup: emits exactly the new×new and new×old Jaccard pairs — never
+    old×old, which yesterday's labeling already encodes. Feed the
+    result with that labeling to graph.incremental_components and the
+    merged labels equal a full-corpus recompute (the gate's oracle).
+
+    Traffic is bounded by the NEW batch, not the corpus: old-side
+    shingle rows pass a BROADCAST semi-join against the new batch's
+    distinct shingles before any shuffle, so only old docs that
+    actually share a shingle with today's batch ever move; their
+    set sizes are likewise computed only for those candidates (at
+    production scale the per-doc shingle size is a precomputed column;
+    here it is re-derived map-side from the pruned candidates). The
+    broadcast side is the new batch's shingle vocabulary — daily-batch
+    sized by construction.
+
+    Pair orientation: pairs are canonicalized to ``id_a < id_b``. A
+    new×new pair meets once (left < right guard); a new×old pair meets
+    once because old ids appear only on the left side."""
+    ws = tokens(text_col)
+    keep = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
+
+    def sets(df: DataFrame) -> DataFrame:
+        return df.select(
+            *keep, F.explode(F.array_distinct(shingles(ws, shingle_n))).alias("shingle")
+        )
+
+    jcols = ["shingle"] + ([group_col] if group_col else [])
+    new_sets = sets(new)
+    old_sets = sets(old)
+    probe = new_sets.select(*[F.col(c) for c in jcols]).distinct()
+    pruned_old = old_sets.join(F.broadcast(probe), jcols, "left_semi")
+    left = pruned_old.withColumn("__new", F.lit(False)).unionByName(
+        new_sets.withColumn("__new", F.lit(True))
+    )
+    raw = (
+        left.select(*[F.col(c) for c in jcols], F.col(id_col).alias("lid"), "__new")
+        .join(new_sets.select(*[F.col(c) for c in jcols], F.col(id_col).alias("rid")), jcols)
+        .filter((~F.col("__new")) | (F.col("lid") < F.col("rid")))
+        .filter(F.col("lid") != F.col("rid"))
+    )
+    inter = (
+        raw.select(F.least("lid", "rid").alias("id_a"), F.greatest("lid", "rid").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cand_old = pruned_old.select(F.col(id_col)).distinct()
+    old_sz = (
+        old_sets.join(F.broadcast(cand_old), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    sizes = new_sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz")).unionByName(old_sz)
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

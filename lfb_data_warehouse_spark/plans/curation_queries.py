@@ -269,6 +269,63 @@ def ntile_quartile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "approx_ntile_price_quartiles",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderpriority,
+               quantile_disc(o_totalprice, 0.25) AS q1,
+               quantile_disc(o_totalprice, 0.50) AS q2,
+               quantile_disc(o_totalprice, 0.75) AS q3
+        FROM orders GROUP BY 1),
+    t AS (
+        SELECT o.o_orderpriority,
+               CAST(CASE WHEN o.o_totalprice <= b.q1 THEN 1
+                         WHEN o.o_totalprice <= b.q2 THEN 2
+                         WHEN o.o_totalprice <= b.q3 THEN 3
+                         ELSE 4 END AS BIGINT) AS tile,
+               o.o_totalprice
+        FROM orders o JOIN b USING (o_orderpriority))
+    SELECT o_orderpriority, tile,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM t GROUP BY 1, 2
+    """,
+)
+def approx_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALABLE quantile binning (operators/agg.py:approx_ntile) — the
+    sketch-boundary alternative to ntile_quartile_acctbal's exact
+    window: per-group quartile boundaries via percentile_approx
+    (mergeable KLL-class sketch, one partial-aggregation pass) and a
+    map-side when-chain assignment, so NO group ever needs its whole
+    frame sorted in one task — the formulation that survives a 100 TB
+    frame where NTILE's single-reducer-per-partition sort dies.
+
+    Oracle parity: with accuracy ≥ group size the sketch is exact and
+    Spark's boundary is the element at rank ceil(p·n) — verified
+    identical to DuckDB quantile_disc across sizes/probabilities, so
+    the oracle replays boundaries + the same <=-boundary rule. Per-tile
+    stats (count/min/max/exact sum) pin every row's assignment."""
+    from ..operators.agg import approx_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    tiled = approx_ntile(
+        orders,
+        "o_totalprice",
+        4,
+        accuracy=1_000_000,
+        group_cols=["o_orderpriority"],
+    )
+    return tiled.groupBy("o_orderpriority", "tile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        sum_exact("o_totalprice").alias("total_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Lexical diversity quality gate (integer-exact — no float-order hazard)
 # ---------------------------------------------------------------------------

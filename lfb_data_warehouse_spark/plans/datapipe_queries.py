@@ -343,6 +343,113 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental (daily-ingest) dedup: fold a new batch into yesterday's
+# labels without re-pairing the old corpus — operators/graph.py:
+# incremental_components + operators/dedup.py:incremental_jaccard_pairs
+# ---------------------------------------------------------------------------
+
+# deterministic "today's batch": every 5th doc_id (~20% of the corpus)
+NEWBATCH_MOD, NEWBATCH_REM = 5, 4
+
+
+def _incremental_labels(spark: SparkSession, sf_dir: str):
+    """Shared incremental-dedup chain: split the corpus into OLD and a
+    NEW daily batch, label the old side from old×old pairs only, find
+    new×new + new×old pairs with traffic bounded by the batch, fold.
+    Returns ``(docs, labels, sizes)`` in the `_jaccard_cluster_labels`
+    shape — the oracles are the FULL-corpus recompute, so a green row
+    proves the incremental path is lossless."""
+    from ..operators.dedup import incremental_jaccard_pairs
+    from ..operators.graph import connected_components_star, incremental_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % NEWBATCH_MOD == NEWBATCH_REM
+    old, new = docs.filter(~is_new), docs.filter(is_new)
+    old_pairs = all_pairs_jaccard(
+        old, "doc_id", "text", shingle_n=JACCARD_N, threshold=JACCARD_THRESHOLD, group_col="source"
+    )
+    old_labels = connected_components_star(old_pairs, src="id_a", dst="id_b")
+    new_edges = incremental_jaccard_pairs(
+        old, new, "doc_id", "text",
+        shingle_n=JACCARD_N, threshold=JACCARD_THRESHOLD, group_col="source",
+    ).select("id_a", "id_b")
+    labels = incremental_components(old_labels, new_edges, src="id_a", dst="id_b")
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return docs, labels, sizes
+
+
+@register("incremental_dedup_components", oracle=_components_oracle())
+def incremental_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental component labeling: yesterday's labels (old×old
+    pairs only) + today's new×new/new×old edges folded via
+    graph.incremental_components (labels-as-edges union, star rounds).
+    The oracle is the FULL-corpus recursive-CTE closure — green means
+    the incremental fold equals a from-scratch recompute, which is the
+    contract that lets a 100 TB daily ingest never re-pair its corpus."""
+    _docs, labels, sizes = _incremental_labels(spark, sf_dir)
+    return labels.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "component", "cluster_size"
+    )
+
+
+@register(
+    "incremental_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes()},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component,
+                    COUNT(DISTINCT b) AS cluster_size
+             FROM reach GROUP BY 1)
+    SELECT d.doc_id, d.source,
+           CAST(COALESCE(c.cluster_size, 1) AS BIGINT) AS represents
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.component = d.doc_id
+    """,
+)
+def incremental_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END incremental dedup gate — the daily-ingest pipeline a
+    100 TB corpus actually runs: new-batch pair finding (new×new +
+    new×old only, old side pruned by a broadcast semi-join on the
+    batch's shingles) → fold into yesterday's labels → survivor
+    update. Same output contract and ORACLE as dedup_keep_canonical
+    (the from-scratch recompute): one canonical doc per cluster with
+    its represents count — so a green row proves a user can switch from
+    nightly full dedup to the incremental fold with identical results.
+
+    Scale shape: nothing old×old is ever re-paired; per-round traffic
+    is labels-as-edges (|old nodes in dup clusters|) + |new edges|, and
+    the pair-finder's joins move only batch-pruned rows (SHUFFLE.md
+    measures the bound)."""
+    docs, labels, sizes = _incremental_labels(spark, sf_dir)
+    drop = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    canon = (
+        labels.filter(F.col("node") == F.col("component"))
+        .join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), "cluster_size")
+    )
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .join(canon, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("cluster_size", F.lit(1).cast("long")).alias("represents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Train/test decontamination (split leakage detection)
 # ---------------------------------------------------------------------------
 

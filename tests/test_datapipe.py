@@ -493,3 +493,41 @@ def test_grouped_zscore_degenerate_groups(spark, tmp_path):
     assert out[("flat", 2)] is None and out[("flat", 3)] is None
     assert out[("vary", 4)] is not None and out[("vary", 5)] is not None
     assert abs(out[("vary", 4)] + out[("vary", 5)]) < 1e-9  # symmetric z-scores
+
+
+def test_incremental_jaccard_pairs_equals_restricted_full(spark):
+    """incremental_jaccard_pairs(old, new) must equal the full-corpus
+    exact Jaccard kernel restricted to pairs touching >=1 new doc —
+    same pairs, same jaccard values, and zero old×old leakage."""
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.dedup import (
+        all_pairs_jaccard,
+        incremental_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(40):
+        words = base.split()
+        words[i % len(words)] = f"w{i % 7}"
+        rows.append((i, " ".join(words), "s1" if i % 2 else "s2"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    is_new = F.col("doc_id") % 4 == 0
+    old, new = docs.filter(~is_new), docs.filter(is_new)
+    full = all_pairs_jaccard(docs, "doc_id", "text", 2, 0.3, group_col="source")
+    new_ids = {r[0] for r in new.select("doc_id").collect()}
+    want = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in full.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in incremental_jaccard_pairs(
+            old, new, "doc_id", "text", 2, 0.3, group_col="source"
+        ).collect()
+    }
+    assert want, "fixture produced no cross-batch pairs — weaken the threshold"
+    assert got == want
+    assert all(a in new_ids or b in new_ids for a, b in got)
