@@ -177,22 +177,17 @@ def pq_codebook(
     ]
 
 
-def pq_encode(emb: DataFrame, id_col: str, vec_col: str, cw: list) -> DataFrame:
-    """Map-only PQ encode: each vector becomes ``m`` small codes — the
-    64×-compressed representation the candidate side of an ANN search
-    carries at 100 TB (codes + nothing else cross operators; raw
-    vectors stay in the scan).
-
-    Per subspace the L2² distances to all codewords form a literal
-    array; ``array_position(d, array_min(d)) - 1`` is the argmin with
-    first-occurrence (smallest code) tiebreak — one flat expression,
-    no exponential when-chain, all exact int64 arithmetic inside
-    whole-stage codegen."""
+def _pq_codes_expr(qcol, cw: list):
+    """PQ codes for one quantized vector column as a flat Catalyst
+    expression: per subspace the L2^2 distances to every codeword form
+    a literal array; ``array_position(d, array_min(d)) - 1`` is the
+    argmin with first-occurrence (smallest code) tiebreak. Shared by
+    :func:`pq_encode` (corpus frames) and :func:`ivf_pq_build` (which
+    encodes the assignment frame's payload in place — no extra join)."""
     m, sub = len(cw), len(cw[0][0])
-    q = quantize(emb, id_col, vec_col)
     codes = []
     for s in range(m):
-        svec = F.slice(F.col("q"), s * sub + 1, sub)
+        svec = F.slice(qcol, s * sub + 1, sub)
         dists = F.array(
             *[
                 F.aggregate(
@@ -208,7 +203,45 @@ def pq_encode(emb: DataFrame, id_col: str, vec_col: str, cw: list) -> DataFrame:
             ]
         )
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-    return q.withColumn("codes", F.array(*codes))
+    return F.array(*codes)
+
+
+def _pq_lut_exprs(pqcol, cw: list) -> list:
+    """Per-subspace ADC lookup tables for one quantized probe column:
+    ``lut[s][c]`` = probe-subvector . codeword dot product. Shared by
+    :func:`pq_probe_luts` and :func:`ivf_pq_search`."""
+    m, sub = len(cw), len(cw[0][0])
+    luts = []
+    for s in range(m):
+        svec = F.slice(pqcol, s * sub + 1, sub)
+        luts.append(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(svec, F.array(*[F.lit(v) for v in w]), lambda a, b: a * b),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                    for w in cw[s]
+                ]
+            )
+        )
+    return luts
+
+
+def pq_encode(emb: DataFrame, id_col: str, vec_col: str, cw: list) -> DataFrame:
+    """Map-only PQ encode: each vector becomes ``m`` small codes — the
+    64×-compressed representation the candidate side of an ANN search
+    carries at 100 TB (codes + nothing else cross operators; raw
+    vectors stay in the scan).
+
+    Per subspace the L2² distances to all codewords form a literal
+    array; ``array_position(d, array_min(d)) - 1`` is the argmin with
+    first-occurrence (smallest code) tiebreak — one flat expression,
+    no exponential when-chain, all exact int64 arithmetic inside
+    whole-stage codegen."""
+    q = quantize(emb, id_col, vec_col)
+    return q.withColumn("codes", _pq_codes_expr(F.col("q"), cw))
 
 
 def pq_probe_luts(q: DataFrame, cw: list, id_col: str = "vec_id") -> DataFrame:
@@ -221,24 +254,12 @@ def pq_probe_luts(q: DataFrame, cw: list, id_col: str = "vec_id") -> DataFrame:
 
     ``q`` is a :func:`quantize` result (id, q, norm); ``id_col`` names
     its id column explicitly, like every sibling operator here."""
-    m, sub = len(cw), len(cw[0][0])
     out = q.select(
         F.col(id_col).alias("probe_id"),
         F.col("q").alias("pq"),
         F.col("norm").alias("pnorm"),
     )
-    for s in range(m):
-        svec = F.slice(F.col("pq"), s * sub + 1, sub)
-        lut = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(svec, F.array(*[F.lit(v) for v in w]), lambda a, b: a * b),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
-                for w in cw[s]
-            ]
-        )
+    for s, lut in enumerate(_pq_lut_exprs(F.col("pq"), cw)):
         out = out.withColumn(f"lut{s}", lut)
     return out
 
@@ -661,6 +682,96 @@ def ivf_search(
         "probe_id",
         "neighbor_id",
         _cosine(_dot(F.col("nq"), F.col("pq")), F.col("nn"), F.col("pnorm")).alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "score")
+    )
+
+
+def ivf_pq_build(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    m: int = PQ_M,
+    cb_k: int = PQ_K,
+    dim: int | None = None,
+):
+    """IVF x PQ composed index — the production ANN shape at 1e9+
+    vectors (FAISS's IVFPQ; Jegou et al. §IV): inverted lists that
+    store PQ CODES, so IVF prunes the corpus to ~nprobe/nlist per
+    probe AND what the scanned lists carry is m sub-codes (64x smaller
+    than float32) instead of full quantized vectors.
+
+    Returns ``(inv, cents, cw)``: inv = (neighbor_id, assigned_label,
+    codes), cents = the IVF centroid set, cw = the PQ codebook (nested
+    lists, plan literals downstream). The encode runs IN PLACE on the
+    assignment frame's quantized payload (one map pass — no join back
+    to the corpus); reconstruction norms are derived from codes at
+    search time, so the persisted index is codes-only."""
+    q = quantize(emb, id_col, vec_col, keep=(label_col,))
+    cents = label_centroids(emb, id_col, vec_col, label_col, dim=dim, quantized=q)
+    assigned = ivf_index_from_cents(q, cents, id_col)
+    cw = pq_codebook(emb, id_col, vec_col, m=m, cb_k=cb_k)
+    inv = assigned.select(
+        "neighbor_id",
+        "assigned_label",
+        _pq_codes_expr(F.col("nq"), cw).alias("codes"),
+    )
+    return inv, cents, cw
+
+
+def ivf_pq_search(
+    inv: DataFrame,
+    cents: DataFrame,
+    probes: DataFrame,
+    cw: list,
+    k: int,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Search an :func:`ivf_pq_build` index: rank centroids per probe
+    (broadcast), build the probe's ADC lookup tables once, scan only
+    the ``nprobe`` selected lists scoring candidates through m LUT
+    lookups + m reconstruction-norm lookups — candidate rows never
+    carry (or reconstruct) a raw vector. The only shuffle is the final
+    per-probe top-k window; with the index parquet partitioned by
+    assigned_label the broadcast pruning skips unprobed lists at the
+    scan, exactly like :func:`ivf_search`."""
+    m = len(cw)
+    pc = probes.crossJoin(F.broadcast(cents)).select(
+        "probe_id",
+        "pq",
+        "pnorm",
+        "centroid_label",
+        _cosine(_dot(F.col("pq"), F.col("cq")), F.col("pnorm"), F.col("cnorm")).alias("cscore"),
+    )
+    wp = Window.partitionBy("probe_id").orderBy(
+        F.col("cscore").desc(), F.col("centroid_label").asc()
+    )
+    pc = pc.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= nprobe)
+    lut_cols = [lut.alias(f"lut{s}") for s, lut in enumerate(_pq_lut_exprs(F.col("pq"), cw))]
+    pcl = pc.select("probe_id", "pnorm", "centroid_label", *lut_cols)
+    cand = inv.join(
+        F.broadcast(pcl), pcl.centroid_label == inv.assigned_label
+    ).filter(F.col("neighbor_id") != F.col("probe_id"))
+    cwn_lits = [
+        F.array(*[F.lit(sum(v * v for v in w)) for w in cw[s]]) for s in range(m)
+    ]
+    adc = None
+    recon = None
+    for s in range(m):
+        code_s = F.element_at(F.col("codes"), s + 1)
+        dot_s = F.element_at(F.col(f"lut{s}"), code_s + 1)
+        rn_s = F.element_at(cwn_lits[s], code_s + 1)
+        adc = dot_s if adc is None else adc + dot_s
+        recon = rn_s if recon is None else recon + rn_s
+    scored = cand.select(
+        "probe_id",
+        "neighbor_id",
+        _cosine(adc, F.col("pnorm"), recon).alias("score"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (

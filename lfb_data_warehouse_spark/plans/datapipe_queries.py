@@ -2555,6 +2555,175 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_KMEANS_ITERS = 2
+
+
+def _pq_kmeans_ctes(iters: int) -> str:
+    """Per-subspace learned-codebook k-means as unrolled CTEs: vsn
+    (quantized subvectors keyed by subspace m) -> sc0 (seed codewords =
+    subvectors of the cb_k smallest ids) -> sa{t}/sd{t}/sc{t} Lloyd
+    rounds — the exact per-subspace replay of
+    operators/similarity.py:pq_codebook_kmeans (same guarded cosine,
+    (score, label) tiebreak, integer round(sum/n) update)."""
+    from ..operators.similarity import PQ_K, PQ_M
+
+    sub = EMB_DIM // PQ_M
+    dot = f"list_sum(list_transform(range(1, {sub + 1}), i -> v.q[i] * c.cq[i]))"
+    cos = _cos_sql_guarded(dot, "v.norm", "c.cnorm")
+    parts = [
+        f"""vs AS (SELECT vec_id, m, list_slice(q, m * {sub} + 1, (m + 1) * {sub}) AS q
+               FROM qn, range(0, {PQ_M}) t(m)),
+    vsn AS (SELECT vec_id, m, q,
+                   CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS norm
+            FROM vs),
+    sc0 AS (SELECT m, vec_id AS centroid_label, q AS cq, norm AS cnorm FROM vsn
+            WHERE vec_id IN (SELECT vec_id FROM qn ORDER BY vec_id LIMIT {PQ_K}))"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""sa{t} AS (SELECT m, vec_id, assigned_label, q, norm FROM (
+        SELECT v.m, v.vec_id, c.centroid_label AS assigned_label, v.q, v.norm,
+               row_number() OVER (PARTITION BY v.m, v.vec_id
+                   ORDER BY {cos} DESC, c.centroid_label) AS rn
+        FROM vsn v JOIN sc{t - 1} c ON c.m = v.m) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""sd{t} AS (SELECT m, assigned_label, i AS pos, SUM(q[i]) AS s, COUNT(*) AS n
+        FROM sa{t}, range(1, {sub + 1}) t(i) GROUP BY 1, 2, 3)"""
+        )
+        parts.append(
+            f"""sc{t} AS (SELECT m, centroid_label, cq,
+               CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT) AS cnorm FROM (
+        SELECT m, assigned_label AS centroid_label,
+               list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cq
+        FROM sd{t} GROUP BY 1, 2))"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _pq_codebook_learned_oracle() -> str:
+    return f"""
+    WITH {_QCTE},
+    {_pq_kmeans_ctes(PQ_KMEANS_ITERS)}
+    SELECT m,
+           CAST(row_number() OVER (PARTITION BY m ORDER BY centroid_label) - 1
+                AS BIGINT) AS code,
+           array_to_string(cq, '|') AS codeword
+    FROM sc{PQ_KMEANS_ITERS}
+    """
+
+
+@register("pq_codebook_learned", oracle=_pq_codebook_learned_oracle())
+def pq_codebook_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED PQ codebooks (operators/similarity.py:pq_codebook_kmeans)
+    — an independent deterministic k-means per subvector block, the
+    production upgrade over ann_pq_adc_topk's smallest-id-seed
+    codebook (Jegou et al. train exactly this). Emits every codeword as
+    (m, code, '|'-joined integers); code index = order by centroid
+    label, the contract pq_encode consumes. The oracle replays all
+    m x iters Lloyd rounds bit-for-bit in unrolled CTEs.
+
+    Scale shape: training is per-subspace map+aggregate passes over
+    (id, subvector) rows (never raw full vectors); the result is m
+    bounded collects of <= cb_k rows each, folded back to a tiny
+    DataFrame."""
+    from ..operators.similarity import PQ_K, PQ_M, pq_codebook_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_codebook_kmeans(
+        emb, "vec_id", "embedding", m=PQ_M, cb_k=PQ_K, iters=PQ_KMEANS_ITERS, dim=EMB_DIM
+    )
+    rows = [
+        (m, c, "|".join(str(v) for v in cw))
+        for m, cb in enumerate(cbs)
+        for c, cw in enumerate(cb)
+    ]
+    return spark.createDataFrame(rows, "m long, code long, codeword string")
+
+
+def _ivf_pq_oracle() -> str:
+    from ..operators.similarity import PQ_K, PQ_M
+
+    sub = EMB_DIM // PQ_M
+    d_expr = (
+        f"list_sum(list_transform(range(1, {sub + 1}), "
+        f"i -> (v.s[i] - cb.cs[i]) * (v.s[i] - cb.cs[i])))"
+    )
+    adc_dot = (
+        f"list_sum(list_transform(range(1, {sub + 1}), "
+        f"i -> list_slice(p.pq, e.m * {sub} + 1, (e.m + 1) * {sub})[i] * cb.cs[i]))"
+    )
+    cos = (
+        "CASE WHEN p.pnorm > 0 AND r.rnorm > 0 "
+        "THEN CAST(a.dotv AS DOUBLE) / (sqrt(CAST(p.pnorm AS DOUBLE)) * sqrt(CAST(r.rnorm AS DOUBLE))) "
+        "ELSE 0.0 END"
+    )
+    # _ivf_ctes() supplies cent/cn/assign/pc (ivf_ranked is simply
+    # unreferenced); the PQ encode fragments mirror _pq_adc_oracle; the
+    # ADC join is RESTRICTED to each probe's nprobe assigned lists
+    return f"""
+    WITH {_ivf_ctes()},
+    cb0 AS (SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) - 1 AS c
+            FROM (SELECT vec_id, q FROM qn ORDER BY vec_id LIMIT {PQ_K})),
+    cbsub AS (SELECT c, m, list_slice(q, m * {sub} + 1, (m + 1) * {sub}) AS cs,
+                     CAST(list_sum(list_transform(
+                         list_slice(q, m * {sub} + 1, (m + 1) * {sub}), x -> x * x))
+                       AS BIGINT) AS csn
+              FROM cb0, range(0, {PQ_M}) t(m)),
+    vsub2 AS (SELECT vec_id, m, list_slice(q, m * {sub} + 1, (m + 1) * {sub}) AS s
+              FROM qn, range(0, {PQ_M}) t(m)),
+    enc AS (SELECT vec_id, m, c, csn FROM (
+        SELECT v.vec_id, v.m, cb.c, cb.csn,
+               row_number() OVER (PARTITION BY v.vec_id, v.m
+                                  ORDER BY {d_expr}, cb.c) AS rn
+        FROM vsub2 v JOIN cbsub cb ON v.m = cb.m) WHERE rn = 1),
+    recon AS (SELECT vec_id, CAST(SUM(csn) AS BIGINT) AS rnorm FROM enc GROUP BY 1),
+    probes AS (SELECT vec_id AS probe_id, q AS pq, norm AS pnorm
+               FROM qn WHERE vec_id < {KNN_PROBES}),
+    adc AS (SELECT pc.probe_id, a.vec_id AS neighbor_id,
+                   CAST(SUM({adc_dot}) AS BIGINT) AS dotv
+            FROM pc
+            JOIN assign a ON a.assigned_label = pc.centroid_label
+                         AND a.vec_id <> pc.probe_id
+            JOIN probes p ON p.probe_id = pc.probe_id
+            JOIN enc e ON e.vec_id = a.vec_id
+            JOIN cbsub cb ON cb.m = e.m AND cb.c = e.c
+            GROUP BY 1, 2),
+    scored AS (SELECT a.probe_id, a.neighbor_id, {cos} AS score
+               FROM adc a
+               JOIN probes p ON p.probe_id = a.probe_id
+               JOIN recon r ON r.vec_id = a.neighbor_id)
+    SELECT probe_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored) WHERE rank <= {KNN_K}
+    """
+
+
+@register("ann_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x PQ composed ANN (operators/similarity.py:ivf_pq_build /
+    ivf_pq_search) — the production index shape at 1e9+ vectors
+    (FAISS IVFPQ): IVF prunes each probe to nprobe/nlist of the corpus
+    AND the scanned inverted lists carry only {PQ_M} PQ codes per
+    vector (64x smaller payloads), scored by ADC lookup tables with
+    reconstruction norms derived from the codes. Both halves are
+    individually gated (ann_ivf_topk, ann_pq_adc_topk); this row pins
+    their composition — the oracle replays assignment, encode, and
+    list-restricted ADC bit-for-bit. Crossover vs the single-technique
+    paths is measured in tools/ivf_crossover.py."""
+    from ..operators.similarity import ivf_pq_build, ivf_pq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    inv, cents, cw = ivf_pq_build(emb, "vec_id", "embedding", "label", dim=EMB_DIM)
+    probes = quantize(emb.filter(F.col("vec_id") < KNN_PROBES), "vec_id", "embedding").select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("q").alias("pq"),
+        F.col("norm").alias("pnorm"),
+    )
+    return ivf_pq_search(inv, cents, probes, cw, KNN_K, nprobe=IVF_NPROBE)
+
+
 def _semantic_dedup_kmeans_oracle() -> str:
     kc = f"c{KMEANS_ITERS}"
     dot_vc = f"list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> v.q[i] * c.cq[i]))"
@@ -2967,76 +3136,6 @@ def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _prepare_corpus_oracle() -> str:
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    return f"""
-    WITH gated AS (
-        SELECT doc_id, source, text, {tokens_sql('text')} AS w
-        FROM documents
-        WHERE lang = 'en' AND n_chars >= {C4_MIN_CHARS}
-    ),
-    scored AS (
-        SELECT doc_id, source, text, len(w) AS tok,
-               CAST(len(list_filter(w, x -> x IN ({stop_list}))) AS DOUBLE) / len(w)
-               AS stop_ratio
-        FROM gated
-        WHERE len(w) >= {C4_MIN_TOKENS}
-    ),
-    quality AS (SELECT * FROM scored WHERE stop_ratio <= {C4_MAX_STOP_RATIO}),
-    survivors AS (
-        SELECT doc_id, source, CAST(tok AS BIGINT) AS tok FROM quality
-        QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
-    ),
-    c AS (
-        SELECT source, doc_id, tok,
-               SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
-               AS start_offset
-        FROM survivors
-    )
-    SELECT source,
-           CAST(FLOOR(CAST(start_offset AS DOUBLE) / {PACK_SEQ_LEN}.0) AS BIGINT) AS pack_id,
-           COUNT(*) AS n_docs,
-           CAST(SUM(tok) AS BIGINT) AS pack_tokens,
-           MIN(doc_id) AS first_doc,
-           MAX(doc_id) AS last_doc
-    FROM c GROUP BY 1, 2
-    """
-
-
-@register("prepare_training_corpus", oracle=_prepare_corpus_oracle())
-def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole pre-training data-prep pipeline as ONE lazy plan:
-    C4-style gates (lang → length → token count → stopword ratio) →
-    exact dedup (min-id survivor per content hash) → fixed-budget
-    sequence packing per source. Composes the registered operators
-    (`c4_clean_documents` + `operators/packing.py:pack_sequences`)
-    without materializing between stages — what a user actually runs
-    nightly, while the stage queries remain its observability views.
-
-    The composition inherits each stage's scale shape: map-only gating,
-    one (hash → min-id) dedup shuffle, and the two-phase distributed
-    prefix sum for packing — no stage forces an extra exchange on the
-    next."""
-    from ..operators.packing import pack_sequences
-
-    clean = c4_clean_documents(spark, sf_dir).select(
-        "doc_id", F.col("token_count").cast("long").alias("tok")
-    )
-    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    base = clean.join(src, "doc_id")
-    packed = pack_sequences(
-        base, group_col="source", order_cols=["doc_id"], token_col="tok",
-        seq_len=PACK_SEQ_LEN,
-    )
-    return packed.groupBy("source", "pack_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("tok").cast("long").alias("pack_tokens"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
-    )
-
-
 # ---------------------------------------------------------------------------
 # Within-document repetition filter (RefinedWeb/Gopher-style rep. removal)
 # ---------------------------------------------------------------------------
@@ -3381,4 +3480,168 @@ def text_readability_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens") > 0,
             F.col("token_chars").cast("double") / F.col("n_tokens"),
         ).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship corpus-prep composite (full modern recipe, one lazy plan)
+# ---------------------------------------------------------------------------
+
+
+def _prepare_corpus_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_present = " + ".join(
+        f"CAST(list_contains(w, '{s}') AS BIGINT)" for s in STOPWORDS
+    )
+    return f"""
+    WITH {_ivf_assign_ctes()},
+    semdrops AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a JOIN assign b
+          ON a.assigned_label = b.assigned_label AND a.vec_id < b.vec_id
+        WHERE {_cos_sql("list_sum(list_transform(range(1, " + str(EMB_DIM + 1) + "), i -> a.q[i] * b.q[i]))", 'a.norm', 'b.norm')} >= {SEMDEDUP_COS}
+    ),
+    gt AS (SELECT doc_id, text, {tokens_sql("text")} AS w,
+                  string_split(text, chr(10)) AS ls
+           FROM documents),
+    gm AS (SELECT doc_id,
+                 len(w) AS n_words,
+                 CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                   / len(w) AS mwl,
+                 CAST(length(text) - length(replace(text, '#', ''))
+                      + length(text) - length(replace(text, '…', ''))
+                   AS DOUBLE) / len(w) AS symbol_ratio,
+                 CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '- ')
+                                            OR starts_with(ltrim(l), '* ')
+                                            OR starts_with(ltrim(l), '•')))
+                   AS DOUBLE) / len(ls) AS bullet_ratio,
+                 CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...'))
+                   AS DOUBLE) / len(ls) AS ellipsis_ratio,
+                 CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                   AS DOUBLE) / len(w) AS alpha_ratio,
+                 CAST({stop_present} AS BIGINT) AS stop_hits
+          FROM gt WHERE len(w) > 0),
+    gkeep AS (SELECT doc_id FROM gm
+              WHERE n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND mwl >= {GOPHER_MIN_MWL} AND mwl <= {GOPHER_MAX_MWL}
+                AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                AND bullet_ratio <= {GOPHER_MAX_BULLET_RATIO}
+                AND ellipsis_ratio <= {GOPHER_MAX_ELLIPSIS_RATIO}
+                AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+                AND stop_hits >= {GOPHER_MIN_STOP_HITS}),
+    rg AS (SELECT doc_id, unnest({shingles_sql('w', REPEAT_NGRAM_N)}) AS ngram
+           FROM gt),
+    rc AS (SELECT doc_id, ngram, COUNT(*) AS cnt FROM rg GROUP BY 1, 2),
+    rkeep AS (SELECT doc_id FROM rc GROUP BY doc_id
+              HAVING (1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt)) <= {REPEAT_DUP_MAX}),
+    gated AS (
+        SELECT doc_id, source, text, {tokens_sql('text')} AS w
+        FROM documents
+        WHERE lang = 'en' AND n_chars >= {C4_MIN_CHARS}
+    ),
+    scored AS (
+        SELECT doc_id, source, text, len(w) AS tok,
+               CAST(len(list_filter(w, x -> x IN ({stop_list}))) AS DOUBLE) / len(w)
+               AS stop_ratio
+        FROM gated
+        WHERE len(w) >= {C4_MIN_TOKENS}
+    ),
+    quality AS (
+        SELECT * FROM scored
+        WHERE stop_ratio <= {C4_MAX_STOP_RATIO}
+          AND doc_id IN (SELECT doc_id FROM gkeep)
+          AND doc_id IN (SELECT doc_id FROM rkeep)
+          AND doc_id NOT IN (SELECT vec_id FROM semdrops)
+    ),
+    survivors AS (
+        SELECT doc_id, source, CAST(tok AS BIGINT) AS tok FROM quality
+        QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+    ),
+    c AS (
+        SELECT source, doc_id, tok,
+               SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+               AS start_offset
+        FROM survivors
+    )
+    SELECT source,
+           CAST(FLOOR(CAST(start_offset AS DOUBLE) / {PACK_SEQ_LEN}.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """
+
+
+@register("prepare_training_corpus", oracle=_prepare_corpus_oracle())
+def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pre-training data-prep pipeline as ONE lazy plan — the
+    full modern recipe: C4-style gates (lang → length → token count →
+    stopword ratio) → Gopher quality rules → Gopher repetition gate →
+    SemDeDup semantic dedup (docs whose embedding is a paraphrase
+    duplicate) → exact dedup (min-id survivor per content hash,
+    decided AFTER the quality gates so a gated-out min doc promotes
+    the next copy) → fixed-budget sequence packing per source.
+    Composes the registered operators (`gopher_quality_gates`,
+    `text_repeated_ngrams`, `operators/similarity.py:semantic_dedup`,
+    `operators/packing.py:pack_sequences`) without materializing
+    between stages — what a user actually runs nightly, while the
+    stage queries remain its observability views.
+
+    The composition inherits each stage's scale shape: map-only
+    gating (the two Gopher stages add ZERO shuffle — SHUFFLE.md), two
+    doc_id semi-joins + one anti-join reusing the same partitioning,
+    the within-cluster-only SemDeDup pairing, one (hash → min-id)
+    dedup shuffle, and the two-phase distributed prefix sum for
+    packing. Plan-pinned BatchEvalPython-free like every registry
+    query (tests/test_plans.py)."""
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens("text")
+    gated = (
+        docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= C4_MIN_CHARS))
+        .withColumn("tok", F.size(w).cast("long"))
+        .filter(F.col("tok") >= C4_MIN_TOKENS)
+        .withColumn(
+            "stop_ratio",
+            F.size(F.filter(w, lambda x: x.isin(STOPWORDS))).cast("double")
+            / F.col("tok"),
+        )
+        .filter(F.col("stop_ratio") <= C4_MAX_STOP_RATIO)
+    )
+    gq = gopher_quality_gates(spark, sf_dir).filter("keep").select("doc_id")
+    rk = text_repeated_ngrams(spark, sf_dir).filter("keep").select("doc_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem_surv = semantic_dedup(
+        emb, "vec_id", "embedding", "label", threshold=SEMDEDUP_COS, dim=EMB_DIM
+    ).select("vec_id")
+    sem_drop = (
+        emb.select("vec_id")
+        .join(sem_surv, "vec_id", "left_anti")
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    filtered = (
+        gated.join(gq, "doc_id", "left_semi")
+        .join(rk, "doc_id", "left_semi")
+        .join(sem_drop, "doc_id", "left_anti")
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    survivors = (
+        filtered.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "source", "tok")
+    )
+    packed = pack_sequences(
+        survivors, group_col="source", order_cols=["doc_id"], token_col="tok",
+        seq_len=PACK_SEQ_LEN,
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("long").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )

@@ -91,6 +91,7 @@ INTENDED_CROSS = {
     "semantic_dedup_kmeans",  # kmeans rounds; the pair join itself is a cluster equi-join
     "int8_ann_topk_claim",  # corpus × broadcast(probes), twice (exact + int8 paths)
     "ann_pq_adc_topk",  # PQ codes × broadcast(probes) — ADC scoring fan-out
+    "ann_ivf_pq_topk",  # corpus × broadcast(centroids) assign + probes × broadcast(centroids) ranking
     "tpch_q22_prospects",  # scalar subquery: customer × broadcast(1-row avg aggregate)
     "scd2_point_in_time_join",  # versions × broadcast(1-row max-date aggregate)
     "tpch_q11_important_parts",  # per_part × broadcast(1-row scoped total)

@@ -32,6 +32,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from lfb_data_warehouse_spark.operators.similarity import (  # noqa: E402
     ivf_build,
+    ivf_pq_build,
+    ivf_pq_search,
     ivf_search,
     pq_adc_score,
     pq_codebook,
@@ -115,9 +117,10 @@ def main() -> None:
     base = os.environ.get("IVF_CROSSOVER_TMP", "/tmp/ivf_crossover")
     print(
         "| corpus | index build s (once) | brute-force search s | ivf search s "
-        "| ivf ratio | pq encode s (once) | pq adc search s | pq ratio |"
+        "| ivf ratio | pq encode s (once) | pq adc search s | pq ratio "
+        "| ivfpq build s (once) | ivfpq search s | ivfpq ratio |"
     )
-    print("|---|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|---|---|---|")
     for k in ks:
         path = amplified(spark, sf_dir, k, f"{base}/x{k}")
         emb = spark.read.parquet(path)
@@ -162,10 +165,28 @@ def main() -> None:
             .withColumn("rank", F.row_number().over(wnd))
             .filter(F.col("rank") <= K_NEIGHBORS)
         )
-        tb, ti, tp = timed(bf), timed(ivf), timed(pq)
+        # IVF x PQ composed: lists pruned AND payloads shrunk — build
+        # once (codes-only index, partitioned by list), time the search
+        t0 = time.time()
+        pinv, pcents, pcw = ivf_pq_build(emb, "vec_id", "embedding", "label")
+        pinv.write.mode("overwrite").partitionBy("assigned_label").parquet(
+            f"{base}/x{k}_pqinv"
+        )
+        pcents.write.mode("overwrite").parquet(f"{base}/x{k}_pqcents")
+        t_pq_build = time.time() - t0
+        ivfpq = ivf_pq_search(
+            spark.read.parquet(f"{base}/x{k}_pqinv"),
+            spark.read.parquet(f"{base}/x{k}_pqcents"),
+            probes,
+            pcw,
+            k=K_NEIGHBORS,
+            nprobe=2,
+        )
+        tb, ti, tp, tip = timed(bf), timed(ivf), timed(pq), timed(ivfpq)
         print(
             f"| {n:,} | {t_build:.2f} | {tb:.2f} | {ti:.2f} | {ti / tb:.2f} "
-            f"| {t_encode:.2f} | {tp:.2f} | {tp / tb:.2f} |"
+            f"| {t_encode:.2f} | {tp:.2f} | {tp / tb:.2f} "
+            f"| {t_pq_build:.2f} | {tip:.2f} | {tip / tb:.2f} |"
         )
 
 
