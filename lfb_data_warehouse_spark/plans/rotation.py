@@ -30,6 +30,15 @@ History:
   queue first for round 5. A green round 4 means every registry query
   has been driver-proven at least once.
 
+- Round 4 (CORRECTNESS_r04.json): 50/50 green — the 41-query backlog
+  plus the six round-4 additions all flipped; union(r1..r4) covers the
+  whole registry.
+- Round 5 (this file): window = flagship + 5 new round-5 queries +
+  rechecks (the two round-4 drops + the changed-oracle flagship
+  composite) + the oldest (round-1) greens as a steady re-verification
+  rotation. Oracle-text drift is now mechanically tracked
+  (tools/oracle_hashes.json + tools/rotation_check.py).
+
 Maintenance: after each round, append that round's green names to
 the _R{N}_GREEN block and rebuild UNCHECKED_PRIORITY from whatever has
 no driver row yet. The ordering below is deterministic and derived, so
@@ -185,6 +194,61 @@ _R3_GREEN: list[str] = [
     "compaction_roundtrip",
 ]
 
+# Green in CORRECTNESS_r04.json (round 4): all 50 window slots, closing
+# the never-driver-checked backlog entirely.
+_R4_GREEN: list[str] = [
+    "flagship_star_fact",
+    "dedup_components_star",
+    "ann_pq_adc_topk",
+    "gopher_quality_gates",
+    "gopher_repetition_gates",
+    "text_char_entropy",
+    "retention_cohort_weekly",
+    "text_quality_stats",
+    "text_lang_id",
+    "text_token_counts",
+    "c4_clean_documents",
+    "text_tfidf_top_terms",
+    "text_heavy_hitters",
+    "text_pii_redact",
+    "doc_fingerprints",
+    "doc_rolling_hash",
+    "text_repeated_ngrams",
+    "chunk_documents_sliding",
+    "pandas_udf_quality_sigmoid",
+    "dense_ids_documents",
+    "pack_sequences_documents",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "stream_tumbling_hourly",
+    "stream_stateful_user_stats",
+    "stream_upsert_idempotent",
+    "stream_sessionize",
+    "stream_interval_join",
+    "stream_static_enrich",
+    "sketch_mart_mergeable",
+    "approx_percentile_claim",
+    "remix_source_mixture",
+    "sample_orders_deterministic",
+    "quality_weighted_sample",
+    "per_source_sample",
+    "ivf_persisted_search",
+    "salted_join_events",
+    "semantic_dedup_kmeans",
+    "doc_containment_pairs",
+    "cogroup_click_purchase_profile",
+    "mom_revenue_growth",
+    "gap_fill_daily_revenue",
+    "null_semantics_battery",
+    "cube_segment_priority",
+    "cohort_intersect_except",
+    "grouped_zscore_chars",
+    "regression_chars_vs_tokens",
+    "kmeans_fit_centroids",
+    "ann_ivf_kmeans_recall",
+]
+
 # Round 4 spare-slot re-verification, in priority order: only the
 # first len(window) - 1 - len(UNCHECKED_PRIORITY) of these actually
 # land (TWO with the final 47-entry unchecked list — run
@@ -205,75 +269,38 @@ _R4_RECHECK: list[str] = [
     "clustered_write_skipping",
 ]
 
-VERIFIED_GREEN: list[str] = _R4_RECHECK + [
-    n for n in _R1_GREEN + _R2_GREEN + _R3_GREEN if n not in _R4_RECHECK
+# Round 5 spare-slot re-verification, in priority order: the two
+# rechecks round 4 dropped (flagged by rotation_check ever since), then
+# prepare_training_corpus (its ORACLE text changed this round — the
+# full-recipe upgrade — and oracle edits are the riskiest change
+# class), then the OLDEST driver rows (round-1 greens, 4 rounds stale)
+# as the steady re-verification rotation. Only the first
+# len(window) - 1 - len(UNCHECKED_PRIORITY) actually land.
+_R5_RECHECK: list[str] = [
+    "sql_api_top_segment_customers",
+    "ivf_recall_audit",
+    "prepare_training_corpus",
+]
+
+VERIFIED_GREEN: list[str] = _R5_RECHECK + [
+    n
+    for n in _R1_GREEN + _R2_GREEN + _R3_GREEN + _R4_GREEN
+    if n not in _R5_RECHECK
 ]
 
 # Oracle-defect re-checks: none pending (the round-2 trio flipped green
 # in round 3 and lives in _R3_GREEN now).
 ORACLE_FIXED: list[str] = []
 
-# Never-driver-checked queries in verification-priority order. All 47
-# (41 carried + the six round-4 additions) fit in this round's window;
-# a green round 4 closes the driver-verification gap entirely.
+# Never-driver-checked queries in verification-priority order: the
+# round-5 additions (the three formerly-staged operators, the IVF x PQ
+# composition, and the incremental-dedup gate pair).
 UNCHECKED_PRIORITY: list[str] = [
-    # new this round: O(log n) connected components (VERDICT r3 item 3),
-    # PQ-ADC ANN (third compression tier), Gopher quality rules,
-    # char-entropy quality signal
-    "dedup_components_star",
-    "ann_pq_adc_topk",
-    "gopher_quality_gates",
-    "gopher_repetition_gates",
-    "text_char_entropy",
-    "retention_cohort_weekly",
-    # text battery — the biggest never-checked block
-    "text_quality_stats",
-    "text_lang_id",
-    "text_token_counts",
-    "c4_clean_documents",
-    "text_tfidf_top_terms",
-    "text_heavy_hitters",
-    "text_pii_redact",
-    "doc_fingerprints",
-    "doc_rolling_hash",
-    "text_repeated_ngrams",
-    "chunk_documents_sliding",
-    "pandas_udf_quality_sigmoid",
-    # packing / ids (scale-shape claims)
-    "dense_ids_documents",
-    "pack_sequences_documents",
-    # multimodal
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # streaming
-    "stream_tumbling_hourly",
-    "stream_stateful_user_stats",
-    "stream_upsert_idempotent",
-    "stream_sessionize",
-    "stream_interval_join",
-    "stream_static_enrich",
-    # sketches / sampling / mixing
-    "sketch_mart_mergeable",
-    "approx_percentile_claim",
-    "remix_source_mixture",
-    "sample_orders_deterministic",
-    "quality_weighted_sample",
-    "per_source_sample",
-    # similarity tail
-    "ivf_persisted_search",
-    "salted_join_events",
-    "semantic_dedup_kmeans",
-    "doc_containment_pairs",
-    "cogroup_click_purchase_profile",
-    # analytics tail
-    "mom_revenue_growth",
-    "gap_fill_daily_revenue",
-    "null_semantics_battery",
-    "cube_segment_priority",
-    "cohort_intersect_except",
-    "grouped_zscore_chars",
-    "regression_chars_vs_tokens",
+    "approx_ntile_price_quartiles",
+    "incremental_dedup_components",
+    "incremental_dedup_survivors",
+    "pq_codebook_learned",
+    "ann_ivf_pq_topk",
 ]
 
 

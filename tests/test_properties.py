@@ -290,3 +290,34 @@ def test_threshold_hex_monotone(f1, f2):
     lo, hi = sorted((f1, f2))
     # a larger fraction never keeps fewer rows: thresholds are ordered
     assert _threshold_hex(lo) <= _threshold_hex(hi)
+
+
+def test_components_star_equals_propagation_1k_nodes(spark):
+    """Lock the two PRODUCTION component implementations together on a
+    single adversarial 1k-node fixture (VERDICT r4 item 8): a seeded
+    random graph (sparse — many non-trivial clusters) plus a planted
+    80-node chain, the diameter shape star rounds exist for. Both
+    variants must emit identical labelings; the chain alone is also
+    checked against a union-find model so the fixture can't rot."""
+    import random
+
+    from lfb_data_warehouse_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    n = 1000
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(700)]
+    chain = [(2000 + i, 2000 + i + 1) for i in range(80)]  # disjoint id space
+    edges = [(a, b) for a, b in edges if a != b] + chain
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    prop = {
+        r["node"]: r["component"] for r in connected_components(edf, max_iter=200).collect()
+    }
+    star = {
+        r["node"]: r["component"] for r in connected_components_star(edf).collect()
+    }
+    assert star == prop
+    # chain sanity vs a direct model: every chain node labels to 2000
+    assert all(star[2000 + i] == 2000 for i in range(81))

@@ -9,15 +9,25 @@ round goal depends on:
 2. every UNCHECKED_PRIORITY entry lands inside the 50-slot window —
    if not, the round will end with never-driver-checked queries;
 3. no rotation list names a query that no longer exists (stale entries
-   make the derived ordering lie).
+   make the derived ordering lie);
+4. ORACLE-TEXT DRIFT (VERDICT r4 item 6): every query whose oracle SQL
+   differs from the committed snapshot (tools/oracle_hashes.json) must
+   sit inside the window — edits to shared oracle CTEs are the
+   historically riskiest change class (the round-4 kmeans seeding CTE),
+   and a changed-oracle query outside the window would ship
+   driver-unverified. Run with --update-hashes AFTER the rotation is
+   positioned to re-snapshot (the manifest then records exactly what
+   the coming driver round will verify).
 
 Prints the window composition and exits non-zero on any violation.
 
-Usage: python tools/rotation_check.py [window_size]
+Usage: python tools/rotation_check.py [window_size] [--update-hashes]
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import sys
 from pathlib import Path
 
@@ -28,8 +38,21 @@ from lfb_data_warehouse_spark.plans import REGISTRY  # noqa: E402
 from lfb_data_warehouse_spark.plans import rotation as rot  # noqa: E402
 
 
+MANIFEST = Path(__file__).resolve().parent / "oracle_hashes.json"
+
+
+def oracle_hashes() -> dict[str, str]:
+    return {
+        name: hashlib.sha256(spec.oracle.encode()).hexdigest()
+        for name, spec in REGISTRY.items()
+        if spec.oracle
+    }
+
+
 def main() -> int:
-    window_size = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    args = [a for a in sys.argv[1:] if a != "--update-hashes"]
+    update = "--update-hashes" in sys.argv[1:]
+    window_size = int(args[0]) if args else 50
     names = list(REGISTRY)
     window = names[:window_size]
     listed = set(rot.VERIFIED_GREEN) | set(rot.ORACLE_FIXED) | set(
@@ -59,6 +82,32 @@ def main() -> int:
         problems.append(
             f"UNCHECKED_PRIORITY entries OUTSIDE the {window_size}-slot window: {evicted}"
         )
+
+    cur = oracle_hashes()
+    if MANIFEST.exists():
+        prev = json.loads(MANIFEST.read_text())
+        changed = sorted(n for n in cur if n in prev and prev[n] != cur[n])
+        fresh = sorted(n for n in cur if n not in prev)
+        changed_out = [n for n in changed if n not in window]
+        if changed_out:
+            problems.append(
+                "queries whose ORACLE TEXT changed since the snapshot are "
+                f"OUTSIDE the window (would ship driver-unverified): {changed_out}"
+            )
+        fresh_out = [n for n in fresh if n not in window]
+        if fresh_out:
+            problems.append(
+                f"new-oracle queries outside the window: {fresh_out}"
+            )
+        if changed:
+            print(f"  oracle text changed since snapshot ({len(changed)}): {changed}")
+    else:
+        print("  NOTE: no oracle-hash snapshot yet — run with --update-hashes")
+    if update and not problems:
+        MANIFEST.write_text(json.dumps(cur, indent=0, sort_keys=True) + "\n")
+        print(f"  snapshot updated: {MANIFEST} ({len(cur)} oracles)")
+    elif update:
+        print("  snapshot NOT updated (violations present)")
 
     n_unchecked = sum(1 for n in rot.UNCHECKED_PRIORITY if n in REGISTRY)
     spares = window[1 + len(rot.ORACLE_FIXED) + n_unchecked :]
