@@ -137,6 +137,16 @@ def main() -> None:
             "gopher_quality_gates",
             "text_char_entropy",
             "retention_cohort_weekly",
+            # round-5 additions: the incremental-dedup traffic bound
+            # (claimed |new batch|-bounded), the IVF x PQ composition,
+            # the sketch-boundary NTILE, the learned codebooks, and the
+            # full-recipe corpus composite
+            "incremental_dedup_survivors",
+            "incremental_dedup_components",
+            "ann_ivf_pq_topk",
+            "approx_ntile_price_quartiles",
+            "pq_codebook_learned",
+            "prepare_training_corpus",
         )
         runners.update({n: REGISTRY[n].fn for n in AUDIT_EXTRA})
         names = list(runners)
