@@ -1534,18 +1534,12 @@ def _gopher_oracle() -> str:
     """
 
 
-@register("gopher_quality_gates", headline=True, oracle=_gopher_oracle())
-def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-rule quality battery (the deterministic subset of Rae et
-    al.'s §A1.1 filters): word-count bounds, mean-word-length bounds,
-    symbol-to-word ratio (#/…), bullet- and ellipsis-line ratios,
-    alphabetic-word ratio, minimum stop-word presence — each metric
-    emitted alongside the conjunctive keep decision. All ratios are
-    integer-count arithmetic lifted to double in a fixed expression
-    order (bit-identical on any engine, rounded at 6dp only for
-    display). Entirely map-only array/string expressions over one scan
-    — the shape that filters 100 TB inside the read stage."""
-    docs = load_table(spark, sf_dir, "documents")
+def _gopher_metrics() -> dict:
+    """The Gopher battery's metric expressions over a `text` column —
+    pure map-side Catalyst expressions, shared by the registered
+    battery and the corpus-prep composite (which applies `keep` as an
+    inline filter instead of a doc_id semi-join, so the gate stays
+    inside the read stage at 100 TB)."""
     w = tokens("text")
     lines = F.split(F.col("text"), "\n")
     n_words = F.size(w)
@@ -1586,6 +1580,34 @@ def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
         & (stop_hits >= GOPHER_MIN_STOP_HITS)
     )
+    return {
+        "n_words": n_words,
+        "mwl": mwl,
+        "symbol_ratio": symbol_ratio,
+        "bullet_ratio": bullet_ratio,
+        "ellipsis_ratio": ellipsis_ratio,
+        "alpha_ratio": alpha_ratio,
+        "stop_hits": stop_hits,
+        "keep": keep,
+    }
+
+
+@register("gopher_quality_gates", headline=True, oracle=_gopher_oracle())
+def gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality battery (the deterministic subset of Rae et
+    al.'s §A1.1 filters): word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio (#/…), bullet- and ellipsis-line ratios,
+    alphabetic-word ratio, minimum stop-word presence — each metric
+    emitted alongside the conjunctive keep decision. All ratios are
+    integer-count arithmetic lifted to double in a fixed expression
+    order (bit-identical on any engine, rounded at 6dp only for
+    display). Entirely map-only array/string expressions over one scan
+    — the shape that filters 100 TB inside the read stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = _gopher_metrics()
+    n_words, mwl, symbol_ratio = m["n_words"], m["mwl"], m["symbol_ratio"]
+    bullet_ratio, ellipsis_ratio = m["bullet_ratio"], m["ellipsis_ratio"]
+    alpha_ratio, stop_hits, keep = m["alpha_ratio"], m["stop_hits"], m["keep"]
     return docs.filter(n_words > 0).select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
@@ -3583,11 +3605,12 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate) → exact dedup (min-id survivor per content hash,
     decided AFTER the quality gates so a gated-out min doc promotes
     the next copy) → fixed-budget sequence packing per source.
-    Composes the registered operators (`gopher_quality_gates`,
-    `text_repeated_ngrams`, `operators/similarity.py:semantic_dedup`,
+    Composes the stage operators (the shared `_gopher_metrics` keep
+    expression, the repetition dup-fraction as a map-side array
+    expression, `operators/similarity.py:semantic_dedup`,
     `operators/packing.py:pack_sequences`) without materializing
     between stages — what a user actually runs nightly, while the
-    stage queries remain its observability views.
+    registered stage queries remain its observability views.
 
     The composition inherits each stage's scale shape: map-only
     gating (the two Gopher stages add ZERO shuffle — SHUFFLE.md), two
@@ -3600,6 +3623,13 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     w = tokens("text")
+    # every text gate is an INLINE map-side predicate on the one scan —
+    # semi-joining the registered gate queries on doc_id would shuffle
+    # the whole corpus twice for filters that are per-row expressions
+    # (the registered batteries stay the observability views; the
+    # Gopher keep expression is literally shared via _gopher_metrics).
+    grams = shingles(w, REPEAT_NGRAM_N)
+    rep_dup = F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
     gated = (
         docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= C4_MIN_CHARS))
         .withColumn("tok", F.size(w).cast("long"))
@@ -3610,9 +3640,9 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("tok"),
         )
         .filter(F.col("stop_ratio") <= C4_MAX_STOP_RATIO)
+        .filter(_gopher_metrics()["keep"])
+        .filter(rep_dup <= F.lit(REPEAT_DUP_MAX))
     )
-    gq = gopher_quality_gates(spark, sf_dir).filter("keep").select("doc_id")
-    rk = text_repeated_ngrams(spark, sf_dir).filter("keep").select("doc_id")
     emb = load_table(spark, sf_dir, "embeddings")
     sem_surv = semantic_dedup(
         emb, "vec_id", "embedding", "label", threshold=SEMDEDUP_COS, dim=EMB_DIM
@@ -3622,11 +3652,7 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sem_surv, "vec_id", "left_anti")
         .select(F.col("vec_id").alias("doc_id"))
     )
-    filtered = (
-        gated.join(gq, "doc_id", "left_semi")
-        .join(rk, "doc_id", "left_semi")
-        .join(sem_drop, "doc_id", "left_anti")
-    )
+    filtered = gated.join(sem_drop, "doc_id", "left_anti")
     from pyspark.sql import Window
 
     win = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
