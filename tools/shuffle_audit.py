@@ -338,7 +338,35 @@ now measured):
   into the final window.
 - `retention_cohort_weekly` (0.06): user-keyed aggregate + distinct +
   join co-partition under one exchange family; only per-user week
-  rows move, never events.""")
+  rows move, never events.
+- Round-5 rows:
+  - `prepare_training_corpus` (1.40): the full-recipe composite after
+    inlining the Gopher/repetition gates as map-side predicates —
+    round 5 first measured it at 10.8 sh/in with doc_id semi-joins
+    against the registered gate queries, and the inline rewrite cut
+    the shuffle budget 12× (310.7k → 26.4k rows). What remains is the
+    irreducible set: SemDeDup's within-cluster pairs + drop anti-join,
+    the content-hash dedup window, and the packing prefix sum.
+  - `incremental_dedup_survivors` / `_components` (~16-19): the
+    REGISTERED gates deliberately include the old-corpus label
+    bootstrap (so the oracle can demand equality with a from-scratch
+    recompute); their budget is therefore ≈ the full dedup chain's.
+  - `incremental_dedup_step` (6.1, audit-only): the recurring DAILY
+    increment measured against materialized yesterday-labels — 155k
+    shuffle rows vs the bootstrap-included 578k, i.e. the per-ingest
+    cost is ~27% of a full recompute at a 20%-of-corpus batch and
+    scales with the batch (+ its matched old docs), not the corpus:
+    the old side is pruned by a broadcast semi-join on the batch's
+    shingle vocabulary before anything shuffles.
+  - `ann_ivf_pq_topk` (1.06): embeddings loader tax + per-probe top-k
+    rows only — the composed index's candidates cross as 4-code rows
+    restricted to probed lists (vs ann_pq_adc_topk's 1.2 over ALL
+    candidates; the gap widens with nlist).
+  - `approx_ntile_price_quartiles` (0.000): one percentile_approx
+    partial-aggregation pass (25 sketch rows crossed) + a broadcast
+    boundary join — the whole point vs the exact window's full sort.
+  - `pq_codebook_learned` (2.1): m×iters Lloyd passes over (id,
+    subvector) rows; bounded by m · iters · corpus, never pairs.""")
     finally:
         shutil.rmtree(event_dir, ignore_errors=True)
 
