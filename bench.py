@@ -42,7 +42,78 @@ def sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
-EXTRA_BENCH = ("knn_numpy_topk", "ivf_search_persisted")
+EXTRA_BENCH = ("knn_numpy_topk", "ivf_search_persisted", "incremental_dedup_daily")
+
+_INC_BENCH_DIRS: dict[str, str] = {}
+
+
+def incremental_dedup_daily(spark, sf_dir):
+    """The RECURRING daily-ingest dedup step: yesterday's labels read
+    from parquet (materialized once per session, untimed after the
+    first pass — the state a production deployment already has), then
+    new-batch pair finding (old side pruned by a broadcast semi-join
+    on the batch's shingles) → label fold → survivor update. The naive
+    twin is the nightly FULL from-scratch dedup this design replaces
+    (same output contract: doc_id, source, represents; equality with
+    the full recompute is driver-gated by incremental_dedup_survivors).
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.dedup import (
+        all_pairs_jaccard,
+        incremental_jaccard_pairs,
+    )
+    from lfb_data_warehouse_spark.operators.graph import (
+        connected_components_star,
+        incremental_components,
+    )
+    from lfb_data_warehouse_spark.plans.datapipe_queries import (
+        JACCARD_N,
+        JACCARD_THRESHOLD,
+        NEWBATCH_MOD,
+        NEWBATCH_REM,
+    )
+    from lfb_data_warehouse_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % NEWBATCH_MOD == NEWBATCH_REM
+    old, new = docs.filter(~is_new), docs.filter(is_new)
+    if sf_dir not in _INC_BENCH_DIRS:
+        d = tempfile.mkdtemp(prefix="lfb_inc_bench_")
+        pairs = all_pairs_jaccard(
+            old, "doc_id", "text",
+            shingle_n=JACCARD_N, threshold=JACCARD_THRESHOLD, group_col="source",
+        )
+        connected_components_star(pairs, src="id_a", dst="id_b").write.mode(
+            "overwrite"
+        ).parquet(d)
+        _INC_BENCH_DIRS[sf_dir] = d
+    labels = spark.read.parquet(_INC_BENCH_DIRS[sf_dir])
+    new_edges = incremental_jaccard_pairs(
+        old, new, "doc_id", "text",
+        shingle_n=JACCARD_N, threshold=JACCARD_THRESHOLD, group_col="source",
+    ).select("id_a", "id_b")
+    merged = incremental_components(labels, new_edges, src="id_a", dst="id_b")
+    sizes = merged.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    drop = merged.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    canon = (
+        merged.filter(F.col("node") == F.col("component"))
+        .join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), "cluster_size")
+    )
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .join(canon, "doc_id", "left")
+        .select(
+            "doc_id", "source",
+            F.coalesce("cluster_size", F.lit(1).cast("long")).alias("represents"),
+        )
+    )
+
 
 _IVF_INDEX_DIRS: dict[str, str] = {}
 

@@ -721,6 +721,9 @@ NAIVE = {
     "dedup_components_star": dedup_components_star,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "gopher_quality_gates": gopher_quality_gates,
+    # naive twin for the daily incremental step: the nightly FULL
+    # from-scratch dedup it replaces (same survivor output contract)
+    "incremental_dedup_daily": dedup_keep_canonical,
 }
 
 
