@@ -42,7 +42,12 @@ def sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
-EXTRA_BENCH = ("knn_numpy_topk", "ivf_search_persisted", "incremental_dedup_daily")
+EXTRA_BENCH = (
+    "knn_numpy_topk",
+    "ivf_search_persisted",
+    "incremental_dedup_daily",
+    "pq_adc_search_persisted",
+)
 
 _INC_BENCH_DIRS: dict[str, str] = {}
 
@@ -112,6 +117,61 @@ def incremental_dedup_daily(spark, sf_dir):
             "doc_id", "source",
             F.coalesce("cluster_size", F.lit(1).cast("long")).alias("represents"),
         )
+    )
+
+
+_PQ_CODES_DIRS: dict[str, tuple[str, list]] = {}
+
+
+def pq_adc_search_persisted(spark, sf_dir):
+    """Search-side PQ-ADC benchmark over PERSISTED codes — the same
+    rationale that moved IVF's bench row off the inline-rebuild gate
+    (VERDICT r2 item 4): codebook training + corpus encode are
+    build-once costs amortized over every search batch, so timing them
+    per query makes the inline gate (ann_pq_adc_topk, still the
+    correctness anchor) look ~9× worse than the deployment it gates.
+    Only LUT scoring over the materialized code table + the per-probe
+    top-k is timed. At 2k vectors brute force still wins (crossover at
+    ~30k, BASELINE.md); the row prices the production search path."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.similarity import (
+        pq_adc_score,
+        pq_codebook,
+        pq_encode,
+        pq_probe_luts,
+        quantize,
+    )
+    from lfb_data_warehouse_spark.plans.datapipe_queries import KNN_K, KNN_PROBES
+    from lfb_data_warehouse_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _PQ_CODES_DIRS:
+        cw = pq_codebook(emb, "vec_id", "embedding")
+        d = tempfile.mkdtemp(prefix="lfb_pq_codes_")
+        pq_encode(emb, "vec_id", "embedding", cw).select(
+            F.col("vec_id").alias("neighbor_id"), "codes"
+        ).write.mode("overwrite").parquet(d)
+        _PQ_CODES_DIRS[sf_dir] = (d, cw)
+    d, cw = _PQ_CODES_DIRS[sf_dir]
+    probes = pq_probe_luts(
+        quantize(
+            emb.filter(F.col("vec_id") < KNN_PROBES), "vec_id", "embedding"
+        ),
+        cw,
+        id_col="vec_id",
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pq_adc_score(spark.read.parquet(d), probes, cw)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("probe_id", "neighbor_id", "rank", "score")
     )
 
 

@@ -177,6 +177,22 @@ def pq_codebook(
     ]
 
 
+def _long_array_lit(values) -> Column:
+    """array<bigint> literal built from ONE parsed SQL expression —
+    per-element ``F.lit`` unrolling (what classic PySpark's lit(list)
+    also does internally) costs a py4j round-trip per element and
+    dominated PLAN-BUILD time for codebook-literal-heavy queries."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in values) + ")")
+
+
+def _nested_long_array_lit(rows) -> Column:
+    """array<array<bigint>> literal, one parsed expression."""
+    inner = ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in w) + ")" for w in rows
+    )
+    return F.expr(f"array({inner})")
+
+
 def _pq_codes_expr(qcol, cw: list):
     """PQ codes for one quantized vector column as a flat Catalyst
     expression: per subspace the L2^2 distances to every codeword form
@@ -185,23 +201,20 @@ def _pq_codes_expr(qcol, cw: list):
     :func:`pq_encode` (corpus frames) and :func:`ivf_pq_build` (which
     encodes the assignment frame's payload in place — no extra join)."""
     m, sub = len(cw), len(cw[0][0])
+
+    def l2_with(sv):
+        # single-parameter closure (a 2-arg lambda would be called by
+        # F.transform as (element, index))
+        return lambda w: F.aggregate(
+            F.zip_with(sv, w, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
     codes = []
     for s in range(m):
         svec = F.slice(qcol, s * sub + 1, sub)
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        svec,
-                        F.array(*[F.lit(v) for v in w]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
-                for w in cw[s]
-            ]
-        )
+        dists = F.transform(_nested_long_array_lit(cw[s]), l2_with(svec))
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
     return F.array(*codes)
 
@@ -209,23 +222,31 @@ def _pq_codes_expr(qcol, cw: list):
 def _pq_lut_exprs(pqcol, cw: list) -> list:
     """Per-subspace ADC lookup tables for one quantized probe column:
     ``lut[s][c]`` = probe-subvector . codeword dot product. Shared by
-    :func:`pq_probe_luts` and :func:`ivf_pq_search`."""
+    :func:`pq_probe_luts` and :func:`ivf_pq_search`.
+
+    Built as ONE nested-array literal + a transform per subspace
+    (~6 driver-side expression constructions instead of 3·cb_k):
+    per-codeword `F.lit`/`F.array` unrolling cost ~2s of py4j plan
+    BUILD time per call — it dominated the persisted-search bench
+    while the actual execution was 0.5s. The probe side is a tiny
+    broadcast frame, so the interpreted-HOF evaluation of the
+    transform is irrelevant at any scale (the corpus-side encode keeps
+    its unrolled codegen form in :func:`_pq_codes_expr`)."""
     m, sub = len(cw), len(cw[0][0])
+
+    def dot_with(sv):
+        # single-parameter closure: a 2-arg lambda would be called by
+        # F.transform as (element, index) and bind the index as sv
+        return lambda w: F.aggregate(
+            F.zip_with(sv, w, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
     luts = []
     for s in range(m):
         svec = F.slice(pqcol, s * sub + 1, sub)
-        luts.append(
-            F.array(
-                *[
-                    F.aggregate(
-                        F.zip_with(svec, F.array(*[F.lit(v) for v in w]), lambda a, b: a * b),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    )
-                    for w in cw[s]
-                ]
-            )
-        )
+        luts.append(F.transform(_nested_long_array_lit(cw[s]), dot_with(svec)))
     return luts
 
 
@@ -270,7 +291,8 @@ def pq_adc_score(cand: DataFrame, probes: DataFrame, cw: list) -> DataFrame:
     candidate row never touches a raw vector."""
     m = len(cw)
     cwn_lits = [
-        F.array(*[F.lit(sum(v * v for v in w)) for w in cw[s]]) for s in range(m)
+        _long_array_lit([sum(int(v) * int(v) for v in w) for w in cw[s]])
+        for s in range(m)
     ]
     code = lambda s: F.element_at(F.col("codes"), s + 1)  # noqa: E731
     adc = None

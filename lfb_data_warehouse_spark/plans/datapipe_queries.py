@@ -2557,7 +2557,7 @@ def _pq_adc_oracle() -> str:
     """
 
 
-@register("ann_pq_adc_topk", headline=True, oracle=_pq_adc_oracle())
+@register("ann_pq_adc_topk", oracle=_pq_adc_oracle())
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric-distance scoring (Jégou
     et al.) — the third compression tier of the ANN battery after the

@@ -578,7 +578,7 @@ def dedup_components_star(spark, sf_dir):
     )
 
 
-def ann_pq_adc_topk(spark, sf_dir):
+def pq_adc_search_persisted(spark, sf_dir):
     # naive ANN: brute-force full-precision cosine over probe × corpus
     # — the formulation PQ exists to compress (candidates carry whole
     # float vectors, every pair does a full-dim dot product). NOTE:
@@ -719,7 +719,7 @@ NAIVE = {
     "tpch_q18_large_volume": tpch_q18_large_volume,
     "knn_numpy_topk": knn_numpy_topk,
     "dedup_components_star": dedup_components_star,
-    "ann_pq_adc_topk": ann_pq_adc_topk,
+    "pq_adc_search_persisted": pq_adc_search_persisted,
     "gopher_quality_gates": gopher_quality_gates,
     # naive twin for the daily incremental step: the nightly FULL
     # from-scratch dedup it replaces (same survivor output contract)
