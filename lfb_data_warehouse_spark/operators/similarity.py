@@ -803,6 +803,149 @@ def ivf_pq_search(
     )
 
 
+def ivf_pq_residual_build(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    m: int = PQ_M,
+    cb_k: int = PQ_K,
+    dim: int | None = None,
+):
+    """IVF x PQ with RESIDUAL encoding — the actual FAISS IVFPQ recipe
+    (Jegou et al. §IV.A): each vector is PQ-encoded as its residual
+    from the assigned centroid, not raw. Residuals are centered near
+    zero, so the same codebook budget quantizes them with far less
+    error than raw vectors — the recall gain is measured by
+    ``ivfpq_residual_recall_gain``.
+
+    Returns ``(inv, cents, cw)`` with the same shapes as
+    :func:`ivf_pq_build`; ``cw`` here is the RESIDUAL codebook
+    (deterministic: residual subvectors of the cb_k smallest ids, so
+    the oracle replays it). Scale shape unchanged: the index stays
+    codes-only (reconstruction = centroid + codeword happens at search
+    time from broadcast literals), encode is one map pass over the
+    assignment frame joined to the broadcast centroid set."""
+    q = quantize(emb, id_col, vec_col, keep=(label_col,))
+    cents = label_centroids(emb, id_col, vec_col, label_col, dim=dim, quantized=q)
+    assigned = ivf_index_from_cents(q, cents, id_col)
+    withc = assigned.join(
+        F.broadcast(cents), assigned.assigned_label == cents.centroid_label
+    )
+    resid = F.zip_with("nq", "cq", lambda a, b: a - b)
+    seeds = (
+        withc.orderBy(F.col("neighbor_id").asc())
+        .limit(cb_k)
+        .select(resid.alias("r"))
+        .collect()  # bounded: cb_k rows
+    )
+    if len(seeds) < cb_k:
+        raise ValueError(f"ivf_pq_residual_build: only {len(seeds)} vectors for cb_k={cb_k}")
+    rows = [list(r["r"]) for r in seeds]
+    d = len(rows[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    cw = [
+        [[int(v) for v in r[s * sub : (s + 1) * sub]] for r in rows]
+        for s in range(m)
+    ]
+    inv = withc.select(
+        "neighbor_id",
+        "assigned_label",
+        _pq_codes_expr(resid, cw).alias("codes"),
+    )
+    return inv, cents, cw
+
+
+def ivf_pq_residual_search(
+    inv: DataFrame,
+    cents: DataFrame,
+    probes: DataFrame,
+    cw: list,
+    k: int,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Search a residual IVFPQ index. Per candidate the score is the
+    probe . (centroid + residual-reconstruction) cosine, decomposed so
+    the candidate row needs only m code lookups:
+
+        dot  = dot(probe, centroid)            -- once per (probe, list)
+             + sum_s LUT_res[s][code_s]        -- probe.residual-codeword
+        |rec|^2 = |centroid|^2
+             + 2 * sum_s dot(centroid_sub_s, codeword)   -- per-list table
+             + sum_s |codeword|^2                        -- plan literal
+
+    Everything per-(probe, list) — the probe-centroid dot, the residual
+    LUTs, and the centroid-codeword cross table — is computed on the
+    tiny broadcast pc frame; inverted-list rows still carry codes only."""
+    m = len(cw)
+    sub = len(cw[0][0])
+
+    def dot_with(sv):
+        return lambda w: F.aggregate(
+            F.zip_with(sv, w, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    pc = probes.crossJoin(F.broadcast(cents)).select(
+        "probe_id",
+        "pq",
+        "pnorm",
+        "centroid_label",
+        "cq",
+        "cnorm",
+        _cosine(_dot(F.col("pq"), F.col("cq")), F.col("pnorm"), F.col("cnorm")).alias("cscore"),
+    )
+    wp = Window.partitionBy("probe_id").orderBy(
+        F.col("cscore").desc(), F.col("centroid_label").asc()
+    )
+    pc = pc.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= nprobe)
+    cols = [
+        F.col("probe_id"),
+        F.col("pnorm"),
+        F.col("centroid_label"),
+        F.col("cnorm"),
+        _dot(F.col("pq"), F.col("cq")).alias("pcdot"),
+    ]
+    for si in range(m):
+        cb_lit = _nested_long_array_lit(cw[si])
+        psl = F.slice(F.col("pq"), si * sub + 1, sub)
+        csl = F.slice(F.col("cq"), si * sub + 1, sub)
+        cols.append(F.transform(cb_lit, dot_with(psl)).alias(f"lut{si}"))
+        cols.append(F.transform(cb_lit, dot_with(csl)).alias(f"xr{si}"))
+    pcl = pc.select(*cols)
+    cand = inv.join(
+        F.broadcast(pcl), pcl.centroid_label == inv.assigned_label
+    ).filter(F.col("neighbor_id") != F.col("probe_id"))
+    rn_lits = [
+        _long_array_lit([sum(int(v) * int(v) for v in w) for w in cw[si]])
+        for si in range(m)
+    ]
+    adc = F.col("pcdot")
+    recon = F.col("cnorm")
+    for si in range(m):
+        code_si = F.element_at(F.col("codes"), si + 1)
+        adc = adc + F.element_at(F.col(f"lut{si}"), code_si + 1)
+        recon = (
+            recon
+            + F.lit(2) * F.element_at(F.col(f"xr{si}"), code_si + 1)
+            + F.element_at(rn_lits[si], code_si + 1)
+        )
+    scored = cand.select(
+        "probe_id",
+        "neighbor_id",
+        _cosine(adc, F.col("pnorm"), recon).alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "score")
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     id_col: str,

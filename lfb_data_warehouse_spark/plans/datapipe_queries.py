@@ -2746,6 +2746,209 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_search(inv, cents, probes, cw, KNN_K, nprobe=IVF_NPROBE)
 
 
+def _ivfpq_pair_ctes(pfx: str, residual: bool) -> str:
+    """CTE battery ending in ``{pfx}ranked`` (probe_id, neighbor_id,
+    score, rank) — one full IVFPQ search, raw- or residual-encoded,
+    with every CTE name prefixed so two variants can coexist in one
+    oracle (the recall audit). Requires ``_ivf_ctes()`` (qn / cn /
+    assign / pc) in scope.
+
+    The residual decomposition mirrors
+    operators/similarity.py:ivf_pq_residual_search exactly:
+    dot(p, c + r̂) = dot(p, c) + Σ_s dot(p_s, cw_s) and
+    |c + r̂|² = |c|² + 2·Σ_s dot(c_s, cw_s) + Σ_s |cw_s|²; the raw
+    variant is the same algebra at c = 0 (matching _ivf_pq_oracle)."""
+    from ..operators.similarity import PQ_K, PQ_M
+
+    sub = EMB_DIM // PQ_M
+    vexpr = (
+        f"list_transform(range(1, {EMB_DIM + 1}), i -> v.q[i] - c.cq[i])"
+        if residual
+        else "v.q"
+    )
+    d_expr = (
+        f"list_sum(list_transform(range(1, {sub + 1}), "
+        f"i -> (v.s[i] - cb.cs[i]) * (v.s[i] - cb.cs[i])))"
+    )
+    lut_dot = (
+        f"list_sum(list_transform(range(1, {sub + 1}), "
+        f"i -> list_slice(d.pq, e.m * {sub} + 1, (e.m + 1) * {sub})[i] * e.cs[i]))"
+    )
+    if residual:
+        cross_dot = (
+            f"list_sum(list_transform(range(1, {sub + 1}), "
+            f"i -> list_slice(d.cq, e.m * {sub} + 1, (e.m + 1) * {sub})[i] * e.cs[i]))"
+        )
+        xcol = f"CAST(SUM(2 * ({cross_dot}) + e.csn) AS BIGINT)"
+        dotv, rnorm = "pcdot + lutsum", "cnorm + xsum"
+    else:
+        xcol = "CAST(SUM(e.csn) AS BIGINT)"
+        dotv, rnorm = "lutsum", "xsum"
+    return f"""{pfx}src AS (
+        SELECT v.vec_id, a.assigned_label, {vexpr} AS vv
+        FROM qn v
+        JOIN assign a ON a.vec_id = v.vec_id
+        JOIN cn c ON c.centroid_label = a.assigned_label),
+    {pfx}cb AS (SELECT c, m,
+                     list_slice(vv, m * {sub} + 1, (m + 1) * {sub}) AS cs,
+                     CAST(list_sum(list_transform(
+                         list_slice(vv, m * {sub} + 1, (m + 1) * {sub}), x -> x * x))
+                       AS BIGINT) AS csn
+              FROM (SELECT vv, row_number() OVER (ORDER BY vec_id) - 1 AS c
+                    FROM (SELECT vec_id, vv FROM {pfx}src ORDER BY vec_id LIMIT {PQ_K})),
+                   range(0, {PQ_M}) t(m)),
+    {pfx}enc AS (SELECT vec_id, m, c, cs, csn FROM (
+        SELECT v.vec_id, v.m, cb.c, cb.cs, cb.csn,
+               row_number() OVER (PARTITION BY v.vec_id, v.m
+                                  ORDER BY {d_expr}, cb.c) AS rn
+        FROM (SELECT vec_id, m, list_slice(vv, m * {sub} + 1, (m + 1) * {sub}) AS s
+              FROM {pfx}src, range(0, {PQ_M}) t(m)) v
+        JOIN {pfx}cb cb ON v.m = cb.m) WHERE rn = 1),
+    {pfx}pcd AS (SELECT pc.probe_id, pc.centroid_label, p.q AS pq, p.norm AS pnorm,
+                      c.cq, c.cnorm,
+                      CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                           i -> p.q[i] * c.cq[i])) AS BIGINT) AS pcdot
+               FROM pc
+               JOIN qn p ON p.vec_id = pc.probe_id
+               JOIN cn c ON c.centroid_label = pc.centroid_label),
+    {pfx}acc AS (SELECT d.probe_id, s.vec_id AS neighbor_id,
+                      MIN(d.pnorm) AS pnorm, MIN(d.cnorm) AS cnorm,
+                      MIN(d.pcdot) AS pcdot,
+                      CAST(SUM({lut_dot}) AS BIGINT) AS lutsum,
+                      {xcol} AS xsum
+               FROM {pfx}pcd d
+               JOIN {pfx}src s ON s.assigned_label = d.centroid_label
+                              AND s.vec_id <> d.probe_id
+               JOIN {pfx}enc e ON e.vec_id = s.vec_id
+               GROUP BY 1, 2),
+    {pfx}ranked AS (SELECT probe_id, neighbor_id, score,
+                      CAST(row_number() OVER (PARTITION BY probe_id
+                          ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+               FROM (SELECT probe_id, neighbor_id,
+                            CASE WHEN pnorm > 0 AND {rnorm} > 0
+                                 THEN CAST({dotv} AS DOUBLE)
+                                      / (sqrt(CAST(pnorm AS DOUBLE))
+                                         * sqrt(CAST({rnorm} AS DOUBLE)))
+                                 ELSE 0.0 END AS score
+                     FROM {pfx}acc))"""
+
+
+def _ivf_pq_residual_oracle() -> str:
+    return f"""
+    WITH {_ivf_ctes()},
+    {_ivfpq_pair_ctes('r', residual=True)}
+    SELECT probe_id, neighbor_id, rank, score FROM rranked WHERE rank <= {KNN_K}
+    """
+
+
+@register("ann_ivf_pq_residual_topk", oracle=_ivf_pq_residual_oracle())
+def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x PQ with RESIDUAL encoding (operators/similarity.py:
+    ivf_pq_residual_build / ivf_pq_residual_search) — the actual FAISS
+    IVFPQ recipe (Jegou et al. §IV.A): vectors are PQ-encoded as their
+    residual from the assigned centroid, and the search scores
+    dot(probe, centroid + reconstructed-residual) decomposed so
+    inverted-list rows still carry only m codes: the probe-centroid
+    dot, the residual LUTs, and the centroid-codeword cross table all
+    live on the tiny broadcast (probe, list) frame. The oracle replays
+    assignment, residual codebook, encode, and the full decomposition
+    bit-for-bit. Whether residual encoding BUYS recall on a given
+    corpus is measured, not assumed — see ivfpq_residual_recall_audit."""
+    from ..operators.similarity import ivf_pq_residual_build, ivf_pq_residual_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    inv, cents, cw = ivf_pq_residual_build(emb, "vec_id", "embedding", "label", dim=EMB_DIM)
+    probes = quantize(emb.filter(F.col("vec_id") < KNN_PROBES), "vec_id", "embedding").select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("q").alias("pq"),
+        F.col("norm").alias("pnorm"),
+    )
+    return ivf_pq_residual_search(inv, cents, probes, cw, KNN_K, nprobe=IVF_NPROBE)
+
+
+def _ivfpq_residual_audit_oracle() -> str:
+    dot = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> p.q[i] * c.q[i]))"
+    return f"""
+    WITH {_ivf_ctes()},
+    {_ivfpq_pair_ctes('w', residual=False)},
+    {_ivfpq_pair_ctes('r', residual=True)},
+    ex AS (SELECT probe_id, neighbor_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY {_cos_sql(dot, 'c.norm', 'p.norm')} DESC, c.vec_id) AS rank
+        FROM qn p JOIN qn c ON p.vec_id <> c.vec_id
+        WHERE p.vec_id < {KNN_PROBES}) WHERE rank <= {KNN_K})
+    SELECT COUNT(*) AS n_exact,
+           COUNT(w.probe_id) AS n_raw,
+           CAST(COUNT(w.probe_id) AS DOUBLE) / COUNT(*) AS recall_raw,
+           COUNT(r.probe_id) AS n_residual,
+           CAST(COUNT(r.probe_id) AS DOUBLE) / COUNT(*) AS recall_residual
+    FROM ex
+    LEFT JOIN (SELECT probe_id, neighbor_id FROM wranked WHERE rank <= {KNN_K}) w
+           ON w.probe_id = ex.probe_id AND w.neighbor_id = ex.neighbor_id
+    LEFT JOIN (SELECT probe_id, neighbor_id FROM rranked WHERE rank <= {KNN_K}) r
+           ON r.probe_id = ex.probe_id AND r.neighbor_id = ex.neighbor_id
+    """
+
+
+@register("ivfpq_residual_recall_audit", oracle=_ivfpq_residual_audit_oracle())
+def ivfpq_residual_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit for residual vs raw PQ encoding at the SAME
+    IVF/nprobe/codebook budget — the honesty gate for the textbook
+    claim that residual encoding quantizes better (residuals are
+    centered, so a fixed codebook covers them more densely). On THIS
+    corpus the claim does NOT hold: the synthetic labels partition
+    vectors arbitrarily, centroids sit near the global mean, and the
+    residuals are as spread as the raw vectors — measured recall@5 is
+    ~0.18 raw vs ~0.14 residual at sf0.01 (both bounded above by
+    ivf_recall_audit's ~0.36 IVF ceiling; quantization costs the
+    rest). On a corpus with real cluster structure the residual
+    variant wins, and this audit is the per-corpus decision gate —
+    the same measured-not-assumed pattern as ivf_recall_audit's
+    label-vs-learned 0.36/0.64 pair. Scale shape identical for both
+    variants: codes-only lists, broadcast LUT frames, audit over a
+    bounded probe sample."""
+    from ..operators.similarity import (
+        ivf_pq_build,
+        ivf_pq_residual_build,
+        ivf_pq_residual_search,
+        ivf_pq_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb, "vec_id", "embedding", range(KNN_PROBES), KNN_K).select(
+        "probe_id", "neighbor_id"
+    )
+    probes = quantize(emb.filter(F.col("vec_id") < KNN_PROBES), "vec_id", "embedding").select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("q").alias("pq"),
+        F.col("norm").alias("pnorm"),
+    )
+    inv, cents, cw = ivf_pq_build(emb, "vec_id", "embedding", "label", dim=EMB_DIM)
+    raw = ivf_pq_search(inv, cents, probes, cw, KNN_K, nprobe=IVF_NPROBE).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("found_raw")
+    )
+    rinv, rcents, rcw = ivf_pq_residual_build(
+        emb, "vec_id", "embedding", "label", dim=EMB_DIM
+    )
+    res = ivf_pq_residual_search(rinv, rcents, probes, rcw, KNN_K, nprobe=IVF_NPROBE).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("found_res")
+    )
+    return (
+        exact.join(raw, ["probe_id", "neighbor_id"], "left")
+        .join(res, ["probe_id", "neighbor_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("found_raw").alias("n_raw"),
+            (F.count("found_raw").cast("double") / F.count(F.lit(1))).alias("recall_raw"),
+            F.count("found_res").alias("n_residual"),
+            (F.count("found_res").cast("double") / F.count(F.lit(1))).alias(
+                "recall_residual"
+            ),
+        )
+    )
+
+
 def _semantic_dedup_kmeans_oracle() -> str:
     kc = f"c{KMEANS_ITERS}"
     dot_vc = f"list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> v.q[i] * c.cq[i]))"

@@ -301,6 +301,8 @@ UNCHECKED_PRIORITY: list[str] = [
     "incremental_dedup_survivors",
     "pq_codebook_learned",
     "ann_ivf_pq_topk",
+    "ann_ivf_pq_residual_topk",
+    "ivfpq_residual_recall_audit",
 ]
 
 

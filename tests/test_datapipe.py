@@ -434,6 +434,73 @@ def test_pq_codebook_kmeans_learned(spark):
         assert r["probe_id"] % 4 == r["neighbor_id"] % 4, (r["probe_id"], r["neighbor_id"])
 
 
+def test_ivf_pq_residual_seed_exactness(spark):
+    """Residual IVFPQ's ADC decomposition is EXACT for codebook seeds:
+    a seed vector's residual encodes with distance 0, so centroid +
+    codeword reconstructs its quantized vector exactly and the
+    decomposed score dot(p,c) + Σ LUT / sqrt(|c|² + 2Σxr + Σ|cw|²)
+    must equal the exact integer-kernel cosine bit-for-bit — pinning
+    every term of the decomposition at once."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.similarity import (
+        ivf_pq_residual_build,
+        ivf_pq_residual_search,
+        quantize,
+    )
+
+    rows = []
+    for i in range(32):
+        base = [0.0] * 8
+        base[(i % 4) * 2] = 1.0
+        base[(i % 4) * 2 + 1] = 0.1 + 0.01 * (i // 4)
+        rows.append((i, i % 2, base))
+    emb = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+    inv, cents, cw = ivf_pq_residual_build(
+        emb, "vec_id", "embedding", "label", m=4, cb_k=8, dim=8
+    )
+    # codes-only index: no raw/quantized vector column survives
+    assert set(inv.columns) == {"neighbor_id", "assigned_label", "codes"}
+    assert inv.count() == 32
+    # deterministic across rebuilds
+    _, _, cw2 = ivf_pq_residual_build(
+        emb, "vec_id", "embedding", "label", m=4, cb_k=8, dim=8
+    )
+    assert cw == cw2
+    probes = quantize(
+        emb.filter(F.col("vec_id").isin([0, 9])), "vec_id", "embedding"
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("q").alias("pq"),
+        F.col("norm").alias("pnorm"),
+    )
+    got = {
+        (r["probe_id"], r["neighbor_id"]): r["score"]
+        for r in ivf_pq_residual_search(inv, cents, probes, cw, k=31, nprobe=2).collect()
+    }
+    qv = {
+        r["vec_id"]: (list(r["q"]), r["norm"])
+        for r in quantize(emb, "vec_id", "embedding").collect()
+    }
+
+    def exact(a, b):
+        qa, na = qv[a]
+        qb, nb = qv[b]
+        d = sum(x * y for x, y in zip(qa, qb))
+        return d / (math.sqrt(na) * math.sqrt(nb)) if na > 0 and nb > 0 else 0.0
+
+    seed_pairs = [(p, n) for (p, n) in got if n < 8]
+    assert seed_pairs  # nprobe=2 of 2 lists → every seed is a candidate
+    for p, n in seed_pairs:
+        assert got[(p, n)] == exact(p, n), (p, n, got[(p, n)], exact(p, n))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cb_k=99"):
+        ivf_pq_residual_build(emb, "vec_id", "embedding", "label", m=4, cb_k=99, dim=8)
+
+
 def test_kmeans_centroids_sparse_offset_ids(spark, emb):
     from pyspark.sql import functions as F
 

@@ -92,6 +92,8 @@ INTENDED_CROSS = {
     "int8_ann_topk_claim",  # corpus × broadcast(probes), twice (exact + int8 paths)
     "ann_pq_adc_topk",  # PQ codes × broadcast(probes) — ADC scoring fan-out
     "ann_ivf_pq_topk",  # corpus × broadcast(centroids) assign + probes × broadcast(centroids) ranking
+    "ann_ivf_pq_residual_topk",  # same two shapes; residual LUTs live on the broadcast side
+    "ivfpq_residual_recall_audit",  # raw + residual IVFPQ paths + corpus × broadcast(probes) exact baseline
     "tpch_q22_prospects",  # scalar subquery: customer × broadcast(1-row avg aggregate)
     "scd2_point_in_time_join",  # versions × broadcast(1-row max-date aggregate)
     "tpch_q11_important_parts",  # per_part × broadcast(1-row scoped total)
@@ -295,3 +297,13 @@ def test_pq_candidates_carry_codes_not_vectors(spark):
     assert "BroadcastExchange" in p  # probes broadcast
     assert "Window" in p  # per-probe top-k
     assert "SortMergeJoin" not in p  # never a shuffled join of corpus rows
+
+
+def test_ivfpq_residual_candidates_carry_codes(spark):
+    # residual IVFPQ: everything per-(probe, list) — the probe-centroid
+    # dot, residual LUTs, and centroid-codeword cross table — must ride
+    # the broadcast side; inverted-list rows carry only codes
+    p = get_plan(spark, "ann_ivf_pq_residual_topk")
+    assert "BroadcastExchange" in p  # (probe, list) LUT frame broadcast
+    assert "Window" in p  # per-probe top-k
+    assert "SortMergeJoin" not in p  # corpus rows never shuffle-join

@@ -228,6 +228,7 @@ def main() -> None:
             "incremental_dedup_survivors",
             "incremental_dedup_components",
             "ann_ivf_pq_topk",
+            "ann_ivf_pq_residual_topk",
             "approx_ntile_price_quartiles",
             "pq_codebook_learned",
             "prepare_training_corpus",
