@@ -525,6 +525,31 @@ def ivf_index_from_cents(q: DataFrame, cents: DataFrame, id_col: str) -> DataFra
     )
 
 
+def ivf_index_append(
+    inv: DataFrame,
+    cents: DataFrame,
+    new_emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Fold a NEW vector batch into an existing IVF index WITHOUT
+    rebuilding: quantize the batch, assign it against the FROZEN
+    centroid set (broadcast — the batch never joins the old corpus),
+    and union the new rows onto the inverted list.
+
+    This is how a production ANN index absorbs a daily embedding
+    ingest: work is bounded by |new batch| (one broadcast fan-out +
+    one per-id max-by over batch rows only); the existing list is
+    untouched — persisted as parquet partitioned by assigned_label,
+    the append writes only new files into existing partitions. The
+    frozen-centroid policy is the standard one (FAISS `add` after
+    `train`); centroid drift is handled by periodic re-trains, not
+    per-batch. The ``ivf_incremental_append`` gate proves
+    append == rebuild-with-frozen-centroids through search results."""
+    q_new = quantize(new_emb, id_col, vec_col)
+    return inv.unionByName(ivf_index_from_cents(q_new, cents, id_col))
+
+
 def kmeans_centroids(
     emb: DataFrame,
     id_col: str,

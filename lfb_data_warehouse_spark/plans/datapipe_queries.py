@@ -2213,16 +2213,20 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_NPROBE = 2
 
 
-def _ivf_ctes() -> str:
+def _ivf_ctes(cent_filter: str = "") -> str:
     """The IVF model as CTEs ending in ``ivf_ranked`` (probe_id,
     neighbor_id, score, rank) — shared by the top-k gate and the recall
-    audit."""
+    audit. ``cent_filter`` restricts the CENTROID-TRAINING rows (the
+    incremental-append gate freezes centroids on the old slice);
+    assignment always covers the whole corpus. The default emits
+    byte-identical SQL to the unparametrized form."""
     dot_vc = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> v.q[i] * c.cq[i]))"
     dot_pc = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> p.q[i] * c.cq[i]))"
     dot_pn = f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> n.q[i] * p.q[i]))"
+    cw = f" WHERE {cent_filter}" if cent_filter else ""
     return f"""{_QCTE},
     d AS (SELECT label, i AS pos, SUM(q[i]) AS s, COUNT(*) AS n
-          FROM q, range(1, {EMB_DIM + 1}) t(i) GROUP BY 1, 2),
+          FROM q, range(1, {EMB_DIM + 1}) t(i){cw} GROUP BY 1, 2),
     cent AS (SELECT label AS centroid_label,
                     list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cq
              FROM d GROUP BY 1),
@@ -2277,6 +2281,83 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", "label",
         probe_ids=range(KNN_PROBES), k=KNN_K, nprobe=IVF_NPROBE, dim=EMB_DIM,
     )
+
+
+# the incremental-append split: the "new daily batch" is every 10th
+# vector; centroids are trained on (frozen at) the other 90%
+IVF_APPEND_MOD = 10
+IVF_APPEND_REM = 7
+
+
+def _ivf_append_oracle() -> str:
+    return f"""
+    WITH {_ivf_ctes(cent_filter=f"vec_id % {IVF_APPEND_MOD} <> {IVF_APPEND_REM}")}
+    SELECT probe_id, neighbor_id, rank, score FROM ivf_ranked WHERE rank <= {KNN_K}
+    """
+
+
+@register("ivf_incremental_append", oracle=_ivf_append_oracle())
+def ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest maintenance for the IVF index
+    (operators/similarity.py:ivf_index_append): the new batch is
+    assigned against the FROZEN centroid set (broadcast; work bounded
+    by |new batch| — one fan-out + one per-id max-by, the old list
+    untouched) and unioned onto the inverted list, exactly FAISS's
+    add-after-train discipline. The gate searches the appended index
+    and the oracle replays rebuild-with-frozen-centroids — centroids
+    from the old 90%, assignment of ALL vectors — so any divergence
+    between append and rebuild (the invariant that makes incremental
+    maintenance safe) mismatches. Completes the incremental story:
+    dedup has incremental_dedup_survivors, ANN has this."""
+    from ..operators.similarity import ivf_build, ivf_index_append, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % IVF_APPEND_MOD != IVF_APPEND_REM)
+    new = emb.filter(F.col("vec_id") % IVF_APPEND_MOD == IVF_APPEND_REM)
+    inv, cents = ivf_build(old, "vec_id", "embedding", "label", dim=EMB_DIM)
+    inv2 = ivf_index_append(inv, cents, new, "vec_id", "embedding")
+    probes = quantize(emb.filter(F.col("vec_id") < KNN_PROBES), "vec_id", "embedding").select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("q").alias("pq"),
+        F.col("norm").alias("pnorm"),
+    )
+    return ivf_search(inv2, cents, probes, KNN_K, nprobe=IVF_NPROBE)
+
+
+PCA_K = 8
+
+
+def _pca_claim_oracle() -> str:
+    return f"""
+    WITH {_QCTE},
+    per_i AS (SELECT i, COUNT(*) AS n, SUM(q[i]) AS sx, SUM(q[i] * q[i]) AS sxx
+              FROM qn, range(1, {EMB_DIM + 1}) t(i) GROUP BY 1),
+    tr AS (SELECT CAST(MIN(n) * SUM(sxx) - SUM(sx * sx) AS VARCHAR) AS trace_num
+           FROM per_i)
+    SELECT t.i AS component, tr.trace_num,
+           TRUE AS orthonormal_ok, TRUE AS monotone_ok,
+           TRUE AS var_matches_eigenvalue
+    FROM range(0, {PCA_K}) t(i), tr
+    """
+
+
+@register("embedding_pca_claim", oracle=_pca_claim_oracle())
+def embedding_pca_claim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/pca.py) graded the int8-claim way:
+    the moment pass's integer trace numerator n·ΣSxx − ΣSx² is
+    oracle-replayed bit-for-bit (pinning the one-pass covariance
+    aggregate), while the float eigen outputs are engine-verified
+    CLAIMS — orthonormal components, descending spectrum, and the
+    distributed check Var(projection_j) == λ_j that ties the map-only
+    projection back to the fit (vᵀCv = λ). Scale shape: ONE aggregate
+    pass (map-side partial, dim + dim(dim+1)/2 scalars), driver-side
+    64×64 eigh, projection as plan literals over a single scan — the
+    whitening/dim-reduction step an embedding pipeline runs before
+    ANN or semantic dedup."""
+    from ..operators.pca import pca_claims
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_claims(emb, "vec_id", "embedding", dim=EMB_DIM, k=PCA_K)
 
 
 # one persisted index per (process, sf_dir) — repeated gate runs reuse it

@@ -303,6 +303,8 @@ UNCHECKED_PRIORITY: list[str] = [
     "ann_ivf_pq_topk",
     "ann_ivf_pq_residual_topk",
     "ivfpq_residual_recall_audit",
+    "ivf_incremental_append",
+    "embedding_pca_claim",
 ]
 
 

@@ -434,6 +434,90 @@ def test_pq_codebook_kmeans_learned(spark):
         assert r["probe_id"] % 4 == r["neighbor_id"] % 4, (r["probe_id"], r["neighbor_id"])
 
 
+def test_pca_fit_matches_numpy_reference(spark):
+    """pca_fit's one-pass integer-moment covariance + eigh must agree
+    with numpy's direct covariance of the same quantized matrix: same
+    eigenvalues, same subspace (|cos| of matched eigenvectors == 1),
+    and the projection variance equals each eigenvalue (the claim the
+    registered gate grades)."""
+    import numpy as np
+
+    from lfb_data_warehouse_spark.operators.pca import pca_claims, pca_fit, pca_project
+    from lfb_data_warehouse_spark.operators.similarity import QUANT_SCALE
+
+    rng_rows = []
+    # deterministic anisotropic cloud: dominant direction (1, 2, 0, 1)
+    for i in range(40):
+        t = (i - 20) / 10.0
+        noise = [((i * 37 + d * 11) % 7 - 3) / 40.0 for d in range(4)]
+        rng_rows.append(
+            (i, [t * 1.0 + noise[0], t * 2.0 + noise[1], noise[2], t * 1.0 + noise[3]])
+        )
+    emb = spark.createDataFrame(rng_rows, "vec_id long, embedding array<float>")
+    model = pca_fit(emb, "vec_id", "embedding", dim=4, k=4)
+    x = np.array(
+        [[round(np.float64(np.float32(v)) * QUANT_SCALE) for v in r] for _, r in rng_rows]
+    )
+    cov = np.cov(x, rowvar=False, bias=True)
+    w_ref = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert np.allclose(model.eigenvalues, w_ref, rtol=1e-9)
+    # integer trace numerator: n²·trace(C) exactly
+    n = len(x)
+    assert model.trace_num == n * int((x * x).sum()) - int(
+        sum(int(c) ** 2 for c in x.sum(axis=0))
+    )
+    # same principal directions (sign-agnostic)
+    _, v_ref = np.linalg.eigh(cov)
+    for j, comp in enumerate(model.components):
+        ref = v_ref[:, np.argsort(np.linalg.eigvalsh(cov))[::-1][j]]
+        assert abs(abs(np.dot(comp, ref)) - 1.0) < 1e-9
+    # projection variance == eigenvalue, and the gate frame is all-true
+    proj = {r["vec_id"]: list(r["y"]) for r in pca_project(emb, "vec_id", "embedding", model).collect()}
+    y0 = np.array([proj[i][0] for i in range(40)])
+    assert np.isclose(y0.var(), model.eigenvalues[0], rtol=1e-9)
+    claims = pca_claims(emb, "vec_id", "embedding", dim=4, k=3).collect()
+    assert len(claims) == 3
+    for r in claims:
+        assert r["orthonormal_ok"] and r["monotone_ok"] and r["var_matches_eigenvalue"]
+
+
+def test_ivf_index_append_equals_frozen_rebuild(spark):
+    """ivf_index_append's invariant: appending a batch against frozen
+    centroids produces the EXACT index a from-scratch
+    ivf_index_from_cents over old∪new (same centroids) would — the
+    property that makes incremental maintenance safe."""
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.similarity import (
+        ivf_build,
+        ivf_index_append,
+        ivf_index_from_cents,
+        quantize,
+    )
+
+    rows = []
+    for i in range(24):
+        base = [0.0] * 8
+        base[(i % 4) * 2] = 1.0
+        base[(i % 4) * 2 + 1] = 0.1 + 0.01 * (i // 4)
+        rows.append((i, i % 2, base))
+    emb = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    inv, cents = ivf_build(old, "vec_id", "embedding", "label", dim=8)
+    appended = ivf_index_append(inv, cents, new, "vec_id", "embedding")
+    rebuilt = ivf_index_from_cents(quantize(emb, "vec_id", "embedding"), cents, "vec_id")
+
+    def canon(df):
+        return sorted(
+            (r["neighbor_id"], r["assigned_label"], tuple(r["nq"]), r["nn"])
+            for r in df.collect()
+        )
+
+    assert canon(appended) == canon(rebuilt)
+    assert appended.count() == 24
+
+
 def test_ivf_pq_residual_seed_exactness(spark):
     """Residual IVFPQ's ADC decomposition is EXACT for codebook seeds:
     a seed vector's residual encodes with distance 0, so centroid +

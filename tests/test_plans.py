@@ -93,6 +93,7 @@ INTENDED_CROSS = {
     "ann_pq_adc_topk",  # PQ codes × broadcast(probes) — ADC scoring fan-out
     "ann_ivf_pq_topk",  # corpus × broadcast(centroids) assign + probes × broadcast(centroids) ranking
     "ann_ivf_pq_residual_topk",  # same two shapes; residual LUTs live on the broadcast side
+    "ivf_incremental_append",  # old corpus + new batch each × broadcast(frozen centroids)
     "ivfpq_residual_recall_audit",  # raw + residual IVFPQ paths + corpus × broadcast(probes) exact baseline
     "tpch_q22_prospects",  # scalar subquery: customer × broadcast(1-row avg aggregate)
     "scd2_point_in_time_join",  # versions × broadcast(1-row max-date aggregate)

@@ -229,6 +229,8 @@ def main() -> None:
             "incremental_dedup_components",
             "ann_ivf_pq_topk",
             "ann_ivf_pq_residual_topk",
+            "ivf_incremental_append",
+            "embedding_pca_claim",
             "approx_ntile_price_quartiles",
             "pq_codebook_learned",
             "prepare_training_corpus",
