@@ -47,6 +47,7 @@ EXTRA_BENCH = (
     "ivf_search_persisted",
     "incremental_dedup_daily",
     "pq_adc_search_persisted",
+    "ivfpq_search_persisted",
 )
 
 _INC_BENCH_DIRS: dict[str, str] = {}
@@ -172,6 +173,61 @@ def pq_adc_search_persisted(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= KNN_K)
         .select("probe_id", "neighbor_id", "rank", "score")
+    )
+
+
+_IVFPQ_INDEX_DIRS: dict[str, tuple[str, list]] = {}
+
+
+def ivfpq_search_persisted(spark, sf_dir):
+    """Search-side benchmark for the COMPOSED IVF x PQ index over a
+    persisted codes-only inverted list — the production ANN shape at
+    1e9 vectors (BASELINE.md: the only curve that stays near-flat as
+    the corpus grows; 0.12x brute at 1M vectors vs 0.20/0.21 for the
+    single-technique paths). Build (centroids + assignment + codebook
+    + encode) materializes once per session untimed, exactly like the
+    ivf/pq persisted rows; only centroid ranking, LUT construction,
+    list-restricted ADC scoring, and the per-probe top-k are timed.
+    Correctness anchor: ann_ivf_pq_topk (same arithmetic, inline)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.similarity import (
+        ivf_pq_build,
+        ivf_pq_search,
+        quantize,
+    )
+    from lfb_data_warehouse_spark.plans.datapipe_queries import (
+        EMB_DIM,
+        IVF_NPROBE,
+        KNN_K,
+        KNN_PROBES,
+    )
+    from lfb_data_warehouse_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVFPQ_INDEX_DIRS:
+        inv, cents, cw = ivf_pq_build(emb, "vec_id", "embedding", "label", dim=EMB_DIM)
+        d = tempfile.mkdtemp(prefix="lfb_ivfpq_index_")
+        inv.write.mode("overwrite").partitionBy("assigned_label").parquet(d + "/inv")
+        cents.write.mode("overwrite").parquet(d + "/cents")
+        quantize(
+            emb.filter(F.col("vec_id") < KNN_PROBES), "vec_id", "embedding"
+        ).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("q").alias("pq"),
+            F.col("norm").alias("pnorm"),
+        ).write.mode("overwrite").parquet(d + "/probes")
+        _IVFPQ_INDEX_DIRS[sf_dir] = (d, cw)
+    d, cw = _IVFPQ_INDEX_DIRS[sf_dir]
+    return ivf_pq_search(
+        spark.read.parquet(d + "/inv"),
+        spark.read.parquet(d + "/cents"),
+        spark.read.parquet(d + "/probes"),
+        cw,
+        KNN_K,
+        nprobe=IVF_NPROBE,
     )
 
 

@@ -724,6 +724,9 @@ NAIVE = {
     # naive twin for the daily incremental step: the nightly FULL
     # from-scratch dedup it replaces (same survivor output contract)
     "incremental_dedup_daily": dedup_keep_canonical,
+    # composed IVFPQ persisted search races the same no-index brute
+    # scan as the single-technique persisted rows (equal-TASK twin)
+    "ivfpq_search_persisted": ivf_search_persisted,
 }
 
 
