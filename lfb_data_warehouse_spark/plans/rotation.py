@@ -305,6 +305,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "ivfpq_residual_recall_audit",
     "ivf_incremental_append",
     "embedding_pca_claim",
+    "heavy_hitters_sketch",
 ]
 
 

@@ -434,6 +434,56 @@ def test_pq_codebook_kmeans_learned(spark):
         assert r["probe_id"] % 4 == r["neighbor_id"] % 4, (r["probe_id"], r["neighbor_id"])
 
 
+def test_misra_gries_exact_topk_and_bounds(spark):
+    """mg_exact_topk must equal the brute-force top-k when the k-th
+    item clears the MG threshold, and the summaries must respect both
+    MG invariants: per-(partition,key) size ≤ capacity, and global
+    undercount ≤ N/(capacity+1) (Agarwal et al. merge bound)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.sketches import mg_exact_topk, mg_summaries
+
+    # zipf-ish stream: item "t{i}" appears 200//(i+1) times per key,
+    # i < 60 — vocabulary 60 ≫ capacity 8, heavy head well separated
+    rows = []
+    for key in ("a", "b"):
+        for i in range(60):
+            rows.extend((key, f"t{i:02d}") for _ in range(200 // (i + 1)))
+    df = spark.createDataFrame(rows, "k string, item string").repartition(4)
+    got = {
+        (r["k"], r["rank"]): (r["item"], r["n"])
+        for r in mg_exact_topk(df, "k", "item", k=3, capacity=8).collect()
+    }
+    exact = (
+        df.groupBy("k", "item").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy(F.col("n").desc(), F.col("item").asc())
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+    want = {(r["k"], r["rank"]): (r["item"], r["n"]) for r in exact.collect()}
+    assert got == want
+    # invariants on the raw summaries
+    summ = mg_summaries(df, "k", "item", capacity=8).collect()
+    true_counts = {(r["k"], r["item"]): r["n"] for r in
+                   df.groupBy("k", "item").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_per_key: dict = {}
+    for (k, _it), c in true_counts.items():
+        n_per_key[k] = n_per_key.get(k, 0) + c
+    merged: dict = {}
+    for r in summ:
+        assert r["lb"] > 0
+        merged[(r["k"], r["item"])] = merged.get((r["k"], r["item"]), 0) + r["lb"]
+    for key_item, true_n in true_counts.items():
+        lb = merged.get(key_item, 0)
+        assert lb <= true_n
+        assert true_n - lb <= n_per_key[key_item[0]] / 9  # N/(capacity+1)
+
+
 def test_pca_fit_matches_numpy_reference(spark):
     """pca_fit's one-pass integer-moment covariance + eigh must agree
     with numpy's direct covariance of the same quantized matrix: same

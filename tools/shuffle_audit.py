@@ -231,6 +231,7 @@ def main() -> None:
             "ann_ivf_pq_residual_topk",
             "ivf_incremental_append",
             "embedding_pca_claim",
+            "heavy_hitters_sketch",
             "approx_ntile_price_quartiles",
             "pq_codebook_learned",
             "prepare_training_corpus",
