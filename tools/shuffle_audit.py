@@ -232,6 +232,7 @@ def main() -> None:
             "ivf_incremental_append",
             "embedding_pca_claim",
             "heavy_hitters_sketch",
+            "text_heavy_hitters",
             "approx_ntile_price_quartiles",
             "pq_codebook_learned",
             "prepare_training_corpus",
