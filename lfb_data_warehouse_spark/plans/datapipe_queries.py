@@ -1165,8 +1165,12 @@ def _heavy_hitters_oracle() -> str:
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 most frequent tokens per source — corpus vocabulary
     profiling (stopword discovery, boilerplate detection). Exact
-    count + per-group top-k window; at 100 TB swap the exact count for
-    a count-min sketch and keep the same top-k tail."""
+    count + per-group top-k window; the shuffle here is
+    vocabulary-bounded (one partial row per distinct (source, token)
+    per partition), which is fine until the vocabulary itself is
+    web-scale — heavy_hitters_sketch is the capacity-bounded
+    formulation for that regime (same oracle, measured side-by-side
+    in SHUFFLE.md)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")

@@ -300,6 +300,17 @@ def test_pq_candidates_carry_codes_not_vectors(spark):
     assert "SortMergeJoin" not in p  # never a shuffled join of corpus rows
 
 
+def test_mg_sketch_plan_shape(spark):
+    # the MG path must summarize through Arrow (MapInPandas), broadcast
+    # the candidate set into the recount (equi-join, no shuffled join
+    # of occurrence rows), and keep exactly one top-k window
+    p = get_plan(spark, "heavy_hitters_sketch")
+    assert "MapInPandas" in p  # per-partition summaries are the sketch
+    assert "BroadcastHashJoin" in p  # candidates broadcast into recount
+    assert "SortMergeJoin" not in p  # occurrences never shuffle-join
+    assert "Window" in p  # exact top-k tail
+
+
 def test_ivfpq_residual_candidates_carry_codes(spark):
     # residual IVFPQ: everything per-(probe, list) — the probe-centroid
     # dot, residual LUTs, and centroid-codeword cross table — must ride

@@ -321,3 +321,75 @@ def test_components_star_equals_propagation_1k_nodes(spark):
     assert star == prop
     # chain sanity vs a direct model: every chain node labels to 2000
     assert all(star[2000 + i] == 2000 for i in range(81))
+
+
+@SETTINGS
+@given(
+    stream=st.lists(st.integers(0, 25), min_size=1, max_size=120),
+    capacity=st.integers(2, 8),
+)
+def test_misra_gries_invariants_random_streams(spark, stream, capacity):
+    """On arbitrary streams (including flat, no-heavy-hitter ones) the
+    MG summaries must satisfy: positive counters, per-item lb ≤ true
+    count, and global undercount ≤ N/(capacity+1). Exactness of
+    mg_exact_topk is additionally required whenever the k-th item
+    clears the MG threshold — checked conditionally, since random
+    streams may legitimately have no heavy hitters."""
+    from collections import Counter
+
+    from lfb_data_warehouse_spark.operators.sketches import mg_exact_topk, mg_summaries
+
+    rows = [("k", f"i{v:02d}") for v in stream]
+    df = spark.createDataFrame(rows, "k string, item string").repartition(3)
+    true = Counter(f"i{v:02d}" for v in stream)
+    n = len(stream)
+    merged: dict = {}
+    for r in mg_summaries(df, "k", "item", capacity).collect():
+        assert r["lb"] > 0
+        merged[r["item"]] = merged.get(r["item"], 0) + r["lb"]
+    for item, true_n in true.items():
+        lb = merged.get(item, 0)
+        assert lb <= true_n
+        assert true_n - lb <= n / (capacity + 1)
+    k = 3
+    ranked = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))
+    if len(ranked) >= k and ranked[k - 1][1] > n / (capacity + 1):
+        got = {
+            (r["rank"]): (r["item"], r["n"])
+            for r in mg_exact_topk(df, "k", "item", k=k, capacity=capacity).collect()
+        }
+        want = {i + 1: (it, c) for i, (it, c) in enumerate(ranked[:k])}
+        assert got == want
+
+
+@SETTINGS
+@given(
+    data=st.lists(
+        st.lists(st.integers(-50, 50), min_size=3, max_size=3),
+        min_size=4,
+        max_size=12,
+    ),
+)
+def test_pca_trace_and_subspace_random(spark, data):
+    """pca_fit on random integer clouds: the integer trace numerator
+    equals the direct model exactly, eigenvalues match numpy's
+    covariance eigh, and total eigenvalue mass equals the trace
+    (both computed independently)."""
+    import numpy as np
+
+    from lfb_data_warehouse_spark.operators.pca import pca_fit
+    from lfb_data_warehouse_spark.operators.similarity import QUANT_SCALE
+
+    emb = spark.createDataFrame(
+        [(i, [v / QUANT_SCALE for v in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    model = pca_fit(emb, "vec_id", "embedding", dim=3, k=3)
+    x = np.array(data, dtype=np.int64)
+    n = len(data)
+    trace_ref = n * int((x * x).sum()) - int(sum(int(c) ** 2 for c in x.sum(axis=0)))
+    assert model.trace_num == trace_ref
+    cov = np.cov(x, rowvar=False, bias=True)
+    w_ref = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert np.allclose(model.eigenvalues, w_ref, rtol=1e-9, atol=1e-6)
+    assert abs(sum(model.eigenvalues) - trace_ref / (n * n)) < 1e-6 * max(1.0, abs(trace_ref) / (n * n))
