@@ -48,6 +48,7 @@ EXTRA_BENCH = (
     "incremental_dedup_daily",
     "pq_adc_search_persisted",
     "ivfpq_search_persisted",
+    "heavy_hitters_sketch_bench",
 )
 
 _INC_BENCH_DIRS: dict[str, str] = {}
@@ -284,6 +285,21 @@ def ivf_search_persisted(spark, sf_dir):
         KNN_K,
         nprobe=IVF_NPROBE,
     )
+
+
+def heavy_hitters_sketch_bench(spark, sf_dir):
+    """The MG-sketch heavy-hitter path raced against its exact twin
+    (naive = text_heavy_hitters' vocabulary-shuffling groupBy). On the
+    test corpus the EXACT path wins — the per-source vocabulary (~1.2k
+    terms) is far below the sketch's partitions × capacity envelope
+    and the Arrow summarization pass is pure overhead; SHUFFLE.md
+    carries the row-level version of the same honest comparison. The
+    sketch's regime is a vocabulary too large to shuffle (web-scale
+    token/URL/host spaces), where the exact path's post-combine
+    traffic grows without bound and this one stays capacity-bounded."""
+    from lfb_data_warehouse_spark.plans import REGISTRY
+
+    return REGISTRY["heavy_hitters_sketch"].fn(spark, sf_dir)
 
 
 def knn_numpy_topk(spark, sf_dir):

@@ -695,6 +695,23 @@ def gopher_quality_gates(spark, sf_dir):
     )
 
 
+def naive_heavy_hitters(spark, sf_dir):
+    # exact top-10 tokens per source via the vocabulary-shuffling
+    # groupBy — identical output to the MG-sketch path (equal-RESULT)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("source", "term", "n", "rank")
+    )
+
+
 NAIVE = {
     "flagship_star_fact": flagship_star_fact,
     "asof_nearest_purchase": asof_nearest_purchase,
@@ -727,6 +744,9 @@ NAIVE = {
     # composed IVFPQ persisted search races the same no-index brute
     # scan as the single-technique persisted rows (equal-TASK twin)
     "ivfpq_search_persisted": ivf_search_persisted,
+    # MG sketch vs the exact vocabulary-shuffling groupBy (equal-RESULT
+    # twin: both produce the identical exact top-10)
+    "heavy_hitters_sketch_bench": naive_heavy_hitters,
 }
 
 
