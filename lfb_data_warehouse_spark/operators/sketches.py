@@ -40,7 +40,12 @@ def mg_summaries(
     ``capacity`` items per (partition, key) and ``lb`` undercounting
     the partition-local truth by ≤ N_partition/(capacity+1). Map-only;
     Arrow-batched; per-batch counting is a vectorized pandas groupby,
-    so Python-level work is O(distinct-per-batch), not O(rows)."""
+    so Python-level work is O(distinct-per-batch), not O(rows).
+
+    Precondition: occurrence rows must be null-free in both columns
+    (pandas groupby silently drops NaN keys, which would diverge from
+    a null-keeping exact twin) — the tokenize/explode producers here
+    guarantee it; filter first for nullable inputs."""
 
     def summarize(batches):
         import pandas as pd
