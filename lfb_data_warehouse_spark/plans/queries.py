@@ -2210,6 +2210,66 @@ def approx_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_overlap_yoy",
+    oracle="""
+    WITH y AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS y, o_custkey
+               FROM orders)
+    SELECT a.y AS year_a, b.y AS year_b,
+           COUNT(*) AS exact_overlap,
+           TRUE AS overlap_within_5pct
+    FROM y a JOIN y b ON b.o_custkey = a.o_custkey AND b.y = a.y + 1
+    GROUP BY 1, 2
+    """,
+)
+def sketch_overlap_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: repeat customers across consecutive years
+    estimated by inclusion–exclusion over mergeable HLL sketches —
+    |A∩B| ≈ |A| + |B| − |A∪B| — graded as a ≤5% claim against the
+    exact distinct-key join. HLL has native union only; intersection
+    via I−E is the standard audience-overlap pattern, and its error is
+    conditioned on the overlap fraction (here ~78%, well-conditioned;
+    a tiny intersection of huge sets would need a theta sketch
+    instead — the claim gate is what surfaces that per corpus). At
+    100 TB the exact twin shuffles every distinct (year, custkey)
+    twice and joins; the sketch path reads each year partition once,
+    keeps KB-sized state per year, and the pair stage is a broadcast
+    self-join of one row per year."""
+    orders = load_table(spark, sf_dir, "orders")
+    sk = (
+        orders.select(F.year("o_orderdate").cast("long").alias("y"), "o_custkey")
+        .groupBy("y")
+        .agg(F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"))
+    )
+    a = sk.select(F.col("y").alias("year_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("y").alias("year_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(F.broadcast(b), F.col("year_b") == F.col("year_a") + 1)
+    est = (
+        F.hll_sketch_estimate("sk_a")
+        + F.hll_sketch_estimate("sk_b")
+        - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    )
+    distinct_y = orders.select(
+        F.year("o_orderdate").cast("long").alias("y"), "o_custkey"
+    ).distinct()
+    ov_a = distinct_y.select(F.col("y").alias("year_a"), "o_custkey")
+    ov_b = distinct_y.select(F.col("y").alias("year_b"), F.col("o_custkey").alias("ck_b"))
+    exact = (
+        ov_a.join(
+            ov_b,
+            (F.col("ck_b") == F.col("o_custkey"))
+            & (F.col("year_b") == F.col("year_a") + 1),
+        )
+        .groupBy("year_a", "year_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    err = F.abs(est - F.col("exact_overlap")) / F.col("exact_overlap")
+    return (
+        pairs.join(exact, ["year_a", "year_b"])
+        .select("year_a", "year_b", "exact_overlap", (err <= 0.05).alias("overlap_within_5pct"))
+    )
+
+
+@register(
     "sketch_mart_mergeable",
     oracle="""
     WITH monthly AS (

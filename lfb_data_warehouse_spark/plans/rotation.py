@@ -306,6 +306,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "ivf_incremental_append",
     "embedding_pca_claim",
     "heavy_hitters_sketch",
+    "sketch_overlap_yoy",
 ]
 
 
