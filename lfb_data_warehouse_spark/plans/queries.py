@@ -2210,6 +2210,63 @@ def approx_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ewma_customer_spend",
+    oracle="""
+    WITH s AS (SELECT o_custkey AS custkey,
+                      list(CAST(o_totalprice AS DOUBLE)
+                           ORDER BY o_orderdate, o_orderkey) AS vs,
+                      COUNT(*) AS n_orders
+               FROM orders GROUP BY 1)
+    SELECT custkey, n_orders,
+           vs[-1] AS last_price,
+           list_reduce(vs, (acc, x) ->
+               floor((acc * 0.9 + x * 0.1) * 1000000 + 0.5) / 1000000.0) AS ewma_price
+    FROM s
+    """,
+)
+def ewma_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity EWMA feature (exponentially-weighted order value,
+    α=0.1 new-weight) — the recency-weighted running feature a
+    feature-store pipeline derives per customer/device/session. EWMA
+    is inherently recursive (no closed-form window), so the engine
+    folds each entity's ORDERED history with an aggregate HOF over a
+    grouped collect — bounded by per-entity history length, never by
+    corpus size, and the fold runs JVM-side after the one groupBy
+    shuffle. Bit parity on an iterated FLOAT recurrence is earned by
+    construction: both engines fold the identical (date, orderkey)-
+    sorted doubles through the identical expression, with each step
+    re-quantized by the order-and-engine-stable half-up formula
+    floor(x·10⁶ + 0.5)/10⁶ (oracle-parity-pitfalls: never bare
+    round() near midpoints, never order-dependent float sums)."""
+    o = load_table(spark, sf_dir, "orders")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("o_orderdate").alias("d"),
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").cast("double").alias("v"),
+            )
+        )
+    )
+    g = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        arr.alias("a"), F.count(F.lit(1)).alias("n_orders")
+    )
+    vs = F.transform(F.col("a"), lambda s: s["v"])
+    ewma = F.aggregate(
+        F.slice(vs, 2, F.size(vs) - 1),
+        F.element_at(vs, 1),
+        lambda acc, x: F.floor((acc * 0.9 + x * 0.1) * 1000000 + 0.5)
+        / F.lit(1000000.0),
+    )
+    return g.select(
+        "custkey",
+        "n_orders",
+        F.element_at(vs, -1).alias("last_price"),
+        ewma.alias("ewma_price"),
+    )
+
+
+@register(
     "sketch_overlap_yoy",
     oracle="""
     WITH y AS (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS y, o_custkey

@@ -307,6 +307,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "embedding_pca_claim",
     "heavy_hitters_sketch",
     "sketch_overlap_yoy",
+    "ewma_customer_spend",
 ]
 
 

@@ -738,3 +738,37 @@ def test_hash_split_sql_matches_engine(spark):
         ).fetchall()
     }
     assert eng == ora
+
+
+def test_ewma_customer_spend_matches_python_model(spark):
+    """The registered EWMA fold must equal a direct Python recurrence
+    over the same (date, key)-ordered values with the same per-step
+    half-up re-quantization."""
+    import math
+
+    from lfb_data_warehouse_spark.plans import REGISTRY
+
+    got = {
+        r["custkey"]: (r["n_orders"], r["last_price"], r["ewma_price"])
+        for r in REGISTRY["ewma_customer_spend"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT o_custkey, CAST(o_totalprice AS DOUBLE) FROM "
+        "read_parquet('/root/testdata/sf0.001/orders.parquet') "
+        "ORDER BY o_custkey, o_orderdate, o_orderkey"
+    ).fetchall()
+    hist: dict = {}
+    for ck, v in rows:
+        hist.setdefault(ck, []).append(v)
+    for ck, vals in hist.items():
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = math.floor((acc * 0.9 + v * 0.1) * 1000000 + 0.5) / 1000000.0
+        n, last, ewma = got[ck]
+        assert n == len(vals) and last == vals[-1] and ewma == acc, ck
+    assert set(got) == set(hist)
