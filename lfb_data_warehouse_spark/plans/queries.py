@@ -2210,6 +2210,76 @@ def approx_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anomaly_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_no,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(15,2)) AS rev
+        FROM orders GROUP BY 1, 2),
+    wstats AS (
+        SELECT day, rev,
+               CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n,
+               CAST(SUM(rev) OVER w AS DOUBLE) AS s,
+               CAST(SUM(rev * rev) OVER w AS DOUBLE) AS ss
+        FROM daily
+        WINDOW w AS (ORDER BY day_no RANGE BETWEEN 29 PRECEDING AND 1 PRECEDING))
+    SELECT day, CAST(rev AS DOUBLE) AS revenue, trailing_n,
+           CASE WHEN trailing_n >= 10 AND (ss / trailing_n - (s / trailing_n) * (s / trailing_n)) > 0
+                THEN round((CAST(rev AS DOUBLE) - s / trailing_n)
+                           / sqrt(ss / trailing_n - (s / trailing_n) * (s / trailing_n)), 6)
+           END AS zscore,
+           COALESCE(
+               CASE WHEN trailing_n >= 10 AND (ss / trailing_n - (s / trailing_n) * (s / trailing_n)) > 0
+                    THEN abs((CAST(rev AS DOUBLE) - s / trailing_n)
+                             / sqrt(ss / trailing_n - (s / trailing_n) * (s / trailing_n))) >= 2.5
+               END, FALSE) AS is_anomaly
+    FROM wstats
+    """,
+)
+def anomaly_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection: each day's revenue z-scored against
+    its OWN trailing-30-day history (frame excludes the current day, so
+    the day under test never contaminates its baseline) with a
+    10-day warm-up gate — the standard streaming-metrics monitor run
+    as a batch query. Scale shape: one groupBy collapses the fact
+    table to per-day rows FIRST, so the global-ordered window sorts
+    |days|, never |orders|. Bit parity on a float z-score is earned
+    by keeping every aggregate on an exact decimal grid (rev at
+    DECIMAL(15,2); rev² exact at (31,4) — DuckDB needs width ≥15+ per
+    operand to avoid int64 decimal overflow) and converting to DOUBLE
+    at the same fixed points in a fixed-order expression; sqrt is
+    IEEE-correctly-rounded on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+        .cast("decimal(15,2)")
+        .alias("rev")
+    )
+    day_no = F.datediff(F.col("day"), F.lit("1990-01-01").cast("date"))
+    w = Window.orderBy(day_no).rangeBetween(-29, -1)
+    stats = daily.select(
+        "day",
+        "rev",
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.sum("rev").over(w).cast("double").alias("s"),
+        F.sum(F.col("rev") * F.col("rev")).over(w).cast("double").alias("ss"),
+    )
+    n = F.col("trailing_n")
+    mean = F.col("s") / n
+    var = F.col("ss") / n - mean * mean
+    z = (F.col("rev").cast("double") - mean) / F.sqrt(var)
+    gated = (n >= 10) & (var > 0)
+    return stats.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        "trailing_n",
+        F.when(gated, F.round(z, 6)).alias("zscore"),
+        F.coalesce(F.when(gated, F.abs(z) >= 2.5), F.lit(False)).alias("is_anomaly"),
+    )
+
+
+@register(
     "ewma_customer_spend",
     oracle="""
     WITH s AS (SELECT o_custkey AS custkey,

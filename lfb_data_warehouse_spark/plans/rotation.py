@@ -308,6 +308,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "heavy_hitters_sketch",
     "sketch_overlap_yoy",
     "ewma_customer_spend",
+    "anomaly_daily_revenue",
 ]
 
 
