@@ -2210,6 +2210,141 @@ def approx_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "basket_brand_affinity",
+    oracle="""
+    WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+    per AS (SELECT p_brand, COUNT(*) AS support FROM ob GROUP BY 1),
+    pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS support_ab
+              FROM ob a JOIN ob b ON b.l_orderkey = a.l_orderkey AND a.p_brand < b.p_brand
+              GROUP BY 1, 2)
+    SELECT brand_a, brand_b, support_ab,
+           round(CAST(support_ab * n_orders AS DOUBLE) / (sa.support * sb.support), 6) AS lift,
+           CAST(row_number() OVER (
+               ORDER BY CAST(support_ab * n_orders AS DOUBLE) / (sa.support * sb.support) DESC,
+                        brand_a, brand_b) AS BIGINT) AS rank
+    FROM pairs
+    JOIN per sa ON sa.p_brand = brand_a
+    JOIN per sb ON sb.p_brand = brand_b
+    CROSS JOIN tot
+    WHERE support_ab >= 20
+    QUALIFY rank <= 20
+    """,
+)
+def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top-20 brand pairs by LIFT —
+    P(a,b) / (P(a)·P(b)) over order baskets, the co-occurrence signal
+    behind cross-sell and assortment analytics. Scale shape: baskets
+    reduce to DISTINCT (order, brand) first (pairs per order bounded
+    by distinct-brands-per-basket², not lineitems²), the pair join is
+    an equi-join co-partitioned on the order key, and the per-brand
+    supports + the 1-row order count join back as broadcasts. Lift is
+    one division of two exact integer products ((sab·n)/(sa·sb) — both
+    < 2⁶³), so the double is bit-identical on any engine; min-support
+    20 prunes noise pairs before ranking."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    per = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("support"))
+    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (F.col("ok_b") == F.col("l_orderkey")) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("support_ab"))
+        .filter(F.col("support_ab") >= 20)
+    )
+    sa = per.select(F.col("p_brand").alias("brand_a"), F.col("support").alias("sa"))
+    sb = per.select(F.col("p_brand").alias("brand_b"), F.col("support").alias("sb"))
+    j = (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = (F.col("support_ab") * F.col("n_orders")).cast("double") / (
+        F.col("sa") * F.col("sb")
+    )
+    w = Window.orderBy(F.col("lift_raw").desc(), F.col("brand_a").asc(), F.col("brand_b").asc())
+    return (
+        j.withColumn("lift_raw", lift)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "brand_a", "brand_b", "support_ab",
+            F.round("lift_raw", 6).alias("lift"), "rank",
+        )
+    )
+
+
+@register(
+    "rfm_customer_scores",
+    oracle="""
+    WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_day FROM orders),
+    base AS (
+        SELECT o_custkey AS custkey,
+               datediff('day', MAX(CAST(o_orderdate AS DATE)), (SELECT ref_day FROM ref)) AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS monetary
+        FROM orders GROUP BY 1)
+    SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey) AS BIGINT) AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency ASC, custkey) AS BIGINT) AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary ASC, custkey) AS BIGINT) AS m_score,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, custkey) * 100
+              + ntile(5) OVER (ORDER BY frequency ASC, custkey) * 10
+              + ntile(5) OVER (ORDER BY monetary ASC, custkey) AS BIGINT) AS rfm
+    FROM base
+    """,
+)
+def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic marketing mart: per customer,
+    recency (days since last order, against the corpus max date),
+    frequency, monetary (exact decimal sum), each quintiled 1-5 with
+    5 = best (most recent / most orders / highest spend; the DESC/ASC
+    orderings encode that, custkey breaks every tie so both engines
+    cut identical quintile boundaries). Scale shape: the fact table
+    collapses to one row per customer first, the reference date is a
+    broadcast 1-row aggregate, and the three NTILE windows sort
+    |customers|, never |orders| — swap in approx_ntile
+    (operators/agg.py) when even the entity table is too large for a
+    global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    ref = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("ref_day"))
+    base = base.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days", F.datediff("ref_day", "last_day").cast("long")
+    )
+    wr = Window.orderBy(F.col("recency_days").desc(), F.col("custkey").asc())
+    wf = Window.orderBy(F.col("frequency").asc(), F.col("custkey").asc())
+    wm = Window.orderBy(F.col("monetary").asc(), F.col("custkey").asc())
+    r = F.ntile(5).over(wr).cast("long")
+    f = F.ntile(5).over(wf).cast("long")
+    m = F.ntile(5).over(wm).cast("long")
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+        (r * 100 + f * 10 + m).alias("rfm"),
+    )
+
+
+@register(
     "anomaly_daily_revenue",
     oracle="""
     WITH daily AS (

@@ -309,6 +309,8 @@ UNCHECKED_PRIORITY: list[str] = [
     "sketch_overlap_yoy",
     "ewma_customer_spend",
     "anomaly_daily_revenue",
+    "rfm_customer_scores",
+    "basket_brand_affinity",
 ]
 
 

@@ -101,6 +101,8 @@ INTENDED_CROSS = {
     "tpch_q15_top_supplier",  # revenue × broadcast(1-row max aggregate)
     "gap_fill_daily_revenue",  # day spine × broadcast(segment list) — both tiny
     "bloom_semijoin_revenue",  # fact × broadcast(1-row bloom bitmap) — bytes, not rows
+    "rfm_customer_scores",  # per-customer rows × broadcast(1-row max-date aggregate)
+    "basket_brand_affinity",  # brand pairs × broadcast(1-row basket-count aggregate)
     "semantic_dedup_keep",  # corpus × broadcast(centroids) — the pair join itself is an equi-join on the cluster
 }
 
