@@ -2210,6 +2210,52 @@ def approx_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (SELECT user_id, event_type,
+                        lead(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS next_type
+                 FROM events),
+    pairs AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+              FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM pairs GROUP BY 1)
+    SELECT p.from_type, p.to_type, p.n, t.n_from,
+           round(CAST(p.n AS DOUBLE) / t.n_from, 6) AS prob
+    FROM pairs p JOIN tot t ON t.from_type = p.from_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov matrix: P(next event type | current)
+    per user journey — the sequence-mining summary behind funnel
+    design and churn models. One lead() window per user (ordered by
+    (ts, event_id) so duplicate timestamps cannot flip transitions),
+    then two bounded aggregations: |types|² pair counts and their
+    row-normalization. Scale shape: the window shuffles on user_id
+    (each user's history sorts independently); everything after is
+    |types|²-sized. prob is one division of two exact counts —
+    engine-identical doubles."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type", "to_type", "n", "n_from",
+            F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias("prob"),
+        )
+    )
+
+
+@register(
     "basket_brand_affinity",
     oracle="""
     WITH ob AS (SELECT DISTINCT l_orderkey, p_brand

@@ -311,6 +311,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "anomaly_daily_revenue",
     "rfm_customer_scores",
     "basket_brand_affinity",
+    "event_transition_matrix",
 ]
 
 
