@@ -2210,6 +2210,81 @@ def approx_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pareto_abc_brands",
+    oracle="""
+    WITH rev AS (
+        SELECT p_brand AS brand,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                        * (1 - CAST(l_discount AS DECIMAL(15,2)))) AS DECIMAL(19,4)) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1),
+    tot AS (SELECT CAST(SUM(revenue) AS DECIMAL(19,4)) AS total FROM rev),
+    ranked AS (
+        SELECT brand, CAST(revenue AS DOUBLE) AS revenue,
+               CAST(row_number() OVER (ORDER BY revenue DESC, brand) AS BIGINT) AS rank,
+               CAST(SUM(revenue) OVER (ORDER BY revenue DESC, brand
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+        FROM rev CROSS JOIN tot)
+    SELECT brand, revenue, rank, round(cum_share, 6) AS cum_share,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def pareto_abc_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification — the assortment-analysis classic:
+    brands ranked by revenue with their cumulative revenue share,
+    classed A (first 80% of revenue), B (to 95%), C (tail). Revenue
+    stays on an exact decimal grid through the per-brand aggregate,
+    the running total, AND the grand total, so the cumulative share is
+    one division of two engine-identical decimals-as-doubles at every
+    rank; the running-sum frame orders by (revenue DESC, brand) — a
+    total order, so both engines accumulate identical prefixes. Scale
+    shape: the fact table collapses to |brands| rows before the
+    ordered window."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(15,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(15,2)"))
+            )
+            .cast("decimal(19,4)")
+            .alias("revenue_d")
+        )
+    )
+    tot = rev.agg(F.sum("revenue_d").cast("decimal(19,4)").alias("total"))
+    w = Window.orderBy(F.col("revenue_d").desc(), F.col("brand").asc())
+    cum = (
+        F.sum("revenue_d")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).select(
+        "brand",
+        F.col("revenue_d").cast("double").alias("revenue"),
+        F.row_number().over(w).cast("long").alias("rank"),
+        (cum / F.col("total").cast("double")).alias("cum_share_raw"),
+    )
+    return ranked.select(
+        "brand",
+        "revenue",
+        "rank",
+        F.round("cum_share_raw", 6).alias("cum_share"),
+        F.when(F.col("cum_share_raw") <= 0.8, "A")
+        .when(F.col("cum_share_raw") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@register(
     "event_transition_matrix",
     oracle="""
     WITH seq AS (SELECT user_id, event_type,

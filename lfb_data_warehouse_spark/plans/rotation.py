@@ -312,6 +312,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "rfm_customer_scores",
     "basket_brand_affinity",
     "event_transition_matrix",
+    "pareto_abc_brands",
 ]
 
 
