@@ -131,6 +131,31 @@ def test_scan_prunes_columns(spark):
     ), scans
 
 
+def test_round5_gates_scan_pruning(spark):
+    # the late round-5 analytics gates must prune their scans to the
+    # columns they touch — a wide documents/lineitem/orders read is a
+    # 100-TB regression even when results stay correct
+    p = get_plan(spark, "heavy_hitters_sketch")
+    scans = [line for line in p.splitlines() if "ReadSchema" in line]
+    assert any(
+        "text" in s and "source" in s and "doc_id" not in s and "lang" not in s
+        for s in scans
+    ), scans
+    p = get_plan(spark, "pareto_abc_brands")
+    scans = [line for line in p.splitlines() if "ReadSchema" in line]
+    assert any(
+        "l_extendedprice" in s and "l_discount" in s and "l_quantity" not in s
+        for s in scans
+    ), scans
+    p = get_plan(spark, "rfm_customer_scores")
+    scans = [line for line in p.splitlines() if "ReadSchema" in line]
+    assert any(
+        "o_custkey" in s and "o_totalprice" in s and "o_comment" not in s
+        and "o_orderpriority" not in s
+        for s in scans
+    ), scans
+
+
 def test_incremental_pushes_filter(spark):
     p = get_plan(spark, "incremental_new_orders")
     assert "PushedFilters" in p

@@ -393,3 +393,48 @@ def test_pca_trace_and_subspace_random(spark, data):
     w_ref = np.sort(np.linalg.eigvalsh(cov))[::-1]
     assert np.allclose(model.eigenvalues, w_ref, rtol=1e-9, atol=1e-6)
     assert abs(sum(model.eigenvalues) - trace_ref / (n * n)) < 1e-6 * max(1.0, abs(trace_ref) / (n * n))
+
+
+@SETTINGS
+@given(
+    seeds=st.lists(st.integers(0, 3), min_size=6, max_size=16),
+    split=st.integers(2, 5),
+)
+def test_ivf_append_equals_frozen_rebuild_random(spark, seeds, split):
+    """Property form of the incremental-append invariant: for ANY
+    vector cloud and ANY old/new split, appending the new batch
+    against centroids frozen on the old slice must reproduce the exact
+    index a from-scratch assignment over old∪new (same centroids)
+    builds — including empty-ish new batches and clusters that exist
+    only in one slice."""
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.similarity import (
+        ivf_build,
+        ivf_index_append,
+        ivf_index_from_cents,
+        quantize,
+    )
+
+    rows = []
+    for i, s in enumerate(seeds):
+        base = [0.0] * 4
+        base[s] = 1.0
+        base[(s + 1) % 4] = 0.05 * (i % 5)
+        rows.append((i, s % 2, base))
+    emb = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+    old = emb.filter(F.col("vec_id") % split != 0)
+    new = emb.filter(F.col("vec_id") % split == 0)
+    if old.filter(F.col("label") == 0).count() == 0 or old.filter(F.col("label") == 1).count() == 0:
+        return  # a label absent from the old slice has no frozen centroid — out of contract
+    inv, cents = ivf_build(old, "vec_id", "embedding", "label", dim=4)
+    appended = ivf_index_append(inv, cents, new, "vec_id", "embedding")
+    rebuilt = ivf_index_from_cents(quantize(emb, "vec_id", "embedding"), cents, "vec_id")
+
+    def canon(df):
+        return sorted(
+            (r["neighbor_id"], r["assigned_label"], tuple(r["nq"]), r["nn"])
+            for r in df.collect()
+        )
+
+    assert canon(appended) == canon(rebuilt)
