@@ -250,6 +250,76 @@ def _jaccard_cluster_labels(spark: SparkSession, sf_dir: str):
     return docs, labels, sizes
 
 
+def _cluster_histogram_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes()},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM reach GROUP BY 1),
+    sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1),
+    hist AS (
+        SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY 1
+        UNION ALL
+        SELECT 1 AS cluster_size,
+               (SELECT COUNT(*) FROM documents)
+               - COALESCE((SELECT SUM(cluster_size) FROM sizes), 0) AS n_clusters
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+           CAST(cluster_size * n_clusters - n_clusters AS BIGINT) AS n_removable
+    FROM hist
+    """
+
+
+@register("dup_cluster_size_histogram", oracle=_cluster_histogram_oracle())
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: the NEAR-DUP cluster-size distribution —
+    for each cluster size, how many clusters exist, how many documents
+    they hold, and how many a keep-one policy removes (plus the
+    singleton row: docs in no pair at all, derived from the corpus
+    total minus clustered docs). This is what sizes a dedup run BEFORE
+    paying for it (Σ n_removable = corpus shrink) and what monitors
+    ingest health after (a fattening tail = a feed started
+    duplicating). Built on the same shared pair→components chain as
+    dedup_components, so the histogram can never disagree with the
+    keep/drop decisions it summarizes; the extra work over the
+    assignment view is two tiny aggregations."""
+    docs, _labels, sizes = _jaccard_cluster_labels(spark, sf_dir)
+    hist = sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+    clustered = sizes.agg(
+        F.coalesce(F.sum("cluster_size"), F.lit(0)).alias("clustered")
+    )
+    singles = (
+        docs.agg(F.count(F.lit(1)).alias("total"))
+        .crossJoin(F.broadcast(clustered))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("total") - F.col("clustered")).alias("n_clusters"),
+        )
+    )
+    return (
+        hist.select(F.col("cluster_size").cast("long"), "n_clusters")
+        .unionByName(singles)
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            (F.col("cluster_size") * F.col("n_clusters") - F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+    )
+
+
 @register("dedup_components", oracle=_components_oracle())
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup cluster assignment: connected components (iterative

@@ -2210,6 +2210,51 @@ def approx_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_order_gap_stats",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey AS custkey,
+               datediff('day',
+                        lag(CAST(o_orderdate AS DATE)) OVER (
+                            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                        CAST(o_orderdate AS DATE)) AS gap
+        FROM orders)
+    SELECT custkey,
+           COUNT(gap) AS n_gaps,
+           CAST(MIN(gap) AS BIGINT) AS min_gap_days,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_days,
+           round(CAST(SUM(gap) AS DOUBLE) / COUNT(gap), 6) AS avg_gap_days
+    FROM seq WHERE gap IS NOT NULL GROUP BY 1
+    """,
+)
+def customer_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase-time profile: per customer, the min/max/mean gap
+    in days between consecutive orders — the cadence signal behind
+    churn prediction and replenishment models (RFM's recency is this
+    series' last point). One lag window per customer (ordered by
+    (date, orderkey) so same-day orders cannot flip the sequence),
+    then a per-customer aggregate of exact integer day gaps; the mean
+    is one exact-count division. Shuffles on the customer key only."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    seq = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return seq.groupBy("custkey").agg(
+        F.count("gap").alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_gap_days"),
+        F.max("gap").cast("long").alias("max_gap_days"),
+        F.round(F.sum("gap").cast("double") / F.count("gap"), 6).alias("avg_gap_days"),
+    )
+
+
+@register(
     "pareto_abc_brands",
     oracle="""
     WITH rev AS (

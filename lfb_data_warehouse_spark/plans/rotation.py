@@ -313,6 +313,8 @@ UNCHECKED_PRIORITY: list[str] = [
     "basket_brand_affinity",
     "event_transition_matrix",
     "pareto_abc_brands",
+    "customer_order_gap_stats",
+    "dup_cluster_size_histogram",
 ]
 
 
