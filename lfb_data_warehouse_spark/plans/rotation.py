@@ -33,11 +33,19 @@ History:
 - Round 4 (CORRECTNESS_r04.json): 50/50 green — the 41-query backlog
   plus the six round-4 additions all flipped; union(r1..r4) covers the
   whole registry.
-- Round 5 (this file): window = flagship + 5 new round-5 queries +
-  rechecks (the two round-4 drops + the changed-oracle flagship
-  composite) + the oldest (round-1) greens as a steady re-verification
-  rotation. Oracle-text drift is now mechanically tracked
-  (tools/oracle_hashes.json + tools/rotation_check.py).
+- Round 5 (this file): the round grew the registry 181 → 200 — the
+  3 formerly-staged operators + IVF×PQ + the incremental-dedup pair
+  early in the round, then residual IVFPQ (+recall audit), IVF
+  append, PCA, MG heavy hitters, HLL set algebra, EWMA, rolling
+  anomaly, RFM, basket affinity, Markov transitions, Pareto/ABC,
+  order-gap stats, and the cluster histogram late in it. Window =
+  flagship + all 19 never-checked round-5 additions + the 3 priority
+  rechecks (the two round-4 drops + the changed-oracle corpus
+  composite) + the oldest (round-1) greens in the remaining spares.
+  Oracle-text drift is mechanically tracked
+  (tools/oracle_hashes.json + tools/rotation_check.py); every
+  registered query was locally vanilla-oracle-green at least twice
+  this round (LOCAL_CORRECTNESS_r05 refreshed per batch).
 
 Maintenance: after each round, append that round's green names to
 the _R{N}_GREEN block and rebuild UNCHECKED_PRIORITY from whatever has
