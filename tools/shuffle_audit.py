@@ -233,6 +233,16 @@ def main() -> None:
             "embedding_pca_claim",
             "heavy_hitters_sketch",
             "text_heavy_hitters",
+            # round-5 late analytics gates
+            "sketch_overlap_yoy",
+            "ewma_customer_spend",
+            "anomaly_daily_revenue",
+            "rfm_customer_scores",
+            "basket_brand_affinity",
+            "event_transition_matrix",
+            "pareto_abc_brands",
+            "customer_order_gap_stats",
+            "dup_cluster_size_histogram",
             "approx_ntile_price_quartiles",
             "pq_codebook_learned",
             "prepare_training_corpus",
