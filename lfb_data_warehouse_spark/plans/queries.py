@@ -2210,6 +2210,107 @@ def approx_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "seasonality_month_index",
+    oracle="""
+    WITH m AS (
+        SELECT c_mktsegment AS segment, month(o_orderdate) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(19,2)) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+    t AS (SELECT segment, CAST(SUM(revenue) AS DECIMAL(19,2)) AS total FROM m GROUP BY 1)
+    SELECT m.segment, CAST(m.month AS BIGINT) AS month,
+           CAST(m.revenue AS DOUBLE) AS revenue,
+           round(CAST(m.revenue AS DOUBLE) * 12 / CAST(t.total AS DOUBLE), 6) AS month_index
+    FROM m JOIN t ON t.segment = m.segment
+    """,
+)
+def seasonality_month_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: each (segment, calendar month)'s revenue
+    indexed against the segment's flat-month baseline (index 1.0 = an
+    average month; 1.3 = a 30%-over-baseline month) — the demand-
+    planning view behind inventory and staffing curves. Revenue stays
+    decimal-exact through both aggregates; the index is one fixed-order
+    double expression (rev·12/total) per row. Scale shape: the fact
+    table collapses to ≤ |segments|·12 rows before the tiny
+    baseline join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.month("o_orderdate").cast("long").alias("month"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+            .cast("decimal(19,2)")
+            .alias("revenue_d")
+        )
+    )
+    t = m.groupBy("segment").agg(
+        F.sum("revenue_d").cast("decimal(19,2)").alias("total")
+    )
+    return (
+        m.join(F.broadcast(t), "segment")
+        .select(
+            "segment",
+            "month",
+            F.col("revenue_d").cast("double").alias("revenue"),
+            F.round(
+                F.col("revenue_d").cast("double") * 12 / F.col("total").cast("double"),
+                6,
+            ).alias("month_index"),
+        )
+    )
+
+
+@register(
+    "new_vs_returning_revenue",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey, MIN(year(o_orderdate)) AS first_year FROM orders GROUP BY 1)
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+           COUNT(*) FILTER (year(o_orderdate) = first_year) AS new_orders,
+           COUNT(*) FILTER (year(o_orderdate) > first_year) AS returning_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)))
+                FILTER (year(o_orderdate) = first_year) AS DOUBLE) AS new_revenue,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(15,2)))
+                FILTER (year(o_orderdate) > first_year), 0) AS DOUBLE) AS returning_revenue,
+           round(CAST(COUNT(*) FILTER (year(o_orderdate) > first_year) AS DOUBLE)
+                 / COUNT(*), 6) AS returning_order_share
+    FROM orders JOIN firsts USING (o_custkey)
+    GROUP BY 1
+    """,
+)
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: each year's orders and revenue split into
+    NEW customers (first-ever order year) vs RETURNING — the
+    acquisition-vs-retention decomposition every revenue review opens
+    with. One aggregate derives each customer's first year, joins back
+    (broadcast — one row per customer), and a conditional aggregate
+    splits the fact rows; revenue decimal-exact, the share one
+    exact-count division. The first-year frame is |customers|-sized
+    regardless of order volume."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    firsts = orders.groupBy("o_custkey").agg(F.min(yr).alias("first_year"))
+    j = orders.join(F.broadcast(firsts), "o_custkey")
+    is_new = yr == F.col("first_year")
+    dec = F.col("o_totalprice").cast("decimal(15,2)")
+    return j.groupBy(yr.cast("long").alias("year")).agg(
+        F.count(F.when(is_new, 1)).alias("new_orders"),
+        F.count(F.when(~is_new, 1)).alias("returning_orders"),
+        F.sum(F.when(is_new, dec)).cast("double").alias("new_revenue"),
+        F.coalesce(F.sum(F.when(~is_new, dec)), F.lit(0))
+        .cast("double")
+        .alias("returning_revenue"),
+        F.round(
+            F.count(F.when(~is_new, 1)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("returning_order_share"),
+    )
+
+
+@register(
     "customer_order_gap_stats",
     oracle="""
     WITH seq AS (

@@ -323,6 +323,8 @@ UNCHECKED_PRIORITY: list[str] = [
     "pareto_abc_brands",
     "customer_order_gap_stats",
     "dup_cluster_size_histogram",
+    "seasonality_month_index",
+    "new_vs_returning_revenue",
 ]
 
 
