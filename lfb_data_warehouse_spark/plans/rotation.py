@@ -33,13 +33,14 @@ History:
 - Round 4 (CORRECTNESS_r04.json): 50/50 green — the 41-query backlog
   plus the six round-4 additions all flipped; union(r1..r4) covers the
   whole registry.
-- Round 5 (this file): the round grew the registry 181 → 200 — the
+- Round 5 (this file): the round grew the registry 181 → 202 — the
   3 formerly-staged operators + IVF×PQ + the incremental-dedup pair
   early in the round, then residual IVFPQ (+recall audit), IVF
   append, PCA, MG heavy hitters, HLL set algebra, EWMA, rolling
   anomaly, RFM, basket affinity, Markov transitions, Pareto/ABC,
-  order-gap stats, and the cluster histogram late in it. Window =
-  flagship + all 19 never-checked round-5 additions + the 3 priority
+  order-gap stats, the cluster histogram, the seasonality index,
+  and new-vs-returning growth accounting late in it. Window =
+  flagship + all 21 never-checked round-5 additions + the 3 priority
   rechecks (the two round-4 drops + the changed-oracle corpus
   composite) + the oldest (round-1) greens in the remaining spares.
   Oracle-text drift is mechanically tracked
