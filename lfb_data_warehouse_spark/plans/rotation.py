@@ -33,7 +33,7 @@ History:
 - Round 4 (CORRECTNESS_r04.json): 50/50 green — the 41-query backlog
   plus the six round-4 additions all flipped; union(r1..r4) covers the
   whole registry.
-- Round 5 (this file): the round grew the registry 181 → 202 — the
+- Round 5 (CORRECTNESS_r05.json): 50/50 green — the registry grew 181 → 202 — the
   3 formerly-staged operators + IVF×PQ + the incremental-dedup pair
   early in the round, then residual IVFPQ (+recall audit), IVF
   append, PCA, MG heavy hitters, HLL set algebra, EWMA, rolling
@@ -47,6 +47,11 @@ History:
   (tools/oracle_hashes.json + tools/rotation_check.py); every
   registered query was locally vanilla-oracle-green at least twice
   this round (LOCAL_CORRECTNESS_r05 refreshed per batch).
+- Round 6 (this file): the registry is closed at 202 and every query
+  has at least one driver row, so the window becomes a pure staleness
+  sweep — see _R6_RECHECK for the ordering rationale. New round-6
+  queries (the IO-contract composite) jump the queue via reorder()'s
+  new-query branch.
 
 Maintenance: after each round, append that round's green names to
 the _R{N}_GREEN block and rebuild UNCHECKED_PRIORITY from whatever has
@@ -278,33 +283,12 @@ _R4_RECHECK: list[str] = [
     "clustered_write_skipping",
 ]
 
-# Round 5 spare-slot re-verification, in priority order: the two
-# rechecks round 4 dropped (flagged by rotation_check ever since), then
-# prepare_training_corpus (its ORACLE text changed this round — the
-# full-recipe upgrade — and oracle edits are the riskiest change
-# class), then the OLDEST driver rows (round-1 greens, 4 rounds stale)
-# as the steady re-verification rotation. Only the first
-# len(window) - 1 - len(UNCHECKED_PRIORITY) actually land.
-_R5_RECHECK: list[str] = [
-    "sql_api_top_segment_customers",
-    "ivf_recall_audit",
-    "prepare_training_corpus",
-]
-
-VERIFIED_GREEN: list[str] = _R5_RECHECK + [
-    n
-    for n in _R1_GREEN + _R2_GREEN + _R3_GREEN + _R4_GREEN
-    if n not in _R5_RECHECK
-]
-
-# Oracle-defect re-checks: none pending (the round-2 trio flipped green
-# in round 3 and lives in _R3_GREEN now).
-ORACLE_FIXED: list[str] = []
-
-# Never-driver-checked queries in verification-priority order: the
-# round-5 additions (the three formerly-staged operators, the IVF x PQ
-# composition, and the incremental-dedup gate pair).
-UNCHECKED_PRIORITY: list[str] = [
+# Green in CORRECTNESS_r05.json (round 5 window, 50/50): the flagship,
+# all 21 round-5 additions, the 3 priority rechecks, and the 25 oldest
+# round-1 greens. With this block the union of r1..r5 driver rows
+# covers the entire registry.
+_R5_GREEN: list[str] = [
+    "flagship_star_fact",
     "approx_ntile_price_quartiles",
     "incremental_dedup_components",
     "incremental_dedup_survivors",
@@ -326,7 +310,127 @@ UNCHECKED_PRIORITY: list[str] = [
     "dup_cluster_size_histogram",
     "seasonality_month_index",
     "new_vs_returning_revenue",
+    "sql_api_top_segment_customers",
+    "ivf_recall_audit",
+    "prepare_training_corpus",
+    "mart_per_month",
+    "mart_per_segment",
+    "mart_types_per_segment",
+    "pivot_priority_by_year",
+    "dim_collapse_first",
+    "scd_latest_order",
+    "scd2_customer_priority",
+    "scd2_point_in_time_join",
+    "incremental_mart_update",
+    "topk_parts_per_brand",
+    "join_enrich_brand_revenue",
+    "join_composite_customer_year",
+    "incremental_new_orders",
+    "dq_referential_integrity",
+    "dq_profile_customer",
+    "hash_surrogate_keys",
+    "dim_region_sentinel",
+    "date_spine_orders",
+    "bucketize_acctbal",
+    "zscore_scrub_prices",
+    "try_cast_dirty_ingest",
+    "string_function_battery",
+    "unpivot_priority_measures",
+    "percentile_prices_by_flag",
+    "rollup_priority_year",
 ]
+
+# Round 6 re-verification, in priority order: the 57 queries whose most
+# recent driver row is >= 3 rounds old (histogram after r5: r1-stale 12,
+# r2-stale 45). Ordering within the block:
+#   1. the events-table battery (13 rows) — red in round 1 (events
+#      loader bug), fixed and proven green exactly once in round 2,
+#      never re-proven since; the oldest *risk*, not just the oldest
+#      timestamp;
+#   2. the 12 rows whose last driver green is round 1 (window/TPC-H
+#      early battery) — the oldest timestamps;
+#   3. the remaining round-2 rows in their original registry order.
+# Only the first len(window) - 1 - (# new round-6 queries) land this
+# round; the tail queues for round 7 under the same derived ordering.
+_R6_RECHECK: list[str] = [
+    # -- 1. events-table battery (r2, never re-proven since its fix) --
+    "asof_nearest_purchase",
+    "interval_join_purchase_clicks",
+    "funnel_view_click_purchase",
+    "sessionize_events",
+    "tumbling_hourly_events",
+    "sliding_window_events",
+    "salted_agg_events",
+    "json_extract_events",
+    "variant_shred_events",
+    "map_explode_props",
+    "asof_backward_last_click",
+    "stream_dedup_events",
+    "stream_dedup_jittered",
+    # -- 2. last driver green is round 1 --
+    "window_battery_customer_orders",
+    "window_trailing_30d",
+    "histogram_order_prices",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_variety",
+    "tpch_q18_large_volume",
+    "approx_distinct_segments",
+    # -- 3. remaining round-2 rows, original order --
+    "cdc_merge_orders",
+    "reconcile_order_snapshots",
+    "bloom_semijoin_revenue",
+    "dedup_keep_canonical",
+    "remix_token_budget",
+    "text_bigram_novelty",
+    "text_vocab_oov",
+    "near_dup_recall_audit",
+    "semantic_dedup_keep",
+    "text_sentences_udtf",
+    "text_readability_stats",
+    "dpp_partitioned_fact_join",
+    "xml_roundtrip_part",
+    "python_datasource_weekday_orders",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_cheapest_supplier",
+    "tpch_q22_prospects",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_simhash_fingerprints",
+]
+
+_ALL_GREEN: list[str] = (
+    _R1_GREEN + _R2_GREEN + _R3_GREEN + _R4_GREEN + _R5_GREEN
+)
+
+VERIFIED_GREEN: list[str] = _R6_RECHECK + [
+    n for n in _ALL_GREEN if n not in set(_R6_RECHECK)
+]
+
+# Oracle-defect re-checks: none pending (the round-2 trio flipped green
+# in round 3 and lives in _R3_GREEN now).
+ORACLE_FIXED: list[str] = []
+
+# Never-driver-checked queries: NONE — union(r1..r5) covers all 202
+# registry entries. Round-6 additions jump the queue via reorder()'s
+# new-query branch, each displacing one _R6_RECHECK slot.
+UNCHECKED_PRIORITY: list[str] = []
 
 
 def reorder(registry: dict) -> dict:
