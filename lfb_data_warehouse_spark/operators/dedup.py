@@ -428,8 +428,18 @@ def incremental_jaccard_pairs(
 
     Pair orientation: pairs are canonicalized to ``id_a < id_b``. A
     new×new pair meets once (left < right guard); a new×old pair meets
-    once because old ids appear only on the left side."""
+    once because old ids appear only on the left side.
+
+    Re-ingested ids: an id present in BOTH frames (a doc re-submitted
+    today) is treated as new — the old side drops it up front via a
+    broadcast anti-join on the batch's ids (batch-sized, so the
+    broadcast is free at daily-ingest scale). Without this the sizes
+    union would carry two rows for the id and the sz_a/sz_b joins
+    would silently duplicate pairs with corrupt jaccard values."""
     ws = tokens(text_col)
+    old = old.join(
+        F.broadcast(new.select(id_col).distinct()), id_col, "left_anti"
+    )
     keep = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
 
     def sets(df: DataFrame) -> DataFrame:

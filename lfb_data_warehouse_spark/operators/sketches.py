@@ -31,6 +31,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Column types the per-batch pandas groupby counts faithfully (floats
+# are excluded on purpose: NaN keys silently drop, and float equality
+# is no basis for identity counting).
+_GROUPABLE = {"string", "bigint", "int", "smallint", "tinyint", "boolean", "date"}
+
+
+def _col_type(df: DataFrame, col: str) -> str:
+    t = df.schema[col].dataType.simpleString()
+    if t not in _GROUPABLE:
+        raise TypeError(
+            f"mg_summaries: column {col!r} has type {t}; supported key/item "
+            f"types are {sorted(_GROUPABLE)} (identity-countable in pandas)"
+        )
+    return t
+
 
 def mg_summaries(
     df: DataFrame, key_col: str, item_col: str, capacity: int
@@ -45,7 +60,10 @@ def mg_summaries(
     Precondition: occurrence rows must be null-free in both columns
     (pandas groupby silently drops NaN keys, which would diverge from
     a null-keeping exact twin) — the tokenize/explode producers here
-    guarantee it; filter first for nullable inputs."""
+    guarantee it; filter first for nullable inputs. Key/item columns
+    must be identity-countable types (validated eagerly; the output
+    schema mirrors the input types rather than assuming string)."""
+    key_t, item_t = _col_type(df, key_col), _col_type(df, item_col)
 
     def summarize(batches):
         import pandas as pd
@@ -67,19 +85,37 @@ def mg_summaries(
         yield pd.DataFrame(rows, columns=[key_col, item_col, "lb"])
 
     return df.mapInPandas(
-        summarize, schema=f"{key_col} string, {item_col} string, lb long"
+        summarize, schema=f"{key_col} {key_t}, {item_col} {item_t}, lb long"
     )
 
 
 def mg_exact_topk(
-    df: DataFrame, key_col: str, item_col: str, k: int, capacity: int
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    k: int,
+    capacity: int,
+    check_exact: bool = False,
 ) -> DataFrame:
     """Exact per-key top-k items with MG-bounded shuffle: summaries →
     candidate union → broadcast-semi-join recount (map-side combine:
     the shuffle carries ≤ partitions × |candidates| partial rows) →
     exact top-k window with (count desc, item asc) tiebreak. Output
     ``(key, item, n, rank)`` equals the brute-force aggregation
-    whenever the k-th item clears the N/(capacity+1) MG threshold."""
+    whenever the k-th item clears the N/(capacity+1) MG threshold.
+
+    UNCHECKED PRECONDITION (default path): when the k-th item does NOT
+    clear that threshold the result is a plausible-looking but possibly
+    wrong top-k — the registry gate fails loudly only because its exact
+    oracle grades it. Direct library callers should pass
+    ``check_exact=True``: the threshold is then verified per key (one
+    extra map-side-combined count pass over ``df`` plus a bounded
+    collect of one row per key) and a ValueError names every key whose
+    k-th candidate count fails to clear total/(capacity+1). The check
+    runs one eager job; capacity is the knob when it trips. The
+    threshold is the SUFFICIENT condition, so the guard is
+    conservative: a borderline capacity can produce a correct top-k
+    yet still raise — that is the safe direction for a guard."""
     summ = mg_summaries(df, key_col, item_col, capacity)
     cands = summ.select(key_col, item_col).distinct()
     recount = (
@@ -88,7 +124,40 @@ def mg_exact_topk(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     w = Window.partitionBy(key_col).orderBy(F.col("n").desc(), F.col(item_col).asc())
-    return (
+    out = (
         recount.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+    if check_exact:
+        kth = out.filter(F.col("rank") == k).select(key_col, F.col("n").alias("kth_n"))
+        totals = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("total"))
+        joined = totals.join(kth, key_col, "left")
+        # kth_n present: exact iff kth_n > total/(capacity+1).
+        bad = [
+            (r[key_col], r["kth_n"], r["total"])
+            for r in joined.filter(
+                F.col("kth_n").isNotNull()
+                & (F.col("kth_n") * (capacity + 1) <= F.col("total"))
+            ).collect()  # bounded: one row per key
+        ]
+        # kth_n absent (< k candidates): exact iff the key really has
+        # fewer than k distinct items — checked exactly, but only for
+        # this (by construction tiny) key set.
+        short = joined.filter(F.col("kth_n").isNull()).select(key_col)
+        short_bad = [
+            (r[key_col], None, r["n_distinct"])
+            for r in df.join(F.broadcast(short), key_col, "left_semi")
+            .select(key_col, item_col)
+            .distinct()
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_distinct"))
+            .filter(F.col("n_distinct") >= k)
+            .collect()
+        ]
+        if bad or short_bad:
+            raise ValueError(
+                "mg_exact_topk: MG exactness threshold not met (k-th count "
+                "must exceed total/(capacity+1)); raise capacity. Violating "
+                f"(key, kth_count, total|n_distinct): {(bad + short_bad)[:20]}"
+            )
+    return out

@@ -732,3 +732,81 @@ def test_incremental_jaccard_pairs_equals_restricted_full(spark):
     assert want, "fixture produced no cross-batch pairs — weaken the threshold"
     assert got == want
     assert all(a in new_ids or b in new_ids for a, b in got)
+
+
+def test_mg_exact_topk_check_exact_guard(spark):
+    """check_exact=True must pass when the k-th item clears the MG
+    threshold (including the fewer-than-k-distinct-items case, which
+    is trivially exact) and raise ValueError when it does not."""
+    import pytest
+    from lfb_data_warehouse_spark.operators.sketches import mg_exact_topk
+
+    # heavy head, well separated: guard passes at capacity 16 (the
+    # 3rd item's count 66 clears N/(16+1) = 53.6; the threshold is the
+    # SUFFICIENT condition, so the guard is deliberately conservative —
+    # capacity 8 yields correct output here yet trips the guard)
+    rows = [("a", f"t{i:02d}") for i in range(60) for _ in range(200 // (i + 1))]
+    # second key with only 2 distinct items (< k): trivially exact
+    rows += [("b", "x")] * 5 + [("b", "y")] * 3
+    df = spark.createDataFrame(rows, "k string, item string").repartition(4)
+    out = mg_exact_topk(df, "k", "item", k=3, capacity=16, check_exact=True).collect()
+    assert {r["k"] for r in out} == {"a", "b"}
+    assert sum(1 for r in out if r["k"] == "b") == 2  # only 2 items exist
+
+    # near-uniform stream: k-th count (2) never clears N/(capacity+1)
+    flat = spark.createDataFrame(
+        [("a", f"u{i:03d}") for i in range(300) for _ in range(2)],
+        "k string, item string",
+    ).repartition(4)
+    with pytest.raises(ValueError, match="exactness threshold"):
+        mg_exact_topk(flat, "k", "item", k=3, capacity=8, check_exact=True)
+
+
+def test_mg_summaries_typed_schema(spark):
+    """mg_summaries must mirror the input key/item types in its output
+    schema (bigint items survive) and reject un-groupable types
+    eagerly instead of failing deep inside Arrow conversion."""
+    import pytest
+    from lfb_data_warehouse_spark.operators.sketches import mg_exact_topk, mg_summaries
+
+    df = spark.createDataFrame(
+        [("a", i % 5) for i in range(100)], "k string, item bigint"
+    ).repartition(3)
+    summ = mg_summaries(df, "k", "item", capacity=8)
+    assert summ.schema["item"].dataType.simpleString() == "bigint"
+    top = mg_exact_topk(df, "k", "item", k=2, capacity=8, check_exact=True).collect()
+    assert all(isinstance(r["item"], int) for r in top)
+
+    bad = spark.createDataFrame([("a", 1.5)], "k string, item double")
+    with pytest.raises(TypeError, match="item.*double"):
+        mg_summaries(bad, "k", "item", capacity=8)
+
+
+def test_incremental_jaccard_pairs_reingested_id(spark):
+    """An id present in BOTH old and new (re-ingested doc) must be
+    treated as new: same pairs and jaccard values as if the old copy
+    never existed — no duplicated size rows corrupting the scores."""
+    from lfb_data_warehouse_spark.operators.dedup import incremental_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(30):
+        words = base.split()
+        words[i % len(words)] = f"w{i % 5}"
+        rows.append((i, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter("doc_id < 20")            # ids 0..19
+    new = docs.filter("doc_id >= 16")           # ids 16..29 — 16..19 re-ingested
+    clean_old = docs.filter("doc_id < 16")      # the disjoint formulation
+
+    def pairs(o):
+        return {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in incremental_jaccard_pairs(
+                o, new, "doc_id", "text", 2, 0.3
+            ).collect()
+        }
+
+    want, got = pairs(clean_old), pairs(old)
+    assert want, "fixture produced no pairs — weaken the threshold"
+    assert got == want
