@@ -75,6 +75,17 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             clicks.write.mode("overwrite").partitionBy("event_type").parquet(path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    elif fmt == "csv_recursive":
+        # nested multi-directory CSV layout (S2): two subdirectories
+        # split by orderkey parity, totalprice under a SOURCE name so
+        # the read side must conform by rename (S10)
+        orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+            "o_totalprice", "price_raw"
+        )
+        for sub, pred in (("even", "o_orderkey % 2 = 0"), ("odd", "o_orderkey % 2 = 1")):
+            orders.filter(pred).write.mode("overwrite").option("header", "true").csv(
+                f"{path}/{sub}"
+            )
     else:
         raise ValueError(fmt)
     _STAGED[key] = path
@@ -573,3 +584,83 @@ def python_datasource_weekday_orders(spark: SparkSession, sf_dir: str) -> DataFr
             sum_exact("o_totalprice").alias("revenue"),
         )
     )
+
+
+@register(
+    "io_contract_battery",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             COUNT(DISTINCT o_orderkey) AS pk,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS chk
+      FROM orders)
+    SELECT 'non_empty' AS check_name, n > 0 AS passed,
+           CAST(n AS VARCHAR) AS observed FROM s
+    UNION ALL SELECT 'pk_unique', pk = n, CAST(pk AS VARCHAR) FROM s
+    UNION ALL SELECT 'column_count', TRUE, '6' FROM s
+    UNION ALL SELECT 'schema_equal', TRUE, 'true' FROM s
+    UNION ALL SELECT 'completeness_custkey', nn = 0, CAST(nn AS VARCHAR) FROM s
+    UNION ALL SELECT 'totalprice_checksum', TRUE, chk FROM s
+    """,
+)
+def io_contract_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite IO-contract gate: recursive multi-directory CSV scan
+    (S2) → schema inference at the raw edge (S1) → name-mapped
+    `conform` with a rename and explicit casts (S10/S6) → the contract
+    check battery (schema-equal, non-empty, PK-unique, completeness;
+    SURVEY §2.11) as ONE aggregate pass emitting a check report.
+
+    The oracle recomputes every observed value from the ORIGINAL
+    parquet, so a hash match proves the nested-CSV round-trip plus
+    rename-conform preserved row count, keys, nulls, and — via the
+    decimal checksum — every totalprice value bit-for-bit. The
+    `schema_equal`/`column_count` rows are Spark-side metadata claims
+    (the conformed frame's schema must equal the canonical loader
+    schema); the oracle pins their expected verdicts as literals."""
+    from ..sources.io import conform, read_csv
+
+    target = load_table(spark, sf_dir, "orders").schema
+    path = _stage(spark, sf_dir, "csv_recursive")
+    raw = read_csv(spark, path, recursive=True)  # header + inference
+    df = conform(raw, target, renames={"price_raw": "o_totalprice"})
+    schema_ok = df.schema == target and len(df.columns) == len(target)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("pk"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("nn"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("string").alias("chk"),
+    )
+    checks = F.array(
+        F.struct(
+            F.lit("non_empty").alias("check_name"),
+            (F.col("n") > 0).alias("passed"),
+            F.col("n").cast("string").alias("observed"),
+        ),
+        F.struct(
+            F.lit("pk_unique").alias("check_name"),
+            (F.col("pk") == F.col("n")).alias("passed"),
+            F.col("pk").cast("string").alias("observed"),
+        ),
+        F.struct(
+            F.lit("column_count").alias("check_name"),
+            F.lit(len(df.columns) == 6).alias("passed"),
+            F.lit(str(len(df.columns))).alias("observed"),
+        ),
+        F.struct(
+            F.lit("schema_equal").alias("check_name"),
+            F.lit(schema_ok).alias("passed"),
+            F.lit("true" if schema_ok else "false").alias("observed"),
+        ),
+        F.struct(
+            F.lit("completeness_custkey").alias("check_name"),
+            (F.col("nn") == 0).alias("passed"),
+            F.col("nn").cast("string").alias("observed"),
+        ),
+        F.struct(
+            F.lit("totalprice_checksum").alias("check_name"),
+            F.col("chk").isNotNull().alias("passed"),
+            F.col("chk").alias("observed"),
+        ),
+    )
+    return agg.select(F.explode(checks).alias("c")).select("c.*")

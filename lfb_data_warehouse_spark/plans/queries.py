@@ -2681,6 +2681,51 @@ def anomaly_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Grouped-collect folds (ewma_customer_spend and kin) are bounded by
+# per-entity history length; this is the documented cap the audit
+# below enforces. One task holds one entity's full history array, so
+# the cap is what keeps a pathological hot entity (an event-grain key
+# with 10M+ rows) from ballooning a single task.
+HISTORY_CAP = 10_000
+
+
+@register(
+    "history_length_audit",
+    oracle="""
+    WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+    SELECT COUNT(*) AS entities,
+           CAST(MAX(n) AS BIGINT) AS max_len,
+           CAST(SUM(CASE WHEN n > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hot_entities,
+           MAX(n) <= 10000 AS fold_safe
+    FROM c
+    """,
+)
+def history_length_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-entity PRECONDITION for grouped-collect folds — the guard
+    that makes `ewma_customer_spend`-style per-entity history arrays
+    safe, mirroring `skew_audit_user_events`'s role for salted
+    aggregation. A grouped collect_list is bounded by history length,
+    not corpus size — fine for entity-grain feature stores, but one
+    10M-row hot key would balloon a single task. This audit measures
+    the distribution in one aggregate pass (map-side combined; one
+    row out) and flags whether the HISTORY_CAP contract holds:
+    `fold_safe` false ⇒ cap or re-grain the history (e.g. pre-collapse
+    to daily aggregates) before running the fold."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return c.agg(
+        F.count(F.lit(1)).alias("entities"),
+        F.max("n").alias("max_len"),
+        F.sum((F.col("n") > HISTORY_CAP).cast("long")).alias("hot_entities"),
+    ).select(
+        "entities",
+        "max_len",
+        "hot_entities",
+        (F.col("max_len") <= HISTORY_CAP).alias("fold_safe"),
+    )
+
+
 @register(
     "ewma_customer_spend",
     oracle="""
@@ -2709,7 +2754,11 @@ def ewma_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted doubles through the identical expression, with each step
     re-quantized by the order-and-engine-stable half-up formula
     floor(x·10⁶ + 0.5)/10⁶ (oracle-parity-pitfalls: never bare
-    round() near midpoints, never order-dependent float sums)."""
+    round() near midpoints, never order-dependent float sums).
+
+    PRECONDITION: per-entity history length ≤ HISTORY_CAP — run
+    `history_length_audit` first (fold_safe must be true); for
+    event-grain keys re-grain the history before folding."""
     o = load_table(spark, sf_dir, "orders")
     arr = F.array_sort(
         F.collect_list(

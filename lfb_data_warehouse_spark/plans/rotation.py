@@ -427,10 +427,14 @@ VERIFIED_GREEN: list[str] = _R6_RECHECK + [
 # in round 3 and lives in _R3_GREEN now).
 ORACLE_FIXED: list[str] = []
 
-# Never-driver-checked queries: NONE — union(r1..r5) covers all 202
-# registry entries. Round-6 additions jump the queue via reorder()'s
-# new-query branch, each displacing one _R6_RECHECK slot.
-UNCHECKED_PRIORITY: list[str] = []
+# Never-driver-checked queries: the round-6 additions (the IO-contract
+# composite closing the last unit-only §2 cells, and the hot-entity
+# audit guarding grouped-collect folds). Each displaces one
+# _R6_RECHECK slot from the 50-slot window.
+UNCHECKED_PRIORITY: list[str] = [
+    "history_length_audit",
+    "io_contract_battery",
+]
 
 
 def reorder(registry: dict) -> dict:
