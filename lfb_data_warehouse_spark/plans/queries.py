@@ -2478,6 +2478,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "basket_brand_affinity",
+    headline=True,
     oracle="""
     WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
                 FROM lineitem JOIN part ON l_partkey = p_partkey),
@@ -2613,6 +2614,7 @@ def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "anomaly_daily_revenue",
+    headline=True,
     oracle="""
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS day,
@@ -2728,6 +2730,7 @@ def history_length_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ewma_customer_spend",
+    headline=True,
     oracle="""
     WITH s AS (SELECT o_custkey AS custkey,
                       list(CAST(o_totalprice AS DOUBLE)

@@ -712,6 +712,127 @@ def naive_heavy_hitters(spark, sf_dir):
     )
 
 
+def ewma_customer_spend(spark, sf_dir):
+    # naive: same grouped collect, but the recursive fold runs in a
+    # row-at-a-time PYTHON udf (serialize every history array out to a
+    # Python worker) instead of the JVM-side aggregate HOF
+    import math
+
+    orders = load_table(spark, sf_dir, "orders")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("o_orderdate").alias("d"),
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").cast("double").alias("v"),
+            )
+        )
+    )
+    g = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        arr.alias("a"), F.count(F.lit(1)).alias("n_orders")
+    )
+
+    @F.udf("double")
+    def fold(vs):
+        acc = vs[0]
+        for x in vs[1:]:
+            acc = math.floor((acc * 0.9 + x * 0.1) * 1000000 + 0.5) / 1000000.0
+        return acc
+
+    vs = F.transform(F.col("a"), lambda s: s["v"])
+    return g.select(
+        "custkey",
+        "n_orders",
+        F.element_at(vs, -1).alias("last_price"),
+        fold(vs).alias("ewma_price"),
+    )
+
+
+def basket_brand_affinity(spark, sf_dir):
+    # naive: pair join over the RAW lineitem-brand rows (lineitems² per
+    # order, deduplicated only after the join) — the blowup the
+    # engine's distinct-(order, brand) collapse avoids; supports via
+    # countDistinct, no broadcast hints
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob_raw = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    tot = ob_raw.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    per = ob_raw.groupBy("p_brand").agg(
+        F.countDistinct("l_orderkey").alias("support")
+    )
+    a = ob_raw.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = ob_raw.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("ok_b") == F.col("l_orderkey"))
+            & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .select("l_orderkey", "brand_a", "brand_b")
+        .distinct()
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("support_ab"))
+        .filter(F.col("support_ab") >= 20)
+    )
+    sa = per.select(F.col("p_brand").alias("brand_a"), F.col("support").alias("sa"))
+    sb = per.select(F.col("p_brand").alias("brand_b"), F.col("support").alias("sb"))
+    j = pairs.join(sa, "brand_a").join(sb, "brand_b").crossJoin(tot)
+    lift = (F.col("support_ab") * F.col("n_orders")).cast("double") / (
+        F.col("sa") * F.col("sb")
+    )
+    w = Window.orderBy(
+        F.col("lift_raw").desc(), F.col("brand_a").asc(), F.col("brand_b").asc()
+    )
+    return (
+        j.withColumn("lift_raw", lift)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "brand_a", "brand_b", "support_ab",
+            F.round("lift_raw", 6).alias("lift"), "rank",
+        )
+    )
+
+
+def anomaly_daily_revenue(spark, sf_dir):
+    # naive: trailing stats via a per-day range SELF-JOIN (every day
+    # matched against its 29 predecessors) instead of one ordered
+    # window pass
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+        .cast("decimal(15,2)")
+        .alias("rev")
+    )
+    day_no = F.datediff(F.col("day"), F.lit("1990-01-01").cast("date"))
+    a = daily.select("day", "rev", day_no.alias("dn"))
+    b = daily.select(day_no.alias("dn_b"), F.col("rev").alias("rev_b"))
+    j = a.join(
+        b, (F.col("dn_b") >= F.col("dn") - 29) & (F.col("dn_b") <= F.col("dn") - 1), "left"
+    )
+    stats = j.groupBy("day", "rev").agg(
+        F.count("rev_b").alias("trailing_n"),
+        F.sum("rev_b").cast("double").alias("s"),
+        F.sum(F.col("rev_b") * F.col("rev_b")).cast("double").alias("ss"),
+    )
+    n = F.col("trailing_n")
+    mean = F.col("s") / n
+    var = F.col("ss") / n - mean * mean
+    z = (F.col("rev").cast("double") - mean) / F.sqrt(var)
+    gated = (n >= 10) & (var > 0)
+    return stats.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        "trailing_n",
+        F.when(gated, F.round(z, 6)).alias("zscore"),
+        F.coalesce(F.when(gated, F.abs(z) >= 2.5), F.lit(False)).alias("is_anomaly"),
+    )
+
+
 NAIVE = {
     "flagship_star_fact": flagship_star_fact,
     "asof_nearest_purchase": asof_nearest_purchase,
@@ -747,6 +868,11 @@ NAIVE = {
     # MG sketch vs the exact vocabulary-shuffling groupBy (equal-RESULT
     # twin: both produce the identical exact top-10)
     "heavy_hitters_sketch_bench": naive_heavy_hitters,
+    # round-5 analytics gates vs their first-pass formulations:
+    # Python-UDF fold / raw-rows pair join / per-day range self-join
+    "ewma_customer_spend": ewma_customer_spend,
+    "basket_brand_affinity": basket_brand_affinity,
+    "anomaly_daily_revenue": anomaly_daily_revenue,
 }
 
 
