@@ -45,6 +45,7 @@ QUERIES = (
     "heavy_hitters_sketch",  # MG summaries + recount
     "pack_sequences_documents",  # two-phase prefix sum
     "dedup_keep_canonical",  # MinHash→LSH→components→survivors
+    "dedup_components_star",  # exact-pair chain + O(log n) star rounds
 )
 
 
@@ -89,6 +90,73 @@ def main() -> None:
         slope = (times[-1] / times[0]) / (hi_k / lo_k)
         cells = " | ".join(f"{t:.2f}" for t in times)
         print(f"| {name} | {cells} | {slope:.2f} |")
+
+    # -- incremental_dedup_step: FIXED batch vs a xK old corpus --------
+    # The batch-bounded claim: the daily step's cost scales with the
+    # batch (+ its matched old docs), not the corpus. The batch
+    # predicate widens its modulus by K so the ABSOLUTE batch size
+    # stays fixed while the old side grows xK; yesterday's labels are
+    # materialized untimed per dir (the state production already has).
+    # A slope << 1 here is the claim; contrast with the full-recompute
+    # chain rows above, whose slope is ~K-linear-plus.
+    import tempfile
+
+    from lfb_data_warehouse_spark.operators.dedup import (
+        all_pairs_jaccard,
+        incremental_jaccard_pairs,
+    )
+    from lfb_data_warehouse_spark.operators.graph import (
+        connected_components_star,
+        incremental_components,
+    )
+    from lfb_data_warehouse_spark.plans.datapipe_queries import (
+        JACCARD_N,
+        JACCARD_THRESHOLD,
+        NEWBATCH_MOD,
+        NEWBATCH_REM,
+    )
+
+    def inc_step(docs, is_new, labels):
+        old, new = docs.filter(~is_new), docs.filter(is_new)
+        edges = incremental_jaccard_pairs(
+            old, new, "doc_id", "text",
+            shingle_n=JACCARD_N, threshold=JACCARD_THRESHOLD, group_col="source",
+        ).select("id_a", "id_b")
+        return incremental_components(labels, edges, src="id_a", dst="id_b")
+
+    times = []
+    batch_sizes = []
+    for k in ks:
+        d = dirs[k]
+        docs = load_table(spark, d, "documents")
+        is_new = F.col("doc_id") % (NEWBATCH_MOD * k) == NEWBATCH_REM
+        batch_sizes.append(docs.filter(is_new).count())
+        lbl_dir = tempfile.mkdtemp(prefix=f"lfb_scale_labels_x{k}_")
+        pairs = all_pairs_jaccard(
+            docs.filter(~is_new), "doc_id", "text",
+            shingle_n=JACCARD_N, threshold=JACCARD_THRESHOLD, group_col="source",
+        )
+        connected_components_star(pairs, src="id_a", dst="id_b").write.mode(
+            "overwrite"
+        ).parquet(lbl_dir)
+        labels = spark.read.parquet(lbl_dir)
+        inc_step(docs, is_new, labels).write.format("noop").mode(
+            "overwrite"
+        ).save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            inc_step(docs, is_new, labels).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+        times.append(best)
+    slope = (times[-1] / times[0]) / (ks[-1] / ks[0])
+    cells = " | ".join(f"{t:.2f}" for t in times)
+    print(
+        f"| incremental_dedup_step (fixed batch {min(batch_sizes)}-"
+        f"{max(batch_sizes)} docs) | {cells} | {slope:.2f} |"
+    )
 
 
 if __name__ == "__main__":
