@@ -246,6 +246,11 @@ def main() -> None:
             "approx_ntile_price_quartiles",
             "pq_codebook_learned",
             "prepare_training_corpus",
+            # round-6 additions: the IO-contract composite (CSV scan +
+            # conform + one-aggregate check battery) and the hot-entity
+            # audit (one map-side-combined pass)
+            "io_contract_battery",
+            "history_length_audit",
         )
         runners.update({n: REGISTRY[n].fn for n in AUDIT_EXTRA})
         # bootstrap yesterday's labels UNTAGGED so the audit-only
@@ -381,7 +386,69 @@ now measured):
     partial-aggregation pass (25 sketch rows crossed) + a broadcast
     boundary join — the whole point vs the exact window's full sort.
   - `pq_codebook_learned` (2.1): m×iters Lloyd passes over (id,
-    subvector) rows; bounded by m · iters · corpus, never pairs.""")
+    subvector) rows; bounded by m · iters · corpus, never pairs.
+- Round-5 late additions:
+  - `ann_ivf_pq_residual_topk` (1.25 vs raw ivfpq's 1.06): same
+    codes-only candidate traffic; the extra ~0.2 is the residual
+    build's assignment-frame join to the broadcast centroid set
+    (encode happens on the joined frame). Scan/search cost is
+    otherwise identical to the raw variant — the recall difference,
+    not the traffic, is the decision axis (measured by
+    `ivfpq_residual_recall_audit`).
+  - `ivf_incremental_append` (0.79): centroid build on the old 90% +
+    one per-id max-by over batch rows; the old inverted list is never
+    re-shuffled. In production only the |new batch| assignment moves.
+  - `embedding_pca_claim` (1.02): the loader fan-out plus TWO 1-row
+    exchanges (the moment pass and the projection-variance pass) —
+    the covariance itself crosses the network as one dim(dim+3)/2
+    scalar row per partition, invisible at this precision.
+  - `heavy_hitters_sketch` (48.9k rows) vs `text_heavy_hitters`
+    (24.6k): on THIS corpus the exact path shuffles LESS — the
+    per-source vocabulary (~1.2k terms) is far below the sketch's
+    partitions × keys × capacity envelope, so the MG machinery can't
+    pay for itself. That is exactly the claim structure the row
+    exists to pin: the sketch's traffic is CAPACITY-bounded
+    (independent of vocabulary), the exact path's is
+    VOCABULARY-bounded — at a web-scale billion-term vocabulary the
+    exact groupBy's post-combine shuffle grows without limit while
+    the sketch's stays partitions × capacity. Both rows are measured
+    so the crossover is arithmetic, not assertion.
+- Round-5 analytics-gate rows:
+  - `pareto_abc_brands` (0.000), `anomaly_daily_revenue` (0.03),
+    `ewma_customer_spend` / `rfm_customer_scores` (0.10),
+    `sketch_overlap_yoy` (0.26): all collapse the fact table to
+    entity/day/brand/year rows before any ordered or pairwise work —
+    the shuffles carry aggregates, never facts.
+  - `event_transition_matrix` (1.00) and `customer_order_gap_stats`
+    (1.10): per-entity sequence windows — every event/order crosses
+    once into its entity's partition, the irreducible cost of
+    ordering a history; everything downstream is |types|²- or
+    |customers|-sized.
+  - `basket_brand_affinity` (1.29): the DISTINCT (order, brand)
+    reduction is the mitigation — the pair join shuffles basket-brand
+    rows (≤ brands per basket), not lineitems, and the 1.29 is
+    dominated by the distinct itself over the widest fact table.
+  - `dup_cluster_size_histogram` (35.1): inherits the FULL
+    pair→components chain budget (same class as
+    incremental_dedup_survivors' 16.4 — shingle fan-out + banded
+    pairs + star rounds against a small doc-count denominator); the
+    histogram itself adds only two tiny aggregations on top of the
+    chain it summarizes, and in production it reads the ALREADY
+    MATERIALIZED labels (the incremental_dedup_step path) instead of
+    recomputing them.
+- Round-6 rows:
+  - `io_contract_battery` (0.25): the contract checks ride ONE
+    aggregate pass over the conformed CSV read; the shuffle is
+    entirely the exact PK-uniqueness countDistinct (one row per
+    distinct orderkey after map-side partials — the irreducible cost
+    of an EXACT uniqueness proof; at warehouse scale swap in
+    approx_count_distinct or the HLL mart for a sketch-sized check).
+    Input counts the schema-inference pass too: inference costs one
+    extra full scan of the files, which is why the loaders prefer
+    explicit schemas everywhere else.
+  - `history_length_audit` (0.10): per-entity count rows only — the
+    guard that certifies grouped-collect folds costs one
+    map-side-combined aggregate, nothing entity-history-sized.""")
     finally:
         shutil.rmtree(event_dir, ignore_errors=True)
 
