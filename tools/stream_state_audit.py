@@ -78,6 +78,34 @@ def run_and_meter(out, mode: str) -> dict[str, int]:
     return tot
 
 
+def stage_daily_tranches(spark, sf_dir: str) -> str:
+    """Stage events as one time-ordered file PER DAY (mtimes increasing,
+    maxFilesPerTrigger=1 → one micro-batch per day). Unlike the
+    late-replay staging, the watermark here advances once per day —
+    the continuous-ingest cadence — so per-key state (sessions, dedup
+    keys) should hold only the watermark horizon, not the corpus."""
+    import shutil
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    days = [
+        r[0]
+        for r in events.select(F.to_date("ts").alias("d")).distinct().orderBy("d").collect()
+    ]
+    src = tempfile.mkdtemp(prefix="lfb_stream_daily_")
+    for i, day in enumerate(days):
+        tmp = tempfile.mkdtemp(prefix="lfb_stream_daily_part_")
+        events.filter(F.to_date("ts") == F.lit(day)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copyfile(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        shutil.rmtree(tmp, ignore_errors=True)
+    return src
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("stream-state-audit")
@@ -121,6 +149,45 @@ def main() -> None:
     print("| shape | input rows | peak state | end state | dropped late | evicted |")
     print("|---|---|---|---|---|---|")
     for label, (out, mode) in shapes.items():
+        t = run_and_meter(out, mode)
+        print(
+            f"| {label} | {t['input']:,} | {t['peak_state']:,} | "
+            f"{t['end_state']:,} | {t['dropped_late']:,} | {t['evicted']:,} |"
+        )
+
+    # continuous-ingest cadence: one micro-batch per day, watermark
+    # advancing daily — the per-key shapes should now peak at the
+    # horizon's keys, not the corpus's
+    daily = stage_daily_tranches(spark, sf_dir)
+
+    def daily_stream():
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(daily)
+        )
+
+    daily_shapes = {
+        f"session windows, daily batches (gap {SESSION_GAP}, wm 1h)": (
+            stream_session_agg(
+                daily_stream(), "ts", gap=SESSION_GAP, keys=["user_id"], watermark="1 hour"
+            ),
+            "append",
+        ),
+        "dedup within watermark, daily batches (1h)": (
+            stream_dedup_within_watermark(
+                daily_stream(), ["event_id"], "ts", watermark="1 hour"
+            ),
+            "append",
+        ),
+        "tumbling 1h agg, daily batches (wm 1h)": (
+            stream_windowed_agg(
+                daily_stream(), "ts", window="1 hour", keys=["event_type"], watermark="1 hour"
+            ),
+            "append",
+        ),
+    }
+    for label, (out, mode) in daily_shapes.items():
         t = run_and_meter(out, mode)
         print(
             f"| {label} | {t['input']:,} | {t['peak_state']:,} | "
