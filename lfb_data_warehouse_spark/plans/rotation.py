@@ -55,7 +55,10 @@ History:
 
 Maintenance: after each round, append that round's green names to
 the _R{N}_GREEN block and rebuild UNCHECKED_PRIORITY from whatever has
-no driver row yet. The ordering below is deterministic and derived, so
+no driver row yet. ``python tools/freshness.py`` derives the inputs
+mechanically (last-green histogram, never-checked set, oldest-first
+recheck queue); run it before editing, and
+``tools/rotation_check.py --update-hashes`` after positioning. The ordering below is deterministic and derived, so
 the next unverified queries automatically move to the front.
 """
 
