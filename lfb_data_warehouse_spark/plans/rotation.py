@@ -47,11 +47,11 @@ History:
   (tools/oracle_hashes.json + tools/rotation_check.py); every
   registered query was locally vanilla-oracle-green at least twice
   this round (LOCAL_CORRECTNESS_r05 refreshed per batch).
-- Round 6 (this file): the registry is closed at 202 and every query
-  has at least one driver row, so the window becomes a pure staleness
-  sweep — see _R6_RECHECK for the ordering rationale. New round-6
-  queries (the IO-contract composite) jump the queue via reorder()'s
-  new-query branch.
+- Round 6 (this file): every round-5 query has at least one driver
+  row, so the window becomes a staleness sweep — see _R6_RECHECK for
+  the ordering rationale. Two round-6 additions (io_contract_battery,
+  history_length_audit; registry 202 → 204) take UNCHECKED_PRIORITY
+  slots ahead of the sweep.
 
 Maintenance: after each round, append that round's green names to
 the _R{N}_GREEN block and rebuild UNCHECKED_PRIORITY from whatever has
