@@ -111,11 +111,16 @@ def mg_exact_topk(
     ``check_exact=True``: the threshold is then verified per key (one
     extra map-side-combined count pass over ``df`` plus a bounded
     collect of one row per key) and a ValueError names every key whose
-    k-th candidate count fails to clear total/(capacity+1). The check
-    runs one eager job; capacity is the knob when it trips. The
-    threshold is the SUFFICIENT condition, so the guard is
-    conservative: a borderline capacity can produce a correct top-k
-    yet still raise — that is the safe direction for a guard."""
+    k-th candidate count fails to clear total/(capacity+1) — or, for
+    keys with fewer than k candidates, whose candidate set fails to
+    cover every distinct item (candidate coverage, not merely
+    n_distinct < k, is what makes the short case exact: MG can evict
+    items whenever distinct-per-partition exceeds capacity, even with
+    total distinct below k). The check runs one eager job; capacity is
+    the knob when it trips. The threshold is the SUFFICIENT condition,
+    so the guard is conservative: a borderline capacity can produce a
+    correct top-k yet still raise — that is the safe direction for a
+    guard."""
     summ = mg_summaries(df, key_col, item_col, capacity)
     cands = summ.select(key_col, item_col).distinct()
     recount = (
@@ -140,24 +145,39 @@ def mg_exact_topk(
                 & (F.col("kth_n") * (capacity + 1) <= F.col("total"))
             ).collect()  # bounded: one row per key
         ]
-        # kth_n absent (< k candidates): exact iff the key really has
-        # fewer than k distinct items — checked exactly, but only for
-        # this (by construction tiny) key set.
+        # kth_n absent (< k candidates): the recount made every
+        # candidate's count exact, so the output equals brute force iff
+        # the candidate set covers ALL of the key's distinct items.
+        # Fewer-than-k distinct alone is NOT sufficient — MG evicts
+        # items whenever a partition's running distinct count exceeds
+        # capacity, which can happen with total distinct still below k
+        # (capacity < k). Checked exactly, but only for this (by
+        # construction tiny) key set: flag any key whose true distinct
+        # count exceeds its candidate/output row count.
         short = joined.filter(F.col("kth_n").isNull()).select(key_col)
+        short_out = (
+            out.join(F.broadcast(short), key_col, "left_semi")
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_out"))
+        )
         short_bad = [
-            (r[key_col], None, r["n_distinct"])
+            (r[key_col], r["n_out"], r["n_distinct"])
             for r in df.join(F.broadcast(short), key_col, "left_semi")
             .select(key_col, item_col)
             .distinct()
             .groupBy(key_col)
             .agg(F.count(F.lit(1)).alias("n_distinct"))
-            .filter(F.col("n_distinct") >= k)
+            .join(short_out, key_col, "left")
+            .withColumn("n_out", F.coalesce(F.col("n_out"), F.lit(0)))
+            .filter(F.col("n_distinct") > F.col("n_out"))
             .collect()
         ]
         if bad or short_bad:
             raise ValueError(
-                "mg_exact_topk: MG exactness threshold not met (k-th count "
-                "must exceed total/(capacity+1)); raise capacity. Violating "
-                f"(key, kth_count, total|n_distinct): {(bad + short_bad)[:20]}"
+                "mg_exact_topk: MG exactness not provable (k-th count must "
+                "exceed total/(capacity+1), and keys with < k candidates "
+                "must have every distinct item as a candidate); raise "
+                "capacity. Violating (key, kth_count, total) | "
+                f"(key, n_candidates, n_distinct): {(bad + short_bad)[:20]}"
             )
     return out

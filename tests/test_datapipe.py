@@ -758,8 +758,35 @@ def test_mg_exact_topk_check_exact_guard(spark):
         [("a", f"u{i:03d}") for i in range(300) for _ in range(2)],
         "k string, item string",
     ).repartition(4)
-    with pytest.raises(ValueError, match="exactness threshold"):
+    with pytest.raises(ValueError, match="exactness not provable"):
         mg_exact_topk(flat, "k", "item", k=3, capacity=8, check_exact=True)
+
+
+def test_mg_check_exact_short_key_eviction_raises(spark):
+    """Regression (round-7 ADVICE): with k > capacity, a key can end up
+    with fewer than k candidates NOT because it has fewer than k
+    distinct items but because MG evicted some (distinct > capacity).
+    The old guard keyed the short case on n_distinct >= k and silently
+    returned a truncated top-k here; the fixed guard must raise because
+    the candidate set (2 rows) fails to cover the 4 distinct items.
+    Single partition on purpose: splitting the stream could leave every
+    partition under capacity, in which case nothing is evicted and the
+    guard correctly stays quiet."""
+    import pytest
+    from lfb_data_warehouse_spark.operators.sketches import mg_exact_topk
+
+    rows = (
+        [("g", "A")] * 10 + [("g", "B")] * 10 + [("g", "C")] + [("g", "D")]
+    )
+    df = spark.createDataFrame(rows, "k string, item string").coalesce(1)
+    with pytest.raises(ValueError, match="exactness not provable"):
+        mg_exact_topk(df, "k", "item", k=5, capacity=2, check_exact=True)
+
+    # same stream, capacity >= distinct: nothing evicted, candidates
+    # cover all 4 items, the guard passes and the output IS brute force
+    out = mg_exact_topk(df, "k", "item", k=5, capacity=4, check_exact=True)
+    got = {(r["item"], r["n"], r["rank"]) for r in out.collect()}
+    assert got == {("A", 10, 1), ("B", 10, 2), ("C", 1, 3), ("D", 1, 4)}
 
 
 def test_mg_summaries_typed_schema(spark):

@@ -444,14 +444,18 @@ def test_ivf_append_equals_frozen_rebuild_random(spark, seeds, split):
 @given(
     stream=st.lists(st.integers(0, 25), min_size=1, max_size=120),
     capacity=st.integers(2, 8),
+    k=st.integers(1, 6),
 )
-def test_mg_check_exact_guard_sound_on_random_streams(spark, stream, capacity):
+def test_mg_check_exact_guard_sound_on_random_streams(spark, stream, capacity, k):
     """The check_exact guard's soundness contract on arbitrary streams:
     it either raises (threshold not provable) or returns a result that
     EQUALS the brute-force top-k — never a silent wrong answer. The
     guard may be conservative (raise despite a correct answer), but
     the converse — returning without raising yet differing from brute
-    force — is the bug class it exists to preclude."""
+    force — is the bug class it exists to preclude. k is drawn too
+    (round-7 ADVICE): k > capacity reaches the short-key eviction case
+    (distinct > capacity while distinct < k) that a fixed k=3 with
+    capacity >= 2 never could."""
     from collections import Counter
 
     import pytest as _pytest
@@ -461,7 +465,6 @@ def test_mg_check_exact_guard_sound_on_random_streams(spark, stream, capacity):
     rows = [("k", f"i{v:02d}") for v in stream]
     df = spark.createDataFrame(rows, "k string, item string").repartition(3)
     true = Counter(f"i{v:02d}" for v in stream)
-    k = 3
     ranked = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))
     want = {i + 1: (it, c) for i, (it, c) in enumerate(ranked[:k])}
     try:
