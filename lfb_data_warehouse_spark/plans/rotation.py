@@ -47,11 +47,18 @@ History:
   (tools/oracle_hashes.json + tools/rotation_check.py); every
   registered query was locally vanilla-oracle-green at least twice
   this round (LOCAL_CORRECTNESS_r05 refreshed per batch).
-- Round 6 (this file): every round-5 query has at least one driver
-  row, so the window becomes a staleness sweep — see _R6_RECHECK for
-  the ordering rationale. Two round-6 additions (io_contract_battery,
-  history_length_audit; registry 202 → 204) take UNCHECKED_PRIORITY
-  slots ahead of the sweep.
+- Round 6 (CORRECTNESS_r06.json): 50/50 green — the staleness sweep
+  (_R6_RECHECK ordering: events battery, then r1-era, then r2-era)
+  plus the two round-6 additions (io_contract_battery,
+  history_length_audit; registry 202 → 204). The sweep's tail — 10
+  queries whose last driver row stayed r2 — leads round 7.
+- Round 7 (this file): pure freshness round. _R7_RECHECK is the
+  mechanical `tools/freshness.py` staleness queue (the 10 r2-tail
+  queries, then every r3-era row oldest-first); only the first
+  window-size − 1 − (# new round-7 queries) land, the rest queue for
+  round 8. VERIFIED_GREEN is now deduped keeping each name's LAST
+  green round (round-7 ADVICE: duplicated names used to order
+  freshly-regreen queries by their stale first-occurrence positions).
 
 Maintenance: after each round, append that round's green names to
 the _R{N}_GREEN block and rebuild UNCHECKED_PRIORITY from whatever has
@@ -418,26 +425,162 @@ _R6_RECHECK: list[str] = [
     "dedup_simhash_fingerprints",
 ]
 
-_ALL_GREEN: list[str] = (
-    _R1_GREEN + _R2_GREEN + _R3_GREEN + _R4_GREEN + _R5_GREEN
+# Green in CORRECTNESS_r06.json (round 6 window, 50/50): the flagship,
+# the two round-6 additions, and the head of the _R6_RECHECK staleness
+# sweep (events battery, r1-era, r2-era through tpch_q17).
+_R6_GREEN: list[str] = [
+    "flagship_star_fact",
+    "history_length_audit",
+    "io_contract_battery",
+    "asof_nearest_purchase",
+    "interval_join_purchase_clicks",
+    "funnel_view_click_purchase",
+    "sessionize_events",
+    "tumbling_hourly_events",
+    "sliding_window_events",
+    "salted_agg_events",
+    "json_extract_events",
+    "variant_shred_events",
+    "map_explode_props",
+    "asof_backward_last_click",
+    "stream_dedup_events",
+    "stream_dedup_jittered",
+    "window_battery_customer_orders",
+    "window_trailing_30d",
+    "histogram_order_prices",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_variety",
+    "tpch_q18_large_volume",
+    "approx_distinct_segments",
+    "cdc_merge_orders",
+    "reconcile_order_snapshots",
+    "bloom_semijoin_revenue",
+    "dedup_keep_canonical",
+    "remix_token_budget",
+    "text_bigram_novelty",
+    "text_vocab_oov",
+    "near_dup_recall_audit",
+    "semantic_dedup_keep",
+    "text_sentences_udtf",
+    "text_readability_stats",
+    "dpp_partitioned_fact_join",
+    "xml_roundtrip_part",
+    "python_datasource_weekday_orders",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+]
+
+# Round 7 re-verification, in priority order: tools/freshness.py's
+# staleness queue after round 6 — the 10 queries whose last driver row
+# is round 2 (the documented _R6_RECHECK tail: the late-TPC-H battery
+# and the exact/near-dup dedup chain), then every round-3-era row
+# oldest-first in registry order. 56 candidates for ~48 spare slots:
+# the tail that misses the window queues for round 8 under the same
+# derived ordering.
+_R7_RECHECK: list[str] = [
+    # -- 1. last driver green is round 2 (the round-6 sweep tail) --
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_cheapest_supplier",
+    "tpch_q22_prospects",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_simhash_fingerprints",
+    # -- 2. last driver green is round 3, registry order --
+    "span_dedup_documents",
+    "text_unigram_logprob",
+    "embedding_random_projection",
+    "stream_late_data_drop",
+    "stream_sliding_halfhour",
+    "stratified_split_documents",
+    "shard_assignment_documents",
+    "url_parse_battery",
+    "grouping_sets_mart",
+    "ntile_quartile_acctbal",
+    "text_token_diversity",
+    "cross_source_dup_matrix",
+    "split_drift_audit",
+    "window_frames_battery",
+    "mode_priority_per_segment",
+    "user_event_type_profile",
+    "winsorize_prices_by_flag",
+    "pandas_grouped_agg_median",
+    "maparrow_embedding_norms",
+    "observe_ingest_metrics",
+    "file_provenance_documents",
+    "zorder_clustering_locality",
+    "skew_audit_user_events",
+    "schema_drift_union_safe_math",
+    "mad_scrub_event_values",
+    "tpch_q12_late_priority",
+    "user_event_sequences",
+    "array_hof_battery",
+    "dedup_simhash_near_dups",
+    "knn_bruteforce_cosine",
+    "embedding_near_dup_pairs",
+    "ann_ivf_topk",
+    "embedding_lsh_near_dups",
+    "int8_ann_topk_claim",
+    "ivf_centroid_assign",
+    "decontaminate_test_split",
+    "bucketed_join_colocated",
+    "partitioned_scan_pruning",
+    "partition_overwrite_backfill",
+    "csv_roundtrip_orders",
+    "orc_roundtrip_lineitem",
+    "jsonl_roundtrip_events",
+    "csv_permissive_corrupt_rows",
+    "clustered_write_skipping",
+    "schema_evolution_merge",
+    "compaction_roundtrip",
+]
+
+
+def _dedupe_keep_last(names: list[str]) -> list[str]:
+    """Dedupe preserving each name's LAST occurrence, so concatenated
+    round blocks order by most-recent green round (stalest first) —
+    a name re-greened in a later round must NOT keep its stale earlier
+    position (round-7 ADVICE)."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for n in reversed(names):
+        if n not in seen:
+            seen.add(n)
+            out.append(n)
+    return out[::-1]
+
+
+_ALL_GREEN: list[str] = _dedupe_keep_last(
+    _R1_GREEN + _R2_GREEN + _R3_GREEN + _R4_GREEN + _R5_GREEN + _R6_GREEN
 )
 
-VERIFIED_GREEN: list[str] = _R6_RECHECK + [
-    n for n in _ALL_GREEN if n not in set(_R6_RECHECK)
+VERIFIED_GREEN: list[str] = _R7_RECHECK + [
+    n for n in _ALL_GREEN if n not in set(_R7_RECHECK)
 ]
 
 # Oracle-defect re-checks: none pending (the round-2 trio flipped green
 # in round 3 and lives in _R3_GREEN now).
 ORACLE_FIXED: list[str] = []
 
-# Never-driver-checked queries: the round-6 additions (the IO-contract
-# composite closing the last unit-only §2 cells, and the hot-entity
-# audit guarding grouped-collect folds). Each displaces one
-# _R6_RECHECK slot from the 50-slot window.
-UNCHECKED_PRIORITY: list[str] = [
-    "history_length_audit",
-    "io_contract_battery",
-]
+# Never-driver-checked queries: none at round-7 open (the round-6
+# additions went green in CORRECTNESS_r06). Round-7 additions get
+# appended here as they ship, each displacing one _R7_RECHECK slot
+# from the 50-slot window.
+UNCHECKED_PRIORITY: list[str] = []
 
 
 def reorder(registry: dict) -> dict:

@@ -72,6 +72,36 @@ def test_oracle_texts_match_committed_snapshot():
     )
 
 
+def test_no_intra_list_duplicates():
+    """Round-7 ADVICE: a name repeated WITHIN a rotation list is deduped
+    by first occurrence at reorder() time, silently ordering a
+    freshly-regreen query by its stale earlier position."""
+    for label, block in (
+        ("VERIFIED_GREEN", rot.VERIFIED_GREEN),
+        ("ORACLE_FIXED", rot.ORACLE_FIXED),
+        ("UNCHECKED_PRIORITY", rot.UNCHECKED_PRIORITY),
+    ):
+        dupes = sorted({n for n in block if block.count(n) > 1})
+        assert not dupes, f"duplicate names within {label}: {dupes}"
+
+
+def test_freshness_green_requires_explicit_hash_match():
+    """Round-7 verdict item 5: a driver row missing hash_match is a
+    degraded row, not a green one — the staleness queue must never be
+    satisfied by a weaker check than the round goal demands."""
+    spec = importlib.util.spec_from_file_location(
+        "freshness", REPO / "tools" / "freshness.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    full = {"rows_match": True, "schema_match": True, "hash_match": True}
+    assert mod.green(full)
+    assert not mod.green({"rows_match": True, "schema_match": True})
+    assert not mod.green({**full, "hash_match": None})
+    assert not mod.green({**full, "hash_match": False})
+    assert not mod.green({**full, "rows_match": None})
+
+
 def test_rotation_check_tool_passes():
     """The maintenance tool itself must agree (it is what the round
     workflow actually runs)."""

@@ -32,10 +32,18 @@ from lfb_data_warehouse_spark.plans import REGISTRY  # noqa: E402
 
 
 def green(row: dict) -> bool:
-    return bool(
-        row.get("rows_match")
-        and row.get("schema_match")
-        and row.get("hash_match") in (True, None)
+    """A driver row counts as green only on an explicit full match.
+    hash_match must be literally True (round-7 ADVICE follow-up): a
+    missing key is a degraded row — counting it green would let the
+    staleness queue be satisfied by a weaker check than the one the
+    round goal demands. (Every committed driver row today carries
+    hash_match; rows-only checks for oracle-less queries would need a
+    deliberate carve-out here, keyed on the registry spec, not on key
+    absence.)"""
+    return (
+        row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is True
     )
 
 

@@ -77,6 +77,20 @@ def main() -> int:
     ]
     if dupes:
         problems.append(f"names in more than one rotation list: {sorted(set(dupes))}")
+    # intra-list duplicates (round-7 ADVICE): a name repeated WITHIN a
+    # list is deduped by first occurrence at reorder() time, silently
+    # ordering a freshly-regreen query by its stale earlier position.
+    for label, block in (
+        ("VERIFIED_GREEN", rot.VERIFIED_GREEN),
+        ("ORACLE_FIXED", rot.ORACLE_FIXED),
+        ("UNCHECKED_PRIORITY", rot.UNCHECKED_PRIORITY),
+    ):
+        counts = {}
+        for n in block:
+            counts[n] = counts.get(n, 0) + 1
+        intra = sorted(n for n, c in counts.items() if c > 1)
+        if intra:
+            problems.append(f"duplicate names WITHIN {label}: {intra}")
     evicted = [n for n in rot.UNCHECKED_PRIORITY if n in REGISTRY and n not in window]
     if evicted:
         problems.append(
