@@ -898,6 +898,93 @@ def bucketize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P6 — fillna / na.replace battery (reference wb-dimension.py:92
+# ``fillna(NULL_REPLACEMENT, subset=label_columns)``; value replace per
+# weather-cleanse NULL-sentinel handling)
+# ---------------------------------------------------------------------------
+
+@register(
+    "fillna_value_battery",
+    oracle=f"""
+    WITH holed AS (
+        SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS acctbal_h,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS segment_h,
+               CASE WHEN c_custkey % 3 = 0 THEN NULL
+                    ELSE CAST(c_nationkey AS BIGINT) END AS nation_h
+        FROM customer
+    ),
+    filled AS (
+        SELECT COALESCE(acctbal_h, -1.0) AS acctbal_f,
+               COALESCE(nation_h, -1) AS nation_f,
+               CASE WHEN COALESCE(segment_h, 'Unknown') = 'MACHINERY'
+                    THEN 'MACH' ELSE COALESCE(segment_h, 'Unknown')
+               END AS segment
+        FROM holed
+    )
+    SELECT segment,
+           COUNT(*) AS row_count,
+           {SUM_DEC.format(x='acctbal_f')} AS total_balance,
+           CAST(SUM(CASE WHEN nation_f = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nation_defaulted,
+           CAST(SUM(CASE WHEN acctbal_f = -1.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS acctbal_defaulted
+    FROM filled
+    GROUP BY 1
+    """,
+)
+def fillna_value_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 fillna battery: both fillna API shapes the reference uses —
+    the typed dict form (per-column defaults; double and long) and the
+    scalar+subset form (wb-dimension.py:92) — plus na.replace for the
+    post-fill value rewrite. Nulls are punched deterministically with
+    key-modulus predicates so the oracle reproduces the exact same
+    holes with NULLIF-style CASEs; the aggregation proves the fills
+    landed (default-value counts per segment) rather than merely that
+    rows survived. Map-only until the single groupBy — the fill is a
+    Project, never a shuffle, at any scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    holed = (
+        customer.withColumn(
+            "acctbal_h",
+            F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .withColumn(
+            "segment_h",
+            F.when(F.col("c_custkey") % 5 == 0, F.lit(None)).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        .withColumn(
+            "nation_h",
+            F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(
+                F.col("c_nationkey").cast("bigint")
+            ),
+        )
+    )
+    filled = (
+        holed.fillna({"acctbal_h": -1.0, "nation_h": -1})
+        .fillna("Unknown", subset=["segment_h"])
+        .na.replace({"MACHINERY": "MACH"}, subset=["segment_h"])
+    )
+    return (
+        filled.withColumnRenamed("segment_h", "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            sum_exact("acctbal_h").alias("total_balance"),
+            F.sum(F.when(F.col("nation_h") == -1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("nation_defaulted"),
+            F.sum(F.when(F.col("acctbal_h") == -1.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("acctbal_defaulted"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Z-score outlier scrub (reference aq-cleanse.py:123-157), exact stats
 # ---------------------------------------------------------------------------
 

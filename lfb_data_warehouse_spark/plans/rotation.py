@@ -576,11 +576,11 @@ VERIFIED_GREEN: list[str] = _R7_RECHECK + [
 # in round 3 and lives in _R3_GREEN now).
 ORACLE_FIXED: list[str] = []
 
-# Never-driver-checked queries: none at round-7 open (the round-6
-# additions went green in CORRECTNESS_r06). Round-7 additions get
-# appended here as they ship, each displacing one _R7_RECHECK slot
-# from the 50-slot window.
-UNCHECKED_PRIORITY: list[str] = []
+# Never-driver-checked queries: the round-7 additions, each displacing
+# one _R7_RECHECK slot from the 50-slot window.
+UNCHECKED_PRIORITY: list[str] = [
+    "fillna_value_battery",  # P6 — the last reachable unit-only §2 cell
+]
 
 
 def reorder(registry: dict) -> dict:
