@@ -1,9 +1,13 @@
 """Misra-Gries vs exact top-k: the vocabulary crossover, measured.
 
-The bench row (`heavy_hitters_sketch_bench`, ~1.8-2.0× its exact twin)
-prices the sketch's overhead on the test corpus's ~1.2k-term
-vocabulary; SHUFFLE.md argues the regimes from row counts (sketch
-traffic CAPACITY-bounded, exact traffic VOCABULARY-bounded). This tool
+This measurement is WHY the former `heavy_hitters_sketch_bench` row
+(~1.8-2.1× its exact twin, straddling the 2× bar) was demoted to
+correctness-gate-only in round 7 (`heavy_hitters_sketch` stays; the
+decision is recorded in BASELINE.md): the probe below proves no
+single-node vocabulary will ever invert that race, so any local twin
+re-shape that did would be a strawman. SHUFFLE.md argues the regimes
+from row counts (sketch traffic CAPACITY-bounded, exact traffic
+VOCABULARY-bounded). This tool
 probes the claim as a single-node timing curve: a synthetic stream
 with FIXED row count and GROWING vocabulary — 50% of rows over 100
 hot terms (so a true exact top-10 exists and clears the MG threshold
