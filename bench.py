@@ -409,6 +409,14 @@ def main() -> None:
         ).save()
     runners = {name: REGISTRY[name].fn for name in names}
     runners.update({name: globals()[name] for name in EXTRA_BENCH})
+    # carried-basis drift must fail loudly (r7 ADVICE): a renamed or
+    # removed suite row silently shrinking the subtotal would make
+    # carried_total read round-over-round-comparable when it isn't
+    missing_carried = sorted(set(CARRIED_FROM_PREV) - set(runners))
+    assert not missing_carried, (
+        f"CARRIED_FROM_PREV names absent from the suite: {missing_carried}; "
+        "rebuild the tuple to match the current suite"
+    )
     for name, fn in naive.items():
         if name in runners:  # warm the naive twins' codegen/readers too
             fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(

@@ -52,13 +52,20 @@ History:
   plus the two round-6 additions (io_contract_battery,
   history_length_audit; registry 202 → 204). The sweep's tail — 10
   queries whose last driver row stayed r2 — leads round 7.
-- Round 7 (this file): pure freshness round. _R7_RECHECK is the
-  mechanical `tools/freshness.py` staleness queue (the 10 r2-tail
-  queries, then every r3-era row oldest-first); only the first
+- Round 7 (CORRECTNESS_r07.json): 50/50 green — pure freshness round.
+  _R7_RECHECK was the mechanical `tools/freshness.py` staleness queue
+  (the 10 r2-tail queries, then every r3-era row oldest-first); only the first
   window-size − 1 − (# new round-7 queries) land, the rest queue for
   round 8. VERIFIED_GREEN is now deduped keeping each name's LAST
   green round (round-7 ADVICE: duplicated names used to order
   freshly-regreen queries by their stale first-occurrence positions).
+- Round 8 (this file): freshness again. _R8_RECHECK is the mechanical
+  `tools/freshness.py` queue after round 7 — the 8 IO-battery queries
+  whose last driver row is round 3 (the set the round-7 verdict names
+  explicitly), then every round-4-era row oldest-first in registry
+  order. 57 candidates for the spare slots after the flagship and the
+  round-8 additions: the r4 tail that misses the window queues for
+  round 9 under the same derived ordering.
 
 Maintenance: after each round, append that round's green names to
 the _R{N}_GREEN block and rebuild UNCHECKED_PRIORITY from whatever has
@@ -550,6 +557,131 @@ _R7_RECHECK: list[str] = [
 ]
 
 
+# Green in CORRECTNESS_r07.json (round 7 window, 50/50): the flagship,
+# the round-7 addition (fillna_value_battery), the 10 r2-tail queries,
+# and the head of the r3-era staleness queue through
+# partitioned_scan_pruning.
+_R7_GREEN: list[str] = [
+    "flagship_star_fact",
+    "fillna_value_battery",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_cheapest_supplier",
+    "tpch_q22_prospects",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_simhash_fingerprints",
+    "span_dedup_documents",
+    "text_unigram_logprob",
+    "embedding_random_projection",
+    "stream_late_data_drop",
+    "stream_sliding_halfhour",
+    "stratified_split_documents",
+    "shard_assignment_documents",
+    "url_parse_battery",
+    "grouping_sets_mart",
+    "ntile_quartile_acctbal",
+    "text_token_diversity",
+    "cross_source_dup_matrix",
+    "split_drift_audit",
+    "window_frames_battery",
+    "mode_priority_per_segment",
+    "user_event_type_profile",
+    "winsorize_prices_by_flag",
+    "pandas_grouped_agg_median",
+    "maparrow_embedding_norms",
+    "observe_ingest_metrics",
+    "file_provenance_documents",
+    "zorder_clustering_locality",
+    "skew_audit_user_events",
+    "schema_drift_union_safe_math",
+    "mad_scrub_event_values",
+    "tpch_q12_late_priority",
+    "user_event_sequences",
+    "array_hof_battery",
+    "dedup_simhash_near_dups",
+    "knn_bruteforce_cosine",
+    "embedding_near_dup_pairs",
+    "ann_ivf_topk",
+    "embedding_lsh_near_dups",
+    "int8_ann_topk_claim",
+    "ivf_centroid_assign",
+    "decontaminate_test_split",
+    "bucketed_join_colocated",
+    "partitioned_scan_pruning",
+]
+
+# Round 8 re-verification, in priority order: tools/freshness.py's
+# staleness queue after round 7 — the 8 IO-battery queries whose last
+# driver row is round 3 (the round-7 verdict's named set), then every
+# round-4-era row oldest-first in registry order. The tail that misses
+# the window queues for round 9.
+_R8_RECHECK: list[str] = [
+    # -- 1. last driver green is round 3 (IO battery) --
+    "partition_overwrite_backfill",
+    "csv_roundtrip_orders",
+    "orc_roundtrip_lineitem",
+    "jsonl_roundtrip_events",
+    "csv_permissive_corrupt_rows",
+    "clustered_write_skipping",
+    "schema_evolution_merge",
+    "compaction_roundtrip",
+    # -- 2. last driver green is round 4, registry order --
+    "dedup_components_star",
+    "ann_pq_adc_topk",
+    "gopher_quality_gates",
+    "gopher_repetition_gates",
+    "text_char_entropy",
+    "retention_cohort_weekly",
+    "text_quality_stats",
+    "text_lang_id",
+    "text_token_counts",
+    "c4_clean_documents",
+    "text_tfidf_top_terms",
+    "text_heavy_hitters",
+    "text_pii_redact",
+    "doc_fingerprints",
+    "doc_rolling_hash",
+    "text_repeated_ngrams",
+    "chunk_documents_sliding",
+    "pandas_udf_quality_sigmoid",
+    "dense_ids_documents",
+    "pack_sequences_documents",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "stream_tumbling_hourly",
+    "stream_stateful_user_stats",
+    "stream_upsert_idempotent",
+    "stream_sessionize",
+    "stream_interval_join",
+    "stream_static_enrich",
+    "sketch_mart_mergeable",
+    "approx_percentile_claim",
+    "remix_source_mixture",
+    "sample_orders_deterministic",
+    "quality_weighted_sample",
+    "per_source_sample",
+    "ivf_persisted_search",
+    "salted_join_events",
+    "semantic_dedup_kmeans",
+    "doc_containment_pairs",
+    "cogroup_click_purchase_profile",
+    "mom_revenue_growth",
+    "gap_fill_daily_revenue",
+    "null_semantics_battery",
+    "cube_segment_priority",
+    "cohort_intersect_except",
+    "grouped_zscore_chars",
+    "regression_chars_vs_tokens",
+    "kmeans_fit_centroids",
+    "ann_ivf_kmeans_recall",
+]
+
+
 def _dedupe_keep_last(names: list[str]) -> list[str]:
     """Dedupe preserving each name's LAST occurrence, so concatenated
     round blocks order by most-recent green round (stalest first) —
@@ -565,22 +697,28 @@ def _dedupe_keep_last(names: list[str]) -> list[str]:
 
 
 _ALL_GREEN: list[str] = _dedupe_keep_last(
-    _R1_GREEN + _R2_GREEN + _R3_GREEN + _R4_GREEN + _R5_GREEN + _R6_GREEN
+    _R1_GREEN
+    + _R2_GREEN
+    + _R3_GREEN
+    + _R4_GREEN
+    + _R5_GREEN
+    + _R6_GREEN
+    + _R7_GREEN
 )
 
-VERIFIED_GREEN: list[str] = _R7_RECHECK + [
-    n for n in _ALL_GREEN if n not in set(_R7_RECHECK)
+VERIFIED_GREEN: list[str] = _R8_RECHECK + [
+    n for n in _ALL_GREEN if n not in set(_R8_RECHECK)
 ]
 
 # Oracle-defect re-checks: none pending (the round-2 trio flipped green
 # in round 3 and lives in _R3_GREEN now).
 ORACLE_FIXED: list[str] = []
 
-# Never-driver-checked queries: the round-7 additions, each displacing
-# one _R7_RECHECK slot from the 50-slot window.
-UNCHECKED_PRIORITY: list[str] = [
-    "fillna_value_battery",  # P6 — the last reachable unit-only §2 cell
-]
+# Never-driver-checked queries: the round-8 additions, each displacing
+# one _R8_RECHECK slot from the 50-slot window. (reorder()'s new-query
+# branch also fronts anything not yet listed anywhere, so a query added
+# mid-round is window-checked the same round even before it lands here.)
+UNCHECKED_PRIORITY: list[str] = []
 
 
 def reorder(registry: dict) -> dict:

@@ -21,11 +21,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _load_naive():
-    p = os.path.join(REPO, "tools", "baseline_bench.py")
-    spec = importlib.util.spec_from_file_location("baseline_bench", p)
+    """Reuse bench.py's own loader (r7 ADVICE): a re-implemented
+    spec_from_file_location here could drift from what the bench
+    actually runs (e.g. module-level config the test loader misses)."""
+    p = os.path.join(REPO, "bench.py")
+    spec = importlib.util.spec_from_file_location("bench", p)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod.NAIVE
+    return mod._load_naive()
 
 
 def test_prepare_training_corpus_twin_equal_result(spark):

@@ -730,7 +730,14 @@ def prepare_training_corpus(spark, sf_dir):
     )
 
     if sf_dir not in _NAIVE_CORPUS_DIRS:
-        _NAIVE_CORPUS_DIRS[sf_dir] = tempfile.mkdtemp(prefix="lfb_naive_corpus_")
+        staged = tempfile.mkdtemp(prefix="lfb_naive_corpus_")
+        _NAIVE_CORPUS_DIRS[sf_dir] = staged
+        # reclaim the corpus-sized staging data at interpreter exit
+        # (r7 ADVICE) — atexit, so it never lands inside a timed run
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, staged, ignore_errors=True)
     d = _NAIVE_CORPUS_DIRS[sf_dir]
     docs = load_table(spark, sf_dir, "documents")
     w = tokens("text")

@@ -20,6 +20,7 @@ smoke/soak, not a benchmark; read the bench for ratios.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import sys
@@ -49,17 +50,22 @@ def main() -> None:
         # would actually run, not just the pinned-correct unit path.
         from lfb_data_warehouse_spark.plans.streaming_queries import _rocksdb_state
 
-        ctx = _rocksdb_state(spark)
-        ctx.__enter__()
+        state_ctx = _rocksdb_state(spark)
+    else:
+        state_ctx = contextlib.nullcontext()
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name, spec in REGISTRY.items():
-        t0 = time.time()
-        try:
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 2)
-        except Exception as e:  # record and continue: a soak maps ALL holes
-            failures[name] = str(e)[:200]
+    # `with`, not a bare __enter__ (r7 ADVICE): the conf override must
+    # end with the registry loop, or anything added below would
+    # silently run under the overridden state store.
+    with state_ctx:
+        for name, spec in REGISTRY.items():
+            t0 = time.time()
+            try:
+                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.time() - t0, 2)
+            except Exception as e:  # record and continue: a soak maps ALL holes
+                failures[name] = str(e)[:200]
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     print(
         json.dumps(
