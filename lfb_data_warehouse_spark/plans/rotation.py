@@ -718,7 +718,9 @@ ORACLE_FIXED: list[str] = []
 # one _R8_RECHECK slot from the 50-slot window. (reorder()'s new-query
 # branch also fronts anything not yet listed anywhere, so a query added
 # mid-round is window-checked the same round even before it lands here.)
-UNCHECKED_PRIORITY: list[str] = []
+UNCHECKED_PRIORITY: list[str] = [
+    "png_pixel_decode_stats",  # r8: real PNG pixel decode (zlib inflate + unfilter)
+]
 
 
 def reorder(registry: dict) -> dict:

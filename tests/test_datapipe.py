@@ -318,6 +318,131 @@ def test_media_decode_distributed(docs):
     assert out[2]["n_samples"] == 2 % 1000 + 1
 
 
+def test_png_paeth_predictor_spec_cases():
+    """PNG spec §9 filter-4 predictor: nearest of left/up/up-left to
+    a + b - c, ties resolved left then up (hand-worked cases)."""
+    from lfb_data_warehouse_spark.operators.multimodal import _paeth
+
+    assert _paeth(0, 0, 0) == 0
+    assert _paeth(10, 0, 0) == 10       # p=10: pa=0 wins
+    assert _paeth(0, 10, 0) == 10       # p=10: pb=0 wins
+    assert _paeth(10, 10, 10) == 10     # p=10: all zero -> left tie
+    assert _paeth(5, 9, 7) == 7         # p=7: pa=2, pb=2, pc=0 -> up-left
+    assert _paeth(3, 5, 10) == 3        # p=-2: pa=5, pb=7, pc=12 -> left
+    assert _paeth(100, 50, 0) == 100    # p=150: pa=50 < pb=100 -> left
+
+
+def test_png_pixel_codec_roundtrip_and_stream_shape():
+    """Encode→decode round-trips the raster exactly; the encoded stream
+    really cycles all five filter types and splits IDAT in two."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        png_decode_pixels,
+        png_pixel_bytes,
+    )
+
+    for w, h, ct in [(4, 6, 2), (7, 9, 0), (5, 8, 6), (6, 5, 4)]:
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+        raster = bytes((i * 31 + 7) % 256 for i in range(w * h * ch))
+        payload = png_pixel_bytes(w, h, raster, ct)
+        out = png_decode_pixels(payload)
+        assert out["raster"] == raster
+        assert (out["width"], out["height"], out["channels"]) == (w, h, ch)
+        # chunk walk: exactly two IDATs (multi-chunk concat exercised)
+        i, idats, comp = 8, 0, b""
+        while i + 8 <= len(payload):
+            ln = _struct.unpack(">I", payload[i : i + 4])[0]
+            if payload[i + 4 : i + 8] == b"IDAT":
+                idats += 1
+                comp += payload[i + 8 : i + 8 + ln]
+            i += 12 + ln
+        assert idats == 2
+        # filter bytes cycle y % 5 over the decompressed scanlines
+        data = _zlib.decompress(comp)
+        stride = w * ch
+        fts = [data[y * (stride + 1)] for y in range(h)]
+        assert fts == [y % 5 for y in range(h)]
+
+
+def test_png_decode_rejects_unsupported_and_corrupt():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        _PNG_SIG,
+        _chunk,
+        png_bytes,
+        png_decode_pixels,
+        png_pixel_bytes,
+    )
+
+    # header-only PNG (no IDAT) must raise, not mis-decode
+    with _pytest.raises(ValueError):
+        png_decode_pixels(png_bytes(8, 8))
+    # palette (color type 3) and 16-bit depth are out of scope
+    pal = _PNG_SIG + _chunk(b"IHDR", _struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0))
+    with _pytest.raises(ValueError):
+        png_decode_pixels(pal)
+    deep = _PNG_SIG + _chunk(b"IHDR", _struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0))
+    with _pytest.raises(ValueError):
+        png_decode_pixels(deep)
+    # truncated IDAT payload
+    good = png_pixel_bytes(4, 4, bytes(range(48)), 2)
+    with _pytest.raises(ValueError):
+        png_decode_pixels(good[: len(good) - 20] )
+    with _pytest.raises(ValueError):
+        png_decode_pixels(b"not a png at all")
+
+
+def test_wav_pcm_sample_decode():
+    import struct as _struct
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        wav_bytes,
+        wav_decode_samples,
+    )
+
+    # silence generator round-trip
+    out = wav_decode_samples(wav_bytes(2, 16000, 10))
+    assert (out["channels"], out["sample_rate"], out["n_samples"]) == (2, 16000, 10)
+    assert set(out["samples"]) == {0}
+    # non-silent 16-bit PCM: hand-built RIFF with a known ramp
+    samples = [(-3000 + 123 * i) for i in range(20)]
+    data = _struct.pack("<20h", *samples)
+    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + _struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + _struct.pack("<I", len(body)) + body
+    got = wav_decode_samples(wav)
+    assert got["samples"] == samples
+    assert got["n_samples"] == 20 and got["bits"] == 16
+
+
+def test_decode_real_dispatch():
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        decode_real,
+        jpeg_bytes,
+        png_pixel_bytes,
+        wav_bytes,
+    )
+
+    raster = bytes((5 * i + 1) % 256 for i in range(6 * 4 * 3))
+    png = decode_real(png_pixel_bytes(6, 4, raster, 2))
+    assert png["raster"] == raster
+    wav = decode_real(wav_bytes(1, 8000, 5))
+    assert wav["n_samples"] == 5
+    # JPEG entropy decode is the one documented env-gated hook
+    with _pytest.raises(NotImplementedError):
+        decode_real(jpeg_bytes(10, 10))
+    # unknown container: poison-safe metadata dict, no raise
+    assert decode_real(b"garbage")["media_type"] == "application/octet-stream"
+
+
 def test_kmeans_centroids_deterministic_and_separating(emb):
     from lfb_data_warehouse_spark.operators.similarity import (
         ivf_index_from_cents,

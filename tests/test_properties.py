@@ -265,6 +265,33 @@ def test_media_codec_roundtrip_property(w, h, kind, ch):
         )
 
 
+@settings(max_examples=80, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    ct=st.sampled_from([0, 2, 4, 6]),
+    data=st.data(),
+)
+def test_png_pixel_roundtrip_property(w, h, ct, data):
+    """decode(encode(raster)) == raster for RANDOM rasters — random
+    bytes stress every Paeth/Average branch far harder than the
+    structured oracle fixture (filter types cycle y % 5, so any image
+    ≥5 rows tall hits all five)."""
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        _PNG_CHANNELS,
+        png_decode_pixels,
+        png_pixel_bytes,
+    )
+
+    ch = _PNG_CHANNELS[ct]
+    raster = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch))
+    )
+    out = png_decode_pixels(png_pixel_bytes(w, h, raster, ct))
+    assert out["raster"] == raster
+    assert (out["width"], out["height"], out["channels"]) == (w, h, ch)
+
+
 @settings(max_examples=300, deadline=None)
 @given(frac=st.floats(0.0, 1.0, allow_nan=False))
 def test_threshold_hex_bounds(frac):
