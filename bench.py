@@ -49,6 +49,7 @@ EXTRA_BENCH = (
     "pq_adc_search_persisted",
     "ivfpq_search_persisted",
     "prepare_training_corpus",
+    "stream_sliding_bench",
 )
 
 # The rows benchmarked in BOTH round 6 and round 7 (the round-6 suite
@@ -352,6 +353,19 @@ def knn_numpy_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     probe_ids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(100).collect()]
     return cosine_topk_np(emb, "vec_id", "embedding", probe_ids, k=10)
+
+
+def stream_sliding_bench(spark, sf_dir):
+    """Streaming hopping-window dashboard over K staged file arrivals
+    (VERDICT r7 item 6 — the first streaming row with a naive twin):
+    one Structured Streaming query, K triggers, incremental state. The
+    twin recomputes the full batch aggregate after every arrival — the
+    no-streaming alternative — reading N·(K+1)/2 rows where the stream
+    reads N. Final dashboard equality is pytest-pinned
+    (tests/test_bench_twins.py)."""
+    from lfb_data_warehouse_spark.plans.streaming_queries import sliding_bench_stream
+
+    return sliding_bench_stream(spark, sf_dir)
 
 
 def _load_naive() -> dict:

@@ -110,6 +110,48 @@ def cosine_topk(
     return _bruteforce_topk(q, id_col, "q", "norm", probe_ids, k, "score")
 
 
+STRUCT_NLIST = 16  # clusters (= IVF lists) in the structured fixture
+
+
+def structured_embeddings(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Deterministic CLUSTERED embedding fixture — the corpus PQ's
+    regime actually needs (VERDICT r7 item 5).
+
+    The raw synthetic embeddings are structureless, so PQ recall is
+    capped (~0.13) by code distortion regardless of nprobe — an honest
+    but uninformative operating point. This fixture has PRODUCT
+    structure, the separability product quantization exploits: in each
+    of the PQ_M subspaces, vector ``i``'s subvector is one of 16
+    patterns, chosen by ``h(i, m) = (i·(2m+1) + (i//16)·(m+3)) mod 16``
+    (pattern value at local dim j: ``((h+3)·(11j+7)) mod 103 − 51``,
+    ×40, plus ±2 integer noise). For ``i < 16`` the map ``i → h`` is a
+    bijection per subspace, so the engine's smallest-id PQ codebook
+    (operators/similarity.py:pq_codebook) contains EVERY pattern and
+    reconstruction error collapses to the noise floor; true neighbors
+    differ by how many subspace patterns they share, which the code
+    space expresses exactly. All arithmetic is integer → both engines
+    agree bit-for-bit, and quantize() recovers the integers exactly.
+
+    Map-only, derived from the corpus ids: scales with the table, no
+    stored fixture, no randomness."""
+    i = F.col(id_col).cast("long")
+
+    def val(d):
+        m = F.floor(d / 16).cast("long")
+        j = d % 16
+        h = (i * (2 * m + 1) + F.floor(i / 16).cast("long") * (m + 3)) % 16
+        pat = ((h + 3) * (j * 11 + 7)) % 103 - 51
+        noise = (i * 13 + d * 7 + i * d) % 5 - 2
+        return (pat * 40 + noise).cast("double") / 10000.0
+
+    emb = F.transform(F.sequence(F.lit(0).cast("long"), F.lit(63).cast("long")), val)
+    return df.select(
+        i.alias("vec_id"),
+        (i % STRUCT_NLIST).cast("int").alias("label"),
+        emb.alias("embedding"),
+    )
+
+
 def int8_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Per-vector symmetric int8 quantization: q = round(x · 127/max|x|).
 

@@ -720,6 +720,7 @@ ORACLE_FIXED: list[str] = []
 # mid-round is window-checked the same round even before it lands here.)
 UNCHECKED_PRIORITY: list[str] = [
     "png_pixel_decode_stats",  # r8: real PNG pixel decode (zlib inflate + unfilter)
+    "ivfpq_structured_recall_audit",  # r8: PQ sign-flip on the clustered fixture
 ]
 
 

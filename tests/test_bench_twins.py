@@ -46,3 +46,19 @@ def test_prepare_training_corpus_twin_equal_result(spark):
     )
     assert eng == naive
     assert eng, "empty corpus output would vacuously pass"
+
+
+def test_stream_sliding_bench_twin_equal_result(spark):
+    """The streaming dashboard's final state (after the last trigger)
+    must equal the naive twin's final full-batch recompute — the
+    incremental-state bench row compares equal dashboards, not
+    different aggregations. Both sides read the same staged files."""
+    import bench as bench_mod  # reuse the exact functions the bench times
+
+    eng_df = bench_mod.stream_sliding_bench(spark, SF_SMALL)
+    naive_df = _load_naive()["stream_sliding_bench"](spark, SF_SMALL)
+    cols = ["window_start", "event_type", "event_count", "total_value"]
+    eng = sorted(tuple(r) for r in eng_df.select(*cols).collect())
+    naive = sorted(tuple(r) for r in naive_df.select(*cols).collect())
+    assert eng == naive
+    assert eng, "empty dashboard would vacuously pass"

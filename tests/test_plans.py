@@ -95,6 +95,7 @@ INTENDED_CROSS = {
     "ann_ivf_pq_residual_topk",  # same two shapes; residual LUTs live on the broadcast side
     "ivf_incremental_append",  # old corpus + new batch each × broadcast(frozen centroids)
     "ivfpq_residual_recall_audit",  # raw + residual IVFPQ paths + corpus × broadcast(probes) exact baseline
+    "ivfpq_structured_recall_audit",  # same three shapes on the structured fixture
     "tpch_q22_prospects",  # scalar subquery: customer × broadcast(1-row avg aggregate)
     "scd2_point_in_time_join",  # versions × broadcast(1-row max-date aggregate)
     "tpch_q11_important_parts",  # per_part × broadcast(1-row scoped total)

@@ -19,7 +19,14 @@ only by int8 quantization), so the top row doubles as a sanity anchor.
 The same sweep runs for the composed IVF×PQ index (codes-only
 candidates; recall additionally bounded by PQ distortion).
 
-Usage: python tools/ann_frontier.py [sf_dir] [nprobe ...]
+With ``--structured`` the sweep runs on the deterministic clustered
+fixture (operators/similarity.py:structured_embeddings) instead of the
+raw structureless embeddings — the corpus that gives PQ a fair regime
+(VERDICT r7 item 5). There the IVF×PQ curve should TRACK the IVF
+ceiling instead of flat-lining at the distortion cap, and both rise
+with nprobe.
+
+Usage: python tools/ann_frontier.py [--structured] [sf_dir] [nprobe ...]
 Prints one markdown row per (index, nprobe) for BASELINE.md.
 """
 
@@ -55,11 +62,17 @@ from lfb_data_warehouse_spark.sources.testdata import load_table  # noqa: E402
 
 
 def main() -> None:
-    args = sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a != "--structured"]
+    structured = "--structured" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     nprobes = [int(a) for a in args[1:]] or [1, 2, 4, 8]
     spark = get_spark("ann-frontier")
     emb = load_table(spark, sf_dir, "embeddings")
+    if structured:
+        from lfb_data_warehouse_spark.operators.similarity import structured_embeddings
+
+        emb = structured_embeddings(emb.select("vec_id"))
+        emb.cache().count()
     n_corpus = emb.count()
     exact = {
         (r["probe_id"], r["neighbor_id"])
@@ -88,7 +101,8 @@ def main() -> None:
     }
 
     print(
-        f"corpus {n_corpus:,} vectors, dim {EMB_DIM}; k-means nlist {KMEANS_K} "
+        f"corpus {n_corpus:,} vectors ({'structured fixture' if structured else 'raw embeddings'}), "
+        f"dim {EMB_DIM}; k-means nlist {KMEANS_K} "
         f"({KMEANS_ITERS} Lloyd rounds); {KNN_PROBES} probes; recall@{KNN_K}"
     )
     print("| index | nprobe | recall@k | scanned fraction | search s |")

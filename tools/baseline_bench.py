@@ -933,6 +933,41 @@ def anomaly_daily_revenue(spark, sf_dir):
     )
 
 
+def stream_sliding_bench(spark, sf_dir):
+    # naive: the no-streaming dashboard — after EVERY file arrival,
+    # batch-recompute the full hopping-window aggregate over all data
+    # seen so far. K arrivals read N*(K+1)/2 rows vs the stream's N;
+    # the per-refresh jobs also pay plan/scan setup K times. Reads the
+    # SAME staged files the engine streams (shared staging helper).
+    import glob
+
+    from lfb_data_warehouse_spark.plans.streaming_queries import stage_events_k_files
+
+    events_schema = load_table(spark, sf_dir, "events").schema
+    src = stage_events_k_files(spark, sf_dir)
+    files = sorted(glob.glob(src + "/part-*"))
+    last = None
+    for i in range(1, len(files) + 1):
+        df = spark.read.schema(events_schema).parquet(*files[:i])
+        agg = (
+            df.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("event_count"),
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "event_count",
+                "total_value",
+            )
+        )
+        if i < len(files):
+            agg.write.format("noop").mode("overwrite").save()
+        last = agg
+    return last
+
+
 NAIVE = {
     "flagship_star_fact": flagship_star_fact,
     "asof_nearest_purchase": asof_nearest_purchase,
@@ -973,6 +1008,8 @@ NAIVE = {
     "ewma_customer_spend": ewma_customer_spend,
     "basket_brand_affinity": basket_brand_affinity,
     "anomaly_daily_revenue": anomaly_daily_revenue,
+    # round-8 streaming row: incremental state vs recompute-per-arrival
+    "stream_sliding_bench": stream_sliding_bench,
 }
 
 
