@@ -52,8 +52,8 @@ EXTRA_BENCH = (
     "stream_sliding_bench",
 )
 
-# The rows benchmarked in BOTH round 6 and round 7 (the round-6 suite
-# minus the demoted heavy_hitters_sketch_bench). Their subtotal is
+# The rows benchmarked in BOTH round 7 and round 8 (the full round-7
+# suite — round 8 only ADDED stream_sliding_bench). Their subtotal is
 # reported alongside the full headline so genuine regression separates
 # from suite growth in one glance (VERDICT r6 item 6); rebuild this
 # tuple whenever the suite changes.
@@ -88,6 +88,7 @@ CARRIED_FROM_PREV = (
     "incremental_dedup_daily",
     "pq_adc_search_persisted",
     "ivfpq_search_persisted",
+    "prepare_training_corpus",
 )
 
 _INC_BENCH_DIRS: dict[str, str] = {}

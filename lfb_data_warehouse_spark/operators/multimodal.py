@@ -13,13 +13,14 @@ Two decode tiers:
   no media libraries needed. :func:`synthesize_media` manufactures
   structurally valid payloads of all three container types so the
   decode path is exercised and oracle-checked end to end.
-* **Pixel/sample decode** (:func:`decode_real`): REAL for PNG and WAV
-  using only the stdlib — PNG IDAT inflate (``zlib``) + per-scanline
-  unfiltering (None/Sub/Up/Average/Paeth) yields the raw raster; WAV
-  PCM samples come straight off ``struct``/``memoryview``. Only
-  baseline-JPEG entropy decode (Huffman + IDCT) still needs a codec
-  library; that one branch raises ``NotImplementedError`` and is the
-  documented hook.
+* **Pixel/sample decode** (:func:`decode_real`): REAL for all three
+  container types using only the stdlib — PNG IDAT inflate (``zlib``)
+  + per-scanline unfiltering (None/Sub/Up/Average/Paeth); baseline
+  JPEG via a full entropy decoder (canonical Huffman from the file's
+  DHT, DC prediction, dequantize, inverse DCT —
+  :mod:`.jpegcodec`); WAV PCM samples straight off ``struct``.
+  Unsupported shapes (progressive JPEG, palette PNG, 12-bit, …)
+  raise ``ValueError`` — explicit, never a silent mis-decode.
 
 At scale: binary payloads dominate bytes; keep them in their own
 parquet column (columnar pruning skips them unless referenced), size
@@ -65,9 +66,11 @@ def decode_real(payload: bytes) -> dict:
       bytes plus header metadata.
     * ``audio/wav`` → :func:`wav_decode_samples`: PCM ``data`` chunk
       unpacked into integer samples.
-    * ``image/jpeg`` → ``NotImplementedError``: baseline-JPEG entropy
-      decode needs a full Huffman + dequant + IDCT implementation;
-      wire PIL/av here and keep the same dict shape.
+    * ``image/jpeg`` → :mod:`.jpegcodec`: full baseline entropy decode
+      (canonical Huffman built from the file's DHT, DC prediction, AC
+      run-lengths, byte un-stuffing, dequantize, un-zigzag, inverse
+      DCT). Grayscale baseline sequential; progressive/subsampled
+      streams raise ValueError.
 
     Container-only metadata (no payload decompression) remains
     available via :func:`parse_media` for the cheap path.
@@ -78,11 +81,9 @@ def decode_real(payload: bytes) -> dict:
     if meta["media_type"] == "audio/wav":
         return wav_decode_samples(payload)
     if meta["media_type"] == "image/jpeg":
-        raise NotImplementedError(
-            "baseline-JPEG entropy decode (Huffman + IDCT) is not "
-            "implemented; wire PIL/av here and keep decode_real's dict "
-            "shape. Container metadata decode is real: use parse_media()."
-        )
+        from .jpegcodec import jpeg_decode_pixels
+
+        return jpeg_decode_pixels(payload)
     return meta
 
 
@@ -539,6 +540,78 @@ def decode_png_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=PNG_STATS_SCHEMA)
+
+
+JPEG_STATS_SCHEMA = (
+    "doc_id long, width long, height long, n_tiles long, "
+    "px_sum long, first_px long, last_px long, px_mean_milli long"
+)
+
+
+def synthesize_jpeg_tiles(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL baseline JPEGs through the full encode pipeline
+    (DCT → quantize → zigzag → Huffman → byte-stuffed entropy stream):
+    a ``8·(doc_id%5+1) × 8·(doc_id%4+1)`` grayscale image of constant
+    8×8 tiles, tile (tx, ty) valued ``(11·tx + 23·ty + 7·doc_id) mod
+    256``. Constant tiles are the one fixture baseline JPEG preserves
+    EXACTLY (DC-only blocks, all-ones quant table — see
+    :mod:`.jpegcodec`), so the oracle recomputes pixel stats by
+    arithmetic while the engine must run the real entropy decoder."""
+    from .jpegcodec import jpeg_pixel_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = 8 * (d % 5 + 1), 8 * (d % 4 + 1)
+                raster = bytes(
+                    (11 * (x // 8) + 23 * (y // 8) + 7 * d) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(jpeg_pixel_bytes(w, h, raster))
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_jpeg_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL JPEG pixel decode over (doc_id, payload):
+    every output comes from the entropy-DECODED raster via
+    :func:`decode_real` — Huffman, DC prediction, dequantize, IDCT —
+    never from metadata. Integer stats only, so both engines agree
+    bit-for-bit."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_real(bytes(payload))
+                raster = d["raster"]
+                total = sum(raster)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_tiles": (d["width"] // 8) * (d["height"] // 8),
+                        "px_sum": total,
+                        "first_px": raster[0],
+                        "last_px": raster[-1],
+                        "px_mean_milli": 1000 * total // len(raster),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=JPEG_STATS_SCHEMA)
 
 
 def _decode_stub_batch(payload: pd.Series) -> pd.DataFrame:

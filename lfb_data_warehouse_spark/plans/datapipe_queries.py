@@ -3482,6 +3482,62 @@ def png_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_stats(synthesize_png_pixels(docs, "doc_id")).drop("raster_sha256")
 
 
+JPEG_DOC_MOD = 7  # doc_id % 7 == 5 → ~1/7 of documents get a tiled JPEG
+
+
+@register(
+    "jpeg_pixel_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             8 * (doc_id % 5 + 1) AS width,
+             8 * (doc_id % 4 + 1) AS height
+      FROM documents WHERE doc_id % {JPEG_DOC_MOD} = 5
+    ),
+    tiles AS (
+      SELECT s.doc_id, s.width, s.height,
+             (11 * gx.tx + 23 * gy.ty + 7 * s.doc_id) % 256 AS v
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.width // 8)) AS tx) gx,
+           LATERAL (SELECT unnest(range(0, s.height // 8)) AS ty) gy
+    )
+    SELECT doc_id,
+           CAST(any_value(width) AS BIGINT) AS width,
+           CAST(any_value(height) AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(64 * sum(v) AS BIGINT) AS px_sum,
+           CAST(7 * doc_id % 256 AS BIGINT) AS first_px,
+           CAST((11 * (any_value(width) // 8 - 1) + 23 * (any_value(height) // 8 - 1)
+                 + 7 * doc_id) % 256 AS BIGINT) AS last_px,
+           CAST(1000 * 64 * sum(v)
+                // (any_value(width) * any_value(height)) AS BIGINT) AS px_mean_milli
+    FROM tiles GROUP BY doc_id
+    """,
+)
+def jpeg_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode end to end, stdlib only —
+    retires the repo's LAST NotImplementedError (r7 'What's wrong'):
+    synthesize_jpeg_tiles runs the full encode pipeline (8×8 DCT,
+    all-ones quantization, zigzag, Annex-K Huffman, byte-stuffed
+    entropy stream) over constant-tile grayscale images whose tile
+    values are closed-form in doc_id; decode_jpeg_stats entropy-DECODES
+    the actual bit stream (canonical Huffman rebuilt from the file's
+    DHT, DC prediction, dequantize, inverse DCT) and reports stats from
+    the recovered raster. Constant tiles are the fixture baseline JPEG
+    preserves exactly (DC-only blocks at quant 1), so the oracle
+    recomputes the same sums arithmetically — a Huffman/EXTEND/
+    predictor/IDCT bug lands on px_sum/first_px/last_px. Same Arrow
+    batch shape as every media decode; nothing collected."""
+    from ..operators.multimodal import decode_jpeg_stats, synthesize_jpeg_tiles
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % JPEG_DOC_MOD == 5)
+    )
+    return decode_jpeg_stats(synthesize_jpeg_tiles(docs, "doc_id"))
+
+
 ROLL_BASE = 257
 ROLL_MOD = 1_000_000_007
 

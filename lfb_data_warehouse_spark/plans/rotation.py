@@ -721,6 +721,7 @@ ORACLE_FIXED: list[str] = []
 UNCHECKED_PRIORITY: list[str] = [
     "png_pixel_decode_stats",  # r8: real PNG pixel decode (zlib inflate + unfilter)
     "ivfpq_structured_recall_audit",  # r8: PQ sign-flip on the clustered fixture
+    "jpeg_pixel_decode_stats",  # r8: full baseline-JPEG entropy decode, stdlib only
 ]
 
 

@@ -421,9 +421,105 @@ def test_wav_pcm_sample_decode():
     assert got["n_samples"] == 20 and got["bits"] == 16
 
 
+def test_jpeg_codec_constant_tiles_exact():
+    """Constant 8×8 tiles survive the full DCT→quantize→Huffman→decode
+    pipeline EXACTLY (DC-only blocks at quant 1) — the property the
+    oracle gate's arithmetic replay stands on."""
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_pixel_bytes,
+    )
+
+    for d in (0, 5, 12, 33, 255):
+        w, h = 8 * (d % 5 + 1), 8 * (d % 4 + 1)
+        raster = bytes(
+            (11 * (x // 8) + 23 * (y // 8) + 7 * d) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        out = jpeg_decode_pixels(jpeg_pixel_bytes(w, h, raster))
+        assert out["raster"] == raster
+        assert (out["width"], out["height"], out["channels"]) == (w, h, 1)
+
+
+def test_jpeg_codec_arbitrary_raster_near_lossless():
+    """Arbitrary rasters round-trip within quantization tolerance at
+    quant 1 — exercises the AC run-length/ZRL/EOB paths, EXTEND sign
+    decoding, multi-block DC prediction, and byte un-stuffing on
+    content the constant fixture never produces."""
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_pixel_bytes,
+    )
+
+    w = h = 24
+    raster = bytes((i * 131 + (i * i) % 97) % 256 for i in range(w * h))
+    out = jpeg_decode_pixels(jpeg_pixel_bytes(w, h, raster))
+    err = max(abs(a - b) for a, b in zip(raster, out["raster"]))
+    assert err <= 2, f"max abs error {err}"
+
+
+def test_jpeg_codec_rejects_unsupported():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_pixel_bytes,
+    )
+    from lfb_data_warehouse_spark.operators.multimodal import jpeg_bytes
+
+    # header-only stream (no DHT/SOS)
+    with _pytest.raises(ValueError):
+        jpeg_decode_pixels(jpeg_bytes(16, 16))
+    # progressive (SOF2) must refuse, not mis-decode
+    good = jpeg_pixel_bytes(8, 8, bytes(64))
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError):
+        jpeg_decode_pixels(prog)
+    # multi-component frames out of scope
+    with _pytest.raises(ValueError):
+        jpeg_decode_pixels(jpeg_bytes(16, 16, n_components=3))
+    with _pytest.raises(ValueError):
+        jpeg_decode_pixels(b"not a jpeg")
+    # dimension/raster mismatch on the encode side
+    with _pytest.raises(ValueError):
+        jpeg_pixel_bytes(9, 8, bytes(72))
+    _ = _struct  # keep import symmetry with sibling tests
+
+
+def test_jpeg_huffman_tables_canonical():
+    """Canonical code assignment: codes within a length are
+    consecutive, lengths respect the bits[] counts, and the decode
+    table inverts the encode table."""
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        AC_LUM_BITS,
+        AC_LUM_VALS,
+        DC_LUM_BITS,
+        DC_LUM_VALS,
+        _huff_decode_table,
+        _huff_encode_table,
+    )
+
+    for bits, vals in ((DC_LUM_BITS, DC_LUM_VALS), (AC_LUM_BITS, AC_LUM_VALS)):
+        assert sum(bits) == len(vals)
+        enc = _huff_encode_table(bits, vals)
+        dec = _huff_decode_table(bits, vals)
+        assert len(enc) == len(vals) and len(dec) == len(vals)
+        for v, (code, ln) in enc.items():
+            assert dec[(ln, code)] == v
+            assert code < (1 << ln)  # code fits its length (prefix-free set)
+    # the 4-bit EOB/ZRL anchors of the Annex-K AC table
+    ac = _huff_encode_table(AC_LUM_BITS, AC_LUM_VALS)
+    assert ac[0x00][1] == 4  # EOB is a 4-bit code
+    assert ac[0x01][1] == 2  # (run 0, size 1) is the shortest AC code
+
+
 def test_decode_real_dispatch():
     import pytest as _pytest
 
+    from lfb_data_warehouse_spark.operators.jpegcodec import jpeg_pixel_bytes
     from lfb_data_warehouse_spark.operators.multimodal import (
         decode_real,
         jpeg_bytes,
@@ -436,8 +532,13 @@ def test_decode_real_dispatch():
     assert png["raster"] == raster
     wav = decode_real(wav_bytes(1, 8000, 5))
     assert wav["n_samples"] == 5
-    # JPEG entropy decode is the one documented env-gated hook
-    with _pytest.raises(NotImplementedError):
+    # real baseline-JPEG pixel decode (full entropy path)
+    gray = bytes((3 * i + 9) % 256 for i in range(16 * 8))
+    jp = decode_real(jpeg_pixel_bytes(16, 8, gray))
+    assert (jp["width"], jp["height"], jp["channels"]) == (16, 8, 1)
+    assert max(abs(a - b) for a, b in zip(jp["raster"], gray)) <= 2
+    # header-only JPEG fixture (no SOS/DHT) must raise, not mis-decode
+    with _pytest.raises(ValueError):
         decode_real(jpeg_bytes(10, 10))
     # unknown container: poison-safe metadata dict, no raise
     assert decode_real(b"garbage")["media_type"] == "application/octet-stream"
