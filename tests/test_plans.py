@@ -122,6 +122,33 @@ def test_no_cartesian_products(spark, name):
         )
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "png_pixel_decode_stats",
+        "jpeg_pixel_decode_stats",
+        "audio_feature_stats",
+        "multimodal_decode",
+    ],
+)
+def test_media_decode_gates_never_shuffle_payload(spark, name):
+    """The pixel/container decode gates synthesize → decode in one
+    Arrow pipeline. At 100 TB the payload bytes are the dominant volume
+    — no Exchange may carry a payload column. (load_table's documented
+    small-file fan-out upstream of synthesis is allowed: it moves only
+    the 8-byte ids.)"""
+    p = get_plan(spark, name)
+    assert "MapInPandas" in p, f"{name}: expected Arrow batch operators"
+    # every Exchange detail block must list an Input without payload
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\n((?:.+\n)+?)\n", p):
+        block = m.group(1)
+        assert "payload" not in block, (
+            f"{name}: an Exchange carries payload bytes:\n{block}"
+        )
+
+
 def test_scan_prunes_columns(spark):
     # the per-month mart touches orders only for 2 columns; the scan
     # must not read the rest of the table

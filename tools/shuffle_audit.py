@@ -448,7 +448,22 @@ now measured):
     explicit schemas everywhere else.
   - `history_length_audit` (0.10): per-entity count rows only — the
     guard that certifies grouped-collect folds costs one
-    map-side-combined aggregate, nothing entity-history-sized.""")
+    map-side-combined aggregate, nothing entity-history-sized.
+- Round-8 rows:
+  - `stream_sliding_bench` (1.0): each event crosses the exchange into
+    the state store EXACTLY ONCE across all 8 triggers — the sh/in of
+    1.000 IS the incremental-state claim in row units. The naive
+    recompute-per-arrival twin shuffles the cumulative corpus every
+    refresh (N·(K+1)/2 = 4.5× the rows at K=8, growing linearly in K);
+    its seconds-side premium at toy scale is per-trigger machinery
+    (BASELINE.md round-8 section), but THIS column is the one that
+    scales: streaming state keeps shuffle volume arrival-bounded while
+    the naive path's is history-bounded.
+  - The round-8 pixel-decode gates (`png_pixel_decode_stats`,
+    `jpeg_pixel_decode_stats`) and the structured-corpus recall audit
+    are correctness gates, not suite rows: the decoders are map-only
+    Arrow passes (zero shuffle by construction) and the audit's
+    shuffle shape is identical to `ivfpq_residual_recall_audit` above.""")
     finally:
         shutil.rmtree(event_dir, ignore_errors=True)
 
