@@ -521,12 +521,19 @@ def synthesize_png_pixels(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def decode_png_stats(media: DataFrame) -> DataFrame:
+def decode_png_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     """Arrow-batched REAL pixel decode over (doc_id, payload): every
     output is computed from the DECODED RASTER (via
     :func:`png_decode_pixels` — inflate + unfilter), never from
     metadata. ``px_mean_milli`` is integer arithmetic
-    (``1000·sum // n``) so both engines agree bit-for-bit."""
+    (``1000·sum // n``) so both engines agree bit-for-bit.
+
+    ``strict=False`` is the production posture for external corpora: a
+    payload that fails to decode yields a row of NULL stats (doc_id
+    preserved for quarantine) instead of a ValueError that would kill
+    the stage — at 100 TB some payloads are always corrupt. The gate
+    keeps strict=True (its payloads are synthesized, so an error there
+    is a codec bug to surface, not data to tolerate)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -534,7 +541,25 @@ def decode_png_stats(media: DataFrame) -> DataFrame:
                 continue
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                d = png_decode_pixels(payload)
+                try:
+                    d = png_decode_pixels(payload)
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "width", "height", "channels", "n_pixels",
+                                    "px_sum", "first_px", "last_px",
+                                    "px_mean_milli", "raster_sha256",
+                                )
+                            },
+                        }
+                    )
+                    continue
                 raster = d["raster"]
                 total = sum(raster)
                 rows.append(
@@ -595,12 +620,13 @@ def synthesize_jpeg_tiles(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def decode_jpeg_stats(media: DataFrame) -> DataFrame:
+def decode_jpeg_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     """Arrow-batched REAL JPEG pixel decode over (doc_id, payload):
     every output comes from the entropy-DECODED raster via
     :func:`decode_real` — Huffman, DC prediction, dequantize, IDCT —
     never from metadata. Integer stats only, so both engines agree
-    bit-for-bit."""
+    bit-for-bit. ``strict=False`` = poison-safe NULL-stats rows (see
+    :func:`decode_png_stats`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -608,7 +634,26 @@ def decode_jpeg_stats(media: DataFrame) -> DataFrame:
                 continue
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                d = decode_real(bytes(payload))
+                try:
+                    d = decode_real(bytes(payload))
+                    if "raster" not in d and "samples" not in d:
+                        raise ValueError(f"undecodable payload: {d['media_type']}")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "width", "height", "n_tiles", "px_sum",
+                                    "first_px", "last_px", "px_mean_milli",
+                                )
+                            },
+                        }
+                    )
+                    continue
                 raster = d["raster"]
                 total = sum(raster)
                 rows.append(
@@ -660,13 +705,14 @@ def synthesize_wav_pcm(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def decode_audio_stats(media: DataFrame) -> DataFrame:
+def decode_audio_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     """Arrow-batched REAL audio feature extraction over (doc_id,
     payload): every feature — energy (Σs²), mean-abs numerator,
     zero-crossing count (strict sign products), peak — is computed from
     the PCM samples :func:`wav_decode_samples` unpacks from the actual
     ``data`` chunk. Exact integer outputs, so both engines agree
-    bit-for-bit."""
+    bit-for-bit. ``strict=False`` = poison-safe NULL-stats rows (see
+    :func:`decode_png_stats`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -674,7 +720,27 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
                 continue
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                d = decode_real(bytes(payload))
+                try:
+                    d = decode_real(bytes(payload))
+                    if "raster" not in d and "samples" not in d:
+                        raise ValueError(f"undecodable payload: {d['media_type']}")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "n_samples", "sample_rate", "sum_abs",
+                                    "energy", "zero_crossings", "peak",
+                                    "first_sample", "last_sample",
+                                )
+                            },
+                        }
+                    )
+                    continue
                 s = d["samples"]
                 rows.append(
                     {

@@ -539,6 +539,37 @@ def test_wav_pcm_feature_extraction():
     assert st["samples"] == inter and st["n_samples"] == 3
 
 
+def test_decode_stats_poison_safety(docs):
+    """strict=False is the external-corpus posture: a corrupt payload
+    becomes a NULL-stats row (doc_id kept for quarantine), never a
+    stage-killing exception; strict=True (the gates' posture over
+    synthesized payloads) surfaces the error."""
+    import pyspark
+    import pytest as _pytest
+    from pyspark.sql import functions as F2
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        decode_audio_stats,
+        decode_jpeg_stats,
+        decode_png_stats,
+    )
+
+    spark = docs.sparkSession
+    poison = spark.createDataFrame(
+        [(1, bytearray(b"not a media payload")), (2, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    for op in (decode_png_stats, decode_jpeg_stats, decode_audio_stats):
+        rows = op(poison, strict=False).collect()
+        assert sorted(r["doc_id"] for r in rows) == [1, 2]
+        assert all(
+            v is None for r in rows for k, v in r.asDict().items() if k != "doc_id"
+        )
+        with _pytest.raises(pyspark.errors.PythonException):
+            op(poison).collect()  # strict default surfaces the error
+    _ = F2  # imported for parity with sibling tests
+
+
 def test_decode_real_dispatch():
     import pytest as _pytest
 
