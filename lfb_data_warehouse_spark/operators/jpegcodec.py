@@ -220,88 +220,151 @@ def _category(v: int) -> int:
 # Encoder
 # --------------------------------------------------------------------------
 
-def jpeg_pixel_bytes(width: int, height: int, raster: bytes) -> bytes:
-    """REAL baseline JPEG encode of an 8-bit grayscale raster
-    (``width·height`` bytes, row-major; both dimensions must be
-    multiples of 8 — this fixture encoder doesn't pad edge blocks).
-    Quantization table is all ones, so constant 8×8 tiles survive the
-    DCT→quantize→entropy pipeline exactly (module docstring)."""
+def _encode_block(w: _BitWriter, block: list[int], pred: int, dc_enc: dict, ac_enc: dict) -> int:
+    """DCT → quantize (all-ones table) → zigzag → DC-diff + AC
+    run-length Huffman for ONE level-shifted 8×8 block; returns the new
+    DC predictor."""
+    coef = fdct8x8(block)
+    qz = [int(round(coef[i])) for i in ZIGZAG]
+    diff = qz[0] - pred
+    t = _category(diff)
+    code, ln = dc_enc[t]
+    w.write(code, ln)
+    if t:
+        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if qz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = qz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_enc[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        t = _category(v)
+        code, ln = ac_enc[(run << 4) | t]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << t) - 1, t)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_enc[0x00]  # EOB
+        w.write(code, ln)
+    return qz[0]
+
+
+def jpeg_planes_bytes(width: int, height: int, planes: list[bytes]) -> bytes:
+    """REAL baseline JPEG encode of 1 (grayscale) or 3 (color, treated
+    as Y/Cb/Cr) 8-bit component planes, each ``width·height`` bytes
+    row-major, non-subsampled (1×1 sampling). Components interleave per
+    MCU exactly as the spec prescribes (one 8×8 block per component per
+    MCU at 1×1), with an independent DC predictor per component. Both
+    dimensions must be multiples of 8 (this fixture encoder doesn't pad
+    edge blocks); the quantization table is all ones, so constant 8×8
+    tiles survive the pipeline exactly (module docstring)."""
+    ncomp = len(planes)
+    if ncomp not in (1, 3):
+        raise ValueError("1 (gray) or 3 (color) planes supported")
     if width % 8 or height % 8:
         raise ValueError("fixture encoder requires multiple-of-8 dimensions")
-    if len(raster) != width * height:
-        raise ValueError(f"raster must be {width * height} bytes, got {len(raster)}")
+    for p in planes:
+        if len(p) != width * height:
+            raise ValueError(f"each plane must be {width * height} bytes, got {len(p)}")
     dc_enc = _huff_encode_table(DC_LUM_BITS, DC_LUM_VALS)
     ac_enc = _huff_encode_table(AC_LUM_BITS, AC_LUM_VALS)
     w = _BitWriter()
-    pred = 0
+    preds = [0] * ncomp
     for by in range(height // 8):
         for bx in range(width // 8):
-            block = [
-                raster[(by * 8 + y) * width + bx * 8 + x] - 128
-                for y in range(8)
-                for x in range(8)
-            ]
-            coef = fdct8x8(block)
-            qz = [int(round(coef[i])) for i in ZIGZAG]  # quant table all 1s
-            # DC difference
-            diff = qz[0] - pred
-            pred = qz[0]
-            t = _category(diff)
-            code, ln = dc_enc[t]
-            w.write(code, ln)
-            if t:
-                w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-            # AC run-lengths
-            run = 0
-            last_nz = 0
-            for k in range(63, 0, -1):
-                if qz[k]:
-                    last_nz = k
-                    break
-            for k in range(1, last_nz + 1):
-                v = qz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = ac_enc[0xF0]  # ZRL
-                    w.write(code, ln)
-                    run -= 16
-                t = _category(v)
-                code, ln = ac_enc[(run << 4) | t]
-                w.write(code, ln)
-                w.write(v if v >= 0 else v + (1 << t) - 1, t)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_enc[0x00]  # EOB
-                w.write(code, ln)
+            for ci in range(ncomp):  # interleaved MCU at 1x1 sampling
+                plane = planes[ci]
+                block = [
+                    plane[(by * 8 + y) * width + bx * 8 + x] - 128
+                    for y in range(8)
+                    for x in range(8)
+                ]
+                preds[ci] = _encode_block(w, block, preds[ci], dc_enc, ac_enc)
     entropy = w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     dqt = seg(0xFFDB, b"\x00" + bytes([1] * 64))
-    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+    sof_comps = b"".join(
+        struct.pack("BBB", ci + 1, 0x11, 0) for ci in range(ncomp)
+    )
+    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, ncomp) + sof_comps)
     dht = seg(
         0xFFC4,
         b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
         + b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS),
     )
-    sos = seg(0xFFDA, b"\x01\x01\x00" + b"\x00\x3f\x00")
+    sos_comps = b"".join(struct.pack("BB", ci + 1, 0x00) for ci in range(ncomp))
+    sos = seg(0xFFDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
     return b"\xff\xd8" + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
+
+
+def jpeg_pixel_bytes(width: int, height: int, raster: bytes) -> bytes:
+    """Grayscale convenience wrapper over :func:`jpeg_planes_bytes`."""
+    return jpeg_planes_bytes(width, height, [raster])
 
 
 # --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------
 
+def _decode_block(r: _BitReader, pred: int, dct: dict, act: dict, q: list[int]) -> tuple[int, list[float]]:
+    """Entropy-decode ONE block: DC diff + EXTEND, AC run-lengths to
+    EOB, dequantize, un-zigzag, inverse DCT. Returns (new DC predictor,
+    spatial 8×8 floats, still level-shifted)."""
+    zz = [0] * 64
+    t = r.read_huff(dct)
+    if t:
+        v = r.read_bits(t)
+        if v < (1 << (t - 1)):
+            v -= (1 << t) - 1  # EXTEND: negative amplitude
+        pred += v
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = r.read_huff(act)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0xF
+        if size == 0:
+            if run != 15:
+                raise ValueError("bad AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC index overrun")
+        v = r.read_bits(size)
+        if v < (1 << (size - 1)):
+            v -= (1 << size) - 1
+        zz[k] = v
+        k += 1
+    coef = [0.0] * 64
+    for k in range(64):
+        coef[ZIGZAG[k]] = zz[k] * q[k]
+    return pred, idct8x8(coef)
+
+
 def jpeg_decode_pixels(b: bytes) -> dict:
     """REAL baseline JPEG pixel decode, stdlib only. Walks the marker
     stream, builds Huffman tables from the file's own DHT segments,
-    entropy-decodes every 8×8 block (DC prediction, AC run-lengths,
-    byte un-stuffing), dequantizes with the file's DQT, un-zigzags,
-    inverse-DCTs and level-unshifts. Grayscale baseline only —
-    progressive/multi-component/restart streams raise ValueError."""
+    entropy-decodes every 8×8 block (DC prediction per component, AC
+    run-lengths, byte un-stuffing), dequantizes with the file's DQT,
+    un-zigzags, inverse-DCTs and level-unshifts. Baseline sequential,
+    1 or 3 NON-SUBSAMPLED components (1×1 sampling, interleaved MCUs);
+    color output is the decoded component planes (Y/Cb/Cr as stored —
+    no colorspace conversion is invented). Progressive, subsampled,
+    restart-interval and 12-bit streams raise ValueError."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     i = 2
@@ -309,7 +372,8 @@ def jpeg_decode_pixels(b: bytes) -> dict:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     width = height = None
-    comp_q = comp_dc = comp_ac = 0
+    sof_q: dict[int, int] = {}  # component id -> quant table selector
+    scan: list[tuple[int, int, int]] = []  # (comp id, dc sel, ac sel) in scan order
     entropy_start = None
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -341,19 +405,27 @@ def jpeg_decode_pixels(b: bytes) -> dict:
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
-            if ncomp != 1:
-                raise ValueError("only single-component (grayscale) supported")
-            if body[7] != 0x11:
-                raise ValueError("subsampled components not supported")
-            comp_q = body[8]
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component frames supported")
+            for ci in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise ValueError("subsampled components not supported")
+                sof_q[cid] = tq
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xDD:
             raise ValueError("restart intervals not supported")
         elif marker == 0xDA:  # SOS
-            if body[0] != 1:
-                raise ValueError("only single-component scans supported")
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            if ns != len(sof_q):
+                raise ValueError("scan must cover every frame component")
+            for ci in range(ns):
+                cid = body[1 + 2 * ci]
+                sel = body[2 + 2 * ci]
+                if cid not in sof_q:
+                    raise ValueError("scan references unknown component")
+                scan.append((cid, sel >> 4, sel & 0xF))
             entropy_start = i + 2 + seglen
             break
         i += 2 + seglen
@@ -361,56 +433,31 @@ def jpeg_decode_pixels(b: bytes) -> dict:
         raise ValueError("JPEG missing SOF0/SOS")
     if width % 8 or height % 8:
         raise ValueError("edge-padded dimensions not supported (fixture decoder)")
-    q = qtables[comp_q]
-    dct = dc_tables[comp_dc]
-    act = ac_tables[comp_ac]
+    ncomp = len(scan)
     # entropy data runs to EOI
     end = b.rfind(b"\xff\xd9")
     r = _BitReader(b[entropy_start : end if end > entropy_start else len(b)])
-    raster = bytearray(width * height)
-    pred = 0
+    planes = [bytearray(width * height) for _ in range(ncomp)]
+    preds = [0] * ncomp
     for by in range(height // 8):
         for bx in range(width // 8):
-            zz = [0] * 64
-            t = r.read_huff(dct)
-            if t:
-                v = r.read_bits(t)
-                if v < (1 << (t - 1)):
-                    v -= (1 << t) - 1  # EXTEND: negative amplitude
-                pred += v
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = r.read_huff(act)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC index overrun")
-                v = r.read_bits(size)
-                if v < (1 << (size - 1)):
-                    v -= (1 << size) - 1
-                zz[k] = v
-                k += 1
-            coef = [0.0] * 64
-            for k in range(64):
-                coef[ZIGZAG[k]] = zz[k] * q[k]
-            px = idct8x8(coef)
-            for y in range(8):
-                row = (by * 8 + y) * width + bx * 8
-                for x in range(8):
-                    raster[row + x] = min(255, max(0, int(round(px[y * 8 + x] + 128))))
+            for ci, (cid, td, ta) in enumerate(scan):  # interleaved MCU at 1x1
+                preds[ci], px = _decode_block(
+                    r, preds[ci], dc_tables[td], ac_tables[ta], qtables[sof_q[cid]]
+                )
+                plane = planes[ci]
+                for y in range(8):
+                    row = (by * 8 + y) * width + bx * 8
+                    for x in range(8):
+                        plane[row + x] = min(255, max(0, int(round(px[y * 8 + x] + 128))))
     return {
         "media_type": "image/jpeg",
         "width": width,
         "height": height,
-        "channels": 1,
+        "channels": ncomp,
         "bit_depth": 8,
-        "raster": bytes(raster),
+        "planes": [bytes(p) for p in planes],
+        # raster: the gray plane for 1-component streams (back-compat);
+        # concatenated component planes for color
+        "raster": bytes(planes[0]) if ncomp == 1 else b"".join(bytes(p) for p in planes),
     }

@@ -673,6 +673,99 @@ def decode_jpeg_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=JPEG_STATS_SCHEMA)
 
 
+JPEG_COLOR_SCHEMA = (
+    "doc_id long, width long, height long, channels long, n_tiles long, "
+    "px_sum long, y_sum long, cb_sum long, cr_sum long, "
+    "first_px long, last_px long"
+)
+
+
+def synthesize_jpeg_color(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL 3-component baseline JPEGs (interleaved 1×1
+    MCUs, per-component DC predictors): each Y/Cb/Cr plane is constant
+    8×8 tiles valued ``(11tx + 23ty + 7·doc_id + 31c) mod 256`` — the
+    exact-at-quant-1 fixture, per component."""
+    from .jpegcodec import jpeg_planes_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = 8 * (d % 5 + 1), 8 * (d % 4 + 1)
+                planes = [
+                    bytes(
+                        (11 * (x // 8) + 23 * (y // 8) + 7 * d + 31 * c) % 256
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    for c in range(3)
+                ]
+                payloads.append(jpeg_planes_bytes(w, h, planes))
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_jpeg_color_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched color-JPEG decode over (doc_id, payload): per-plane
+    sums come from the three entropy-DECODED component planes
+    (interleaved-MCU Huffman decode with per-component DC prediction) —
+    an interleave/predictor-mixup bug lands on y_sum/cb_sum/cr_sum."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if "planes" not in d or len(d["planes"]) != 3:
+                        raise ValueError("expected a 3-component JPEG")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "width", "height", "channels", "n_tiles",
+                                    "px_sum", "y_sum", "cb_sum", "cr_sum",
+                                    "first_px", "last_px",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                sums = [sum(p) for p in d["planes"]]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "channels": len(d["planes"]),
+                        "n_tiles": (d["width"] // 8) * (d["height"] // 8),
+                        "px_sum": sum(sums),
+                        "y_sum": sums[0],
+                        "cb_sum": sums[1],
+                        "cr_sum": sums[2],
+                        "first_px": d["planes"][0][0],
+                        "last_px": d["planes"][2][-1],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=JPEG_COLOR_SCHEMA)
+
+
 AUDIO_STATS_SCHEMA = (
     "doc_id long, n_samples long, sample_rate long, sum_abs long, "
     "energy long, zero_crossings long, peak long, first_sample long, last_sample long"

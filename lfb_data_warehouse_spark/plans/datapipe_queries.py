@@ -3538,6 +3538,59 @@ def jpeg_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_stats(synthesize_jpeg_tiles(docs, "doc_id"))
 
 
+@register(
+    "jpeg_color_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             8 * (doc_id % 5 + 1) AS width,
+             8 * (doc_id % 4 + 1) AS height
+      FROM documents WHERE doc_id % {JPEG_DOC_MOD} = 2
+    ),
+    tiles AS (
+      SELECT s.doc_id, s.width, s.height, gc.c,
+             (11 * gx.tx + 23 * gy.ty + 7 * s.doc_id + 31 * gc.c) % 256 AS v
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.width // 8)) AS tx) gx,
+           LATERAL (SELECT unnest(range(0, s.height // 8)) AS ty) gy,
+           LATERAL (SELECT unnest(range(0, 3)) AS c) gc
+    )
+    SELECT doc_id,
+           CAST(any_value(width) AS BIGINT) AS width,
+           CAST(any_value(height) AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(COUNT(*) // 3 AS BIGINT) AS n_tiles,
+           CAST(64 * sum(v) AS BIGINT) AS px_sum,
+           CAST(64 * sum(v) FILTER (c = 0) AS BIGINT) AS y_sum,
+           CAST(64 * sum(v) FILTER (c = 1) AS BIGINT) AS cb_sum,
+           CAST(64 * sum(v) FILTER (c = 2) AS BIGINT) AS cr_sum,
+           CAST(7 * doc_id % 256 AS BIGINT) AS first_px,
+           CAST((11 * (any_value(width) // 8 - 1) + 23 * (any_value(height) // 8 - 1)
+                 + 7 * doc_id + 62) % 256 AS BIGINT) AS last_px
+    FROM tiles GROUP BY doc_id
+    """,
+)
+def jpeg_color_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLOR baseline-JPEG decode end to end: 3-component interleaved
+    MCUs with per-component DC predictors — the real-world JPEG frame
+    layout (non-subsampled). synthesize_jpeg_color writes Y/Cb/Cr
+    constant-tile planes closed-form in doc_id; decode_jpeg_color_stats
+    entropy-decodes the interleaved stream and reports PER-PLANE sums
+    from the recovered components, so a component-interleave or
+    predictor-mixup bug (classic multi-component decoder failure)
+    mismatches y_sum/cb_sum/cr_sum even when the totals agree. Same
+    exactness argument as the grayscale gate (DC-only blocks, quant 1);
+    map-only Arrow pass."""
+    from ..operators.multimodal import decode_jpeg_color_stats, synthesize_jpeg_color
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % JPEG_DOC_MOD == 2)
+    )
+    return decode_jpeg_color_stats(synthesize_jpeg_color(docs, "doc_id"))
+
+
 AUDIO_DOC_MOD = 7  # doc_id % 7 == 1 → ~1/7 of documents get a PCM clip
 
 

@@ -723,6 +723,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "ivfpq_structured_recall_audit",  # r8: PQ sign-flip on the clustered fixture
     "jpeg_pixel_decode_stats",  # r8: full baseline-JPEG entropy decode, stdlib only
     "audio_feature_stats",  # r8: feature extraction from real decoded PCM samples
+    "jpeg_color_decode_stats",  # r8: 3-component interleaved-MCU color decode
 ]
 
 

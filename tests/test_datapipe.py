@@ -459,6 +459,39 @@ def test_jpeg_codec_arbitrary_raster_near_lossless():
     assert err <= 2, f"max abs error {err}"
 
 
+def test_jpeg_color_codec_roundtrip():
+    """3-component interleaved MCUs: constant tiles round-trip exactly
+    PER PLANE (a component-interleave or shared-DC-predictor bug would
+    smear plane values into each other), and arbitrary color rasters
+    stay within quantization tolerance."""
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_planes_bytes,
+    )
+
+    d = 9
+    w, h = 8 * (d % 5 + 1), 8 * (d % 4 + 1)
+    planes = [
+        bytes(
+            (11 * (x // 8) + 23 * (y // 8) + 7 * d + 31 * c) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        for c in range(3)
+    ]
+    out = jpeg_decode_pixels(jpeg_planes_bytes(w, h, planes))
+    assert out["channels"] == 3
+    for c in range(3):
+        assert out["planes"][c] == planes[c], f"plane {c} mismatch"
+    # distinct plane constants: interleave correctness is observable
+    assert len({p[0] for p in out["planes"]}) == 3
+    # arbitrary color content, near-lossless at quant 1
+    arb = [bytes((i * (37 + 11 * c) + c) % 256 for i in range(16 * 16)) for c in range(3)]
+    got = jpeg_decode_pixels(jpeg_planes_bytes(16, 16, arb))
+    err = max(abs(a - b) for c in range(3) for a, b in zip(got["planes"][c], arb[c]))
+    assert err <= 2
+
+
 def test_jpeg_codec_rejects_unsupported():
     import struct as _struct
 

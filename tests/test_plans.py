@@ -127,6 +127,7 @@ def test_no_cartesian_products(spark, name):
     [
         "png_pixel_decode_stats",
         "jpeg_pixel_decode_stats",
+        "jpeg_color_decode_stats",
         "audio_feature_stats",
         "multimodal_decode",
     ],
