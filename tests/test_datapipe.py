@@ -583,6 +583,7 @@ def test_decode_stats_poison_safety(docs):
 
     from lfb_data_warehouse_spark.operators.multimodal import (
         decode_audio_stats,
+        decode_jpeg_color_stats,
         decode_jpeg_stats,
         decode_png_stats,
     )
@@ -592,7 +593,12 @@ def test_decode_stats_poison_safety(docs):
         [(1, bytearray(b"not a media payload")), (2, bytearray(b""))],
         "doc_id long, payload binary",
     )
-    for op in (decode_png_stats, decode_jpeg_stats, decode_audio_stats):
+    for op in (
+        decode_png_stats,
+        decode_jpeg_stats,
+        decode_jpeg_color_stats,
+        decode_audio_stats,
+    ):
         rows = op(poison, strict=False).collect()
         assert sorted(r["doc_id"] for r in rows) == [1, 2]
         assert all(
