@@ -59,13 +59,19 @@ History:
   round 8. VERIFIED_GREEN is now deduped keeping each name's LAST
   green round (round-7 ADVICE: duplicated names used to order
   freshly-regreen queries by their stale first-occurrence positions).
-- Round 8 (this file): freshness again. _R8_RECHECK is the mechanical
-  `tools/freshness.py` queue after round 7 — the 8 IO-battery queries
-  whose last driver row is round 3 (the set the round-7 verdict names
-  explicitly), then every round-4-era row oldest-first in registry
-  order. 57 candidates for the spare slots after the flagship and the
-  round-8 additions: the r4 tail that misses the window queues for
-  round 9 under the same derived ordering.
+- Round 8 (CORRECTNESS_r08.json): 50/50 green — the flagship, the five
+  round-8 additions (the real media-decode gates + the structured-
+  corpus PQ audit), the 8-query round-3 IO tail, and 36 round-4-era
+  rechecks. The 13-query r4 tail that missed the window queues first
+  for round 9.
+- Round 9 (this file): freshness again. _R9_RECHECK is the mechanical
+  `tools/freshness.py` queue after round 8 — the 13 queries whose last
+  driver row is round 4 (the round-8 verdict's named set: the kmeans
+  pair, salted_join_events, semantic_dedup_kmeans,
+  doc_containment_pairs, the cogroup/analytics tail), then every
+  round-5-era row oldest-first in registry order. With only 13 r4-era
+  rows and ~44 spare slots, a green round 9 leaves NO registry row
+  older than round 5 — the round-8 verdict's stated goal.
 
 Maintenance: after each round, append that round's green names to
 the _R{N}_GREEN block and rebuild UNCHECKED_PRIORITY from whatever has
@@ -682,6 +688,137 @@ _R8_RECHECK: list[str] = [
 ]
 
 
+# Green in CORRECTNESS_r08.json (round 8 window, 50/50): the flagship,
+# the five round-8 additions, the round-3 IO-battery tail, and the
+# head of the round-4-era staleness queue.
+_R8_GREEN: list[str] = [
+    "flagship_star_fact",
+    "png_pixel_decode_stats",
+    "ivfpq_structured_recall_audit",
+    "jpeg_pixel_decode_stats",
+    "audio_feature_stats",
+    "jpeg_color_decode_stats",
+    "partition_overwrite_backfill",
+    "csv_roundtrip_orders",
+    "orc_roundtrip_lineitem",
+    "jsonl_roundtrip_events",
+    "csv_permissive_corrupt_rows",
+    "clustered_write_skipping",
+    "schema_evolution_merge",
+    "compaction_roundtrip",
+    "dedup_components_star",
+    "ann_pq_adc_topk",
+    "gopher_quality_gates",
+    "gopher_repetition_gates",
+    "text_char_entropy",
+    "retention_cohort_weekly",
+    "text_quality_stats",
+    "text_lang_id",
+    "text_token_counts",
+    "c4_clean_documents",
+    "text_tfidf_top_terms",
+    "text_heavy_hitters",
+    "text_pii_redact",
+    "doc_fingerprints",
+    "doc_rolling_hash",
+    "text_repeated_ngrams",
+    "chunk_documents_sliding",
+    "pandas_udf_quality_sigmoid",
+    "dense_ids_documents",
+    "pack_sequences_documents",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "stream_tumbling_hourly",
+    "stream_stateful_user_stats",
+    "stream_upsert_idempotent",
+    "stream_sessionize",
+    "stream_interval_join",
+    "stream_static_enrich",
+    "sketch_mart_mergeable",
+    "approx_percentile_claim",
+    "remix_source_mixture",
+    "sample_orders_deterministic",
+    "quality_weighted_sample",
+    "per_source_sample",
+    "ivf_persisted_search",
+]
+
+
+# Round 9 re-verification, in priority order: tools/freshness.py's
+# staleness queue after round 8 — the 13 queries whose last driver
+# row is round 4 (the round-8 verdict's named set), then every
+# round-5-era row oldest-first in registry order. 13 + the r5 head
+# fit the ~44 spare slots, so a green round 9 leaves no registry row
+# older than round 5.
+_R9_RECHECK: list[str] = [
+    # -- 1. last driver green is round 4 (the round-8 window tail) --
+    "salted_join_events",
+    "semantic_dedup_kmeans",
+    "doc_containment_pairs",
+    "cogroup_click_purchase_profile",
+    "mom_revenue_growth",
+    "gap_fill_daily_revenue",
+    "null_semantics_battery",
+    "cube_segment_priority",
+    "cohort_intersect_except",
+    "grouped_zscore_chars",
+    "regression_chars_vs_tokens",
+    "kmeans_fit_centroids",
+    "ann_ivf_kmeans_recall",
+    # -- 2. last driver green is round 5, registry order --
+    "approx_ntile_price_quartiles",
+    "incremental_dedup_components",
+    "incremental_dedup_survivors",
+    "pq_codebook_learned",
+    "ann_ivf_pq_topk",
+    "ann_ivf_pq_residual_topk",
+    "ivfpq_residual_recall_audit",
+    "ivf_incremental_append",
+    "embedding_pca_claim",
+    "heavy_hitters_sketch",
+    "sketch_overlap_yoy",
+    "ewma_customer_spend",
+    "anomaly_daily_revenue",
+    "rfm_customer_scores",
+    "basket_brand_affinity",
+    "event_transition_matrix",
+    "pareto_abc_brands",
+    "customer_order_gap_stats",
+    "dup_cluster_size_histogram",
+    "seasonality_month_index",
+    "new_vs_returning_revenue",
+    "sql_api_top_segment_customers",
+    "ivf_recall_audit",
+    "prepare_training_corpus",
+    "mart_per_month",
+    "mart_per_segment",
+    "mart_types_per_segment",
+    "pivot_priority_by_year",
+    "dim_collapse_first",
+    "scd_latest_order",
+    "scd2_customer_priority",
+    "scd2_point_in_time_join",
+    "incremental_mart_update",
+    "topk_parts_per_brand",
+    "join_enrich_brand_revenue",
+    "join_composite_customer_year",
+    "incremental_new_orders",
+    "dq_referential_integrity",
+    "dq_profile_customer",
+    "hash_surrogate_keys",
+    "dim_region_sentinel",
+    "date_spine_orders",
+    "bucketize_acctbal",
+    "zscore_scrub_prices",
+    "try_cast_dirty_ingest",
+    "string_function_battery",
+    "unpivot_priority_measures",
+    "percentile_prices_by_flag",
+    "rollup_priority_year",
+]
+
+
 def _dedupe_keep_last(names: list[str]) -> list[str]:
     """Dedupe preserving each name's LAST occurrence, so concatenated
     round blocks order by most-recent green round (stalest first) —
@@ -704,26 +841,25 @@ _ALL_GREEN: list[str] = _dedupe_keep_last(
     + _R5_GREEN
     + _R6_GREEN
     + _R7_GREEN
+    + _R8_GREEN
 )
 
-VERIFIED_GREEN: list[str] = _R8_RECHECK + [
-    n for n in _ALL_GREEN if n not in set(_R8_RECHECK)
+VERIFIED_GREEN: list[str] = _R9_RECHECK + [
+    n for n in _ALL_GREEN if n not in set(_R9_RECHECK)
 ]
 
 # Oracle-defect re-checks: none pending (the round-2 trio flipped green
 # in round 3 and lives in _R3_GREEN now).
 ORACLE_FIXED: list[str] = []
 
-# Never-driver-checked queries: the round-8 additions, each displacing
-# one _R8_RECHECK slot from the 50-slot window. (reorder()'s new-query
+# Never-driver-checked queries: the round-9 additions, each displacing
+# one _R9_RECHECK slot from the 50-slot window. (reorder()'s new-query
 # branch also fronts anything not yet listed anywhere, so a query added
 # mid-round is window-checked the same round even before it lands here.)
 UNCHECKED_PRIORITY: list[str] = [
-    "png_pixel_decode_stats",  # r8: real PNG pixel decode (zlib inflate + unfilter)
-    "ivfpq_structured_recall_audit",  # r8: PQ sign-flip on the clustered fixture
-    "jpeg_pixel_decode_stats",  # r8: full baseline-JPEG entropy decode, stdlib only
-    "audio_feature_stats",  # r8: feature extraction from real decoded PCM samples
-    "jpeg_color_decode_stats",  # r8: 3-component interleaved-MCU color decode
+    # round-9 additions land here as they ship (reorder() also
+    # fronts anything not yet listed anywhere, so a query added
+    # mid-round is window-checked the same round).
 ]
 
 
