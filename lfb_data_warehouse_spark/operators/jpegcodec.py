@@ -35,8 +35,35 @@ intervals, 12-bit precision, arithmetic coding.
 
 from __future__ import annotations
 
+import functools
 import math
 import struct
+
+
+def decode_valueerror_contract(fn):
+    """Normalize malformed-payload failures to ``ValueError``.
+
+    The decoders' documented contract (and the ``strict=False``
+    poison-safe mode in :mod:`.multimodal` that relies on it) is
+    "explicit ValueError, never a silent mis-decode — and never a
+    stage-killing stray exception". Truncated headers surface as
+    ``struct.error``, scans referencing never-defined tables as
+    ``KeyError``, and empty payload slices as ``IndexError`` (round-8
+    ADVICE, all three verified); wrap them here so callers see one
+    exception type regardless of where inside the byte walk the
+    corruption bites."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, KeyError, IndexError) as e:
+            raise ValueError(
+                f"{fn.__name__}: undecodable payload "
+                f"({type(e).__name__}: {e})"
+            ) from e
+
+    return wrapper
 
 # --------------------------------------------------------------------------
 # Standard Annex K.3 luminance Huffman tables: (bits[1..16] counts, values)
@@ -355,6 +382,7 @@ def _decode_block(r: _BitReader, pred: int, dct: dict, act: dict, q: list[int]) 
     return pred, idct8x8(coef)
 
 
+@decode_valueerror_contract
 def jpeg_decode_pixels(b: bytes) -> dict:
     """REAL baseline JPEG pixel decode, stdlib only. Walks the marker
     stream, builds Huffman tables from the file's own DHT segments,
@@ -378,6 +406,11 @@ def jpeg_decode_pixels(b: bytes) -> dict:
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise ValueError("marker expected")
+        # runs of 0xFF between segments are legal fill bytes (B.1.1.2);
+        # skip them instead of misreading a fill byte as a marker with a
+        # garbage length (round-8 ADVICE).
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1
         marker = b[i + 1]
         if marker == 0xD9:
             break
@@ -431,8 +464,13 @@ def jpeg_decode_pixels(b: bytes) -> dict:
         i += 2 + seglen
     if width is None or entropy_start is None:
         raise ValueError("JPEG missing SOF0/SOS")
+    for cid, td, ta in scan:
+        if td not in dc_tables or ta not in ac_tables or sof_q[cid] not in qtables:
+            raise ValueError("JPEG scan references undefined table")
     if width % 8 or height % 8:
         raise ValueError("edge-padded dimensions not supported (fixture decoder)")
+    if width == 0 or height == 0:
+        raise ValueError("JPEG with zero-area frame")
     ncomp = len(scan)
     # entropy data runs to EOI
     end = b.rfind(b"\xff\xd9")

@@ -41,6 +41,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .jpegcodec import decode_valueerror_contract
+
 FEATURE_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, payload_sha256 string, "
     "fake_width long, fake_height long, fake_frames long"
@@ -204,6 +206,7 @@ def png_pixel_bytes(width: int, height: int, raster: bytes, color_type: int = 2)
     return _PNG_SIG + _chunk(b"IHDR", ihdr_body) + idat + _chunk(b"IEND", b"")
 
 
+@decode_valueerror_contract
 def png_decode_pixels(b: bytes) -> dict:
     """REAL PNG pixel decode, stdlib only: walk the chunk stream,
     concatenate every IDAT, ``zlib.decompress``, then reverse the
@@ -238,6 +241,11 @@ def png_decode_pixels(b: bytes) -> dict:
             f"interlace={interlace}): only non-interlaced 8-bit gray/RGB/LA/RGBA"
         )
     channels = _PNG_CHANNELS[color_type]
+    if width == 0 or height == 0:
+        # a 0-dim raster has no first/last pixel for downstream stats;
+        # treat as undecodable rather than emitting an empty raster that
+        # IndexErrors past the ValueError contract (round-8 ADVICE).
+        raise ValueError("PNG with zero-area raster")
     stride = width * channels
     try:
         data = zlib.decompress(bytes(idat))
@@ -284,8 +292,16 @@ def wav_pcm_bytes(channels: int, sample_rate: int, samples: list[int], bits: int
     """PCM WAV with REAL sample data (``samples`` is the interleaved
     int16 stream) — the non-silent sibling of :func:`wav_bytes`, so
     sample-level decode and feature extraction have actual signal to
-    recover."""
-    data = struct.pack(f"<{len(samples)}h", *samples)
+    recover. ``bits`` selects the pack format (16-bit signed or 8-bit
+    unsigned PCM) so the header and the data chunk always agree —
+    writing a 16-bit stream under an 8-bit header produced a corrupt
+    WAV (round-8 ADVICE)."""
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    elif bits == 8:
+        data = struct.pack(f"<{len(samples)}B", *samples)
+    else:
+        raise ValueError(f"only 8/16-bit PCM supported, got {bits}")
     block_align = channels * bits // 8
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
                       sample_rate * block_align, block_align, bits)
@@ -294,6 +310,7 @@ def wav_pcm_bytes(channels: int, sample_rate: int, samples: list[int], bits: int
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@decode_valueerror_contract
 def wav_decode_samples(b: bytes) -> dict:
     """REAL WAV PCM sample decode: RIFF chunk walk to ``fmt ``/``data``,
     then unpack the interleaved little-endian integer samples (8-bit
@@ -321,6 +338,10 @@ def wav_decode_samples(b: bytes) -> dict:
         samples = list(data)
     else:
         raise ValueError(f"only 8/16-bit PCM supported, got {bits}")
+    if not samples:
+        # no first/last sample for downstream stats — undecodable,
+        # same zero-area rationale as png_decode_pixels.
+        raise ValueError("WAV with empty data chunk")
     return {
         "media_type": "audio/wav",
         "channels": channels,

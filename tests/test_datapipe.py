@@ -397,6 +397,95 @@ def test_png_decode_rejects_unsupported_and_corrupt():
         png_decode_pixels(b"not a png at all")
 
 
+def test_decode_error_contract_normalized():
+    """Malformed payloads surface as ValueError ONLY — truncated
+    headers (struct.error), scans referencing undefined tables
+    (KeyError), and zero-area/empty streams (would IndexError in the
+    stats layer) are all normalized by decode_valueerror_contract, so
+    strict=False poison-safety can rely on one exception type
+    (round-8 ADVICE medium)."""
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_pixel_bytes,
+    )
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        _PNG_SIG,
+        png_decode_pixels,
+        png_pixel_bytes,
+        wav_decode_samples,
+        wav_pcm_bytes,
+    )
+
+    # truncated PNG IHDR: struct.error inside the chunk walk
+    with _pytest.raises(ValueError):
+        png_decode_pixels(_PNG_SIG + b"\x00\x00\x00\x0dIHDR\x00\x01")
+    # zero-area PNG: decodes to an empty raster -> explicit ValueError
+    with _pytest.raises(ValueError, match="zero-area"):
+        png_decode_pixels(png_pixel_bytes(0, 0, b"", 0))
+    # truncated WAV fmt chunk: struct.error inside the RIFF walk
+    with _pytest.raises(ValueError):
+        wav_decode_samples(
+            b"RIFF\x10\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00"
+        )
+    # empty data chunk: no first/last sample -> explicit ValueError
+    with _pytest.raises(ValueError, match="empty data"):
+        wav_decode_samples(wav_pcm_bytes(1, 8000, []))
+    real = jpeg_pixel_bytes(8, 8, bytes(range(64)))
+    # truncated SOF0: struct.error inside the marker walk
+    with _pytest.raises(ValueError):
+        jpeg_decode_pixels(real[: real.find(b"\xff\xc0") + 6])
+    # every DHT stripped: the scan references never-defined tables
+    no_tables = bytearray(real)
+    while True:
+        p = no_tables.find(b"\xff\xc4")
+        if p < 0:
+            break
+        seglen = int.from_bytes(no_tables[p + 2 : p + 4], "big")
+        del no_tables[p : p + 2 + seglen]
+    with _pytest.raises(ValueError, match="undefined table"):
+        jpeg_decode_pixels(bytes(no_tables))
+
+
+def test_jpeg_fill_bytes_tolerated():
+    """Runs of 0xFF between segments are legal fill (B.1.1.2); the
+    decoder must skip them, not misread one as a marker with a garbage
+    length (round-8 ADVICE low)."""
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_pixel_bytes,
+    )
+
+    raster = bytes((7 * i + 3) % 256 for i in range(16 * 8))
+    real = jpeg_pixel_bytes(16, 8, raster)
+    clean = jpeg_decode_pixels(real)
+    # pad with fill bytes after SOI and again before SOF0
+    sof = real.find(b"\xff\xc0")
+    padded = real[:2] + b"\xff\xff" + real[2:sof] + b"\xff" + real[sof:]
+    got = jpeg_decode_pixels(padded)
+    assert got["raster"] == clean["raster"]
+    assert (got["width"], got["height"]) == (16, 8)
+
+
+def test_wav_pcm_bytes_8bit():
+    """bits=8 packs unsigned bytes and the header agrees with the data
+    chunk (round-8 ADVICE low: the old code always packed int16 under
+    whatever header was asked for)."""
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        wav_decode_samples,
+        wav_pcm_bytes,
+    )
+
+    samples = [0, 127, 255, 64, 200]
+    got = wav_decode_samples(wav_pcm_bytes(1, 8000, samples, bits=8))
+    assert got["bits"] == 8 and got["samples"] == samples
+    with _pytest.raises(ValueError, match="8/16-bit"):
+        wav_pcm_bytes(1, 8000, [0], bits=12)
+
+
 def test_wav_pcm_sample_decode():
     import struct as _struct
 
@@ -588,9 +677,39 @@ def test_decode_stats_poison_safety(docs):
         decode_png_stats,
     )
 
+    from lfb_data_warehouse_spark.operators.jpegcodec import jpeg_pixel_bytes
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        _PNG_SIG,
+        png_pixel_bytes,
+        wav_pcm_bytes,
+    )
+
     spark = docs.sparkSession
+    # Beyond never-a-media-container junk, cover the corruption classes
+    # that fail AFTER container sniffing (round-8 ADVICE: these used to
+    # escape as struct.error / KeyError / IndexError and kill the
+    # stage): truncated PNG IHDR, truncated WAV fmt, a JPEG whose scan
+    # references tables no DHT defined, a zero-area PNG, an empty-data
+    # WAV, and a JPEG truncated inside SOF0.
+    real_jpeg = jpeg_pixel_bytes(8, 8, bytes(range(64)))
+    no_tables = bytearray(real_jpeg)  # strip every DHT: tables undefined
+    while True:
+        p = no_tables.find(b"\xff\xc4")
+        if p < 0:
+            break
+        seglen = int.from_bytes(no_tables[p + 2 : p + 4], "big")
+        del no_tables[p : p + 2 + seglen]
     poison = spark.createDataFrame(
-        [(1, bytearray(b"not a media payload")), (2, bytearray(b""))],
+        [
+            (1, bytearray(b"not a media payload")),
+            (2, bytearray(b"")),
+            (3, bytearray(_PNG_SIG + b"\x00\x00\x00\x0dIHDR\x00\x01")),
+            (4, bytearray(b"RIFF\x10\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00")),
+            (5, bytearray(no_tables)),
+            (6, bytearray(png_pixel_bytes(0, 0, b"", 0))),
+            (7, bytearray(wav_pcm_bytes(1, 8000, [1]))[:-2] + b""),
+            (8, bytearray(real_jpeg[: real_jpeg.find(b"\xff\xc0") + 6])),
+        ],
         "doc_id long, payload binary",
     )
     for op in (
@@ -600,7 +719,7 @@ def test_decode_stats_poison_safety(docs):
         decode_audio_stats,
     ):
         rows = op(poison, strict=False).collect()
-        assert sorted(r["doc_id"] for r in rows) == [1, 2]
+        assert sorted(r["doc_id"] for r in rows) == [1, 2, 3, 4, 5, 6, 7, 8]
         assert all(
             v is None for r in rows for k, v in r.asDict().items() if k != "doc_id"
         )
