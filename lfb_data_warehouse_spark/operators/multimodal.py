@@ -160,19 +160,10 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def png_pixel_bytes(width: int, height: int, raster: bytes, color_type: int = 2) -> bytes:
-    """REAL PNG encode: 8-bit raster → filtered scanlines → zlib IDAT.
-
-    ``raster`` is ``width * height * channels`` bytes, row-major. Each
-    scanline's filter type cycles ``y % 5`` so every PNG filter
-    (None/Sub/Up/Average/Paeth) appears in any image at least 5 rows
-    tall, and the compressed stream is split across TWO IDAT chunks
-    when possible — both are decoder behaviors a header-only fixture
-    (:func:`png_bytes`) never exercises."""
-    bpp = _PNG_CHANNELS[color_type]
-    stride = width * bpp
-    if len(raster) != stride * height:
-        raise ValueError(f"raster must be {stride * height} bytes, got {len(raster)}")
+def _png_filter_scanlines(raster: bytes, stride: int, height: int, bpp: int) -> bytes:
+    """Filter a raw raster into PNG scanline form, cycling the filter
+    type ``y % 5`` so every PNG filter (None/Sub/Up/Average/Paeth)
+    appears in any image at least 5 rows tall."""
     out = bytearray()
     prior = bytes(stride)
     for y in range(height):
@@ -195,15 +186,61 @@ def png_pixel_bytes(width: int, height: int, raster: bytes, color_type: int = 2)
                 pred = _paeth(left, up, ul)
             out.append((line[i] - pred) & 0xFF)
         prior = line
-    comp = zlib.compress(bytes(out), 6)
+    return bytes(out)
+
+
+def _png_idat_chunks(filtered: bytes) -> bytes:
+    """zlib-compress and split across TWO IDAT chunks when possible —
+    a decoder behavior a single-chunk fixture never exercises."""
+    comp = zlib.compress(filtered, 6)
     mid = len(comp) // 2
-    idat = (
+    return (
         _chunk(b"IDAT", comp[:mid]) + _chunk(b"IDAT", comp[mid:])
         if mid
         else _chunk(b"IDAT", comp)
     )
+
+
+def png_pixel_bytes(width: int, height: int, raster: bytes, color_type: int = 2) -> bytes:
+    """REAL PNG encode: 8-bit raster → filtered scanlines → zlib IDAT.
+
+    ``raster`` is ``width * height * channels`` bytes, row-major. Each
+    scanline's filter type cycles ``y % 5`` and the compressed stream
+    is split across TWO IDAT chunks when possible — both decoder
+    behaviors a header-only fixture (:func:`png_bytes`) never
+    exercises."""
+    bpp = _PNG_CHANNELS[color_type]
+    stride = width * bpp
+    if len(raster) != stride * height:
+        raise ValueError(f"raster must be {stride * height} bytes, got {len(raster)}")
+    filtered = _png_filter_scanlines(raster, stride, height, bpp)
     ihdr_body = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    return _PNG_SIG + _chunk(b"IHDR", ihdr_body) + idat + _chunk(b"IEND", b"")
+    return (
+        _PNG_SIG + _chunk(b"IHDR", ihdr_body) + _png_idat_chunks(filtered)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_palette_bytes(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
+    """REAL indexed-color (type 3) PNG encode: ``indices`` is one
+    palette index per pixel, ``palette`` the PLTE body (flat RGB
+    triples, ≤ 256 entries). Index scanlines get the same cycling
+    filters as the truecolor encoder (bpp = 1 — filters operate on
+    index BYTES, not colors, per spec §9), and the PLTE chunk sits
+    between IHDR and IDAT as required. Palette PNGs dominate
+    web-scraped icon/sprite corpora (round-8 VERDICT item 5)."""
+    if len(indices) != width * height:
+        raise ValueError(f"indices must be {width * height} bytes, got {len(indices)}")
+    if not palette or len(palette) % 3 or len(palette) > 768:
+        raise ValueError("palette must be 1..256 RGB triples")
+    if max(indices) >= len(palette) // 3:
+        raise ValueError("index out of palette range")
+    filtered = _png_filter_scanlines(indices, width, height, 1)
+    ihdr_body = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    return (
+        _PNG_SIG + _chunk(b"IHDR", ihdr_body) + _chunk(b"PLTE", palette)
+        + _png_idat_chunks(filtered) + _chunk(b"IEND", b"")
+    )
 
 
 @decode_valueerror_contract
@@ -212,15 +249,17 @@ def png_decode_pixels(b: bytes) -> dict:
     concatenate every IDAT, ``zlib.decompress``, then reverse the
     per-scanline filter (all five types incl. Paeth) to recover the
     raw raster. Supports the non-interlaced 8-bit gray/RGB/gray+alpha/
-    RGBA cases our encoder and common ML corpora use; palette, sub-byte
-    depths and Adam7 raise ValueError (they'd silently mis-decode
-    otherwise)."""
+    RGBA/palette cases our encoders and common ML corpora use — indexed
+    color (type 3) unfilters the index scanlines at bpp 1 and maps them
+    through the PLTE chunk into an RGB raster; sub-byte depths and
+    Adam7 raise ValueError (they'd silently mis-decode otherwise)."""
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     i = 8
     width = height = None
     bit_depth = color_type = interlace = None
     idat = bytearray()
+    palette = None
     while i + 8 <= len(b):
         length = struct.unpack(">I", b[i : i + 4])[0]
         tag = b[i + 4 : i + 8]
@@ -228,6 +267,8 @@ def png_decode_pixels(b: bytes) -> dict:
         if tag == b"IHDR":
             width, height = struct.unpack(">II", body[:8])
             bit_depth, color_type, _, _, interlace = struct.unpack("BBBBB", body[8:13])
+        elif tag == b"PLTE":
+            palette = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -235,11 +276,14 @@ def png_decode_pixels(b: bytes) -> dict:
         i += 12 + length  # len + tag + body + crc
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or color_type == 3 or interlace:
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
         raise ValueError(
             f"unsupported PNG shape (depth={bit_depth}, color={color_type}, "
-            f"interlace={interlace}): only non-interlaced 8-bit gray/RGB/LA/RGBA"
+            f"interlace={interlace}): only non-interlaced 8-bit "
+            f"gray/RGB/palette/LA/RGBA"
         )
+    if color_type == 3 and (palette is None or not palette or len(palette) % 3):
+        raise ValueError("palette PNG missing a well-formed PLTE chunk")
     channels = _PNG_CHANNELS[color_type]
     if width == 0 or height == 0:
         # a 0-dim raster has no first/last pixel for downstream stats;
@@ -278,12 +322,24 @@ def png_decode_pixels(b: bytes) -> dict:
             recon[i2] = (line[i2] + pred) & 0xFF
         raster[y * stride : (y + 1) * stride] = recon
         prior = bytes(recon)
+    palette_size = None
+    if color_type == 3:
+        # map the unfiltered INDEX bytes through PLTE into an RGB raster
+        palette_size = len(palette) // 3
+        rgb = bytearray(width * height * 3)
+        for j, idx in enumerate(raster):
+            if idx >= palette_size:
+                raise ValueError("palette index out of PLTE range")
+            rgb[3 * j : 3 * j + 3] = palette[3 * idx : 3 * idx + 3]
+        raster = rgb
+        channels = 3
     return {
         "media_type": "image/png",
         "width": width,
         "height": height,
         "channels": channels,
         "bit_depth": bit_depth,
+        "palette_size": palette_size,
         "raster": bytes(raster),
     }
 
@@ -600,6 +656,103 @@ def decode_png_stats(media: DataFrame, strict: bool = True) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=PNG_STATS_SCHEMA)
+
+
+PALETTE_STATS_SCHEMA = (
+    "doc_id long, width long, height long, channels long, palette_size long, "
+    "n_pixels long, px_sum long, r_sum long, g_sum long, b_sum long, "
+    "first_px long, last_px long"
+)
+
+
+def synthesize_png_palette(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL indexed-color PNGs: doc ``d`` gets a
+    ``(d%21+5) × (d%14+4)`` image over a ``d%13+3``-entry palette whose
+    entry ``j`` is ``((7j+d)%256, (13j+2d)%256, (29j+3d)%256)`` and
+    whose pixel ``(x, y)`` holds index ``(x + 2y + d) mod psize`` — all
+    closed-form in doc_id, so the oracle recomputes the post-PLTE RGB
+    sums arithmetically while the engine must unfilter the index
+    scanlines AND apply the actual PLTE lookup to reproduce them."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h, ps = d % 21 + 5, d % 14 + 4, d % 13 + 3
+                pal = bytes(
+                    v
+                    for j in range(ps)
+                    for v in ((7 * j + d) % 256, (13 * j + 2 * d) % 256,
+                              (29 * j + 3 * d) % 256)
+                )
+                idx = bytes((x + 2 * y + d) % ps for y in range(h) for x in range(w))
+                payloads.append(png_palette_bytes(w, h, idx, pal))
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_palette_png_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched palette-PNG decode over (doc_id, payload):
+    per-channel sums come from the post-PLTE-lookup RGB raster — a
+    palette-order (RGB/BGR) or index-offset bug lands on
+    r_sum/g_sum/b_sum even when the totals agree. ``strict=False`` =
+    poison-safe NULL-stats rows (see :func:`decode_png_stats`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = png_decode_pixels(bytes(payload))
+                    if d.get("palette_size") is None:
+                        raise ValueError("expected an indexed-color PNG")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "width", "height", "channels",
+                                    "palette_size", "n_pixels", "px_sum",
+                                    "r_sum", "g_sum", "b_sum",
+                                    "first_px", "last_px",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                raster = d["raster"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "channels": d["channels"],
+                        "palette_size": d["palette_size"],
+                        "n_pixels": d["width"] * d["height"],
+                        "px_sum": sum(raster),
+                        "r_sum": sum(raster[0::3]),
+                        "g_sum": sum(raster[1::3]),
+                        "b_sum": sum(raster[2::3]),
+                        "first_px": raster[0],
+                        "last_px": raster[-1],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=PALETTE_STATS_SCHEMA)
 
 
 JPEG_STATS_SCHEMA = (

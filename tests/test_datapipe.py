@@ -397,6 +397,39 @@ def test_png_decode_rejects_unsupported_and_corrupt():
         png_decode_pixels(b"not a png at all")
 
 
+def test_palette_png_roundtrip():
+    """Type-3 PNG: index scanlines unfilter at bpp 1, then map through
+    the PLTE chunk — the decoded raster is the post-lookup RGB."""
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        png_decode_pixels,
+        png_palette_bytes,
+    )
+
+    w, h, ps = 9, 7, 5
+    pal = bytes(
+        v for j in range(ps) for v in ((7 * j) % 256, (13 * j) % 256, (29 * j) % 256)
+    )
+    idx = bytes((x + 2 * y) % ps for y in range(h) for x in range(w))
+    d = png_decode_pixels(png_palette_bytes(w, h, idx, pal))
+    assert (d["width"], d["height"], d["channels"], d["palette_size"]) == (w, h, 3, ps)
+    expected = bytes(
+        v for i in idx for v in ((7 * i) % 256, (13 * i) % 256, (29 * i) % 256)
+    )
+    assert d["raster"] == expected
+    # a palette PNG whose PLTE chunk is missing must raise, not mis-decode
+    b = png_palette_bytes(w, h, idx, pal)
+    p = b.find(b"PLTE") - 4
+    plen = int.from_bytes(b[p : p + 4], "big")
+    with _pytest.raises(ValueError, match="PLTE"):
+        png_decode_pixels(b[:p] + b[p + 12 + plen :])
+    # an index past the palette is an error, not garbage pixels
+    short_pal = pal[:9]  # 3 entries, indices go to 4
+    with _pytest.raises(ValueError):
+        png_palette_bytes(w, h, idx, short_pal)
+
+
 def test_decode_error_contract_normalized():
     """Malformed payloads surface as ValueError ONLY — truncated
     headers (struct.error), scans referencing undefined tables
