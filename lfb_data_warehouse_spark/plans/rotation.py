@@ -844,13 +844,23 @@ _ALL_GREEN: list[str] = _dedupe_keep_last(
     + _R8_GREEN
 )
 
-VERIFIED_GREEN: list[str] = _R9_RECHECK + [
-    n for n in _ALL_GREEN if n not in set(_R9_RECHECK)
+# Changed-oracle re-checks (the historically riskiest class): round 9
+# REPLACED these two queries' semantics wholesale — byte-truncation /
+# byte-slice stubs became real decode→resize→re-encode and real
+# container-walk frame sampling, with brand-new fixtures and oracles —
+# so their prior green rows prove nothing about the new queries; they
+# are excluded from VERIFIED_GREEN below (a name lives in exactly one
+# rotation list).
+ORACLE_FIXED: list[str] = [
+    "multimodal_resize",  # r9: real box-filter resize, new oracle
+    "multimodal_frame_sample",  # r9: real PNG-stream frame decode, new oracle
 ]
 
-# Oracle-defect re-checks: none pending (the round-2 trio flipped green
-# in round 3 and lives in _R3_GREEN now).
-ORACLE_FIXED: list[str] = []
+VERIFIED_GREEN: list[str] = [
+    n
+    for n in _R9_RECHECK + [m for m in _ALL_GREEN if m not in set(_R9_RECHECK)]
+    if n not in set(ORACLE_FIXED)
+]
 
 # Never-driver-checked queries: the round-9 additions, each displacing
 # one _R9_RECHECK slot from the 50-slot window. (reorder()'s new-query
@@ -860,6 +870,7 @@ UNCHECKED_PRIORITY: list[str] = [
     # round-9 additions land here as they ship (reorder() also
     # fronts anything not yet listed anywhere, so a query added
     # mid-round is window-checked the same round).
+    "palette_png_decode_stats",  # r9: indexed-color PNG, PLTE lookup decode
 ]
 
 

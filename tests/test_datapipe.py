@@ -16,7 +16,7 @@ from lfb_data_warehouse_spark.operators.dedup import (
 from lfb_data_warehouse_spark.operators.multimodal import (
     attach_payload,
     extract_features,
-    resize_payload,
+    resize_image,
     sample_frames,
 )
 from lfb_data_warehouse_spark.operators.similarity import (
@@ -197,25 +197,92 @@ def test_multimodal_stub_features(docs):
     assert r["media_type"] == "text/plain"
 
 
-def test_multimodal_resize_binary_roundtrip(docs):
-    out = {r["doc_id"]: r for r in resize_payload(attach_payload(docs, "doc_id", "text"), 10).collect()}
-    raw = DOCS[0][1].encode()
-    assert out[1]["orig_bytes"] == len(raw)
-    assert out[1]["resized_bytes"] == 10
-    assert bytes(out[1]["payload"]) == raw[:10]  # binary column survives Arrow both ways
+def test_box_downscale_exact_means():
+    from lfb_data_warehouse_spark.operators.multimodal import box_downscale
+
+    # 4x4 gray ramp, factor 2: each output pixel = floor mean of its block
+    raster = bytes(range(16))
+    out, w, h = box_downscale(raster, 4, 4, 1, 2)
+    assert (w, h) == (2, 2)
+    assert list(out) == [(0 + 1 + 4 + 5) // 4, (2 + 3 + 6 + 7) // 4,
+                         (8 + 9 + 12 + 13) // 4, (10 + 11 + 14 + 15) // 4]
+    # odd dims crop the trailing row/col (5x3 -> 2x1)
+    raster = bytes(range(15))
+    out, w, h = box_downscale(raster, 5, 3, 1, 2)
+    assert (w, h) == (2, 1)
+    # RGB: channels stay independent
+    rgb = bytes((10 * p + c) % 256 for p in range(4) for c in range(3))
+    out, w, h = box_downscale(rgb, 2, 2, 3, 2)
+    assert (w, h) == (1, 1)
+    assert list(out) == [(0 + 10 + 20 + 30) // 4, (1 + 11 + 21 + 31) // 4,
+                         (2 + 12 + 22 + 32) // 4]
 
 
-def test_multimodal_frame_sample_explodes(docs):
-    frames = sample_frames(attach_payload(docs, "doc_id", "text"), every_n=2).collect()
-    import math
+def test_resize_image_full_cycle(spark):
+    """decode -> box downscale -> PNG re-encode -> decode: the emitted
+    stats come from the re-encoded payload, and the payload itself is a
+    decodable PNG holding exactly the box means."""
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        box_downscale,
+        png_decode_pixels,
+        png_pixel_bytes,
+    )
 
-    raw = DOCS[0][1].encode()
-    n = len(raw)
-    nframes = n % 7 + 1
-    stride = max(1, math.ceil(n / nframes))
-    got = sorted((r["frame_index"], bytes(r["payload"])) for r in frames if r["doc_id"] == 1)
-    want = [(i, raw[i * stride : (i + 1) * stride]) for i in range(0, nframes, 2)]
-    assert got == want
+    w, h = 10, 6
+    raster = bytes((3 * x + 5 * y) % 256 for y in range(h) for x in range(w))
+    media = spark.createDataFrame(
+        [(1, bytearray(png_pixel_bytes(w, h, raster, 0)))],
+        "doc_id long, payload binary",
+    )
+    r = resize_image(media, factor=2).collect()[0]
+    want, ow, oh = box_downscale(raster, w, h, 1, 2)
+    assert (r["in_width"], r["in_height"], r["out_width"], r["out_height"]) == (w, h, ow, oh)
+    assert r["out_px_sum"] == sum(want)
+    assert r["out_first_px"] == want[0] and r["out_last_px"] == want[-1]
+    # the emitted payload is itself a valid PNG of the box means
+    back = png_decode_pixels(bytes(r["payload"]))
+    assert back["raster"] == want
+    # poison safety: junk payload -> NULL-stats row under strict=False
+    junk = spark.createDataFrame(
+        [(9, bytearray(b"junk"))], "doc_id long, payload binary"
+    )
+    nul = resize_image(junk, factor=2, strict=False).collect()[0]
+    assert nul["doc_id"] == 9 and nul["out_px_sum"] is None
+
+
+def test_sample_frames_parses_real_container(spark):
+    """The sampler must walk chunk structure to frame boundaries and
+    decode each kept frame's raster."""
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        png_pixel_bytes,
+        split_png_stream,
+    )
+
+    w, h, n_frames = 6, 4, 5
+    frames = [
+        bytes((3 * x + 5 * y + 11 * f) % 256 for y in range(h) for x in range(w))
+        for f in range(n_frames)
+    ]
+    stream = b"".join(png_pixel_bytes(w, h, fr, 0) for fr in frames)
+    assert len(split_png_stream(stream)) == n_frames
+    media = spark.createDataFrame(
+        [(1, bytearray(stream))], "doc_id long, payload binary"
+    )
+    rows = sorted(sample_frames(media, every_n=2).collect(), key=lambda r: r["frame_index"])
+    assert [r["frame_index"] for r in rows] == [0, 2, 4]
+    for r in rows:
+        fr = frames[r["frame_index"]]
+        assert (r["n_frames"], r["width"], r["height"]) == (n_frames, w, h)
+        assert r["px_sum"] == sum(fr)
+        assert r["first_px"] == fr[0] and r["last_px"] == fr[-1]
+    # a stream whose final frame lost its IEND raises (strict) /
+    # NULLs (lenient) — cutting only into the trailing CRC would be
+    # tolerated, since the codec never verifies CRCs
+    bad = spark.createDataFrame(
+        [(2, bytearray(stream[:-15]))], "doc_id long, payload binary"
+    )
+    nul = sample_frames(bad, every_n=2, strict=False).collect()
+    assert len(nul) == 1 and nul[0]["frame_index"] is None
 
 
 def test_span_dedup_stats(docs):
