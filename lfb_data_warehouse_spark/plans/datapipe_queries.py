@@ -3719,6 +3719,74 @@ def jpeg_color_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_color_stats(synthesize_jpeg_color(docs, "doc_id"))
 
 
+JPEG_420_DOC_MOD = 11  # doc_id % 11 == 7 → ~1/11 of documents get a 4:2:0 JPEG
+
+
+@register(
+    "jpeg_subsampled_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             16 * (doc_id % 3 + 1) AS width,
+             16 * (doc_id % 2 + 1) AS height
+      FROM documents WHERE doc_id % {JPEG_420_DOC_MOD} = 7
+    ),
+    tiles AS (
+      SELECT s.doc_id, s.width, s.height, gc.c,
+             (11 * gx.tx + 23 * gy.ty + 7 * s.doc_id + 31 * gc.c) % 256 AS v
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, 3)) AS c) gc,
+           LATERAL (SELECT unnest(range(0,
+                    CASE WHEN gc.c = 0 THEN s.width // 8
+                         ELSE s.width // 16 END)) AS tx) gx,
+           LATERAL (SELECT unnest(range(0,
+                    CASE WHEN gc.c = 0 THEN s.height // 8
+                         ELSE s.height // 16 END)) AS ty) gy
+    )
+    SELECT doc_id,
+           CAST(any_value(width) AS BIGINT) AS width,
+           CAST(any_value(height) AS BIGINT) AS height,
+           CAST(any_value(width) // 2 AS BIGINT) AS cb_width,
+           CAST(any_value(height) // 2 AS BIGINT) AS cb_height,
+           CAST((any_value(width) // 16) * (any_value(height) // 16) AS BIGINT)
+             AS n_mcus,
+           CAST(64 * sum(v) FILTER (c = 0) AS BIGINT) AS y_sum,
+           CAST(64 * sum(v) FILTER (c = 1) AS BIGINT) AS cb_sum,
+           CAST(64 * sum(v) FILTER (c = 2) AS BIGINT) AS cr_sum,
+           CAST(7 * doc_id % 256 AS BIGINT) AS first_px,
+           CAST((11 * (any_value(width) // 16 - 1)
+                 + 23 * (any_value(height) // 16 - 1)
+                 + 7 * doc_id + 62) % 256 AS BIGINT) AS last_px
+    FROM tiles GROUP BY doc_id
+    """,
+)
+def jpeg_subsampled_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 chroma-subsampled JPEG decode end to end — the dominant
+    real-world JPEG layout, an explicit ValueError until round 9 (r8
+    VERDICT item 2, the highest-value decode gap): synthesize_jpeg_
+    subsampled writes true 4:2:0 baseline streams (each MCU interleaves
+    FOUR Y blocks in 2×2 raster order plus one Cb and one Cr, with
+    per-component DC predictors; chroma planes stored at half
+    resolution); decode_jpeg_subsampled_stats entropy-decodes the
+    actual bit stream and reports per-plane sums at the planes' stored
+    resolutions plus the chroma geometry — a sampling-factor,
+    block-order or predictor bug mismatches y_sum/cb_sum/cr_sum or
+    cb_width/cb_height. Same exact-at-quant-1 argument as the other
+    JPEG gates (constant tiles per plane are DC-only blocks). Map-only
+    Arrow pass; payloads never shuffle."""
+    from ..operators.multimodal import (
+        decode_jpeg_subsampled_stats,
+        synthesize_jpeg_subsampled,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % JPEG_420_DOC_MOD == 7)
+    )
+    return decode_jpeg_subsampled_stats(synthesize_jpeg_subsampled(docs, "doc_id"))
+
+
 AUDIO_DOC_MOD = 7  # doc_id % 7 == 1 → ~1/7 of documents get a PCM clip
 
 

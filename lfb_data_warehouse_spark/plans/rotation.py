@@ -871,6 +871,7 @@ UNCHECKED_PRIORITY: list[str] = [
     # fronts anything not yet listed anywhere, so a query added
     # mid-round is window-checked the same round).
     "palette_png_decode_stats",  # r9: indexed-color PNG, PLTE lookup decode
+    "jpeg_subsampled_decode_stats",  # r9: 4:2:0 interleaved-MCU decode
 ]
 
 

@@ -548,6 +548,54 @@ def test_decode_error_contract_normalized():
         jpeg_decode_pixels(bytes(no_tables))
 
 
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0: each MCU interleaves four Y blocks (2×2 raster order) +
+    Cb + Cr; constant tiles per plane survive exactly at quant 1, and
+    each plane comes back at its stored (subsampled) resolution."""
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_planes_bytes,
+    )
+
+    w, h, d = 48, 32, 13
+
+    def tiles(cw, ch, off):
+        return bytes(
+            (11 * (x // 8) + 23 * (y // 8) + 7 * d + off) % 256
+            for y in range(ch)
+            for x in range(cw)
+        )
+
+    y, cb, cr = tiles(w, h, 0), tiles(w // 2, h // 2, 31), tiles(w // 2, h // 2, 62)
+    out = jpeg_decode_pixels(
+        jpeg_planes_bytes(w, h, [y, cb, cr], sampling=[(2, 2), (1, 1), (1, 1)])
+    )
+    assert out["sampling"] == [(2, 2), (1, 1), (1, 1)]
+    assert out["plane_dims"] == [(w, h), (w // 2, h // 2), (w // 2, h // 2)]
+    assert out["planes"] == [y, cb, cr]  # bit-exact per plane
+    # 4:2:2 (2x1 luma) also round-trips
+    cb2, cr2 = tiles(w // 2, h, 31), tiles(w // 2, h, 62)
+    out2 = jpeg_decode_pixels(
+        jpeg_planes_bytes(w, h, [y, cb2, cr2], sampling=[(2, 1), (1, 1), (1, 1)])
+    )
+    assert out2["planes"] == [y, cb2, cr2]
+    # wrong plane size for the declared sampling is an encode error
+    with _pytest.raises(ValueError, match="plane must be"):
+        jpeg_planes_bytes(w, h, [y, cb, cb + cb], sampling=[(2, 2), (1, 1), (1, 1)])
+    # dimensions must cover whole MCUs (16 for 2x2 luma)
+    with _pytest.raises(ValueError):
+        jpeg_planes_bytes(
+            24, 16,
+            [tiles(24, 16, 0), tiles(12, 8, 31), tiles(12, 8, 62)],
+            sampling=[(2, 2), (1, 1), (1, 1)],
+        )
+    # sampling factors above 2 are an explicit error
+    with _pytest.raises(ValueError, match="sampling factors"):
+        jpeg_planes_bytes(w, h, [y, cb, cr], sampling=[(4, 4), (1, 1), (1, 1)])
+
+
 def test_jpeg_fill_bytes_tolerated():
     """Runs of 0xFF between segments are legal fill (B.1.1.2); the
     decoder must skip them, not misread one as a marker with a garbage
