@@ -52,12 +52,14 @@ EXTRA_BENCH = (
     "stream_sliding_bench",
 )
 
-# The rows benchmarked in BOTH round 7 and round 8 (the full round-7
-# suite — round 8 only ADDED stream_sliding_bench). Their subtotal is
-# reported alongside the full headline so genuine regression separates
-# from suite growth in one glance (VERDICT r6 item 6); rebuild this
-# tuple whenever the suite changes.
+# The rows benchmarked in BOTH round 8 and round 9 (the full round-8
+# suite — the round-9 suite is unchanged, so carried == everything,
+# including stream_sliding_bench which joined in round 8). Their
+# subtotal is reported alongside the full headline so genuine
+# regression separates from suite growth in one glance (VERDICT r6
+# item 6); rebuild this tuple whenever the suite changes.
 CARRIED_FROM_PREV = (
+    "stream_sliding_bench",
     "flagship_star_fact",
     "asof_nearest_purchase",
     "interval_join_purchase_clicks",
