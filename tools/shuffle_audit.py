@@ -463,7 +463,14 @@ now measured):
     `jpeg_pixel_decode_stats`) and the structured-corpus recall audit
     are correctness gates, not suite rows: the decoders are map-only
     Arrow passes (zero shuffle by construction) and the audit's
-    shuffle shape is identical to `ivfpq_residual_recall_audit` above.""")
+    shuffle shape is identical to `ivfpq_residual_recall_audit` above.
+  - Same for the round-9 media tier (`multimodal_resize` — real
+    decode→box-downscale→re-encode, `multimodal_frame_sample` — real
+    container walk + per-frame decode, `jpeg_subsampled_decode_stats`,
+    `palette_png_decode_stats`): all are single mapInPandas passes
+    whose only exchange is load_table's 8-byte-id fan-out; payload
+    bytes never cross a stage boundary, which is the plan property
+    that matters at 100 TB (SCALE.md, media bullet).""")
     finally:
         shutil.rmtree(event_dir, ignore_errors=True)
 
