@@ -32,11 +32,13 @@ Round 8 extended the codec to 3-component interleaved color (1×1
 sampling); round 9 added chroma subsampling — per-component (Hi, Vi)
 factors up to 2×2, so 4:2:0 (the dominant real-world JPEG layout) and
 4:2:2 both encode and decode, each component plane stored at its
-natural subsampled resolution.
+natural subsampled resolution — and DRI/RSTn restart intervals
+(byte-aligned restart markers every N MCUs with DC-predictor resets,
+the error-resilience feature most camera/scanner JPEGs carry).
 
 Not supported (explicit ValueError, never a silent mis-decode):
-progressive (SOF2), sampling factors above 2, restart intervals,
-12-bit precision, arithmetic coding.
+progressive (SOF2), sampling factors above 2, 12-bit precision,
+arithmetic coding.
 """
 
 from __future__ import annotations
@@ -201,6 +203,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s per spec
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-padding, stuffed if it completes an 0xFF) and
+        emit the RSTm marker — markers are raw, never stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + m])
+
 
 class _BitReader:
     def __init__(self, data: bytes):
@@ -233,6 +243,20 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def expect_restart(self, m: int) -> None:
+        """Discard padding bits to the byte boundary and consume the
+        expected RSTm marker (the encoder's padded byte was already
+        loaded — and un-stuffed if 0xFF — by the last block's reads)."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + m
+        ):
+            raise ValueError(f"expected RST{m} restart marker")
+        self.pos += 2
 
     def read_huff(self, table: dict[tuple[int, int], int]) -> int:
         code, length = 0, 0
@@ -296,6 +320,7 @@ def jpeg_planes_bytes(
     height: int,
     planes: list[bytes],
     sampling: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """REAL baseline JPEG encode of 1 (grayscale) or 3 (color, treated
     as Y/Cb/Cr) 8-bit component planes with an independent DC predictor
@@ -330,12 +355,22 @@ def jpeg_planes_bytes(
     for p, (cw, ch) in zip(planes, dims):
         if len(p) != cw * ch:
             raise ValueError(f"plane must be {cw * ch} bytes, got {len(p)}")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError("restart interval must fit in 16 bits")
     dc_enc = _huff_encode_table(DC_LUM_BITS, DC_LUM_VALS)
     ac_enc = _huff_encode_table(AC_LUM_BITS, AC_LUM_VALS)
     w = _BitWriter()
     preds = [0] * ncomp
-    for my in range(height // (8 * vmax)):
-        for mx in range(width // (8 * hmax)):
+    mcus_x, mcus_y = width // (8 * hmax), height // (8 * vmax)
+    mcu_i = rst_m = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # byte-align, emit RSTm (cycling 0..7), reset predictors
+                w.restart(rst_m)
+                rst_m = (rst_m + 1) % 8
+                preds = [0] * ncomp
+            mcu_i += 1
             for ci in range(ncomp):
                 plane, (cw, _), (hs, vs) = planes[ci], dims[ci], sampling[ci]
                 for by in range(vs):  # Hi x Vi blocks per MCU, raster order
@@ -365,7 +400,8 @@ def jpeg_planes_bytes(
     )
     sos_comps = b"".join(struct.pack("BB", ci + 1, 0x00) for ci in range(ncomp))
     sos = seg(0xFFDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
-    return b"\xff\xd8" + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    return b"\xff\xd8" + dqt + dri + sof0 + dht + sos + entropy + b"\xff\xd9"
 
 
 def jpeg_pixel_bytes(width: int, height: int, raster: bytes) -> bytes:
@@ -434,6 +470,7 @@ def jpeg_decode_pixels(b: bytes) -> dict:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     width = height = None
+    restart_interval = 0
     sof_q: dict[int, int] = {}  # component id -> quant table selector
     sof_samp: dict[int, tuple[int, int]] = {}  # component id -> (Hi, Vi)
     scan: list[tuple[int, int, int]] = []  # (comp id, dc sel, ac sel) in scan order
@@ -486,8 +523,8 @@ def jpeg_decode_pixels(b: bytes) -> dict:
                 sof_samp[cid] = (hs, vs)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) supported")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI: restart every N MCUs (0 = disabled)
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             if ns != len(sof_q):
@@ -522,8 +559,14 @@ def jpeg_decode_pixels(b: bytes) -> dict:
     r = _BitReader(b[entropy_start : end if end > entropy_start else len(b)])
     planes = [bytearray(cw * ch) for cw, ch in dims]
     preds = [0] * ncomp
+    mcu_i = rst_m = 0
     for my in range(height // (8 * vmax)):
         for mx in range(width // (8 * hmax)):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                r.expect_restart(rst_m)  # byte-align + RSTm, reset DC
+                rst_m = (rst_m + 1) % 8
+                preds = [0] * ncomp
+            mcu_i += 1
             for ci, (cid, td, ta) in enumerate(scan):
                 hs, vs = sampling[ci]
                 cw, _ = dims[ci]
@@ -548,6 +591,7 @@ def jpeg_decode_pixels(b: bytes) -> dict:
         "channels": ncomp,
         "bit_depth": 8,
         "sampling": sampling,
+        "restart_interval": restart_interval,
         "plane_dims": dims,
         "planes": [bytes(p) for p in planes],
         # raster: the gray plane for 1-component streams (back-compat);

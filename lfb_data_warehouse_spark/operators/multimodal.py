@@ -940,6 +940,104 @@ def decode_jpeg_color_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=JPEG_COLOR_SCHEMA)
 
 
+JPEG_RESTART_SCHEMA = (
+    "doc_id long, width long, height long, n_tiles long, "
+    "restart_interval long, n_restarts long, "
+    "px_sum long, first_px long, last_px long"
+)
+
+
+def synthesize_jpeg_restart(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL baseline JPEGs WITH restart intervals: the
+    grayscale constant-tile fixture (``8·(d%6+1) × 8·(d%3+1)``, tile
+    ``(11tx + 23ty + 7d) mod 256``) encoded with ``DRI = d%3+1`` — the
+    entropy stream byte-aligns and emits a cycling RSTm marker with a
+    DC-predictor reset every ``d%3+1`` MCUs, the error-resilience
+    layout most camera/scanner JPEGs carry."""
+    from .jpegcodec import jpeg_planes_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = 8 * (d % 6 + 1), 8 * (d % 3 + 1)
+                raster = bytes(
+                    (11 * (x // 8) + 23 * (y // 8) + 7 * d) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(
+                    jpeg_planes_bytes(w, h, [raster], restart_interval=d % 3 + 1)
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_jpeg_restart_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched decode of restart-interval JPEGs: pixel stats come
+    from the entropy-decoded raster (every restart boundary must be
+    consumed and every DC predictor reset, or the remaining blocks
+    mis-decode), ``restart_interval`` from the parsed DRI segment, and
+    ``n_restarts`` from the MCU-count arithmetic — a missed or
+    mis-placed restart lands on px_sum before any marker count is
+    compared. ``strict=False`` = poison-safe NULL-stats rows (see
+    :func:`decode_png_stats`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if "raster" not in d or not d.get("restart_interval"):
+                        raise ValueError("expected a restart-interval JPEG")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "width", "height", "n_tiles",
+                                    "restart_interval", "n_restarts",
+                                    "px_sum", "first_px", "last_px",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                raster = d["raster"]
+                n_mcus = (d["width"] // 8) * (d["height"] // 8)
+                ri = d["restart_interval"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_tiles": n_mcus,
+                        "restart_interval": ri,
+                        "n_restarts": (n_mcus - 1) // ri,
+                        "px_sum": sum(raster),
+                        "first_px": raster[0],
+                        "last_px": raster[-1],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=JPEG_RESTART_SCHEMA)
+
+
 JPEG_420_SCHEMA = (
     "doc_id long, width long, height long, cb_width long, cb_height long, "
     "n_mcus long, y_sum long, cb_sum long, cr_sum long, "

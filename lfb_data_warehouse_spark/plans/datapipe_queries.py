@@ -3787,6 +3787,65 @@ def jpeg_subsampled_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_subsampled_stats(synthesize_jpeg_subsampled(docs, "doc_id"))
 
 
+JPEG_RST_DOC_MOD = 11  # doc_id % 11 == 3 → ~1/11 of documents get a DRI JPEG
+
+
+@register(
+    "jpeg_restart_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             8 * (doc_id % 6 + 1) AS width,
+             8 * (doc_id % 3 + 1) AS height,
+             doc_id % 3 + 1 AS ri
+      FROM documents WHERE doc_id % {JPEG_RST_DOC_MOD} = 3
+    ),
+    tiles AS (
+      SELECT s.doc_id, s.width, s.height, s.ri,
+             (11 * gx.tx + 23 * gy.ty + 7 * s.doc_id) % 256 AS v
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.width // 8)) AS tx) gx,
+           LATERAL (SELECT unnest(range(0, s.height // 8)) AS ty) gy
+    )
+    SELECT doc_id,
+           CAST(any_value(width) AS BIGINT) AS width,
+           CAST(any_value(height) AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(any_value(ri) AS BIGINT) AS restart_interval,
+           CAST((COUNT(*) - 1) // any_value(ri) AS BIGINT) AS n_restarts,
+           CAST(64 * sum(v) AS BIGINT) AS px_sum,
+           CAST(7 * doc_id % 256 AS BIGINT) AS first_px,
+           CAST((11 * (any_value(width) // 8 - 1)
+                 + 23 * (any_value(height) // 8 - 1)
+                 + 7 * doc_id) % 256 AS BIGINT) AS last_px
+    FROM tiles GROUP BY doc_id
+    """,
+)
+def jpeg_restart_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart-interval (DRI/RSTn) JPEG decode end to end — the
+    error-resilience layout most camera/scanner JPEGs carry, an
+    explicit ValueError until round 9: synthesize_jpeg_restart encodes
+    constant-tile grayscale with DRI = doc_id%3+1, so the entropy
+    stream byte-aligns and emits a cycling RSTm marker with
+    DC-predictor resets every few MCUs; decode_jpeg_restart_stats must
+    consume every marker and reset every predictor or the remaining
+    blocks mis-decode (DC prediction restarts from 0, not from the
+    previous block), which lands on px_sum. restart_interval is read
+    back from the parsed DRI segment; n_restarts pins the MCU
+    arithmetic. Same exact-at-quant-1 fixture; map-only Arrow pass."""
+    from ..operators.multimodal import (
+        decode_jpeg_restart_stats,
+        synthesize_jpeg_restart,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % JPEG_RST_DOC_MOD == 3)
+    )
+    return decode_jpeg_restart_stats(synthesize_jpeg_restart(docs, "doc_id"))
+
+
 AUDIO_DOC_MOD = 7  # doc_id % 7 == 1 → ~1/7 of documents get a PCM clip
 
 

@@ -596,6 +596,51 @@ def test_jpeg_420_subsampled_roundtrip():
         jpeg_planes_bytes(w, h, [y, cb, cr], sampling=[(4, 4), (1, 1), (1, 1)])
 
 
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn: the entropy stream byte-aligns and emits a cycling
+    RSTm marker with DC-predictor resets every N MCUs; decode must
+    consume each marker and reset predictors or later blocks
+    mis-decode."""
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_planes_bytes,
+    )
+
+    d = 7
+    g = bytes(
+        (11 * (x // 8) + 23 * (y // 8) + 7 * d) % 256
+        for y in range(24)
+        for x in range(40)
+    )
+    for ri in (1, 2, 3, 7):
+        out = jpeg_decode_pixels(jpeg_planes_bytes(40, 24, [g], restart_interval=ri))
+        assert out["raster"] == g and out["restart_interval"] == ri
+    # RSTm index cycles 0..7 and wraps (48x48 at ri=1 -> 35 restarts)
+    g2 = bytes((5 * (x // 8) + 3 * (y // 8)) % 256 for y in range(48) for x in range(48))
+    assert jpeg_decode_pixels(
+        jpeg_planes_bytes(48, 48, [g2], restart_interval=1)
+    )["raster"] == g2
+    # restarts compose with 4:2:0 subsampling
+    y_p = bytes((11 * (x // 8) + 23 * (yy // 8)) % 256 for yy in range(32) for x in range(32))
+    c_p = bytes((11 * (x // 8) + 23 * (yy // 8) + 31) % 256 for yy in range(16) for x in range(16))
+    out = jpeg_decode_pixels(
+        jpeg_planes_bytes(
+            32, 32, [y_p, c_p, c_p],
+            sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=2,
+        )
+    )
+    assert out["planes"][0] == y_p and out["planes"][1] == c_p
+    # a stream whose RST marker was corrupted must raise, not mis-decode
+    b = bytearray(jpeg_planes_bytes(40, 24, [g], restart_interval=2))
+    p = b.find(b"\xff\xd0", b.find(b"\xff\xda"))
+    assert p > 0
+    b[p + 1] = 0xD5  # wrong RSTm index
+    with _pytest.raises(ValueError):
+        jpeg_decode_pixels(bytes(b))
+
+
 def test_jpeg_fill_bytes_tolerated():
     """Runs of 0xFF between segments are legal fill (B.1.1.2); the
     decoder must skip them, not misread one as a marker with a garbage
