@@ -1234,6 +1234,85 @@ def decode_audio_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
 
 
+AUDIO_DS_SCHEMA = (
+    "doc_id long, in_samples long, out_samples long, in_rate long, out_rate long, "
+    "channels long, payload binary, sum_abs long, energy long, "
+    "first_sample long, last_sample long"
+)
+
+
+def downsample_audio(media: DataFrame, factor: int = 4, strict: bool = True) -> DataFrame:
+    """REAL audio downsample — the audio sibling of :func:`resize_image`:
+    decode the WAV payload (:func:`wav_decode_samples`), decimate by
+    averaging each run of ``factor`` frames per channel
+    (``out = floor(block sum / factor)``, trailing remainder cropped,
+    output rate = input rate // factor), re-encode
+    (:func:`wav_pcm_bytes`), and report features from DECODING THE
+    RE-ENCODED payload — one Arrow batch, full
+    decode→resample→encode→decode cycle proven. ``strict=False`` =
+    poison-safe NULL-stats rows (see :func:`decode_png_stats`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = wav_decode_samples(bytes(payload))
+                    ch, s = d["channels"], d["samples"]
+                    n_frames = d["n_samples"]
+                    out_frames = n_frames // factor
+                    if out_frames == 0:
+                        raise ValueError("clip shorter than one block")
+                    out = [
+                        sum(s[(j * factor + t) * ch + c] for t in range(factor))
+                        // factor
+                        for j in range(out_frames)
+                        for c in range(ch)
+                    ]
+                    out_rate = d["sample_rate"] // factor
+                    out_wav = wav_pcm_bytes(ch, out_rate, out)
+                    check = wav_decode_samples(out_wav)  # round-trip proof
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "in_samples", "out_samples", "in_rate",
+                                    "out_rate", "channels", "payload",
+                                    "sum_abs", "energy", "first_sample",
+                                    "last_sample",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                cs = check["samples"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "in_samples": n_frames,
+                        "out_samples": check["n_samples"],
+                        "in_rate": d["sample_rate"],
+                        "out_rate": check["sample_rate"],
+                        "channels": check["channels"],
+                        "payload": out_wav,
+                        "sum_abs": sum(abs(x) for x in cs),
+                        "energy": sum(x * x for x in cs),
+                        "first_sample": cs[0],
+                        "last_sample": cs[-1],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=AUDIO_DS_SCHEMA)
+
+
 def _decode_stub_batch(payload: pd.Series) -> pd.DataFrame:
     """Deterministic fake decode: metadata derived from the bytes."""
     n_bytes = payload.map(len)

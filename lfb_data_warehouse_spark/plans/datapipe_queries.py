@@ -3901,6 +3901,67 @@ def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_stats(synthesize_wav_pcm(docs, "doc_id"))
 
 
+AUDIO_DS_DOC_MOD = 11  # doc_id % 11 == 5 → ~1/11 of documents get a resample clip
+AUDIO_DS_FACTOR = 4
+
+
+@register(
+    "audio_downsample_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id, doc_id % 400 + 100 AS n
+      FROM documents WHERE doc_id % {AUDIO_DS_DOC_MOD} = 5
+    ),
+    smp AS (
+      SELECT s.doc_id, s.n, gk.k,
+             (7 * s.doc_id + 13 * gk.k) % 2001 - 1000 AS v
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, {AUDIO_DS_FACTOR} * (s.n // {AUDIO_DS_FACTOR}))) AS k) gk
+    ),
+    ds AS (
+      SELECT doc_id, n, k // {AUDIO_DS_FACTOR} AS j,
+             CAST(floor(sum(v) / {AUDIO_DS_FACTOR}.0) AS BIGINT) AS ov
+      FROM smp GROUP BY doc_id, n, k // {AUDIO_DS_FACTOR}
+    )
+    SELECT doc_id,
+           CAST(any_value(n) AS BIGINT) AS in_samples,
+           CAST(any_value(n) // {AUDIO_DS_FACTOR} AS BIGINT) AS out_samples,
+           CAST(8000 AS BIGINT) AS in_rate,
+           CAST(8000 // {AUDIO_DS_FACTOR} AS BIGINT) AS out_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(sum(abs(ov)) AS BIGINT) AS sum_abs,
+           CAST(sum(ov * ov) AS BIGINT) AS energy,
+           CAST(max(CASE WHEN j = 0 THEN ov END) AS BIGINT) AS first_sample,
+           CAST(max(CASE WHEN j = n // {AUDIO_DS_FACTOR} - 1 THEN ov END) AS BIGINT)
+             AS last_sample
+    FROM ds GROUP BY doc_id
+    """,
+)
+def audio_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsample end to end — the audio sibling of the
+    round-9 image resize: synthesize_wav_pcm writes mono 16-bit PCM
+    with closed-form samples; downsample_audio unpacks the actual data
+    chunk, decimates by exact block means
+    (out = floor(sum of each 4-frame block / 4), trailing remainder
+    cropped, rate 8000 → 2000), RE-ENCODES the WAV, and reports
+    features from decoding the re-encoded payload — the gate proves the
+    full decode→resample→encode→decode cycle. The oracle recomputes
+    every output sample by grouping the generating series into blocks
+    (floor(x/4.0) is exact in double at these magnitudes, and matches
+    Python's floor division where DuckDB's // would truncate). Map-only
+    Arrow pass; payloads never shuffle."""
+    from ..operators.multimodal import downsample_audio, synthesize_wav_pcm
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % AUDIO_DS_DOC_MOD == 5)
+    )
+    return downsample_audio(
+        synthesize_wav_pcm(docs, "doc_id"), AUDIO_DS_FACTOR
+    ).drop("payload")
+
+
 ROLL_BASE = 257
 ROLL_MOD = 1_000_000_007
 

@@ -873,6 +873,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "palette_png_decode_stats",  # r9: indexed-color PNG, PLTE lookup decode
     "jpeg_subsampled_decode_stats",  # r9: 4:2:0 interleaved-MCU decode
     "jpeg_restart_decode_stats",  # r9: DRI/RSTn restart-marker decode
+    "audio_downsample_stats",  # r9: block-mean decimation + WAV re-encode
 ]
 
 

@@ -661,6 +661,58 @@ def test_jpeg_fill_bytes_tolerated():
     assert (got["width"], got["height"]) == (16, 8)
 
 
+def test_downsample_audio_block_means(spark):
+    """Decimation by exact block means: floor(block sum / factor),
+    trailing remainder cropped, rate divided; stats come from decoding
+    the re-encoded WAV, and stereo frames average per channel."""
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        downsample_audio,
+        wav_decode_samples,
+        wav_pcm_bytes,
+    )
+
+    samples = [((7 * 3 + 13 * k) % 2001) - 1000 for k in range(22)]  # 22 -> 5 blocks
+    media = spark.createDataFrame(
+        [(1, bytearray(wav_pcm_bytes(1, 8000, samples)))],
+        "doc_id long, payload binary",
+    )
+    r = downsample_audio(media, factor=4).collect()[0]
+    want = [sum(samples[4 * j : 4 * j + 4]) // 4 for j in range(5)]
+    assert (r["in_samples"], r["out_samples"], r["out_rate"]) == (22, 5, 2000)
+    assert r["energy"] == sum(x * x for x in want)
+    assert (r["first_sample"], r["last_sample"]) == (want[0], want[-1])
+    back = wav_decode_samples(bytes(r["payload"]))
+    assert back["samples"] == want and back["sample_rate"] == 2000
+    # stereo: channels decimate independently
+    inter = [100, -100, 200, -200, 300, -300, 400, -400, 500, -500]  # 5 frames
+    st = spark.createDataFrame(
+        [(2, bytearray(wav_pcm_bytes(2, 16000, inter)))],
+        "doc_id long, payload binary",
+    )
+    r2 = downsample_audio(st, factor=2).collect()[0]
+    got = wav_decode_samples(bytes(r2["payload"]))["samples"]
+    assert got == [(100 + 200) // 2, (-100 + -200) // 2,
+                   (300 + 400) // 2, (-300 + -400) // 2]
+    # negative block sums floor like Python, not truncate
+    neg = spark.createDataFrame(
+        [(3, bytearray(wav_pcm_bytes(1, 8000, [-1, -2, -2, -2])))],
+        "doc_id long, payload binary",
+    )
+    r3 = downsample_audio(neg, factor=4).collect()[0]
+    assert r3["first_sample"] == -2  # floor(-7/4) = -2, trunc would give -1
+    # a clip shorter than one block is undecodable for this op
+    import pytest as _pytest
+
+    short = spark.createDataFrame(
+        [(4, bytearray(wav_pcm_bytes(1, 8000, [5])))],
+        "doc_id long, payload binary",
+    )
+    with _pytest.raises(Exception):
+        downsample_audio(short, factor=4).collect()
+    nul = downsample_audio(short, factor=4, strict=False).collect()[0]
+    assert nul["out_samples"] is None
+
+
 def test_wav_pcm_bytes_8bit():
     """bits=8 packs unsigned bytes and the header agrees with the data
     chunk (round-8 ADVICE low: the old code always packed int16 under
