@@ -1387,16 +1387,18 @@ def box_downscale(
 
 def resize_image(media: DataFrame, factor: int = 2, strict: bool = True) -> DataFrame:
     """REAL image resize (replaces the round-4 byte-truncation stub,
-    r8 VERDICT item 3): decode the PNG payload (:func:`png_decode_pixels`
-    — inflate + unfilter, PLTE lookup for palette inputs), integer
-    box-filter downscale (:func:`box_downscale`), then PNG re-encode —
-    all inside one Arrow ``mapInPandas`` batch, payload bytes never
-    leaving the executor. The emitted stats (``out_px_sum`` /
-    ``out_first_px`` / ``out_last_px``) are computed by DECODING THE
-    RE-ENCODED payload, so they prove the full
-    decode→resize→encode→decode cycle, not just the scaling math.
-    ``strict=False`` = poison-safe NULL-stats rows (see
-    :func:`decode_png_stats`)."""
+    r8 VERDICT item 3): decode the image payload — PNG via
+    :func:`png_decode_pixels` (inflate + unfilter, PLTE lookup for
+    palette inputs), grayscale JPEG via the full entropy decoder —
+    integer box-filter downscale (:func:`box_downscale`), then PNG
+    re-encode (resizing is lossy anyway; re-encoding the result
+    losslessly keeps the output stats exact), all inside one Arrow
+    ``mapInPandas`` batch, payload bytes never leaving the executor.
+    The emitted stats (``out_px_sum`` / ``out_first_px`` /
+    ``out_last_px``) are computed by DECODING THE RE-ENCODED payload,
+    so they prove the full decode→resize→encode→decode cycle, not just
+    the scaling math. ``strict=False`` = poison-safe NULL-stats rows
+    (see :func:`decode_png_stats`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1405,7 +1407,19 @@ def resize_image(media: DataFrame, factor: int = 2, strict: bool = True) -> Data
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    d = png_decode_pixels(bytes(payload))
+                    raw = bytes(payload)
+                    d = (
+                        png_decode_pixels(raw)
+                        if raw[:8] == _PNG_SIG
+                        else decode_real(raw)
+                    )
+                    if "raster" not in d or d.get("channels") not in (1, 2, 3, 4):
+                        raise ValueError("payload is not a decodable image")
+                    if d["media_type"] == "image/jpeg" and d["channels"] != 1:
+                        # color JPEG planes may be subsampled (different
+                        # dims per plane) — resize the luma plane alone
+                        # would silently drop chroma; refuse instead
+                        raise ValueError("only grayscale JPEG resize supported")
                     small, out_w, out_h = box_downscale(
                         d["raster"], d["width"], d["height"], d["channels"], factor
                     )

@@ -3787,6 +3787,64 @@ def jpeg_subsampled_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_subsampled_stats(synthesize_jpeg_subsampled(docs, "doc_id"))
 
 
+JPEG_RESIZE_DOC_MOD = 11  # doc_id % 11 == 9 → ~1/11 of documents get a resize JPEG
+
+
+@register(
+    "jpeg_resize_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             8 * (doc_id % 5 + 1) AS width,
+             8 * (doc_id % 4 + 1) AS height
+      FROM documents WHERE doc_id % {JPEG_RESIZE_DOC_MOD} = 9
+    ),
+    tiles AS (
+      SELECT s.doc_id, s.width, s.height,
+             gx.tx, gy.ty,
+             (11 * gx.tx + 23 * gy.ty + 7 * s.doc_id) % 256 AS v
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.width // 8)) AS tx) gx,
+           LATERAL (SELECT unnest(range(0, s.height // 8)) AS ty) gy
+    )
+    SELECT doc_id,
+           CAST(any_value(width) AS BIGINT) AS in_width,
+           CAST(any_value(height) AS BIGINT) AS in_height,
+           CAST(any_value(width) // 2 AS BIGINT) AS out_width,
+           CAST(any_value(height) // 2 AS BIGINT) AS out_height,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(16 * sum(v) AS BIGINT) AS out_px_sum,
+           CAST(7 * doc_id % 256 AS BIGINT) AS out_first_px,
+           CAST((11 * (any_value(width) // 8 - 1)
+                 + 23 * (any_value(height) // 8 - 1)
+                 + 7 * doc_id) % 256 AS BIGINT) AS out_last_px
+    FROM tiles GROUP BY doc_id
+    """,
+)
+def jpeg_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-agnostic resize, JPEG input: resize_image dispatches the
+    payload through the full entropy decoder (round-9 extension — the
+    resize tier accepts any decodable still image, not only PNG), box-
+    downscales, and PNG-re-encodes. On the constant-8×8-tile fixture a
+    2× box mean of a constant tile is the tile value itself (4 equal
+    samples), so every output pixel is closed-form: each input tile
+    contributes 16 output pixels of its own value. The oracle recomputes
+    out_px_sum = 16·Σ tile values and the corner pixels arithmetically;
+    the engine must run JPEG entropy decode → box filter → PNG encode →
+    PNG decode to reproduce them."""
+    from ..operators.multimodal import resize_image, synthesize_jpeg_tiles
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % JPEG_RESIZE_DOC_MOD == 9)
+    )
+    return resize_image(synthesize_jpeg_tiles(docs, "doc_id"), 2).select(
+        "doc_id", "in_width", "in_height", "out_width", "out_height",
+        "channels", "out_px_sum", "out_first_px", "out_last_px",
+    )
+
+
 JPEG_RST_DOC_MOD = 11  # doc_id % 11 == 3 → ~1/11 of documents get a DRI JPEG
 
 

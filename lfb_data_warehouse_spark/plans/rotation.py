@@ -874,6 +874,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "jpeg_subsampled_decode_stats",  # r9: 4:2:0 interleaved-MCU decode
     "jpeg_restart_decode_stats",  # r9: DRI/RSTn restart-marker decode
     "audio_downsample_stats",  # r9: block-mean decimation + WAV re-encode
+    "jpeg_resize_stats",  # r9: media-agnostic resize, JPEG input path
 ]
 
 

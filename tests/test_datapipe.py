@@ -250,6 +250,47 @@ def test_resize_image_full_cycle(spark):
     assert nul["doc_id"] == 9 and nul["out_px_sum"] is None
 
 
+def test_resize_image_jpeg_input(spark):
+    """Media-agnostic resize: a grayscale JPEG payload goes through the
+    entropy decoder, the box filter, and a PNG re-encode; a color JPEG
+    (subsampled planes would silently drop chroma) is refused."""
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_pixel_bytes,
+        jpeg_planes_bytes,
+    )
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        box_downscale,
+        png_decode_pixels,
+    )
+
+    d = 5
+    g = bytes(
+        (11 * (x // 8) + 23 * (y // 8) + 7 * d) % 256
+        for y in range(16)
+        for x in range(24)
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(jpeg_pixel_bytes(24, 16, g)))], "doc_id long, payload binary"
+    )
+    r = resize_image(media, 2).collect()[0]
+    want, ow, oh = box_downscale(g, 24, 16, 1, 2)
+    assert (r["out_width"], r["out_height"], r["channels"]) == (ow, oh, 1)
+    assert r["out_px_sum"] == sum(want)
+    assert png_decode_pixels(bytes(r["payload"]))["raster"] == want
+    # color JPEG refused (strict) / NULL row (lenient)
+    planes = [g, g, g]
+    color = spark.createDataFrame(
+        [(2, bytearray(jpeg_planes_bytes(24, 16, planes)))],
+        "doc_id long, payload binary",
+    )
+    with _pytest.raises(Exception):
+        resize_image(color, 2).collect()
+    nul = resize_image(color, 2, strict=False).collect()[0]
+    assert nul["out_px_sum"] is None
+
+
 def test_sample_frames_parses_real_container(spark):
     """The sampler must walk chunk structure to frame boundaries and
     decode each kept frame's raster."""
