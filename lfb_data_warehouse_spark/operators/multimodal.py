@@ -160,6 +160,25 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# Adam7 pass grid: (x_start, x_step, y_start, y_step) per pass
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(width: int, height: int) -> list[tuple[int, int]]:
+    """(pass width, pass height) for each of the 7 Adam7 sub-images —
+    zero-dimension passes contribute no scanlines at all (spec §8.2)."""
+    return [
+        (
+            (width - xs + xstep - 1) // xstep,
+            (height - ys + ystep - 1) // ystep,
+        )
+        for xs, xstep, ys, ystep in _ADAM7
+    ]
+
+
 def _png_filter_scanlines(raster: bytes, stride: int, height: int, bpp: int) -> bytes:
     """Filter a raw raster into PNG scanline form, cycling the filter
     type ``y % 5`` so every PNG filter (None/Sub/Up/Average/Paeth)
@@ -189,6 +208,38 @@ def _png_filter_scanlines(raster: bytes, stride: int, height: int, bpp: int) -> 
     return bytes(out)
 
 
+def _png_unfilter(data: bytes, stride: int, height: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering (all five types incl. Paeth) for
+    one image or one Adam7 sub-image: ``data`` is ``(stride+1)·height``
+    bytes of filter-byte-prefixed scanlines."""
+    raster = bytearray(stride * height)
+    prior = bytes(stride)
+    for y in range(height):
+        ft = data[y * (stride + 1)]
+        line = data[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        recon = bytearray(stride)
+        for i2 in range(stride):
+            left = recon[i2 - bpp] if i2 >= bpp else 0
+            up = prior[i2]
+            ul = prior[i2 - bpp] if i2 >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) >> 1
+            elif ft == 4:
+                pred = _paeth(left, up, ul)
+            else:
+                raise ValueError(f"bad PNG filter type {ft}")
+            recon[i2] = (line[i2] + pred) & 0xFF
+        raster[y * stride : (y + 1) * stride] = recon
+        prior = bytes(recon)
+    return raster
+
+
 def _png_idat_chunks(filtered: bytes) -> bytes:
     """zlib-compress and split across TWO IDAT chunks when possible —
     a decoder behavior a single-chunk fixture never exercises."""
@@ -201,20 +252,45 @@ def _png_idat_chunks(filtered: bytes) -> bytes:
     )
 
 
-def png_pixel_bytes(width: int, height: int, raster: bytes, color_type: int = 2) -> bytes:
+def png_pixel_bytes(
+    width: int, height: int, raster: bytes, color_type: int = 2,
+    interlace: bool = False,
+) -> bytes:
     """REAL PNG encode: 8-bit raster → filtered scanlines → zlib IDAT.
 
     ``raster`` is ``width * height * channels`` bytes, row-major. Each
     scanline's filter type cycles ``y % 5`` and the compressed stream
     is split across TWO IDAT chunks when possible — both decoder
     behaviors a header-only fixture (:func:`png_bytes`) never
-    exercises."""
+    exercises. ``interlace=True`` writes Adam7: the raster is gathered
+    into the seven pass sub-images, each filtered independently, all
+    compressed into one zlib stream (spec §8.2)."""
     bpp = _PNG_CHANNELS[color_type]
     stride = width * bpp
     if len(raster) != stride * height:
         raise ValueError(f"raster must be {stride * height} bytes, got {len(raster)}")
-    filtered = _png_filter_scanlines(raster, stride, height, bpp)
-    ihdr_body = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    if interlace:
+        parts = []
+        for (xs, xstep, ys, ystep), (pw, ph) in zip(
+            _ADAM7, _adam7_pass_dims(width, height)
+        ):
+            if pw == 0 or ph == 0:
+                continue
+            sub = bytearray(pw * ph * bpp)
+            for py in range(ph):
+                fy = ys + py * ystep
+                for px_i in range(pw):
+                    fx = xs + px_i * xstep
+                    src = (fy * width + fx) * bpp
+                    dst = (py * pw + px_i) * bpp
+                    sub[dst : dst + bpp] = raster[src : src + bpp]
+            parts.append(_png_filter_scanlines(bytes(sub), pw * bpp, ph, bpp))
+        filtered = b"".join(parts)
+    else:
+        filtered = _png_filter_scanlines(raster, stride, height, bpp)
+    ihdr_body = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG + _chunk(b"IHDR", ihdr_body) + _png_idat_chunks(filtered)
         + _chunk(b"IEND", b"")
@@ -276,11 +352,11 @@ def png_decode_pixels(b: bytes) -> dict:
         i += 12 + length  # len + tag + body + crc
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace:
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG shape (depth={bit_depth}, color={color_type}, "
-            f"interlace={interlace}): only non-interlaced 8-bit "
-            f"gray/RGB/palette/LA/RGBA"
+            f"interlace={interlace}): only 8-bit gray/RGB/palette/LA/RGBA, "
+            f"sequential or Adam7"
         )
     if color_type == 3 and (palette is None or not palette or len(palette) % 3):
         raise ValueError("palette PNG missing a well-formed PLTE chunk")
@@ -295,33 +371,35 @@ def png_decode_pixels(b: bytes) -> dict:
         data = zlib.decompress(bytes(idat))
     except zlib.error as e:  # header-only or truncated stream
         raise ValueError(f"PNG IDAT stream undecodable: {e}") from e
-    if len(data) != (stride + 1) * height:
-        raise ValueError("IDAT payload does not match dimensions")
-    raster = bytearray(stride * height)
-    prior = bytes(stride)
-    for y in range(height):
-        ft = data[y * (stride + 1)]
-        line = data[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        recon = bytearray(stride)
-        for i2 in range(stride):
-            left = recon[i2 - channels] if i2 >= channels else 0
-            up = prior[i2]
-            ul = prior[i2 - channels] if i2 >= channels else 0
-            if ft == 0:
-                pred = 0
-            elif ft == 1:
-                pred = left
-            elif ft == 2:
-                pred = up
-            elif ft == 3:
-                pred = (left + up) >> 1
-            elif ft == 4:
-                pred = _paeth(left, up, ul)
-            else:
-                raise ValueError(f"bad PNG filter type {ft}")
-            recon[i2] = (line[i2] + pred) & 0xFF
-        raster[y * stride : (y + 1) * stride] = recon
-        prior = bytes(recon)
+    if interlace:
+        # Adam7: seven independently-filtered sub-images in one zlib
+        # stream; unfilter each pass then scatter its pixels onto the
+        # final grid (spec §8.2). Empty passes contribute no bytes.
+        raster = bytearray(stride * height)
+        pos = 0
+        for (xs, xstep, ys, ystep), (pw, ph) in zip(
+            _ADAM7, _adam7_pass_dims(width, height)
+        ):
+            if pw == 0 or ph == 0:
+                continue
+            pstride = pw * channels
+            sub = _png_unfilter(
+                data[pos : pos + (pstride + 1) * ph], pstride, ph, channels
+            )
+            pos += (pstride + 1) * ph
+            for py in range(ph):
+                fy = ys + py * ystep
+                for px_i in range(pw):
+                    fx = xs + px_i * xstep
+                    dst = (fy * width + fx) * channels
+                    src = (py * pw + px_i) * channels
+                    raster[dst : dst + channels] = sub[src : src + channels]
+        if pos != len(data):
+            raise ValueError("IDAT payload does not match dimensions")
+    else:
+        if len(data) != (stride + 1) * height:
+            raise ValueError("IDAT payload does not match dimensions")
+        raster = _png_unfilter(data, stride, height, channels)
     palette_size = None
     if color_type == 3:
         # map the unfiltered INDEX bytes through PLTE into an RGB raster
@@ -656,6 +734,41 @@ def decode_png_stats(media: DataFrame, strict: bool = True) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=PNG_STATS_SCHEMA)
+
+
+def synthesize_png_interlaced(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL Adam7-interlaced PNGs: the
+    ``(3x + 5y + 17ch + doc_id) mod 256`` pixel formula over a
+    ``(d%21+6) × (d%17+5)`` raster (dims chosen so several passes are
+    partial or empty), RGB for even ids and grayscale for odd — the
+    engine must deinterlace the seven independently-filtered sub-images
+    back onto the pixel grid to reproduce the closed-form sums."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = d % 21 + 6, d % 17 + 5
+                color_type = 2 if d % 2 == 0 else 0
+                ch = _PNG_CHANNELS[color_type]
+                raster = bytes(
+                    (3 * x + 5 * y + 17 * c + d) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(ch)
+                )
+                payloads.append(
+                    png_pixel_bytes(w, h, raster, color_type, interlace=True)
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
 
 
 PALETTE_STATS_SCHEMA = (

@@ -3543,6 +3543,63 @@ def png_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_stats(synthesize_png_pixels(docs, "doc_id")).drop("raster_sha256")
 
 
+PNG_ILACE_DOC_MOD = 11  # doc_id % 11 == 1 → ~1/11 of documents get an Adam7 PNG
+
+
+@register(
+    "interlaced_png_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             doc_id % 21 + 6 AS width,
+             doc_id % 17 + 5 AS height,
+             CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS channels
+      FROM documents WHERE doc_id % {PNG_ILACE_DOC_MOD} = 1
+    ),
+    px AS (
+      SELECT s.doc_id, s.width, s.height, s.channels,
+             (3 * gx.x + 5 * gy.y + 17 * gc.c + s.doc_id) % 256 AS v
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.width)) AS x) gx,
+           LATERAL (SELECT unnest(range(0, s.height)) AS y) gy,
+           LATERAL (SELECT unnest(range(0, s.channels)) AS c) gc
+    )
+    SELECT doc_id,
+           CAST(any_value(width) AS BIGINT) AS width,
+           CAST(any_value(height) AS BIGINT) AS height,
+           CAST(any_value(channels) AS BIGINT) AS channels,
+           CAST(any_value(width) * any_value(height) AS BIGINT) AS n_pixels,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(doc_id % 256 AS BIGINT) AS first_px,
+           CAST((3 * (any_value(width) - 1) + 5 * (any_value(height) - 1)
+                 + 17 * (any_value(channels) - 1) + doc_id) % 256 AS BIGINT) AS last_px,
+           CAST(1000 * sum(v) // (any_value(width) * any_value(height)
+                                  * any_value(channels)) AS BIGINT) AS px_mean_milli
+    FROM px GROUP BY doc_id
+    """,
+)
+def interlaced_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-interlaced PNG decode end to end — the progressive-render
+    layout web encoders still emit, an explicit ValueError until round
+    9: synthesize_png_interlaced gathers the closed-form raster into the
+    seven pass sub-images (several partial or empty at these dims), each
+    independently filtered; decode_png_stats must unfilter every pass
+    and scatter it back onto the pixel grid — a pass-offset, pass-order
+    or pass-dimension bug lands on px_sum/first_px/last_px. The oracle
+    is the same generate_series grid as the sequential PNG gate: the
+    interlacing must be invisible in the decoded raster."""
+    from ..operators.multimodal import decode_png_stats, synthesize_png_interlaced
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % PNG_ILACE_DOC_MOD == 1)
+    )
+    return decode_png_stats(synthesize_png_interlaced(docs, "doc_id")).drop(
+        "raster_sha256"
+    )
+
+
 @register(
     "palette_png_decode_stats",
     oracle=f"""

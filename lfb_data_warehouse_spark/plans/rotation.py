@@ -875,6 +875,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "jpeg_restart_decode_stats",  # r9: DRI/RSTn restart-marker decode
     "audio_downsample_stats",  # r9: block-mean decimation + WAV re-encode
     "jpeg_resize_stats",  # r9: media-agnostic resize, JPEG input path
+    "interlaced_png_decode_stats",  # r9: Adam7 deinterlacing decode
 ]
 
 

@@ -505,6 +505,31 @@ def test_png_decode_rejects_unsupported_and_corrupt():
         png_decode_pixels(b"not a png at all")
 
 
+def test_adam7_interlaced_roundtrip():
+    """Adam7: seven independently-filtered pass sub-images scatter back
+    onto the pixel grid bit-exactly, across dims that make several
+    passes partial or empty, all color types, and palette indexing."""
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        _adam7_pass_dims,
+        png_decode_pixels,
+        png_pixel_bytes,
+    )
+
+    for w, h, ct in [(1, 1, 0), (2, 3, 0), (7, 5, 0), (13, 11, 2), (6, 4, 6), (9, 7, 4)]:
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+        raster = bytes((3 * i + 7) % 256 for i in range(w * h * ch))
+        d = png_decode_pixels(png_pixel_bytes(w, h, raster, ct, interlace=True))
+        assert d["raster"] == raster, (w, h, ct)
+    # pass-dimension arithmetic: a 1x1 image lives entirely in pass 1
+    assert _adam7_pass_dims(1, 1) == [(1, 1), (0, 1), (1, 0), (0, 1),
+                                      (1, 0), (0, 1), (1, 0)]
+    # an 8x8 image has every pass non-empty
+    assert all(pw > 0 and ph > 0 for pw, ph in _adam7_pass_dims(8, 8))
+    # total pixels across passes always equals the image
+    for w, h in [(1, 1), (5, 3), (8, 8), (13, 11), (21, 17)]:
+        assert sum(pw * ph for pw, ph in _adam7_pass_dims(w, h)) == w * h
+
+
 def test_palette_png_roundtrip():
     """Type-3 PNG: index scanlines unfilter at bpp 1, then map through
     the PLTE chunk — the decoded raster is the post-lookup RGB."""
