@@ -34,11 +34,14 @@ factors up to 2×2, so 4:2:0 (the dominant real-world JPEG layout) and
 4:2:2 both encode and decode, each component plane stored at its
 natural subsampled resolution — and DRI/RSTn restart intervals
 (byte-aligned restart markers every N MCUs with DC-predictor resets,
-the error-resilience feature most camera/scanner JPEGs carry).
+the error-resilience feature most camera/scanner JPEGs carry) and
+progressive (SOF2) streams — spectral selection + successive
+approximation, full G.2 control flow (see the progressive section at
+the end of this module).
 
 Not supported (explicit ValueError, never a silent mis-decode):
-progressive (SOF2), sampling factors above 2, 12-bit precision,
-arithmetic coding.
+sampling factors above 2, 12-bit precision, arithmetic coding,
+restart intervals inside progressive scans.
 """
 
 from __future__ import annotations
@@ -521,8 +524,10 @@ def jpeg_decode_pixels(b: bytes) -> dict:
                     )
                 sof_q[cid] = tq
                 sof_samp[cid] = (hs, vs)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC2:  # progressive: dedicated multi-scan decoder
+            return _jpeg_decode_progressive(b)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline (SOF0) or progressive (SOF2) supported")
         elif marker == 0xDD:  # DRI: restart every N MCUs (0 = disabled)
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -598,3 +603,586 @@ def jpeg_decode_pixels(b: bytes) -> dict:
         # concatenated component planes for color
         "raster": bytes(planes[0]) if ncomp == 1 else b"".join(bytes(p) for p in planes),
     }
+
+
+# --------------------------------------------------------------------------
+# Progressive JPEG (SOF2): spectral selection + successive approximation
+# --------------------------------------------------------------------------
+#
+# Round 9: the codec's last unsupported frame type made real. The encoder
+# emits a libjpeg-style scan script — interleaved DC first scan (Al=1),
+# DC refinement (raw bits), then per-component AC band scans (first pass
+# at Al=1, refinement at Ah=1/Al=0) — and the decoder implements the full
+# ITU T.81 G.2 progressive control flow: DC point-transform accumulation,
+# EOBRUN (including EOBn>0 run-length codes, which the Annex K baseline
+# table cannot express — see PROG_AC_* below), ZRL-with-correction-bits,
+# and the newly-nonzero / history-nonzero refinement distinction.
+# Correctness is pinned two ways: the constant-tile oracle gate (exact at
+# quant 1), and a cross-decoder property test — progressive encode →
+# decode must equal baseline encode → decode bit-for-bit on arbitrary
+# rasters, because both quantize identically and refinement must restore
+# every coefficient exactly.
+
+# AC Huffman table for progressive scans: the Annex K baseline table has
+# no EOBn symbols for n>0 (only EOB0 0x00 and ZRL 0xF0), so progressive
+# EOB runs longer than 1 would be inexpressible. A flat 8-bit canonical
+# table over all 176 symbols progressive AC coding can emit — EOBn for
+# n 0..14, ZRL, and (run<<4)|size for size 1..10 — keeps the DHT legal
+# (176 <= 255 codes of one length) and trivially prefix-free.
+PROG_AC_VALS = sorted(
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+PROG_AC_BITS = [0] * 16
+PROG_AC_BITS[7] = len(PROG_AC_VALS)  # all codes 8 bits long
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC point transform: magnitude shift toward zero (G.1.2.1 — AC
+    coefficients are sign-magnitude, unlike DC's arithmetic shift)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _quantized_zigzag_blocks(
+    planes: list[bytes], dims: list[tuple[int, int]]
+) -> list[list[list[int]]]:
+    """Per component: quantized (all-ones table) zigzag-ordered
+    coefficient blocks in that component's raster block order."""
+    out = []
+    for plane, (cw, ch) in zip(planes, dims):
+        blocks = []
+        for by in range(ch // 8):
+            for bx in range(cw // 8):
+                block = [
+                    plane[(by * 8 + y) * cw + bx * 8 + x] - 128
+                    for y in range(8)
+                    for x in range(8)
+                ]
+                coef = fdct8x8(block)
+                blocks.append([int(round(coef[i])) for i in ZIGZAG])
+        out.append(blocks)
+    return out
+
+
+def _mcu_block_order(
+    ci: int, sampling: list[tuple[int, int]], dims: list[tuple[int, int]],
+    width: int, height: int,
+) -> list[int]:
+    """Component ``ci``'s block indices (into its raster-order block
+    list) in interleaved-MCU traversal order."""
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    hs, vs = sampling[ci]
+    bw = dims[ci][0] // 8
+    order = []
+    for my in range(height // (8 * vmax)):
+        for mx in range(width // (8 * hmax)):
+            for by in range(vs):
+                for bx in range(hs):
+                    order.append((my * vs + by) * bw + (mx * hs + bx))
+    return order
+
+
+def jpeg_progressive_bytes(
+    width: int,
+    height: int,
+    planes: list[bytes],
+    sampling: list[tuple[int, int]] | None = None,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+) -> bytes:
+    """REAL progressive (SOF2) JPEG encode: interleaved DC first scan at
+    Al=1, DC refinement scan (one raw bit per block), then per-component
+    AC band scans — each band first at Al=1, then refined at Ah=1/Al=0 —
+    so every progressive decode path (EOBRUN, ZRL, newly-nonzero vs
+    correction bits) is exercised by real streams. Same fixture
+    restrictions as :func:`jpeg_planes_bytes` (whole MCUs, all-ones
+    quantization)."""
+    ncomp = len(planes)
+    if ncomp not in (1, 3):
+        raise ValueError("1 (gray) or 3 (color) planes supported")
+    if sampling is None:
+        sampling = [(1, 1)] * ncomp
+    if len(sampling) != ncomp:
+        raise ValueError("one (H, V) sampling factor pair per plane")
+    if any(hs not in (1, 2) or vs not in (1, 2) for hs, vs in sampling):
+        raise ValueError("sampling factors 1 or 2 supported")
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    if width % (8 * hmax) or height % (8 * vmax):
+        raise ValueError(
+            f"fixture encoder requires multiple-of-{8 * hmax}x{8 * vmax} dimensions"
+        )
+    dims = [(width * hs // hmax, height * vs // vmax) for hs, vs in sampling]
+    for p, (cw, ch) in zip(planes, dims):
+        if len(p) != cw * ch:
+            raise ValueError(f"plane must be {cw * ch} bytes, got {len(p)}")
+    for ss, se in bands:
+        if not (1 <= ss <= se <= 63):
+            raise ValueError("AC bands must lie within 1..63")
+    starts = [ss for ss, _ in bands]
+    if starts != sorted(starts) or any(
+        bands[i][1] + 1 != bands[i + 1][0] for i in range(len(bands) - 1)
+    ) or bands[0][0] != 1 or bands[-1][1] != 63:
+        raise ValueError("bands must partition 1..63 in order")
+
+    coeffs = _quantized_zigzag_blocks(planes, dims)
+    dc_enc = _huff_encode_table(DC_LUM_BITS, DC_LUM_VALS)
+    ac_enc = _huff_encode_table(PROG_AC_BITS, PROG_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comps)])
+        for ci in comps:
+            body += struct.pack("BB", ci + 1, 0x00)
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    sof_comps = b"".join(
+        struct.pack("BBB", ci + 1, (sampling[ci][0] << 4) | sampling[ci][1], 0)
+        for ci in range(ncomp)
+    )
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, height, width, ncomp) + sof_comps)
+    out += seg(
+        0xFFC4,
+        b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
+        + b"\x10" + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS),
+    )
+
+    mcu_orders = [_mcu_block_order(ci, sampling, dims, width, height) for ci in range(ncomp)]
+    n_mcus = (width // (8 * hmax)) * (height // (8 * vmax))
+
+    # --- scan 1: DC first, interleaved, Al=1 -------------------------------
+    al = 1
+    w = _BitWriter()
+    preds = [0] * ncomp
+    cursors = [0] * ncomp
+    for _ in range(n_mcus):
+        for ci in range(ncomp):
+            hs, vs = sampling[ci]
+            for _ in range(hs * vs):
+                blk = coeffs[ci][mcu_orders[ci][cursors[ci]]]
+                cursors[ci] += 1
+                dc = blk[0] >> al  # DC point transform: arithmetic shift
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                t = _category(diff)
+                code, ln = dc_enc[t]
+                w.write(code, ln)
+                if t:
+                    w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    out += sos(list(range(ncomp)), 0, 0, 0, al) + w.flush()
+
+    # --- scan 2: DC refinement, Al=0 (one raw bit per block) ---------------
+    w = _BitWriter()
+    cursors = [0] * ncomp
+    for _ in range(n_mcus):
+        for ci in range(ncomp):
+            hs, vs = sampling[ci]
+            for _ in range(hs * vs):
+                blk = coeffs[ci][mcu_orders[ci][cursors[ci]]]
+                cursors[ci] += 1
+                w.write(blk[0] & 1, 1)
+    out += sos(list(range(ncomp)), 0, 0, 1, 0) + w.flush()
+
+    # --- AC scans: per component, per band — first pass then refinement ----
+    def ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
+        w = _BitWriter()
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                code, ln = ac_enc[rr << 4]
+                w.write(code, ln)
+                if rr:
+                    w.write(eobrun - (1 << rr), rr)
+                eobrun = 0
+
+        for blk in coeffs[ci]:
+            vals = [_pt_ac(blk[k], al) for k in range(ss, se + 1)]
+            nz = [i for i, v in enumerate(vals) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = vals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_enc[0xF0]
+                    w.write(code, ln)
+                    run -= 16
+                t = _category(v)
+                code, ln = ac_enc[(run << 4) | t]
+                w.write(code, ln)
+                w.write(v if v >= 0 else v + (1 << t) - 1, t)
+                run = 0
+            if nz[-1] < len(vals) - 1:
+                eobrun += 1
+        flush_eob()
+        return w.flush()
+
+    def ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
+        w = _BitWriter()
+        eobrun = 0
+        pending: list[int] = []  # correction bits deferred to the next symbol
+
+        def flush_eob() -> None:
+            nonlocal eobrun, pending
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                code, ln = ac_enc[rr << 4]
+                w.write(code, ln)
+                if rr:
+                    w.write(eobrun - (1 << rr), rr)
+                for bit in pending:
+                    w.write(bit, 1)
+                pending = []
+                eobrun = 0
+
+        for blk in coeffs[ci]:
+            absv = [abs(_pt_ac(blk[k], al)) for k in range(ss, se + 1)]
+            eobpos = -1
+            for i, a in enumerate(absv):
+                if a == 1:
+                    eobpos = i
+            r = 0
+            br: list[int] = []
+            for i, a in enumerate(absv):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eobpos:
+                    flush_eob()
+                    code, ln = ac_enc[0xF0]
+                    w.write(code, ln)
+                    r -= 16
+                    for bit in br:
+                        w.write(bit, 1)
+                    br = []
+                if a > 1:  # history-nonzero: correction bit only
+                    br.append(a & 1)
+                    continue
+                flush_eob()
+                code, ln = ac_enc[(r << 4) | 1]
+                w.write(code, ln)
+                w.write(1 if _pt_ac(blk[ss + i], al) > 0 else 0, 1)
+                for bit in br:
+                    w.write(bit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return w.flush()
+
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos([ci], ss, se, 0, 1) + ac_first(ci, ss, se, 1)
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos([ci], ss, se, 1, 0) + ac_refine(ci, ss, se, 0)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _entropy_end(b: bytes, start: int) -> int:
+    """First index >= start of a marker that terminates entropy data
+    (0xFF followed by anything other than a stuff byte or RSTn)."""
+    j = start
+    while j + 1 < len(b):
+        if b[j] == 0xFF and b[j + 1] != 0x00 and not (0xD0 <= b[j + 1] <= 0xD7):
+            return j
+        j += 1
+    return len(b)
+
+
+def _prog_refine_bit(r: "_BitReader", blk: list[int], k: int, p1: int) -> None:
+    """AC refinement correction bit for a history-nonzero coefficient
+    (G.2: a 1-bit moves the magnitude up by one unit at this precision
+    unless that bit is already set)."""
+    if r.read_bit():
+        if not (blk[k] & p1):
+            blk[k] += p1 if blk[k] >= 0 else -p1
+
+
+@decode_valueerror_contract
+def _jpeg_decode_progressive(b: bytes) -> dict:
+    """Progressive (SOF2) decode: accumulate coefficients across every
+    scan — DC first/refinement (point-transform shifts), AC band first
+    scans (EOBRUN + ZRL + EXTEND at Al), AC refinement (newly-nonzero
+    insertions with sign bits, correction bits for history-nonzero
+    coefficients, EOB runs carrying correction bits) — then dequantize,
+    un-zigzag, inverse-DCT once at the end. Same fixture restrictions
+    as the baseline decoder (whole MCUs, factors 1 or 2); restart
+    intervals inside progressive scans raise (not emitted by any
+    encoder here)."""
+    i = 2
+    qtables: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    width = height = None
+    sof_q: dict[int, int] = {}
+    sof_samp: dict[int, tuple[int, int]] = {}
+    comp_ids: list[int] = []  # SOF component order
+    coeffs: dict[int, list[list[int]]] = {}  # cid -> raster-order zigzag blocks
+    dims_by_cid: dict[int, tuple[int, int]] = {}
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("marker expected")
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        body = b[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0xF
+                if pq != 0:
+                    raise ValueError("only 8-bit quant tables supported")
+                qtables[tq] = list(body[j + 1 : j + 65])
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0xF
+                bits = list(body[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(body[j + 17 : j + 17 + n])
+                tab = _huff_decode_table(bits, vals)
+                (dc_tables if tc == 0 else ac_tables)[th] = tab
+                j += 17 + n
+        elif marker == 0xC2:
+            precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component frames supported")
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                hs, vs = samp >> 4, samp & 0xF
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(f"sampling factors {hs}x{vs} not supported")
+                sof_q[cid] = tq
+                sof_samp[cid] = (hs, vs)
+                comp_ids.append(cid)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed or unsupported frame type in progressive stream")
+        elif marker == 0xDD:
+            if struct.unpack(">H", body[:2])[0]:
+                raise ValueError("restart intervals inside progressive scans not supported")
+        elif marker == 0xDA:
+            if width is None:
+                raise ValueError("SOS before SOF2")
+            if not coeffs:
+                if width == 0 or height == 0:
+                    raise ValueError("JPEG with zero-area frame")
+                hmax = max(hs for hs, _ in sof_samp.values())
+                vmax = max(vs for _, vs in sof_samp.values())
+                if width % (8 * hmax) or height % (8 * vmax):
+                    raise ValueError("edge-padded dimensions not supported (fixture decoder)")
+                for cid, (hs, vs) in sof_samp.items():
+                    cw, ch = width * hs // hmax, height * vs // vmax
+                    dims_by_cid[cid] = (cw, ch)
+                    coeffs[cid] = [[0] * 64 for _ in range((cw // 8) * (ch // 8))]
+            ns = body[0]
+            scan: list[tuple[int, int, int]] = []
+            for ci in range(ns):
+                cid = body[1 + 2 * ci]
+                sel = body[2 + 2 * ci]
+                if cid not in sof_samp:
+                    raise ValueError("scan references unknown component")
+                scan.append((cid, sel >> 4, sel & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            start = i + 2 + seglen
+            end = _entropy_end(b, start)
+            r = _BitReader(b[start:end])
+            _run_progressive_scan(
+                r, b, scan, ss, se, ah, al, coeffs, dims_by_cid, sof_samp,
+                dc_tables, ac_tables, width, height,
+            )
+            i = end
+            continue
+        i += 2 + seglen
+    if width is None or not coeffs:
+        raise ValueError("JPEG missing SOF2/SOS")
+    # reconstruct: dequantize + un-zigzag + IDCT per block, per component
+    sampling = [sof_samp[cid] for cid in comp_ids]
+    dims = [dims_by_cid[cid] for cid in comp_ids]
+    planes = []
+    for cid in comp_ids:
+        if sof_q[cid] not in qtables:
+            raise ValueError("JPEG scan references undefined table")
+        q = qtables[sof_q[cid]]
+        cw, ch = dims_by_cid[cid]
+        plane = bytearray(cw * ch)
+        bw = cw // 8
+        for bi, zz in enumerate(coeffs[cid]):
+            coef = [0.0] * 64
+            for k in range(64):
+                coef[ZIGZAG[k]] = zz[k] * q[k]
+            px = idct8x8(coef)
+            oy, ox = (bi // bw) * 8, (bi % bw) * 8
+            for y in range(8):
+                row = (oy + y) * cw + ox
+                for x in range(8):
+                    plane[row + x] = min(255, max(0, int(round(px[y * 8 + x] + 128))))
+        planes.append(bytes(plane))
+    ncomp = len(planes)
+    return {
+        "media_type": "image/jpeg",
+        "width": width,
+        "height": height,
+        "channels": ncomp,
+        "bit_depth": 8,
+        "sampling": sampling,
+        "restart_interval": 0,
+        "plane_dims": dims,
+        "progressive": True,
+        "planes": planes,
+        "raster": planes[0] if ncomp == 1 else b"".join(planes),
+    }
+
+
+def _run_progressive_scan(
+    r: "_BitReader", b: bytes, scan, ss, se, ah, al,
+    coeffs, dims_by_cid, sof_samp, dc_tables, ac_tables, width, height,
+) -> None:
+    """Apply ONE progressive scan's coefficient updates (T.81 G.2)."""
+    if ss == 0:  # DC scan (interleaved or single component); Se must be 0
+        if se != 0:
+            raise ValueError("DC scan must have Se = 0")
+        hmax = max(hs for hs, _ in sof_samp.values())
+        vmax = max(vs for _, vs in sof_samp.values())
+        orders = {}
+        for cid, _, _ in scan:
+            hs, vs = sof_samp[cid]
+            bw = dims_by_cid[cid][0] // 8
+            if len(scan) > 1:  # interleaved MCU traversal
+                order = []
+                for my in range(height // (8 * vmax)):
+                    for mx in range(width // (8 * hmax)):
+                        for by in range(vs):
+                            for bx in range(hs):
+                                order.append((my * vs + by) * bw + (mx * hs + bx))
+            else:  # non-interleaved: component raster order
+                order = list(range(len(coeffs[cid])))
+            orders[cid] = order
+        n_units = len(orders[scan[0][0]]) // (
+            sof_samp[scan[0][0]][0] * sof_samp[scan[0][0]][1] if len(scan) > 1 else 1
+        )
+        preds = {cid: 0 for cid, _, _ in scan}
+        cursors = {cid: 0 for cid, _, _ in scan}
+        for _ in range(n_units):
+            for cid, td, _ in scan:
+                per_mcu = (
+                    sof_samp[cid][0] * sof_samp[cid][1] if len(scan) > 1 else 1
+                )
+                for _ in range(per_mcu):
+                    blk = coeffs[cid][orders[cid][cursors[cid]]]
+                    cursors[cid] += 1
+                    if ah == 0:  # first DC scan: diff coding at Al
+                        if td not in dc_tables:
+                            raise ValueError("JPEG scan references undefined table")
+                        t = r.read_huff(dc_tables[td])
+                        if t:
+                            v = r.read_bits(t)
+                            if v < (1 << (t - 1)):
+                                v -= (1 << t) - 1
+                            preds[cid] += v
+                        blk[0] = preds[cid] << al
+                    else:  # DC refinement: one raw bit
+                        if r.read_bit():
+                            blk[0] |= 1 << al
+        return
+    # AC scan: single component only (spec G.1.1.1.1)
+    if len(scan) != 1:
+        raise ValueError("progressive AC scans must be single-component")
+    cid, _, ta = scan[0]
+    if ta not in ac_tables:
+        raise ValueError("JPEG scan references undefined table")
+    act = ac_tables[ta]
+    p1 = 1 << al
+    eobrun = 0
+    for blk in coeffs[cid]:
+        if ah == 0:  # AC first scan for this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = r.read_huff(act)
+                run, size = sym >> 4, sym & 0xF
+                if size:
+                    k += run
+                    if k > se:
+                        raise ValueError("AC index overrun")
+                    v = r.read_bits(size)
+                    if v < (1 << (size - 1)):
+                        v -= (1 << size) - 1
+                    blk[k] = v << al
+                    k += 1
+                else:
+                    if run != 15:  # EOBn
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += r.read_bits(run)
+                        break
+                    k += 16  # ZRL
+        else:  # AC refinement for this band
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = r.read_huff(act)
+                    run, size = sym >> 4, sym & 0xF
+                    newval = 0
+                    if size:
+                        if size != 1:
+                            raise ValueError("refinement size must be 1")
+                        newval = p1 if r.read_bit() else -p1
+                    else:
+                        if run != 15:  # EOBn terminates the coded part
+                            eobrun = 1 << run
+                            if run:
+                                eobrun += r.read_bits(run)
+                            break
+                        # run == 15: ZRL — skip 16 zero-history coeffs
+                    while k <= se:
+                        if blk[k] != 0:
+                            _prog_refine_bit(r, blk, k, p1)
+                        else:
+                            run -= 1
+                            if run < 0:
+                                break
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError("refinement position overrun")
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:  # EOB logic: refine remaining nonzero coeffs
+                while k <= se:
+                    if blk[k] != 0:
+                        _prog_refine_bit(r, blk, k, p1)
+                    k += 1
+                eobrun -= 1

@@ -1151,6 +1151,39 @@ def decode_jpeg_restart_stats(media: DataFrame, strict: bool = True) -> DataFram
     return media.mapInPandas(run, schema=JPEG_RESTART_SCHEMA)
 
 
+def synthesize_jpeg_progressive(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL progressive (SOF2) JPEGs: the grayscale
+    constant-tile fixture encoded through the full multi-scan script —
+    DC first at Al=1, DC refinement, two AC band scans per precision.
+    Constant tiles keep the oracle exact (DC-only blocks), so the GATE
+    exercises the DC point-transform accumulation and the EOBRUN
+    machinery; the nonzero-AC refinement paths are pinned by the
+    cross-decoder property test (progressive == baseline pixels on
+    random rasters, tests/test_datapipe.py)."""
+    from .jpegcodec import jpeg_progressive_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = 8 * (d % 5 + 1), 8 * (d % 4 + 1)
+                raster = bytes(
+                    (11 * (x // 8) + 23 * (y // 8) + 7 * d) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(jpeg_progressive_bytes(w, h, [raster]))
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
 JPEG_420_SCHEMA = (
     "doc_id long, width long, height long, cb_width long, cb_height long, "
     "n_mcus long, y_sum long, cb_sum long, cr_sum long, "

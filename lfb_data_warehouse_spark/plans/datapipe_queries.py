@@ -3902,6 +3902,62 @@ def jpeg_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JPEG_PROG_DOC_MOD = 11  # doc_id % 11 == 0 → ~1/11 of documents get a SOF2 JPEG
+
+
+@register(
+    "jpeg_progressive_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             8 * (doc_id % 5 + 1) AS width,
+             8 * (doc_id % 4 + 1) AS height
+      FROM documents WHERE doc_id % {JPEG_PROG_DOC_MOD} = 0
+    ),
+    tiles AS (
+      SELECT s.doc_id, s.width, s.height,
+             (11 * gx.tx + 23 * gy.ty + 7 * s.doc_id) % 256 AS v
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.width // 8)) AS tx) gx,
+           LATERAL (SELECT unnest(range(0, s.height // 8)) AS ty) gy
+    )
+    SELECT doc_id,
+           CAST(any_value(width) AS BIGINT) AS width,
+           CAST(any_value(height) AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(64 * sum(v) AS BIGINT) AS px_sum,
+           CAST(7 * doc_id % 256 AS BIGINT) AS first_px,
+           CAST((11 * (any_value(width) // 8 - 1) + 23 * (any_value(height) // 8 - 1)
+                 + 7 * doc_id) % 256 AS BIGINT) AS last_px,
+           CAST(1000 * 64 * sum(v)
+                // (any_value(width) * any_value(height)) AS BIGINT) AS px_mean_milli
+    FROM tiles GROUP BY doc_id
+    """,
+)
+def jpeg_progressive_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (SOF2) JPEG decode end to end — the multi-scan frame
+    type every web image optimizer emits, the codec's last unsupported
+    frame layout until round 9: synthesize_jpeg_progressive encodes the
+    constant-tile fixture through a real libjpeg-style scan script (DC
+    first at Al=1, DC refinement bits, two AC band scans per precision
+    — EOB runs coded with EOBn>0 symbols a baseline table cannot even
+    express); decode_jpeg_stats must accumulate coefficients across ALL
+    six scans (point-transform shifts, refinement bit merges, EOBRUN
+    bookkeeping) before the single IDCT — dropping or misordering any
+    scan halves the DC or corrupts it outright, landing on
+    px_sum/first_px/last_px. Constant tiles keep the oracle exact; the
+    nonzero-AC refinement paths are pinned by the cross-decoder pytest
+    (progressive == baseline pixels on random rasters)."""
+    from ..operators.multimodal import decode_jpeg_stats, synthesize_jpeg_progressive
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % JPEG_PROG_DOC_MOD == 0)
+    )
+    return decode_jpeg_stats(synthesize_jpeg_progressive(docs, "doc_id"))
+
+
 JPEG_RST_DOC_MOD = 11  # doc_id % 11 == 3 → ~1/11 of documents get a DRI JPEG
 
 

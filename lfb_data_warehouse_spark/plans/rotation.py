@@ -876,6 +876,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "audio_downsample_stats",  # r9: block-mean decimation + WAV re-encode
     "jpeg_resize_stats",  # r9: media-agnostic resize, JPEG input path
     "interlaced_png_decode_stats",  # r9: Adam7 deinterlacing decode
+    "jpeg_progressive_decode_stats",  # r9: SOF2 multi-scan decode
 ]
 
 

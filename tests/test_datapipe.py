@@ -662,6 +662,49 @@ def test_jpeg_420_subsampled_roundtrip():
         jpeg_planes_bytes(w, h, [y, cb, cr], sampling=[(4, 4), (1, 1), (1, 1)])
 
 
+def test_jpeg_progressive_cross_decoder():
+    """Progressive (SOF2) decode must produce EXACTLY the pixels the
+    baseline decoder produces for the same raster: both encoders
+    quantize identically, and progressive refinement must restore every
+    coefficient bit-for-bit (DC point-transform + refinement bit, AC
+    first scans with EOBRUN, newly-nonzero insertions and correction
+    bits). Random rasters drive every refinement path — unlike the
+    constant-tile oracle fixture, whose ACs are all zero."""
+    import random
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_planes_bytes,
+        jpeg_progressive_bytes,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(6):
+        w, h = 8 * rng.randint(1, 3), 8 * rng.randint(1, 3)
+        raster = bytes(rng.randrange(256) for _ in range(w * h))
+        prog = jpeg_decode_pixels(jpeg_progressive_bytes(w, h, [raster]))
+        base = jpeg_decode_pixels(jpeg_planes_bytes(w, h, [raster]))
+        assert prog.get("progressive") is True
+        assert prog["raster"] == base["raster"], f"trial {trial}"
+    # constant tiles are exact (DC-only blocks, quant 1)
+    g = bytes((11 * (x // 8) + 23 * (y // 8)) % 256 for y in range(24) for x in range(40))
+    assert jpeg_decode_pixels(jpeg_progressive_bytes(40, 24, [g]))["raster"] == g
+    # color 1x1 and 4:2:0 progressive match their baseline twins
+    ry = bytes(rng.randrange(256) for _ in range(32 * 16))
+    rc = bytes(rng.randrange(256) for _ in range(16 * 8))
+    samp = [(2, 2), (1, 1), (1, 1)]
+    pp = jpeg_decode_pixels(
+        jpeg_progressive_bytes(32, 16, [ry, rc, rc], sampling=samp)
+    )
+    bb = jpeg_decode_pixels(jpeg_planes_bytes(32, 16, [ry, rc, rc], sampling=samp))
+    assert pp["planes"] == bb["planes"]
+    # band partitions must cover 1..63 contiguously
+    with _pytest.raises(ValueError, match="partition"):
+        jpeg_progressive_bytes(16, 16, [bytes(256)], bands=((1, 5), (7, 63)))
+
+
 def test_jpeg_restart_intervals_roundtrip():
     """DRI/RSTn: the entropy stream byte-aligns and emits a cycling
     RSTm marker with DC-predictor resets every N MCUs; decode must
