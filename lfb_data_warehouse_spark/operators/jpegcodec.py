@@ -123,6 +123,14 @@ def _zigzag() -> list[int]:
 
 ZIGZAG = _zigzag()
 
+# Decode-side allocation cap (fuzz-found failure mode): a corrupted
+# header can declare absurd dimensions; the contract is ValueError,
+# never a stage-killing MemoryError. 256 MiB of decoded raster is far
+# beyond any per-row payload this tier handles (payloads live in a
+# binary COLUMN — multi-GB single images belong in a blob store, not a
+# row), so the cap never bites legitimate data.
+MAX_DECODED_BYTES = 1 << 28
+
 
 def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """value -> (code, length) via canonical code assignment (spec C.2:
@@ -559,6 +567,8 @@ def jpeg_decode_pixels(b: bytes) -> dict:
     # each plane is stored at its natural subsampled resolution — no
     # upsampling or colorspace conversion is invented here
     dims = [(width * hs // hmax, height * vs // vmax) for hs, vs in sampling]
+    if sum(cw * ch for cw, ch in dims) > MAX_DECODED_BYTES:
+        raise ValueError("JPEG declares implausible dimensions")
     # entropy data runs to EOI
     end = b.rfind(b"\xff\xd9")
     r = _BitReader(b[entropy_start : end if end > entropy_start else len(b)])
@@ -999,6 +1009,11 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
                 vmax = max(vs for _, vs in sof_samp.values())
                 if width % (8 * hmax) or height % (8 * vmax):
                     raise ValueError("edge-padded dimensions not supported (fixture decoder)")
+                if sum(
+                    (width * hs // hmax) * (height * vs // vmax)
+                    for hs, vs in sof_samp.values()
+                ) > MAX_DECODED_BYTES:
+                    raise ValueError("JPEG declares implausible dimensions")
                 for cid, (hs, vs) in sof_samp.items():
                     cw, ch = width * hs // hmax, height * vs // vmax
                     dims_by_cid[cid] = (cw, ch)

@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .jpegcodec import MAX_DECODED_BYTES as _MAX_DECODED_BYTES
 from .jpegcodec import decode_valueerror_contract
 
 FEATURE_SCHEMA = (
@@ -367,10 +368,34 @@ def png_decode_pixels(b: bytes) -> dict:
         # IndexErrors past the ValueError contract (round-8 ADVICE).
         raise ValueError("PNG with zero-area raster")
     stride = width * channels
+    if interlace:
+        expected = sum(
+            (pw * channels + 1) * ph
+            for pw, ph in _adam7_pass_dims(width, height)
+            if pw and ph
+        )
+    else:
+        expected = (stride + 1) * height
+    # Allocation guard (fuzz-found): a bit-flipped IHDR can declare
+    # absurd dimensions, and a hostile IDAT can be a decompression bomb
+    # — either way the failure must be ValueError, never a
+    # stage-killing MemoryError. Bound the declared raster and cap the
+    # inflate at exactly the declared size (+1 to detect overruns).
+    if expected > _MAX_DECODED_BYTES:
+        raise ValueError(
+            f"PNG declares {expected} decoded bytes "
+            f"(cap {_MAX_DECODED_BYTES}): implausible dimensions"
+        )
+    obj = zlib.decompressobj()
     try:
-        data = zlib.decompress(bytes(idat))
-    except zlib.error as e:  # header-only or truncated stream
+        data = obj.decompress(bytes(idat), expected)
+        # consume the end-of-stream marker + adler32 (bounded: a bomb
+        # yields a nonzero byte here instead of gigabytes of inflate)
+        extra = obj.decompress(obj.unconsumed_tail, 1) if not obj.eof else b""
+    except zlib.error as e:  # header-only or corrupt stream
         raise ValueError(f"PNG IDAT stream undecodable: {e}") from e
+    if extra or len(data) != expected or not obj.eof:
+        raise ValueError("IDAT payload does not match dimensions")
     if interlace:
         # Adam7: seven independently-filtered sub-images in one zlib
         # stream; unfilter each pass then scatter its pixels onto the
@@ -397,8 +422,6 @@ def png_decode_pixels(b: bytes) -> dict:
         if pos != len(data):
             raise ValueError("IDAT payload does not match dimensions")
     else:
-        if len(data) != (stride + 1) * height:
-            raise ValueError("IDAT payload does not match dimensions")
         raster = _png_unfilter(data, stride, height, channels)
     palette_size = None
     if color_type == 3:

@@ -563,6 +563,69 @@ def test_palette_png_roundtrip():
         png_palette_bytes(w, h, idx, short_pal)
 
 
+def test_decode_real_fuzz_valueerror_contract():
+    """Property: decode_real on ARBITRARY bytes — random payloads and
+    bit-flipped corruptions of every valid container type — either
+    returns a dict or raises ValueError. Any other exception type is a
+    stage-killer the strict=False poison path would not catch (the
+    round-8 ADVICE failure mode, pinned here for all future decoders)."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_pixel_bytes,
+        jpeg_progressive_bytes,
+    )
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        decode_real,
+        png_palette_bytes,
+        png_pixel_bytes,
+        wav_pcm_bytes,
+    )
+
+    def check(payload: bytes) -> None:
+        try:
+            out = decode_real(payload)
+            assert isinstance(out, dict)
+        except ValueError:
+            pass  # the one allowed failure mode
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=400))
+    def fuzz_random(payload):
+        check(payload)
+
+    fuzz_random()
+
+    # corruption fuzz: single-byte mutations of every valid container
+    rng = random.Random(7)
+    g = bytes((3 * i) % 256 for i in range(64))
+    valid = [
+        png_pixel_bytes(8, 8, g, 0),
+        png_pixel_bytes(4, 4, g[:48], 2, interlace=True),
+        png_palette_bytes(8, 8, bytes(i % 4 for i in range(64)), bytes(range(12))),
+        jpeg_pixel_bytes(8, 8, g),
+        jpeg_progressive_bytes(8, 8, [g]),
+        wav_pcm_bytes(1, 8000, [100, -100, 50]),
+    ]
+    for base in valid:
+        check(base)  # sanity: the uncorrupted payload decodes
+        for _ in range(120):
+            b = bytearray(base)
+            op = rng.randrange(3)
+            if op == 0:  # flip a byte
+                p = rng.randrange(len(b))
+                b[p] ^= 1 << rng.randrange(8)
+            elif op == 1:  # truncate
+                b = b[: rng.randrange(len(b))]
+            else:  # splice random garbage
+                p = rng.randrange(len(b))
+                b[p : p + 3] = bytes(rng.randrange(256) for _ in range(3))
+            check(bytes(b))
+
+
 def test_decode_error_contract_normalized():
     """Malformed payloads surface as ValueError ONLY — truncated
     headers (struct.error), scans referencing undefined tables
