@@ -4133,6 +4133,85 @@ def audio_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("payload")
 
 
+BPE_MERGES = 6
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled-BPE oracle (the pq_codebook_learned unrolled-Lloyd
+    precedent): each round = pair-count CTE → deterministic argmax CTE
+    → the SAME 16-pass framed-replace chain the engine applies, so both
+    engines implement byte-identical greedy merge semantics."""
+    sep = "chr(31)"
+
+    def rep_chain(expr: str) -> str:
+        pat = f"{sep} || t.a || {sep} || t.b || {sep}"
+        rep = f"{sep} || t.a || t.b || {sep}"
+        for _ in range(16):  # operators/bpe.py _MAX_RUN
+            expr = f"replace({expr}, {pat}, {rep})"
+        return expr
+
+    ctes = [
+        f"""words AS (
+      SELECT w AS word, COUNT(*) AS cnt
+      FROM (SELECT unnest({tokens_sql('text')}) AS w FROM documents)
+      WHERE length(w) <= 32 AND w NOT LIKE '%' || {sep} || '%'
+      GROUP BY w
+    )""",
+        f"""seg1 AS (
+      SELECT cnt,
+             {sep} || regexp_replace(word, '(.)', '\\1' || {sep}, 'g') AS seg
+      FROM words
+    )""",
+    ]
+    selects = []
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{i} AS (
+      SELECT s[i] AS a, s[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS pair_count
+      FROM (SELECT cnt, list_filter(string_split(seg, {sep}), x -> x <> '') AS s
+            FROM seg{i}) src,
+           LATERAL (SELECT unnest(range(1, len(src.s))) AS i) g
+      GROUP BY a, b
+    )""")
+        ctes.append(
+            f"""t{i} AS (SELECT a, b, pair_count FROM p{i}
+              ORDER BY pair_count DESC, a, b LIMIT 1)""")
+        if i < n_merges:
+            ctes.append(
+                f"""seg{i + 1} AS (
+      SELECT s.cnt, {rep_chain('s.seg')} AS seg FROM seg{i} s, t{i} t
+    )""")
+        selects.append(
+            f"SELECT CAST({i} AS INTEGER) AS merge_rank, a AS left_sym, "
+            f"b AS right_sym, a || b AS merged, pair_count FROM t{i}"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    "
+        + "\n    UNION ALL ".join(selects) + "\n    ORDER BY merge_rank"
+    )
+
+
+@register("bpe_learned_merges", oracle=_bpe_oracle(BPE_MERGES))
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (merge learning) — the missing piece
+    between the bpe_tokens pre-tokenizer proxy and a real trained
+    tokenizer: learn the first 6 merges from the corpus (Sennrich et
+    al. 2016 BPE, reimplemented Spark-first in operators/bpe.py). The
+    iterated state is VOCABULARY-bounded (one corpus pass collapses to
+    (word, count); each round is one pair-count shuffle + one 1-row
+    argmax collect + a map-side framed-replace chain), so the same plan
+    trains on 100 TB — distinct words, not tokens, set the cost. Greedy
+    non-overlapping merge application is byte-identical in both
+    engines: the oracle unrolls every round with the same 16-pass
+    framed-replace chain and the same (count DESC, left, right) argmax
+    tiebreak, so a pair-counting, tie-break or merge-application bug
+    lands on left_sym/right_sym/pair_count of the first divergent
+    round."""
+    from ..operators.bpe import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"), "text", BPE_MERGES)
+
+
 ROLL_BASE = 257
 ROLL_MOD = 1_000_000_007
 

@@ -877,6 +877,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "jpeg_resize_stats",  # r9: media-agnostic resize, JPEG input path
     "interlaced_png_decode_stats",  # r9: Adam7 deinterlacing decode
     "jpeg_progressive_decode_stats",  # r9: SOF2 multi-scan decode
+    "bpe_learned_merges",  # r9: distributed BPE tokenizer training
 ]
 
 

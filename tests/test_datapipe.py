@@ -326,6 +326,40 @@ def test_sample_frames_parses_real_container(spark):
     assert len(nul) == 1 and nul[0]["frame_index"] is None
 
 
+def test_bpe_train_learns_expected_merges(spark):
+    """Hand-checked merge sequence on a tiny corpus, including the
+    count-tie lexicographic break and greedy non-overlapping
+    application inside repeated-pair runs."""
+    from lfb_data_warehouse_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "newer newest new low")],
+        "doc_id long, text string",
+    )
+    out = bpe_train(docs, "text", n_merges=4).collect()
+    # (l,o) and (o,w) both count 6 -> tie breaks to the smaller left
+    assert [(r["merged"], r["pair_count"]) for r in out] == [
+        ("lo", 6), ("low", 6), ("ew", 3), ("new", 3),
+    ]
+    # greedy runs: 'aaaa' must merge as (aa)(aa), not (a)(aa)(a) —
+    # 'aaaa' x2 and 'ab' x3: round1 merges (a,a) cnt 2*3=6 > (a,b) 3
+    runs = spark.createDataFrame(
+        [(1, "aaaa aaaa ab ab ab")], "doc_id long, text string"
+    )
+    r2 = bpe_train(runs, "text", n_merges=2).collect()
+    assert (r2[0]["merged"], r2[0]["pair_count"]) == ("aa", 6)
+    # after merging, each 'aaaa' is [aa, aa] -> pair (aa,aa) cnt 2,
+    # while (a,b) cnt 3 wins round 2 — would be wrong if the greedy
+    # application left [aa, a, a] (that yields (aa,a) cnt 2, (a,a) 2)
+    assert (r2[1]["merged"], r2[1]["pair_count"]) == ("ab", 3)
+    # frame-byte and overlong words are excluded up front
+    weird = spark.createDataFrame(
+        [(1, "ok ok \x1fbad " + "x" * 40)], "doc_id long, text string"
+    )
+    w = bpe_train(weird, "text", n_merges=1).collect()
+    assert w[0]["merged"] == "ok" and w[0]["pair_count"] == 2
+
+
 def test_span_dedup_stats(docs):
     from lfb_data_warehouse_spark.operators.dedup import span_dedup_stats
 
