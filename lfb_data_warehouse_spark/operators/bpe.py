@@ -100,6 +100,52 @@ def _apply_merge(seg: DataFrame, a: str, b: str) -> DataFrame:
     return seg.withColumn("seg", col)
 
 
+def bpe_segment_counts(
+    docs: DataFrame, text_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(word, n_subwords) after applying ``merges`` in learning order —
+    the trained tokenizer's vocabulary view, one row per DISTINCT word
+    (vocabulary-sized, the same bound as training)."""
+    seg = _initial_segmentation(word_counts(docs, text_col))
+    for a, b in merges:
+        seg = _apply_merge(seg, a, b)
+    syms = F.filter(F.split(F.col("seg"), SEP), lambda x: x != F.lit(""))
+    return seg.select("word", F.size(syms).alias("n_subwords"))
+
+
+def bpe_encode_counts(
+    docs: DataFrame, id_col: str, text_col: str, n_merges: int = 6
+) -> DataFrame:
+    """Train the first ``n_merges`` merges, then APPLY them: per-doc
+    whitespace-token and post-merge subword counts — the trained
+    tokenizer in use, not just its merge table. The word→subword-count
+    map is vocabulary-sized and broadcast into the token join (at a
+    vocabulary too large to broadcast, drop the hint and let AQE pick a
+    shuffle join — the plan is otherwise identical). Tokens longer than
+    MAX_WORD_LEN or containing the frame byte are excluded from BOTH
+    counts, mirroring training's vocabulary filter."""
+    from ..functions.text import tokens
+
+    merge_rows = bpe_train(docs, text_col, n_merges).collect()  # n rows
+    merges = [(r["left_sym"], r["right_sym"]) for r in merge_rows]
+    vocab = bpe_segment_counts(docs, text_col, merges)
+    toks = (
+        docs.select(id_col, F.explode(tokens(text_col)).alias("word"))
+        .filter(
+            (F.length("word") <= MAX_WORD_LEN)
+            & (~F.col("word").contains(SEP))
+        )
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("n_subwords").alias("n_subwords"),
+        )
+    )
+
+
 def bpe_train(
     docs: DataFrame, text_col: str, n_merges: int = 4
 ) -> DataFrame:

@@ -4136,12 +4136,15 @@ def audio_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 6
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Unrolled-BPE oracle (the pq_codebook_learned unrolled-Lloyd
-    precedent): each round = pair-count CTE → deterministic argmax CTE
-    → the SAME 16-pass framed-replace chain the engine applies, so both
-    engines implement byte-identical greedy merge semantics."""
+def _bpe_ctes(n_merges: int, through: int | None = None) -> list[str]:
+    """Shared unrolled-BPE CTE chain (the pq_codebook_learned
+    unrolled-Lloyd precedent): each round = pair-count CTE →
+    deterministic argmax CTE → the SAME 16-pass framed-replace chain
+    the engine applies, so both engines implement byte-identical greedy
+    merge semantics. ``through`` > n_merges additionally emits the
+    post-final-merge segmentation (for the apply/encode oracle)."""
     sep = "chr(31)"
+    last_seg = through if through is not None else n_merges
 
     def rep_chain(expr: str) -> str:
         pat = f"{sep} || t.a || {sep} || t.b || {sep}"
@@ -4158,12 +4161,11 @@ def _bpe_oracle(n_merges: int) -> str:
       GROUP BY w
     )""",
         f"""seg1 AS (
-      SELECT cnt,
+      SELECT word, cnt,
              {sep} || regexp_replace(word, '(.)', '\\1' || {sep}, 'g') AS seg
       FROM words
     )""",
     ]
-    selects = []
     for i in range(1, n_merges + 1):
         ctes.append(
             f"""p{i} AS (
@@ -4176,18 +4178,52 @@ def _bpe_oracle(n_merges: int) -> str:
         ctes.append(
             f"""t{i} AS (SELECT a, b, pair_count FROM p{i}
               ORDER BY pair_count DESC, a, b LIMIT 1)""")
-        if i < n_merges:
+        if i < last_seg:
             ctes.append(
                 f"""seg{i + 1} AS (
-      SELECT s.cnt, {rep_chain('s.seg')} AS seg FROM seg{i} s, t{i} t
+      SELECT s.word, s.cnt, {rep_chain('s.seg')} AS seg FROM seg{i} s, t{i} t
     )""")
-        selects.append(
-            f"SELECT CAST({i} AS INTEGER) AS merge_rank, a AS left_sym, "
-            f"b AS right_sym, a || b AS merged, pair_count FROM t{i}"
-        )
+    return ctes
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    selects = [
+        f"SELECT CAST({i} AS INTEGER) AS merge_rank, a AS left_sym, "
+        f"b AS right_sym, a || b AS merged, pair_count FROM t{i}"
+        for i in range(1, n_merges + 1)
+    ]
     return (
-        "WITH " + ",\n    ".join(ctes) + "\n    "
+        "WITH " + ",\n    ".join(_bpe_ctes(n_merges)) + "\n    "
         + "\n    UNION ALL ".join(selects) + "\n    ORDER BY merge_rank"
+    )
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Recompute the merges, apply every round's replace chain, then
+    join each document's qualifying tokens to the post-merge symbol
+    counts — the trained tokenizer applied, per doc."""
+    sep = "chr(31)"
+    ctes = _bpe_ctes(n_merges, through=n_merges + 1)
+    ctes.append(
+        f"""vocab AS (
+      SELECT word,
+             len(list_filter(string_split(seg, {sep}), x -> x <> ''))
+               AS n_subwords
+      FROM seg{n_merges + 1}
+    )""")
+    ctes.append(
+        f"""dt AS (
+      SELECT doc_id, w AS word
+      FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS w FROM documents)
+      WHERE length(w) <= 32 AND w NOT LIKE '%' || {sep} || '%'
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + """
+    SELECT dt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(v.n_subwords) AS BIGINT) AS n_subwords
+    FROM dt JOIN vocab v USING (word)
+    GROUP BY dt.doc_id"""
     )
 
 
@@ -4210,6 +4246,25 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_train
 
     return bpe_train(load_table(spark, sf_dir, "documents"), "text", BPE_MERGES)
+
+
+@register("bpe_subword_counts", oracle=_bpe_encode_oracle(BPE_MERGES))
+def bpe_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer APPLIED: learn the first 6 merges
+    (bpe_learned_merges' exact procedure), apply them to the
+    vocabulary, and report per-document whitespace-token and
+    post-merge subword counts — train→apply end to end, the number an
+    LLM-data pipeline actually budgets on. The word→subword-count map
+    is vocabulary-sized and broadcast into the token join (shuffle-join
+    fallback documented for vocabularies past broadcast size). The
+    oracle recomputes the merges AND re-applies every round's identical
+    16-pass replace chain before joining, so a divergence anywhere in
+    train OR apply lands on n_subwords."""
+    from ..operators.bpe import bpe_encode_counts
+
+    return bpe_encode_counts(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", BPE_MERGES
+    )
 
 
 ROLL_BASE = 257

@@ -878,6 +878,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "interlaced_png_decode_stats",  # r9: Adam7 deinterlacing decode
     "jpeg_progressive_decode_stats",  # r9: SOF2 multi-scan decode
     "bpe_learned_merges",  # r9: distributed BPE tokenizer training
+    "bpe_subword_counts",  # r9: the trained tokenizer applied per doc
 ]
 
 

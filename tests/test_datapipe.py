@@ -360,6 +360,30 @@ def test_bpe_train_learns_expected_merges(spark):
     assert w[0]["merged"] == "ok" and w[0]["pair_count"] == 2
 
 
+def test_bpe_encode_counts_applies_merges(spark):
+    """train -> apply: per-doc subword counts reflect the learned
+    merges (each merged pair removes one symbol per application)."""
+    from lfb_data_warehouse_spark.operators.bpe import (
+        bpe_encode_counts,
+        bpe_segment_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower low"), (2, "new newer")], "doc_id long, text string"
+    )
+    # after merges (l,o) and (lo,w): 'low' -> [low] (1), 'lower' ->
+    # [low, e, r] (3), 'new' -> 3 chars, 'newer' -> 5 chars
+    seg = {
+        r["word"]: r["n_subwords"]
+        for r in bpe_segment_counts(docs, "text", [("l", "o"), ("lo", "w")]).collect()
+    }
+    assert seg == {"low": 1, "lower": 3, "new": 3, "newer": 5}
+    out = {r["doc_id"]: r for r in bpe_encode_counts(docs, "doc_id", "text", 2).collect()}
+    # doc1: trained merges on THIS corpus: (l,o) cnt 4 then (lo,w) cnt 4
+    assert out[1]["n_tokens"] == 3 and out[1]["n_subwords"] == 1 + 3 + 1
+    assert out[2]["n_tokens"] == 2 and out[2]["n_subwords"] == 3 + 5
+
+
 def test_span_dedup_stats(docs):
     from lfb_data_warehouse_spark.operators.dedup import span_dedup_stats
 
