@@ -298,6 +298,52 @@ def png_pixel_bytes(
     )
 
 
+def png_pixel16_bytes(
+    width: int, height: int, samples: list[int], color_type: int = 0,
+    interlace: bool = False,
+) -> bytes:
+    """REAL 16-bit PNG encode: ``samples`` is ``width·height·channels``
+    big-endian u16 values (depth maps, scientific imagery — ML corpora
+    where 8 bits clip the dynamic range). Packs to the 2-byte-per-sample
+    raster and reuses the 8-bit encoder's filter machinery at
+    ``bpp = 2·channels`` (PNG filters operate on bytes regardless of
+    depth, spec §9)."""
+    ch = _PNG_CHANNELS[color_type]
+    if color_type == 3:
+        raise ValueError("palette PNGs are 8-bit only")
+    if len(samples) != width * height * ch:
+        raise ValueError(f"need {width * height * ch} samples, got {len(samples)}")
+    raster = struct.pack(f">{len(samples)}H", *samples)
+    pxb = 2 * ch
+    stride = width * pxb
+    if interlace:
+        parts = []
+        for (xs, xstep, ys, ystep), (pw, ph) in zip(
+            _ADAM7, _adam7_pass_dims(width, height)
+        ):
+            if pw == 0 or ph == 0:
+                continue
+            sub = bytearray(pw * ph * pxb)
+            for py in range(ph):
+                fy = ys + py * ystep
+                for px_i in range(pw):
+                    fx = xs + px_i * xstep
+                    src = (fy * width + fx) * pxb
+                    dst = (py * pw + px_i) * pxb
+                    sub[dst : dst + pxb] = raster[src : src + pxb]
+            parts.append(_png_filter_scanlines(bytes(sub), pw * pxb, ph, pxb))
+        filtered = b"".join(parts)
+    else:
+        filtered = _png_filter_scanlines(raster, stride, height, pxb)
+    ihdr_body = struct.pack(
+        ">IIBBBBB", width, height, 16, color_type, 0, 0, 1 if interlace else 0
+    )
+    return (
+        _PNG_SIG + _chunk(b"IHDR", ihdr_body) + _png_idat_chunks(filtered)
+        + _chunk(b"IEND", b"")
+    )
+
+
 def png_palette_bytes(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
     """REAL indexed-color (type 3) PNG encode: ``indices`` is one
     palette index per pixel, ``palette`` the PLTE body (flat RGB
@@ -353,24 +399,32 @@ def png_decode_pixels(b: bytes) -> dict:
         i += 12 + length  # len + tag + body + crc
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace not in (0, 1):
+    if (
+        bit_depth not in (8, 16)
+        or color_type not in _PNG_CHANNELS
+        or interlace not in (0, 1)
+        or (bit_depth == 16 and color_type == 3)  # illegal per spec
+    ):
         raise ValueError(
             f"unsupported PNG shape (depth={bit_depth}, color={color_type}, "
-            f"interlace={interlace}): only 8-bit gray/RGB/palette/LA/RGBA, "
-            f"sequential or Adam7"
+            f"interlace={interlace}): only 8/16-bit gray/RGB/LA/RGBA or "
+            f"8-bit palette, sequential or Adam7"
         )
     if color_type == 3 and (palette is None or not palette or len(palette) % 3):
         raise ValueError("palette PNG missing a well-formed PLTE chunk")
     channels = _PNG_CHANNELS[color_type]
+    # filters operate on BYTES with a bpp offset (spec §9): a 16-bit
+    # pixel is channels*2 bytes wide everywhere below
+    pxb = channels * (bit_depth // 8)
     if width == 0 or height == 0:
         # a 0-dim raster has no first/last pixel for downstream stats;
         # treat as undecodable rather than emitting an empty raster that
         # IndexErrors past the ValueError contract (round-8 ADVICE).
         raise ValueError("PNG with zero-area raster")
-    stride = width * channels
+    stride = width * pxb
     if interlace:
         expected = sum(
-            (pw * channels + 1) * ph
+            (pw * pxb + 1) * ph
             for pw, ph in _adam7_pass_dims(width, height)
             if pw and ph
         )
@@ -407,22 +461,22 @@ def png_decode_pixels(b: bytes) -> dict:
         ):
             if pw == 0 or ph == 0:
                 continue
-            pstride = pw * channels
+            pstride = pw * pxb
             sub = _png_unfilter(
-                data[pos : pos + (pstride + 1) * ph], pstride, ph, channels
+                data[pos : pos + (pstride + 1) * ph], pstride, ph, pxb
             )
             pos += (pstride + 1) * ph
             for py in range(ph):
                 fy = ys + py * ystep
                 for px_i in range(pw):
                     fx = xs + px_i * xstep
-                    dst = (fy * width + fx) * channels
-                    src = (py * pw + px_i) * channels
-                    raster[dst : dst + channels] = sub[src : src + channels]
+                    dst = (fy * width + fx) * pxb
+                    src = (py * pw + px_i) * pxb
+                    raster[dst : dst + pxb] = sub[src : src + pxb]
         if pos != len(data):
             raise ValueError("IDAT payload does not match dimensions")
     else:
-        raster = _png_unfilter(data, stride, height, channels)
+        raster = _png_unfilter(data, stride, height, pxb)
     palette_size = None
     if color_type == 3:
         # map the unfiltered INDEX bytes through PLTE into an RGB raster
@@ -434,7 +488,7 @@ def png_decode_pixels(b: bytes) -> dict:
             rgb[3 * j : 3 * j + 3] = palette[3 * idx : 3 * idx + 3]
         raster = rgb
         channels = 3
-    return {
+    out = {
         "media_type": "image/png",
         "width": width,
         "height": height,
@@ -443,6 +497,13 @@ def png_decode_pixels(b: bytes) -> dict:
         "palette_size": palette_size,
         "raster": bytes(raster),
     }
+    if bit_depth == 16:
+        # big-endian u16 samples (spec §7.1), decoded for sample-level
+        # stats; the raw raster stays available for re-encode paths
+        out["samples16"] = list(
+            struct.unpack(f">{width * height * channels}H", bytes(raster))
+        )
+    return out
 
 
 def wav_pcm_bytes(channels: int, sample_rate: int, samples: list[int], bits: int = 16) -> bytes:
@@ -792,6 +853,103 @@ def synthesize_png_interlaced(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         run, schema=MEDIA_SCHEMA
     )
+
+
+PNG16_STATS_SCHEMA = (
+    "doc_id long, width long, height long, channels long, bit_depth long, "
+    "n_samples long, sample_sum long, first_sample long, last_sample long, "
+    "max_sample long"
+)
+
+
+def synthesize_png16(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL 16-bit PNGs: sample
+    ``(257·(3x + 5y + 17c) + doc_id) mod 65536`` over a
+    ``(d%13+3) × (d%9+3)`` grid (values routinely exceed 255, so an
+    8-bit truncation bug cannot hide), RGB for even ids and grayscale
+    for odd, Adam7-interlaced for ids divisible by 4 — the engine must
+    unfilter at the 2-byte pixel width and unpack big-endian u16s to
+    reproduce the closed-form sums."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = d % 13 + 3, d % 9 + 3
+                color_type = 2 if d % 2 == 0 else 0
+                ch = _PNG_CHANNELS[color_type]
+                samples = [
+                    (257 * (3 * x + 5 * y + 17 * c) + d) % 65536
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(ch)
+                ]
+                payloads.append(
+                    png_pixel16_bytes(w, h, samples, color_type, interlace=d % 4 == 0)
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_png16_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched 16-bit PNG decode over (doc_id, payload): stats
+    come from the decoded u16 SAMPLES, not raster bytes — a byte-order
+    or pixel-width bug shifts sample_sum by orders of magnitude.
+    ``strict=False`` = poison-safe NULL-stats rows (see
+    :func:`decode_png_stats`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = png_decode_pixels(bytes(payload))
+                    if d.get("bit_depth") != 16:
+                        raise ValueError("expected a 16-bit PNG")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "width", "height", "channels", "bit_depth",
+                                    "n_samples", "sample_sum", "first_sample",
+                                    "last_sample", "max_sample",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                s = d["samples16"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "channels": d["channels"],
+                        "bit_depth": 16,
+                        "n_samples": len(s),
+                        "sample_sum": sum(s),
+                        "first_sample": s[0],
+                        "last_sample": s[-1],
+                        "max_sample": max(s),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=PNG16_STATS_SCHEMA)
 
 
 PALETTE_STATS_SCHEMA = (
@@ -1589,6 +1747,11 @@ def resize_image(media: DataFrame, factor: int = 2, strict: bool = True) -> Data
                         # dims per plane) — resize the luma plane alone
                         # would silently drop chroma; refuse instead
                         raise ValueError("only grayscale JPEG resize supported")
+                    if d.get("bit_depth") == 16:
+                        # the box filter below averages BYTES; averaging
+                        # the halves of big-endian u16 samples would be a
+                        # silent mis-resize — refuse instead
+                        raise ValueError("16-bit image resize not supported")
                     small, out_w, out_h = box_downscale(
                         d["raster"], d["width"], d["height"], d["channels"], factor
                     )

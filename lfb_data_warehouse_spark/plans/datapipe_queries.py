@@ -3543,6 +3543,62 @@ def png_pixel_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_stats(synthesize_png_pixels(docs, "doc_id")).drop("raster_sha256")
 
 
+PNG16_DOC_MOD = 13  # doc_id % 13 == 4 → ~1/13 of documents get a 16-bit PNG
+
+
+@register(
+    "png16_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             doc_id % 13 + 3 AS width,
+             doc_id % 9 + 3 AS height,
+             CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS channels
+      FROM documents WHERE doc_id % {PNG16_DOC_MOD} = 4
+    ),
+    px AS (
+      SELECT s.doc_id, s.width, s.height, s.channels,
+             (257 * (3 * gx.x + 5 * gy.y + 17 * gc.c) + s.doc_id) % 65536 AS v
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.width)) AS x) gx,
+           LATERAL (SELECT unnest(range(0, s.height)) AS y) gy,
+           LATERAL (SELECT unnest(range(0, s.channels)) AS c) gc
+    )
+    SELECT doc_id,
+           CAST(any_value(width) AS BIGINT) AS width,
+           CAST(any_value(height) AS BIGINT) AS height,
+           CAST(any_value(channels) AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bit_depth,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sample_sum,
+           CAST(doc_id % 65536 AS BIGINT) AS first_sample,
+           CAST((257 * (3 * (any_value(width) - 1) + 5 * (any_value(height) - 1)
+                 + 17 * (any_value(channels) - 1)) + doc_id) % 65536 AS BIGINT)
+             AS last_sample,
+           CAST(max(v) AS BIGINT) AS max_sample
+    FROM px GROUP BY doc_id
+    """,
+)
+def png16_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit PNG decode end to end — the depth-map / scientific-image
+    layout where 8 bits clip the dynamic range, the last unsupported
+    PNG shape: synthesize_png16 writes true 16-bit rasters (samples
+    routinely exceed 255; every 4th doc Adam7-interlaced, so the
+    2-byte-pixel unfilter AND the 16-bit deinterlace path are both
+    driver-gated); decode_png16_stats unfilters at bpp = 2·channels and
+    unpacks big-endian u16 samples — a byte-order, pixel-width or
+    truncate-to-8-bit bug shifts sample_sum by orders of magnitude.
+    Oracle: the same generate_series grid in u16 arithmetic."""
+    from ..operators.multimodal import decode_png16_stats, synthesize_png16
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % PNG16_DOC_MOD == 4)
+    )
+    return decode_png16_stats(synthesize_png16(docs, "doc_id"))
+
+
 PNG_ILACE_DOC_MOD = 11  # doc_id % 11 == 1 → ~1/11 of documents get an Adam7 PNG
 
 

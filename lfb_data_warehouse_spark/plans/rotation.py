@@ -879,6 +879,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "jpeg_progressive_decode_stats",  # r9: SOF2 multi-scan decode
     "bpe_learned_merges",  # r9: distributed BPE tokenizer training
     "bpe_subword_counts",  # r9: the trained tokenizer applied per doc
+    "png16_decode_stats",  # r9: 16-bit PNG (2-byte-pixel unfilter + u16 unpack)
 ]
 
 

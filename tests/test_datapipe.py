@@ -563,6 +563,44 @@ def test_png_decode_rejects_unsupported_and_corrupt():
         png_decode_pixels(b"not a png at all")
 
 
+def test_png16_roundtrip():
+    """16-bit PNG: unfilter at bpp = 2*channels, unpack big-endian u16
+    samples — values over 255 prove no 8-bit truncation; Adam7 composes;
+    the resize tier refuses 16-bit input rather than averaging bytes."""
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        png_decode_pixels,
+        png_pixel16_bytes,
+    )
+
+    for w, h, ct, il in [(5, 4, 0, False), (7, 3, 2, False), (6, 5, 0, True), (9, 7, 2, True)]:
+        ch = {0: 1, 2: 3}[ct]
+        samples = [
+            (257 * (3 * x + 5 * y + 17 * c) + 999) % 65536
+            for y in range(h)
+            for x in range(w)
+            for c in range(ch)
+        ]
+        d = png_decode_pixels(png_pixel16_bytes(w, h, samples, ct, interlace=il))
+        assert d["bit_depth"] == 16 and d["samples16"] == samples, (w, h, ct, il)
+        assert max(samples) > 255  # the fixture genuinely exercises 16 bits
+    # palette at 16 bits is illegal per spec
+    with _pytest.raises(ValueError):
+        png_pixel16_bytes(2, 2, [0, 1, 2, 3], 3)
+
+
+def test_resize_refuses_16bit(spark):
+    from lfb_data_warehouse_spark.operators.multimodal import png_pixel16_bytes
+
+    media = spark.createDataFrame(
+        [(1, bytearray(png_pixel16_bytes(4, 4, list(range(16)), 0)))],
+        "doc_id long, payload binary",
+    )
+    nul = resize_image(media, 2, strict=False).collect()[0]
+    assert nul["out_px_sum"] is None  # refused, not byte-mangled
+
+
 def test_adam7_interlaced_roundtrip():
     """Adam7: seven independently-filtered pass sub-images scatter back
     onto the pixel grid bit-exactly, across dims that make several
