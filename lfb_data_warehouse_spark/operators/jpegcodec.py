@@ -37,11 +37,17 @@ natural subsampled resolution — and DRI/RSTn restart intervals
 the error-resilience feature most camera/scanner JPEGs carry) and
 progressive (SOF2) streams — spectral selection + successive
 approximation, full G.2 control flow (see the progressive section at
-the end of this module).
+the end of this module). Round 10 added restart intervals INSIDE
+progressive scans (DRI applies per scan in SOF2 files — some
+camera/optimizer pipelines emit them): the encoder byte-aligns and
+emits cycling RSTn every Ri MCUs in every scan (flushing any pending
+EOB run first, per E.1.2 the marker count restarts at 0 each scan),
+and the decoder consumes each marker with DC-predictor AND EOBRUN
+resets — in a non-interleaved progressive scan one MCU is one data
+unit, so Ri counts blocks there.
 
 Not supported (explicit ValueError, never a silent mis-decode):
-sampling factors above 2, 12-bit precision, arithmetic coding,
-restart intervals inside progressive scans.
+sampling factors above 2, 12-bit precision, arithmetic coding.
 """
 
 from __future__ import annotations
@@ -699,14 +705,19 @@ def jpeg_progressive_bytes(
     planes: list[bytes],
     sampling: list[tuple[int, int]] | None = None,
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    restart_interval: int = 0,
 ) -> bytes:
     """REAL progressive (SOF2) JPEG encode: interleaved DC first scan at
     Al=1, DC refinement scan (one raw bit per block), then per-component
     AC band scans — each band first at Al=1, then refined at Ah=1/Al=0 —
     so every progressive decode path (EOBRUN, ZRL, newly-nonzero vs
-    correction bits) is exercised by real streams. Same fixture
-    restrictions as :func:`jpeg_planes_bytes` (whole MCUs, all-ones
-    quantization)."""
+    correction bits) is exercised by real streams. With
+    ``restart_interval`` > 0 a DRI segment is emitted and EVERY scan
+    byte-aligns + emits cycling RSTn every Ri MCUs (interleaved DC
+    scans count MCUs; non-interleaved AC scans count data units), with
+    any pending EOB run flushed before the marker and the RST counter
+    restarting at 0 per scan (T.81 E.1.2). Same fixture restrictions as
+    :func:`jpeg_planes_bytes` (whole MCUs, all-ones quantization)."""
     ncomp = len(planes)
     if ncomp not in (1, 3):
         raise ValueError("1 (gray) or 3 (color) planes supported")
@@ -734,6 +745,8 @@ def jpeg_progressive_bytes(
         bands[i][1] + 1 != bands[i + 1][0] for i in range(len(bands) - 1)
     ) or bands[0][0] != 1 or bands[-1][1] != 63:
         raise ValueError("bands must partition 1..63 in order")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError("restart interval must fit in 16 bits")
 
     coeffs = _quantized_zigzag_blocks(planes, dims)
     dc_enc = _huff_encode_table(DC_LUM_BITS, DC_LUM_VALS)
@@ -765,12 +778,20 @@ def jpeg_progressive_bytes(
     mcu_orders = [_mcu_block_order(ci, sampling, dims, width, height) for ci in range(ncomp)]
     n_mcus = (width // (8 * hmax)) * (height // (8 * vmax))
 
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+
     # --- scan 1: DC first, interleaved, Al=1 -------------------------------
     al = 1
     w = _BitWriter()
     preds = [0] * ncomp
     cursors = [0] * ncomp
-    for _ in range(n_mcus):
+    rst = 0
+    for mcu_i in range(n_mcus):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            w.restart(rst)
+            rst = (rst + 1) % 8
+            preds = [0] * ncomp
         for ci in range(ncomp):
             hs, vs = sampling[ci]
             for _ in range(hs * vs):
@@ -789,7 +810,11 @@ def jpeg_progressive_bytes(
     # --- scan 2: DC refinement, Al=0 (one raw bit per block) ---------------
     w = _BitWriter()
     cursors = [0] * ncomp
-    for _ in range(n_mcus):
+    rst = 0
+    for mcu_i in range(n_mcus):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            w.restart(rst)  # byte-align; refinement has no predictor state
+            rst = (rst + 1) % 8
         for ci in range(ncomp):
             hs, vs = sampling[ci]
             for _ in range(hs * vs):
@@ -813,7 +838,12 @@ def jpeg_progressive_bytes(
                     w.write(eobrun - (1 << rr), rr)
                 eobrun = 0
 
-        for blk in coeffs[ci]:
+        rst = 0
+        for bi, blk in enumerate(coeffs[ci]):
+            if restart_interval and bi and bi % restart_interval == 0:
+                flush_eob()  # EOB runs never cross a restart boundary
+                w.restart(rst)
+                rst = (rst + 1) % 8
             vals = [_pt_ac(blk[k], al) for k in range(ss, se + 1)]
             nz = [i for i, v in enumerate(vals) if v]
             if not nz:
@@ -860,7 +890,12 @@ def jpeg_progressive_bytes(
                 pending = []
                 eobrun = 0
 
-        for blk in coeffs[ci]:
+        rst = 0
+        for bi, blk in enumerate(coeffs[ci]):
+            if restart_interval and bi and bi % restart_interval == 0:
+                flush_eob()  # flush the run AND its deferred correction bits
+                w.restart(rst)
+                rst = (rst + 1) % 8
             absv = [abs(_pt_ac(blk[k], al)) for k in range(ss, se + 1)]
             eobpos = -1
             for i, a in enumerate(absv):
@@ -938,13 +973,14 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
     insertions with sign bits, correction bits for history-nonzero
     coefficients, EOB runs carrying correction bits) — then dequantize,
     un-zigzag, inverse-DCT once at the end. Same fixture restrictions
-    as the baseline decoder (whole MCUs, factors 1 or 2); restart
-    intervals inside progressive scans raise (not emitted by any
-    encoder here)."""
+    as the baseline decoder (whole MCUs, factors 1 or 2). DRI/RSTn
+    inside progressive scans is supported (round 10): every scan
+    consumes cycling restart markers with predictor + EOBRUN resets."""
     i = 2
     qtables: dict[int, list[int]] = {}
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
+    restart_interval = 0
     width = height = None
     sof_q: dict[int, int] = {}
     sof_samp: dict[int, tuple[int, int]] = {}
@@ -996,9 +1032,8 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("mixed or unsupported frame type in progressive stream")
-        elif marker == 0xDD:
-            if struct.unpack(">H", body[:2])[0]:
-                raise ValueError("restart intervals inside progressive scans not supported")
+        elif marker == 0xDD:  # DRI: applies to every following scan (0 = off)
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
             if width is None:
                 raise ValueError("SOS before SOF2")
@@ -1034,7 +1069,7 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
             r = _BitReader(b[start:end])
             _run_progressive_scan(
                 r, b, scan, ss, se, ah, al, coeffs, dims_by_cid, sof_samp,
-                dc_tables, ac_tables, width, height,
+                dc_tables, ac_tables, width, height, restart_interval,
             )
             i = end
             continue
@@ -1071,7 +1106,7 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
         "channels": ncomp,
         "bit_depth": 8,
         "sampling": sampling,
-        "restart_interval": 0,
+        "restart_interval": restart_interval,
         "plane_dims": dims,
         "progressive": True,
         "planes": planes,
@@ -1082,8 +1117,14 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
 def _run_progressive_scan(
     r: "_BitReader", b: bytes, scan, ss, se, ah, al,
     coeffs, dims_by_cid, sof_samp, dc_tables, ac_tables, width, height,
+    restart_interval: int = 0,
 ) -> None:
-    """Apply ONE progressive scan's coefficient updates (T.81 G.2)."""
+    """Apply ONE progressive scan's coefficient updates (T.81 G.2).
+
+    ``restart_interval`` > 0: a cycling RSTn marker (numbering restarts
+    at 0 each scan, E.1.2) is consumed every Ri MCUs — interleaved
+    scans count MCUs, non-interleaved scans count data units — with DC
+    predictors and the EOB run reset at each marker."""
     if ss == 0:  # DC scan (interleaved or single component); Se must be 0
         if se != 0:
             raise ValueError("DC scan must have Se = 0")
@@ -1108,7 +1149,13 @@ def _run_progressive_scan(
         )
         preds = {cid: 0 for cid, _, _ in scan}
         cursors = {cid: 0 for cid, _, _ in scan}
-        for _ in range(n_units):
+        rst = 0
+        for mcu_i in range(n_units):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                r.expect_restart(rst)  # byte-align + marker; reset predictors
+                rst = (rst + 1) % 8
+                for cid in preds:
+                    preds[cid] = 0
             for cid, td, _ in scan:
                 per_mcu = (
                     sof_samp[cid][0] * sof_samp[cid][1] if len(scan) > 1 else 1
@@ -1139,7 +1186,12 @@ def _run_progressive_scan(
     act = ac_tables[ta]
     p1 = 1 << al
     eobrun = 0
-    for blk in coeffs[cid]:
+    rst = 0
+    for bi, blk in enumerate(coeffs[cid]):
+        if restart_interval and bi and bi % restart_interval == 0:
+            r.expect_restart(rst)  # one MCU = one data unit here
+            rst = (rst + 1) % 8
+            eobrun = 0  # EOB runs never cross a restart boundary
         if ah == 0:  # AC first scan for this band
             if eobrun:
                 eobrun -= 1

@@ -1365,6 +1365,111 @@ def synthesize_jpeg_progressive(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def synthesize_jpeg_progressive_restart(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL progressive (SOF2) JPEGs WITH restart intervals
+    — DRI applies per scan in SOF2 files, the one layout that stayed an
+    explicit ValueError through round 9 (some camera/optimizer
+    pipelines emit it): the grayscale constant-tile fixture
+    (``8·(d%5+1) × 8·(d%4+1)``, tile ``(11tx + 23ty + 7d) mod 256``)
+    encoded through the full six-scan script with ``DRI = d%3+1``, so
+    EVERY scan — interleaved DC first/refinement and the four
+    non-interleaved AC band scans — byte-aligns and emits cycling RSTn
+    every Ri MCUs (Ri counts data units in the AC scans), flushing any
+    pending EOB run first."""
+    from .jpegcodec import jpeg_progressive_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = 8 * (d % 5 + 1), 8 * (d % 4 + 1)
+                raster = bytes(
+                    (11 * (x // 8) + 23 * (y // 8) + 7 * d) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(
+                    jpeg_progressive_bytes(
+                        w, h, [raster], restart_interval=d % 3 + 1
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_jpeg_progressive_restart_stats(
+    media: DataFrame, strict: bool = True
+) -> DataFrame:
+    """Arrow-batched decode of restart-interval PROGRESSIVE JPEGs: the
+    scan loop must consume a cycling RSTn marker every Ri MCUs in all
+    six scans, resetting DC predictors (DC scans) and the EOB run (AC
+    scans) at each — a missed marker throws the bit reader off byte
+    alignment and a missed predictor/EOBRUN reset mis-decodes every
+    remaining block, both landing on px_sum. ``restart_interval`` comes
+    from the parsed DRI segment and the row asserts the stream really
+    was SOF2 (``progressive``), so a silent fallback to the baseline
+    path cannot pass. ``strict=False`` = poison-safe NULL-stats rows
+    (see :func:`decode_png_stats`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if (
+                        "raster" not in d
+                        or not d.get("progressive")
+                        or not d.get("restart_interval")
+                    ):
+                        raise ValueError("expected a progressive restart JPEG")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "width", "height", "n_tiles",
+                                    "restart_interval", "n_restarts",
+                                    "px_sum", "first_px", "last_px",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                raster = d["raster"]
+                n_mcus = (d["width"] // 8) * (d["height"] // 8)
+                ri = d["restart_interval"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_tiles": n_mcus,
+                        "restart_interval": ri,
+                        "n_restarts": (n_mcus - 1) // ri,
+                        "px_sum": sum(raster),
+                        "first_px": raster[0],
+                        "last_px": raster[-1],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=JPEG_RESTART_SCHEMA)
+
+
 JPEG_420_SCHEMA = (
     "doc_id long, width long, height long, cb_width long, cb_height long, "
     "n_mcus long, y_sum long, cb_sum long, cr_sum long, "

@@ -4014,6 +4014,70 @@ def jpeg_progressive_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return decode_jpeg_stats(synthesize_jpeg_progressive(docs, "doc_id"))
 
 
+JPEG_PROG_RST_DOC_MOD = 11  # doc_id % 11 == 2 → SOF2 + DRI (restart in every scan)
+
+
+@register(
+    "jpeg_progressive_restart_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             8 * (doc_id % 5 + 1) AS width,
+             8 * (doc_id % 4 + 1) AS height,
+             doc_id % 3 + 1 AS ri
+      FROM documents WHERE doc_id % {JPEG_PROG_RST_DOC_MOD} = 2
+    ),
+    tiles AS (
+      SELECT s.doc_id, s.width, s.height, s.ri,
+             (11 * gx.tx + 23 * gy.ty + 7 * s.doc_id) % 256 AS v
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.width // 8)) AS tx) gx,
+           LATERAL (SELECT unnest(range(0, s.height // 8)) AS ty) gy
+    )
+    SELECT doc_id,
+           CAST(any_value(width) AS BIGINT) AS width,
+           CAST(any_value(height) AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(any_value(ri) AS BIGINT) AS restart_interval,
+           CAST((COUNT(*) - 1) // any_value(ri) AS BIGINT) AS n_restarts,
+           CAST(64 * sum(v) AS BIGINT) AS px_sum,
+           CAST(7 * doc_id % 256 AS BIGINT) AS first_px,
+           CAST((11 * (any_value(width) // 8 - 1)
+                 + 23 * (any_value(height) // 8 - 1)
+                 + 7 * doc_id) % 256 AS BIGINT) AS last_px
+    FROM tiles GROUP BY doc_id
+    """,
+)
+def jpeg_progressive_restart_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart intervals INSIDE progressive scans — the last
+    real-world JPEG layout the codec refused (an explicit ValueError
+    through round 9; DRI applies per scan in SOF2 files and some
+    camera/optimizer pipelines emit it): synthesize_jpeg_progressive_restart
+    encodes the constant-tile fixture through the full six-scan SOF2
+    script with DRI = doc_id%3+1, so every scan — interleaved DC
+    first/refinement and four non-interleaved AC band scans (where one
+    MCU is one data unit) — byte-aligns and emits cycling RSTn with
+    pending EOB runs flushed first; the decoder must consume each
+    marker with DC-predictor AND EOBRUN resets or the remaining blocks
+    mis-decode, landing on px_sum. Constant tiles keep the oracle
+    closed-form; nonzero-AC + restart interplay is pinned by the
+    cross-decoder property test (progressive+DRI == baseline pixels on
+    random rasters, tests/test_datapipe.py)."""
+    from ..operators.multimodal import (
+        decode_jpeg_progressive_restart_stats,
+        synthesize_jpeg_progressive_restart,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % JPEG_PROG_RST_DOC_MOD == 2)
+    )
+    return decode_jpeg_progressive_restart_stats(
+        synthesize_jpeg_progressive_restart(docs, "doc_id")
+    )
+
+
 JPEG_RST_DOC_MOD = 11  # doc_id % 11 == 3 → ~1/11 of documents get a DRI JPEG
 
 

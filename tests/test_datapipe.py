@@ -864,6 +864,59 @@ def test_jpeg_progressive_cross_decoder():
         jpeg_progressive_bytes(16, 16, [bytes(256)], bands=((1, 5), (7, 63)))
 
 
+def test_jpeg_progressive_restart_cross_decoder():
+    """Restart intervals INSIDE progressive scans (round 10 — formerly
+    an explicit ValueError): pixels must equal BOTH the restart-free
+    progressive decode and the baseline decode on random rasters, so a
+    marker mis-consumed in any of the six scans (byte alignment), a
+    missed DC-predictor reset, or an EOB run carried across a boundary
+    all fail the assert. Random rasters drive the nonzero-AC + restart
+    interplay the constant-tile oracle can't."""
+    import random
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_planes_bytes,
+        jpeg_progressive_bytes,
+    )
+
+    rng = random.Random(777)
+    for trial in range(6):
+        w, h = 8 * rng.randint(1, 4), 8 * rng.randint(1, 3)
+        ri = rng.randint(1, 4)
+        raster = bytes(rng.randrange(256) for _ in range(w * h))
+        prog = jpeg_decode_pixels(
+            jpeg_progressive_bytes(w, h, [raster], restart_interval=ri)
+        )
+        base = jpeg_decode_pixels(jpeg_planes_bytes(w, h, [raster]))
+        assert prog.get("progressive") is True
+        assert prog["restart_interval"] == ri
+        assert prog["raster"] == base["raster"], f"trial {trial} ri={ri}"
+    # constant tiles stay exact with restarts in every scan
+    g = bytes((11 * (x // 8) + 23 * (y // 8)) % 256 for y in range(24) for x in range(40))
+    assert jpeg_decode_pixels(
+        jpeg_progressive_bytes(40, 24, [g], restart_interval=1)
+    )["raster"] == g
+    # restarts compose with 4:2:0 subsampled progressive streams
+    ry = bytes(rng.randrange(256) for _ in range(32 * 16))
+    rc = bytes(rng.randrange(256) for _ in range(16 * 8))
+    samp = [(2, 2), (1, 1), (1, 1)]
+    pp = jpeg_decode_pixels(
+        jpeg_progressive_bytes(32, 16, [ry, rc, rc], sampling=samp, restart_interval=1)
+    )
+    bb = jpeg_decode_pixels(jpeg_planes_bytes(32, 16, [ry, rc, rc], sampling=samp))
+    assert pp["planes"] == bb["planes"]
+    # a corrupted RSTm index inside a progressive scan raises, never mis-decodes
+    b = bytearray(jpeg_progressive_bytes(40, 24, [g], restart_interval=2))
+    p = b.find(b"\xff\xd0", b.find(b"\xff\xda"))
+    assert p > 0
+    b[p + 1] = 0xD6  # wrong RSTm index
+    with _pytest.raises(ValueError):
+        jpeg_decode_pixels(bytes(b))
+
+
 def test_jpeg_restart_intervals_roundtrip():
     """DRI/RSTn: the entropy stream byte-aligns and emits a cycling
     RSTm marker with DC-predictor resets every N MCUs; decode must
