@@ -1798,12 +1798,31 @@ def box_downscale(
     trailing rows/columns that don't fill a whole block are cropped
     (``out_dim = in_dim // factor``). Pure integer arithmetic so an
     oracle can recompute every output pixel exactly."""
+    out, out_w, out_h = _box_mean_samples(raster, width, height, channels, factor)
+    return bytes(out), out_w, out_h
+
+
+def box_downscale16(
+    samples: list[int], width: int, height: int, channels: int, factor: int
+) -> tuple[list[int], int, int]:
+    """:func:`box_downscale` over 16-bit SAMPLES (u16 values, not
+    bytes): averaging the raw big-endian raster bytes would be a silent
+    mis-resize, so the 16-bit path floors block means at sample
+    resolution and re-packs only at encode time."""
+    return _box_mean_samples(samples, width, height, channels, factor)
+
+
+def _box_mean_samples(
+    px, width: int, height: int, channels: int, factor: int
+) -> tuple[list[int], int, int]:
+    """Shared integer box-filter core over any indexable sample
+    sequence (bytes for 8-bit rasters, a u16 list for 16-bit)."""
     out_w, out_h = width // factor, height // factor
     if out_w == 0 or out_h == 0:
         raise ValueError(f"{width}x{height} image smaller than one {factor}x{factor} box")
     f2 = factor * factor
     stride = width * channels
-    out = bytearray(out_w * out_h * channels)
+    out = [0] * (out_w * out_h * channels)
     for oy in range(out_h):
         for ox in range(out_w):
             base = ox * factor * channels
@@ -1812,9 +1831,9 @@ def box_downscale(
                 for dy in range(factor):
                     row = (oy * factor + dy) * stride + base + c
                     for dx in range(factor):
-                        s += raster[row + dx * channels]
+                        s += px[row + dx * channels]
                 out[(oy * out_w + ox) * channels + c] = s // f2
-    return bytes(out), out_w, out_h
+    return out, out_w, out_h
 
 
 def resize_image(media: DataFrame, factor: int = 2, strict: bool = True) -> DataFrame:
@@ -1853,17 +1872,29 @@ def resize_image(media: DataFrame, factor: int = 2, strict: bool = True) -> Data
                         # would silently drop chroma; refuse instead
                         raise ValueError("only grayscale JPEG resize supported")
                     if d.get("bit_depth") == 16:
-                        # the box filter below averages BYTES; averaging
-                        # the halves of big-endian u16 samples would be a
-                        # silent mis-resize — refuse instead
-                        raise ValueError("16-bit image resize not supported")
-                    small, out_w, out_h = box_downscale(
-                        d["raster"], d["width"], d["height"], d["channels"], factor
-                    )
-                    out_png = png_pixel_bytes(
-                        out_w, out_h, small, _COLOR_TYPE_FOR_CHANNELS[d["channels"]]
-                    )
+                        # 16-bit path (round 10): box means over u16
+                        # SAMPLES — not raster bytes — then a 16-bit PNG
+                        # re-encode; stats below read the re-decoded
+                        # samples so dynamic range survives end to end
+                        small16, out_w, out_h = box_downscale16(
+                            d["samples16"], d["width"], d["height"],
+                            d["channels"], factor,
+                        )
+                        out_png = png_pixel16_bytes(
+                            out_w, out_h, small16,
+                            _COLOR_TYPE_FOR_CHANNELS[d["channels"]],
+                        )
+                    else:
+                        small, out_w, out_h = box_downscale(
+                            d["raster"], d["width"], d["height"],
+                            d["channels"], factor,
+                        )
+                        out_png = png_pixel_bytes(
+                            out_w, out_h, small,
+                            _COLOR_TYPE_FOR_CHANNELS[d["channels"]],
+                        )
                     check = png_decode_pixels(out_png)  # round-trip proof
+                    stats_px = check.get("samples16") or check["raster"]
                 except ValueError:
                     if strict:
                         raise
@@ -1893,9 +1924,9 @@ def resize_image(media: DataFrame, factor: int = 2, strict: bool = True) -> Data
                         "orig_bytes": len(payload),
                         "resized_bytes": len(out_png),
                         "payload": out_png,
-                        "out_px_sum": sum(check["raster"]),
-                        "out_first_px": check["raster"][0],
-                        "out_last_px": check["raster"][-1],
+                        "out_px_sum": sum(stats_px),
+                        "out_first_px": stats_px[0],
+                        "out_last_px": stats_px[-1],
                     }
                 )
             yield pd.DataFrame(rows)

@@ -3599,6 +3599,74 @@ def png16_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png16_stats(synthesize_png16(docs, "doc_id"))
 
 
+RESIZE16_DOC_MOD = 13  # doc_id % 13 == 6 → ~1/13 of documents get a 16-bit resize
+
+
+@register(
+    "resize_png16_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             doc_id % 13 + 3 AS w,
+             doc_id % 9 + 3 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+      FROM documents WHERE doc_id % {RESIZE16_DOC_MOD} = 6
+    ),
+    px AS (
+      SELECT s.doc_id, s.w, s.h, s.ch, gx.x, gy.y, gc.c,
+             (257 * (3 * gx.x + 5 * gy.y + 17 * gc.c) + s.doc_id) % 65536 AS v
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.w)) AS x) gx,
+           LATERAL (SELECT unnest(range(0, s.h)) AS y) gy,
+           LATERAL (SELECT unnest(range(0, s.ch)) AS c) gc
+    ),
+    blocks AS (
+      -- 2x box: floor mean per output pixel per channel, trailing
+      -- rows/cols that don't fill a block cropped (out_dim = in_dim // 2)
+      SELECT doc_id, w, h, ch, x // 2 AS ox, y // 2 AS oy, c,
+             CAST(sum(v) AS BIGINT) // 4 AS ov
+      FROM px
+      WHERE x < 2 * (w // 2) AND y < 2 * (h // 2)
+      GROUP BY doc_id, w, h, ch, x // 2, y // 2, c
+    )
+    SELECT doc_id,
+           CAST(any_value(w) AS BIGINT) AS in_width,
+           CAST(any_value(h) AS BIGINT) AS in_height,
+           CAST(any_value(w) // 2 AS BIGINT) AS out_width,
+           CAST(any_value(h) // 2 AS BIGINT) AS out_height,
+           CAST(any_value(ch) AS BIGINT) AS channels,
+           CAST(sum(ov) AS BIGINT) AS out_px_sum,
+           CAST(max(CASE WHEN ox = 0 AND oy = 0 AND c = 0 THEN ov END)
+                AS BIGINT) AS out_first_px,
+           CAST(max(CASE WHEN ox = w // 2 - 1 AND oy = h // 2 - 1
+                         AND c = ch - 1 THEN ov END)
+                AS BIGINT) AS out_last_px
+    FROM blocks GROUP BY doc_id
+    """,
+)
+def resize_png16_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit image resize end to end (round 10 — the resize tier's
+    last refused input): the synthesize_png16 fixture (true u16
+    dynamic range, RGB/gray mix, every 4th doc Adam7-interlaced) goes
+    through decode → box_downscale16 over u16 SAMPLES → 16-bit PNG
+    re-encode, and the emitted stats re-decode the re-encoded payload —
+    so a byte-level average (which collapses values past 255), an 8-bit
+    re-encode, or a cropped-block error all land on out_px_sum. Oracle:
+    the same grid in u16 arithmetic, floor-mean per 2×2 block per
+    channel with trailing rows/cols cropped."""
+    from ..operators.multimodal import resize_image, synthesize_png16
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % RESIZE16_DOC_MOD == 6)
+    )
+    return resize_image(synthesize_png16(docs, "doc_id"), 2).select(
+        "doc_id", "in_width", "in_height", "out_width", "out_height",
+        "channels", "out_px_sum", "out_first_px", "out_last_px",
+    )
+
+
 PNG_ILACE_DOC_MOD = 11  # doc_id % 11 == 1 → ~1/11 of documents get an Adam7 PNG
 
 

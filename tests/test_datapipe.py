@@ -565,8 +565,9 @@ def test_png_decode_rejects_unsupported_and_corrupt():
 
 def test_png16_roundtrip():
     """16-bit PNG: unfilter at bpp = 2*channels, unpack big-endian u16
-    samples — values over 255 prove no 8-bit truncation; Adam7 composes;
-    the resize tier refuses 16-bit input rather than averaging bytes."""
+    samples — values over 255 prove no 8-bit truncation; Adam7
+    composes; the resize tier box-filters at SAMPLE resolution (see
+    test_resize_16bit_samples), never by averaging raster bytes."""
     import pytest as _pytest
 
     from lfb_data_warehouse_spark.operators.multimodal import (
@@ -590,15 +591,43 @@ def test_png16_roundtrip():
         png_pixel16_bytes(2, 2, [0, 1, 2, 3], 3)
 
 
-def test_resize_refuses_16bit(spark):
-    from lfb_data_warehouse_spark.operators.multimodal import png_pixel16_bytes
+def test_resize_16bit_samples(spark):
+    """16-bit resize (round 10 — formerly an explicit refusal): box
+    means are floored over u16 SAMPLES and re-encoded as a 16-bit PNG;
+    averaging the big-endian raster bytes instead would collapse the
+    dynamic range, which the >255 expected means catch."""
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        box_downscale16,
+        png_decode_pixels,
+        png_pixel16_bytes,
+    )
 
+    # grayscale 4x4, values well past 255 so byte-averaging cannot pass
+    samples = [(1000 * i + 300) % 65536 for i in range(16)]
     media = spark.createDataFrame(
-        [(1, bytearray(png_pixel16_bytes(4, 4, list(range(16)), 0)))],
+        [(1, bytearray(png_pixel16_bytes(4, 4, samples, 0)))],
         "doc_id long, payload binary",
     )
-    nul = resize_image(media, 2, strict=False).collect()[0]
-    assert nul["out_px_sum"] is None  # refused, not byte-mangled
+    row = resize_image(media, 2).collect()[0]
+    expect, ow, oh = box_downscale16(samples, 4, 4, 1, 2)
+    assert (row["out_width"], row["out_height"]) == (ow, oh) == (2, 2)
+    assert row["out_px_sum"] == sum(expect) and max(expect) > 255
+    assert row["out_first_px"] == expect[0] and row["out_last_px"] == expect[-1]
+    out = png_decode_pixels(bytes(row["payload"]))
+    assert out["bit_depth"] == 16 and out["samples16"] == expect
+    # RGB + interlaced input, odd dims (trailing row/col cropped)
+    w, h, ch = 5, 3, 3
+    rgb = [(257 * (3 * x + 5 * y + 17 * c) + 7) % 65536
+           for y in range(h) for x in range(w) for c in range(ch)]
+    media2 = spark.createDataFrame(
+        [(2, bytearray(png_pixel16_bytes(w, h, rgb, 2, interlace=True)))],
+        "doc_id long, payload binary",
+    )
+    row2 = resize_image(media2, 2).collect()[0]
+    expect2, ow2, oh2 = box_downscale16(rgb, w, h, ch, 2)
+    assert (row2["out_width"], row2["out_height"], row2["channels"]) == (2, 1, 3)
+    assert row2["out_px_sum"] == sum(expect2)
+    assert png_decode_pixels(bytes(row2["payload"]))["samples16"] == expect2
 
 
 def test_adam7_interlaced_roundtrip():
