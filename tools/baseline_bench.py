@@ -968,6 +968,52 @@ def stream_sliding_bench(spark, sf_dir):
     return last
 
 
+def media_decode_bench(spark, sf_dir):
+    # naive media decode: the IDENTICAL pure-Python 4:2:0 JPEG decode,
+    # but as a row-at-a-time pickled UDF (BatchEvalPython; useArrow
+    # forced off) over the same synthesized fixture — one pickle
+    # round-trip per image instead of one Arrow batch per partition.
+    # Same codec both sides, so the ratio prices the execution shape.
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        synthesize_jpeg_subsampled,
+    )
+    from lfb_data_warehouse_spark.sources.testdata import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 5 <= 1)
+    )
+    media = synthesize_jpeg_subsampled(docs, "doc_id")
+
+    struct_t = (
+        "width long, height long, cb_width long, cb_height long, n_mcus long, "
+        "y_sum long, cb_sum long, cr_sum long, first_px long, last_px long"
+    )
+
+    @F.udf(struct_t, useArrow=False)
+    def dec_one(payload):
+        from lfb_data_warehouse_spark.operators.multimodal import decode_real
+
+        d = decode_real(bytes(payload))
+        if d.get("sampling") != [(2, 2), (1, 1), (1, 1)]:
+            raise ValueError("expected a 4:2:0 three-component JPEG")
+        sums = [sum(p) for p in d["planes"]]
+        return (
+            d["width"], d["height"],
+            d["plane_dims"][1][0], d["plane_dims"][1][1],
+            (d["width"] // 16) * (d["height"] // 16),
+            sums[0], sums[1], sums[2],
+            d["planes"][0][0], d["planes"][2][-1],
+        )
+
+    return media.select("doc_id", dec_one("payload").alias("s")).select(
+        "doc_id", "s.*"
+    )
+
+
 NAIVE = {
     "flagship_star_fact": flagship_star_fact,
     "asof_nearest_purchase": asof_nearest_purchase,
@@ -1010,6 +1056,8 @@ NAIVE = {
     "anomaly_daily_revenue": anomaly_daily_revenue,
     # round-8 streaming row: incremental state vs recompute-per-arrival
     "stream_sliding_bench": stream_sliding_bench,
+    # round-10 media row: Arrow batch decode vs row-at-a-time pickled UDF
+    "media_decode_bench": media_decode_bench,
 }
 
 
