@@ -64,14 +64,23 @@ History:
   corpus PQ audit), the 8-query round-3 IO tail, and 36 round-4-era
   rechecks. The 13-query r4 tail that missed the window queues first
   for round 9.
-- Round 9 (this file): freshness again. _R9_RECHECK is the mechanical
+- Round 9 (CORRECTNESS_r09.json): 50/50 green. _R9_RECHECK was the mechanical
   `tools/freshness.py` queue after round 8 — the 13 queries whose last
   driver row is round 4 (the round-8 verdict's named set: the kmeans
   pair, salted_join_events, semantic_dedup_kmeans,
   doc_containment_pairs, the cogroup/analytics tail), then every
   round-5-era row oldest-first in registry order. With only 13 r4-era
   rows and ~44 spare slots, a green round 9 leaves NO registry row
-  older than round 5 — the round-8 verdict's stated goal.
+  older than round 5 — the round-8 verdict's stated goal (achieved:
+  histogram after r9 = {r5: 25, r6: 49, r7: 49, r8: 47, r9: 50}).
+- Round 10 (this file): freshness again. _R10_RECHECK is the
+  mechanical `tools/freshness.py` queue after round 9 — the 25
+  queries whose last driver row is round 5 (marts, SCD battery, DQ
+  checks, hash_surrogate_keys, topk_parts_per_brand, composite
+  joins), then the round-6-era rows oldest-first in registry order.
+  The round-10 additions (progressive-restart JPEG, 16-bit resize)
+  sit in UNCHECKED_PRIORITY ahead of them; a green round 10 leaves no
+  registry row older than round 6.
 
 Maintenance: after each round, append that round's green names to
 the _R{N}_GREEN block and rebuild UNCHECKED_PRIORITY from whatever has
@@ -745,6 +754,61 @@ _R8_GREEN: list[str] = [
 ]
 
 
+# Green in CORRECTNESS_r09.json (round 9: flagship + the 11 new/
+# rewritten media+BPE gates + the r4 tail + the r5-era head).
+_R9_GREEN: list[str] = [
+    "flagship_star_fact",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "palette_png_decode_stats",
+    "jpeg_subsampled_decode_stats",
+    "jpeg_restart_decode_stats",
+    "audio_downsample_stats",
+    "jpeg_resize_stats",
+    "interlaced_png_decode_stats",
+    "jpeg_progressive_decode_stats",
+    "bpe_learned_merges",
+    "bpe_subword_counts",
+    "png16_decode_stats",
+    "salted_join_events",
+    "semantic_dedup_kmeans",
+    "doc_containment_pairs",
+    "cogroup_click_purchase_profile",
+    "mom_revenue_growth",
+    "gap_fill_daily_revenue",
+    "null_semantics_battery",
+    "cube_segment_priority",
+    "cohort_intersect_except",
+    "grouped_zscore_chars",
+    "regression_chars_vs_tokens",
+    "kmeans_fit_centroids",
+    "ann_ivf_kmeans_recall",
+    "approx_ntile_price_quartiles",
+    "incremental_dedup_components",
+    "incremental_dedup_survivors",
+    "pq_codebook_learned",
+    "ann_ivf_pq_topk",
+    "ann_ivf_pq_residual_topk",
+    "ivfpq_residual_recall_audit",
+    "ivf_incremental_append",
+    "embedding_pca_claim",
+    "heavy_hitters_sketch",
+    "sketch_overlap_yoy",
+    "ewma_customer_spend",
+    "anomaly_daily_revenue",
+    "rfm_customer_scores",
+    "basket_brand_affinity",
+    "event_transition_matrix",
+    "pareto_abc_brands",
+    "customer_order_gap_stats",
+    "dup_cluster_size_histogram",
+    "seasonality_month_index",
+    "new_vs_returning_revenue",
+    "sql_api_top_segment_customers",
+    "ivf_recall_audit",
+    "prepare_training_corpus",
+]
+
 # Round 9 re-verification, in priority order: tools/freshness.py's
 # staleness queue after round 8 — the 13 queries whose last driver
 # row is round 4 (the round-8 verdict's named set), then every
@@ -818,6 +882,77 @@ _R9_RECHECK: list[str] = [
     "rollup_priority_year",
 ]
 
+# Round 10 re-verification, in priority order: tools/freshness.py's
+# mechanical staleness queue after round 9 — the 25 queries whose last
+# driver row is round 5 (marts, SCD battery, DQ checks,
+# hash_surrogate_keys, topk_parts_per_brand, composite joins — the
+# round-9 verdict's named set), then every round-6-era row
+# oldest-first in registry order. 25 + the r6 head fit the ~47 spare
+# slots, so a green round 10 leaves NO registry row older than
+# round 6 — the round-9 verdict's stated goal.
+_R10_RECHECK: list[str] = [
+    "mart_per_month",
+    "mart_per_segment",
+    "mart_types_per_segment",
+    "pivot_priority_by_year",
+    "dim_collapse_first",
+    "scd_latest_order",
+    "scd2_customer_priority",
+    "scd2_point_in_time_join",
+    "incremental_mart_update",
+    "topk_parts_per_brand",
+    "join_enrich_brand_revenue",
+    "join_composite_customer_year",
+    "incremental_new_orders",
+    "dq_referential_integrity",
+    "dq_profile_customer",
+    "hash_surrogate_keys",
+    "dim_region_sentinel",
+    "date_spine_orders",
+    "bucketize_acctbal",
+    "zscore_scrub_prices",
+    "try_cast_dirty_ingest",
+    "string_function_battery",
+    "unpivot_priority_measures",
+    "percentile_prices_by_flag",
+    "rollup_priority_year",
+    "history_length_audit",
+    "io_contract_battery",
+    "asof_nearest_purchase",
+    "interval_join_purchase_clicks",
+    "funnel_view_click_purchase",
+    "sessionize_events",
+    "tumbling_hourly_events",
+    "sliding_window_events",
+    "salted_agg_events",
+    "json_extract_events",
+    "variant_shred_events",
+    "map_explode_props",
+    "asof_backward_last_click",
+    "stream_dedup_events",
+    "stream_dedup_jittered",
+    "window_battery_customer_orders",
+    "window_trailing_30d",
+    "histogram_order_prices",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_variety",
+    "tpch_q18_large_volume",
+    "approx_distinct_segments",
+    "cdc_merge_orders",
+    "reconcile_order_snapshots",
+    "bloom_semijoin_revenue",
+    "dedup_keep_canonical",
+    "remix_token_budget",
+    "text_bigram_novelty",
+    "text_vocab_oov",
+    "near_dup_recall_audit",
+]
+
 
 def _dedupe_keep_last(names: list[str]) -> list[str]:
     """Dedupe preserving each name's LAST occurrence, so concatenated
@@ -842,44 +977,29 @@ _ALL_GREEN: list[str] = _dedupe_keep_last(
     + _R6_GREEN
     + _R7_GREEN
     + _R8_GREEN
+    + _R9_GREEN
 )
 
-# Changed-oracle re-checks (the historically riskiest class): round 9
-# REPLACED these two queries' semantics wholesale — byte-truncation /
-# byte-slice stubs became real decode→resize→re-encode and real
-# container-walk frame sampling, with brand-new fixtures and oracles —
-# so their prior green rows prove nothing about the new queries; they
-# are excluded from VERIFIED_GREEN below (a name lives in exactly one
-# rotation list).
-ORACLE_FIXED: list[str] = [
-    "multimodal_resize",  # r9: real box-filter resize, new oracle
-    "multimodal_frame_sample",  # r9: real PNG-stream frame decode, new oracle
-]
+# Changed-oracle re-checks (the historically riskiest class): none in
+# round 10 — the round's diff ADDED gates (listed in
+# UNCHECKED_PRIORITY) without changing any existing query's oracle
+# text; tools/rotation_check.py verifies that mechanically against
+# tools/oracle_hashes.json.
+ORACLE_FIXED: list[str] = []
 
 VERIFIED_GREEN: list[str] = [
     n
-    for n in _R9_RECHECK + [m for m in _ALL_GREEN if m not in set(_R9_RECHECK)]
+    for n in _R10_RECHECK + [m for m in _ALL_GREEN if m not in set(_R10_RECHECK)]
     if n not in set(ORACLE_FIXED)
 ]
 
-# Never-driver-checked queries: the round-9 additions, each displacing
-# one _R9_RECHECK slot from the 50-slot window. (reorder()'s new-query
+# Never-driver-checked queries: the round-10 additions, each displacing
+# one _R10_RECHECK slot from the 50-slot window. (reorder()'s new-query
 # branch also fronts anything not yet listed anywhere, so a query added
 # mid-round is window-checked the same round even before it lands here.)
 UNCHECKED_PRIORITY: list[str] = [
-    # round-9 additions land here as they ship (reorder() also
-    # fronts anything not yet listed anywhere, so a query added
-    # mid-round is window-checked the same round).
-    "palette_png_decode_stats",  # r9: indexed-color PNG, PLTE lookup decode
-    "jpeg_subsampled_decode_stats",  # r9: 4:2:0 interleaved-MCU decode
-    "jpeg_restart_decode_stats",  # r9: DRI/RSTn restart-marker decode
-    "audio_downsample_stats",  # r9: block-mean decimation + WAV re-encode
-    "jpeg_resize_stats",  # r9: media-agnostic resize, JPEG input path
-    "interlaced_png_decode_stats",  # r9: Adam7 deinterlacing decode
-    "jpeg_progressive_decode_stats",  # r9: SOF2 multi-scan decode
-    "bpe_learned_merges",  # r9: distributed BPE tokenizer training
-    "bpe_subword_counts",  # r9: the trained tokenizer applied per doc
-    "png16_decode_stats",  # r9: 16-bit PNG (2-byte-pixel unfilter + u16 unpack)
+    "jpeg_progressive_restart_stats",  # r10: DRI/RSTn inside SOF2 scans
+    "resize_png16_stats",  # r10: u16-sample box resize + PNG16 re-encode
 ]
 
 
