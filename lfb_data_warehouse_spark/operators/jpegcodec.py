@@ -46,8 +46,16 @@ and the decoder consumes each marker with DC-predictor AND EOBRUN
 resets — in a non-interleaved progressive scan one MCU is one data
 unit, so Ri counts blocks there.
 
+Round 10 also added 12-bit precision (SOF1 extended sequential — the
+medical/scientific dynamic-range layout): level shift 2048, extended
+DC/AC Huffman alphabets (categories to 15 / sizes to 14, past Annex
+K's reach), planes returned as packed big-endian u16 with a flat
+sample list (the 16-bit-PNG contract), composing with restart
+intervals and grayscale resize for free.
+
 Not supported (explicit ValueError, never a silent mis-decode):
-sampling factors above 2, 12-bit precision, arithmetic coding.
+sampling factors above 2, arithmetic coding, 12-bit progressive
+(SOF2 stays 8-bit), hierarchical/lossless frames.
 """
 
 from __future__ import annotations
@@ -335,13 +343,18 @@ def _encode_block(w: _BitWriter, block: list[int], pred: int, dc_enc: dict, ac_e
 def jpeg_planes_bytes(
     width: int,
     height: int,
-    planes: list[bytes],
+    planes: list,
     sampling: list[tuple[int, int]] | None = None,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """REAL baseline JPEG encode of 1 (grayscale) or 3 (color, treated
     as Y/Cb/Cr) 8-bit component planes with an independent DC predictor
-    per component.
+    per component. ``precision=12`` (round 10) switches to extended
+    sequential (SOF1): planes are sequences of u12 samples (0..4095,
+    e.g. lists of ints — medical/scientific dynamic range), level shift
+    2048, and the extended DC12/AC12 Huffman alphabets (categories past
+    the Annex K baseline tables' reach).
 
     ``sampling`` is the per-component (Hi, Vi) factor list (default all
     1×1). Component ``i``'s plane is stored at its natural subsampled
@@ -369,13 +382,22 @@ def jpeg_planes_bytes(
             f"fixture encoder requires multiple-of-{8 * hmax}x{8 * vmax} dimensions"
         )
     dims = [(width * hs // hmax, height * vs // vmax) for hs, vs in sampling]
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 (baseline) or 12 (extended)")
+    level, smax = (128, 255) if precision == 8 else (2048, 4095)
     for p, (cw, ch) in zip(planes, dims):
         if len(p) != cw * ch:
-            raise ValueError(f"plane must be {cw * ch} bytes, got {len(p)}")
+            raise ValueError(f"plane must be {cw * ch} samples, got {len(p)}")
+        if precision == 12 and (min(p) < 0 or max(p) > smax):
+            raise ValueError("12-bit samples must lie in 0..4095")
     if restart_interval < 0 or restart_interval > 0xFFFF:
         raise ValueError("restart interval must fit in 16 bits")
-    dc_enc = _huff_encode_table(DC_LUM_BITS, DC_LUM_VALS)
-    ac_enc = _huff_encode_table(AC_LUM_BITS, AC_LUM_VALS)
+    if precision == 8:
+        dc_enc = _huff_encode_table(DC_LUM_BITS, DC_LUM_VALS)
+        ac_enc = _huff_encode_table(AC_LUM_BITS, AC_LUM_VALS)
+    else:
+        dc_enc = _huff_encode_table(DC12_BITS, DC12_VALS)
+        ac_enc = _huff_encode_table(AC12_BITS, AC12_VALS)
     w = _BitWriter()
     preds = [0] * ncomp
     mcus_x, mcus_y = width // (8 * hmax), height // (8 * vmax)
@@ -394,7 +416,7 @@ def jpeg_planes_bytes(
                     for bx in range(hs):
                         oy, ox = (my * vs + by) * 8, (mx * hs + bx) * 8
                         block = [
-                            plane[(oy + y) * cw + ox + x] - 128
+                            plane[(oy + y) * cw + ox + x] - level
                             for y in range(8)
                             for x in range(8)
                         ]
@@ -409,12 +431,20 @@ def jpeg_planes_bytes(
         struct.pack("BBB", ci + 1, (sampling[ci][0] << 4) | sampling[ci][1], 0)
         for ci in range(ncomp)
     )
-    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, ncomp) + sof_comps)
-    dht = seg(
-        0xFFC4,
-        b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
-        + b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS),
-    )
+    sof_marker = 0xFFC0 if precision == 8 else 0xFFC1  # SOF1 = extended sequential
+    sof0 = seg(sof_marker, struct.pack(">BHHB", precision, height, width, ncomp) + sof_comps)
+    if precision == 8:
+        dht = seg(
+            0xFFC4,
+            b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
+            + b"\x10" + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS),
+        )
+    else:
+        dht = seg(
+            0xFFC4,
+            b"\x00" + bytes(DC12_BITS) + bytes(DC12_VALS)
+            + b"\x10" + bytes(AC12_BITS) + bytes(AC12_VALS),
+        )
     sos_comps = b"".join(struct.pack("BB", ci + 1, 0x00) for ci in range(ncomp))
     sos = seg(0xFFDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
     dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
@@ -478,8 +508,10 @@ def jpeg_decode_pixels(b: bytes) -> dict:
     the interleaved MCU carries Hi×Vi blocks per component in raster
     order, so 4:2:0 and 4:2:2 decode; each plane is returned at its
     natural subsampled resolution (Y/Cb/Cr as stored — no upsampling or
-    colorspace conversion is invented). Progressive, >2 sampling
-    factors, restart-interval and 12-bit streams raise ValueError."""
+    colorspace conversion is invented). SOF2 dispatches to the
+    progressive decoder; SOF1 at 12-bit precision decodes here with
+    level shift 2048 and u16-packed planes (round 10). >2 sampling
+    factors and non-Huffman frames raise ValueError."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     i = 2
@@ -523,10 +555,12 @@ def jpeg_decode_pixels(b: bytes) -> dict:
                 tab = _huff_decode_table(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = tab
                 j += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if precision != 8:
-                raise ValueError("only 8-bit precision supported")
+            if marker == 0xC0 and precision != 8:
+                raise ValueError("SOF0 (baseline) is 8-bit only")
+            if precision not in (8, 12):
+                raise ValueError("only 8- or 12-bit precision supported")
             if ncomp not in (1, 3):
                 raise ValueError("only 1- or 3-component frames supported")
             for ci in range(ncomp):
@@ -540,8 +574,8 @@ def jpeg_decode_pixels(b: bytes) -> dict:
                 sof_samp[cid] = (hs, vs)
         elif marker == 0xC2:  # progressive: dedicated multi-scan decoder
             return _jpeg_decode_progressive(b)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline (SOF0) or progressive (SOF2) supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only SOF0/SOF1/SOF2 frames supported")
         elif marker == 0xDD:  # DRI: restart every N MCUs (0 = disabled)
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -578,7 +612,11 @@ def jpeg_decode_pixels(b: bytes) -> dict:
     # entropy data runs to EOI
     end = b.rfind(b"\xff\xd9")
     r = _BitReader(b[entropy_start : end if end > entropy_start else len(b)])
-    planes = [bytearray(cw * ch) for cw, ch in dims]
+    level, smax = (128, 255) if precision == 8 else (2048, 4095)
+    planes = [
+        bytearray(cw * ch) if precision == 8 else [0] * (cw * ch)
+        for cw, ch in dims
+    ]
     preds = [0] * ncomp
     mcu_i = rst_m = 0
     for my in range(height // (8 * vmax)):
@@ -603,8 +641,29 @@ def jpeg_decode_pixels(b: bytes) -> dict:
                             row = (oy + y) * cw + ox
                             for x in range(8):
                                 plane[row + x] = min(
-                                    255, max(0, int(round(px[y * 8 + x] + 128)))
+                                    smax, max(0, int(round(px[y * 8 + x] + level)))
                                 )
+    if precision == 12:
+        # 12-bit planes carry u16 samples: packed big-endian per plane
+        # (the same contract as 16-bit PNG), with the flat sample list
+        # exposed for sample-level stats
+        packed = [struct.pack(f">{len(p)}H", *p) for p in planes]
+        flat: list[int] = []
+        for p in planes:
+            flat.extend(p)
+        return {
+            "media_type": "image/jpeg",
+            "width": width,
+            "height": height,
+            "channels": ncomp,
+            "bit_depth": 12,
+            "sampling": sampling,
+            "restart_interval": restart_interval,
+            "plane_dims": dims,
+            "planes": packed,
+            "samples16": flat,
+            "raster": packed[0] if ncomp == 1 else b"".join(packed),
+        }
     return {
         "media_type": "image/jpeg",
         "width": width,
@@ -651,6 +710,21 @@ PROG_AC_VALS = sorted(
 )
 PROG_AC_BITS = [0] * 16
 PROG_AC_BITS[7] = len(PROG_AC_VALS)  # all codes 8 bits long
+
+# 12-bit (extended sequential, SOF1) Huffman alphabets: at 12-bit
+# precision DC difference categories run to 15 and AC sizes to 14
+# (T.81 F.1.2.1.2 / F.1.2.2.1 extended ranges), beyond the Annex K
+# baseline tables — same flat-canonical construction as the
+# progressive table (16 DC codes at length 5; 226 AC codes at length 8,
+# both ≤ the 2^L − 1 single-length bound, trivially prefix-free).
+DC12_VALS = list(range(16))
+DC12_BITS = [0] * 16
+DC12_BITS[4] = len(DC12_VALS)  # all codes 5 bits long
+AC12_VALS = sorted(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+)
+AC12_BITS = [0] * 16
+AC12_BITS[7] = len(AC12_VALS)  # all codes 8 bits long
 
 
 def _pt_ac(v: int, al: int) -> int:

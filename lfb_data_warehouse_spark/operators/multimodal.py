@@ -1470,6 +1470,105 @@ def decode_jpeg_progressive_restart_stats(
     return media.mapInPandas(run, schema=JPEG_RESTART_SCHEMA)
 
 
+JPEG12_STATS_SCHEMA = (
+    "doc_id long, width long, height long, n_tiles long, "
+    "restart_interval long, sample_sum long, first_sample long, "
+    "last_sample long, max_sample long"
+)
+
+
+def synthesize_jpeg12(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL 12-bit (SOF1 extended sequential) JPEGs — the
+    medical/scientific dynamic-range layout: grayscale constant-tile
+    fixture ``8·(d%4+1) × 8·(d%3+1)``, tile ``(997tx + 1499ty + 131d)
+    mod 4096`` (values routinely exceed 255, so an 8-bit truncation or
+    a wrong 2048 level shift cannot hide), every odd doc additionally
+    encoded with ``DRI = 1`` so the extended-precision path composes
+    with restart markers."""
+    from .jpegcodec import jpeg_planes_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = 8 * (d % 4 + 1), 8 * (d % 3 + 1)
+                samples = [
+                    (997 * (x // 8) + 1499 * (y // 8) + 131 * d) % 4096
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                payloads.append(
+                    jpeg_planes_bytes(
+                        w, h, [samples], precision=12, restart_interval=d % 2
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_jpeg12_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched 12-bit JPEG decode over (doc_id, payload): stats
+    come from the decoded u12 SAMPLES (flat ``samples16`` list) — a
+    wrong level shift (128 instead of 2048), an 8-bit clamp, or a
+    baseline-table fallback (the extended DC categories are outside
+    Annex K) all shift sample_sum by orders of magnitude. The row
+    asserts ``bit_depth == 12`` so a silent 8-bit decode cannot pass.
+    ``strict=False`` = poison-safe NULL-stats rows (see
+    :func:`decode_png_stats`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if d.get("bit_depth") != 12 or "samples16" not in d:
+                        raise ValueError("expected a 12-bit JPEG")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "width", "height", "n_tiles",
+                                    "restart_interval", "sample_sum",
+                                    "first_sample", "last_sample", "max_sample",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                s = d["samples16"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_tiles": (d["width"] // 8) * (d["height"] // 8),
+                        "restart_interval": d["restart_interval"],
+                        "sample_sum": sum(s),
+                        "first_sample": s[0],
+                        "last_sample": s[-1],
+                        "max_sample": max(s),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=JPEG12_STATS_SCHEMA)
+
+
 JPEG_420_SCHEMA = (
     "doc_id long, width long, height long, cb_width long, cb_height long, "
     "n_mcus long, y_sum long, cb_sum long, cr_sum long, "
@@ -1871,11 +1970,12 @@ def resize_image(media: DataFrame, factor: int = 2, strict: bool = True) -> Data
                         # dims per plane) — resize the luma plane alone
                         # would silently drop chroma; refuse instead
                         raise ValueError("only grayscale JPEG resize supported")
-                    if d.get("bit_depth") == 16:
-                        # 16-bit path (round 10): box means over u16
-                        # SAMPLES — not raster bytes — then a 16-bit PNG
-                        # re-encode; stats below read the re-decoded
-                        # samples so dynamic range survives end to end
+                    if d.get("bit_depth", 8) > 8:
+                        # deep-sample path (round 10; 16-bit PNG and
+                        # 12-bit JPEG): box means over u16/u12 SAMPLES —
+                        # not raster bytes — then a 16-bit PNG re-encode;
+                        # stats below read the re-decoded samples so
+                        # dynamic range survives end to end
                         small16, out_w, out_h = box_downscale16(
                             d["samples16"], d["width"], d["height"],
                             d["channels"], factor,

@@ -4146,6 +4146,63 @@ def jpeg_progressive_restart_stats(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+JPEG12_DOC_MOD = 13  # doc_id % 13 == 9 → ~1/13 of documents get a 12-bit JPEG
+
+
+@register(
+    "jpeg12_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             8 * (doc_id % 4 + 1) AS width,
+             8 * (doc_id % 3 + 1) AS height,
+             doc_id % 2 AS ri
+      FROM documents WHERE doc_id % {JPEG12_DOC_MOD} = 9
+    ),
+    tiles AS (
+      SELECT s.doc_id, s.width, s.height, s.ri,
+             (997 * gx.tx + 1499 * gy.ty + 131 * s.doc_id) % 4096 AS v
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.width // 8)) AS tx) gx,
+           LATERAL (SELECT unnest(range(0, s.height // 8)) AS ty) gy
+    )
+    SELECT doc_id,
+           CAST(any_value(width) AS BIGINT) AS width,
+           CAST(any_value(height) AS BIGINT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(any_value(ri) AS BIGINT) AS restart_interval,
+           CAST(64 * sum(v) AS BIGINT) AS sample_sum,
+           CAST(131 * doc_id % 4096 AS BIGINT) AS first_sample,
+           CAST((997 * (any_value(width) // 8 - 1)
+                 + 1499 * (any_value(height) // 8 - 1)
+                 + 131 * doc_id) % 4096 AS BIGINT) AS last_sample,
+           CAST(max(v) AS BIGINT) AS max_sample
+    FROM tiles GROUP BY doc_id
+    """,
+)
+def jpeg12_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-bit (SOF1 extended sequential) JPEG decode end to end — the
+    medical/scientific dynamic-range layout, formerly an explicit
+    ValueError (round-9 honest-unsupported list): synthesize_jpeg12
+    encodes true u12 constant tiles (values past 255; odd docs compose
+    DRI/RSTn) with the extended DC/AC Huffman alphabets whose
+    categories Annex K's baseline tables cannot express;
+    decode_jpeg12_stats must level-shift at 2048, clamp at 4095, and
+    unpack the u16-packed plane — an 8-bit fallback anywhere lands on
+    sample_sum/max_sample by orders of magnitude. Constant tiles keep
+    the oracle closed-form (DC = 8·(v−2048) is float-exact at quant 1);
+    random-raster fidelity is pinned within ±1 by pytest
+    (tests/test_datapipe.py)."""
+    from ..operators.multimodal import decode_jpeg12_stats, synthesize_jpeg12
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % JPEG12_DOC_MOD == 9)
+    )
+    return decode_jpeg12_stats(synthesize_jpeg12(docs, "doc_id"))
+
+
 JPEG_RST_DOC_MOD = 11  # doc_id % 11 == 3 → ~1/11 of documents get a DRI JPEG
 
 

@@ -1000,6 +1000,7 @@ VERIFIED_GREEN: list[str] = [
 UNCHECKED_PRIORITY: list[str] = [
     "jpeg_progressive_restart_stats",  # r10: DRI/RSTn inside SOF2 scans
     "resize_png16_stats",  # r10: u16-sample box resize + PNG16 re-encode
+    "jpeg12_decode_stats",  # r10: 12-bit SOF1 extended sequential decode
 ]
 
 

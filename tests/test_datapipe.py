@@ -946,6 +946,73 @@ def test_jpeg_progressive_restart_cross_decoder():
         jpeg_decode_pixels(bytes(b))
 
 
+def test_jpeg12_extended_sequential():
+    """12-bit JPEG (SOF1, round 10 — formerly an explicit ValueError):
+    constant tiles are exact at quant 1 (DC = 8·(v−2048) is float-exact),
+    random u12 rasters round-trip within ±1 (float DCT rounding only),
+    restarts compose, and contract violations raise."""
+    import random
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_planes_bytes,
+    )
+
+    for d in (5, 9, 14):
+        w, h = 8 * (d % 4 + 1), 8 * (d % 3 + 1)
+        samples = [
+            (997 * (x // 8) + 1499 * (y // 8) + 131 * d) % 4096
+            for y in range(h)
+            for x in range(w)
+        ]
+        out = jpeg_decode_pixels(jpeg_planes_bytes(w, h, [samples], precision=12))
+        assert out["bit_depth"] == 12 and out["samples16"] == samples, d
+        assert max(samples) > 255, d  # genuinely exercises the 12th bits
+    rng = random.Random(5)
+    for _ in range(4):
+        w, h = 8 * rng.randint(1, 3), 8 * rng.randint(1, 3)
+        samples = [rng.randrange(4096) for _ in range(w * h)]
+        out = jpeg_decode_pixels(jpeg_planes_bytes(w, h, [samples], precision=12))
+        assert max(abs(a - b) for a, b in zip(out["samples16"], samples)) <= 1
+    # DRI/RSTn composes with 12-bit streams
+    samples = [(997 * (x // 8) + 1499 * (y // 8) + 393) % 4096
+               for y in range(16) for x in range(24)]
+    out = jpeg_decode_pixels(
+        jpeg_planes_bytes(24, 16, [samples], precision=12, restart_interval=2)
+    )
+    assert out["samples16"] == samples and out["restart_interval"] == 2
+    # contract: out-of-range samples and unknown precisions raise
+    with _pytest.raises(ValueError):
+        jpeg_planes_bytes(8, 8, [[5000] * 64], precision=12)
+    with _pytest.raises(ValueError):
+        jpeg_planes_bytes(8, 8, [bytes(64)], precision=10)
+
+
+def test_resize_12bit_jpeg(spark):
+    """Grayscale 12-bit JPEG input composes with the 16-bit resize path
+    for free: decode yields u12 samples16, box means floor at sample
+    resolution, and the output re-encodes as a 16-bit PNG."""
+    from lfb_data_warehouse_spark.operators.jpegcodec import jpeg_planes_bytes
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        box_downscale16,
+        png_decode_pixels,
+    )
+
+    samples = [(997 * (x // 8) + 1499 * (y // 8) + 777) % 4096
+               for y in range(16) for x in range(16)]
+    media = spark.createDataFrame(
+        [(1, bytearray(jpeg_planes_bytes(16, 16, [samples], precision=12)))],
+        "doc_id long, payload binary",
+    )
+    row = resize_image(media, 2).collect()[0]
+    expect, ow, oh = box_downscale16(samples, 16, 16, 1, 2)
+    assert (row["out_width"], row["out_height"]) == (ow, oh) == (8, 8)
+    assert row["out_px_sum"] == sum(expect) and max(expect) > 255
+    assert png_decode_pixels(bytes(row["payload"]))["samples16"] == expect
+
+
 def test_jpeg_restart_intervals_roundtrip():
     """DRI/RSTn: the entropy stream byte-aligns and emits a cycling
     RSTm marker with DC-predictor resets every N MCUs; decode must
