@@ -607,7 +607,12 @@ def jpeg_decode_pixels(b: bytes) -> dict:
     # each plane is stored at its natural subsampled resolution — no
     # upsampling or colorspace conversion is invented here
     dims = [(width * hs // hmax, height * vs // vmax) for hs, vs in sampling]
-    if sum(cw * ch for cw, ch in dims) > MAX_DECODED_BYTES:
+    # 12-bit planes decode into Python int lists (~8 bytes/sample), so
+    # the allocation cap scales with the per-sample footprint — the
+    # fuzz-found MemoryError contract (ValueError, never a stage
+    # killer) must hold at every precision
+    per_sample = 1 if precision == 8 else 8
+    if sum(cw * ch for cw, ch in dims) * per_sample > MAX_DECODED_BYTES:
         raise ValueError("JPEG declares implausible dimensions")
     # entropy data runs to EOI
     end = b.rfind(b"\xff\xd9")

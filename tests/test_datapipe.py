@@ -727,12 +727,16 @@ def test_decode_real_fuzz_valueerror_contract():
     # corruption fuzz: single-byte mutations of every valid container
     rng = random.Random(7)
     g = bytes((3 * i) % 256 for i in range(64))
+    from lfb_data_warehouse_spark.operators.jpegcodec import jpeg_planes_bytes
+
     valid = [
         png_pixel_bytes(8, 8, g, 0),
         png_pixel_bytes(4, 4, g[:48], 2, interlace=True),
         png_palette_bytes(8, 8, bytes(i % 4 for i in range(64)), bytes(range(12))),
         jpeg_pixel_bytes(8, 8, g),
         jpeg_progressive_bytes(8, 8, [g]),
+        jpeg_progressive_bytes(16, 8, [g * 2], restart_interval=1),  # r10: DRI in SOF2
+        jpeg_planes_bytes(8, 8, [[(37 * i) % 4096 for i in range(64)]], precision=12),
         wav_pcm_bytes(1, 8000, [100, -100, 50]),
     ]
     for base in valid:
