@@ -51,11 +51,13 @@ medical/scientific dynamic-range layout): level shift 2048, extended
 DC/AC Huffman alphabets (categories to 15 / sizes to 14, past Annex
 K's reach), planes returned as packed big-endian u16 with a flat
 sample list (the 16-bit-PNG contract), composing with restart
-intervals and grayscale resize for free.
+intervals and grayscale resize for free. Sampling factors extended to
+4 (the DV-video 4:1:1 layout), with the T.81 B.2.3 ten-data-unit
+interleaved-MCU bound enforced.
 
 Not supported (explicit ValueError, never a silent mis-decode):
-sampling factors above 2, arithmetic coding, 12-bit progressive
-(SOF2 stays 8-bit), hierarchical/lossless frames.
+sampling factor 3, arithmetic coding, 12-bit progressive (SOF2 stays
+8-bit), hierarchical/lossless frames.
 """
 
 from __future__ import annotations
@@ -373,8 +375,10 @@ def jpeg_planes_bytes(
         sampling = [(1, 1)] * ncomp
     if len(sampling) != ncomp:
         raise ValueError("one (H, V) sampling factor pair per plane")
-    if any(hs not in (1, 2) or vs not in (1, 2) for hs, vs in sampling):
-        raise ValueError("sampling factors 1 or 2 supported")
+    if any(hs not in (1, 2, 4) or vs not in (1, 2, 4) for hs, vs in sampling):
+        raise ValueError("sampling factors 1, 2 or 4 supported")
+    if sum(hs * vs for hs, vs in sampling) > 10:
+        raise ValueError("interleaved MCU exceeds 10 data units (T.81 B.2.3)")
     hmax = max(hs for hs, _ in sampling)
     vmax = max(vs for _, vs in sampling)
     if width % (8 * hmax) or height % (8 * vmax):
@@ -566,9 +570,9 @@ def jpeg_decode_pixels(b: bytes) -> dict:
             for ci in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 hs, vs = sampling >> 4, sampling & 0xF
-                if hs not in (1, 2) or vs not in (1, 2):
+                if hs not in (1, 2, 4) or vs not in (1, 2, 4):
                     raise ValueError(
-                        f"sampling factors {hs}x{vs} not supported (1 or 2)"
+                        f"sampling factors {hs}x{vs} not supported (1, 2 or 4)"
                     )
                 sof_q[cid] = tq
                 sof_samp[cid] = (hs, vs)
@@ -804,8 +808,10 @@ def jpeg_progressive_bytes(
         sampling = [(1, 1)] * ncomp
     if len(sampling) != ncomp:
         raise ValueError("one (H, V) sampling factor pair per plane")
-    if any(hs not in (1, 2) or vs not in (1, 2) for hs, vs in sampling):
-        raise ValueError("sampling factors 1 or 2 supported")
+    if any(hs not in (1, 2, 4) or vs not in (1, 2, 4) for hs, vs in sampling):
+        raise ValueError("sampling factors 1, 2 or 4 supported")
+    if sum(hs * vs for hs, vs in sampling) > 10:
+        raise ValueError("interleaved MCU exceeds 10 data units (T.81 B.2.3)")
     hmax = max(hs for hs, _ in sampling)
     vmax = max(vs for _, vs in sampling)
     if width % (8 * hmax) or height % (8 * vmax):
@@ -1103,7 +1109,7 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 hs, vs = samp >> 4, samp & 0xF
-                if hs not in (1, 2) or vs not in (1, 2):
+                if hs not in (1, 2, 4) or vs not in (1, 2, 4):
                     raise ValueError(f"sampling factors {hs}x{vs} not supported")
                 sof_q[cid] = tq
                 sof_samp[cid] = (hs, vs)

@@ -1619,6 +1619,103 @@ def synthesize_jpeg_subsampled(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def synthesize_jpeg_411(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL 4:1:1 baseline JPEGs (the DV-video chroma
+    layout; sampling factor 4 was an explicit ValueError through round
+    9): a ``32·(d%2+1) × 8·(d%3+1)`` frame, Y at (4,1) and
+    quarter-width full-height chroma, each plane constant 8×8 tiles
+    valued ``(11tx + 23ty + 7d + 31c) mod 256`` on its OWN grid — the
+    engine must walk 4-Y-blocks-per-MCU interleaving to reproduce the
+    per-plane sums."""
+    from .jpegcodec import jpeg_planes_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = 32 * (d % 2 + 1), 8 * (d % 3 + 1)
+
+                def tiles(cw: int, ch: int, c: int) -> bytes:
+                    return bytes(
+                        (11 * (x // 8) + 23 * (y // 8) + 7 * d + 31 * c) % 256
+                        for y in range(ch)
+                        for x in range(cw)
+                    )
+
+                payloads.append(
+                    jpeg_planes_bytes(
+                        w, h,
+                        [tiles(w, h, 0), tiles(w // 4, h, 1), tiles(w // 4, h, 2)],
+                        sampling=[(4, 1), (1, 1), (1, 1)],
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_jpeg411_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched 4:1:1 JPEG decode over (doc_id, payload): the
+    sibling of :func:`decode_jpeg_subsampled_stats` for horizontal
+    factor 4 — the row asserts the parsed sampling really is
+    [(4,1),(1,1),(1,1)] (a fallback that upsamples or mis-walks the
+    4-block MCU mismatches cb_width/cb_height or the plane sums).
+    ``strict=False`` = poison-safe NULL-stats rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if d.get("sampling") != [(4, 1), (1, 1), (1, 1)]:
+                        raise ValueError("expected a 4:1:1 three-component JPEG")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "width", "height", "cb_width", "cb_height",
+                                    "n_mcus", "y_sum", "cb_sum", "cr_sum",
+                                    "first_px", "last_px",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                sums = [sum(p) for p in d["planes"]]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "cb_width": d["plane_dims"][1][0],
+                        "cb_height": d["plane_dims"][1][1],
+                        "n_mcus": (d["width"] // 32) * (d["height"] // 8),
+                        "y_sum": sums[0],
+                        "cb_sum": sums[1],
+                        "cr_sum": sums[2],
+                        "first_px": d["planes"][0][0],
+                        "last_px": d["planes"][2][-1],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=JPEG_420_SCHEMA)
+
+
 def decode_jpeg_subsampled_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     """Arrow-batched 4:2:0 JPEG decode over (doc_id, payload): per-plane
     sums come from the three entropy-decoded component planes at their

@@ -4146,6 +4146,66 @@ def jpeg_progressive_restart_stats(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+JPEG_411_DOC_MOD = 11  # doc_id % 11 == 4 → ~1/11 of documents get a 4:1:1 JPEG
+
+
+@register(
+    "jpeg_411_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             32 * (doc_id % 2 + 1) AS width,
+             8 * (doc_id % 3 + 1) AS height
+      FROM documents WHERE doc_id % {JPEG_411_DOC_MOD} = 4
+    ),
+    planes AS (
+      SELECT 0 AS c, 1 AS wdiv UNION ALL
+      SELECT 1, 4 UNION ALL SELECT 2, 4
+    ),
+    tiles AS (
+      SELECT s.doc_id, s.width, s.height, p.c,
+             (11 * gx.tx + 23 * gy.ty + 7 * s.doc_id + 31 * p.c) % 256 AS v
+      FROM sel s, planes p,
+           LATERAL (SELECT unnest(range(0, s.width // p.wdiv // 8)) AS tx) gx,
+           LATERAL (SELECT unnest(range(0, s.height // 8)) AS ty) gy
+    )
+    SELECT doc_id,
+           CAST(any_value(width) AS BIGINT) AS width,
+           CAST(any_value(height) AS BIGINT) AS height,
+           CAST(any_value(width) // 4 AS BIGINT) AS cb_width,
+           CAST(any_value(height) AS BIGINT) AS cb_height,
+           CAST((any_value(width) // 32) * (any_value(height) // 8) AS BIGINT) AS n_mcus,
+           CAST(64 * sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS y_sum,
+           CAST(64 * sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS cb_sum,
+           CAST(64 * sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS cr_sum,
+           CAST(7 * doc_id % 256 AS BIGINT) AS first_px,
+           CAST((11 * (any_value(width) // 4 // 8 - 1)
+                 + 23 * (any_value(height) // 8 - 1)
+                 + 7 * doc_id + 62) % 256 AS BIGINT) AS last_px
+    FROM tiles GROUP BY doc_id
+    """,
+)
+def jpeg_411_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:1:1 chroma-subsampled JPEG decode end to end — the DV-video
+    layout, the first real-world user of sampling factor 4 (an explicit
+    ValueError through round 9): synthesize_jpeg_411 interleaves FOUR
+    horizontally-adjacent Y blocks plus Cb plus Cr per MCU;
+    decode_jpeg411_stats must walk that 6-block MCU with per-component
+    DC predictors and store chroma at quarter width — a factor
+    mis-parse, wrong MCU geometry or plane-size bug mismatches
+    cb_width/n_mcus or lands on the plane sums. Oracle: per-plane
+    constant-tile arithmetic on each plane's own grid. Progressive
+    4:1:1 parity is pytest-pinned (progressive == baseline pixels)."""
+    from ..operators.multimodal import decode_jpeg411_stats, synthesize_jpeg_411
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % JPEG_411_DOC_MOD == 4)
+    )
+    return decode_jpeg411_stats(synthesize_jpeg_411(docs, "doc_id"))
+
+
 JPEG12_DOC_MOD = 13  # doc_id % 13 == 9 → ~1/13 of documents get a 12-bit JPEG
 
 

@@ -1001,6 +1001,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "jpeg_progressive_restart_stats",  # r10: DRI/RSTn inside SOF2 scans
     "resize_png16_stats",  # r10: u16-sample box resize + PNG16 re-encode
     "jpeg12_decode_stats",  # r10: 12-bit SOF1 extended sequential decode
+    "jpeg_411_decode_stats",  # r10: sampling factor 4 (DV 4:1:1 layout)
 ]
 
 

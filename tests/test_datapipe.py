@@ -950,6 +950,63 @@ def test_jpeg_progressive_restart_cross_decoder():
         jpeg_decode_pixels(bytes(b))
 
 
+def test_jpeg_411_sampling():
+    """Sampling factor 4 (round 10 — formerly an explicit ValueError):
+    4:1:1 interleaves four horizontally-adjacent Y blocks per MCU.
+    Constant tiles exact, restarts compose, progressive matches
+    baseline on random rasters, and the T.81 B.2.3 ten-data-unit MCU
+    bound plus factor-3 stay rejected."""
+    import random
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_planes_bytes,
+        jpeg_progressive_bytes,
+    )
+
+    def tiles(cw, ch, c, d=7):
+        return bytes(
+            (11 * (x // 8) + 23 * (y // 8) + 7 * d + 31 * c) % 256
+            for y in range(ch)
+            for x in range(cw)
+        )
+
+    samp = [(4, 1), (1, 1), (1, 1)]
+    out = jpeg_decode_pixels(
+        jpeg_planes_bytes(32, 8, [tiles(32, 8, 0), tiles(8, 8, 1), tiles(8, 8, 2)],
+                          sampling=samp)
+    )
+    assert out["sampling"] == samp
+    assert out["planes"][0] == tiles(32, 8, 0) and out["planes"][1] == tiles(8, 8, 1)
+    # DRI composes
+    out = jpeg_decode_pixels(
+        jpeg_planes_bytes(64, 8, [tiles(64, 8, 0), tiles(16, 8, 1), tiles(16, 8, 2)],
+                          sampling=samp, restart_interval=1)
+    )
+    assert out["planes"][0] == tiles(64, 8, 0)
+    # vertical 1:4 variant
+    out = jpeg_decode_pixels(
+        jpeg_planes_bytes(8, 32, [tiles(8, 32, 0), tiles(8, 8, 1), tiles(8, 8, 2)],
+                          sampling=[(1, 4), (1, 1), (1, 1)])
+    )
+    assert out["planes"][0] == tiles(8, 32, 0)
+    # progressive 4:1:1 == baseline on random rasters
+    rng = random.Random(3)
+    ry = bytes(rng.randrange(256) for _ in range(32 * 8))
+    rc = bytes(rng.randrange(256) for _ in range(8 * 8))
+    pp = jpeg_decode_pixels(jpeg_progressive_bytes(32, 8, [ry, rc, rc], sampling=samp))
+    bb = jpeg_decode_pixels(jpeg_planes_bytes(32, 8, [ry, rc, rc], sampling=samp))
+    assert pp["planes"] == bb["planes"]
+    # spec bound: an MCU past 10 data units is rejected
+    with _pytest.raises(ValueError, match="10 data units"):
+        jpeg_planes_bytes(32, 32, [bytes(1024)] * 3, sampling=[(4, 4), (1, 1), (1, 1)])
+    with _pytest.raises(ValueError):
+        jpeg_planes_bytes(24, 8, [bytes(192), bytes(64), bytes(64)],
+                          sampling=[(3, 1), (1, 1), (1, 1)])
+
+
 def test_jpeg12_extended_sequential():
     """12-bit JPEG (SOF1, round 10 — formerly an explicit ValueError):
     constant tiles are exact at quant 1 (DC = 8·(v−2048) is float-exact),
