@@ -999,6 +999,28 @@ def test_jpeg_411_sampling():
     pp = jpeg_decode_pixels(jpeg_progressive_bytes(32, 8, [ry, rc, rc], sampling=samp))
     bb = jpeg_decode_pixels(jpeg_planes_bytes(32, 8, [ry, rc, rc], sampling=samp))
     assert pp["planes"] == bb["planes"]
+    # multi-MCU traversal (3x3 MCU grid) across baseline / DRI /
+    # progressive / progressive+DRI — single-MCU fixtures can hide a
+    # wrong block order, so this is the grid case
+    w, h = 96, 24
+    ry = bytes(rng.randrange(256) for _ in range(w * h))
+    rc = bytes(rng.randrange(256) for _ in range((w // 4) * h))
+    bb = jpeg_decode_pixels(jpeg_planes_bytes(w, h, [ry, rc, rc], sampling=samp))
+    for variant in (
+        jpeg_progressive_bytes(w, h, [ry, rc, rc], sampling=samp),
+        jpeg_planes_bytes(w, h, [ry, rc, rc], sampling=samp, restart_interval=2),
+        jpeg_progressive_bytes(w, h, [ry, rc, rc], sampling=samp, restart_interval=3),
+    ):
+        assert jpeg_decode_pixels(variant)["planes"] == bb["planes"]
+    # mixed (2,4) factors, multi-MCU, progressive == baseline
+    w, h = 32, 64
+    ry = bytes(rng.randrange(256) for _ in range(w * h))
+    rc = bytes(rng.randrange(256) for _ in range((w // 2) * (h // 4)))
+    samp24 = [(2, 4), (1, 1), (1, 1)]
+    assert (
+        jpeg_decode_pixels(jpeg_progressive_bytes(w, h, [ry, rc, rc], sampling=samp24))["planes"]
+        == jpeg_decode_pixels(jpeg_planes_bytes(w, h, [ry, rc, rc], sampling=samp24))["planes"]
+    )
     # spec bound: an MCU past 10 data units is rejected
     with _pytest.raises(ValueError, match="10 data units"):
         jpeg_planes_bytes(32, 32, [bytes(1024)] * 3, sampling=[(4, 4), (1, 1), (1, 1)])
