@@ -53,11 +53,15 @@ K's reach), planes returned as packed big-endian u16 with a flat
 sample list (the 16-bit-PNG contract), composing with restart
 intervals and grayscale resize for free. Sampling factors extended to
 4 (the DV-video 4:1:1 layout), with the T.81 B.2.3 ten-data-unit
-interleaved-MCU bound enforced.
+interleaved-MCU bound enforced. And lossless JPEG (SOF3, Annex H —
+the DICOM/medical frame type): predictive coding with all seven
+predictors, 2..16-bit precision, arbitrary dimensions, EXACT
+reconstruction (see the lossless section at the end of this module).
 
 Not supported (explicit ValueError, never a silent mis-decode):
 sampling factor 3, arithmetic coding, 12-bit progressive (SOF2 stays
-8-bit), hierarchical/lossless frames.
+8-bit), hierarchical frames, restart intervals and subsampling inside
+lossless scans.
 """
 
 from __future__ import annotations
@@ -578,8 +582,10 @@ def jpeg_decode_pixels(b: bytes) -> dict:
                 sof_samp[cid] = (hs, vs)
         elif marker == 0xC2:  # progressive: dedicated multi-scan decoder
             return _jpeg_decode_progressive(b)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only SOF0/SOF1/SOF2 frames supported")
+        elif marker == 0xC3:  # lossless: dedicated predictive decoder
+            return _jpeg_decode_lossless(b)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only SOF0/SOF1/SOF2/SOF3 frames supported")
         elif marker == 0xDD:  # DRI: restart every N MCUs (0 = disabled)
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -1338,3 +1344,255 @@ def _run_progressive_scan(
                         _prog_refine_bit(r, blk, k, p1)
                     k += 1
                 eobrun -= 1
+
+
+# --------------------------------------------------------------------------
+# Lossless JPEG (SOF3): predictive coding, T.81 Annex H
+# --------------------------------------------------------------------------
+#
+# Round 10: the DICOM/medical-imaging frame type — no DCT, no
+# quantization, EXACT reconstruction at any precision 2..16 and any
+# dimensions (no 8x8 block grid). Each sample is predicted from its
+# causal neighbors a (left), b (above), c (above-left) by one of the
+# seven spec predictors; the prediction difference is coded with
+# DC-style Huffman categories extended to SSSS=16 (a 32768 difference
+# carries no extension bits, H.1.2.3). Differences are computed modulo
+# 2^16 (H.1.1.4.2), so any P-bit sample stream round-trips exactly —
+# which is what makes this codec fully verifiable in-container: the
+# oracle recomputes raw sample arithmetic, no DCT-exactness argument
+# needed. Restart intervals and subsampled lossless scans are out of
+# scope (explicit ValueError): no fixture here emits them and their
+# prediction-reset semantics would be pinned against nothing.
+
+LL_DC_VALS = list(range(17))  # SSSS categories 0..16 (16 = +32768, no bits)
+LL_DC_BITS = [0] * 16
+LL_DC_BITS[4] = len(LL_DC_VALS)  # 17 codes of length 5 (≤ 2^5 − 1)
+
+_LL_INITIAL = object()  # sentinel: boundary prediction 1 << (P - Pt - 1)
+
+
+def _ll_predict(plane, x, y, w, predictor, default):
+    """T.81 H.1.2 prediction: a = left, b = above, c = above-left, with
+    the H.1.2.2 boundary rules (first sample → default, rest of first
+    line → a, first column → b)."""
+    if y == 0:
+        return default if x == 0 else plane[x - 1]  # first line: selection 1
+    if x == 0:
+        return plane[(y - 1) * w]  # first column: selection 2
+    a = plane[y * w + x - 1]
+    b = plane[(y - 1) * w + x]
+    c = plane[(y - 1) * w + x - 1]
+    if predictor == 1:
+        return a
+    if predictor == 2:
+        return b
+    if predictor == 3:
+        return c
+    if predictor == 4:
+        return a + b - c
+    if predictor == 5:
+        return a + ((b - c) >> 1)
+    if predictor == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # predictor 7
+
+
+def jpeg_lossless_bytes(
+    width: int,
+    height: int,
+    planes: list,
+    predictor: int = 1,
+    precision: int = 8,
+    point_transform: int = 0,
+) -> bytes:
+    """REAL lossless JPEG (SOF3) encode of 1 or 3 non-subsampled
+    component planes (sequences of ints in 0..2^precision−1). Any
+    dimensions — there is no block grid. ``point_transform`` (Al)
+    drops that many low bits before prediction; the decoder restores
+    them as zeros (H.1)."""
+    ncomp = len(planes)
+    if ncomp not in (1, 3):
+        raise ValueError("1 (gray) or 3 (color) planes supported")
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1..7")
+    if not 2 <= precision <= 16:
+        raise ValueError("lossless precision must be 2..16")
+    if not 0 <= point_transform < precision:
+        raise ValueError("point transform must be 0..precision-1")
+    if width <= 0 or height <= 0:
+        raise ValueError("zero-area frame")
+    smax = (1 << precision) - 1
+    for p in planes:
+        if len(p) != width * height:
+            raise ValueError(f"plane must be {width * height} samples")
+        if min(p) < 0 or max(p) > smax:
+            raise ValueError(f"samples must lie in 0..{smax}")
+    shifted = [[v >> point_transform for v in p] for p in planes]
+    enc = _huff_encode_table(LL_DC_BITS, LL_DC_VALS)
+    default = 1 << (precision - point_transform - 1)
+    w = _BitWriter()
+    for y in range(height):
+        for x in range(width):  # interleaved MCU = one sample per component
+            for p in shifted:
+                px = _ll_predict(p, x, y, width, predictor, default)
+                diff = (p[y * width + x] - px) & 0xFFFF  # modulo 2^16
+                if diff > 0x8000:
+                    diff -= 0x10000  # signed in (-32768, 32768]
+                if diff == 0x8000:
+                    code, ln = enc[16]  # SSSS=16: no extension bits
+                    w.write(code, ln)
+                    continue
+                t = _category(diff)
+                code, ln = enc[t]
+                w.write(code, ln)
+                if t:
+                    w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    entropy = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    sof_comps = b"".join(
+        struct.pack("BBB", ci + 1, 0x11, 0) for ci in range(ncomp)
+    )
+    out = b"\xff\xd8"
+    out += seg(0xFFC4, b"\x00" + bytes(LL_DC_BITS) + bytes(LL_DC_VALS))
+    out += seg(0xFFC3, struct.pack(">BHHB", precision, height, width, ncomp) + sof_comps)
+    sos_comps = b"".join(struct.pack("BB", ci + 1, 0x00) for ci in range(ncomp))
+    out += seg(
+        0xFFDA,
+        bytes([ncomp]) + sos_comps + bytes([predictor, 0, point_transform]),
+    )
+    return out + entropy + b"\xff\xd9"
+
+
+@decode_valueerror_contract
+def _jpeg_decode_lossless(b: bytes) -> dict:
+    """Lossless (SOF3) decode: marker walk, then per-sample prediction +
+    Huffman-coded difference reconstruction modulo 2^16, left-shifted
+    by the point transform at output (T.81 Annex H)."""
+    i = 2
+    dc_tables: dict[int, dict] = {}
+    width = height = precision = None
+    comp_ids: list[int] = []
+    scan: list[tuple[int, int]] = []
+    predictor = pt = None
+    restart_interval = 0
+    entropy_start = None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("marker expected")
+        while i + 1 < len(b) and b[i + 1] == 0xFF:
+            i += 1
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        body = b[i + 4 : i + 2 + seglen]
+        if marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0xF
+                bits = list(body[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(body[j + 17 : j + 17 + n])
+                if tc == 0:
+                    dc_tables[th] = _huff_decode_table(bits, vals)
+                j += 17 + n
+        elif marker == 0xC3:
+            precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if not 2 <= precision <= 16:
+                raise ValueError("lossless precision must be 2..16")
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- or 3-component frames supported")
+            for ci in range(ncomp):
+                cid, samp, _ = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError("subsampled lossless scans not supported")
+                comp_ids.append(cid)
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+            if restart_interval:
+                raise ValueError("restart intervals in lossless scans not supported")
+        elif marker == 0xDA:
+            if width is None:
+                raise ValueError("SOS before SOF3")
+            ns = body[0]
+            if ns != len(comp_ids):
+                raise ValueError("scan must cover every frame component")
+            for ci in range(ns):
+                cid, sel = body[1 + 2 * ci], body[2 + 2 * ci]
+                if cid not in comp_ids:
+                    raise ValueError("scan references unknown component")
+                scan.append((cid, sel >> 4))
+            predictor = body[1 + 2 * ns]  # Ss = predictor selection
+            pt = body[3 + 2 * ns] & 0xF  # Al = point transform
+            if not 1 <= predictor <= 7:
+                raise ValueError("lossless predictor must be 1..7")
+            if pt >= precision:
+                raise ValueError("point transform exceeds precision")
+            entropy_start = i + 2 + seglen
+            break
+        i += 2 + seglen
+    if width is None or entropy_start is None:
+        raise ValueError("JPEG missing SOF3/SOS")
+    if width == 0 or height == 0:
+        raise ValueError("JPEG with zero-area frame")
+    ncomp = len(scan)
+    if width * height * ncomp * 8 > MAX_DECODED_BYTES:
+        raise ValueError("JPEG declares implausible dimensions")
+    for _, td in scan:
+        if td not in dc_tables:
+            raise ValueError("JPEG scan references undefined table")
+    end = b.rfind(b"\xff\xd9")
+    r = _BitReader(b[entropy_start : end if end > entropy_start else len(b)])
+    default = 1 << (precision - pt - 1)
+    planes = [[0] * (width * height) for _ in range(ncomp)]
+    mask = (1 << (precision - pt)) - 1
+    for y in range(height):
+        for x in range(width):
+            for ci, (_, td) in enumerate(scan):
+                p = planes[ci]
+                px = _ll_predict(p, x, y, width, predictor, default)
+                t = r.read_huff(dc_tables[td])
+                if t == 16:
+                    diff = 0x8000
+                elif t:
+                    v = r.read_bits(t)
+                    if v < (1 << (t - 1)):
+                        v -= (1 << t) - 1
+                    diff = v
+                else:
+                    diff = 0
+                p[y * width + x] = (px + diff) & 0xFFFF & mask
+    bit_depth = precision
+    if pt:
+        planes = [[v << pt for v in p] for p in planes]
+    if precision <= 8:
+        out_planes = [bytes(p) for p in planes]
+        raster = out_planes[0] if ncomp == 1 else b"".join(out_planes)
+        samples = None
+    else:
+        out_planes = [struct.pack(f">{len(p)}H", *p) for p in planes]
+        raster = out_planes[0] if ncomp == 1 else b"".join(out_planes)
+        samples = []
+        for p in planes:
+            samples.extend(p)
+    out = {
+        "media_type": "image/jpeg",
+        "width": width,
+        "height": height,
+        "channels": ncomp,
+        "bit_depth": bit_depth,
+        "sampling": [(1, 1)] * ncomp,
+        "restart_interval": 0,
+        "plane_dims": [(width, height)] * ncomp,
+        "lossless": True,
+        "predictor": predictor,
+        "point_transform": pt,
+        "planes": out_planes,
+        "raster": raster,
+    }
+    if samples is not None:
+        out["samples16"] = samples
+    return out

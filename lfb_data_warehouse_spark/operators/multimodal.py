@@ -1569,6 +1569,103 @@ def decode_jpeg12_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=JPEG12_STATS_SCHEMA)
 
 
+JPEG_LL_STATS_SCHEMA = (
+    "doc_id long, width long, height long, predictor long, n_samples long, "
+    "sample_sum long, first_sample long, last_sample long, max_sample long"
+)
+
+
+def synthesize_jpeg_lossless(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL lossless (SOF3) JPEGs — the DICOM/medical
+    frame type: 16-bit grayscale ``(d%13+4) × (d%9+4)`` rasters (NOT
+    multiples of 8 — there is no block grid) with sample
+    ``(513x + 1021y + 131d) mod 65536``, encoded with predictor
+    ``d%7+1`` so all seven T.81 H.1 predictors are driver-gated.
+    Lossless reconstruction is exact on arbitrary data, so the oracle
+    recomputes raw sample arithmetic — no DCT-exactness argument."""
+    from .jpegcodec import jpeg_lossless_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = d % 13 + 4, d % 9 + 4
+                samples = [
+                    (513 * x + 1021 * y + 131 * d) % 65536
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                payloads.append(
+                    jpeg_lossless_bytes(
+                        w, h, [samples], predictor=d % 7 + 1, precision=16
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_jpeg_lossless_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched lossless-JPEG decode over (doc_id, payload): stats
+    come from the reconstructed u16 samples and ``predictor`` from the
+    parsed scan header — a wrong predictor formula, boundary rule
+    (first line → a, first column → b), or modulo-2^16 reconstruction
+    bug lands on sample_sum exactly (lossless means EXACT; there is no
+    tolerance to hide in). ``strict=False`` = poison-safe NULL-stats
+    rows (see :func:`decode_png_stats`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if not d.get("lossless") or "samples16" not in d:
+                        raise ValueError("expected a 16-bit lossless JPEG")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "width", "height", "predictor", "n_samples",
+                                    "sample_sum", "first_sample", "last_sample",
+                                    "max_sample",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                s = d["samples16"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "predictor": d["predictor"],
+                        "n_samples": len(s),
+                        "sample_sum": sum(s),
+                        "first_sample": s[0],
+                        "last_sample": s[-1],
+                        "max_sample": max(s),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=JPEG_LL_STATS_SCHEMA)
+
+
 JPEG_420_SCHEMA = (
     "doc_id long, width long, height long, cb_width long, cb_height long, "
     "n_mcus long, y_sum long, cb_sum long, cr_sum long, "

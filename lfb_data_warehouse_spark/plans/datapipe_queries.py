@@ -4206,6 +4206,64 @@ def jpeg_411_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg411_stats(synthesize_jpeg_411(docs, "doc_id"))
 
 
+JPEG_LL_DOC_MOD = 11  # doc_id % 11 == 6 → ~1/11 of documents get a lossless JPEG
+
+
+@register(
+    "jpeg_lossless_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             doc_id % 13 + 4 AS width,
+             doc_id % 9 + 4 AS height,
+             doc_id % 7 + 1 AS predictor
+      FROM documents WHERE doc_id % {JPEG_LL_DOC_MOD} = 6
+    ),
+    px AS (
+      SELECT s.doc_id, s.width, s.height, s.predictor,
+             (513 * gx.x + 1021 * gy.y + 131 * s.doc_id) % 65536 AS v
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.width)) AS x) gx,
+           LATERAL (SELECT unnest(range(0, s.height)) AS y) gy
+    )
+    SELECT doc_id,
+           CAST(any_value(width) AS BIGINT) AS width,
+           CAST(any_value(height) AS BIGINT) AS height,
+           CAST(any_value(predictor) AS BIGINT) AS predictor,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sample_sum,
+           CAST(131 * doc_id % 65536 AS BIGINT) AS first_sample,
+           CAST((513 * (any_value(width) - 1) + 1021 * (any_value(height) - 1)
+                 + 131 * doc_id) % 65536 AS BIGINT) AS last_sample,
+           CAST(max(v) AS BIGINT) AS max_sample
+    FROM px GROUP BY doc_id
+    """,
+)
+def jpeg_lossless_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless (SOF3) JPEG decode end to end — the DICOM/medical
+    frame type, predictive coding with NO DCT and NO block grid
+    (formerly ValueError; round 10): synthesize_jpeg_lossless encodes
+    16-bit rasters at non-multiple-of-8 dims with predictor doc_id%7+1,
+    so all seven T.81 H.1 predictors, the H.1.2.2 boundary rules, the
+    modulo-2^16 difference reconstruction, and the SSSS=16 special
+    category are all driver-gated; decode_jpeg_lossless_stats must
+    reproduce every sample EXACTLY (lossless leaves no tolerance) and
+    report the predictor parsed from the scan header. Oracle: the same
+    raster arithmetic on a generate_series grid — no DCT-exactness
+    argument needed, which is what makes this tier fully verifiable."""
+    from ..operators.multimodal import (
+        decode_jpeg_lossless_stats,
+        synthesize_jpeg_lossless,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % JPEG_LL_DOC_MOD == 6)
+    )
+    return decode_jpeg_lossless_stats(synthesize_jpeg_lossless(docs, "doc_id"))
+
+
 JPEG12_DOC_MOD = 13  # doc_id % 13 == 9 → ~1/13 of documents get a 12-bit JPEG
 
 

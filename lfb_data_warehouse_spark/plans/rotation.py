@@ -1002,6 +1002,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "resize_png16_stats",  # r10: u16-sample box resize + PNG16 re-encode
     "jpeg12_decode_stats",  # r10: 12-bit SOF1 extended sequential decode
     "jpeg_411_decode_stats",  # r10: sampling factor 4 (DV 4:1:1 layout)
+    "jpeg_lossless_decode_stats",  # r10: SOF3 predictive lossless (DICOM)
 ]
 
 

@@ -727,9 +727,14 @@ def test_decode_real_fuzz_valueerror_contract():
     # corruption fuzz: single-byte mutations of every valid container
     rng = random.Random(7)
     g = bytes((3 * i) % 256 for i in range(64))
-    from lfb_data_warehouse_spark.operators.jpegcodec import jpeg_planes_bytes
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_lossless_bytes,
+        jpeg_planes_bytes,
+    )
 
     valid = [
+        jpeg_lossless_bytes(5, 4, [[(911 * i) % 65536 for i in range(20)]],
+                            predictor=4, precision=16),
         png_pixel_bytes(8, 8, g, 0),
         png_pixel_bytes(4, 4, g[:48], 2, interlace=True),
         png_palette_bytes(8, 8, bytes(i % 4 for i in range(64)), bytes(range(12))),
@@ -1027,6 +1032,55 @@ def test_jpeg_411_sampling():
     with _pytest.raises(ValueError):
         jpeg_planes_bytes(24, 8, [bytes(192), bytes(64), bytes(64)],
                           sampling=[(3, 1), (1, 1), (1, 1)])
+
+
+def test_jpeg_lossless_roundtrip():
+    """Lossless JPEG (SOF3, round 10): EXACT reconstruction for every
+    predictor at every precision on random rasters — no block grid, no
+    tolerance. Boundary rules, the SSSS=16 category, point transform,
+    3-component interleave, and contract errors all pinned."""
+    import random
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_lossless_bytes,
+    )
+
+    rng = random.Random(99)
+    for pred in range(1, 8):
+        for prec in (8, 12, 16):
+            w, h = rng.randint(1, 13), rng.randint(1, 9)
+            samples = [rng.randint(0, (1 << prec) - 1) for _ in range(w * h)]
+            out = jpeg_decode_pixels(
+                jpeg_lossless_bytes(w, h, [samples], predictor=pred, precision=prec)
+            )
+            got = out["samples16"] if prec > 8 else list(out["raster"])
+            assert got == samples, (pred, prec, w, h)
+            assert out["lossless"] is True and out["predictor"] == pred
+    # 3-component interleaved 16-bit
+    w, h = 7, 5
+    ps = [[rng.randint(0, 65535) for _ in range(w * h)] for _ in range(3)]
+    out = jpeg_decode_pixels(jpeg_lossless_bytes(w, h, ps, predictor=4, precision=16))
+    assert out["samples16"] == ps[0] + ps[1] + ps[2]
+    # SSSS=16: a +32768 first difference (max-value plane at default
+    # prediction 32768... exercised by constant 65535)
+    out = jpeg_decode_pixels(jpeg_lossless_bytes(4, 4, [[65535] * 16], precision=16))
+    assert out["samples16"] == [65535] * 16
+    # point transform drops/restores low bits
+    samples = [rng.randint(0, 255) for _ in range(24)]
+    out = jpeg_decode_pixels(
+        jpeg_lossless_bytes(6, 4, [samples], predictor=7, point_transform=2)
+    )
+    assert list(out["raster"]) == [(v >> 2) << 2 for v in samples]
+    # contract errors
+    with _pytest.raises(ValueError):
+        jpeg_lossless_bytes(4, 4, [[0] * 16], predictor=8)
+    with _pytest.raises(ValueError):
+        jpeg_lossless_bytes(4, 4, [[300] * 16], precision=8)
+    with _pytest.raises(ValueError):
+        jpeg_lossless_bytes(4, 4, [[0] * 16], precision=17)
 
 
 def test_jpeg12_extended_sequential():
