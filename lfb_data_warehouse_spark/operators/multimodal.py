@@ -87,6 +87,10 @@ def decode_real(payload: bytes) -> dict:
         from .jpegcodec import jpeg_decode_pixels
 
         return jpeg_decode_pixels(payload)
+    if meta["media_type"] == "image/gif":
+        from .gifcodec import gif_decode_pixels
+
+        return gif_decode_pixels(payload)
     return meta
 
 
@@ -625,6 +629,12 @@ def parse_media(b: bytes) -> dict:
                     }
                 i += 2 + seglen
             return dict(_EMPTY_MEDIA)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", b[6:10])
+            return {
+                "media_type": "image/gif", "width": w, "height": h,
+                "channels": 3, "sample_rate": None, "n_samples": None,
+            }
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             i = 12
             channels = rate = bits = data_size = None
@@ -1567,6 +1577,113 @@ def decode_jpeg12_stats(media: DataFrame, strict: bool = True) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=JPEG12_STATS_SCHEMA)
+
+
+GIF_STATS_SCHEMA = (
+    "doc_id long, frame_index long, n_frames long, width long, height long, "
+    "palette_size long, r_sum long, g_sum long, b_sum long, "
+    "first_px long, last_px long"
+)
+
+
+def synthesize_gif(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL GIFs (the web-crawl staple): ``d%3+1`` frames
+    of ``(d%11+4) × (d%7+4)`` over a ``2^(d%4+1)``-entry global color
+    table ``(7j, 13j, 29j) mod 256``, frame ``f``'s index at (x, y)
+    valued ``(x + 2y + 3f + d) mod n_colors``; every even doc
+    interlaced (the 4-pass progressive-rendering layout). Closed-form
+    in (doc_id, frame), so the oracle recomputes per-frame channel
+    sums while the engine must run real LZW decompression, palette
+    lookup and deinterlacing."""
+    from .gifcodec import gif_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                nf, w, h = d % 3 + 1, d % 11 + 4, d % 7 + 4
+                nc = 2 << (d % 4)
+                pal = bytes(
+                    v
+                    for j in range(nc)
+                    for v in ((7 * j) % 256, (13 * j) % 256, (29 * j) % 256)
+                )
+                idx = bytes(
+                    (x + 2 * y + 3 * f + d) % nc
+                    for f in range(nf)
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(
+                    gif_bytes(w, h, idx, pal, interlace=d % 2 == 0, n_frames=nf)
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_gif_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched GIF decode over (doc_id, payload), one output row
+    per FRAME (1→N explode inside the same pass): channel sums come
+    from the post-palette RGB raster, so a wrong LZW dictionary step,
+    code-width growth, sub-block reassembly, or deinterlace row order
+    lands on r_sum/g_sum/b_sum. ``strict=False`` = poison-safe
+    NULL-stats rows (see :func:`decode_png_stats`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if d.get("media_type") != "image/gif":
+                        raise ValueError("expected a GIF")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "frame_index", "n_frames", "width", "height",
+                                    "palette_size", "r_sum", "g_sum", "b_sum",
+                                    "first_px", "last_px",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                for fi, (frame, (fw, fh)) in enumerate(
+                    zip(d["frames"], d["frame_dims"])
+                ):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_index": fi,
+                            "n_frames": d["n_frames"],
+                            "width": fw,
+                            "height": fh,
+                            "palette_size": d["palette_size"],
+                            "r_sum": sum(frame[0::3]),
+                            "g_sum": sum(frame[1::3]),
+                            "b_sum": sum(frame[2::3]),
+                            "first_px": frame[0],
+                            "last_px": frame[-1],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=GIF_STATS_SCHEMA)
 
 
 JPEG_LL_STATS_SCHEMA = (

@@ -4206,6 +4206,65 @@ def jpeg_411_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg411_stats(synthesize_jpeg_411(docs, "doc_id"))
 
 
+GIF_DOC_MOD = 11  # doc_id % 11 == 8 → ~1/11 of documents get a (multi-frame) GIF
+
+
+@register(
+    "gif_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             doc_id % 3 + 1 AS nf,
+             doc_id % 11 + 4 AS w,
+             doc_id % 7 + 4 AS h,
+             CAST(pow(2, doc_id % 4 + 1) AS BIGINT) AS nc
+      FROM documents WHERE doc_id % {GIF_DOC_MOD} = 8
+    ),
+    px AS (
+      SELECT s.doc_id, s.nf, s.w, s.h, s.nc, gf.f,
+             gx.x, gy.y,
+             (gx.x + 2 * gy.y + 3 * gf.f + s.doc_id) % s.nc AS idx
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.nf)) AS f) gf,
+           LATERAL (SELECT unnest(range(0, s.w)) AS x) gx,
+           LATERAL (SELECT unnest(range(0, s.h)) AS y) gy
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_index,
+           CAST(any_value(nf) AS BIGINT) AS n_frames,
+           CAST(any_value(w) AS BIGINT) AS width,
+           CAST(any_value(h) AS BIGINT) AS height,
+           CAST(any_value(nc) AS BIGINT) AS palette_size,
+           CAST(sum(7 * idx % 256) AS BIGINT) AS r_sum,
+           CAST(sum(13 * idx % 256) AS BIGINT) AS g_sum,
+           CAST(sum(29 * idx % 256) AS BIGINT) AS b_sum,
+           CAST(7 * ((3 * f + doc_id) % any_value(nc)) % 256 AS BIGINT) AS first_px,
+           CAST(29 * ((any_value(w) - 1 + 2 * (any_value(h) - 1) + 3 * f + doc_id)
+                      % any_value(nc)) % 256 AS BIGINT) AS last_px
+    FROM px GROUP BY doc_id, f
+    """,
+)
+def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode end to end — the web-crawl corpus staple (round 10;
+    the tier's first LZW surface): synthesize_gif writes real multi-
+    frame GIF89a streams (global color table, 255-byte sub-block
+    framing, variable-width LZW with dictionary growth, 4-pass
+    interlacing on even docs); decode_gif_stats must reassemble
+    sub-blocks, run LZW dictionary reconstruction (including the cScSc
+    corner case), deinterlace, and map indices through the palette —
+    one output row per frame, so frame order and count are pinned too.
+    Oracle: the same index/palette arithmetic on a generate_series
+    grid (LZW is lossless — no tolerance anywhere)."""
+    from ..operators.multimodal import decode_gif_stats, synthesize_gif
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % GIF_DOC_MOD == 8)
+    )
+    return decode_gif_stats(synthesize_gif(docs, "doc_id"))
+
+
 JPEG_LL_DOC_MOD = 11  # doc_id % 11 == 6 → ~1/11 of documents get a lossless JPEG
 
 

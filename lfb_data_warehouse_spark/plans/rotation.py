@@ -1003,6 +1003,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "jpeg12_decode_stats",  # r10: 12-bit SOF1 extended sequential decode
     "jpeg_411_decode_stats",  # r10: sampling factor 4 (DV 4:1:1 layout)
     "jpeg_lossless_decode_stats",  # r10: SOF3 predictive lossless (DICOM)
+    "gif_decode_stats",  # r10: GIF LZW decode, multi-frame + interlace
 ]
 
 

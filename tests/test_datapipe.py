@@ -732,9 +732,13 @@ def test_decode_real_fuzz_valueerror_contract():
         jpeg_planes_bytes,
     )
 
+    from lfb_data_warehouse_spark.operators.gifcodec import gif_bytes
+
     valid = [
         jpeg_lossless_bytes(5, 4, [[(911 * i) % 65536 for i in range(20)]],
                             predictor=4, precision=16),
+        gif_bytes(6, 5, bytes((3 * i) % 4 for i in range(30)),
+                  bytes(range(12)), interlace=True),
         png_pixel_bytes(8, 8, g, 0),
         png_pixel_bytes(4, 4, g[:48], 2, interlace=True),
         png_palette_bytes(8, 8, bytes(i % 4 for i in range(64)), bytes(range(12))),
@@ -1032,6 +1036,54 @@ def test_jpeg_411_sampling():
     with _pytest.raises(ValueError):
         jpeg_planes_bytes(24, 8, [bytes(192), bytes(64), bytes(64)],
                           sampling=[(3, 1), (1, 1), (1, 1)])
+
+
+def test_gif_roundtrip():
+    """GIF codec (round 10): real LZW — dictionary growth, code-width
+    increase, full-dictionary clear/reset, the cScSc corner case,
+    sub-block framing, 4-pass interlacing, multi-frame streams — all
+    round-trip EXACTLY (LZW is lossless)."""
+    import random
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.gifcodec import (
+        gif_bytes,
+        gif_decode_pixels,
+    )
+
+    rng = random.Random(42)
+    for n_colors in (2, 4, 16, 256):
+        pal = bytes((7 * j) % 256 for j in range(3 * n_colors))
+        for il in (False, True):
+            w, h = rng.randint(1, 23), rng.randint(1, 17)
+            idx = bytes(rng.randrange(n_colors) for _ in range(w * h))
+            d = gif_decode_pixels(gif_bytes(w, h, idx, pal, interlace=il))
+            assert d["raster"] == b"".join(pal[3 * v : 3 * v + 3] for v in idx)
+            assert d["palette_size"] == n_colors and d["n_frames"] == 1
+    # high-entropy 200x100 frame forces the dictionary to 4096 + reset
+    w, h = 200, 100
+    pal = bytes((13 * j) % 256 for j in range(768))
+    idx = bytes(rng.randrange(256) for _ in range(w * h))
+    d = gif_decode_pixels(gif_bytes(w, h, idx, pal))
+    assert d["raster"] == b"".join(pal[3 * v : 3 * v + 3] for v in idx)
+    # multi-frame order and count
+    pal = bytes(range(24))
+    w, h, nf = 9, 6, 4
+    idx = bytes((x + 2 * y + 3 * f) % 8 for f in range(nf)
+                for y in range(h) for x in range(w))
+    d = gif_decode_pixels(gif_bytes(w, h, idx, pal, n_frames=nf))
+    assert d["n_frames"] == nf
+    for f in range(nf):
+        fr = idx[f * w * h : (f + 1) * w * h]
+        assert d["frames"][f] == b"".join(pal[3 * v : 3 * v + 3] for v in fr)
+    # contract: truncation, bad palette sizes, index past palette
+    with _pytest.raises(ValueError):
+        gif_decode_pixels(gif_bytes(4, 4, bytes(16), bytes(6))[:-5])
+    with _pytest.raises(ValueError):
+        gif_bytes(4, 4, bytes(16), bytes(9))  # 3 entries: not a power of 2
+    with _pytest.raises(ValueError):
+        gif_bytes(2, 2, bytes([3, 0, 0, 0]), bytes(6))  # index 3 past 2 colors
 
 
 def test_jpeg_lossless_roundtrip():
