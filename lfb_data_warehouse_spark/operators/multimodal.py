@@ -533,28 +533,76 @@ def wav_pcm_bytes(channels: int, sample_rate: int, samples: list[int], bits: int
 
 
 @decode_valueerror_contract
+def ulaw_expand(u: int) -> int:
+    """G.711 µ-law code byte → 16-bit linear sample (segment + mantissa
+    expansion with the 0x84 bias; code bytes are stored complemented)."""
+    u = ~u & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def alaw_expand(a: int) -> int:
+    """G.711 A-law code byte → 16-bit linear sample (even bits are
+    stored inverted — the 0x55 toggle)."""
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def wav_g711_bytes(channels: int, sample_rate: int, codes: bytes, law: str) -> bytes:
+    """WAV container around raw G.711 code bytes: format tag 6 (A-law)
+    or 7 (µ-law), 8 bits per code — the telephony WAV layout."""
+    if law not in ("alaw", "ulaw"):
+        raise ValueError("law must be 'alaw' or 'ulaw'")
+    fmt_code = 6 if law == "alaw" else 7
+    byte_rate = sample_rate * channels
+    fmt = struct.pack("<HHIIHH", fmt_code, channels, sample_rate, byte_rate, channels, 8)
+    data = bytes(codes)
+    riff = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
 def wav_decode_samples(b: bytes) -> dict:
-    """REAL WAV PCM sample decode: RIFF chunk walk to ``fmt ``/``data``,
-    then unpack the interleaved little-endian integer samples (8-bit
-    unsigned or 16-bit signed PCM)."""
+    """REAL WAV sample decode: RIFF chunk walk to ``fmt ``/``data``,
+    then unpack the interleaved samples — PCM (fmt 1, 8-bit unsigned or
+    16-bit signed) or G.711 A-law/µ-law (fmt 6/7, round 10), whose
+    8-bit code bytes expand to 16-bit linear through the segment +
+    mantissa formulas."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     i = 12
-    channels = rate = bits = None
+    channels = rate = bits = fmt_code = None
     data = None
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         sz = struct.unpack("<I", b[i + 4 : i + 8])[0]
         if cid == b"fmt " and sz >= 16:
             fmt_code, channels, rate, _, _, bits = struct.unpack("<HHIIHH", b[i + 8 : i + 24])
-            if fmt_code != 1:
-                raise ValueError(f"only PCM (fmt 1) supported, got {fmt_code}")
+            if fmt_code not in (1, 6, 7):
+                raise ValueError(f"only PCM/A-law/u-law (fmt 1/6/7) supported, got {fmt_code}")
         elif cid == b"data":
             data = b[i + 8 : i + 8 + sz]
         i += 8 + sz + (sz & 1)
     if channels is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    if bits == 16:
+    encoding = {1: "pcm", 6: "alaw", 7: "ulaw"}[fmt_code]
+    if fmt_code in (6, 7):
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8 bits per code, got {bits}")
+        expand = alaw_expand if fmt_code == 6 else ulaw_expand
+        samples = [expand(c) for c in data]
+    elif bits == 16:
         samples = list(struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2]))
     elif bits == 8:
         samples = list(data)
@@ -569,6 +617,7 @@ def wav_decode_samples(b: bytes) -> dict:
         "channels": channels,
         "sample_rate": rate,
         "bits": bits,
+        "encoding": encoding,
         "n_samples": len(samples) // channels,
         "samples": samples,
     }
@@ -1577,6 +1626,90 @@ def decode_jpeg12_stats(media: DataFrame, strict: bool = True) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=JPEG12_STATS_SCHEMA)
+
+
+G711_STATS_SCHEMA = (
+    "doc_id long, encoding string, n_samples long, sum_linear long, "
+    "sum_abs long, peak long, first_sample long, last_sample long"
+)
+
+
+def synthesize_g711(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL G.711 WAVs (telephony audio): ``d%300+50`` code
+    bytes ``(13n + 7d) mod 256`` at 8 kHz mono — µ-law (fmt 7) for even
+    docs, A-law (fmt 6) for odd — so every code value, both laws, and
+    both sign conventions appear across the corpus."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                n = d % 300 + 50
+                codes = bytes((13 * i + 7 * d) % 256 for i in range(n))
+                payloads.append(
+                    wav_g711_bytes(1, 8000, codes, "ulaw" if d % 2 == 0 else "alaw")
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_g711_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched G.711 decode over (doc_id, payload): stats come
+    from the EXPANDED 16-bit linear samples, so a wrong bias (0x84),
+    toggle (0x55), segment shift or sign convention shifts
+    sum_linear/sum_abs/peak immediately. ``strict=False`` =
+    poison-safe NULL-stats rows (see :func:`decode_png_stats`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if d.get("encoding") not in ("alaw", "ulaw"):
+                        raise ValueError("expected a G.711 WAV")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "encoding", "n_samples", "sum_linear",
+                                    "sum_abs", "peak", "first_sample",
+                                    "last_sample",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                s = d["samples"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "encoding": d["encoding"],
+                        "n_samples": len(s),
+                        "sum_linear": sum(s),
+                        "sum_abs": sum(abs(v) for v in s),
+                        "peak": max(abs(v) for v in s),
+                        "first_sample": s[0],
+                        "last_sample": s[-1],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=G711_STATS_SCHEMA)
 
 
 GIF_STATS_SCHEMA = (

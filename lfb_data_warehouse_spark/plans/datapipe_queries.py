@@ -4206,6 +4206,77 @@ def jpeg_411_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg411_stats(synthesize_jpeg_411(docs, "doc_id"))
 
 
+G711_DOC_MOD = 11  # doc_id % 11 == 10 → ~1/11 of documents get a G.711 WAV
+
+
+@register(
+    "g711_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             doc_id % 300 + 50 AS n,
+             doc_id % 2 = 0 AS is_ulaw
+      FROM documents WHERE doc_id % {G711_DOC_MOD} = 10
+    ),
+    codes AS (
+      SELECT s.doc_id, s.n, s.is_ulaw, gi.i,
+             (13 * gi.i + 7 * s.doc_id) % 256 AS c
+      FROM sel s, LATERAL (SELECT unnest(range(0, s.n)) AS i) gi
+    ),
+    expanded AS (
+      SELECT doc_id, n, is_ulaw, i,
+             CASE WHEN is_ulaw THEN
+               -- u-law: complement, segment+mantissa with the 0x84 bias
+               CASE WHEN (255 - c) >= 128
+                 THEN 132 - (((255 - c) % 16) * 8 + 132)
+                        * CAST(pow(2, ((255 - c) % 128) // 16) AS BIGINT)
+                 ELSE (((255 - c) % 16) * 8 + 132)
+                        * CAST(pow(2, ((255 - c) % 128) // 16) AS BIGINT) - 132
+               END
+             ELSE
+               -- A-law: 0x55 toggle, seg-0/1 offsets then shift
+               (CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END)
+               * CASE (xor(c, 85) % 128) // 16
+                   WHEN 0 THEN (xor(c, 85) % 16) * 16 + 8
+                   WHEN 1 THEN (xor(c, 85) % 16) * 16 + 264
+                   ELSE ((xor(c, 85) % 16) * 16 + 264)
+                        * CAST(pow(2, (xor(c, 85) % 128) // 16 - 1) AS BIGINT)
+                 END
+             END AS v
+      FROM codes
+    )
+    SELECT doc_id,
+           CAST(any_value(CASE WHEN is_ulaw THEN 'ulaw' ELSE 'alaw' END) AS VARCHAR)
+             AS encoding,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_linear,
+           CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(max(CASE WHEN i = 0 THEN v END) AS BIGINT) AS first_sample,
+           CAST(max(CASE WHEN i = n - 1 THEN v END) AS BIGINT) AS last_sample
+    FROM expanded GROUP BY doc_id
+    """,
+)
+def g711_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 µ-law/A-law WAV decode end to end — the telephony audio
+    layout (format tags 7/6; round 10, the audio tier's first
+    companded codec): even docs get µ-law, odd A-law, code bytes
+    ``(13n + 7d) mod 256`` so every code value appears across the
+    corpus; the decoder must apply the exact segment + mantissa
+    expansion (0x84 bias / 0x55 toggle) — a wrong bias, shift or sign
+    convention lands on sum_linear/peak immediately (the canonical
+    extremes ±32124/±32256 are reproduced). Oracle: the same expansion
+    formulas in integer SQL over a generate_series grid."""
+    from ..operators.multimodal import decode_g711_stats, synthesize_g711
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % G711_DOC_MOD == 10)
+    )
+    return decode_g711_stats(synthesize_g711(docs, "doc_id"))
+
+
 GIF_DOC_MOD = 11  # doc_id % 11 == 8 → ~1/11 of documents get a (multi-frame) GIF
 
 

@@ -1004,6 +1004,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "jpeg_411_decode_stats",  # r10: sampling factor 4 (DV 4:1:1 layout)
     "jpeg_lossless_decode_stats",  # r10: SOF3 predictive lossless (DICOM)
     "gif_decode_stats",  # r10: GIF LZW decode, multi-frame + interlace
+    "g711_decode_stats",  # r10: G.711 u-law/A-law telephony WAV expand
 ]
 
 

@@ -707,6 +707,7 @@ def test_decode_real_fuzz_valueerror_contract():
         decode_real,
         png_palette_bytes,
         png_pixel_bytes,
+        wav_g711_bytes,
         wav_pcm_bytes,
     )
 
@@ -747,6 +748,7 @@ def test_decode_real_fuzz_valueerror_contract():
         jpeg_progressive_bytes(16, 8, [g * 2], restart_interval=1),  # r10: DRI in SOF2
         jpeg_planes_bytes(8, 8, [[(37 * i) % 4096 for i in range(64)]], precision=12),
         wav_pcm_bytes(1, 8000, [100, -100, 50]),
+        wav_g711_bytes(1, 8000, bytes(range(0, 256, 7)), "ulaw"),
     ]
     for base in valid:
         check(base)  # sanity: the uncorrupted payload decodes
@@ -1036,6 +1038,39 @@ def test_jpeg_411_sampling():
     with _pytest.raises(ValueError):
         jpeg_planes_bytes(24, 8, [bytes(192), bytes(64), bytes(64)],
                           sampling=[(3, 1), (1, 1), (1, 1)])
+
+
+def test_g711_expand():
+    """G.711 (round 10): segment+mantissa expansion hits the canonical
+    extremes (±32124 µ-law, ±32256 A-law), zero codes map to 0/±8, the
+    container round-trips all 256 codes under both laws, and non-8-bit
+    G.711 raises."""
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        alaw_expand,
+        ulaw_expand,
+        wav_decode_samples,
+        wav_g711_bytes,
+    )
+
+    assert ulaw_expand(0x80) == 32124 and ulaw_expand(0x00) == -32124
+    assert ulaw_expand(0xFF) == 0 and ulaw_expand(0x7F) == 0
+    assert alaw_expand(0xAA) == 32256 and alaw_expand(0x2A) == -32256
+    assert alaw_expand(0xD5) == 8 and alaw_expand(0x55) == -8
+    codes = bytes(range(256))
+    for law, expand in (("ulaw", ulaw_expand), ("alaw", alaw_expand)):
+        d = wav_decode_samples(wav_g711_bytes(1, 8000, codes, law))
+        assert d["encoding"] == law and d["samples"] == [expand(c) for c in codes]
+        # µ-law expansion is symmetric in the complemented code space
+    with _pytest.raises(ValueError):
+        wav_g711_bytes(1, 8000, codes, "mp3")
+    # a G.711 fmt chunk declaring 16 bits is malformed
+    b = bytearray(wav_g711_bytes(1, 8000, codes, "ulaw"))
+    p = b.find(b"fmt ") + 8 + 14
+    b[p] = 16
+    with _pytest.raises(ValueError):
+        wav_decode_samples(bytes(b))
 
 
 def test_gif_roundtrip():
