@@ -91,6 +91,8 @@ def decode_real(payload: bytes) -> dict:
         from .gifcodec import gif_decode_pixels
 
         return gif_decode_pixels(payload)
+    if meta["media_type"] == "image/bmp":
+        return bmp_decode_pixels(payload)
     return meta
 
 
@@ -346,6 +348,123 @@ def png_pixel16_bytes(
         _PNG_SIG + _chunk(b"IHDR", ihdr_body) + _png_idat_chunks(filtered)
         + _chunk(b"IEND", b"")
     )
+
+
+def bmp_bytes(
+    width: int, height: int, rgb: bytes, palette: bytes | None = None
+) -> bytes:
+    """REAL BMP encode (round 10 — the uncompressed scan/screenshot
+    format): BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER, BOTTOM-UP
+    rows padded to 4 bytes. 24-bit BGR when ``palette`` is None
+    (``rgb`` = RGB triples, swizzled to the on-disk BGR order), else
+    8-bit indexed over a BGRA color table (``rgb`` = index bytes)."""
+    if palette is None:
+        if len(rgb) != width * height * 3:
+            raise ValueError(f"need {width * height * 3} RGB bytes")
+        bpp, table = 24, b""
+        rowbytes = width * 3
+    else:
+        n = len(palette) // 3
+        if len(palette) % 3 or not 1 <= n <= 256:
+            raise ValueError("palette must be 1..256 RGB triples")
+        if len(rgb) != width * height:
+            raise ValueError(f"need {width * height} index bytes")
+        if rgb and max(rgb) >= n:
+            raise ValueError("index past the palette")
+        bpp = 8
+        table = b"".join(
+            bytes([palette[3 * j + 2], palette[3 * j + 1], palette[3 * j], 0])
+            for j in range(n)
+        )
+        rowbytes = width
+    pad = (-rowbytes) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        if bpp == 24:
+            row = bytearray()
+            for x in range(width):
+                j = 3 * (y * width + x)
+                row += bytes([rgb[j + 2], rgb[j + 1], rgb[j]])  # RGB -> BGR
+            rows.append(bytes(row) + b"\x00" * pad)
+        else:
+            rows.append(rgb[y * width : (y + 1) * width] + b"\x00" * pad)
+    pixel_data = b"".join(rows)
+    offset = 14 + 40 + len(table)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(pixel_data), 2835, 2835,
+        len(table) // 4, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_data), 0, 0, offset)
+    return header + info + table + pixel_data
+
+
+@decode_valueerror_contract
+def bmp_decode_pixels(b: bytes) -> dict:
+    """REAL BMP decode: header walk, bottom-up row un-padding, BGR→RGB
+    swizzle (24-bit) or color-table lookup (8-bit indexed). Top-down
+    BMPs (negative height) are handled; compressed BMPs raise."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack("<I", b[10:14])[0]
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMPs not supported")
+    width, height = struct.unpack("<ii", b[18:26])
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    compression = struct.unpack("<I", b[30:34])[0]
+    n_colors = struct.unpack("<I", b[46:50])[0]
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError("BMP with zero-area frame")
+    if compression != 0:
+        raise ValueError("compressed BMPs not supported")
+    if bpp not in (8, 24):
+        raise ValueError(f"only 8/24-bit BMPs supported, got {bpp}")
+    if 3 * width * height > _MAX_DECODED_BYTES:
+        raise ValueError("BMP declares implausible dimensions")
+    table = None
+    if bpp == 8:
+        if n_colors == 0:
+            n_colors = 256
+        t0 = 14 + hdr_size
+        table = b[t0 : t0 + 4 * n_colors]
+        if len(table) < 4 * n_colors:
+            raise ValueError("truncated BMP color table")
+    rowbytes = width * (3 if bpp == 24 else 1)
+    stride = rowbytes + ((-rowbytes) % 4)
+    if offset + stride * height > len(b):
+        raise ValueError("truncated BMP pixel data")
+    rgb = bytearray(3 * width * height)
+    for ry in range(height):
+        y = ry if top_down else height - 1 - ry
+        row = b[offset + ry * stride : offset + ry * stride + rowbytes]
+        if bpp == 24:
+            for x in range(width):
+                j = 3 * (y * width + x)
+                rgb[j] = row[3 * x + 2]
+                rgb[j + 1] = row[3 * x + 1]
+                rgb[j + 2] = row[3 * x]
+        else:
+            for x in range(width):
+                v = row[x]
+                if v * 4 + 3 > len(table):
+                    raise ValueError("BMP index past the color table")
+                j = 3 * (y * width + x)
+                rgb[j] = table[4 * v + 2]
+                rgb[j + 1] = table[4 * v + 1]
+                rgb[j + 2] = table[4 * v]
+    return {
+        "media_type": "image/bmp",
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "bit_depth": 8,
+        "bpp": bpp,
+        "top_down": top_down,
+        "palette_size": (n_colors if bpp == 8 else None),
+        "raster": bytes(rgb),
+    }
 
 
 def png_palette_bytes(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
@@ -678,6 +797,12 @@ def parse_media(b: bytes) -> dict:
                     }
                 i += 2 + seglen
             return dict(_EMPTY_MEDIA)
+        if b[:2] == b"BM" and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            return {
+                "media_type": "image/bmp", "width": w, "height": abs(h),
+                "channels": 3, "sample_rate": None, "n_samples": None,
+            }
         if b[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack("<HH", b[6:10])
             return {
@@ -1626,6 +1751,109 @@ def decode_jpeg12_stats(media: DataFrame, strict: bool = True) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=JPEG12_STATS_SCHEMA)
+
+
+BMP_STATS_SCHEMA = (
+    "doc_id long, width long, height long, bpp long, palette_size long, "
+    "r_sum long, g_sum long, b_sum long, first_px long, last_px long"
+)
+
+
+def synthesize_bmp(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL BMPs (the uncompressed scan/screenshot format):
+    ``(d%9+2) × (d%6+2)`` frames — widths 2..10 exercise every 4-byte
+    row-padding amount — 24-bit BGR bottom-up for even docs (channel c
+    at (x, y) valued ``(3x + 5y + 7d + 11c) mod 256``) and 8-bit
+    indexed over a ``d%5+2``-entry color table for odd docs (index
+    ``(x + 2y + d) mod nc``, table entry ``(7j, 13j, 29j) mod 256``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = d % 9 + 2, d % 6 + 2
+                if d % 2 == 0:
+                    rgb = bytes(
+                        (3 * x + 5 * y + 7 * d + 11 * c) % 256
+                        for y in range(h)
+                        for x in range(w)
+                        for c in range(3)
+                    )
+                    payloads.append(bmp_bytes(w, h, rgb))
+                else:
+                    nc = d % 5 + 2
+                    pal = bytes(
+                        v
+                        for j in range(nc)
+                        for v in ((7 * j) % 256, (13 * j) % 256, (29 * j) % 256)
+                    )
+                    idx = bytes(
+                        (x + 2 * y + d) % nc for y in range(h) for x in range(w)
+                    )
+                    payloads.append(bmp_bytes(w, h, idx, palette=pal))
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_bmp_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched BMP decode over (doc_id, payload): channel sums
+    come from the post-swizzle (or post-lookup) RGB raster, so a missed
+    BGR→RGB swap, a wrong row-padding stride, or an un-flipped
+    bottom-up row order lands on r_sum/b_sum or first/last pixels.
+    ``strict=False`` = poison-safe NULL-stats rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if d.get("media_type") != "image/bmp":
+                        raise ValueError("expected a BMP")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "width", "height", "bpp", "palette_size",
+                                    "r_sum", "g_sum", "b_sum",
+                                    "first_px", "last_px",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                r = d["raster"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "bpp": d["bpp"],
+                        "palette_size": d["palette_size"],
+                        "r_sum": sum(r[0::3]),
+                        "g_sum": sum(r[1::3]),
+                        "b_sum": sum(r[2::3]),
+                        "first_px": r[0],
+                        "last_px": r[-1],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=BMP_STATS_SCHEMA)
 
 
 G711_STATS_SCHEMA = (

@@ -4206,6 +4206,68 @@ def jpeg_411_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg411_stats(synthesize_jpeg_411(docs, "doc_id"))
 
 
+BMP_DOC_MOD = 13  # doc_id % 13 == 11 → ~1/13 of documents get a BMP
+
+
+@register(
+    "bmp_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             doc_id % 9 + 2 AS w,
+             doc_id % 6 + 2 AS h,
+             doc_id % 2 = 0 AS truecolor,
+             doc_id % 5 + 2 AS nc
+      FROM documents WHERE doc_id % {BMP_DOC_MOD} = 11
+    ),
+    px AS (
+      SELECT s.doc_id, s.w, s.h, s.truecolor, s.nc, gx.x, gy.y,
+             CASE WHEN s.truecolor
+                  THEN (3 * gx.x + 5 * gy.y + 7 * s.doc_id) % 256
+                  ELSE 7 * ((gx.x + 2 * gy.y + s.doc_id) % s.nc) % 256 END AS r,
+             CASE WHEN s.truecolor
+                  THEN (3 * gx.x + 5 * gy.y + 7 * s.doc_id + 11) % 256
+                  ELSE 13 * ((gx.x + 2 * gy.y + s.doc_id) % s.nc) % 256 END AS g,
+             CASE WHEN s.truecolor
+                  THEN (3 * gx.x + 5 * gy.y + 7 * s.doc_id + 22) % 256
+                  ELSE 29 * ((gx.x + 2 * gy.y + s.doc_id) % s.nc) % 256 END AS b
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.w)) AS x) gx,
+           LATERAL (SELECT unnest(range(0, s.h)) AS y) gy
+    )
+    SELECT doc_id,
+           CAST(any_value(w) AS BIGINT) AS width,
+           CAST(any_value(h) AS BIGINT) AS height,
+           CAST(CASE WHEN any_value(truecolor) THEN 24 ELSE 8 END AS BIGINT) AS bpp,
+           CAST(CASE WHEN any_value(truecolor) THEN NULL
+                     ELSE any_value(nc) END AS BIGINT) AS palette_size,
+           CAST(sum(r) AS BIGINT) AS r_sum,
+           CAST(sum(g) AS BIGINT) AS g_sum,
+           CAST(sum(b) AS BIGINT) AS b_sum,
+           CAST(max(CASE WHEN x = 0 AND y = 0 THEN r END) AS BIGINT) AS first_px,
+           CAST(max(CASE WHEN x = w - 1 AND y = h - 1 THEN b END) AS BIGINT) AS last_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP decode end to end — the uncompressed scan/screenshot format
+    (round 10): synthesize_bmp writes real bottom-up, 4-byte-row-padded
+    streams (widths 2..10 hit every padding amount) in both real-world
+    variants — 24-bit BGR truecolor (even docs) and 8-bit indexed over
+    a BGRA color table (odd docs); decode_bmp_stats must flip the row
+    order, strip the padding, and swizzle BGR→RGB (or look indices up)
+    — each mistake lands on r_sum/b_sum or the corner pixels. Oracle:
+    the same channel arithmetic on a generate_series grid."""
+    from ..operators.multimodal import decode_bmp_stats, synthesize_bmp
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % BMP_DOC_MOD == 11)
+    )
+    return decode_bmp_stats(synthesize_bmp(docs, "doc_id"))
+
+
 G711_DOC_MOD = 11  # doc_id % 11 == 10 → ~1/11 of documents get a G.711 WAV
 
 

@@ -1005,6 +1005,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "jpeg_lossless_decode_stats",  # r10: SOF3 predictive lossless (DICOM)
     "gif_decode_stats",  # r10: GIF LZW decode, multi-frame + interlace
     "g711_decode_stats",  # r10: G.711 u-law/A-law telephony WAV expand
+    "bmp_decode_stats",  # r10: BMP bottom-up BGR + indexed decode
 ]
 
 

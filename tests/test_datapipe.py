@@ -704,6 +704,7 @@ def test_decode_real_fuzz_valueerror_contract():
         jpeg_progressive_bytes,
     )
     from lfb_data_warehouse_spark.operators.multimodal import (
+        bmp_bytes,
         decode_real,
         png_palette_bytes,
         png_pixel_bytes,
@@ -749,6 +750,7 @@ def test_decode_real_fuzz_valueerror_contract():
         jpeg_planes_bytes(8, 8, [[(37 * i) % 4096 for i in range(64)]], precision=12),
         wav_pcm_bytes(1, 8000, [100, -100, 50]),
         wav_g711_bytes(1, 8000, bytes(range(0, 256, 7)), "ulaw"),
+        bmp_bytes(5, 4, bytes((3 * i) % 256 for i in range(60))),
     ]
     for base in valid:
         check(base)  # sanity: the uncorrupted payload decodes
@@ -1038,6 +1040,51 @@ def test_jpeg_411_sampling():
     with _pytest.raises(ValueError):
         jpeg_planes_bytes(24, 8, [bytes(192), bytes(64), bytes(64)],
                           sampling=[(3, 1), (1, 1), (1, 1)])
+
+
+def test_bmp_roundtrip():
+    """BMP codec (round 10): bottom-up rows, every 4-byte padding
+    amount, BGR↔RGB swizzle, 8-bit color-table lookup, top-down
+    (negative-height) streams, and error contracts."""
+    import random
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        bmp_bytes,
+        bmp_decode_pixels,
+    )
+
+    rng = random.Random(8)
+    for w in (1, 2, 3, 4, 5, 7):
+        h = rng.randint(1, 9)
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        d = bmp_decode_pixels(bmp_bytes(w, h, rgb))
+        assert d["raster"] == rgb and d["bpp"] == 24, (w, h)
+    pal = bytes((7 * j) % 256 for j in range(15))
+    idx = bytes((x + 2 * y) % 5 for y in range(7) for x in range(9))
+    d = bmp_decode_pixels(bmp_bytes(9, 7, idx, palette=pal))
+    assert d["raster"] == b"".join(pal[3 * v : 3 * v + 3] for v in idx)
+    assert d["palette_size"] == 5
+    # top-down: negative height reads rows in file order
+    b = bytearray(bmp_bytes(4, 3, bytes(range(36))))
+    b[18:26] = _struct.pack("<ii", 4, -3)
+    orig = bytes(range(36))
+    d2 = bmp_decode_pixels(bytes(b))
+    assert d2["top_down"] is True
+    assert d2["raster"] == b"".join(
+        orig[12 * (2 - y) : 12 * (3 - y)] for y in range(3)
+    )
+    # contract: truncation, compression flag, index past table
+    with _pytest.raises(ValueError):
+        bmp_decode_pixels(bmp_bytes(4, 2, bytes(24))[:-3])
+    comp = bytearray(bmp_bytes(4, 2, bytes(24)))
+    comp[30] = 1  # BI_RLE8
+    with _pytest.raises(ValueError):
+        bmp_decode_pixels(bytes(comp))
+    with _pytest.raises(ValueError):
+        bmp_bytes(2, 2, bytes([5, 0, 0, 0]), palette=bytes(9))
 
 
 def test_g711_expand():
