@@ -78,9 +78,11 @@ History:
   queries whose last driver row is round 5 (marts, SCD battery, DQ
   checks, hash_surrogate_keys, topk_parts_per_brand, composite
   joins), then the round-6-era rows oldest-first in registry order.
-  The round-10 additions (progressive-restart JPEG, 16-bit resize)
-  sit in UNCHECKED_PRIORITY ahead of them; a green round 10 leaves no
-  registry row older than round 6.
+  The round-10 additions (progressive-restart JPEG, 16-bit resize,
+  12-bit JPEG, 4:1:1 JPEG, lossless JPEG, GIF, G.711, BMP — registry
+  220 → 228) sit in UNCHECKED_PRIORITY ahead of them; the window still
+  holds flagship + 9 new + all 25 r5-era rows + the r6 head, so a
+  green round 10 leaves no registry row older than round 6.
 
 Maintenance: after each round, append that round's green names to
 the _R{N}_GREEN block and rebuild UNCHECKED_PRIORITY from whatever has
