@@ -651,7 +651,6 @@ def wav_pcm_bytes(channels: int, sample_rate: int, samples: list[int], bits: int
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-@decode_valueerror_contract
 def ulaw_expand(u: int) -> int:
     """G.711 µ-law code byte → 16-bit linear sample (segment + mantissa
     expansion with the 0x84 bias; code bytes are stored complemented)."""
@@ -692,6 +691,7 @@ def wav_g711_bytes(channels: int, sample_rate: int, codes: bytes, law: str) -> b
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
+@decode_valueerror_contract
 def wav_decode_samples(b: bytes) -> dict:
     """REAL WAV sample decode: RIFF chunk walk to ``fmt ``/``data``,
     then unpack the interleaved samples — PCM (fmt 1, 8-bit unsigned or

@@ -862,8 +862,11 @@ def test_jpeg_420_subsampled_roundtrip():
             [tiles(24, 16, 0), tiles(12, 8, 31), tiles(12, 8, 62)],
             sampling=[(2, 2), (1, 1), (1, 1)],
         )
-    # sampling factors above 2 are an explicit error
+    # factor 3 stays an explicit error (round 10 admitted 4, not 3),
+    # and a 4x4 luma MCU blows the T.81 B.2.3 ten-data-unit bound
     with _pytest.raises(ValueError, match="sampling factors"):
+        jpeg_planes_bytes(w, h, [y, cb, cr], sampling=[(3, 1), (1, 1), (1, 1)])
+    with _pytest.raises(ValueError, match="10 data units"):
         jpeg_planes_bytes(w, h, [y, cb, cr], sampling=[(4, 4), (1, 1), (1, 1)])
 
 
