@@ -1753,6 +1753,138 @@ def decode_jpeg12_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=JPEG12_STATS_SCHEMA)
 
 
+WARC_STATS_SCHEMA = (
+    "doc_id long, rec_index long, n_records long, warc_type string, "
+    "content_length long, body_chars long, body_sum long"
+)
+
+# HTTP blocks shared by the WARC fixture and (via len()) its oracle
+WARC_RESP_HDR = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+WARC_REQ_PAYLOAD = "GET /{r} HTTP/1.1\r\nHost: example.com\r\n\r\n"
+
+
+def synthesize_warc(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL WARC/1.0 files — the Common Crawl container
+    every web-scale training corpus starts from: ``d%4+1`` records per
+    doc, alternating response/request, each record an independent gzip
+    MEMBER (the per-record compression Common Crawl uses, so the
+    reader must handle concatenated members), response bodies
+    ``"R:" + "a"×((3d+7r)%50+10)`` — closed-form, so the oracle
+    recomputes per-record lengths and byte sums arithmetically."""
+    import gzip
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                members = []
+                for r in range(d % 4 + 1):
+                    if r % 2 == 0:
+                        body = "R:" + "a" * ((3 * d + 7 * r) % 50 + 10)
+                        payload = (WARC_RESP_HDR + body).encode()
+                        wtype = "response"
+                    else:
+                        payload = WARC_REQ_PAYLOAD.format(r=r).encode()
+                        wtype = "request"
+                    rec = (
+                        f"WARC/1.0\r\n"
+                        f"WARC-Type: {wtype}\r\n"
+                        f"WARC-Target-URI: http://example.com/{d}/{r}\r\n"
+                        f"Content-Length: {len(payload)}\r\n\r\n"
+                    ).encode() + payload + b"\r\n\r\n"
+                    members.append(gzip.compress(rec, compresslevel=6, mtime=0))
+                payloads.append(b"".join(members))
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def parse_warc_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched WARC parse over (doc_id, payload): gunzip the
+    concatenated members, walk Content-Length-framed records, parse
+    WARC headers, and split HTTP headers from bodies — one output row
+    per record, so framing drift (a wrong length, a missed \\r\\n\\r\\n
+    separator) derails every subsequent record's stats. ``strict=False``
+    = poison-safe NULL-stats rows."""
+    import gzip
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    raw = gzip.decompress(bytes(payload))
+                    recs = []
+                    i = 0
+                    while i < len(raw):
+                        if not raw.startswith(b"WARC/1.0\r\n", i):
+                            raise ValueError("record does not start with WARC/1.0")
+                        hdr_end = raw.find(b"\r\n\r\n", i)
+                        if hdr_end < 0:
+                            raise ValueError("unterminated WARC header block")
+                        headers = {}
+                        for line in raw[i + 10 : hdr_end].split(b"\r\n"):
+                            k, _, v = line.partition(b": ")
+                            headers[k.decode().lower()] = v.decode()
+                        clen = int(headers["content-length"])
+                        body_start = hdr_end + 4
+                        if body_start + clen > len(raw):
+                            raise ValueError("WARC record overruns the file")
+                        block = raw[body_start : body_start + clen]
+                        http_split = block.find(b"\r\n\r\n")
+                        body = block[http_split + 4 :] if http_split >= 0 else b""
+                        recs.append(
+                            (headers.get("warc-type", ""), clen, body)
+                        )
+                        i = body_start + clen
+                        if raw[i : i + 4] != b"\r\n\r\n":
+                            raise ValueError("missing WARC record separator")
+                        i += 4
+                    if not recs:
+                        raise ValueError("WARC with no records")
+                except (ValueError, OSError, KeyError) as exc:
+                    if strict:
+                        if isinstance(exc, ValueError):
+                            raise
+                        raise ValueError(str(exc)) from exc
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "rec_index", "n_records", "warc_type",
+                                    "content_length", "body_chars", "body_sum",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                for ri, (wtype, clen, body) in enumerate(recs):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "rec_index": ri,
+                            "n_records": len(recs),
+                            "warc_type": wtype,
+                            "content_length": clen,
+                            "body_chars": len(body),
+                            "body_sum": sum(body),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=WARC_STATS_SCHEMA)
+
+
 BMP_STATS_SCHEMA = (
     "doc_id long, width long, height long, bpp long, palette_size long, "
     "r_sum long, g_sum long, b_sum long, first_px long, last_px long"

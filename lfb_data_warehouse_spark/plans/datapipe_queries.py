@@ -4206,6 +4206,66 @@ def jpeg_411_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg411_stats(synthesize_jpeg_411(docs, "doc_id"))
 
 
+WARC_DOC_MOD = 13  # doc_id % 13 == 12 → ~1/13 of documents get a WARC file
+
+
+def _warc_consts() -> tuple[int, int]:
+    from ..operators.multimodal import WARC_REQ_PAYLOAD, WARC_RESP_HDR
+
+    # request index r is always a single digit (records per doc ≤ 4)
+    return len(WARC_RESP_HDR), len(WARC_REQ_PAYLOAD.format(r=1))
+
+
+_WARC_RESP_LEN, _WARC_REQ_LEN = _warc_consts()
+
+
+@register(
+    "warc_parse_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id, doc_id % 4 + 1 AS nr
+      FROM documents WHERE doc_id % {WARC_DOC_MOD} = 12
+    ),
+    recs AS (
+      SELECT s.doc_id, s.nr, gr.r,
+             (3 * s.doc_id + 7 * gr.r) % 50 + 10 AS k,
+             gr.r % 2 = 0 AS is_resp
+      FROM sel s, LATERAL (SELECT unnest(range(0, s.nr)) AS r) gr
+    )
+    SELECT doc_id,
+           CAST(r AS BIGINT) AS rec_index,
+           CAST(nr AS BIGINT) AS n_records,
+           CAST(CASE WHEN is_resp THEN 'response' ELSE 'request' END AS VARCHAR)
+             AS warc_type,
+           CAST(CASE WHEN is_resp THEN {_WARC_RESP_LEN} + k + 2
+                     ELSE {_WARC_REQ_LEN} END AS BIGINT) AS content_length,
+           CAST(CASE WHEN is_resp THEN k + 2 ELSE 0 END AS BIGINT) AS body_chars,
+           CAST(CASE WHEN is_resp THEN 140 + 97 * k ELSE 0 END AS BIGINT)
+             AS body_sum
+    FROM recs
+    """,
+)
+def warc_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.0 parsing end to end — the Common Crawl container every
+    web-scale training corpus starts from (round 10): synthesize_warc
+    writes per-record gzip MEMBERS (the reader must decompress a
+    concatenated-member stream), Content-Length-framed records with
+    real WARC headers, alternating HTTP response/request payloads;
+    parse_warc_stats must walk the framing exactly — one wrong length
+    or missed separator derails every later record — and split HTTP
+    headers from bodies. One output row per record. Oracle: the
+    record-length and body-byte arithmetic recomputed from the shared
+    header constants (imported, not duplicated)."""
+    from ..operators.multimodal import parse_warc_stats, synthesize_warc
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % WARC_DOC_MOD == 12)
+    )
+    return parse_warc_stats(synthesize_warc(docs, "doc_id"))
+
+
 BMP_DOC_MOD = 13  # doc_id % 13 == 11 → ~1/13 of documents get a BMP
 
 

@@ -1045,6 +1045,55 @@ def test_jpeg_411_sampling():
                           sampling=[(3, 1), (1, 1), (1, 1)])
 
 
+def test_warc_parse(spark):
+    """WARC parsing (round 10): concatenated gzip members,
+    Content-Length framing, HTTP header/body split, and the framing
+    error contract (a corrupted length or separator raises rather
+    than mis-attributing bytes to the wrong record)."""
+    import gzip
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        parse_warc_stats,
+        synthesize_warc,
+    )
+
+    docs = spark.createDataFrame([(7,), (12,), (25,)], "doc_id long")
+    rows = parse_warc_stats(synthesize_warc(docs, "doc_id")).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, recs in by_doc.items():
+        assert len(recs) == d % 4 + 1
+        for r in sorted(recs, key=lambda x: x["rec_index"]):
+            if r["rec_index"] % 2 == 0:
+                k = (3 * d + 7 * r["rec_index"]) % 50 + 10
+                assert r["warc_type"] == "response"
+                assert r["body_chars"] == k + 2
+                assert r["body_sum"] == 140 + 97 * k
+            else:
+                assert r["warc_type"] == "request" and r["body_chars"] == 0
+    # framing corruption: patch a Content-Length digit -> ValueError
+    payload = bytes(
+        synthesize_warc(docs, "doc_id").collect()[0]["payload"]
+    )
+    raw = bytearray(gzip.decompress(payload))
+    p = raw.find(b"Content-Length: ") + len(b"Content-Length: ")
+    raw[p] = ord("9")
+    strict = parse_warc_stats(
+        spark.createDataFrame([(1, bytes(gzip.compress(bytes(raw))))],
+                              "doc_id long, payload binary"),
+        strict=False,
+    ).collect()
+    assert strict[0]["body_sum"] is None  # poison-safe NULL row
+    with _pytest.raises(Exception):
+        parse_warc_stats(
+            spark.createDataFrame([(1, bytes(gzip.compress(bytes(raw))))],
+                                  "doc_id long, payload binary")
+        ).collect()
+
+
 def test_bmp_roundtrip():
     """BMP codec (round 10): bottom-up rows, every 4-byte padding
     amount, BGR↔RGB swizzle, 8-bit color-table lookup, top-down
