@@ -142,6 +142,57 @@ def normalized_text_sql(text: str) -> str:
     return f"trim(regexp_replace(lower({text}), '\\s+', ' ', 'g'))"
 
 
+# HTML text extraction (round 10): the boilerplate-strip stage every
+# crawl-derived corpus runs before quality scoring. Patterns restricted
+# to syntax Java regex and RE2 read identically — NO backreferences
+# (RE2 has none), so script/style blocks get their own literal
+# patterns instead of <(script|style)>.*?</\1>. Order matters twice:
+# blocks strip before generic tags (their contents must vanish, not
+# leak as text), and &amp; decodes LAST (else &amp;lt; would double-
+# decode into a live tag).
+_HTML_BLOCKS = (r"<script[^>]*>.*?</script>", r"<style[^>]*>.*?</style>")
+_HTML_TAG = r"<[^>]+>"
+_HTML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_text(html: Column | str) -> Column:
+    """Visible text of an HTML fragment: script/style blocks removed,
+    tags stripped, the five core entities decoded (&amp; last),
+    whitespace collapsed — all codegen'd regexp_replace, map-only."""
+    c = F.col(html) if isinstance(html, str) else html
+    for pat in _HTML_BLOCKS:
+        c = F.regexp_replace(c, pat, " ")
+    c = F.regexp_replace(c, _HTML_TAG, " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, ch)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_text_sql(html: str) -> str:
+    c = html
+    for pat in _HTML_BLOCKS:
+        c = f"regexp_replace({c}, '{pat}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{_HTML_TAG}', ' ', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+
+
+def html_tag_count(html: Column | str) -> Column:
+    """Number of tags in the fragment — the markup-density signal
+    boilerplate classifiers use."""
+    c = F.col(html) if isinstance(html, str) else html
+    return F.size(F.regexp_extract_all(c, F.lit(_HTML_TAG), 0))
+
+
+def html_tag_count_sql(html: str) -> str:
+    return f"len(regexp_extract_all({html}, '{_HTML_TAG}'))"
+
+
 # PII patterns restricted to syntax Java regex and RE2 read identically
 # (no backrefs, no lookaround). Email before phone: once emails are
 # replaced, their digit runs can no longer feed the phone pattern.

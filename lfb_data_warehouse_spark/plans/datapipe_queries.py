@@ -4206,6 +4206,59 @@ def jpeg_411_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg411_stats(synthesize_jpeg_411(docs, "doc_id"))
 
 
+def _html_oracle() -> str:
+    from ..functions.text import html_tag_count_sql, html_text_sql
+
+    html = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "'</title><style>p{color:red}</style></head><body><h1>H</h1><p>' || "
+        "substr(text, 1, 80) || "
+        "'</p><script>var x=1&amp;2;</script>"
+        "<p>tail &amp; &quot;q&quot; &#39;s &lt;ok&gt;</p></body></html>'"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST({html_tag_count_sql(html)} AS BIGINT) AS n_tags,
+           regexp_extract({html}, '<title>([^<]*)</title>', 1) AS title,
+           {html_text_sql(html)} AS extracted,
+           CAST(length({html_text_sql(html)}) AS BIGINT) AS text_len
+    FROM documents WHERE doc_id % 7 = 2
+    """
+
+
+@register("html_text_extract", oracle=_html_oracle())
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip — the text-extraction stage every
+    crawl-derived corpus runs before quality scoring (round 10; pairs
+    with warc_parse_stats for the crawl→text story): the fixture wraps
+    each document's text in real markup (title, style and script
+    blocks whose CONTENTS must vanish — including a decoy &amp; inside
+    the script — plus the five core entities), and the whole extract
+    runs as codegen'd JVM regexp_replace chains, zero Python. Block
+    patterns avoid backreferences (RE2 has none) and &amp; decodes
+    LAST; a wrong order leaks markup into `extracted`, which the
+    oracle compares as a full string. n_tags pins markup density,
+    title pins capture-group extraction."""
+    from ..functions.text import html_tag_count, html_text
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 2)
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{color:red}</style></head><body><h1>H</h1><p>"),
+        F.substring("text", 1, 80),
+        F.lit("</p><script>var x=1&amp;2;</script>"
+              "<p>tail &amp; &quot;q&quot; &#39;s &lt;ok&gt;</p></body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        html_tag_count(html).cast("long").alias("n_tags"),
+        F.regexp_extract(html, "<title>([^<]*)</title>", 1).alias("title"),
+        html_text(html).alias("extracted"),
+        F.length(html_text(html)).cast("long").alias("text_len"),
+    )
+
+
 WARC_DOC_MOD = 13  # doc_id % 13 == 12 → ~1/13 of documents get a WARC file
 
 

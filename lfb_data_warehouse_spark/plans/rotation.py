@@ -1009,6 +1009,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "g711_decode_stats",  # r10: G.711 u-law/A-law telephony WAV expand
     "bmp_decode_stats",  # r10: BMP bottom-up BGR + indexed decode
     "warc_parse_stats",  # r10: WARC/1.0 Common Crawl container parse
+    "html_text_extract",  # r10: JVM-side boilerplate strip + entities
 ]
 
 

@@ -1045,6 +1045,29 @@ def test_jpeg_411_sampling():
                           sampling=[(3, 1), (1, 1), (1, 1)])
 
 
+def test_html_text_extract(spark):
+    """HTML strip (round 10): block contents vanish (script/style),
+    entities decode in the safe order (&amp; LAST — '&amp;lt;' must
+    yield the literal text '&lt;', never a live '<'), whitespace
+    collapses, and the whole path is JVM regexp_replace (no Python)."""
+    from lfb_data_warehouse_spark.functions.text import html_tag_count, html_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>a  b</p><script>drop me &amp; this</script><p>c</p>"),
+            (2, "x &amp;lt; y &quot;q&quot; &#39;s&#39; &gt;"),
+            (3, "<style>p{x:1}</style><DIV>keep</DIV>"),
+        ],
+        "id long, h string",
+    )
+    out = {r["id"]: (r["t"], r["n"]) for r in df.select(
+        "id", html_text("h").alias("t"), html_tag_count("h").alias("n")
+    ).collect()}
+    assert out[1] == ("a b c", 6)  # script CONTENT gone; all 6 tags counted
+    assert out[2][0] == "x &lt; y \"q\" 's' >"  # no double-decode
+    assert out[3] == ("keep", 4)  # style block gone; DIV tags stripped
+
+
 def test_warc_parse(spark):
     """WARC parsing (round 10): concatenated gzip members,
     Content-Length framing, HTTP header/body split, and the framing
