@@ -93,6 +93,10 @@ def decode_real(payload: bytes) -> dict:
         return gif_decode_pixels(payload)
     if meta["media_type"] == "image/bmp":
         return bmp_decode_pixels(payload)
+    if meta["media_type"] == "image/tiff":
+        from .tiffcodec import tiff_decode_pixels
+
+        return tiff_decode_pixels(payload)
     return meta
 
 
@@ -802,6 +806,11 @@ def parse_media(b: bytes) -> dict:
             return {
                 "media_type": "image/bmp", "width": w, "height": abs(h),
                 "channels": 3, "sample_rate": None, "n_samples": None,
+            }
+        if b[:4] in (b"II*\x00", b"MM\x00*"):
+            return {
+                "media_type": "image/tiff", "width": None, "height": None,
+                "channels": None, "sample_rate": None, "n_samples": None,
             }
         if b[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack("<HH", b[6:10])
@@ -1751,6 +1760,106 @@ def decode_jpeg12_stats(media: DataFrame, strict: bool = True) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=JPEG12_STATS_SCHEMA)
+
+
+TIFF_STATS_SCHEMA = (
+    "doc_id long, width long, height long, channels long, n_strips long, "
+    "compression string, big_endian boolean, "
+    "px_sum long, first_px long, last_px long"
+)
+
+
+def synthesize_tiff(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL baseline TIFFs (the scan/scientific format):
+    ``(d%12+3) × (d%8+3)`` frames, grayscale for even docs / RGB for
+    odd, ``d%4+1``-row strips (so every doc is genuinely multi-strip),
+    PackBits-compressed when ``d%3==0``, big-endian when ``d%5==0`` —
+    sample ``(3x + 5y + 7d + 11c) mod 256`` closed-form so the oracle
+    recomputes channel sums while the engine must walk the IFD, read
+    inline-vs-offset tag arrays, and reassemble (possibly RLE) strips."""
+    from .tiffcodec import tiff_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = d % 12 + 3, d % 8 + 3
+                ch = 1 if d % 2 == 0 else 3
+                raster = bytes(
+                    (3 * x + 5 * y + 7 * d + 11 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(ch)
+                )
+                payloads.append(
+                    tiff_bytes(
+                        w, h, raster, channels=ch, rows_per_strip=d % 4 + 1,
+                        packbits=d % 3 == 0, big_endian=d % 5 == 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_tiff_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched TIFF decode over (doc_id, payload): pixel stats
+    come from the reassembled raster, so a wrong strip count, an
+    endian-flipped tag value, a mis-read offset array, or a PackBits
+    drift lands on px_sum or the corner pixels. ``strict=False`` =
+    poison-safe NULL-stats rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if d.get("media_type") != "image/tiff":
+                        raise ValueError("expected a TIFF")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "width", "height", "channels", "n_strips",
+                                    "compression", "big_endian",
+                                    "px_sum", "first_px", "last_px",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                r = d["raster"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "channels": d["channels"],
+                        "n_strips": d["n_strips"],
+                        "compression": d["compression"],
+                        "big_endian": d["big_endian"],
+                        "px_sum": sum(r),
+                        "first_px": r[0],
+                        "last_px": r[-1],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=TIFF_STATS_SCHEMA)
 
 
 WARC_STATS_SCHEMA = (

@@ -1,0 +1,251 @@
+"""TIFF codec, stdlib only — the scan/scientific still-image staple.
+
+Rounds out the media tier's still-image coverage (PNG/JPEG/GIF/BMP)
+with baseline TIFF 6.0:
+
+* encoder: header in either byte order (``II``/``MM``), a single IFD
+  carrying the nine baseline tags (width, length, bits/sample,
+  compression, photometric, strip offsets, samples/pixel,
+  rows-per-strip, strip byte counts), pixel data split into REAL
+  multi-row strips, optionally PackBits-compressed (the TIFF RLE);
+* decoder: endian-aware IFD walk (SHORT/LONG types, ≤4-byte values
+  inlined in the tag as the spec requires, larger arrays via offset),
+  per-strip PackBits decompression, strip reassembly into the raster.
+
+PackBits and uncompressed strips are lossless, so the oracle gate
+recomputes raw sample arithmetic — the same no-tolerance
+verifiability as the lossless-JPEG/GIF/BMP tiers.
+
+Not supported (explicit ValueError): LZW/JPEG/deflate compression,
+tiled TIFFs, bits-per-sample other than 8, palette TIFFs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .jpegcodec import MAX_DECODED_BYTES, decode_valueerror_contract
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """TIFF PackBits RLE: runs of ≥3 equal bytes become (257-n, byte);
+    everything else is literal-copied in ≤128-byte chunks."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find run length at i
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal stretch: until the next ≥3 run or 128 bytes
+        j = i
+        while j < n and j - i < 128:
+            run = 1
+            while j + run < n and run < 3 and data[j + run] == data[j]:
+                run += 1
+            if run >= 3:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, max_out: int) -> bytes:
+    """Inverse of :func:`packbits_encode` (n = signed count byte:
+    0..127 → copy n+1 literals, -1..-127 → repeat next byte 1-n times,
+    -128 → no-op), capped at ``max_out`` output bytes."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:  # literal copy of n+1 bytes
+            if i + n + 1 > len(data):
+                raise ValueError("PackBits literal overruns the strip")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n == 128:  # no-op
+            continue
+        else:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("PackBits run missing its byte")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        if len(out) > max_out:
+            raise ValueError("PackBits output overruns the declared strip")
+    return bytes(out)
+
+
+def tiff_bytes(
+    width: int,
+    height: int,
+    raster: bytes,
+    channels: int = 1,
+    rows_per_strip: int = 4,
+    packbits: bool = False,
+    big_endian: bool = False,
+) -> bytes:
+    """REAL baseline TIFF encode: 8-bit grayscale (``channels=1``) or
+    RGB (``channels=3``), pixel data in ``rows_per_strip``-row strips,
+    each optionally PackBits-compressed, either byte order."""
+    if channels not in (1, 3):
+        raise ValueError("1 (gray) or 3 (RGB) channels supported")
+    if len(raster) != width * height * channels:
+        raise ValueError(f"need {width * height * channels} raster bytes")
+    if width <= 0 or height <= 0:
+        raise ValueError("zero-area frame")
+    if rows_per_strip <= 0:
+        raise ValueError("rows_per_strip must be positive")
+    e = ">" if big_endian else "<"
+    rowbytes = width * channels
+    strips = []
+    for y0 in range(0, height, rows_per_strip):
+        strip = raster[y0 * rowbytes : min(y0 + rows_per_strip, height) * rowbytes]
+        strips.append(packbits_encode(strip) if packbits else strip)
+
+    def tag(tid: int, ttype: int, count: int, value: int) -> bytes:
+        # SHORT values sit in the low half of the 4-byte field
+        if ttype == 3:
+            return struct.pack(f"{e}HHIHH", tid, ttype, count, value, 0)
+        return struct.pack(f"{e}HHII", tid, ttype, count, value)
+
+    header = struct.pack(f"{e}2sHI", b"MM" if big_endian else b"II", 42, 8)
+    # layout: header(8) | IFD | [offset arrays] | strip data
+    n_tags = 9
+    ifd_size = 2 + 12 * n_tags + 4
+    arrays_off = 8 + ifd_size
+    n_strips = len(strips)
+    if n_strips == 1:
+        off_array = cnt_array = b""
+        offsets_value = arrays_off
+        counts_value = len(strips[0])
+        data_off = arrays_off
+    else:
+        off_pos = arrays_off
+        cnt_pos = off_pos + 4 * n_strips
+        data_off = cnt_pos + 4 * n_strips
+        offs = []
+        pos = data_off
+        for s in strips:
+            offs.append(pos)
+            pos += len(s)
+        off_array = struct.pack(f"{e}{n_strips}I", *offs)
+        cnt_array = struct.pack(f"{e}{n_strips}I", *[len(s) for s in strips])
+        offsets_value = off_pos
+        counts_value = cnt_pos
+    bps = 8  # one SHORT fits inline even for RGB (count=3 needs an array;
+    # spec allows count=1 meaning all samples — most writers inline it)
+    ifd = struct.pack(f"{e}H", n_tags)
+    ifd += tag(256, 3, 1, width)  # ImageWidth
+    ifd += tag(257, 3, 1, height)  # ImageLength
+    ifd += tag(258, 3, 1, bps)  # BitsPerSample
+    ifd += tag(259, 3, 1, 32773 if packbits else 1)  # Compression
+    ifd += tag(262, 3, 1, 1 if channels == 1 else 2)  # Photometric
+    ifd += tag(273, 4, n_strips, offsets_value)  # StripOffsets
+    ifd += tag(277, 3, 1, channels)  # SamplesPerPixel
+    ifd += tag(278, 3, 1, rows_per_strip)  # RowsPerStrip
+    ifd += tag(279, 4, n_strips, counts_value)  # StripByteCounts
+    ifd += struct.pack(f"{e}I", 0)  # no next IFD
+    return header + ifd + off_array + cnt_array + b"".join(strips)
+
+
+@decode_valueerror_contract
+def tiff_decode_pixels(b: bytes) -> dict:
+    """REAL baseline TIFF decode: endian-aware IFD walk, inline-vs-
+    offset tag values, per-strip PackBits decompression, strip
+    reassembly."""
+    if b[:2] == b"II":
+        e = "<"
+    elif b[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF")
+    magic, ifd_off = struct.unpack(f"{e}HI", b[2:8])
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    n_tags = struct.unpack(f"{e}H", b[ifd_off : ifd_off + 2])[0]
+    tags: dict[int, tuple[int, int, bytes]] = {}
+    for k in range(n_tags):
+        p = ifd_off + 2 + 12 * k
+        tid, ttype, count = struct.unpack(f"{e}HHI", b[p : p + 8])
+        tags[tid] = (ttype, count, b[p + 8 : p + 12])
+
+    def value(tid: int, default: int | None = None) -> int:
+        if tid not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tid}")
+            return default
+        ttype, count, raw = tags[tid]
+        if count != 1:
+            raise ValueError(f"tag {tid}: expected a scalar")
+        if ttype == 3:
+            return struct.unpack(f"{e}H", raw[:2])[0]
+        if ttype == 4:
+            return struct.unpack(f"{e}I", raw)[0]
+        raise ValueError(f"tag {tid}: unsupported type {ttype}")
+
+    def array(tid: int, n: int) -> list[int]:
+        ttype, count, raw = tags[tid]
+        if count != n:
+            raise ValueError(f"tag {tid}: expected {n} entries, got {count}")
+        width_ = 2 if ttype == 3 else 4
+        fmt = "H" if ttype == 3 else "I"
+        if count * width_ <= 4:
+            buf = raw[: count * width_]
+        else:
+            off = struct.unpack(f"{e}I", raw)[0]
+            buf = b[off : off + count * width_]
+            if len(buf) < count * width_:
+                raise ValueError(f"tag {tid}: value array out of bounds")
+        return list(struct.unpack(f"{e}{count}{fmt}", buf))
+
+    width = value(256)
+    height = value(257)
+    bps = value(258, 8)
+    compression = value(259, 1)
+    channels = value(277, 1)
+    rps = value(278, height)
+    if bps != 8:
+        raise ValueError("only 8 bits per sample supported")
+    if compression not in (1, 32773):
+        raise ValueError(f"compression {compression} not supported")
+    if channels not in (1, 3):
+        raise ValueError("only 1- or 3-sample pixels supported")
+    if width == 0 or height == 0 or rps == 0:
+        raise ValueError("TIFF with zero-area frame")
+    if width * height * channels > MAX_DECODED_BYTES:
+        raise ValueError("TIFF declares implausible dimensions")
+    n_strips = (height + rps - 1) // rps
+    offsets = array(273, n_strips)
+    counts = array(279, n_strips)
+    rowbytes = width * channels
+    out = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(b):
+            raise ValueError("TIFF strip out of bounds")
+        rows = min(rps, height - si * rps)
+        strip = b[off : off + cnt]
+        if compression == 32773:
+            strip = packbits_decode(strip, rows * rowbytes)
+        if len(strip) != rows * rowbytes:
+            raise ValueError("TIFF strip length mismatch")
+        out += strip
+    return {
+        "media_type": "image/tiff",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "bit_depth": 8,
+        "compression": "packbits" if compression == 32773 else "none",
+        "n_strips": n_strips,
+        "big_endian": e == ">",
+        "raster": bytes(out),
+    }

@@ -4259,6 +4259,65 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TIFF_DOC_MOD = 13  # doc_id % 13 == 3 → ~1/13 of documents get a TIFF
+
+
+@register(
+    "tiff_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             doc_id % 12 + 3 AS w,
+             doc_id % 8 + 3 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+             doc_id % 4 + 1 AS rps
+      FROM documents WHERE doc_id % {TIFF_DOC_MOD} = 3
+    ),
+    px AS (
+      SELECT s.doc_id, s.w, s.h, s.ch, s.rps, gx.x, gy.y, gc.c,
+             (3 * gx.x + 5 * gy.y + 7 * s.doc_id + 11 * gc.c) % 256 AS v
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.w)) AS x) gx,
+           LATERAL (SELECT unnest(range(0, s.h)) AS y) gy,
+           LATERAL (SELECT unnest(range(0, s.ch)) AS c) gc
+    )
+    SELECT doc_id,
+           CAST(any_value(w) AS BIGINT) AS width,
+           CAST(any_value(h) AS BIGINT) AS height,
+           CAST(any_value(ch) AS BIGINT) AS channels,
+           CAST((any_value(h) + any_value(rps) - 1) // any_value(rps) AS BIGINT)
+             AS n_strips,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 'packbits' ELSE 'none' END
+                AS VARCHAR) AS compression,
+           doc_id % 5 = 0 AS big_endian,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(7 * doc_id % 256 AS BIGINT) AS first_px,
+           CAST((3 * (any_value(w) - 1) + 5 * (any_value(h) - 1)
+                 + 7 * doc_id + 11 * (any_value(ch) - 1)) % 256 AS BIGINT)
+             AS last_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF decode end to end — the scan/scientific still
+    format, completing the tier's common-format coverage (round 10):
+    synthesize_tiff varies BOTH byte orders, multi-row strip layouts,
+    PackBits vs uncompressed, and gray vs RGB across the corpus, so
+    the decoder's endian-aware IFD walk, inline-vs-offset tag arrays,
+    per-strip RLE, and strip reassembly are all driver-gated at once —
+    each mistake lands on px_sum, n_strips or a corner pixel. Oracle:
+    the same sample arithmetic on a generate_series grid (strips and
+    PackBits are lossless — no tolerance)."""
+    from ..operators.multimodal import decode_tiff_stats, synthesize_tiff
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % TIFF_DOC_MOD == 3)
+    )
+    return decode_tiff_stats(synthesize_tiff(docs, "doc_id"))
+
+
 WARC_DOC_MOD = 13  # doc_id % 13 == 12 → ~1/13 of documents get a WARC file
 
 

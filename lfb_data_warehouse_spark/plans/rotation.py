@@ -1010,6 +1010,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "bmp_decode_stats",  # r10: BMP bottom-up BGR + indexed decode
     "warc_parse_stats",  # r10: WARC/1.0 Common Crawl container parse
     "html_text_extract",  # r10: JVM-side boilerplate strip + entities
+    "tiff_decode_stats",  # r10: baseline TIFF (strips, PackBits, endian)
 ]
 
 

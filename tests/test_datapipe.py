@@ -735,6 +735,7 @@ def test_decode_real_fuzz_valueerror_contract():
     )
 
     from lfb_data_warehouse_spark.operators.gifcodec import gif_bytes
+    from lfb_data_warehouse_spark.operators.tiffcodec import tiff_bytes
 
     valid = [
         jpeg_lossless_bytes(5, 4, [[(911 * i) % 65536 for i in range(20)]],
@@ -751,6 +752,8 @@ def test_decode_real_fuzz_valueerror_contract():
         wav_pcm_bytes(1, 8000, [100, -100, 50]),
         wav_g711_bytes(1, 8000, bytes(range(0, 256, 7)), "ulaw"),
         bmp_bytes(5, 4, bytes((3 * i) % 256 for i in range(60))),
+        tiff_bytes(6, 5, bytes((5 * i) % 256 for i in range(30)),
+                   rows_per_strip=2, packbits=True, big_endian=True),
     ]
     for base in valid:
         check(base)  # sanity: the uncorrupted payload decodes
@@ -1043,6 +1046,59 @@ def test_jpeg_411_sampling():
     with _pytest.raises(ValueError):
         jpeg_planes_bytes(24, 8, [bytes(192), bytes(64), bytes(64)],
                           sampling=[(3, 1), (1, 1), (1, 1)])
+
+
+def test_tiff_roundtrip():
+    """TIFF codec (round 10): both byte orders, multi-row strips,
+    PackBits RLE (property-tested on random and runny data), gray/RGB
+    — all lossless-exact; unsupported compressions and truncations
+    raise."""
+    import random
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.tiffcodec import (
+        packbits_decode,
+        packbits_encode,
+        tiff_bytes,
+        tiff_decode_pixels,
+    )
+
+    rng = random.Random(17)
+    for _ in range(30):
+        n = rng.randint(0, 300)
+        if rng.random() < 0.5:
+            data = bytes(rng.randrange(256) for _ in range(n))
+        else:
+            data = b"".join(
+                bytes([rng.randrange(4)]) * rng.randint(1, 150)
+                for _ in range(max(1, n // 40))
+            )
+        assert packbits_decode(packbits_encode(data), len(data)) == data
+    for ch in (1, 3):
+        for pb in (False, True):
+            for be in (False, True):
+                w, h = rng.randint(1, 17), rng.randint(1, 11)
+                raster = bytes(rng.randrange(256) for _ in range(w * h * ch))
+                d = tiff_decode_pixels(
+                    tiff_bytes(w, h, raster, channels=ch, rows_per_strip=3,
+                               packbits=pb, big_endian=be)
+                )
+                assert d["raster"] == raster and d["big_endian"] == be
+    # single-strip layout inlines the offset/count values in the tag
+    d = tiff_decode_pixels(tiff_bytes(5, 4, bytes(20), rows_per_strip=100))
+    assert d["n_strips"] == 1 and d["raster"] == bytes(20)
+    # contract: bad magic, LZW compression, truncated strip
+    with _pytest.raises(ValueError):
+        tiff_decode_pixels(b"XX" + tiff_bytes(4, 4, bytes(16))[2:])
+    b = bytearray(tiff_bytes(4, 4, bytes(16)))
+    # Compression tag (259) is the 4th tag; value field at +8
+    comp_off = 8 + 2 + 12 * 3 + 8
+    b[comp_off] = 5  # LZW
+    with _pytest.raises(ValueError, match="compression"):
+        tiff_decode_pixels(bytes(b))
+    with _pytest.raises(ValueError):
+        tiff_decode_pixels(tiff_bytes(4, 4, bytes(16))[:-4])
 
 
 def test_html_text_extract(spark):
