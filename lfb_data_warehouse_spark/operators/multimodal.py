@@ -1762,6 +1762,103 @@ def decode_jpeg12_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=JPEG12_STATS_SCHEMA)
 
 
+POISON_STATS_SCHEMA = (
+    "doc_id long, media_type string, decoded boolean, "
+    "n_units long, value_sum long"
+)
+
+
+def synthesize_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture a HETEROGENEOUS corpus with deterministic poison —
+    what a real crawl-derived payload column looks like: doc ``d``
+    carries a PNG / grayscale JPEG / PCM WAV by ``d%3``, and every odd
+    doc has its magic bytes stomped (``DE AD BE EF``) so type sniffing
+    fails — the corrupt-payload fraction a 100 TB corpus always has."""
+    from .jpegcodec import jpeg_pixel_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                t = d % 3
+                if t == 0:
+                    n = d % 5 + 2
+                    raster = bytes(
+                        (3 * x + 5 * y + d) % 256
+                        for y in range(n)
+                        for x in range(n)
+                    )
+                    p = png_pixel_bytes(n, n, raster, 0)
+                elif t == 1:
+                    p = jpeg_pixel_bytes(8, 8, bytes([(7 * d) % 256] * 64))
+                else:
+                    n = d % 50 + 10
+                    p = wav_pcm_bytes(
+                        1, 8000, [((7 * d + 13 * i) % 2001) - 1000 for i in range(n)]
+                    )
+                if d % 2 == 1:  # poison: stomp the magic
+                    p = b"\xde\xad\xbe\xef" + p[4:]
+                payloads.append(p)
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_media_poison_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched heterogeneous decode with POISON-SAFE rows: every
+    payload goes through :func:`decode_real`'s sniff-and-dispatch; a
+    payload that fails to sniff (octet-stream) or fails to parse emits
+    a NULL-stats row with ``decoded = false`` instead of killing the
+    stage — the per-type stats (pixel sum / linear sample sum) prove
+    the good rows still run the full decode path next to the poison."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    mt = d.get("media_type")
+                    if mt == "image/png":
+                        vals = d["raster"]
+                    elif mt == "image/jpeg":
+                        vals = d["raster"]
+                    elif mt == "audio/wav":
+                        vals = d["samples"]
+                    else:
+                        raise ValueError(f"unsniffable payload ({mt})")
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "media_type": mt,
+                            "decoded": True,
+                            "n_units": len(vals),
+                            "value_sum": sum(vals),
+                        }
+                    )
+                except ValueError:
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "media_type": None,
+                            "decoded": False,
+                            "n_units": None,
+                            "value_sum": None,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=POISON_STATS_SCHEMA)
+
+
 TIFF_STATS_SCHEMA = (
     "doc_id long, width long, height long, channels long, n_strips long, "
     "compression string, big_endian boolean, "

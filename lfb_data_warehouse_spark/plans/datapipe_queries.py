@@ -4259,6 +4259,76 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+POISON_DOC_MOD = 7  # doc_id % 7 == 4 → ~1/7 of documents, half poisoned
+
+
+@register(
+    "media_poison_battery",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id FROM documents WHERE doc_id % {POISON_DOC_MOD} = 4
+    ),
+    png AS (
+      SELECT s.doc_id, 'image/png' AS media_type,
+             CAST((s.doc_id % 5 + 2) * (s.doc_id % 5 + 2) AS BIGINT) AS n_units,
+             CAST(sum((3 * gx.x + 5 * gy.y + s.doc_id) % 256) AS BIGINT)
+               AS value_sum
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.doc_id % 5 + 2)) AS x) gx,
+           LATERAL (SELECT unnest(range(0, s.doc_id % 5 + 2)) AS y) gy
+      WHERE s.doc_id % 3 = 0 AND s.doc_id % 2 = 0
+      GROUP BY s.doc_id
+    ),
+    jpg AS (
+      SELECT doc_id, 'image/jpeg',
+             CAST(64 AS BIGINT),
+             CAST(64 * (7 * doc_id % 256) AS BIGINT)
+      FROM sel WHERE doc_id % 3 = 1 AND doc_id % 2 = 0
+    ),
+    wav AS (
+      SELECT s.doc_id, 'audio/wav',
+             CAST(s.doc_id % 50 + 10 AS BIGINT),
+             CAST(sum((7 * s.doc_id + 13 * gi.i) % 2001 - 1000) AS BIGINT)
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.doc_id % 50 + 10)) AS i) gi
+      WHERE s.doc_id % 3 = 2 AND s.doc_id % 2 = 0
+      GROUP BY s.doc_id
+    ),
+    bad AS (
+      SELECT doc_id, CAST(NULL AS VARCHAR),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      FROM sel WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id, media_type, media_type IS NOT NULL AS decoded,
+           n_units, value_sum
+    FROM (SELECT * FROM png UNION ALL SELECT * FROM jpg
+          UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM bad)
+    """,
+)
+def media_poison_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous dispatch + poison safety in ONE plan — what a real
+    crawl payload column is (round 10): synthesize_mixed_media hands
+    each doc a PNG / JPEG / WAV by residue and STOMPS the magic bytes
+    of every odd doc; decode_media_poison_stats must sniff-and-dispatch
+    per payload, run the full per-type decode on the good rows (their
+    pixel/sample sums are oracle-checked), and emit NULL-stats
+    ``decoded = false`` rows for the poison instead of killing the
+    stage — the gate that proves the strict=False contract at query
+    level, not just in pytest. Oracle: per-type closed-form arithmetic
+    unioned with the expected poison rows."""
+    from ..operators.multimodal import (
+        decode_media_poison_stats,
+        synthesize_mixed_media,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % POISON_DOC_MOD == 4)
+    )
+    return decode_media_poison_stats(synthesize_mixed_media(docs, "doc_id"))
+
+
 TIFF_DOC_MOD = 13  # doc_id % 13 == 3 → ~1/13 of documents get a TIFF
 
 

@@ -1011,6 +1011,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "warc_parse_stats",  # r10: WARC/1.0 Common Crawl container parse
     "html_text_extract",  # r10: JVM-side boilerplate strip + entities
     "tiff_decode_stats",  # r10: baseline TIFF (strips, PackBits, endian)
+    "media_poison_battery",  # r10: heterogeneous dispatch + poison rows
 ]
 
 
