@@ -249,6 +249,7 @@ class _BitReader:
         self.pos = 0
         self.acc = 0
         self.nbits = 0
+        self.restarts_consumed = 0  # RSTn markers actually eaten (round 11)
 
     def _fill(self) -> None:
         if self.pos >= len(self.data):
@@ -288,6 +289,7 @@ class _BitReader:
         ):
             raise ValueError(f"expected RST{m} restart marker")
         self.pos += 2
+        self.restarts_consumed += 1
 
     def read_huff(self, table: dict[tuple[int, int], int]) -> int:
         code, length = 0, 0
@@ -674,6 +676,7 @@ def jpeg_decode_pixels(b: bytes) -> dict:
             "bit_depth": 12,
             "sampling": sampling,
             "restart_interval": restart_interval,
+            "n_restart_markers": r.restarts_consumed,
             "plane_dims": dims,
             "planes": packed,
             "samples16": flat,
@@ -687,6 +690,7 @@ def jpeg_decode_pixels(b: bytes) -> dict:
         "bit_depth": 8,
         "sampling": sampling,
         "restart_interval": restart_interval,
+        "n_restart_markers": r.restarts_consumed,
         "plane_dims": dims,
         "planes": [bytes(p) for p in planes],
         # raster: the gray plane for 1-component streams (back-compat);
@@ -1072,6 +1076,8 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     restart_interval = 0
+    n_scans = 0
+    n_restart_markers = 0  # RSTn actually consumed, summed over scans
     width = height = None
     sof_q: dict[int, int] = {}
     sof_samp: dict[int, tuple[int, int]] = {}
@@ -1162,6 +1168,8 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
                 r, b, scan, ss, se, ah, al, coeffs, dims_by_cid, sof_samp,
                 dc_tables, ac_tables, width, height, restart_interval,
             )
+            n_scans += 1
+            n_restart_markers += r.restarts_consumed
             i = end
             continue
         i += 2 + seglen
@@ -1198,6 +1206,8 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
         "bit_depth": 8,
         "sampling": sampling,
         "restart_interval": restart_interval,
+        "n_scans": n_scans,
+        "n_restart_markers": n_restart_markers,
         "plane_dims": dims,
         "progressive": True,
         "planes": planes,

@@ -1472,10 +1472,11 @@ def decode_jpeg_restart_stats(media: DataFrame, strict: bool = True) -> DataFram
     from the entropy-decoded raster (every restart boundary must be
     consumed and every DC predictor reset, or the remaining blocks
     mis-decode), ``restart_interval`` from the parsed DRI segment, and
-    ``n_restarts`` from the MCU-count arithmetic — a missed or
-    mis-placed restart lands on px_sum before any marker count is
-    compared. ``strict=False`` = poison-safe NULL-stats rows (see
-    :func:`decode_png_stats`)."""
+    ``n_restarts`` from the markers the entropy decoder ACTUALLY
+    consumed (round 11: ``_BitReader.restarts_consumed``, not
+    re-derived arithmetic) — a missed or mis-placed restart lands on
+    px_sum AND on the marker count. ``strict=False`` = poison-safe
+    NULL-stats rows (see :func:`decode_png_stats`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1514,7 +1515,7 @@ def decode_jpeg_restart_stats(media: DataFrame, strict: bool = True) -> DataFram
                         "height": d["height"],
                         "n_tiles": n_mcus,
                         "restart_interval": ri,
-                        "n_restarts": (n_mcus - 1) // ri,
+                        "n_restarts": d["n_restart_markers"],
                         "px_sum": sum(raster),
                         "first_px": raster[0],
                         "last_px": raster[-1],
@@ -1606,10 +1607,14 @@ def decode_jpeg_progressive_restart_stats(
     scans) at each — a missed marker throws the bit reader off byte
     alignment and a missed predictor/EOBRUN reset mis-decodes every
     remaining block, both landing on px_sum. ``restart_interval`` comes
-    from the parsed DRI segment and the row asserts the stream really
-    was SOF2 (``progressive``), so a silent fallback to the baseline
-    path cannot pass. ``strict=False`` = poison-safe NULL-stats rows
-    (see :func:`decode_png_stats`)."""
+    from the parsed DRI segment, ``n_restarts`` is the TOTAL RSTn
+    markers the six scans actually consumed (round 11:
+    ``_BitReader.restarts_consumed`` summed per scan — the oracle
+    expects ``n_scans * ((n_tiles-1)//ri)``, so a scan that skips its
+    markers now lands here independently of px_sum), and the row
+    asserts the stream really was SOF2 (``progressive``), so a silent
+    fallback to the baseline path cannot pass. ``strict=False`` =
+    poison-safe NULL-stats rows (see :func:`decode_png_stats`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1652,7 +1657,7 @@ def decode_jpeg_progressive_restart_stats(
                         "height": d["height"],
                         "n_tiles": n_mcus,
                         "restart_interval": ri,
-                        "n_restarts": (n_mcus - 1) // ri,
+                        "n_restarts": d["n_restart_markers"],
                         "px_sum": sum(raster),
                         "first_px": raster[0],
                         "last_px": raster[-1],
@@ -1861,7 +1866,7 @@ def decode_media_poison_stats(media: DataFrame) -> DataFrame:
 
 TIFF_STATS_SCHEMA = (
     "doc_id long, width long, height long, channels long, n_strips long, "
-    "compression string, big_endian boolean, "
+    "compression string, predictor long, big_endian boolean, "
     "px_sum long, first_px long, last_px long"
 )
 
@@ -1870,10 +1875,14 @@ def synthesize_tiff(df: DataFrame, id_col: str) -> DataFrame:
     """Manufacture REAL baseline TIFFs (the scan/scientific format):
     ``(d%12+3) × (d%8+3)`` frames, grayscale for even docs / RGB for
     odd, ``d%4+1``-row strips (so every doc is genuinely multi-strip),
-    PackBits-compressed when ``d%3==0``, big-endian when ``d%5==0`` —
-    sample ``(3x + 5y + 7d + 11c) mod 256`` closed-form so the oracle
-    recomputes channel sums while the engine must walk the IFD, read
-    inline-vs-offset tag arrays, and reassemble (possibly RLE) strips."""
+    big-endian when ``d%5==0``, and the compression rotating by
+    ``d%3``: 0 → PackBits, 1 → LZW (round 11 — the most common
+    real-world TIFF compression; with horizontal-differencing
+    Predictor 2 when ``d%4 < 2``, the pairing real writers emit),
+    2 → uncompressed. Sample ``(3x + 5y + 7d + 11c) mod 256``
+    closed-form so the oracle recomputes channel sums while the engine
+    must walk the IFD, read inline-vs-offset tag arrays, and
+    reassemble RLE / LZW / raw strips."""
     from .tiffcodec import tiff_bytes
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1896,6 +1905,8 @@ def synthesize_tiff(df: DataFrame, id_col: str) -> DataFrame:
                     tiff_bytes(
                         w, h, raster, channels=ch, rows_per_strip=d % 4 + 1,
                         packbits=d % 3 == 0, big_endian=d % 5 == 0,
+                        lzw=d % 3 == 1,
+                        predictor=2 if (d % 3 == 1 and d % 4 < 2) else 1,
                     )
                 )
             yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
@@ -1908,9 +1919,10 @@ def synthesize_tiff(df: DataFrame, id_col: str) -> DataFrame:
 def decode_tiff_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     """Arrow-batched TIFF decode over (doc_id, payload): pixel stats
     come from the reassembled raster, so a wrong strip count, an
-    endian-flipped tag value, a mis-read offset array, or a PackBits
-    drift lands on px_sum or the corner pixels. ``strict=False`` =
-    poison-safe NULL-stats rows."""
+    endian-flipped tag value, a mis-read offset array, a PackBits
+    drift, an LZW early-change width slip, or a missed Predictor-2
+    un-differencing pass lands on px_sum or the corner pixels.
+    ``strict=False`` = poison-safe NULL-stats rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1932,7 +1944,7 @@ def decode_tiff_stats(media: DataFrame, strict: bool = True) -> DataFrame:
                                 k: None
                                 for k in (
                                     "width", "height", "channels", "n_strips",
-                                    "compression", "big_endian",
+                                    "compression", "predictor", "big_endian",
                                     "px_sum", "first_px", "last_px",
                                 )
                             },
@@ -1948,6 +1960,7 @@ def decode_tiff_stats(media: DataFrame, strict: bool = True) -> DataFrame:
                         "channels": d["channels"],
                         "n_strips": d["n_strips"],
                         "compression": d["compression"],
+                        "predictor": d["predictor"],
                         "big_endian": d["big_endian"],
                         "px_sum": sum(r),
                         "first_px": r[0],

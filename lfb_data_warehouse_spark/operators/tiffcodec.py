@@ -12,11 +12,21 @@ with baseline TIFF 6.0:
   inlined in the tag as the spec requires, larger arrays via offset),
   per-strip PackBits decompression, strip reassembly into the raster.
 
-PackBits and uncompressed strips are lossless, so the oracle gate
-recomputes raw sample arithmetic — the same no-tolerance
+PackBits, LZW and uncompressed strips are all lossless, so the oracle
+gate recomputes raw sample arithmetic — the same no-tolerance
 verifiability as the lossless-JPEG/GIF/BMP tiers.
 
-Not supported (explicit ValueError): LZW/JPEG/deflate compression,
+Round 11 adds LZW (Compression=5) — the most common real-world TIFF
+compression — with the TIFF-variant bit rules that differ from the
+GIF LZW already in :mod:`gifcodec`: MSB-first bit packing, fixed
+8-bit symbol size (Clear=256, EOI=257, first entry 258), the
+"early change" convention (the code width grows when the NEXT code to
+assign reaches ``(1 << width) - 1``, one code earlier than GIF — the
+libtiff pairing), and an encoder-side Clear at table entry 4094.
+Horizontal-differencing Predictor 2 (tag 317), which virtually every
+real LZW TIFF carries, is implemented per row per sample channel.
+
+Not supported (explicit ValueError): JPEG/deflate compression,
 tiled TIFFs, bits-per-sample other than 8, palette TIFFs.
 """
 
@@ -25,6 +35,135 @@ from __future__ import annotations
 import struct
 
 from .jpegcodec import MAX_DECODED_BYTES, decode_valueerror_contract
+
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+_LZW_FIRST = 258
+_LZW_MAX_WIDTH = 12
+_LZW_RESET_AT = 4094  # encoder emits Clear when the next entry would be 4094
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first packing, early-change
+    width growth, Clear emitted up front and again at entry 4094."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = _LZW_FIRST
+    width = 9
+    emit(_LZW_CLEAR, width)
+    prefix = b""
+    for b in data:
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        # early change: grow as soon as the NEXT code to assign needs it
+        if next_code == (1 << width) - 1 and width < _LZW_MAX_WIDTH:
+            width += 1
+        if next_code == _LZW_RESET_AT:
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = _LZW_FIRST
+            width = 9
+        prefix = bytes([b])
+    if prefix:
+        emit(table[prefix], width)
+        # libtiff's LZWPostEncode phantom increment: the final data code
+        # counts as an entry for the width rule, so the decoder (which
+        # adds a real entry on receiving it) stays in step for the EOI
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < _LZW_MAX_WIDTH:
+            width += 1
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
+    """Inverse of :func:`tiff_lzw_encode`: dictionary reconstruction
+    including the KwKwK case (code == next entry), early-change width
+    growth mirroring the encoder, Clear resets, output capped at
+    ``max_out`` bytes."""
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream exhausted before EOI")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == _LZW_EOI:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("TIFF LZW first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK: defined by this very step
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code beyond dictionary")
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("TIFF LZW output overruns the declared strip")
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by exactly one entry (the encoder has already added
+        # the entry this NEXT code will define), so it must widen when
+        # len(table) reaches (1<<width) - 2 — one earlier than the
+        # encoder's next_code == (1<<width) - 1 rule it mirrors
+        if len(table) == (1 << width) - 2 and width < _LZW_MAX_WIDTH:
+            width += 1
+
+
+def _hdiff_encode(strip: bytes, width: int, channels: int) -> bytes:
+    """Predictor 2 (horizontal differencing), forward direction: each
+    sample becomes its delta from the same channel one pixel left,
+    per row, mod 256."""
+    out = bytearray(strip)
+    rowbytes = width * channels
+    for r0 in range(0, len(strip), rowbytes):
+        for j in range(rowbytes - 1, channels - 1, -1):
+            out[r0 + j] = (strip[r0 + j] - strip[r0 + j - channels]) & 0xFF
+    return bytes(out)
+
+
+def _hdiff_decode(strip: bytes, width: int, channels: int) -> bytes:
+    """Predictor 2 inverse: cumulative sum per row per channel mod 256."""
+    out = bytearray(strip)
+    rowbytes = width * channels
+    for r0 in range(0, len(strip), rowbytes):
+        for j in range(channels, rowbytes):
+            out[r0 + j] = (out[r0 + j] + out[r0 + j - channels]) & 0xFF
+    return bytes(out)
 
 
 def packbits_encode(data: bytes) -> bytes:
@@ -92,10 +231,14 @@ def tiff_bytes(
     rows_per_strip: int = 4,
     packbits: bool = False,
     big_endian: bool = False,
+    lzw: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """REAL baseline TIFF encode: 8-bit grayscale (``channels=1``) or
     RGB (``channels=3``), pixel data in ``rows_per_strip``-row strips,
-    each optionally PackBits-compressed, either byte order."""
+    each optionally PackBits- or LZW-compressed (round 11), either byte
+    order. ``predictor=2`` (horizontal differencing, tag 317) composes
+    with LZW only — the pairing real writers emit."""
     if channels not in (1, 3):
         raise ValueError("1 (gray) or 3 (RGB) channels supported")
     if len(raster) != width * height * channels:
@@ -104,12 +247,24 @@ def tiff_bytes(
         raise ValueError("zero-area frame")
     if rows_per_strip <= 0:
         raise ValueError("rows_per_strip must be positive")
+    if packbits and lzw:
+        raise ValueError("pick one compression")
+    if predictor not in (1, 2):
+        raise ValueError("predictor 1 (none) or 2 (horizontal) supported")
+    if predictor == 2 and not lzw:
+        raise ValueError("predictor 2 is only emitted with LZW")
     e = ">" if big_endian else "<"
     rowbytes = width * channels
     strips = []
     for y0 in range(0, height, rows_per_strip):
         strip = raster[y0 * rowbytes : min(y0 + rows_per_strip, height) * rowbytes]
-        strips.append(packbits_encode(strip) if packbits else strip)
+        if lzw:
+            if predictor == 2:
+                strip = _hdiff_encode(strip, width, channels)
+            strip = tiff_lzw_encode(strip)
+        elif packbits:
+            strip = packbits_encode(strip)
+        strips.append(strip)
 
     def tag(tid: int, ttype: int, count: int, value: int) -> bytes:
         # SHORT values sit in the low half of the 4-byte field
@@ -119,7 +274,7 @@ def tiff_bytes(
 
     header = struct.pack(f"{e}2sHI", b"MM" if big_endian else b"II", 42, 8)
     # layout: header(8) | IFD | [offset arrays] | strip data
-    n_tags = 9
+    n_tags = 10 if predictor == 2 else 9
     ifd_size = 2 + 12 * n_tags + 4
     arrays_off = 8 + ifd_size
     n_strips = len(strips)
@@ -147,12 +302,14 @@ def tiff_bytes(
     ifd += tag(256, 3, 1, width)  # ImageWidth
     ifd += tag(257, 3, 1, height)  # ImageLength
     ifd += tag(258, 3, 1, bps)  # BitsPerSample
-    ifd += tag(259, 3, 1, 32773 if packbits else 1)  # Compression
+    ifd += tag(259, 3, 1, 5 if lzw else (32773 if packbits else 1))  # Compression
     ifd += tag(262, 3, 1, 1 if channels == 1 else 2)  # Photometric
     ifd += tag(273, 4, n_strips, offsets_value)  # StripOffsets
     ifd += tag(277, 3, 1, channels)  # SamplesPerPixel
     ifd += tag(278, 3, 1, rows_per_strip)  # RowsPerStrip
     ifd += tag(279, 4, n_strips, counts_value)  # StripByteCounts
+    if predictor == 2:
+        ifd += tag(317, 3, 1, 2)  # Predictor: horizontal differencing
     ifd += struct.pack(f"{e}I", 0)  # no next IFD
     return header + ifd + off_array + cnt_array + b"".join(strips)
 
@@ -209,14 +366,28 @@ def tiff_decode_pixels(b: bytes) -> dict:
 
     width = value(256)
     height = value(257)
-    bps = value(258, 8)
     compression = value(259, 1)
     channels = value(277, 1)
+    # BitsPerSample: count=1 (our encoder inlines it) OR one entry per
+    # sample (what standard writers emit for RGB, count=SamplesPerPixel
+    # — round-11 ADVICE interop fix); all entries must agree.
+    if 258 in tags and tags[258][1] == channels and channels > 1:
+        bps_list = array(258, channels)
+        if any(v != bps_list[0] for v in bps_list):
+            raise ValueError("per-sample BitsPerSample entries differ")
+        bps = bps_list[0]
+    else:
+        bps = value(258, 8)
     rps = value(278, height)
+    predictor = value(317, 1)
     if bps != 8:
         raise ValueError("only 8 bits per sample supported")
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise ValueError(f"compression {compression} not supported")
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor {predictor} not supported")
+    if predictor == 2 and compression != 5:
+        raise ValueError("predictor 2 outside an LZW stream")
     if channels not in (1, 3):
         raise ValueError("only 1- or 3-sample pixels supported")
     if width == 0 or height == 0 or rps == 0:
@@ -235,6 +406,10 @@ def tiff_decode_pixels(b: bytes) -> dict:
         strip = b[off : off + cnt]
         if compression == 32773:
             strip = packbits_decode(strip, rows * rowbytes)
+        elif compression == 5:
+            strip = tiff_lzw_decode(strip, rows * rowbytes)
+            if predictor == 2:
+                strip = _hdiff_decode(strip, width, channels)
         if len(strip) != rows * rowbytes:
             raise ValueError("TIFF strip length mismatch")
         out += strip
@@ -244,7 +419,8 @@ def tiff_decode_pixels(b: bytes) -> dict:
         "height": height,
         "channels": channels,
         "bit_depth": 8,
-        "compression": "packbits" if compression == 32773 else "none",
+        "compression": {1: "none", 5: "lzw", 32773: "packbits"}[compression],
+        "predictor": predictor,
         "n_strips": n_strips,
         "big_endian": e == ">",
         "raster": bytes(out),

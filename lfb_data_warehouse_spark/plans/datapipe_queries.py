@@ -4107,7 +4107,7 @@ JPEG_PROG_RST_DOC_MOD = 11  # doc_id % 11 == 2 → SOF2 + DRI (restart in every 
            CAST(any_value(height) AS BIGINT) AS height,
            CAST(COUNT(*) AS BIGINT) AS n_tiles,
            CAST(any_value(ri) AS BIGINT) AS restart_interval,
-           CAST((COUNT(*) - 1) // any_value(ri) AS BIGINT) AS n_restarts,
+           CAST(6 * ((COUNT(*) - 1) // any_value(ri)) AS BIGINT) AS n_restarts,
            CAST(64 * sum(v) AS BIGINT) AS px_sum,
            CAST(7 * doc_id % 256 AS BIGINT) AS first_px,
            CAST((11 * (any_value(width) // 8 - 1)
@@ -4357,8 +4357,11 @@ TIFF_DOC_MOD = 13  # doc_id % 13 == 3 → ~1/13 of documents get a TIFF
            CAST(any_value(ch) AS BIGINT) AS channels,
            CAST((any_value(h) + any_value(rps) - 1) // any_value(rps) AS BIGINT)
              AS n_strips,
-           CAST(CASE WHEN doc_id % 3 = 0 THEN 'packbits' ELSE 'none' END
-                AS VARCHAR) AS compression,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 'packbits'
+                     WHEN doc_id % 3 = 1 THEN 'lzw'
+                     ELSE 'none' END AS VARCHAR) AS compression,
+           CAST(CASE WHEN doc_id % 3 = 1 AND doc_id % 4 < 2 THEN 2
+                     ELSE 1 END AS BIGINT) AS predictor,
            doc_id % 5 = 0 AS big_endian,
            CAST(sum(v) AS BIGINT) AS px_sum,
            CAST(7 * doc_id % 256 AS BIGINT) AS first_px,
@@ -4370,14 +4373,18 @@ TIFF_DOC_MOD = 13  # doc_id % 13 == 3 → ~1/13 of documents get a TIFF
 )
 def tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline TIFF decode end to end — the scan/scientific still
-    format, completing the tier's common-format coverage (round 10):
+    format, completing the tier's common-format coverage (round 10;
+    round 11 adds LZW, the most common real-world TIFF compression):
     synthesize_tiff varies BOTH byte orders, multi-row strip layouts,
-    PackBits vs uncompressed, and gray vs RGB across the corpus, so
+    PackBits vs LZW (with and without horizontal-differencing
+    Predictor 2 — TIFF's early-change LZW variant, MSB-first bit
+    packing) vs uncompressed, and gray vs RGB across the corpus, so
     the decoder's endian-aware IFD walk, inline-vs-offset tag arrays,
-    per-strip RLE, and strip reassembly are all driver-gated at once —
-    each mistake lands on px_sum, n_strips or a corner pixel. Oracle:
-    the same sample arithmetic on a generate_series grid (strips and
-    PackBits are lossless — no tolerance)."""
+    per-strip RLE/LZW, predictor undo, and strip reassembly are all
+    driver-gated at once — each mistake lands on px_sum, n_strips or
+    a corner pixel. Oracle: the same sample arithmetic on a
+    generate_series grid (all three codings are lossless — no
+    tolerance)."""
     from ..operators.multimodal import decode_tiff_stats, synthesize_tiff
 
     docs = (

@@ -1088,17 +1088,80 @@ def test_tiff_roundtrip():
     # single-strip layout inlines the offset/count values in the tag
     d = tiff_decode_pixels(tiff_bytes(5, 4, bytes(20), rows_per_strip=100))
     assert d["n_strips"] == 1 and d["raster"] == bytes(20)
-    # contract: bad magic, LZW compression, truncated strip
+    # LZW (round 11): TIFF-variant early change + MSB packing, with and
+    # without horizontal-differencing Predictor 2, both byte orders
+    for ch in (1, 3):
+        for pred in (1, 2):
+            for be in (False, True):
+                w, h = rng.randint(1, 17), rng.randint(1, 11)
+                raster = bytes(rng.randrange(256) for _ in range(w * h * ch))
+                d = tiff_decode_pixels(
+                    tiff_bytes(w, h, raster, channels=ch, rows_per_strip=3,
+                               lzw=True, predictor=pred, big_endian=be)
+                )
+                assert d["raster"] == raster and d["compression"] == "lzw"
+                assert d["predictor"] == pred
+    # BitsPerSample with count == SamplesPerPixel (what standard RGB
+    # writers emit — round-11 ADVICE interop fix): patch tag 258 of an
+    # RGB file to a 3-entry offset array appended at EOF
+    import struct as _struct
+
+    raster = bytes(rng.randrange(256) for _ in range(6 * 2 * 3))
+    b3 = bytearray(tiff_bytes(6, 2, raster, channels=3, rows_per_strip=2))
+    bps_tag = 8 + 2 + 12 * 2  # tag 258 is the 3rd IFD entry
+    b3[bps_tag + 4 : bps_tag + 12] = _struct.pack("<II", 3, len(b3))
+    b3 += _struct.pack("<3H", 8, 8, 8)
+    assert tiff_decode_pixels(bytes(b3))["raster"] == raster
+    # ...but per-sample entries that DISAGREE are refused
+    b3[-6:] = _struct.pack("<3H", 8, 8, 4)
+    with _pytest.raises(ValueError, match="BitsPerSample"):
+        tiff_decode_pixels(bytes(b3))
+    # contract: bad magic, deflate compression, predictor outside LZW,
+    # truncated strip
     with _pytest.raises(ValueError):
         tiff_decode_pixels(b"XX" + tiff_bytes(4, 4, bytes(16))[2:])
     b = bytearray(tiff_bytes(4, 4, bytes(16)))
     # Compression tag (259) is the 4th tag; value field at +8
     comp_off = 8 + 2 + 12 * 3 + 8
-    b[comp_off] = 5  # LZW
+    b[comp_off] = 8  # deflate: still an explicit refusal
     with _pytest.raises(ValueError, match="compression"):
         tiff_decode_pixels(bytes(b))
+    with _pytest.raises(ValueError, match="predictor"):
+        tiff_bytes(4, 4, bytes(16), predictor=2)  # predictor 2 needs LZW
     with _pytest.raises(ValueError):
         tiff_decode_pixels(tiff_bytes(4, 4, bytes(16))[:-4])
+
+
+def test_tiff_lzw_codec_boundaries():
+    """TIFF LZW width boundaries (round 11): the early-change pairing —
+    encoder grows at next_code == (1<<w)-1 (incl. libtiff's phantom
+    increment for the final data code), decoder one entry earlier —
+    round-trips exactly across every 9→10→11→12-bit switch and the
+    4094-entry Clear reset, plus the KwKwK run case."""
+    import random
+
+    from lfb_data_warehouse_spark.operators.tiffcodec import (
+        _hdiff_decode,
+        _hdiff_encode,
+        tiff_lzw_decode,
+        tiff_lzw_encode,
+    )
+
+    rng = random.Random(23)
+    for n in (0, 1, 253, 254, 255, 511, 512, 1022, 1023, 1024,
+              2046, 2047, 2048, 4093, 4094, 4095, 12000):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert tiff_lzw_decode(tiff_lzw_encode(data), n) == data
+    for n in (254, 511, 6000):  # runs: the KwKwK (code == next) path
+        run = bytes([9]) * n
+        assert tiff_lzw_decode(tiff_lzw_encode(run), n) == run
+    # predictor 2 is its own exact inverse pass, per row per channel
+    for w, ch, h in ((5, 1, 4), (7, 3, 3), (1, 3, 2)):
+        raw = bytes(rng.randrange(256) for _ in range(w * ch * h))
+        assert _hdiff_decode(_hdiff_encode(raw, w, ch), w, ch) == raw
+    # a decoder fed a code beyond the dictionary refuses loudly
+    with pytest.raises(ValueError):
+        tiff_lzw_decode(bytes([0xFF, 0xFF, 0xFF, 0xFF]), 100)
 
 
 def test_html_text_extract(spark):
