@@ -142,32 +142,102 @@ def normalized_text_sql(text: str) -> str:
     return f"trim(regexp_replace(lower({text}), '\\s+', ' ', 'g'))"
 
 
-# HTML text extraction (round 10): the boilerplate-strip stage every
-# crawl-derived corpus runs before quality scoring. Patterns restricted
+# HTML text extraction (round 10; numeric character references and
+# case/multi-line block handling added round 11). Patterns restricted
 # to syntax Java regex and RE2 read identically — NO backreferences
 # (RE2 has none), so script/style blocks get their own literal
-# patterns instead of <(script|style)>.*?</\1>. Order matters twice:
-# blocks strip before generic tags (their contents must vanish, not
-# leak as text), and &amp; decodes LAST (else &amp;lt; would double-
-# decode into a live tag).
-_HTML_BLOCKS = (r"<script[^>]*>.*?</script>", r"<style[^>]*>.*?</style>")
+# patterns instead of <(script|style)>.*?</\1>; the (?is) prefix
+# (same semantics in both engines) makes the block strip survive the
+# real-crawl norm of MULTI-LINE and mixed-case <SCRIPT>/<STYLE> blocks
+# (round-10 ADVICE: '.' matches no newline in either engine without
+# it). Order matters three times: blocks strip before generic tags
+# (their contents must vanish, not leak as text); numeric refs decode
+# AFTER the named entities so '&#38;lt;' yields the literal text
+# '&lt;', never a live entity; and every '&'-producing decode
+# (&amp;, &#38;, &#x26;) runs LAST so nothing it emits can re-trigger
+# an earlier rule.
+_HTML_BLOCKS = (r"(?is)<script[^>]*>.*?</script>", r"(?is)<style[^>]*>.*?</style>")
 _HTML_TAG = r"<[^>]+>"
-_HTML_ENTITIES = (
-    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
-    ("&amp;", "&"),
-)
+_HTML_ENTITIES_PRE = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"))
+# decimal up to 7 digits / hex up to 6 — longer runs stay literal text
+_HTML_NUMREF = r"&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};"
+_HTML_AMP_LAST = (("&amp;", "&"),)  # plus the amp-valued numeric refs below
+_HTML_AMP_NUMREF = r"&#0*38;|&#[xX]0*26;"
+
+
+def _numref_char(ref: Column) -> Column:
+    """Decode one extracted numeric character reference (full text,
+    e.g. ``&#65;`` / ``&#x41;``) to its character, for code points
+    9/10/13 and 32..255 — the range where Spark ``char`` and DuckDB
+    ``chr`` agree byte-for-byte. Amp (38) is excluded here (it decodes
+    in the final stage) and everything else stays literal ref text."""
+    dec = F.regexp_extract(ref, r"&#([0-9]+);", 1)
+    hx = F.lower(F.regexp_extract(ref, r"&#[xX]([0-9a-fA-F]+);", 1))
+    code = F.when(dec != "", dec.cast("long")).otherwise(
+        F.conv(hx, 16, 10).cast("long")
+    )
+    decodable = (code.isin(9, 10, 13) | code.between(32, 255)) & (code != 38)
+    return F.when(decodable, F.char(code)).otherwise(ref)
+
+
+def _decode_numrefs(c: Column) -> Column:
+    """Split on numeric refs, decode each, and stitch the string back
+    together — split keeps trailing empties in both engines, so parts
+    always has exactly one more element than refs; zip_with pads the
+    missing last ref with NULL and concat_ws drops it."""
+    parts = F.split(c, _HTML_NUMREF)
+    refs = F.regexp_extract_all(c, F.lit("(" + _HTML_NUMREF + ")"), 1)
+    decoded = F.transform(refs, _numref_char)
+    return F.array_join(
+        F.zip_with(parts, decoded, lambda p, d: F.concat_ws("", p, d)), ""
+    )
+
+
+def _decode_numrefs_sql(c: str) -> str:
+    """DuckDB twin of :func:`_decode_numrefs`: index-stitched
+    reconstruction; hex folds via strpos arithmetic (pow cast exact for
+    exponents ≤ 5) since DuckDB has no conv()."""
+    parts = f"regexp_split_to_array({c}, '{_HTML_NUMREF}')"
+    refs = f"regexp_extract_all({c}, '({_HTML_NUMREF})', 1)"
+    r = f"({refs})[i]"
+    dec = f"regexp_extract({r}, '&#([0-9]+);', 1)"
+    hx = f"lower(regexp_extract({r}, '&#[xX]([0-9a-fA-F]+);', 1))"
+    hexval = (
+        f"list_sum(list_transform(range(1, len({hx}) + 1), "
+        f"j -> (strpos('0123456789abcdef', substr({hx}, j, 1)) - 1) "
+        f"* CAST(pow(16, len({hx}) - j) AS BIGINT)))"
+    )
+    code = f"(CASE WHEN {dec} != '' THEN CAST({dec} AS BIGINT) ELSE {hexval} END)"
+    piece = (
+        f"({parts})[i] || (CASE WHEN ({code} IN (9, 10, 13) "
+        f"OR {code} BETWEEN 32 AND 255) AND {code} != 38 "
+        f"THEN chr(CAST({code} AS INTEGER)) ELSE {r} END)"
+    )
+    # coalesce: DuckDB's array_to_string([]) is NULL, not '' (a ref-less
+    # string would otherwise null the whole expression)
+    return (
+        f"(coalesce(array_to_string(list_transform(range(1, len({refs}) + 1), "
+        f"i -> {piece}), ''), '') || ({parts})[len({refs}) + 1])"
+    )
 
 
 def html_text(html: Column | str) -> Column:
-    """Visible text of an HTML fragment: script/style blocks removed,
-    tags stripped, the five core entities decoded (&amp; last),
-    whitespace collapsed — all codegen'd regexp_replace, map-only."""
+    """Visible text of an HTML fragment: script/style blocks removed
+    (case-insensitive, across newlines), tags stripped, the four
+    non-amp core entities then numeric character references
+    (&#NN;/&#xNN;, code points 9/10/13/32..255) decoded, every
+    '&'-producing decode last, whitespace collapsed — codegen'd
+    regexp chains plus one array stitch, map-only."""
     c = F.col(html) if isinstance(html, str) else html
     for pat in _HTML_BLOCKS:
         c = F.regexp_replace(c, pat, " ")
     c = F.regexp_replace(c, _HTML_TAG, " ")
-    for ent, ch in _HTML_ENTITIES:
+    for ent, ch in _HTML_ENTITIES_PRE:
         c = F.regexp_replace(c, ent, ch)
+    c = _decode_numrefs(c)
+    for ent, ch in _HTML_AMP_LAST:
+        c = F.regexp_replace(c, ent, ch)
+    c = F.regexp_replace(c, _HTML_AMP_NUMREF, "&")
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
@@ -176,9 +246,13 @@ def html_text_sql(html: str) -> str:
     for pat in _HTML_BLOCKS:
         c = f"regexp_replace({c}, '{pat}', ' ', 'g')"
     c = f"regexp_replace({c}, '{_HTML_TAG}', ' ', 'g')"
-    for ent, ch in _HTML_ENTITIES:
+    for ent, ch in _HTML_ENTITIES_PRE:
         lit = ch.replace("'", "''")
         c = f"replace({c}, '{ent}', '{lit}')"
+    c = _decode_numrefs_sql(c)
+    for ent, ch in _HTML_AMP_LAST:
+        c = f"replace({c}, '{ent}', '{ch}')"
+    c = f"regexp_replace({c}, '{_HTML_AMP_NUMREF}', '&', 'g')"
     return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
 
 

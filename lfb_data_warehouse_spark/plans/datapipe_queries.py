@@ -4206,15 +4206,35 @@ def jpeg_411_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg411_stats(synthesize_jpeg_411(docs, "doc_id"))
 
 
+# Shared fixture pieces (round 11): a MULTI-LINE, UPPERCASE style
+# block and script block (the real-crawl norm the round-10 single-line
+# lowercase fixture missed — ADVICE r10), plus numeric character
+# references in all four classes: decodable decimal (&#72;&#105;),
+# decodable hex (&#x21;, &#233;), amp-valued (&#38;lt; must yield the
+# literal text '&lt;'), and out-of-range (&#12472; stays literal).
+_HTML_FIX_HEAD = (
+    "<html><head><title>Doc "
+)
+_HTML_FIX_MID = (
+    "</title><STYLE media=\"all\">\np { color: red }\n</STYLE>"
+    "</head><body><h1>H</h1><p>"
+)
+_HTML_FIX_TAIL = (
+    "</p><SCRIPT type=\"text/javascript\">\nvar x = 1 &amp; 2;\n</SCRIPT>"
+    "<p>tail &amp; &quot;q&quot; &#39;s &lt;ok&gt; "
+    "&#72;&#105; &#x21; &#233; &#38;lt; &#12472;</p></body></html>"
+)
+
+
 def _html_oracle() -> str:
     from ..functions.text import html_tag_count_sql, html_text_sql
 
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
     html = (
-        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
-        "'</title><style>p{color:red}</style></head><body><h1>H</h1><p>' || "
-        "substr(text, 1, 80) || "
-        "'</p><script>var x=1&amp;2;</script>"
-        "<p>tail &amp; &quot;q&quot; &#39;s &lt;ok&gt;</p></body></html>'"
+        f"{lit(_HTML_FIX_HEAD)} || CAST(doc_id AS VARCHAR) || "
+        f"{lit(_HTML_FIX_MID)} || substr(text, 1, 80) || {lit(_HTML_FIX_TAIL)}"
     )
     return f"""
     SELECT doc_id,
@@ -4230,25 +4250,28 @@ def _html_oracle() -> str:
 def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate strip — the text-extraction stage every
     crawl-derived corpus runs before quality scoring (round 10; pairs
-    with warc_parse_stats for the crawl→text story): the fixture wraps
-    each document's text in real markup (title, style and script
-    blocks whose CONTENTS must vanish — including a decoy &amp; inside
-    the script — plus the five core entities), and the whole extract
-    runs as codegen'd JVM regexp_replace chains, zero Python. Block
-    patterns avoid backreferences (RE2 has none) and &amp; decodes
-    LAST; a wrong order leaks markup into `extracted`, which the
-    oracle compares as a full string. n_tags pins markup density,
-    title pins capture-group extraction."""
+    with warc_parse_stats for the crawl→text story). Round 11 hardens
+    the fixture to the real-crawl norm: the style/script blocks are
+    MULTI-LINE and UPPERCASE (the (?is) block patterns must strip
+    them — including a decoy &amp; inside the script), and the tail
+    carries numeric character references in all four classes
+    (decodable decimal, decodable hex, amp-valued — '&#38;lt;' must
+    yield literal '&lt;', never a live entity — and out-of-range,
+    which stays literal ref text). Core named entities still decode
+    with '&'-producing decodes LAST; a wrong order leaks markup into
+    `extracted`, which the oracle compares as a full string. n_tags
+    pins markup density, title pins capture-group extraction. The
+    strip is codegen'd JVM regexp chains plus one array-stitch for the
+    numeric refs, zero Python."""
     from ..functions.text import html_tag_count, html_text
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 2)
     html = F.concat(
-        F.lit("<html><head><title>Doc "),
+        F.lit(_HTML_FIX_HEAD),
         F.col("doc_id").cast("string"),
-        F.lit("</title><style>p{color:red}</style></head><body><h1>H</h1><p>"),
+        F.lit(_HTML_FIX_MID),
         F.substring("text", 1, 80),
-        F.lit("</p><script>var x=1&amp;2;</script>"
-              "<p>tail &amp; &quot;q&quot; &#39;s &lt;ok&gt;</p></body></html>"),
+        F.lit(_HTML_FIX_TAIL),
     )
     return docs.select(
         "doc_id",

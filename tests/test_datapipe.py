@@ -1165,10 +1165,14 @@ def test_tiff_lzw_codec_boundaries():
 
 
 def test_html_text_extract(spark):
-    """HTML strip (round 10): block contents vanish (script/style),
-    entities decode in the safe order (&amp; LAST — '&amp;lt;' must
-    yield the literal text '&lt;', never a live '<'), whitespace
-    collapses, and the whole path is JVM regexp_replace (no Python)."""
+    """HTML strip (round 10; numeric refs + case/newline blocks round
+    11): block contents vanish (script/style — including MULTI-LINE
+    UPPERCASE blocks, the real-crawl norm), entities decode in the
+    safe order ('&'-producers LAST — '&amp;lt;' and '&#38;lt;' must
+    both yield the literal text '&lt;', never a live '<'), numeric
+    character references decode for code points 9/10/13/32..255 and
+    stay literal outside that range, whitespace collapses, and the
+    whole path is JVM expressions (no Python)."""
     from lfb_data_warehouse_spark.functions.text import html_tag_count, html_text
 
     df = spark.createDataFrame(
@@ -1176,6 +1180,11 @@ def test_html_text_extract(spark):
             (1, "<p>a  b</p><script>drop me &amp; this</script><p>c</p>"),
             (2, "x &amp;lt; y &quot;q&quot; &#39;s&#39; &gt;"),
             (3, "<style>p{x:1}</style><DIV>keep</DIV>"),
+            (4, "<SCRIPT type='t'>\nvar a = 1;\nalert('x');\n</SCRIPT>ok"
+                "<STYLE>\np { x: 1 }\n</STYLE>done"),
+            (5, "&#72;&#105; &#x21; e&#233; pad&#065; nb&#160;z"),
+            (6, "&#38;lt; &#x26;amp; &#038; big&#12472; zero&#0; "
+                "eight&#12345678;"),
         ],
         "id long, h string",
     )
@@ -1185,6 +1194,13 @@ def test_html_text_extract(spark):
     assert out[1] == ("a b c", 6)  # script CONTENT gone; all 6 tags counted
     assert out[2][0] == "x &lt; y \"q\" 's' >"  # no double-decode
     assert out[3] == ("keep", 4)  # style block gone; DIV tags stripped
+    # round-10 ADVICE: multi-line + uppercase blocks strip entirely
+    assert out[4][0] == "ok done"
+    # numeric refs: decimal, hex, Latin-1, zero-padded, NBSP (collapses
+    # as whitespace? no — U+00A0 is not \s in RE2/Java, it survives)
+    assert out[5][0] == "Hi ! e\xe9 padA nb\xa0z"
+    # amp-valued refs never double-decode; out-of-range stays literal
+    assert out[6][0] == "&lt; &amp; & big&#12472; zero&#0; eight&#12345678;"
 
 
 def test_warc_parse(spark):
