@@ -1980,6 +1980,53 @@ WARC_STATS_SCHEMA = (
 # HTTP blocks shared by the WARC fixture and (via len()) its oracle
 WARC_RESP_HDR = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
 WARC_REQ_PAYLOAD = "GET /{r} HTTP/1.1\r\nHost: example.com\r\n\r\n"
+# warcinfo payload (round 11): key:value lines, NOT an HTTP block —
+# shared with the warc_poison_battery oracle via len()/byte-sum
+WARC_INFO_PAYLOAD = "software: lfb-spark/0.11\r\nformat: WARC File Format 1.0\r\n"
+
+
+def _warc_record(wtype: str, uri: str, payload: bytes) -> bytes:
+    """One framed WARC/1.0 record: headers, Content-Length, payload,
+    and the two-CRLF record separator."""
+    return (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {wtype}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode() + payload + b"\r\n\r\n"
+
+
+def _walk_warc_records(raw: bytes) -> list[tuple[str, int, bytes]]:
+    """Walk Content-Length-framed WARC/1.0 records in decompressed
+    bytes; returns (warc-type, content-length, content-block) per
+    record. Framing drift (wrong length, missing separator) raises —
+    one bad record derails everything after it, so the walk refuses
+    loudly rather than resynchronize silently."""
+    recs = []
+    i = 0
+    while i < len(raw):
+        if not raw.startswith(b"WARC/1.0\r\n", i):
+            raise ValueError("record does not start with WARC/1.0")
+        hdr_end = raw.find(b"\r\n\r\n", i)
+        if hdr_end < 0:
+            raise ValueError("unterminated WARC header block")
+        headers = {}
+        for line in raw[i + 10 : hdr_end].split(b"\r\n"):
+            k, _, v = line.partition(b": ")
+            headers[k.decode().lower()] = v.decode()
+        clen = int(headers["content-length"])
+        body_start = hdr_end + 4
+        if body_start + clen > len(raw):
+            raise ValueError("WARC record overruns the file")
+        block = raw[body_start : body_start + clen]
+        recs.append((headers.get("warc-type", ""), clen, block))
+        i = body_start + clen
+        if raw[i : i + 4] != b"\r\n\r\n":
+            raise ValueError("missing WARC record separator")
+        i += 4
+    if not recs:
+        raise ValueError("WARC with no records")
+    return recs
 
 
 def synthesize_warc(df: DataFrame, id_col: str) -> DataFrame:
@@ -2009,12 +2056,7 @@ def synthesize_warc(df: DataFrame, id_col: str) -> DataFrame:
                     else:
                         payload = WARC_REQ_PAYLOAD.format(r=r).encode()
                         wtype = "request"
-                    rec = (
-                        f"WARC/1.0\r\n"
-                        f"WARC-Type: {wtype}\r\n"
-                        f"WARC-Target-URI: http://example.com/{d}/{r}\r\n"
-                        f"Content-Length: {len(payload)}\r\n\r\n"
-                    ).encode() + payload + b"\r\n\r\n"
+                    rec = _warc_record(wtype, f"http://example.com/{d}/{r}", payload)
                     members.append(gzip.compress(rec, compresslevel=6, mtime=0))
                 payloads.append(b"".join(members))
             yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
@@ -2042,34 +2084,11 @@ def parse_warc_stats(media: DataFrame, strict: bool = True) -> DataFrame:
                 try:
                     raw = gzip.decompress(bytes(payload))
                     recs = []
-                    i = 0
-                    while i < len(raw):
-                        if not raw.startswith(b"WARC/1.0\r\n", i):
-                            raise ValueError("record does not start with WARC/1.0")
-                        hdr_end = raw.find(b"\r\n\r\n", i)
-                        if hdr_end < 0:
-                            raise ValueError("unterminated WARC header block")
-                        headers = {}
-                        for line in raw[i + 10 : hdr_end].split(b"\r\n"):
-                            k, _, v = line.partition(b": ")
-                            headers[k.decode().lower()] = v.decode()
-                        clen = int(headers["content-length"])
-                        body_start = hdr_end + 4
-                        if body_start + clen > len(raw):
-                            raise ValueError("WARC record overruns the file")
-                        block = raw[body_start : body_start + clen]
+                    for wtype, clen, block in _walk_warc_records(raw):
                         http_split = block.find(b"\r\n\r\n")
                         body = block[http_split + 4 :] if http_split >= 0 else b""
-                        recs.append(
-                            (headers.get("warc-type", ""), clen, body)
-                        )
-                        i = body_start + clen
-                        if raw[i : i + 4] != b"\r\n\r\n":
-                            raise ValueError("missing WARC record separator")
-                        i += 4
-                    if not recs:
-                        raise ValueError("WARC with no records")
-                except (ValueError, OSError, KeyError) as exc:
+                        recs.append((wtype, clen, body))
+                except (ValueError, OSError, EOFError, KeyError) as exc:
                     if strict:
                         if isinstance(exc, ValueError):
                             raise
@@ -2102,6 +2121,157 @@ def parse_warc_stats(media: DataFrame, strict: bool = True) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=WARC_STATS_SCHEMA)
+
+
+WARC_POISON_SCHEMA = (
+    "doc_id long, rec_index long, n_records long, warc_type string, "
+    "content_length long, body_chars long, body_sum long, "
+    "gzipped boolean, parsed boolean"
+)
+
+
+def synthesize_warc_mixed(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture the WARC shapes real Common Crawl sets throw at a
+    reader beyond the happy path (round 11): by ``d%4`` —
+
+    * 0: gzip members carrying the full record-type spread — warcinfo
+      (key:value payload, NOT an HTTP block), response, metadata with
+      Content-Length: 0 (zero-length bodies are legal and common), and
+      request;
+    * 1: an IDENTITY (uncompressed) WARC — the spec's other transfer
+      form; the reader must sniff gzip magic vs a bare WARC/1.0 header;
+    * 2: POISON — a gzip member truncated mid-stream (the classic
+      interrupted-fetch artifact);
+    * 3: POISON — bytes that are neither gzip nor WARC."""
+    import gzip
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                kind = d % 4
+                if kind == 0:
+                    k = (3 * d + 7) % 50 + 10
+                    recs = [
+                        _warc_record(
+                            "warcinfo", f"file://crawl/{d}.warc",
+                            WARC_INFO_PAYLOAD.encode(),
+                        ),
+                        _warc_record(
+                            "response", f"http://example.com/{d}/1",
+                            (WARC_RESP_HDR + "R:" + "a" * k).encode(),
+                        ),
+                        _warc_record("metadata", f"http://example.com/{d}/2", b""),
+                        _warc_record(
+                            "request", f"http://example.com/{d}/3",
+                            WARC_REQ_PAYLOAD.format(r=3).encode(),
+                        ),
+                    ]
+                    payloads.append(
+                        b"".join(
+                            gzip.compress(r, compresslevel=6, mtime=0) for r in recs
+                        )
+                    )
+                elif kind == 1:
+                    k = 3 * d % 50 + 10
+                    payloads.append(
+                        _warc_record(
+                            "response", f"http://example.com/{d}/0",
+                            (WARC_RESP_HDR + "R:" + "a" * k).encode(),
+                        )
+                        + _warc_record(
+                            "request", f"http://example.com/{d}/1",
+                            WARC_REQ_PAYLOAD.format(r=1).encode(),
+                        )
+                    )
+                elif kind == 2:
+                    member = gzip.compress(
+                        _warc_record(
+                            "response", f"http://example.com/{d}/0",
+                            (WARC_RESP_HDR + "R:" + "a" * 30).encode(),
+                        ),
+                        compresslevel=6, mtime=0,
+                    )
+                    payloads.append(member[: max(4, len(member) - 7)])
+                else:
+                    payloads.append(b"NOTAWARC" + bytes([d % 256]) * 16)
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def parse_warc_poison_stats(media: DataFrame) -> DataFrame:
+    """Robust WARC parse over heterogeneous payloads (round 11): sniff
+    gzip magic vs identity encoding, walk every record type (HTTP
+    header/body split ONLY for response/request records — warcinfo and
+    metadata content IS the payload), and turn truncated members or
+    non-WARC bytes into one NULL-stats ``parsed = false`` row instead
+    of a stage kill — the strict=False contract extended to the crawl
+    container tier. One output row per record on good docs."""
+    import gzip
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                try:
+                    if raw[:2] == b"\x1f\x8b":
+                        gzipped = True
+                        raw = gzip.decompress(raw)
+                    elif raw.startswith(b"WARC/1.0\r\n"):
+                        gzipped = False
+                    else:
+                        raise ValueError("neither gzip members nor identity WARC")
+                    recs = []
+                    for wtype, clen, block in _walk_warc_records(raw):
+                        if wtype in ("response", "request"):
+                            http_split = block.find(b"\r\n\r\n")
+                            body = block[http_split + 4 :] if http_split >= 0 else b""
+                        else:
+                            body = block
+                        recs.append((wtype, clen, body))
+                except (ValueError, OSError, EOFError, KeyError):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "rec_index", "n_records", "warc_type",
+                                    "content_length", "body_chars", "body_sum",
+                                    "gzipped",
+                                )
+                            },
+                            "parsed": False,
+                        }
+                    )
+                    continue
+                for ri, (wtype, clen, body) in enumerate(recs):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "rec_index": ri,
+                            "n_records": len(recs),
+                            "warc_type": wtype,
+                            "content_length": clen,
+                            "body_chars": len(body),
+                            "body_sum": sum(body),
+                            "gzipped": gzipped,
+                            "parsed": True,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=WARC_POISON_SCHEMA)
 
 
 BMP_STATS_SCHEMA = (

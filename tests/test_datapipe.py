@@ -1252,6 +1252,43 @@ def test_warc_parse(spark):
         ).collect()
 
 
+def test_warc_poison_mixed(spark):
+    """WARC robustness (round 11): identity vs gzip sniff, the full
+    record-type spread (warcinfo content is the body — no HTTP split;
+    metadata may be zero-length), and poison rows (truncated gzip
+    member, non-WARC bytes) landing as parsed=false instead of a
+    stage kill."""
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        WARC_INFO_PAYLOAD,
+        parse_warc_poison_stats,
+        synthesize_warc_mixed,
+    )
+
+    # doc ids covering all four kinds: 8%4=0, 13%4=1, 6%4=2, 19%4=3
+    docs = spark.createDataFrame([(8,), (13,), (6,), (19,)], "doc_id long")
+    rows = parse_warc_poison_stats(synthesize_warc_mixed(docs, "doc_id")).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    full = sorted(by_doc[8], key=lambda x: x["rec_index"])
+    assert [r["warc_type"] for r in full] == [
+        "warcinfo", "response", "metadata", "request"
+    ]
+    assert full[0]["body_chars"] == len(WARC_INFO_PAYLOAD)
+    assert full[0]["body_sum"] == sum(WARC_INFO_PAYLOAD.encode())
+    assert full[2]["content_length"] == 0 and full[2]["body_chars"] == 0
+    assert all(r["gzipped"] and r["parsed"] for r in full)
+    ident = sorted(by_doc[13], key=lambda x: x["rec_index"])
+    assert [r["warc_type"] for r in ident] == ["response", "request"]
+    assert not ident[0]["gzipped"]
+    k = 3 * 13 % 50 + 10
+    assert ident[0]["body_chars"] == k + 2
+    for poison_doc in (6, 19):
+        (p,) = by_doc[poison_doc]
+        assert p["parsed"] is False and p["warc_type"] is None
+        assert p["body_sum"] is None and p["gzipped"] is None
+
+
 def test_bmp_roundtrip():
     """BMP codec (round 10): bottom-up rows, every 4-byte padding
     amount, BGR↔RGB swizzle, 8-bit color-table lookup, top-down
