@@ -49,17 +49,19 @@ EXTRA_BENCH = (
     "pq_adc_search_persisted",
     "ivfpq_search_persisted",
     "prepare_training_corpus",
+    "crawl_to_corpus",
     "stream_sliding_bench",
     "media_decode_bench",
 )
 
-# The rows benchmarked in BOTH round 8 and round 9 (the full round-8
-# suite — the round-9 suite is unchanged, so carried == everything,
-# including stream_sliding_bench which joined in round 8). Their
+# The rows benchmarked in BOTH round 10 and round 11 (the full
+# round-10 suite including media_decode_bench, which joined in r10;
+# crawl_to_corpus is new in r11 and therefore NOT carried). Their
 # subtotal is reported alongside the full headline so genuine
 # regression separates from suite growth in one glance (VERDICT r6
 # item 6); rebuild this tuple whenever the suite changes.
 CARRIED_FROM_PREV = (
+    "media_decode_bench",
     "stream_sliding_bench",
     "flagship_star_fact",
     "asof_nearest_purchase",
@@ -343,6 +345,18 @@ def prepare_training_corpus(spark, sf_dir):
     decision in BASELINE.md), while this composition's win is the
     deployment default at any scale."""
     return REGISTRY["prepare_training_corpus"].fn(spark, sf_dir)
+
+
+def crawl_to_corpus(spark, sf_dir):
+    """The crawl flagship (round 11): WARC parse → HTML strip →
+    quality gates → exact dedup → packing as ONE lazy plan, raced
+    against the staged fetch/extract/clean multi-job pipeline it
+    replaces (tools/baseline_bench.py twin: pages table and text
+    table round-tripped through parquet between stages, identical
+    stage expressions — the race prices the composition, not the
+    stages). Equal-RESULT; equality pytest-pinned
+    (tests/test_bench_twins.py)."""
+    return REGISTRY["crawl_to_corpus"].fn(spark, sf_dir)
 
 
 def knn_numpy_topk(spark, sf_dir):

@@ -1996,12 +1996,12 @@ def _warc_record(wtype: str, uri: str, payload: bytes) -> bytes:
     ).encode() + payload + b"\r\n\r\n"
 
 
-def _walk_warc_records(raw: bytes) -> list[tuple[str, int, bytes]]:
+def _walk_warc_records(raw: bytes) -> list[tuple[dict, int, bytes]]:
     """Walk Content-Length-framed WARC/1.0 records in decompressed
-    bytes; returns (warc-type, content-length, content-block) per
-    record. Framing drift (wrong length, missing separator) raises —
-    one bad record derails everything after it, so the walk refuses
-    loudly rather than resynchronize silently."""
+    bytes; returns (lower-cased header dict, content-length,
+    content-block) per record. Framing drift (wrong length, missing
+    separator) raises — one bad record derails everything after it, so
+    the walk refuses loudly rather than resynchronize silently."""
     recs = []
     i = 0
     while i < len(raw):
@@ -2019,7 +2019,7 @@ def _walk_warc_records(raw: bytes) -> list[tuple[str, int, bytes]]:
         if body_start + clen > len(raw):
             raise ValueError("WARC record overruns the file")
         block = raw[body_start : body_start + clen]
-        recs.append((headers.get("warc-type", ""), clen, block))
+        recs.append((headers, clen, block))
         i = body_start + clen
         if raw[i : i + 4] != b"\r\n\r\n":
             raise ValueError("missing WARC record separator")
@@ -2084,10 +2084,10 @@ def parse_warc_stats(media: DataFrame, strict: bool = True) -> DataFrame:
                 try:
                     raw = gzip.decompress(bytes(payload))
                     recs = []
-                    for wtype, clen, block in _walk_warc_records(raw):
+                    for h, clen, block in _walk_warc_records(raw):
                         http_split = block.find(b"\r\n\r\n")
                         body = block[http_split + 4 :] if http_split >= 0 else b""
-                        recs.append((wtype, clen, body))
+                        recs.append((h.get("warc-type", ""), clen, body))
                 except (ValueError, OSError, EOFError, KeyError) as exc:
                     if strict:
                         if isinstance(exc, ValueError):
@@ -2232,7 +2232,8 @@ def parse_warc_poison_stats(media: DataFrame) -> DataFrame:
                     else:
                         raise ValueError("neither gzip members nor identity WARC")
                     recs = []
-                    for wtype, clen, block in _walk_warc_records(raw):
+                    for h, clen, block in _walk_warc_records(raw):
+                        wtype = h.get("warc-type", "")
                         if wtype in ("response", "request"):
                             http_split = block.find(b"\r\n\r\n")
                             body = block[http_split + 4 :] if http_split >= 0 else b""
@@ -2272,6 +2273,99 @@ def parse_warc_poison_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=WARC_POISON_SCHEMA)
+
+
+# Crawl-page fixture shared with the crawl_to_corpus oracle (round 11):
+# the page wraps each document's text in real markup — multi-line
+# style/script blocks that must vanish, named + numeric entities —
+# so the composed plan's html_text stage has real work to do.
+CRAWL_HTML_HEAD = "<html><head><title>Doc "
+CRAWL_HTML_MID = (
+    "</title><STYLE media=\"all\">\nbody { margin: 0 }\n</STYLE>"
+    "</head><body><h1>H</h1><p>"
+)
+CRAWL_HTML_TAIL = (
+    "</p><SCRIPT type=\"text/javascript\">\nvar crawl = 1 &amp; 3;\n</SCRIPT>"
+    "<p>tail &amp; &quot;q&quot; &#39;s &lt;ok&gt; &#72;&#105; &#x21;</p>"
+    "</body></html>"
+)
+CRAWL_TEXT_CHARS = 200
+
+PAGES_SCHEMA = "doc_id long, url string, html string"
+
+
+def synthesize_warc_html(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Manufacture a REAL per-doc WARC/1.0 crawl capture whose response
+    body is an HTML page embedding the document's text (first
+    ``CRAWL_TEXT_CHARS`` chars in the shared page fixture) — plus a
+    request record in front, so the downstream extractor must FILTER
+    record types, not just split. Per-record gzip members, Common
+    Crawl style."""
+    import gzip
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id, text in zip(ids, pdf[text_col]):
+                d = int(doc_id)
+                uri = f"http://crawl.example/{d}"
+                page = (
+                    CRAWL_HTML_HEAD + str(d) + CRAWL_HTML_MID
+                    + str(text)[:CRAWL_TEXT_CHARS] + CRAWL_HTML_TAIL
+                )
+                req = _warc_record(
+                    "request", uri, WARC_REQ_PAYLOAD.format(r=0).encode()
+                )
+                resp = _warc_record(
+                    "response", uri,
+                    WARC_RESP_HDR.replace("text/plain", "text/html").encode()
+                    + page.encode(),
+                )
+                payloads.append(
+                    gzip.compress(req, compresslevel=6, mtime=0)
+                    + gzip.compress(resp, compresslevel=6, mtime=0)
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def extract_warc_pages(warc: DataFrame) -> DataFrame:
+    """Arrow-batched crawl-capture → page extraction: gunzip the
+    members, walk the records, keep RESPONSE records only, split the
+    HTTP header block, and emit (doc_id, url, html) — the stage that
+    turns a WARC column into the text tier's input. Zero exchange:
+    payload bytes never leave the executor; only the (much smaller)
+    page strings flow on."""
+    import gzip
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = gzip.decompress(bytes(payload))
+                for h, _clen, block in _walk_warc_records(raw):
+                    if h.get("warc-type") != "response":
+                        continue
+                    http_split = block.find(b"\r\n\r\n")
+                    body = block[http_split + 4 :] if http_split >= 0 else b""
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "url": h.get("warc-target-uri", ""),
+                            "html": body.decode("utf-8"),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return warc.mapInPandas(run, schema=PAGES_SCHEMA)
 
 
 BMP_STATS_SCHEMA = (

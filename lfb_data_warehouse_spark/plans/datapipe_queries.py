@@ -5919,3 +5919,142 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-to-corpus flagship composite (round 11): the WARC twin of
+# prepare_training_corpus — container parse → boilerplate strip →
+# quality gates → exact dedup → packing, ONE lazy plan.
+# ---------------------------------------------------------------------------
+
+CRAWL_PACK_SHARDS = 8  # packing groups: doc_id % shards
+
+
+def _crawl_corpus_oracle() -> str:
+    from ..functions.text import STOPWORDS, html_text_sql, tokens_sql
+    from ..operators.multimodal import (
+        CRAWL_HTML_HEAD,
+        CRAWL_HTML_MID,
+        CRAWL_HTML_TAIL,
+        CRAWL_TEXT_CHARS,
+    )
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+    html = (
+        f"{lit(CRAWL_HTML_HEAD)} || CAST(doc_id AS VARCHAR) || "
+        f"{lit(CRAWL_HTML_MID)} || substr(text, 1, {CRAWL_TEXT_CHARS}) || "
+        f"{lit(CRAWL_HTML_TAIL)}"
+    )
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    WITH pages AS (
+        SELECT doc_id, {html_text_sql(html)} AS text FROM documents
+    ),
+    t AS (SELECT doc_id, text, {tokens_sql('text')} AS w FROM pages),
+    scored AS (
+        SELECT doc_id, text, len(w) AS tok,
+               CAST(len(list_filter(w, x -> x IN ({stop_list}))) AS DOUBLE)
+                 / len(w) AS stop_ratio,
+               CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                 AS DOUBLE) / len(w) AS alpha_ratio
+        FROM t WHERE len(w) >= {C4_MIN_TOKENS}
+    ),
+    quality AS (
+        SELECT * FROM scored
+        WHERE stop_ratio <= {C4_MAX_STOP_RATIO}
+          AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+    ),
+    survivors AS (
+        SELECT doc_id, doc_id % {CRAWL_PACK_SHARDS} AS shard,
+               CAST(tok AS BIGINT) AS tok
+        FROM quality
+        QUALIFY row_number() OVER (PARTITION BY sha256(text)
+                                   ORDER BY doc_id) = 1
+    ),
+    c AS (
+        SELECT shard, doc_id, tok,
+               SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - tok AS start_offset
+        FROM survivors
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(FLOOR(CAST(start_offset AS DOUBLE) / {PACK_SEQ_LEN}.0) AS BIGINT)
+             AS pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """
+
+
+@register("crawl_to_corpus", oracle=_crawl_corpus_oracle())
+def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole crawl-to-training-corpus pipeline as ONE lazy plan —
+    the WARC twin of :func:`prepare_training_corpus` and the round-10
+    verdict's named composition item: per-doc WARC captures (gzip
+    members, request + response records) → container parse keeping
+    response bodies only (`extract_warc_pages`, Arrow map pass) →
+    HTML boilerplate strip (`html_text` — codegen'd JVM regexp chains,
+    the round-11 numeric-entity path included) → C4-style quality
+    gates (token count, stopword ratio, alpha ratio — inline map-side
+    predicates, zero shuffle) → exact dedup (min-id survivor per
+    sha256) → fixed-budget sequence packing per shard.
+
+    Scale shape: the two Python stages are consecutive Arrow
+    ``mapInPandas`` passes with NO exchange between them (payload
+    bytes never leave the executor — only extracted page strings flow
+    on); everything from the strip to the gates is JVM codegen on the
+    same pass; the only shuffles are the dedup hash partition and the
+    packing range partition. The staged-materialized naive twin
+    (tools/baseline_bench.py) prices the composition the same way the
+    text flagship's does."""
+    from pyspark.sql import Window
+
+    from ..functions.text import html_text
+    from ..operators.multimodal import extract_warc_pages, synthesize_warc_html
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = extract_warc_pages(synthesize_warc_html(docs, "doc_id", "text"))
+    ext = pages.select("doc_id", html_text(F.col("html")).alias("text"))
+    w = tokens("text")
+    scored = (
+        ext.withColumn("tok", F.size(w).cast("long"))
+        .filter(F.col("tok") >= C4_MIN_TOKENS)
+        .withColumn(
+            "stop_ratio",
+            F.size(F.filter(w, lambda x: x.isin(STOPWORDS))).cast("double")
+            / F.col("tok"),
+        )
+        .filter(F.col("stop_ratio") <= C4_MAX_STOP_RATIO)
+        .withColumn(
+            "alpha_ratio",
+            F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double")
+            / F.col("tok"),
+        )
+        .filter(F.col("alpha_ratio") >= GOPHER_MIN_ALPHA_RATIO)
+    )
+    win = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    survivors = (
+        scored.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % CRAWL_PACK_SHARDS).alias("shard"),
+            "tok",
+        )
+    )
+    packed = pack_sequences(
+        survivors, group_col="shard", order_cols=["doc_id"], token_col="tok",
+        seq_len=PACK_SEQ_LEN,
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("long").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

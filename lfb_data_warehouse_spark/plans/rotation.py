@@ -970,6 +970,118 @@ def _dedupe_keep_last(names: list[str]) -> list[str]:
     return out[::-1]
 
 
+# Round 10's driver-green window, verbatim from CORRECTNESS_r10.json
+# (50/50): flagship + the 12 new media/crawl gates + the r5-era
+# recheck block + the r6 head.
+_R10_GREEN: list[str] = [
+    "flagship_star_fact",
+    "jpeg_progressive_restart_stats",
+    "resize_png16_stats",
+    "jpeg12_decode_stats",
+    "jpeg_411_decode_stats",
+    "jpeg_lossless_decode_stats",
+    "gif_decode_stats",
+    "g711_decode_stats",
+    "bmp_decode_stats",
+    "warc_parse_stats",
+    "html_text_extract",
+    "tiff_decode_stats",
+    "media_poison_battery",
+    "mart_per_month",
+    "mart_per_segment",
+    "mart_types_per_segment",
+    "pivot_priority_by_year",
+    "dim_collapse_first",
+    "scd_latest_order",
+    "scd2_customer_priority",
+    "scd2_point_in_time_join",
+    "incremental_mart_update",
+    "topk_parts_per_brand",
+    "join_enrich_brand_revenue",
+    "join_composite_customer_year",
+    "incremental_new_orders",
+    "dq_referential_integrity",
+    "dq_profile_customer",
+    "hash_surrogate_keys",
+    "dim_region_sentinel",
+    "date_spine_orders",
+    "bucketize_acctbal",
+    "zscore_scrub_prices",
+    "try_cast_dirty_ingest",
+    "string_function_battery",
+    "unpivot_priority_measures",
+    "percentile_prices_by_flag",
+    "rollup_priority_year",
+    "history_length_audit",
+    "io_contract_battery",
+    "asof_nearest_purchase",
+    "interval_join_purchase_clicks",
+    "funnel_view_click_purchase",
+    "sessionize_events",
+    "tumbling_hourly_events",
+    "sliding_window_events",
+    "salted_agg_events",
+    "json_extract_events",
+    "variant_shred_events",
+    "map_explode_props",
+]
+
+# Round 11 re-verification, in priority order: tools/freshness.py's
+# staleness queue after round 10 — the 37 queries whose last driver
+# row is round 6 (TPC-H core, the stream-dedup pair, window batteries,
+# CDC/reconcile, bloom semijoin, text gates, DPP/XML/datasource — the
+# round-10 verdict's named set), then the r7 head oldest-first. 37 + 7
+# fill the 44 slots left by flagship + ORACLE_FIXED (3) +
+# UNCHECKED_PRIORITY (2), so a green round 11 leaves NO registry row
+# older than round 7.
+_R11_RECHECK: list[str] = [
+    "asof_backward_last_click",
+    "stream_dedup_events",
+    "stream_dedup_jittered",
+    "window_battery_customer_orders",
+    "window_trailing_30d",
+    "histogram_order_prices",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_variety",
+    "tpch_q18_large_volume",
+    "approx_distinct_segments",
+    "cdc_merge_orders",
+    "reconcile_order_snapshots",
+    "bloom_semijoin_revenue",
+    "dedup_keep_canonical",
+    "remix_token_budget",
+    "text_bigram_novelty",
+    "text_vocab_oov",
+    "near_dup_recall_audit",
+    "semantic_dedup_keep",
+    "text_sentences_udtf",
+    "text_readability_stats",
+    "dpp_partitioned_fact_join",
+    "xml_roundtrip_part",
+    "python_datasource_weekday_orders",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    # r7 head (freshness order) — fills the window to exactly 50
+    "fillna_value_battery",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_cheapest_supplier",
+    "tpch_q22_prospects",
+    "dedup_exact_documents",
+]
+
 _ALL_GREEN: list[str] = _dedupe_keep_last(
     _R1_GREEN
     + _R2_GREEN
@@ -980,38 +1092,36 @@ _ALL_GREEN: list[str] = _dedupe_keep_last(
     + _R7_GREEN
     + _R8_GREEN
     + _R9_GREEN
+    + _R10_GREEN
 )
 
-# Changed-oracle re-checks (the historically riskiest class): none in
-# round 10 — the round's diff ADDED gates (listed in
-# UNCHECKED_PRIORITY) without changing any existing query's oracle
-# text; tools/rotation_check.py verifies that mechanically against
+# Changed-oracle re-checks (the historically riskiest class), round 11:
+# tiff_decode_stats (fixture grew LZW/predictor rows + a predictor
+# column), jpeg_progressive_restart_stats (n_restarts now the TOTAL
+# markers the decoder actually consumed — oracle 6x per-scan count),
+# html_text_extract (numeric character references + multi-line
+# uppercase blocks in fixture and extractor). tools/rotation_check.py
+# verifies the changed-hash set mechanically against
 # tools/oracle_hashes.json.
-ORACLE_FIXED: list[str] = []
+ORACLE_FIXED: list[str] = [
+    "tiff_decode_stats",
+    "jpeg_progressive_restart_stats",
+    "html_text_extract",
+]
 
 VERIFIED_GREEN: list[str] = [
     n
-    for n in _R10_RECHECK + [m for m in _ALL_GREEN if m not in set(_R10_RECHECK)]
+    for n in _R11_RECHECK + [m for m in _ALL_GREEN if m not in set(_R11_RECHECK)]
     if n not in set(ORACLE_FIXED)
 ]
 
-# Never-driver-checked queries: the round-10 additions, each displacing
-# one _R10_RECHECK slot from the 50-slot window. (reorder()'s new-query
+# Never-driver-checked queries: the round-11 additions, each displacing
+# one _R11_RECHECK slot from the 50-slot window. (reorder()'s new-query
 # branch also fronts anything not yet listed anywhere, so a query added
 # mid-round is window-checked the same round even before it lands here.)
 UNCHECKED_PRIORITY: list[str] = [
-    "jpeg_progressive_restart_stats",  # r10: DRI/RSTn inside SOF2 scans
-    "resize_png16_stats",  # r10: u16-sample box resize + PNG16 re-encode
-    "jpeg12_decode_stats",  # r10: 12-bit SOF1 extended sequential decode
-    "jpeg_411_decode_stats",  # r10: sampling factor 4 (DV 4:1:1 layout)
-    "jpeg_lossless_decode_stats",  # r10: SOF3 predictive lossless (DICOM)
-    "gif_decode_stats",  # r10: GIF LZW decode, multi-frame + interlace
-    "g711_decode_stats",  # r10: G.711 u-law/A-law telephony WAV expand
-    "bmp_decode_stats",  # r10: BMP bottom-up BGR + indexed decode
-    "warc_parse_stats",  # r10: WARC/1.0 Common Crawl container parse
-    "html_text_extract",  # r10: JVM-side boilerplate strip + entities
-    "tiff_decode_stats",  # r10: baseline TIFF (strips, PackBits, endian)
-    "media_poison_battery",  # r10: heterogeneous dispatch + poison rows
+    "warc_poison_battery",  # r11: record-type spread, identity, poison
+    "crawl_to_corpus",  # r11: composed WARC→HTML→gates→dedup→packing
 ]
 
 

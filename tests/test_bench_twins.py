@@ -48,6 +48,22 @@ def test_prepare_training_corpus_twin_equal_result(spark):
     assert eng, "empty corpus output would vacuously pass"
 
 
+def test_crawl_to_corpus_twin_equal_result(spark):
+    """The staged fetch/extract/clean twin must produce the
+    bit-identical packed aggregate the one-plan crawl composition
+    does — otherwise the bench ratio compares different pipelines."""
+    from lfb_data_warehouse_spark.plans import REGISTRY
+
+    eng = sorted(
+        tuple(r) for r in REGISTRY["crawl_to_corpus"].fn(spark, SF_SMALL).collect()
+    )
+    naive = sorted(
+        tuple(r) for r in _load_naive()["crawl_to_corpus"](spark, SF_SMALL).collect()
+    )
+    assert eng == naive
+    assert eng, "empty corpus output would vacuously pass"
+
+
 def test_stream_sliding_bench_twin_equal_result(spark):
     """The streaming dashboard's final state (after the last trigger)
     must equal the naive twin's final full-batch recompute — the

@@ -812,6 +812,102 @@ def prepare_training_corpus(spark, sf_dir):
     )
 
 
+_NAIVE_CRAWL_DIRS: dict[str, str] = {}
+
+
+def crawl_to_corpus(spark, sf_dir):
+    # Staged-materialized crawl pipeline: parse the WARCs to a pages
+    # table on disk, read it back to strip boilerplate into a text
+    # table on disk, read THAT back for the quality gates + dedup, and
+    # only then pack — one job per stage, the way a crawl pipeline is
+    # usually operated (fetch/extract/clean as separate nightly tasks).
+    # Stage predicates and the packing operator are the engine's own
+    # (equal-RESULT twin): the race prices the COMPOSITION — page and
+    # text tables round-tripping through disk instead of flowing
+    # through one lazy plan.
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from lfb_data_warehouse_spark.functions.text import html_text
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        extract_warc_pages,
+        synthesize_warc_html,
+    )
+    from lfb_data_warehouse_spark.operators.packing import pack_sequences
+    from lfb_data_warehouse_spark.plans.datapipe_queries import (
+        C4_MAX_STOP_RATIO,
+        C4_MIN_TOKENS,
+        CRAWL_PACK_SHARDS,
+        GOPHER_MIN_ALPHA_RATIO,
+        PACK_SEQ_LEN,
+    )
+
+    if sf_dir not in _NAIVE_CRAWL_DIRS:
+        staged = tempfile.mkdtemp(prefix="lfb_naive_crawl_")
+        _NAIVE_CRAWL_DIRS[sf_dir] = staged
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, staged, ignore_errors=True)
+    d = _NAIVE_CRAWL_DIRS[sf_dir]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # stage 1: parse captures -> pages table on disk
+    extract_warc_pages(synthesize_warc_html(docs, "doc_id", "text")).write.mode(
+        "overwrite"
+    ).parquet(d + "/pages")
+    pages = spark.read.parquet(d + "/pages")
+
+    # stage 2: boilerplate strip -> text table on disk
+    pages.select("doc_id", html_text(F.col("html")).alias("text")).write.mode(
+        "overwrite"
+    ).parquet(d + "/text")
+    ext = spark.read.parquet(d + "/text")
+
+    # stage 3: quality gates + exact dedup -> survivors on disk
+    w = tokens("text")
+    scored = (
+        ext.withColumn("tok", F.size(w).cast("long"))
+        .filter(F.col("tok") >= C4_MIN_TOKENS)
+        .withColumn(
+            "stop_ratio",
+            F.size(F.filter(w, lambda x: x.isin(STOPWORDS))).cast("double")
+            / F.col("tok"),
+        )
+        .filter(F.col("stop_ratio") <= C4_MAX_STOP_RATIO)
+        .withColumn(
+            "alpha_ratio",
+            F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).cast("double")
+            / F.col("tok"),
+        )
+        .filter(F.col("alpha_ratio") >= GOPHER_MIN_ALPHA_RATIO)
+    )
+    win = W.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    (
+        scored.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "doc_id", (F.col("doc_id") % CRAWL_PACK_SHARDS).alias("shard"), "tok"
+        )
+        .write.mode("overwrite")
+        .parquet(d + "/survivors")
+    )
+    survivors = spark.read.parquet(d + "/survivors")
+
+    # stage 4, returned lazily — the bench loop's noop write times it
+    packed = pack_sequences(
+        survivors, group_col="shard", order_cols=["doc_id"], token_col="tok",
+        seq_len=PACK_SEQ_LEN,
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("long").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def ewma_customer_spend(spark, sf_dir):
     # naive: same grouped collect, but the recursive fold runs in a
     # row-at-a-time PYTHON udf (serialize every history array out to a
@@ -1049,6 +1145,9 @@ NAIVE = {
     # flagship composed pipeline vs the staged-materialized multi-job
     # nightly it replaces (equal-RESULT twin)
     "prepare_training_corpus": prepare_training_corpus,
+    # round-11 crawl flagship vs the fetch/extract/clean multi-job
+    # pipeline it replaces (equal-RESULT twin, staged through disk)
+    "crawl_to_corpus": crawl_to_corpus,
     # round-5 analytics gates vs their first-pass formulations:
     # Python-UDF fold / raw-rows pair join / per-day range self-join
     "ewma_customer_spend": ewma_customer_spend,
