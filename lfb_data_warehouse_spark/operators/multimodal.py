@@ -1876,13 +1876,14 @@ def synthesize_tiff(df: DataFrame, id_col: str) -> DataFrame:
     ``(d%12+3) × (d%8+3)`` frames, grayscale for even docs / RGB for
     odd, ``d%4+1``-row strips (so every doc is genuinely multi-strip),
     big-endian when ``d%5==0``, and the compression rotating by
-    ``d%3``: 0 → PackBits, 1 → LZW (round 11 — the most common
-    real-world TIFF compression; with horizontal-differencing
-    Predictor 2 when ``d%4 < 2``, the pairing real writers emit),
-    2 → uncompressed. Sample ``(3x + 5y + 7d + 11c) mod 256``
-    closed-form so the oracle recomputes channel sums while the engine
-    must walk the IFD, read inline-vs-offset tag arrays, and
-    reassemble RLE / LZW / raw strips."""
+    ``d%4``: 0 → PackBits, 1 → LZW (round 11 — the most common
+    real-world TIFF compression), 2 → Deflate (round 11), 3 →
+    uncompressed; horizontal-differencing Predictor 2 rides half the
+    LZW and Deflate rows (``d%8 in (1, 2)``), the pairing real writers
+    emit. Sample ``(3x + 5y + 7d + 11c) mod 256`` closed-form so the
+    oracle recomputes channel sums while the engine must walk the IFD,
+    read inline-vs-offset tag arrays, and reassemble RLE / LZW /
+    zlib / raw strips."""
     from .tiffcodec import tiff_bytes
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1904,9 +1905,9 @@ def synthesize_tiff(df: DataFrame, id_col: str) -> DataFrame:
                 payloads.append(
                     tiff_bytes(
                         w, h, raster, channels=ch, rows_per_strip=d % 4 + 1,
-                        packbits=d % 3 == 0, big_endian=d % 5 == 0,
-                        lzw=d % 3 == 1,
-                        predictor=2 if (d % 3 == 1 and d % 4 < 2) else 1,
+                        packbits=d % 4 == 0, big_endian=d % 5 == 0,
+                        lzw=d % 4 == 1, deflate=d % 4 == 2,
+                        predictor=2 if d % 8 in (1, 2) else 1,
                     )
                 )
             yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})

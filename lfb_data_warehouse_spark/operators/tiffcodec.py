@@ -26,13 +26,18 @@ libtiff pairing), and an encoder-side Clear at table entry 4094.
 Horizontal-differencing Predictor 2 (tag 317), which virtually every
 real LZW TIFF carries, is implemented per row per sample channel.
 
-Not supported (explicit ValueError): JPEG/deflate compression,
-tiled TIFFs, bits-per-sample other than 8, palette TIFFs.
+Round 11 also adds Deflate (Compression=8, the "Adobe deflate" zlib
+stream per strip; the legacy 32946 code decodes identically) with the
+same bounded-inflate allocation guard as the PNG decoder.
+
+Not supported (explicit ValueError): JPEG compression, tiled TIFFs,
+bits-per-sample other than 8, palette TIFFs.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 from .jpegcodec import MAX_DECODED_BYTES, decode_valueerror_contract
 
@@ -156,6 +161,22 @@ def _hdiff_encode(strip: bytes, width: int, channels: int) -> bytes:
     return bytes(out)
 
 
+def _inflate_strip(strip: bytes, max_out: int) -> bytes:
+    """Bounded zlib inflate for one Deflate strip: cap at the declared
+    strip size (+1 detects overruns) so a hostile stream is a
+    ValueError, never a stage-killing MemoryError — same guard as the
+    PNG IDAT path."""
+    obj = zlib.decompressobj()
+    try:
+        data = obj.decompress(strip, max_out)
+        extra = obj.decompress(obj.unconsumed_tail, 1) if not obj.eof else b""
+    except zlib.error as e:
+        raise ValueError(f"TIFF deflate strip undecodable: {e}") from e
+    if extra or not obj.eof:
+        raise ValueError("TIFF deflate strip overruns its declared size")
+    return data
+
+
 def _hdiff_decode(strip: bytes, width: int, channels: int) -> bytes:
     """Predictor 2 inverse: cumulative sum per row per channel mod 256."""
     out = bytearray(strip)
@@ -232,13 +253,15 @@ def tiff_bytes(
     packbits: bool = False,
     big_endian: bool = False,
     lzw: bool = False,
+    deflate: bool = False,
     predictor: int = 1,
 ) -> bytes:
     """REAL baseline TIFF encode: 8-bit grayscale (``channels=1``) or
     RGB (``channels=3``), pixel data in ``rows_per_strip``-row strips,
-    each optionally PackBits- or LZW-compressed (round 11), either byte
-    order. ``predictor=2`` (horizontal differencing, tag 317) composes
-    with LZW only — the pairing real writers emit."""
+    each optionally PackBits-, LZW- or Deflate-compressed (round 11),
+    either byte order. ``predictor=2`` (horizontal differencing, tag
+    317) composes with LZW or Deflate — the pairings real writers
+    emit."""
     if channels not in (1, 3):
         raise ValueError("1 (gray) or 3 (RGB) channels supported")
     if len(raster) != width * height * channels:
@@ -247,21 +270,21 @@ def tiff_bytes(
         raise ValueError("zero-area frame")
     if rows_per_strip <= 0:
         raise ValueError("rows_per_strip must be positive")
-    if packbits and lzw:
+    if packbits + lzw + deflate > 1:
         raise ValueError("pick one compression")
     if predictor not in (1, 2):
         raise ValueError("predictor 1 (none) or 2 (horizontal) supported")
-    if predictor == 2 and not lzw:
-        raise ValueError("predictor 2 is only emitted with LZW")
+    if predictor == 2 and not (lzw or deflate):
+        raise ValueError("predictor 2 is only emitted with LZW or Deflate")
     e = ">" if big_endian else "<"
     rowbytes = width * channels
     strips = []
     for y0 in range(0, height, rows_per_strip):
         strip = raster[y0 * rowbytes : min(y0 + rows_per_strip, height) * rowbytes]
-        if lzw:
+        if lzw or deflate:
             if predictor == 2:
                 strip = _hdiff_encode(strip, width, channels)
-            strip = tiff_lzw_encode(strip)
+            strip = tiff_lzw_encode(strip) if lzw else zlib.compress(strip, 6)
         elif packbits:
             strip = packbits_encode(strip)
         strips.append(strip)
@@ -302,7 +325,8 @@ def tiff_bytes(
     ifd += tag(256, 3, 1, width)  # ImageWidth
     ifd += tag(257, 3, 1, height)  # ImageLength
     ifd += tag(258, 3, 1, bps)  # BitsPerSample
-    ifd += tag(259, 3, 1, 5 if lzw else (32773 if packbits else 1))  # Compression
+    comp_code = 5 if lzw else (8 if deflate else (32773 if packbits else 1))
+    ifd += tag(259, 3, 1, comp_code)  # Compression
     ifd += tag(262, 3, 1, 1 if channels == 1 else 2)  # Photometric
     ifd += tag(273, 4, n_strips, offsets_value)  # StripOffsets
     ifd += tag(277, 3, 1, channels)  # SamplesPerPixel
@@ -382,12 +406,12 @@ def tiff_decode_pixels(b: bytes) -> dict:
     predictor = value(317, 1)
     if bps != 8:
         raise ValueError("only 8 bits per sample supported")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"compression {compression} not supported")
     if predictor not in (1, 2):
         raise ValueError(f"predictor {predictor} not supported")
-    if predictor == 2 and compression != 5:
-        raise ValueError("predictor 2 outside an LZW stream")
+    if predictor == 2 and compression not in (5, 8, 32946):
+        raise ValueError("predictor 2 outside an LZW/deflate stream")
     if channels not in (1, 3):
         raise ValueError("only 1- or 3-sample pixels supported")
     if width == 0 or height == 0 or rps == 0:
@@ -406,8 +430,11 @@ def tiff_decode_pixels(b: bytes) -> dict:
         strip = b[off : off + cnt]
         if compression == 32773:
             strip = packbits_decode(strip, rows * rowbytes)
-        elif compression == 5:
-            strip = tiff_lzw_decode(strip, rows * rowbytes)
+        elif compression in (5, 8, 32946):
+            if compression == 5:
+                strip = tiff_lzw_decode(strip, rows * rowbytes)
+            else:
+                strip = _inflate_strip(strip, rows * rowbytes)
             if predictor == 2:
                 strip = _hdiff_decode(strip, width, channels)
         if len(strip) != rows * rowbytes:
@@ -419,7 +446,9 @@ def tiff_decode_pixels(b: bytes) -> dict:
         "height": height,
         "channels": channels,
         "bit_depth": 8,
-        "compression": {1: "none", 5: "lzw", 32773: "packbits"}[compression],
+        "compression": {
+            1: "none", 5: "lzw", 8: "deflate", 32946: "deflate", 32773: "packbits",
+        }[compression],
         "predictor": predictor,
         "n_strips": n_strips,
         "big_endian": e == ">",

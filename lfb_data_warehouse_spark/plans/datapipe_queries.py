@@ -4380,10 +4380,11 @@ TIFF_DOC_MOD = 13  # doc_id % 13 == 3 → ~1/13 of documents get a TIFF
            CAST(any_value(ch) AS BIGINT) AS channels,
            CAST((any_value(h) + any_value(rps) - 1) // any_value(rps) AS BIGINT)
              AS n_strips,
-           CAST(CASE WHEN doc_id % 3 = 0 THEN 'packbits'
-                     WHEN doc_id % 3 = 1 THEN 'lzw'
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 'packbits'
+                     WHEN doc_id % 4 = 1 THEN 'lzw'
+                     WHEN doc_id % 4 = 2 THEN 'deflate'
                      ELSE 'none' END AS VARCHAR) AS compression,
-           CAST(CASE WHEN doc_id % 3 = 1 AND doc_id % 4 < 2 THEN 2
+           CAST(CASE WHEN doc_id % 8 IN (1, 2) THEN 2
                      ELSE 1 END AS BIGINT) AS predictor,
            doc_id % 5 = 0 AS big_endian,
            CAST(sum(v) AS BIGINT) AS px_sum,
@@ -4397,16 +4398,17 @@ TIFF_DOC_MOD = 13  # doc_id % 13 == 3 → ~1/13 of documents get a TIFF
 def tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline TIFF decode end to end — the scan/scientific still
     format, completing the tier's common-format coverage (round 10;
-    round 11 adds LZW, the most common real-world TIFF compression):
-    synthesize_tiff varies BOTH byte orders, multi-row strip layouts,
-    PackBits vs LZW (with and without horizontal-differencing
-    Predictor 2 — TIFF's early-change LZW variant, MSB-first bit
-    packing) vs uncompressed, and gray vs RGB across the corpus, so
-    the decoder's endian-aware IFD walk, inline-vs-offset tag arrays,
-    per-strip RLE/LZW, predictor undo, and strip reassembly are all
-    driver-gated at once — each mistake lands on px_sum, n_strips or
-    a corner pixel. Oracle: the same sample arithmetic on a
-    generate_series grid (all three codings are lossless — no
+    round 11 adds LZW — the most common real-world TIFF compression —
+    and Deflate): synthesize_tiff varies BOTH byte orders, multi-row
+    strip layouts, PackBits vs LZW (TIFF's early-change variant,
+    MSB-first bit packing) vs Deflate (bounded zlib per strip) vs
+    uncompressed, with and without horizontal-differencing Predictor 2
+    on the LZW/Deflate rows, and gray vs RGB across the corpus, so the
+    decoder's endian-aware IFD walk, inline-vs-offset tag arrays,
+    per-strip RLE/LZW/inflate, predictor undo, and strip reassembly
+    are all driver-gated at once — each mistake lands on px_sum,
+    n_strips or a corner pixel. Oracle: the same sample arithmetic on
+    a generate_series grid (all four codings are lossless — no
     tolerance)."""
     from ..operators.multimodal import decode_tiff_stats, synthesize_tiff
 

@@ -1088,19 +1088,30 @@ def test_tiff_roundtrip():
     # single-strip layout inlines the offset/count values in the tag
     d = tiff_decode_pixels(tiff_bytes(5, 4, bytes(20), rows_per_strip=100))
     assert d["n_strips"] == 1 and d["raster"] == bytes(20)
-    # LZW (round 11): TIFF-variant early change + MSB packing, with and
-    # without horizontal-differencing Predictor 2, both byte orders
-    for ch in (1, 3):
-        for pred in (1, 2):
-            for be in (False, True):
-                w, h = rng.randint(1, 17), rng.randint(1, 11)
-                raster = bytes(rng.randrange(256) for _ in range(w * h * ch))
-                d = tiff_decode_pixels(
-                    tiff_bytes(w, h, raster, channels=ch, rows_per_strip=3,
-                               lzw=True, predictor=pred, big_endian=be)
-                )
-                assert d["raster"] == raster and d["compression"] == "lzw"
-                assert d["predictor"] == pred
+    # LZW + Deflate (round 11): TIFF-variant early-change LZW (MSB
+    # packing) and per-strip zlib, with and without horizontal-
+    # differencing Predictor 2, both byte orders
+    for comp in ("lzw", "deflate"):
+        for ch in (1, 3):
+            for pred in (1, 2):
+                for be in (False, True):
+                    w, h = rng.randint(1, 17), rng.randint(1, 11)
+                    raster = bytes(rng.randrange(256) for _ in range(w * h * ch))
+                    d = tiff_decode_pixels(
+                        tiff_bytes(w, h, raster, channels=ch, rows_per_strip=3,
+                                   lzw=comp == "lzw", deflate=comp == "deflate",
+                                   predictor=pred, big_endian=be)
+                    )
+                    assert d["raster"] == raster and d["compression"] == comp
+                    assert d["predictor"] == pred
+    # legacy 32946 deflate code decodes identically to 8
+    import struct as _s
+
+    b8 = bytearray(tiff_bytes(6, 4, bytes(range(24)), deflate=True))
+    comp_off = 8 + 2 + 12 * 3 + 8
+    assert b8[comp_off] == 8
+    b8[comp_off : comp_off + 2] = _s.pack("<H", 32946 & 0xFFFF)
+    assert tiff_decode_pixels(bytes(b8))["compression"] == "deflate"
     # BitsPerSample with count == SamplesPerPixel (what standard RGB
     # writers emit — round-11 ADVICE interop fix): patch tag 258 of an
     # RGB file to a 3-entry offset array appended at EOF
