@@ -1973,6 +1973,106 @@ def decode_tiff_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=TIFF_STATS_SCHEMA)
 
 
+TIFF_PALETTE_STATS_SCHEMA = (
+    "doc_id long, width long, height long, n_strips long, "
+    "compression string, big_endian boolean, "
+    "r_sum long, g_sum long, b_sum long, first_px long, last_px long"
+)
+
+
+def synthesize_tiff_palette(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL palette (Photometric=3) TIFFs — the indexed
+    scan/map format (round 11): ``(d%9+2) × (d%6+2)`` frames over a
+    ``d%5+2``-color palette (entry i = ``(7i, 13i, 29i) mod 256``, the
+    BMP-indexed fixture arithmetic), index ``(x + 2y + d) mod nc``,
+    ``d%3+1``-row strips, big-endian for even docs, LZW when
+    ``d%3==0`` — so the decoder must read the full-256-entry 16-bit
+    ColorMap through the offset-array path and look every index up."""
+    from .tiffcodec import tiff_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h, nc = d % 9 + 2, d % 6 + 2, d % 5 + 2
+                pal = bytes(
+                    v % 256 for i in range(nc) for v in (7 * i, 13 * i, 29 * i)
+                )
+                idx = bytes(
+                    (x + 2 * y + d) % nc for y in range(h) for x in range(w)
+                )
+                payloads.append(
+                    tiff_bytes(
+                        w, h, idx, channels=1, rows_per_strip=d % 3 + 1,
+                        big_endian=d % 2 == 0, lzw=d % 3 == 0, palette=pal,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_tiff_palette_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched palette-TIFF decode: per-channel sums come from
+    the ColorMap-looked-up RGB raster, so a mis-read ColorMap offset,
+    a plane-order mix-up (the map is R-plane then G then B, not
+    interleaved), or a dropped high-byte conversion lands on the
+    channel sums. ``strict=False`` = poison-safe NULL-stats rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if d.get("media_type") != "image/tiff" or not d.get("palette"):
+                        raise ValueError("expected a palette TIFF")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "width", "height", "n_strips", "compression",
+                                    "big_endian", "r_sum", "g_sum", "b_sum",
+                                    "first_px", "last_px",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                r = d["raster"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_strips": d["n_strips"],
+                        "compression": d["compression"],
+                        "big_endian": d["big_endian"],
+                        "r_sum": sum(r[0::3]),
+                        "g_sum": sum(r[1::3]),
+                        "b_sum": sum(r[2::3]),
+                        "first_px": r[0],
+                        "last_px": r[-1],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=TIFF_PALETTE_STATS_SCHEMA)
+
+
 WARC_STATS_SCHEMA = (
     "doc_id long, rec_index long, n_records long, warc_type string, "
     "content_length long, body_chars long, body_sum long"

@@ -30,8 +30,13 @@ Round 11 also adds Deflate (Compression=8, the "Adobe deflate" zlib
 stream per strip; the legacy 32946 code decodes identically) with the
 same bounded-inflate allocation guard as the PNG decoder.
 
+Round 11 also adds palette (Photometric=3) TIFFs: a full-256-entry
+16-bit ColorMap (tag 320, the R/G/B-plane layout the spec mandates),
+indices decoded then looked up to an RGB raster — closing three of the
+four round-10 honest-unsupported TIFF items (LZW, Deflate, palette).
+
 Not supported (explicit ValueError): JPEG compression, tiled TIFFs,
-bits-per-sample other than 8, palette TIFFs.
+bits-per-sample other than 8.
 """
 
 from __future__ import annotations
@@ -255,15 +260,26 @@ def tiff_bytes(
     lzw: bool = False,
     deflate: bool = False,
     predictor: int = 1,
+    palette: bytes | None = None,
 ) -> bytes:
-    """REAL baseline TIFF encode: 8-bit grayscale (``channels=1``) or
-    RGB (``channels=3``), pixel data in ``rows_per_strip``-row strips,
+    """REAL baseline TIFF encode: 8-bit grayscale (``channels=1``),
+    RGB (``channels=3``), or palette (``palette`` = up to 256 RGB888
+    triples; ``raster`` is then indices and ``channels`` must be 1 —
+    Photometric=3 with the full-256-entry 16-bit ColorMap the spec
+    mandates, round 11), pixel data in ``rows_per_strip``-row strips,
     each optionally PackBits-, LZW- or Deflate-compressed (round 11),
     either byte order. ``predictor=2`` (horizontal differencing, tag
     317) composes with LZW or Deflate — the pairings real writers
     emit."""
     if channels not in (1, 3):
         raise ValueError("1 (gray) or 3 (RGB) channels supported")
+    if palette is not None:
+        if channels != 1:
+            raise ValueError("palette TIFFs carry one index sample per pixel")
+        if len(palette) % 3 or not 3 <= len(palette) <= 768:
+            raise ValueError("palette must be 1..256 RGB triples")
+        if raster and max(raster) >= len(palette) // 3:
+            raise ValueError("index past the palette")
     if len(raster) != width * height * channels:
         raise ValueError(f"need {width * height * channels} raster bytes")
     if width <= 0 or height <= 0:
@@ -296,20 +312,31 @@ def tiff_bytes(
         return struct.pack(f"{e}HHII", tid, ttype, count, value)
 
     header = struct.pack(f"{e}2sHI", b"MM" if big_endian else b"II", 42, 8)
-    # layout: header(8) | IFD | [offset arrays] | strip data
-    n_tags = 10 if predictor == 2 else 9
+    # layout: header(8) | IFD | [offset arrays] | [ColorMap] | strip data
+    n_tags = 9 + (predictor == 2) + (palette is not None)
     ifd_size = 2 + 12 * n_tags + 4
     arrays_off = 8 + ifd_size
     n_strips = len(strips)
+    # ColorMap (tag 320): the spec's full 2^bps entries per plane, all
+    # the R values then G then B, 16-bit each (8-bit color << 8)
+    cmap = b""
+    cmap_pos = 0
+    if palette is not None:
+        full = palette + bytes(768 - len(palette))
+        planes = [full[c::3] for c in range(3)]
+        cmap = struct.pack(
+            f"{e}768H", *[v << 8 for p in planes for v in p]
+        )
     if n_strips == 1:
         off_array = cnt_array = b""
-        offsets_value = arrays_off
+        cmap_pos = arrays_off
+        offsets_value = arrays_off + len(cmap)
         counts_value = len(strips[0])
-        data_off = arrays_off
     else:
         off_pos = arrays_off
         cnt_pos = off_pos + 4 * n_strips
-        data_off = cnt_pos + 4 * n_strips
+        cmap_pos = cnt_pos + 4 * n_strips
+        data_off = cmap_pos + len(cmap)
         offs = []
         pos = data_off
         for s in strips:
@@ -327,15 +354,21 @@ def tiff_bytes(
     ifd += tag(258, 3, 1, bps)  # BitsPerSample
     comp_code = 5 if lzw else (8 if deflate else (32773 if packbits else 1))
     ifd += tag(259, 3, 1, comp_code)  # Compression
-    ifd += tag(262, 3, 1, 1 if channels == 1 else 2)  # Photometric
+    photometric = 3 if palette is not None else (1 if channels == 1 else 2)
+    ifd += tag(262, 3, 1, photometric)  # Photometric
     ifd += tag(273, 4, n_strips, offsets_value)  # StripOffsets
     ifd += tag(277, 3, 1, channels)  # SamplesPerPixel
     ifd += tag(278, 3, 1, rows_per_strip)  # RowsPerStrip
     ifd += tag(279, 4, n_strips, counts_value)  # StripByteCounts
     if predictor == 2:
         ifd += tag(317, 3, 1, 2)  # Predictor: horizontal differencing
+    if palette is not None:
+        # ColorMap never fits inline, so its value field is a LONG
+        # offset even though the tag TYPE is SHORT — the tag() helper's
+        # low-half packing would mangle it on big-endian files
+        ifd += struct.pack(f"{e}HHII", 320, 3, 768, cmap_pos)
     ifd += struct.pack(f"{e}I", 0)  # no next IFD
-    return header + ifd + off_array + cnt_array + b"".join(strips)
+    return header + ifd + off_array + cnt_array + cmap + b"".join(strips)
 
 
 @decode_valueerror_contract
@@ -404,6 +437,7 @@ def tiff_decode_pixels(b: bytes) -> dict:
         bps = value(258, 8)
     rps = value(278, height)
     predictor = value(317, 1)
+    photometric = value(262, 1)
     if bps != 8:
         raise ValueError("only 8 bits per sample supported")
     if compression not in (1, 5, 8, 32773, 32946):
@@ -414,10 +448,19 @@ def tiff_decode_pixels(b: bytes) -> dict:
         raise ValueError("predictor 2 outside an LZW/deflate stream")
     if channels not in (1, 3):
         raise ValueError("only 1- or 3-sample pixels supported")
+    if photometric not in (0, 1, 2, 3):
+        raise ValueError(f"photometric {photometric} not supported")
+    if photometric == 3 and channels != 1:
+        raise ValueError("palette TIFF must carry one index sample per pixel")
     if width == 0 or height == 0 or rps == 0:
         raise ValueError("TIFF with zero-area frame")
-    if width * height * channels > MAX_DECODED_BYTES:
+    if width * height * 3 > MAX_DECODED_BYTES:
         raise ValueError("TIFF declares implausible dimensions")
+    cmap = None
+    if photometric == 3:
+        # ColorMap: 2^bps entries per plane, R-plane then G then B,
+        # 16 bits each — high byte is the 8-bit color
+        cmap = array(320, 768)
     n_strips = (height + rps - 1) // rps
     offsets = array(273, n_strips)
     counts = array(279, n_strips)
@@ -440,6 +483,14 @@ def tiff_decode_pixels(b: bytes) -> dict:
         if len(strip) != rows * rowbytes:
             raise ValueError("TIFF strip length mismatch")
         out += strip
+    if cmap is not None:
+        rgb = bytearray(3 * width * height)
+        for j, idx in enumerate(out):
+            rgb[3 * j] = cmap[idx] >> 8
+            rgb[3 * j + 1] = cmap[256 + idx] >> 8
+            rgb[3 * j + 2] = cmap[512 + idx] >> 8
+        out = rgb
+        channels = 3
     return {
         "media_type": "image/tiff",
         "width": width,
@@ -450,6 +501,7 @@ def tiff_decode_pixels(b: bytes) -> dict:
             1: "none", 5: "lzw", 8: "deflate", 32946: "deflate", 32773: "packbits",
         }[compression],
         "predictor": predictor,
+        "palette": cmap is not None,
         "n_strips": n_strips,
         "big_endian": e == ">",
         "raster": bytes(out),

@@ -1033,7 +1033,8 @@ _R10_GREEN: list[str] = [
 # round-10 verdict's named set), then the r7 head oldest-first. 37 + 7
 # fill the 44 slots left by flagship + ORACLE_FIXED (3) +
 # UNCHECKED_PRIORITY (2), so a green round 11 leaves NO registry row
-# older than round 7.
+# older than round 7. (The third new gate displaced the last r7 fill,
+# dedup_exact_documents — still r7-fresh, front of the r12 queue.)
 _R11_RECHECK: list[str] = [
     "asof_backward_last_click",
     "stream_dedup_events",
@@ -1079,7 +1080,6 @@ _R11_RECHECK: list[str] = [
     "tpch_q21_waiting_supplier",
     "tpch_q2_cheapest_supplier",
     "tpch_q22_prospects",
-    "dedup_exact_documents",
 ]
 
 _ALL_GREEN: list[str] = _dedupe_keep_last(
@@ -1122,6 +1122,7 @@ VERIFIED_GREEN: list[str] = [
 UNCHECKED_PRIORITY: list[str] = [
     "warc_poison_battery",  # r11: record-type spread, identity, poison
     "crawl_to_corpus",  # r11: composed WARC→HTML→gates→dedup→packing
+    "tiff_palette_decode_stats",  # r11: Photometric=3 ColorMap lookup
 ]
 
 

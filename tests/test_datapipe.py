@@ -1104,6 +1104,18 @@ def test_tiff_roundtrip():
                     )
                     assert d["raster"] == raster and d["compression"] == comp
                     assert d["predictor"] == pred
+    # palette (Photometric=3, round 11): full-256-entry 16-bit ColorMap
+    # through the offset path, high-byte lookup, both byte orders + LZW
+    for nc, be, lz in ((4, False, False), (7, True, False), (3, True, True)):
+        w, h = rng.randint(2, 12), rng.randint(2, 8)
+        pal = bytes(rng.randrange(256) for _ in range(3 * nc))
+        idx = bytes(rng.randrange(nc) for _ in range(w * h))
+        d = tiff_decode_pixels(
+            tiff_bytes(w, h, idx, channels=1, rows_per_strip=3,
+                       big_endian=be, lzw=lz, palette=pal)
+        )
+        assert d["palette"] and d["channels"] == 3
+        assert d["raster"] == bytes(pal[3 * i + c] for i in idx for c in range(3))
     # legacy 32946 deflate code decodes identically to 8
     import struct as _s
 
