@@ -46,6 +46,7 @@ QUERIES = (
     "pack_sequences_documents",  # two-phase prefix sum
     "dedup_keep_canonical",  # MinHash→LSH→components→survivors
     "dedup_components_star",  # exact-pair chain + O(log n) star rounds
+    "crawl_to_corpus",  # r11: WARC→HTML→gates→dedup→packing, one plan
 )
 
 
