@@ -5969,9 +5969,12 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = gated.join(sem_drop, "doc_id", "left_anti")
     from pyspark.sql import Window
 
-    win = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    # hash before the dedup exchange (round 11): shuffle (doc_id,
+    # source, hash, tok), never the document text itself
+    win = Window.partitionBy("__h").orderBy("doc_id")
     survivors = (
-        filtered.withColumn("__rn", F.row_number().over(win))
+        filtered.select("doc_id", "source", "tok", F.sha2("text", 256).alias("__h"))
+        .withColumn("__rn", F.row_number().over(win))
         .filter(F.col("__rn") == 1)
         .select("doc_id", "source", "tok")
     )
@@ -6104,9 +6107,15 @@ def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("alpha_ratio") >= GOPHER_MIN_ALPHA_RATIO)
     )
-    win = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    # hash BEFORE the dedup exchange: the window shuffles (doc_id,
+    # hash, tok) — ~40 bytes/row — instead of dragging the extracted
+    # text across the network just to hash it on the other side (the
+    # difference between shuffling ids and shuffling the corpus at
+    # 100 TB; SHUFFLE.md row)
+    win = Window.partitionBy("__h").orderBy("doc_id")
     survivors = (
-        scored.withColumn("__rn", F.row_number().over(win))
+        scored.select("doc_id", F.sha2("text", 256).alias("__h"), "tok")
+        .withColumn("__rn", F.row_number().over(win))
         .filter(F.col("__rn") == 1)
         .select(
             "doc_id",
