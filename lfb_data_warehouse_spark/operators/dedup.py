@@ -486,3 +486,76 @@ def incremental_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def line_dedup_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_doc_frac_20th: int = 1,
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal (round 11): drop
+    every line that appears in at least ``min_doc_frac_20th``/20 of the
+    corpus's documents (default 1/20 = 5%) — the navbars, cookie
+    banners and footers a crawl repeats on every page — and reassemble
+    each document from its surviving lines in original order.
+
+    Returns (id, n_lines, n_dropped, cleaned_chars, cleaned_text).
+
+    Scale shape: lines explode map-side and are hashed BEFORE the
+    frequency exchange (the shuffle carries (line_sha256, doc_id), not
+    line text); the corpus size rides a broadcast one-row aggregate
+    (no driver collect, the whole plan stays lazy); the boilerplate
+    set — lines frequent across documents — is inherently tiny
+    relative to the corpus, so the drop join broadcasts. A 100 TB
+    corpus shuffles id+hash pairs once and never moves document text
+    between executors; reassembly groups each document's own lines,
+    which co-reside with their doc after the anti-join.
+
+    Threshold arithmetic is integer (``(n + 19) // 20`` for the 5%
+    default) so both engines agree exactly — never ``ceil(0.05 * n)``,
+    whose double rounding is a parity trap.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__idx", "__line"),
+    ).withColumn("__lh", F.sha2("__line", 256))
+    tot = df.agg(F.count(F.lit(1)).alias("__n"))
+    denom = 20 // min_doc_frac_20th
+    freq = (
+        lines.groupBy("__lh")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("__nd")
+            >= F.floor((F.col("__n") + F.lit(denom - 1)) / F.lit(denom)).cast("long")
+        )
+        .select("__lh")
+    )
+    kept = lines.join(F.broadcast(freq), "__lh", "left_anti")
+    n_lines = F.size(F.split(F.col(text_col), "\n")).alias("n_lines")
+    originals = df.select(F.col(id_col), n_lines)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )
+    return (
+        originals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.length(F.coalesce(F.col("cleaned_text"), F.lit("")))
+            .cast("long")
+            .alias("cleaned_chars"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -1973,6 +1973,111 @@ def decode_tiff_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=TIFF_STATS_SCHEMA)
 
 
+TIFF_TILED_STATS_SCHEMA = (
+    "doc_id long, width long, height long, channels long, n_tiles long, "
+    "compression string, predictor long, big_endian boolean, "
+    "px_sum long, first_px long, last_px long"
+)
+
+
+def synthesize_tiff_tiled(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL tiled TIFFs — the GeoTIFF/BigTIFF layout
+    (round 11, closing the last round-10 TIFF refusal): 16×16 tile
+    grids over ``(16 + d%21) × (16 + d%19)`` frames (1–3 tiles per
+    axis, so edge tiles genuinely carry padding the decoder must
+    crop), gray/RGB by parity, compression rotating lzw/deflate/none
+    by ``d%3`` (Predictor 2 on half the compressed rows), big-endian
+    when ``d%5==0`` — same closed-form sample arithmetic as the strip
+    fixture so the oracle recomputes sums while the engine walks the
+    tile grid."""
+    from .tiffcodec import tiff_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = 16 + d % 21, 16 + d % 19
+                ch = 1 if d % 2 == 0 else 3
+                raster = bytes(
+                    (3 * x + 5 * y + 7 * d + 11 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(ch)
+                )
+                payloads.append(
+                    tiff_bytes(
+                        w, h, raster, channels=ch, tile=(16, 16),
+                        big_endian=d % 5 == 0,
+                        lzw=d % 3 == 0, deflate=d % 3 == 1,
+                        predictor=2 if (d % 3 < 2 and d % 4 < 2) else 1,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_tiff_tiled_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched tiled-TIFF decode: pixel stats come from the
+    tile-reassembled raster, so a wrong grid walk, an uncropped edge
+    pad, a per-tile predictor slip, or a mis-read tile offset array
+    lands on px_sum or a corner pixel. ``strict=False`` = poison-safe
+    NULL-stats rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if d.get("media_type") != "image/tiff" or not d.get("tiled"):
+                        raise ValueError("expected a tiled TIFF")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "width", "height", "channels", "n_tiles",
+                                    "compression", "predictor", "big_endian",
+                                    "px_sum", "first_px", "last_px",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                r = d["raster"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "channels": d["channels"],
+                        "n_tiles": d["n_strips"],
+                        "compression": d["compression"],
+                        "predictor": d["predictor"],
+                        "big_endian": d["big_endian"],
+                        "px_sum": sum(r),
+                        "first_px": r[0],
+                        "last_px": r[-1],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=TIFF_TILED_STATS_SCHEMA)
+
+
 TIFF_PALETTE_STATS_SCHEMA = (
     "doc_id long, width long, height long, n_strips long, "
     "compression string, big_endian boolean, "

@@ -30,13 +30,16 @@ Round 11 also adds Deflate (Compression=8, the "Adobe deflate" zlib
 stream per strip; the legacy 32946 code decodes identically) with the
 same bounded-inflate allocation guard as the PNG decoder.
 
-Round 11 also adds palette (Photometric=3) TIFFs: a full-256-entry
+Round 11 also adds palette (Photometric=3) TIFFs — a full-256-entry
 16-bit ColorMap (tag 320, the R/G/B-plane layout the spec mandates),
-indices decoded then looked up to an RGB raster — closing three of the
-four round-10 honest-unsupported TIFF items (LZW, Deflate, palette).
+indices decoded then looked up to an RGB raster — and TILED TIFFs
+(tags 322/323/324/325, the GeoTIFF/BigTIFF layout: 16-multiple tile
+dims, edge tiles PADDED to full tile size and cropped on decode,
+compression applied per tile). That closes the whole round-10
+honest-unsupported TIFF list (LZW, Deflate, palette, tiled).
 
-Not supported (explicit ValueError): JPEG compression, tiled TIFFs,
-bits-per-sample other than 8.
+Not supported (explicit ValueError): JPEG compression,
+bits-per-sample other than 8, tiled+palette combined.
 """
 
 from __future__ import annotations
@@ -261,6 +264,7 @@ def tiff_bytes(
     deflate: bool = False,
     predictor: int = 1,
     palette: bytes | None = None,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """REAL baseline TIFF encode: 8-bit grayscale (``channels=1``),
     RGB (``channels=3``), or palette (``palette`` = up to 256 RGB888
@@ -270,7 +274,9 @@ def tiff_bytes(
     each optionally PackBits-, LZW- or Deflate-compressed (round 11),
     either byte order. ``predictor=2`` (horizontal differencing, tag
     317) composes with LZW or Deflate — the pairings real writers
-    emit."""
+    emit. ``tile=(tw, th)`` switches to the TILED layout (round 11 —
+    tags 322/323/324/325; dims must be multiples of 16 per TIFF 6.0
+    §15; edge tiles are padded to full tile size)."""
     if channels not in (1, 3):
         raise ValueError("1 (gray) or 3 (RGB) channels supported")
     if palette is not None:
@@ -292,18 +298,44 @@ def tiff_bytes(
         raise ValueError("predictor 1 (none) or 2 (horizontal) supported")
     if predictor == 2 and not (lzw or deflate):
         raise ValueError("predictor 2 is only emitted with LZW or Deflate")
+    if tile is not None:
+        tw, th = tile
+        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+            raise ValueError("tile dimensions must be positive multiples of 16")
+        if palette is not None:
+            raise ValueError("tiled palette TIFFs not supported")
     e = ">" if big_endian else "<"
     rowbytes = width * channels
-    strips = []
-    for y0 in range(0, height, rows_per_strip):
-        strip = raster[y0 * rowbytes : min(y0 + rows_per_strip, height) * rowbytes]
+
+    def coded(chunk: bytes, chunk_width: int) -> bytes:
         if lzw or deflate:
             if predictor == 2:
-                strip = _hdiff_encode(strip, width, channels)
-            strip = tiff_lzw_encode(strip) if lzw else zlib.compress(strip, 6)
-        elif packbits:
-            strip = packbits_encode(strip)
-        strips.append(strip)
+                chunk = _hdiff_encode(chunk, chunk_width, channels)
+            return tiff_lzw_encode(chunk) if lzw else zlib.compress(chunk, 6)
+        if packbits:
+            return packbits_encode(chunk)
+        return chunk
+
+    strips = []
+    if tile is not None:
+        # tiles cover the image grid; edge tiles are zero-padded to the
+        # full tile size (TIFF 6.0 §15) and cropped on decode
+        for ty in range(0, height, th):
+            for tx in range(0, width, tw):
+                t = bytearray(tw * th * channels)
+                for y in range(min(th, height - ty)):
+                    src = (ty + y) * rowbytes + tx * channels
+                    n = min(tw, width - tx) * channels
+                    t[y * tw * channels : y * tw * channels + n] = raster[
+                        src : src + n
+                    ]
+                strips.append(coded(bytes(t), tw))
+    else:
+        for y0 in range(0, height, rows_per_strip):
+            strip = raster[
+                y0 * rowbytes : min(y0 + rows_per_strip, height) * rowbytes
+            ]
+            strips.append(coded(strip, width))
 
     def tag(tid: int, ttype: int, count: int, value: int) -> bytes:
         # SHORT values sit in the low half of the 4-byte field
@@ -313,7 +345,9 @@ def tiff_bytes(
 
     header = struct.pack(f"{e}2sHI", b"MM" if big_endian else b"II", 42, 8)
     # layout: header(8) | IFD | [offset arrays] | [ColorMap] | strip data
-    n_tags = 9 + (predictor == 2) + (palette is not None)
+    # tiled layout swaps the 3 strip tags (273/278/279) for 4 tile tags
+    # (322/323/324/325)
+    n_tags = 9 + (predictor == 2) + (palette is not None) + (tile is not None)
     ifd_size = 2 + 12 * n_tags + 4
     arrays_off = 8 + ifd_size
     n_strips = len(strips)
@@ -356,12 +390,19 @@ def tiff_bytes(
     ifd += tag(259, 3, 1, comp_code)  # Compression
     photometric = 3 if palette is not None else (1 if channels == 1 else 2)
     ifd += tag(262, 3, 1, photometric)  # Photometric
-    ifd += tag(273, 4, n_strips, offsets_value)  # StripOffsets
+    if tile is None:
+        ifd += tag(273, 4, n_strips, offsets_value)  # StripOffsets
     ifd += tag(277, 3, 1, channels)  # SamplesPerPixel
-    ifd += tag(278, 3, 1, rows_per_strip)  # RowsPerStrip
-    ifd += tag(279, 4, n_strips, counts_value)  # StripByteCounts
+    if tile is None:
+        ifd += tag(278, 3, 1, rows_per_strip)  # RowsPerStrip
+        ifd += tag(279, 4, n_strips, counts_value)  # StripByteCounts
     if predictor == 2:
         ifd += tag(317, 3, 1, 2)  # Predictor: horizontal differencing
+    if tile is not None:
+        ifd += tag(322, 3, 1, tw)  # TileWidth
+        ifd += tag(323, 3, 1, th)  # TileLength
+        ifd += tag(324, 4, n_strips, offsets_value)  # TileOffsets
+        ifd += tag(325, 4, n_strips, counts_value)  # TileByteCounts
     if palette is not None:
         # ColorMap never fits inline, so its value field is a LONG
         # offset even though the tag TYPE is SHORT — the tag() helper's
@@ -461,28 +502,64 @@ def tiff_decode_pixels(b: bytes) -> dict:
         # ColorMap: 2^bps entries per plane, R-plane then G then B,
         # 16 bits each — high byte is the 8-bit color
         cmap = array(320, 768)
-    n_strips = (height + rps - 1) // rps
-    offsets = array(273, n_strips)
-    counts = array(279, n_strips)
     rowbytes = width * channels
-    out = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(b):
-            raise ValueError("TIFF strip out of bounds")
-        rows = min(rps, height - si * rps)
-        strip = b[off : off + cnt]
+    tiled = 322 in tags
+
+    def decoded_chunk(raw_chunk: bytes, max_out: int, pred_width: int) -> bytes:
         if compression == 32773:
-            strip = packbits_decode(strip, rows * rowbytes)
-        elif compression in (5, 8, 32946):
-            if compression == 5:
-                strip = tiff_lzw_decode(strip, rows * rowbytes)
-            else:
-                strip = _inflate_strip(strip, rows * rowbytes)
+            return packbits_decode(raw_chunk, max_out)
+        if compression in (5, 8, 32946):
+            out_ = (
+                tiff_lzw_decode(raw_chunk, max_out)
+                if compression == 5
+                else _inflate_strip(raw_chunk, max_out)
+            )
             if predictor == 2:
-                strip = _hdiff_decode(strip, width, channels)
-        if len(strip) != rows * rowbytes:
-            raise ValueError("TIFF strip length mismatch")
-        out += strip
+                out_ = _hdiff_decode(out_, pred_width, channels)
+            return out_
+        return raw_chunk
+
+    if tiled:
+        # tile grid (TIFF 6.0 §15): edge tiles arrive padded to the
+        # full tile size and are cropped into place here
+        tw, th = value(322), value(323)
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise ValueError("tile dimensions must be positive multiples of 16")
+        if cmap is not None:
+            raise ValueError("tiled palette TIFFs not supported")
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        n_strips = across * down
+        if n_strips * tw * th * channels > 4 * MAX_DECODED_BYTES:
+            raise ValueError("TIFF declares implausible tile grid")
+        offsets = array(324, n_strips)
+        counts = array(325, n_strips)
+        tilebytes = tw * th * channels
+        out = bytearray(width * height * channels)
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(b):
+                raise ValueError("TIFF tile out of bounds")
+            t = decoded_chunk(b[off : off + cnt], tilebytes, tw)
+            if len(t) != tilebytes:
+                raise ValueError("TIFF tile length mismatch")
+            ty, tx = (ti // across) * th, (ti % across) * tw
+            for y in range(min(th, height - ty)):
+                dst = (ty + y) * rowbytes + tx * channels
+                n = min(tw, width - tx) * channels
+                out[dst : dst + n] = t[y * tw * channels : y * tw * channels + n]
+    else:
+        n_strips = (height + rps - 1) // rps
+        offsets = array(273, n_strips)
+        counts = array(279, n_strips)
+        out = bytearray()
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(b):
+                raise ValueError("TIFF strip out of bounds")
+            rows = min(rps, height - si * rps)
+            strip = decoded_chunk(b[off : off + cnt], rows * rowbytes, width)
+            if len(strip) != rows * rowbytes:
+                raise ValueError("TIFF strip length mismatch")
+            out += strip
     if cmap is not None:
         rgb = bytearray(3 * width * height)
         for j, idx in enumerate(out):
@@ -502,6 +579,7 @@ def tiff_decode_pixels(b: bytes) -> dict:
         }[compression],
         "predictor": predictor,
         "palette": cmap is not None,
+        "tiled": tiled,
         "n_strips": n_strips,
         "big_endian": e == ">",
         "raster": bytes(out),

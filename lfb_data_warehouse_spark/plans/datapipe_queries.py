@@ -4420,6 +4420,71 @@ def tiff_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_tiff_stats(synthesize_tiff(docs, "doc_id"))
 
 
+TIFF_TILED_DOC_MOD = 13  # doc_id % 13 == 8 → tiled TIFFs
+
+
+@register(
+    "tiff_tiled_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             16 + doc_id % 21 AS w,
+             16 + doc_id % 19 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+      FROM documents WHERE doc_id % {TIFF_TILED_DOC_MOD} = 8
+    ),
+    px AS (
+      SELECT s.doc_id, s.w, s.h, s.ch,
+             (3 * gx.x + 5 * gy.y + 7 * s.doc_id + 11 * gc.c) % 256 AS v
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.w)) AS x) gx,
+           LATERAL (SELECT unnest(range(0, s.h)) AS y) gy,
+           LATERAL (SELECT unnest(range(0, s.ch)) AS c) gc
+    )
+    SELECT doc_id,
+           CAST(any_value(w) AS BIGINT) AS width,
+           CAST(any_value(h) AS BIGINT) AS height,
+           CAST(any_value(ch) AS BIGINT) AS channels,
+           CAST(((any_value(w) + 15) // 16) * ((any_value(h) + 15) // 16)
+                AS BIGINT) AS n_tiles,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 'lzw'
+                     WHEN doc_id % 3 = 1 THEN 'deflate'
+                     ELSE 'none' END AS VARCHAR) AS compression,
+           CAST(CASE WHEN doc_id % 3 < 2 AND doc_id % 4 < 2 THEN 2
+                     ELSE 1 END AS BIGINT) AS predictor,
+           doc_id % 5 = 0 AS big_endian,
+           CAST(sum(v) AS BIGINT) AS px_sum,
+           CAST(7 * doc_id % 256 AS BIGINT) AS first_px,
+           CAST((3 * (any_value(w) - 1) + 5 * (any_value(h) - 1)
+                 + 7 * doc_id + 11 * (any_value(ch) - 1)) % 256 AS BIGINT)
+             AS last_px
+    FROM px GROUP BY doc_id
+    """,
+)
+def tiff_tiled_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiled TIFF decode end to end — the GeoTIFF/BigTIFF layout and
+    the LAST of round 10's four honest-unsupported TIFF items (after
+    LZW, Deflate, palette — the list is now closed):
+    synthesize_tiff_tiled writes real 16×16 tile grids with PADDED
+    edge tiles the decoder must crop, the tile tags (322/323/324/325)
+    replacing the strip tags, per-TILE compression rotating
+    lzw/deflate/none with Predictor 2 on half the compressed rows, and
+    both byte orders — a wrong grid walk, an uncropped pad, or a
+    per-tile predictor slip lands on px_sum or a corner pixel. Oracle:
+    the strip fixture's sample arithmetic with the tile-grid count."""
+    from ..operators.multimodal import (
+        decode_tiff_tiled_stats,
+        synthesize_tiff_tiled,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % TIFF_TILED_DOC_MOD == 8)
+    )
+    return decode_tiff_tiled_stats(synthesize_tiff_tiled(docs, "doc_id"))
+
+
 TIFF_PALETTE_DOC_MOD = 13  # doc_id % 13 == 7 → palette TIFFs
 
 
@@ -6133,3 +6198,74 @@ def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup (round 11): the CCNet corpus-cleaning
+# stage — drop lines repeated across many documents.
+# ---------------------------------------------------------------------------
+
+LINE_BOILER_NAV = "NAV: site menu home about"
+LINE_BOILER_PROMO = "PROMO: subscribe now"
+LINE_BOILER_FOOTER = "FOOTER: copyright notice"
+
+
+def _line_dedup_oracle() -> str:
+    return f"""
+    WITH pages AS (
+      SELECT doc_id,
+             '{LINE_BOILER_NAV}' || chr(10) ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN '{LINE_BOILER_PROMO}' || chr(10) ELSE '' END ||
+             text || chr(10) || '{LINE_BOILER_FOOTER}' AS page
+      FROM documents
+    ),
+    l AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages),
+    lines AS (
+      SELECT l.doc_id, gi.i AS idx, l.ls[gi.i] AS line
+      FROM l, LATERAL (SELECT unnest(range(1, len(l.ls) + 1)) AS i) gi
+    ),
+    freq AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    boiler AS (SELECT line FROM freq, tot WHERE nd >= (n + 19) // 20),
+    kept AS (SELECT doc_id, idx, line FROM lines
+             WHERE line NOT IN (SELECT line FROM boiler)),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS kept_n,
+             string_agg(line, chr(10) ORDER BY idx) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT l.doc_id,
+           CAST(len(l.ls) AS BIGINT) AS n_lines,
+           CAST(len(l.ls) - coalesce(kept_n, 0) AS BIGINT) AS n_dropped,
+           CAST(length(coalesce(cleaned_text, '')) AS BIGINT) AS cleaned_chars,
+           coalesce(cleaned_text, '') AS cleaned_text
+    FROM l LEFT JOIN rebuilt USING (doc_id)
+    """
+
+
+@register("line_dedup_boilerplate", oracle=_line_dedup_oracle())
+def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal — the CCNet/RefinedWeb corpus
+    stage this tier was missing (span_dedup is n-gram spans; THIS is
+    the 'drop the navbar/cookie-banner/footer line that appears on
+    every page' pass): the fixture injects a nav line and footer line
+    on every document and a promo line on 20%, all of which cross the
+    5% document-frequency threshold and must vanish, while the
+    documents' own lines (shared only within small near-dup chains)
+    survive; the operator reassembles each document from its kept
+    lines in original order and the oracle compares the CLEANED TEXT
+    as a full string. Scale shape in the operator docstring
+    (operators/dedup.py:line_dedup_boilerplate): hash-before-exchange,
+    broadcast boilerplate set, integer threshold arithmetic — never
+    ceil(0.05*n), whose double rounding is a parity trap."""
+    from ..operators.dedup import line_dedup_boilerplate as clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(LINE_BOILER_NAV + "\n"),
+        F.when(F.col("doc_id") % 5 == 0, LINE_BOILER_PROMO + "\n").otherwise(""),
+        F.col("text"),
+        F.lit("\n" + LINE_BOILER_FOOTER),
+    )
+    return clean(docs.select("doc_id", page.alias("page")), "doc_id", "page")

@@ -1033,8 +1033,9 @@ _R10_GREEN: list[str] = [
 # round-10 verdict's named set), then the r7 head oldest-first. 37 + 7
 # fill the 44 slots left by flagship + ORACLE_FIXED (3) +
 # UNCHECKED_PRIORITY (2), so a green round 11 leaves NO registry row
-# older than round 7. (The third new gate displaced the last r7 fill,
-# dedup_exact_documents — still r7-fresh, front of the r12 queue.)
+# older than round 7. (The third/fourth/fifth new gates displaced the
+# last three r7 fills — tpch_q2_cheapest_supplier, tpch_q22_prospects,
+# dedup_exact_documents — all still r7-fresh, front of the r12 queue.)
 _R11_RECHECK: list[str] = [
     "asof_backward_last_click",
     "stream_dedup_events",
@@ -1078,8 +1079,6 @@ _R11_RECHECK: list[str] = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q20_promo_suppliers",
     "tpch_q21_waiting_supplier",
-    "tpch_q2_cheapest_supplier",
-    "tpch_q22_prospects",
 ]
 
 _ALL_GREEN: list[str] = _dedupe_keep_last(
@@ -1123,6 +1122,8 @@ UNCHECKED_PRIORITY: list[str] = [
     "warc_poison_battery",  # r11: record-type spread, identity, poison
     "crawl_to_corpus",  # r11: composed WARC→HTML→gates→dedup→packing
     "tiff_palette_decode_stats",  # r11: Photometric=3 ColorMap lookup
+    "line_dedup_boilerplate",  # r11: CCNet line-level boilerplate drop
+    "tiff_tiled_decode_stats",  # r11: tile grid, padded edges, 322-325
 ]
 
 

@@ -1116,6 +1116,26 @@ def test_tiff_roundtrip():
         )
         assert d["palette"] and d["channels"] == 3
         assert d["raster"] == bytes(pal[3 * i + c] for i in idx for c in range(3))
+    # tiled layout (round 11): 16-multiple grids, padded edge tiles
+    # cropped on decode, per-tile compression + predictor, both orders
+    import math as _math
+
+    for w, h, ch, tile, comp in (
+        (14, 10, 1, (16, 16), "none"),   # single padded tile
+        (21, 18, 3, (16, 16), "lzw"),    # 2x2 grid, edge padding
+        (40, 35, 1, (16, 32), "deflate"),
+    ):
+        raster = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        d = tiff_decode_pixels(
+            tiff_bytes(w, h, raster, channels=ch, tile=tile,
+                       lzw=comp == "lzw", deflate=comp == "deflate",
+                       predictor=2 if comp != "none" else 1,
+                       big_endian=comp == "lzw")
+        )
+        assert d["raster"] == raster and d["tiled"]
+        assert d["n_strips"] == _math.ceil(w / tile[0]) * _math.ceil(h / tile[1])
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        tiff_bytes(8, 8, bytes(64), tile=(8, 8))
     # legacy 32946 deflate code decodes identically to 8
     import struct as _s
 
@@ -2478,3 +2498,42 @@ def test_incremental_jaccard_pairs_reingested_id(spark):
     want, got = pairs(clean_old), pairs(old)
     assert want, "fixture produced no pairs — weaken the threshold"
     assert got == want
+
+
+def test_line_dedup_boilerplate(spark):
+    """CCNet line-level boilerplate removal (round 11): lines present
+    in >= 5% of documents vanish, rare lines survive in original
+    order, fully-boilerplate documents come back empty (not missing),
+    and counts reconcile."""
+    from lfb_data_warehouse_spark.operators.dedup import line_dedup_boilerplate
+
+    nav, foot = "NAV: menu", "FOOTER: (c)"
+    rows = [
+        (i, f"{nav}\nbody line {i} alpha\nbody line {i} beta\n{foot}")
+        for i in range(40)
+    ]
+    rows.append((40, f"{nav}\n{foot}"))  # nothing survives here
+    df = spark.createDataFrame(rows, "doc_id long, page string")
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup_boilerplate(df, "doc_id", "page").collect()
+    }
+    assert len(out) == 41
+    r7 = out[7]
+    assert r7["cleaned_text"] == "body line 7 alpha\nbody line 7 beta"
+    assert r7["n_lines"] == 4 and r7["n_dropped"] == 2
+    assert r7["cleaned_chars"] == len(r7["cleaned_text"])
+    empty = out[40]
+    assert empty["cleaned_text"] == "" and empty["n_dropped"] == 2
+    # a line shared by 2/41 docs (< 5%) survives
+    df2 = spark.createDataFrame(
+        [(i, f"{nav}\nshared rare line\nuniq {i}") if i < 2
+         else (i, f"{nav}\nuniq {i}") for i in range(41)],
+        "doc_id long, page string",
+    )
+    out2 = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in line_dedup_boilerplate(df2, "doc_id", "page").collect()
+    }
+    assert out2[0] == "shared rare line\nuniq 0"
+    assert out2[5] == "uniq 5"
