@@ -695,6 +695,91 @@ def wav_g711_bytes(channels: int, sample_rate: int, codes: bytes, law: str) -> b
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
+# IMA ADPCM (WAV format tag 17, round 11): the 89-entry step-size table
+# and the 8-entry index-adjust table from the IMA reference algorithm —
+# the 4-bit nibble codec used by classic .wav voice recordings and games.
+_IMA_STEP = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def wav_adpcm_bytes(
+    sample_rate: int,
+    blocks: list[tuple[int, int, list[int]]],
+    samples_per_block: int,
+) -> bytes:
+    """WAV container around mono IMA ADPCM blocks (format tag 0x11).
+
+    Each block is ``(init_pred, init_idx, nibbles)`` with exactly
+    ``samples_per_block - 1`` nibbles: the 4-byte block header carries
+    the int16 predictor (which IS the block's first output sample) and
+    the step index, then nibbles pack two per byte, LOW nibble first.
+    The fmt chunk carries the 2-byte extension (wSamplesPerBlock) and a
+    ``fact`` chunk the total sample count — the standard layout for
+    compressed WAV."""
+    n_nib = samples_per_block - 1
+    block_align = 4 + (n_nib + 1) // 2
+    chunks = []
+    for pred, idx, nibs in blocks:
+        if len(nibs) != n_nib:
+            raise ValueError("block nibble count != samples_per_block - 1")
+        body = bytearray(struct.pack("<hBB", pred, idx, 0))
+        for j in range(0, n_nib, 2):
+            lo = nibs[j] & 0x0F
+            hi = (nibs[j + 1] & 0x0F) << 4 if j + 1 < n_nib else 0
+            body.append(lo | hi)
+        chunks.append(bytes(body))
+    data = b"".join(chunks)
+    byte_rate = sample_rate * block_align // samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, 1, sample_rate, byte_rate, block_align, 4, 2,
+        samples_per_block,
+    )
+    fact = struct.pack("<I", samples_per_block * len(blocks))
+    riff = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _adpcm_decode_block(blk: bytes, n_samples: int) -> list[int]:
+    """One IMA ADPCM block → linear samples: header predictor is sample
+    0, then each nibble moves the predictor by the step-table delta
+    (diff = step>>3 plus step, step>>1, step>>2 for bits 4/2/1; bit 8
+    is the sign), clamps to int16, and nudges the step index."""
+    pred = struct.unpack("<h", blk[0:2])[0]
+    idx = blk[2]
+    if idx > 88:
+        raise ValueError(f"IMA ADPCM step index {idx} out of range")
+    out = [pred]
+    for j in range(n_samples - 1):
+        byte = blk[4 + (j >> 1)]
+        nib = (byte >> 4) if (j & 1) else (byte & 0x0F)
+        step = _IMA_STEP[idx]
+        diff = step >> 3
+        if nib & 4:
+            diff += step
+        if nib & 2:
+            diff += step >> 1
+        if nib & 1:
+            diff += step >> 2
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+        out.append(pred)
+    return out
+
+
 @decode_valueerror_contract
 def wav_decode_samples(b: bytes) -> dict:
     """REAL WAV sample decode: RIFF chunk walk to ``fmt ``/``data``,
@@ -706,21 +791,49 @@ def wav_decode_samples(b: bytes) -> dict:
         raise ValueError("not a RIFF/WAVE stream")
     i = 12
     channels = rate = bits = fmt_code = None
+    block_align = samples_per_block = None
     data = None
     while i + 8 <= len(b):
         cid = b[i : i + 4]
         sz = struct.unpack("<I", b[i + 4 : i + 8])[0]
         if cid == b"fmt " and sz >= 16:
-            fmt_code, channels, rate, _, _, bits = struct.unpack("<HHIIHH", b[i + 8 : i + 24])
-            if fmt_code not in (1, 6, 7):
-                raise ValueError(f"only PCM/A-law/u-law (fmt 1/6/7) supported, got {fmt_code}")
+            fmt_code, channels, rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", b[i + 8 : i + 24]
+            )
+            if fmt_code not in (1, 6, 7, 17):
+                raise ValueError(
+                    f"only PCM/A-law/u-law/IMA-ADPCM (fmt 1/6/7/17) supported, got {fmt_code}"
+                )
+            if fmt_code == 17:
+                # the 2-byte extension: samples decoded per block
+                if sz < 20:
+                    raise ValueError("IMA ADPCM fmt chunk missing wSamplesPerBlock")
+                samples_per_block = struct.unpack("<H", b[i + 26 : i + 28])[0]
         elif cid == b"data":
             data = b[i + 8 : i + 8 + sz]
         i += 8 + sz + (sz & 1)
     if channels is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    encoding = {1: "pcm", 6: "alaw", 7: "ulaw"}[fmt_code]
-    if fmt_code in (6, 7):
+    encoding = {1: "pcm", 6: "alaw", 7: "ulaw", 17: "ima_adpcm"}[fmt_code]
+    if fmt_code == 17:
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM WAV must be 4 bits per sample, got {bits}")
+        if channels != 1:
+            raise ValueError("only mono IMA ADPCM supported")
+        if not samples_per_block or samples_per_block < 1:
+            raise ValueError("IMA ADPCM wSamplesPerBlock must be >= 1")
+        if not block_align or block_align < 4:
+            raise ValueError("IMA ADPCM block align must be >= 4 (block header)")
+        if (block_align - 4) * 2 < samples_per_block - 1:
+            raise ValueError("IMA ADPCM block too small for wSamplesPerBlock")
+        if len(data) % block_align:
+            raise ValueError("IMA ADPCM data chunk is not whole blocks")
+        samples = []
+        for off in range(0, len(data), block_align):
+            samples.extend(
+                _adpcm_decode_block(data[off : off + block_align], samples_per_block)
+            )
+    elif fmt_code in (6, 7):
         if bits != 8:
             raise ValueError(f"G.711 WAV must be 8 bits per code, got {bits}")
         expand = alaw_expand if fmt_code == 6 else ulaw_expand
@@ -821,17 +934,29 @@ def parse_media(b: bytes) -> dict:
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             i = 12
             channels = rate = bits = data_size = None
+            fmt_code = block_align = samples_per_block = None
             while i + 8 <= len(b):
                 cid = b[i:i + 4]
                 sz = struct.unpack("<I", b[i + 4:i + 8])[0]
                 if cid == b"fmt " and sz >= 16:
-                    _, channels, rate, _, _, bits = struct.unpack(
+                    fmt_code, channels, rate, _, block_align, bits = struct.unpack(
                         "<HHIIHH", b[i + 8:i + 24]
                     )
+                    if fmt_code == 17 and sz >= 20:
+                        samples_per_block = struct.unpack("<H", b[i + 26:i + 28])[0]
                 elif cid == b"data":
                     data_size = sz
                 i += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
-            if channels and bits and data_size is not None:
+            if fmt_code == 17:
+                # block-framed compressed WAV: sample count comes from
+                # whole blocks × samples-per-block, not bytes ÷ width
+                if channels and block_align and samples_per_block and data_size is not None:
+                    return {
+                        "media_type": "audio/wav", "width": None, "height": None,
+                        "channels": channels, "sample_rate": rate,
+                        "n_samples": (data_size // block_align) * samples_per_block,
+                    }
+            elif channels and bits and bits >= 8 and data_size is not None:
                 return {
                     "media_type": "audio/wav", "width": None, "height": None,
                     "channels": channels, "sample_rate": rate,
@@ -2759,6 +2884,98 @@ def decode_g711_stats(media: DataFrame, strict: bool = True) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=G711_STATS_SCHEMA)
+
+
+ADPCM_STATS_SCHEMA = (
+    "doc_id long, encoding string, n_samples long, sum_linear long, "
+    "sum_abs long, peak long, first_sample long, last_sample long"
+)
+
+
+def synthesize_adpcm(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL IMA ADPCM WAVs (format tag 0x11 — the 4-bit
+    nibble codec of classic voice recordings): ``1 + d%2`` blocks of
+    ``d%90 + 30`` nibbles each, block ``b`` seeded with predictor
+    ``(37d + 101b) mod 4001 − 2000`` and step index ``(d + 11b) mod
+    89`` so every step-table region, both signs, and the multi-block
+    re-seed path all appear across the corpus; nibbles are the
+    closed-form ``(5i + 3d + 7b) mod 16`` the oracle can replay."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                n_nib = d % 90 + 30
+                blocks = []
+                for blk in range(1 + d % 2):
+                    blocks.append((
+                        (37 * d + 101 * blk) % 4001 - 2000,
+                        (d + 11 * blk) % 89,
+                        [(5 * i + 3 * d + 7 * blk) % 16 for i in range(n_nib)],
+                    ))
+                payloads.append(wav_adpcm_bytes(8000, blocks, n_nib + 1))
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_adpcm_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched IMA ADPCM decode over (doc_id, payload): stats
+    come from the RECONSTRUCTED 16-bit predictor trail, so a wrong
+    step-table entry, clamp, index adjustment, nibble order (low
+    first!) or a block header not re-seeding the state lands on
+    sum_linear/peak immediately. ``strict=False`` = poison-safe
+    NULL-stats rows (see :func:`decode_png_stats`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if d.get("encoding") != "ima_adpcm":
+                        raise ValueError("expected an IMA ADPCM WAV")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "encoding", "n_samples", "sum_linear",
+                                    "sum_abs", "peak", "first_sample",
+                                    "last_sample",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                s = d["samples"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "encoding": d["encoding"],
+                        "n_samples": len(s),
+                        "sum_linear": sum(s),
+                        "sum_abs": sum(abs(v) for v in s),
+                        "peak": max(abs(v) for v in s),
+                        "first_sample": s[0],
+                        "last_sample": s[-1],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=ADPCM_STATS_SCHEMA)
 
 
 GIF_STATS_SCHEMA = (

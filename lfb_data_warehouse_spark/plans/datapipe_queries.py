@@ -4837,6 +4837,93 @@ def g711_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_g711_stats(synthesize_g711(docs, "doc_id"))
 
 
+ADPCM_DOC_MOD = 13  # doc_id % 13 == 9 → ~1/13 of documents get an IMA ADPCM WAV
+
+
+def _adpcm_steptab_sql() -> str:
+    """The 89-entry IMA step table as a VALUES list, generated from the
+    SAME constant the decoder uses (operators.multimodal._IMA_STEP) so
+    oracle and engine can only agree by running the real state machine."""
+    from ..operators.multimodal import _IMA_STEP
+
+    return ",".join(f"({i},{v})" for i, v in enumerate(_IMA_STEP))
+
+
+@register(
+    "adpcm_decode_stats",
+    oracle=f"""
+    WITH RECURSIVE sel AS (
+      SELECT doc_id, doc_id % 90 + 30 AS n_nib, 1 + doc_id % 2 AS nblocks
+      FROM documents WHERE doc_id % {ADPCM_DOC_MOD} = 9
+    ),
+    blocks AS (
+      SELECT s.doc_id, s.n_nib, gb.b,
+             (37 * s.doc_id + 101 * gb.b) % 4001 - 2000 AS pred0,
+             (s.doc_id + 11 * gb.b) % 89 AS idx0
+      FROM sel s, LATERAL (SELECT unnest(range(0, s.nblocks)) AS b) gb
+    ),
+    steptab(ix, st) AS (VALUES {_adpcm_steptab_sql()}),
+    -- the IMA predictor/step-index state machine, one recursion step
+    -- per nibble: row i holds the predictor AFTER i nibbles (= output
+    -- sample i of the block; sample 0 is the block-header predictor)
+    walk(doc_id, b, n_nib, i, pred, idx) AS (
+      SELECT doc_id, b, n_nib, 0, pred0, idx0 FROM blocks
+      UNION ALL
+      SELECT doc_id, b, n_nib, i + 1,
+             GREATEST(-32768, LEAST(32767,
+               pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)),
+             GREATEST(0, LEAST(88,
+               idx + CASE nib % 8 WHEN 4 THEN 2 WHEN 5 THEN 4
+                                  WHEN 6 THEN 6 WHEN 7 THEN 8 ELSE -1 END))
+      FROM (
+        SELECT *,
+               (st // 8)
+               + CASE WHEN nib % 2 = 1 THEN st // 4 ELSE 0 END
+               + CASE WHEN (nib // 2) % 2 = 1 THEN st // 2 ELSE 0 END
+               + CASE WHEN (nib // 4) % 2 = 1 THEN st ELSE 0 END AS diff
+        FROM (
+          SELECT w.doc_id, w.b, w.n_nib, w.i, w.pred, w.idx, t.st,
+                 (5 * w.i + 3 * w.doc_id + 7 * w.b) % 16 AS nib
+          FROM walk w JOIN steptab t ON t.ix = w.idx
+          WHERE w.i < w.n_nib
+        )
+      )
+    )
+    SELECT doc_id,
+           CAST(any_value('ima_adpcm') AS VARCHAR) AS encoding,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(pred) AS BIGINT) AS sum_linear,
+           CAST(sum(abs(pred)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(pred)) AS BIGINT) AS peak,
+           CAST(max(CASE WHEN b = 0 AND i = 0 THEN pred END) AS BIGINT)
+             AS first_sample,
+           CAST(max(CASE WHEN b = doc_id % 2 AND i = n_nib THEN pred END) AS BIGINT)
+             AS last_sample
+    FROM walk GROUP BY doc_id
+    """,
+)
+def adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA ADPCM WAV decode end to end — the 4-bit block codec of
+    classic voice/game audio (format tag 0x11; round 11, the audio
+    tier's first *stateful* codec): synthesize_adpcm writes real
+    block-framed streams (1-2 blocks, 30-119 nibbles, every step-table
+    region seeded via the block headers); the decoder must re-seed
+    predictor+index from each block header, walk nibbles LOW-first,
+    apply the exact step-table delta with int16 clamping and the
+    index-adjust table — any slip compounds through the recursion and
+    lands on sum_linear/peak. Oracle: the SAME state machine replayed
+    in SQL as a recursive CTE joining the step table per nibble — the
+    first driver gate whose oracle is itself a stateful decoder."""
+    from ..operators.multimodal import decode_adpcm_stats, synthesize_adpcm
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % ADPCM_DOC_MOD == 9)
+    )
+    return decode_adpcm_stats(synthesize_adpcm(docs, "doc_id"))
+
+
 GIF_DOC_MOD = 11  # doc_id % 11 == 8 → ~1/11 of documents get a (multi-frame) GIF
 
 

@@ -1124,6 +1124,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "tiff_palette_decode_stats",  # r11: Photometric=3 ColorMap lookup
     "line_dedup_boilerplate",  # r11: CCNet line-level boilerplate drop
     "tiff_tiled_decode_stats",  # r11: tile grid, padded edges, 322-325
+    "adpcm_decode_stats",  # r11: IMA ADPCM state machine, recursive-CTE oracle
 ]
 
 

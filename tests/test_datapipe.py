@@ -1410,6 +1410,72 @@ def test_g711_expand():
         wav_decode_samples(bytes(b))
 
 
+def test_adpcm_decode():
+    """IMA ADPCM (round 11): the decoder's predictor/step-index state
+    machine matches an independent in-test reference over every nibble
+    value and step-table region, multi-block streams re-seed from each
+    block header, the int16 clamp engages at both rails, and the
+    container rejects malformed fmt metadata."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEP,
+        parse_media,
+        wav_adpcm_bytes,
+        wav_decode_samples,
+    )
+
+    def ref(blocks, spb):
+        out = []
+        for pred, idx, nibs in blocks:
+            out.append(pred)
+            for nib in nibs[: spb - 1]:
+                st = _IMA_STEP[idx]
+                diff = (st >> 3) + (st if nib & 4 else 0) \
+                    + (st >> 1 if nib & 2 else 0) + (st >> 2 if nib & 1 else 0)
+                pred = max(-32768, min(32767, pred - diff if nib & 8 else pred + diff))
+                idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+                out.append(pred)
+        return out
+
+    # every nibble value, odd nibble count (pad nibble ignored)
+    blocks = [(-2000, 0, [i % 16 for i in range(33)]),
+              (1500, 88, [(7 * i) % 16 for i in range(33)])]
+    d = wav_decode_samples(wav_adpcm_bytes(8000, blocks, 34))
+    assert d["encoding"] == "ima_adpcm" and d["channels"] == 1
+    assert d["samples"] == ref(blocks, 34)
+    assert len(d["samples"]) == 68
+    # clamp rails: max-step all-positive then all-negative nibbles
+    rail = [(32000, 88, [7] * 30), (-32000, 88, [15] * 30)]
+    s = wav_decode_samples(wav_adpcm_bytes(8000, rail, 31))["samples"]
+    assert max(s) == 32767 and min(s) == -32768
+    # parse_media prices block-framed sample counts without decoding
+    meta = parse_media(wav_adpcm_bytes(8000, blocks, 34))
+    assert meta["media_type"] == "audio/wav" and meta["n_samples"] == 68
+    # malformed: step index out of range
+    with _pytest.raises(ValueError):
+        wav_decode_samples(wav_adpcm_bytes(8000, [(0, 89, [0] * 30)], 31))
+    # malformed: data chunk not whole blocks
+    b = bytearray(wav_adpcm_bytes(8000, blocks, 34))
+    with _pytest.raises(ValueError):
+        wav_decode_samples(bytes(b[:-2]))
+    # malformed: fmt chunk without the wSamplesPerBlock extension
+    p = b.find(b"fmt ")
+    sz = _struct.unpack("<I", b[p + 4 : p + 8])[0]
+    trunc = b[: p + 8 + 16] + b[p + 8 + sz :]
+    trunc[p + 4 : p + 8] = _struct.pack("<I", 16)
+    with _pytest.raises(ValueError):
+        wav_decode_samples(bytes(trunc))
+    # malformed: stereo ADPCM is an explicit refusal
+    b2 = bytearray(wav_adpcm_bytes(8000, blocks, 34))
+    b2[p + 10] = 2
+    with _pytest.raises(ValueError):
+        wav_decode_samples(bytes(b2))
+
+
 def test_gif_roundtrip():
     """GIF codec (round 10): real LZW — dictionary growth, code-width
     increase, full-dictionary clear/reset, the cScSc corner case,

@@ -106,6 +106,7 @@ INTENDED_CROSS = {
     "basket_brand_affinity",  # brand pairs × broadcast(1-row basket-count aggregate)
     "pareto_abc_brands",  # brand revenues × broadcast(1-row grand-total aggregate)
     "dup_cluster_size_histogram",  # corpus total × broadcast(1-row clustered-count aggregate)
+    "line_dedup_boilerplate",  # line frequencies × broadcast(1-row corpus-size aggregate)
     "semantic_dedup_keep",  # corpus × broadcast(centroids) — the pair join itself is an equi-join on the cluster
 }
 
