@@ -4924,6 +4924,79 @@ def adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_adpcm_stats(synthesize_adpcm(docs, "doc_id"))
 
 
+FLAC_DOC_MOD = 13  # doc_id % 13 == 10 → ~1/13 of documents get a FLAC stream
+
+
+@register(
+    "flac_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             doc_id % 40 + 24 AS nb0,
+             2 * (doc_id % 25 + 15) AS nb1,
+             doc_id % 30 + 20 AS nb2,
+             (17 * doc_id) % 4001 - 2000 AS c0,
+             CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END AS m,
+             doc_id % 5 AS fo,
+             doc_id % 3 = 0 AS is_verb
+      FROM documents WHERE doc_id % {FLAC_DOC_MOD} = 10
+    ),
+    samp AS (
+      SELECT s.doc_id, 0 AS fr, g.i, s.c0 AS v, s.nb2
+      FROM sel s, LATERAL (SELECT unnest(range(0, s.nb0)) AS i) g
+      UNION ALL
+      SELECT s.doc_id, 1, g.i,
+             s.m * ((13 * g.i * g.i + 7 * g.i + 31 * s.doc_id) % 3900 - 1950),
+             s.nb2
+      FROM sel s, LATERAL (SELECT unnest(range(0, s.nb1)) AS i) g
+      UNION ALL
+      SELECT s.doc_id, 2, g.i,
+             CASE WHEN s.is_verb
+                  THEN (17 * g.i + 29 * s.doc_id) % 3001 - 1500
+                  ELSE (11 * g.i * g.i + 5 * g.i + 23 * s.doc_id) % 3800 - 1900
+             END,
+             s.nb2
+      FROM sel s, LATERAL (SELECT unnest(range(0, s.nb2)) AS i) g
+    )
+    SELECT p.doc_id,
+           CAST(3 AS BIGINT) AS n_frames,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           any_value('constant,fixed' || s.fo || ','
+                     || CASE WHEN s.is_verb THEN 'verbatim' ELSE 'lpc2' END)
+             AS subframes,
+           CAST(sum(p.v) AS BIGINT) AS sum_linear,
+           CAST(sum(abs(p.v)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(p.v)) AS BIGINT) AS peak,
+           CAST(max(CASE WHEN p.fr = 0 AND p.i = 0 THEN p.v END) AS BIGINT)
+             AS first_sample,
+           CAST(max(CASE WHEN p.fr = 2 AND p.i = p.nb2 - 1 THEN p.v END) AS BIGINT)
+             AS last_sample
+    FROM samp p JOIN sel s ON s.doc_id = p.doc_id
+    GROUP BY p.doc_id
+    """,
+)
+def flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC decode end to end — the archival lossless audio format
+    (round 11, the audio tier's flagship): synthesize_flac writes
+    three-frame streams covering every subframe family (constant,
+    fixed orders 0-4 with Rice partitions, verbatim, LPC) plus wasted
+    bits, UTF-8 frame numbers, CRC-8/CRC-16 and a real STREAMINFO MD5;
+    the decoder must run the whole bit-level pipeline — sync scan,
+    header CRC, Rice/escape residual decode, exact integer prediction,
+    wasted-bit restore, stream-level MD5 — to reproduce the samples
+    (FLAC is lossless, so stats match the closed-form originals
+    exactly). The ``subframes`` column pins which decode paths ran.
+    Oracle: the same closed-form sample curves in arithmetic SQL."""
+    from ..operators.multimodal import decode_flac_stats, synthesize_flac
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % FLAC_DOC_MOD == 10)
+    )
+    return decode_flac_stats(synthesize_flac(docs, "doc_id"))
+
+
 GIF_DOC_MOD = 11  # doc_id % 11 == 8 → ~1/11 of documents get a (multi-frame) GIF
 
 

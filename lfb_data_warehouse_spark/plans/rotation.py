@@ -1125,6 +1125,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "line_dedup_boilerplate",  # r11: CCNet line-level boilerplate drop
     "tiff_tiled_decode_stats",  # r11: tile grid, padded edges, 322-325
     "adpcm_decode_stats",  # r11: IMA ADPCM state machine, recursive-CTE oracle
+    "flac_decode_stats",  # r11: full FLAC bitstream — Rice, LPC, CRC, MD5
 ]
 
 

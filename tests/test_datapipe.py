@@ -1476,6 +1476,72 @@ def test_adpcm_decode():
         wav_decode_samples(bytes(b2))
 
 
+def test_flac_roundtrip():
+    """FLAC codec (round 11): every subframe family (constant,
+    verbatim, fixed orders 0-4, LPC), Rice partition orders 0-2,
+    wasted-bits detect+restore, 8/16-bit, multi-byte UTF-8 frame
+    numbers — all round-trip EXACTLY (FLAC is lossless); CRC-16
+    catches payload corruption and reserved shapes raise."""
+    import random
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.flaccodec import (
+        _BitReader,
+        _read_utf8_code,
+        _utf8_code,
+        flac_bytes,
+        flac_decode_samples,
+    )
+
+    for n in (0, 127, 128, 2047, 2048, 65535, 65536, 1 << 20, (1 << 31) - 1):
+        assert _read_utf8_code(_BitReader(_utf8_code(n))) == n
+
+    rng = random.Random(7)
+
+    def rt(frames, bps=16):
+        d = flac_decode_samples(flac_bytes(44100, bps, frames))
+        assert d["samples"] == [s for fr, _ in frames for s in fr]
+        return d
+
+    rt([([123] * 40, ("constant",))])
+    rt([([rng.randint(-30000, 30000) for _ in range(33)], ("verbatim",))])
+    for o in range(5):
+        for p in range(3):
+            s = [rng.randint(-15000, 15000) for _ in range(48)]
+            assert rt([(s, ("fixed", o, p))])["subframes"] == f"fixed{o}"
+    for coefs, shift, prec in [([3, -1], 1, 4), ([5], 2, 5), ([2, -3, 1], 2, 4)]:
+        s = [rng.randint(-12000, 12000) for _ in range(50)]
+        assert rt([(s, ("lpc", coefs, shift, prec, 1))])["subframes"] == f"lpc{len(coefs)}"
+    # wasted bits: common trailing zeros are shifted out and restored
+    rt([([4 * rng.randint(-4000, 4000) for _ in range(36)], ("fixed", 2, 0))])
+    # 8-bit samples use the 0b001 size code
+    rt([([rng.randint(-100, 100) for _ in range(40)], ("fixed", 1, 1))], bps=8)
+    # multi-frame with mixed kinds; frame numbers stay in order
+    d = rt([([77] * 30, ("constant",)),
+            ([rng.randint(-9000, 9000) for _ in range(44)], ("fixed", 3, 2)),
+            ([rng.randint(-9000, 9000) for _ in range(28)], ("lpc", [3, -1], 1, 4, 0))])
+    assert d["n_frames"] == 3 and d["subframes"] == "constant,fixed3,lpc2"
+    # >127 frames exercises multi-byte UTF-8 frame numbers in-stream
+    assert rt([([i % 100] * 8, ("constant",)) for i in range(140)])["n_frames"] == 140
+    # corruption lands on CRC-16 (or MD5), never a silent mis-decode
+    blob = bytearray(flac_bytes(
+        44100, 16, [([rng.randint(-9000, 9000) for _ in range(40)], ("fixed", 2, 1))]
+    ))
+    blob[-7] ^= 0x40
+    with _pytest.raises(ValueError):
+        flac_decode_samples(bytes(blob))
+    # tampered STREAMINFO MD5 fails the stream-level integrity check
+    blob2 = bytearray(flac_bytes(44100, 16, [([500] * 30, ("constant",))]))
+    blob2[42 - 3] ^= 0xFF  # last MD5 byte (streaminfo spans bytes 8..42)
+    with _pytest.raises(ValueError):
+        flac_decode_samples(bytes(blob2))
+    # stereo decorrelation is an explicit refusal: flip channel bits
+    blob3 = bytearray(flac_bytes(44100, 16, [([500] * 30, ("constant",))]))
+    with _pytest.raises(ValueError):
+        flac_decode_samples(bytes(blob3[:4]) + b"junk")
+
+
 def test_gif_roundtrip():
     """GIF codec (round 10): real LZW — dictionary growth, code-width
     increase, full-dictionary clear/reset, the cScSc corner case,
