@@ -52,15 +52,16 @@ DC/AC Huffman alphabets (categories to 15 / sizes to 14, past Annex
 K's reach), planes returned as packed big-endian u16 with a flat
 sample list (the 16-bit-PNG contract), composing with restart
 intervals and grayscale resize for free. Sampling factors extended to
-4 (the DV-video 4:1:1 layout), with the T.81 B.2.3 ten-data-unit
-interleaved-MCU bound enforced. And lossless JPEG (SOF3, Annex H —
+4 (the DV-video 4:1:1 layout) and 3 (round 11 — the 3:1:1 shape some
+camera pipelines emit; T.81 allows any factor 1..4), with the T.81
+B.2.3 ten-data-unit interleaved-MCU bound enforced. And lossless JPEG (SOF3, Annex H —
 the DICOM/medical frame type): predictive coding with all seven
 predictors, 2..16-bit precision, arbitrary dimensions, EXACT
 reconstruction (see the lossless section at the end of this module).
 
 Not supported (explicit ValueError, never a silent mis-decode):
-sampling factor 3, arithmetic coding, 12-bit progressive (SOF2 stays
-8-bit), hierarchical frames, restart intervals and subsampling inside
+arithmetic coding, 12-bit progressive (SOF2 stays 8-bit),
+hierarchical frames, restart intervals and subsampling inside
 lossless scans.
 """
 
@@ -381,8 +382,8 @@ def jpeg_planes_bytes(
         sampling = [(1, 1)] * ncomp
     if len(sampling) != ncomp:
         raise ValueError("one (H, V) sampling factor pair per plane")
-    if any(hs not in (1, 2, 4) or vs not in (1, 2, 4) for hs, vs in sampling):
-        raise ValueError("sampling factors 1, 2 or 4 supported")
+    if any(not 1 <= hs <= 4 or not 1 <= vs <= 4 for hs, vs in sampling):
+        raise ValueError("sampling factors must be 1..4 (T.81 B.2.2)")
     if sum(hs * vs for hs, vs in sampling) > 10:
         raise ValueError("interleaved MCU exceeds 10 data units (T.81 B.2.3)")
     hmax = max(hs for hs, _ in sampling)
@@ -576,9 +577,9 @@ def jpeg_decode_pixels(b: bytes) -> dict:
             for ci in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 hs, vs = sampling >> 4, sampling & 0xF
-                if hs not in (1, 2, 4) or vs not in (1, 2, 4):
+                if not 1 <= hs <= 4 or not 1 <= vs <= 4:
                     raise ValueError(
-                        f"sampling factors {hs}x{vs} not supported (1, 2 or 4)"
+                        f"sampling factors {hs}x{vs} out of T.81's 1..4 range"
                     )
                 sof_q[cid] = tq
                 sof_samp[cid] = (hs, vs)
@@ -818,8 +819,8 @@ def jpeg_progressive_bytes(
         sampling = [(1, 1)] * ncomp
     if len(sampling) != ncomp:
         raise ValueError("one (H, V) sampling factor pair per plane")
-    if any(hs not in (1, 2, 4) or vs not in (1, 2, 4) for hs, vs in sampling):
-        raise ValueError("sampling factors 1, 2 or 4 supported")
+    if any(not 1 <= hs <= 4 or not 1 <= vs <= 4 for hs, vs in sampling):
+        raise ValueError("sampling factors must be 1..4 (T.81 B.2.2)")
     if sum(hs * vs for hs, vs in sampling) > 10:
         raise ValueError("interleaved MCU exceeds 10 data units (T.81 B.2.3)")
     hmax = max(hs for hs, _ in sampling)
@@ -1121,8 +1122,8 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 hs, vs = samp >> 4, samp & 0xF
-                if hs not in (1, 2, 4) or vs not in (1, 2, 4):
-                    raise ValueError(f"sampling factors {hs}x{vs} not supported")
+                if not 1 <= hs <= 4 or not 1 <= vs <= 4:
+                    raise ValueError(f"sampling factors {hs}x{vs} out of T.81's 1..4 range")
                 sof_q[cid] = tq
                 sof_samp[cid] = (hs, vs)
                 comp_ids.append(cid)

@@ -3459,6 +3459,110 @@ def decode_jpeg411_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=JPEG_420_SCHEMA)
 
 
+JPEG_311_SCHEMA = (
+    "doc_id long, width long, height long, samp string, cb_width long, "
+    "cb_height long, y_sum long, cb_sum long, cr_sum long, "
+    "first_px long, last_px long"
+)
+
+
+def synthesize_jpeg_311(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL factor-3 baseline JPEGs (round 11 — T.81 allows
+    any sampling factor 1..4, but 3 was an explicit ValueError because
+    nothing exercised the non-power-of-two MCU walk): even docs get the
+    horizontal 3:1:1 layout (Y at (3,1), third-width chroma), odd docs
+    the vertical 1:3 twin — each plane constant 8×8 tiles valued
+    ``(11tx + 23ty + 7d + 31c) mod 256`` on its OWN grid."""
+    from .jpegcodec import jpeg_planes_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+
+                def tiles(cw: int, ch: int, c: int) -> bytes:
+                    return bytes(
+                        (11 * (x // 8) + 23 * (y // 8) + 7 * d + 31 * c) % 256
+                        for y in range(ch)
+                        for x in range(cw)
+                    )
+
+                if d % 2 == 0:
+                    w, h = 24 * (d % 3 + 1), 8 * ((d // 2) % 2 + 1)
+                    planes = [tiles(w, h, 0), tiles(w // 3, h, 1), tiles(w // 3, h, 2)]
+                    samp = [(3, 1), (1, 1), (1, 1)]
+                else:
+                    w, h = 8 * ((d // 2) % 2 + 1), 24 * (d % 3 + 1)
+                    planes = [tiles(w, h, 0), tiles(w, h // 3, 1), tiles(w, h // 3, 2)]
+                    samp = [(1, 3), (1, 1), (1, 1)]
+                payloads.append(jpeg_planes_bytes(w, h, planes, sampling=samp))
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_jpeg311_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched factor-3 JPEG decode over (doc_id, payload): the
+    ``samp`` column pins that the parsed factors really are 3x1 / 1x3
+    (a decoder that rounds 3 to a power of two mis-walks the 5-block
+    MCU and lands on the plane sums or chroma dims immediately).
+    ``strict=False`` = poison-safe NULL-stats rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    samp = d.get("sampling")
+                    if samp not in ([(3, 1), (1, 1), (1, 1)], [(1, 3), (1, 1), (1, 1)]):
+                        raise ValueError("expected a factor-3 three-component JPEG")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "width", "height", "samp", "cb_width",
+                                    "cb_height", "y_sum", "cb_sum", "cr_sum",
+                                    "first_px", "last_px",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                sums = [sum(p) for p in d["planes"]]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "samp": f"{samp[0][0]}x{samp[0][1]}",
+                        "cb_width": d["plane_dims"][1][0],
+                        "cb_height": d["plane_dims"][1][1],
+                        "y_sum": sums[0],
+                        "cb_sum": sums[1],
+                        "cr_sum": sums[2],
+                        "first_px": d["planes"][0][0],
+                        "last_px": d["planes"][2][-1],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=JPEG_311_SCHEMA)
+
+
 def decode_jpeg_subsampled_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     """Arrow-batched 4:2:0 JPEG decode over (doc_id, payload): per-plane
     sums come from the three entropy-decoded component planes at their

@@ -4206,6 +4206,73 @@ def jpeg_411_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg411_stats(synthesize_jpeg_411(docs, "doc_id"))
 
 
+JPEG_311_DOC_MOD = 11  # doc_id % 11 == 3 → ~1/11 of documents get a factor-3 JPEG
+
+
+@register(
+    "jpeg_311_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 24 * (doc_id % 3 + 1)
+                  ELSE 8 * ((doc_id // 2) % 2 + 1) END AS width,
+             CASE WHEN doc_id % 2 = 0 THEN 8 * ((doc_id // 2) % 2 + 1)
+                  ELSE 24 * (doc_id % 3 + 1) END AS height,
+             CASE WHEN doc_id % 2 = 0 THEN '3x1' ELSE '1x3' END AS samp
+      FROM documents WHERE doc_id % {JPEG_311_DOC_MOD} = 3
+    ),
+    dims AS (
+      SELECT s.*,
+             CASE WHEN doc_id % 2 = 0 THEN width // 3 ELSE width END AS cbw,
+             CASE WHEN doc_id % 2 = 0 THEN height ELSE height // 3 END AS cbh
+      FROM sel s
+    ),
+    tiles AS (
+      SELECT d.doc_id, p.c,
+             (11 * gx.tx + 23 * gy.ty + 7 * d.doc_id + 31 * p.c) % 256 AS v
+      FROM dims d,
+           (SELECT 0 AS c UNION ALL SELECT 1 UNION ALL SELECT 2) p,
+           LATERAL (SELECT unnest(range(0,
+             (CASE WHEN p.c = 0 THEN d.width ELSE d.cbw END) // 8)) AS tx) gx,
+           LATERAL (SELECT unnest(range(0,
+             (CASE WHEN p.c = 0 THEN d.height ELSE d.cbh END) // 8)) AS ty) gy
+    )
+    SELECT t.doc_id,
+           CAST(any_value(d.width) AS BIGINT) AS width,
+           CAST(any_value(d.height) AS BIGINT) AS height,
+           any_value(d.samp) AS samp,
+           CAST(any_value(d.cbw) AS BIGINT) AS cb_width,
+           CAST(any_value(d.cbh) AS BIGINT) AS cb_height,
+           CAST(64 * sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS y_sum,
+           CAST(64 * sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS cb_sum,
+           CAST(64 * sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS cr_sum,
+           CAST(7 * t.doc_id % 256 AS BIGINT) AS first_px,
+           CAST((11 * (any_value(d.cbw) // 8 - 1)
+                 + 23 * (any_value(d.cbh) // 8 - 1)
+                 + 7 * t.doc_id + 62) % 256 AS BIGINT) AS last_px
+    FROM tiles t JOIN dims d ON d.doc_id = t.doc_id
+    GROUP BY t.doc_id
+    """,
+)
+def jpeg_311_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Factor-3 chroma-subsampled JPEG decode end to end (round 11 —
+    the last sampling factor in T.81's 1..4 range, previously an
+    explicit ValueError): even docs carry the horizontal 3:1:1 layout,
+    odd docs the vertical 1:3 twin, so the decoder must walk a 5-block
+    MCU whose geometry is NOT a power of two — any rounding of the
+    factor or the plane stride mis-places every tile after the first.
+    Baseline+progressive factor-3 parity is pytest-pinned. Oracle:
+    per-plane constant-tile arithmetic on each plane's own grid."""
+    from ..operators.multimodal import decode_jpeg311_stats, synthesize_jpeg_311
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % JPEG_311_DOC_MOD == 3)
+    )
+    return decode_jpeg311_stats(synthesize_jpeg_311(docs, "doc_id"))
+
+
 # Shared fixture pieces (round 11): a MULTI-LINE, UPPERCASE style
 # block and script block (the real-crawl norm the round-10 single-line
 # lowercase fixture missed — ADVICE r10), plus numeric character

@@ -1126,6 +1126,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "tiff_tiled_decode_stats",  # r11: tile grid, padded edges, 322-325
     "adpcm_decode_stats",  # r11: IMA ADPCM state machine, recursive-CTE oracle
     "flac_decode_stats",  # r11: full FLAC bitstream — Rice, LPC, CRC, MD5
+    "jpeg_311_decode_stats",  # r11: factor-3 MCU walk, both orientations
 ]
 
 

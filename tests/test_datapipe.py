@@ -865,10 +865,10 @@ def test_jpeg_420_subsampled_roundtrip():
             [tiles(24, 16, 0), tiles(12, 8, 31), tiles(12, 8, 62)],
             sampling=[(2, 2), (1, 1), (1, 1)],
         )
-    # factor 3 stays an explicit error (round 10 admitted 4, not 3),
-    # and a 4x4 luma MCU blows the T.81 B.2.3 ten-data-unit bound
+    # factors beyond T.81's 1..4 range stay an explicit error (round 11
+    # admitted 3), and a 4x4 luma MCU blows the T.81 B.2.3 ten-unit bound
     with _pytest.raises(ValueError, match="sampling factors"):
-        jpeg_planes_bytes(w, h, [y, cb, cr], sampling=[(3, 1), (1, 1), (1, 1)])
+        jpeg_planes_bytes(w, h, [y, cb, cr], sampling=[(5, 1), (1, 1), (1, 1)])
     with _pytest.raises(ValueError, match="10 data units"):
         jpeg_planes_bytes(w, h, [y, cb, cr], sampling=[(4, 4), (1, 1), (1, 1)])
 
@@ -974,7 +974,7 @@ def test_jpeg_411_sampling():
     4:1:1 interleaves four horizontally-adjacent Y blocks per MCU.
     Constant tiles exact, restarts compose, progressive matches
     baseline on random rasters, and the T.81 B.2.3 ten-data-unit MCU
-    bound plus factor-3 stay rejected."""
+    bound plus out-of-range factors stay rejected."""
     import random
 
     import pytest as _pytest
@@ -1044,8 +1044,78 @@ def test_jpeg_411_sampling():
     with _pytest.raises(ValueError, match="10 data units"):
         jpeg_planes_bytes(32, 32, [bytes(1024)] * 3, sampling=[(4, 4), (1, 1), (1, 1)])
     with _pytest.raises(ValueError):
-        jpeg_planes_bytes(24, 8, [bytes(192), bytes(64), bytes(64)],
-                          sampling=[(3, 1), (1, 1), (1, 1)])
+        jpeg_planes_bytes(40, 8, [bytes(320), bytes(64), bytes(64)],
+                          sampling=[(5, 1), (1, 1), (1, 1)])
+
+
+def test_jpeg_311_sampling():
+    """Sampling factor 3 (round 11 — the last factor in T.81's 1..4
+    range, formerly an explicit ValueError): the 5-block MCU geometry
+    is not a power of two, so any shift-based walk breaks. Constant
+    tiles exact in both orientations, mixed (3,2) factors work,
+    progressive matches baseline on random rasters, restarts compose,
+    and out-of-range factors stay rejected."""
+    import random
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_planes_bytes,
+        jpeg_progressive_bytes,
+    )
+
+    def tiles(cw, ch, c, d=5):
+        return bytes(
+            (11 * (x // 8) + 23 * (y // 8) + 7 * d + 31 * c) % 256
+            for y in range(ch)
+            for x in range(cw)
+        )
+
+    samp = [(3, 1), (1, 1), (1, 1)]
+    out = jpeg_decode_pixels(
+        jpeg_planes_bytes(24, 16, [tiles(24, 16, 0), tiles(8, 16, 1), tiles(8, 16, 2)],
+                          sampling=samp)
+    )
+    assert out["sampling"] == samp
+    assert out["planes"][0] == tiles(24, 16, 0) and out["planes"][1] == tiles(8, 16, 1)
+    # vertical 1:3 variant
+    out = jpeg_decode_pixels(
+        jpeg_planes_bytes(16, 24, [tiles(16, 24, 0), tiles(16, 8, 1), tiles(16, 8, 2)],
+                          sampling=[(1, 3), (1, 1), (1, 1)])
+    )
+    assert out["planes"][0] == tiles(16, 24, 0) and out["planes"][2] == tiles(16, 8, 2)
+    # mixed (3,2) factors
+    out = jpeg_decode_pixels(
+        jpeg_planes_bytes(24, 16, [tiles(24, 16, 0), tiles(8, 8, 1), tiles(8, 8, 2)],
+                          sampling=[(3, 2), (1, 1), (1, 1)])
+    )
+    assert out["planes"][0] == tiles(24, 16, 0) and out["planes"][1] == tiles(8, 8, 1)
+    # multi-MCU grid: progressive == baseline == DRI variants on random rasters
+    rng = random.Random(11)
+    w, h = 72, 24
+    ry = bytes(rng.randrange(256) for _ in range(w * h))
+    rc = bytes(rng.randrange(256) for _ in range((w // 3) * h))
+    bb = jpeg_decode_pixels(jpeg_planes_bytes(w, h, [ry, rc, rc], sampling=samp))
+    for variant in (
+        jpeg_progressive_bytes(w, h, [ry, rc, rc], sampling=samp),
+        jpeg_planes_bytes(w, h, [ry, rc, rc], sampling=samp, restart_interval=2),
+        jpeg_progressive_bytes(w, h, [ry, rc, rc], sampling=samp, restart_interval=3),
+    ):
+        assert jpeg_decode_pixels(variant)["planes"] == bb["planes"]
+    # gray factor-3: a single (3,3) component is its own 9-block MCU
+    # (constant tiles survive the DCT exactly; random rasters are only
+    # near-lossless, so exactness pins use the tile fixture)
+    g = tiles(24, 24, 4)
+    assert jpeg_decode_pixels(
+        jpeg_planes_bytes(24, 24, [g], sampling=[(3, 3)])
+    )["planes"][0] == g
+    # factors outside T.81's 1..4 range stay rejected
+    with _pytest.raises(ValueError):
+        jpeg_planes_bytes(40, 8, [bytes(320), bytes(64), bytes(64)],
+                          sampling=[(5, 1), (1, 1), (1, 1)])
+    with _pytest.raises(ValueError):
+        jpeg_planes_bytes(8, 8, [bytes(64)], sampling=[(0, 1)])
 
 
 def test_tiff_roundtrip():
