@@ -59,10 +59,13 @@ the DICOM/medical frame type): predictive coding with all seven
 predictors, 2..16-bit precision, arbitrary dimensions, EXACT
 reconstruction (see the lossless section at the end of this module).
 
+Round 11 extended SOF2 to 12-bit precision (the coefficient machinery
+is precision-agnostic; the level shift, u16 packing and the extended
+progressive AC alphabet — sizes to 14 — are the delta).
+
 Not supported (explicit ValueError, never a silent mis-decode):
-arithmetic coding, 12-bit progressive (SOF2 stays 8-bit),
-hierarchical frames, restart intervals and subsampling inside
-lossless scans.
+arithmetic coding, hierarchical frames, restart intervals and
+subsampling inside lossless scans.
 """
 
 from __future__ import annotations
@@ -731,6 +734,17 @@ PROG_AC_VALS = sorted(
 PROG_AC_BITS = [0] * 16
 PROG_AC_BITS[7] = len(PROG_AC_VALS)  # all codes 8 bits long
 
+# Progressive AC at 12-bit precision (round 11): sizes extend to 14
+# (F.1.2.2.1), so the 8-bit-precision progressive table above tops out
+# too early — 15 EOBn + ZRL + 16×14 run/size symbols = 240 ≤ 255 codes
+# of one length, same flat-canonical construction.
+PROG_AC12_VALS = sorted(
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+)
+PROG_AC12_BITS = [0] * 16
+PROG_AC12_BITS[7] = len(PROG_AC12_VALS)  # all codes 8 bits long
+
 # 12-bit (extended sequential, SOF1) Huffman alphabets: at 12-bit
 # precision DC difference categories run to 15 and AC sizes to 14
 # (T.81 F.1.2.1.2 / F.1.2.2.1 extended ranges), beyond the Annex K
@@ -754,17 +768,18 @@ def _pt_ac(v: int, al: int) -> int:
 
 
 def _quantized_zigzag_blocks(
-    planes: list[bytes], dims: list[tuple[int, int]]
+    planes: list, dims: list[tuple[int, int]], level: int = 128
 ) -> list[list[list[int]]]:
     """Per component: quantized (all-ones table) zigzag-ordered
-    coefficient blocks in that component's raster block order."""
+    coefficient blocks in that component's raster block order.
+    ``level`` is the DC shift (128 for 8-bit, 2048 for 12-bit)."""
     out = []
     for plane, (cw, ch) in zip(planes, dims):
         blocks = []
         for by in range(ch // 8):
             for bx in range(cw // 8):
                 block = [
-                    plane[(by * 8 + y) * cw + bx * 8 + x] - 128
+                    plane[(by * 8 + y) * cw + bx * 8 + x] - level
                     for y in range(8)
                     for x in range(8)
                 ]
@@ -796,10 +811,11 @@ def _mcu_block_order(
 def jpeg_progressive_bytes(
     width: int,
     height: int,
-    planes: list[bytes],
+    planes: list,
     sampling: list[tuple[int, int]] | None = None,
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """REAL progressive (SOF2) JPEG encode: interleaved DC first scan at
     Al=1, DC refinement scan (one raw bit per block), then per-component
@@ -830,9 +846,13 @@ def jpeg_progressive_bytes(
             f"fixture encoder requires multiple-of-{8 * hmax}x{8 * vmax} dimensions"
         )
     dims = [(width * hs // hmax, height * vs // vmax) for hs, vs in sampling]
+    if precision not in (8, 12):
+        raise ValueError("progressive precision must be 8 or 12")
     for p, (cw, ch) in zip(planes, dims):
         if len(p) != cw * ch:
-            raise ValueError(f"plane must be {cw * ch} bytes, got {len(p)}")
+            raise ValueError(f"plane must be {cw * ch} samples, got {len(p)}")
+        if precision == 12 and (min(p) < 0 or max(p) > 4095):
+            raise ValueError("12-bit samples must lie in 0..4095")
     for ss, se in bands:
         if not (1 <= ss <= se <= 63):
             raise ValueError("AC bands must lie within 1..63")
@@ -844,9 +864,16 @@ def jpeg_progressive_bytes(
     if restart_interval < 0 or restart_interval > 0xFFFF:
         raise ValueError("restart interval must fit in 16 bits")
 
-    coeffs = _quantized_zigzag_blocks(planes, dims)
-    dc_enc = _huff_encode_table(DC_LUM_BITS, DC_LUM_VALS)
-    ac_enc = _huff_encode_table(PROG_AC_BITS, PROG_AC_VALS)
+    if precision == 8:
+        coeffs = _quantized_zigzag_blocks(planes, dims)
+        dc_bits, dc_vals = DC_LUM_BITS, DC_LUM_VALS
+        ac_bits, ac_vals = PROG_AC_BITS, PROG_AC_VALS
+    else:
+        coeffs = _quantized_zigzag_blocks(planes, dims, level=2048)
+        dc_bits, dc_vals = DC12_BITS, DC12_VALS
+        ac_bits, ac_vals = PROG_AC12_BITS, PROG_AC12_VALS
+    dc_enc = _huff_encode_table(dc_bits, dc_vals)
+    ac_enc = _huff_encode_table(ac_bits, ac_vals)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -864,11 +891,11 @@ def jpeg_progressive_bytes(
         struct.pack("BBB", ci + 1, (sampling[ci][0] << 4) | sampling[ci][1], 0)
         for ci in range(ncomp)
     )
-    out += seg(0xFFC2, struct.pack(">BHHB", 8, height, width, ncomp) + sof_comps)
+    out += seg(0xFFC2, struct.pack(">BHHB", precision, height, width, ncomp) + sof_comps)
     out += seg(
         0xFFC4,
-        b"\x00" + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
-        + b"\x10" + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS),
+        b"\x00" + bytes(dc_bits) + bytes(dc_vals)
+        + b"\x10" + bytes(ac_bits) + bytes(ac_vals),
     )
 
     mcu_orders = [_mcu_block_order(ci, sampling, dims, width, height) for ci in range(ncomp)]
@@ -1069,9 +1096,11 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
     insertions with sign bits, correction bits for history-nonzero
     coefficients, EOB runs carrying correction bits) — then dequantize,
     un-zigzag, inverse-DCT once at the end. Same fixture restrictions
-    as the baseline decoder (whole MCUs, factors 1 or 2). DRI/RSTn
+    as the baseline decoder (whole MCUs, factors 1..4). DRI/RSTn
     inside progressive scans is supported (round 10): every scan
-    consumes cycling restart markers with predictor + EOBRUN resets."""
+    consumes cycling restart markers with predictor + EOBRUN resets.
+    12-bit progressive (round 11): level shift 2048, u16 plane packing
+    — the coefficient machinery itself is precision-agnostic."""
     i = 2
     qtables: dict[int, list[int]] = {}
     dc_tables: dict[int, dict] = {}
@@ -1080,6 +1109,7 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
     n_scans = 0
     n_restart_markers = 0  # RSTn actually consumed, summed over scans
     width = height = None
+    precision = 8
     sof_q: dict[int, int] = {}
     sof_samp: dict[int, tuple[int, int]] = {}
     comp_ids: list[int] = []  # SOF component order
@@ -1115,8 +1145,8 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
                 j += 17 + n
         elif marker == 0xC2:
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if precision != 8:
-                raise ValueError("only 8-bit precision supported")
+            if precision not in (8, 12):
+                raise ValueError("only 8- or 12-bit precision supported")
             if ncomp not in (1, 3):
                 raise ValueError("only 1- or 3-component frames supported")
             for ci in range(ncomp):
@@ -1142,10 +1172,11 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
                 vmax = max(vs for _, vs in sof_samp.values())
                 if width % (8 * hmax) or height % (8 * vmax):
                     raise ValueError("edge-padded dimensions not supported (fixture decoder)")
+                # 12-bit planes decode into int lists (~8 bytes/sample)
                 if sum(
                     (width * hs // hmax) * (height * vs // vmax)
                     for hs, vs in sof_samp.values()
-                ) > MAX_DECODED_BYTES:
+                ) * (1 if precision == 8 else 8) > MAX_DECODED_BYTES:
                     raise ValueError("JPEG declares implausible dimensions")
                 for cid, (hs, vs) in sof_samp.items():
                     cw, ch = width * hs // hmax, height * vs // vmax
@@ -1179,13 +1210,14 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
     # reconstruct: dequantize + un-zigzag + IDCT per block, per component
     sampling = [sof_samp[cid] for cid in comp_ids]
     dims = [dims_by_cid[cid] for cid in comp_ids]
+    level, smax = (128, 255) if precision == 8 else (2048, 4095)
     planes = []
     for cid in comp_ids:
         if sof_q[cid] not in qtables:
             raise ValueError("JPEG scan references undefined table")
         q = qtables[sof_q[cid]]
         cw, ch = dims_by_cid[cid]
-        plane = bytearray(cw * ch)
+        plane = bytearray(cw * ch) if precision == 8 else [0] * (cw * ch)
         bw = cw // 8
         for bi, zz in enumerate(coeffs[cid]):
             coef = [0.0] * 64
@@ -1196,21 +1228,38 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
             for y in range(8):
                 row = (oy + y) * cw + ox
                 for x in range(8):
-                    plane[row + x] = min(255, max(0, int(round(px[y * 8 + x] + 128))))
-        planes.append(bytes(plane))
+                    plane[row + x] = min(smax, max(0, int(round(px[y * 8 + x] + level))))
+        planes.append(plane)
     ncomp = len(planes)
-    return {
+    common = {
         "media_type": "image/jpeg",
         "width": width,
         "height": height,
         "channels": ncomp,
-        "bit_depth": 8,
         "sampling": sampling,
         "restart_interval": restart_interval,
         "n_scans": n_scans,
         "n_restart_markers": n_restart_markers,
         "plane_dims": dims,
         "progressive": True,
+    }
+    if precision == 12:
+        # u16 big-endian plane packing — the same contract as SOF1 12-bit
+        packed = [struct.pack(f">{len(p)}H", *p) for p in planes]
+        flat: list[int] = []
+        for p in planes:
+            flat.extend(p)
+        return {
+            **common,
+            "bit_depth": 12,
+            "planes": packed,
+            "samples16": flat,
+            "raster": packed[0] if ncomp == 1 else b"".join(packed),
+        }
+    planes = [bytes(p) for p in planes]
+    return {
+        **common,
+        "bit_depth": 8,
         "planes": planes,
         "raster": planes[0] if ncomp == 1 else b"".join(planes),
     }

@@ -1906,6 +1906,105 @@ def decode_jpeg12_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     return media.mapInPandas(run, schema=JPEG12_STATS_SCHEMA)
 
 
+JPEG12P_STATS_SCHEMA = (
+    "doc_id long, width long, height long, n_scans long, "
+    "sample_sum long, first_sample long, last_sample long, max_sample long"
+)
+
+
+def synthesize_jpeg12_progressive(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL 12-bit PROGRESSIVE (SOF2) JPEGs (round 11 —
+    formerly 'SOF2 stays 8-bit' in the refusal list): grayscale
+    constant-tile fixture ``8·(d%4+1) × 8·(d%3+1)``, tile ``(499tx +
+    257ty + 61d) mod 4096``, six-scan libjpeg-style script (DC first +
+    DC refine + 2 AC bands × first/refine) with the extended
+    progressive AC alphabet (sizes to 14); odd docs add ``DRI = 1`` so
+    restart markers compose with 12-bit refinement scans."""
+    from .jpegcodec import jpeg_progressive_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = 8 * (d % 4 + 1), 8 * (d % 3 + 1)
+                samples = [
+                    (499 * (x // 8) + 257 * (y // 8) + 61 * d) % 4096
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                payloads.append(
+                    jpeg_progressive_bytes(
+                        w, h, [samples], precision=12, restart_interval=d % 2
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_jpeg12prog_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched 12-bit progressive JPEG decode over (doc_id,
+    payload): the row asserts ``bit_depth == 12`` AND ``progressive``
+    (a sequential fallback or an 8-bit clamp cannot pass) and reports
+    ``n_scans`` so the multi-scan accumulation demonstrably ran; stats
+    come from the u12 samples, where a wrong level shift or a baseline
+    AC table (sizes stop at 10) lands immediately. ``strict=False`` =
+    poison-safe NULL-stats rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if (
+                        d.get("bit_depth") != 12
+                        or not d.get("progressive")
+                        or "samples16" not in d
+                    ):
+                        raise ValueError("expected a 12-bit progressive JPEG")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "width", "height", "n_scans", "sample_sum",
+                                    "first_sample", "last_sample", "max_sample",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                s = d["samples16"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_scans": d["n_scans"],
+                        "sample_sum": sum(s),
+                        "first_sample": s[0],
+                        "last_sample": s[-1],
+                        "max_sample": max(s),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=JPEG12P_STATS_SCHEMA)
+
+
 POISON_STATS_SCHEMA = (
     "doc_id long, media_type string, decoded boolean, "
     "n_units long, value_sum long"

@@ -5181,6 +5181,63 @@ def jpeg_lossless_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_jpeg_lossless_stats(synthesize_jpeg_lossless(docs, "doc_id"))
 
 
+JPEG12P_DOC_MOD = 13  # doc_id % 13 == 0 → ~1/13 of documents get a 12-bit SOF2
+
+
+@register(
+    "jpeg12_progressive_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             8 * (doc_id % 4 + 1) AS width,
+             8 * (doc_id % 3 + 1) AS height
+      FROM documents WHERE doc_id % {JPEG12P_DOC_MOD} = 0
+    ),
+    tiles AS (
+      SELECT s.doc_id, s.width, s.height,
+             (499 * gx.tx + 257 * gy.ty + 61 * s.doc_id) % 4096 AS v
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.width // 8)) AS tx) gx,
+           LATERAL (SELECT unnest(range(0, s.height // 8)) AS ty) gy
+    )
+    SELECT doc_id,
+           CAST(any_value(width) AS BIGINT) AS width,
+           CAST(any_value(height) AS BIGINT) AS height,
+           CAST(6 AS BIGINT) AS n_scans,
+           CAST(64 * sum(v) AS BIGINT) AS sample_sum,
+           CAST(61 * doc_id % 4096 AS BIGINT) AS first_sample,
+           CAST((499 * (any_value(width) // 8 - 1)
+                 + 257 * (any_value(height) // 8 - 1)
+                 + 61 * doc_id) % 4096 AS BIGINT) AS last_sample,
+           CAST(max(v) AS BIGINT) AS max_sample
+    FROM tiles GROUP BY doc_id
+    """,
+)
+def jpeg12_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-bit PROGRESSIVE JPEG decode end to end (round 11 — 'SOF2
+    stays 8-bit' was the last JPEG precision refusal): the progressive
+    coefficient machinery is precision-agnostic, but the extended AC
+    alphabet (sizes to 14, beyond the 8-bit progressive table's 10),
+    the 2048 level shift and u16 plane packing all change — and the
+    six-scan accumulation must still reconstruct every coefficient
+    exactly (odd docs compose DRI/RSTn inside 12-bit refinement
+    scans). n_scans pins the multi-scan path ran; cross-decoder parity
+    (12-bit progressive == 12-bit sequential on random rasters) is
+    pytest-pinned. Oracle: constant-tile arithmetic, closed form at
+    quant 1."""
+    from ..operators.multimodal import (
+        decode_jpeg12prog_stats,
+        synthesize_jpeg12_progressive,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % JPEG12P_DOC_MOD == 0)
+    )
+    return decode_jpeg12prog_stats(synthesize_jpeg12_progressive(docs, "doc_id"))
+
+
 JPEG12_DOC_MOD = 13  # doc_id % 13 == 9 → ~1/13 of documents get a 12-bit JPEG
 
 

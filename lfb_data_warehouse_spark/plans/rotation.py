@@ -1127,6 +1127,7 @@ UNCHECKED_PRIORITY: list[str] = [
     "adpcm_decode_stats",  # r11: IMA ADPCM state machine, recursive-CTE oracle
     "flac_decode_stats",  # r11: full FLAC bitstream — Rice, LPC, CRC, MD5
     "jpeg_311_decode_stats",  # r11: factor-3 MCU walk, both orientations
+    "jpeg12_progressive_stats",  # r11: 12-bit SOF2, extended AC alphabet
 ]
 
 

@@ -1709,6 +1709,52 @@ def test_jpeg_lossless_roundtrip():
         jpeg_lossless_bytes(4, 4, [[0] * 16], precision=17)
 
 
+def test_jpeg12_progressive():
+    """12-bit progressive JPEG (round 11 — 'SOF2 stays 8-bit' was the
+    refusal): progressive must equal extended-sequential bit-for-bit on
+    random u12 rasters (both quantize identically, refinement restores
+    every coefficient), constant tiles exact, DRI composes, subsampled
+    12-bit progressive works, and out-of-range samples raise."""
+    import random
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_planes_bytes,
+        jpeg_progressive_bytes,
+    )
+
+    rng = random.Random(13)
+    # cross-decoder parity on random rasters, gray + subsampled color
+    for (w, h), samp in [((16, 16), None), ((24, 16), [(3, 1), (1, 1), (1, 1)]),
+                         ((32, 16), [(2, 1), (1, 1), (1, 1)])]:
+        if samp is None:
+            dims = [(w, h)]
+        else:
+            hmax = max(s[0] for s in samp)
+            dims = [(w * hs // hmax, h * vs) for hs, vs in samp]
+        planes = [[rng.randrange(4096) for _ in range(cw * ch)] for cw, ch in dims]
+        dp = jpeg_decode_pixels(
+            jpeg_progressive_bytes(w, h, planes, sampling=samp, precision=12))
+        ds = jpeg_decode_pixels(
+            jpeg_planes_bytes(w, h, planes, sampling=samp, precision=12))
+        assert dp["bit_depth"] == 12 and dp["progressive"]
+        assert dp["samples16"] == ds["samples16"]
+    # constant tiles exact; restart markers compose inside 12-bit scans
+    tile = [(499 * (x // 8) + 257 * (y // 8) + 61) % 4096
+            for y in range(16) for x in range(24)]
+    for ri in (0, 1, 2):
+        d = jpeg_decode_pixels(
+            jpeg_progressive_bytes(24, 16, [tile], precision=12, restart_interval=ri))
+        assert d["samples16"] == tile and d["n_scans"] == 6
+    # contract: out-of-range 12-bit samples raise at encode
+    with _pytest.raises(ValueError):
+        jpeg_progressive_bytes(8, 8, [[5000] * 64], precision=12)
+    with _pytest.raises(ValueError):
+        jpeg_progressive_bytes(8, 8, [[0] * 64], precision=10)
+
+
 def test_jpeg12_extended_sequential():
     """12-bit JPEG (SOF1, round 10 — formerly an explicit ValueError):
     constant tiles are exact at quant 1 (DC = 8·(v−2048) is float-exact),
