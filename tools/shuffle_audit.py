@@ -251,6 +251,14 @@ def main() -> None:
             # audit (one map-side-combined pass)
             "io_contract_battery",
             "history_length_audit",
+            # round-11 additions: the audio tier (stateful ADPCM, FLAC
+            # bitstream) and the JPEG factor/precision tail — all
+            # claimed zero-exchange map passes; measure, don't assert
+            "adpcm_decode_stats",
+            "flac_decode_stats",
+            "jpeg_311_decode_stats",
+            "jpeg12_progressive_stats",
+            "line_dedup_boilerplate",
         )
         runners.update({n: REGISTRY[n].fn for n in AUDIT_EXTRA})
         # bootstrap yesterday's labels UNTAGGED so the audit-only
@@ -470,7 +478,24 @@ now measured):
     `palette_png_decode_stats`): all are single mapInPandas passes
     whose only exchange is load_table's 8-byte-id fan-out; payload
     bytes never cross a stage boundary, which is the plan property
-    that matters at 100 TB (SCALE.md, media bullet).""")
+    that matters at 100 TB (SCALE.md, media bullet).
+- Round-11 rows:
+  - The audio tier (`adpcm_decode_stats`, `flac_decode_stats`) and the
+    JPEG tail (`jpeg_311_decode_stats`, `jpeg12_progressive_stats`)
+    measure exactly like their media siblings: **0.0 MB exchanged**,
+    sh/in ≈ 0.08 — the only shuffle rows are the loader's 8-byte-id
+    fan-out plus the per-doc stats rows entering the final collect.
+    The stateful decoders (ADPCM's predictor walk, FLAC's Rice +
+    prediction + CRC + MD5 pipeline) are pure per-payload CPU; state
+    never spans rows, so nothing ever crosses the network.
+  - `line_dedup_boilerplate` (sh/in 2.7, 3.8 MB written at sf0.1):
+    the irreducible line-frequency exchange — lines explode ~3× per
+    doc map-side and are hashed BEFORE shuffling, so the exchange
+    carries (sha256, doc_id) pairs, never line text; the corpus-size
+    term rides a broadcast 1-row aggregate and the boilerplate drop
+    join broadcasts the (tiny) frequent-line set. At 100 TB the
+    shuffle is line-count-bounded at ~40 bytes/line vs the multi-KB
+    documents that stay put.""")
     finally:
         shutil.rmtree(event_dir, ignore_errors=True)
 
