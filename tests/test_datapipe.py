@@ -703,11 +703,13 @@ def test_decode_real_fuzz_valueerror_contract():
         jpeg_pixel_bytes,
         jpeg_progressive_bytes,
     )
+    from lfb_data_warehouse_spark.operators.flaccodec import flac_bytes
     from lfb_data_warehouse_spark.operators.multimodal import (
         bmp_bytes,
         decode_real,
         png_palette_bytes,
         png_pixel_bytes,
+        wav_adpcm_bytes,
         wav_g711_bytes,
         wav_pcm_bytes,
     )
@@ -754,6 +756,20 @@ def test_decode_real_fuzz_valueerror_contract():
         bmp_bytes(5, 4, bytes((3 * i) % 256 for i in range(60))),
         tiff_bytes(6, 5, bytes((5 * i) % 256 for i in range(30)),
                    rows_per_strip=2, packbits=True, big_endian=True),
+        # round-11 codecs join the pinned contract
+        wav_adpcm_bytes(8000, [(-500, 20, [i % 16 for i in range(29)]),
+                               (800, 60, [(7 * i) % 16 for i in range(29)])], 30),
+        flac_bytes(44100, 16, [([250] * 24, ("constant",)),
+                               ([(53 * i) % 3001 - 1500 for i in range(32)],
+                                ("fixed", 2, 1)),
+                               ([(31 * i) % 2001 - 1000 for i in range(24)],
+                                ("lpc", [3, -1], 1, 4, 0))]),
+        jpeg_planes_bytes(24, 8, [bytes((3 * i) % 256 for i in range(192)),
+                                  bytes((5 * i) % 256 for i in range(64)),
+                                  bytes((7 * i) % 256 for i in range(64))],
+                          sampling=[(3, 1), (1, 1), (1, 1)]),
+        jpeg_progressive_bytes(8, 8, [[(37 * i) % 4096 for i in range(64)]],
+                               precision=12),
     ]
     for base in valid:
         check(base)  # sanity: the uncorrupted payload decodes

@@ -504,3 +504,87 @@ def test_mg_check_exact_guard_sound_on_random_streams(spark, stream, capacity, k
     except ValueError:
         return  # conservative refusal is allowed
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_flac_roundtrip_property(data):
+    """decode(encode(samples)) == samples for RANDOM sample sequences
+    under RANDOM subframe specs — random residual magnitudes stress
+    every Rice parameter choice, unary length, and wasted-bits branch
+    far harder than the closed-form oracle fixture; FLAC is lossless,
+    so equality is exact by definition."""
+    from lfb_data_warehouse_spark.operators.flaccodec import (
+        flac_bytes,
+        flac_decode_samples,
+    )
+
+    frames = []
+    for _ in range(data.draw(st.integers(1, 3))):
+        kind = data.draw(st.sampled_from(["constant", "verbatim", "fixed", "lpc"]))
+        if kind == "constant":
+            n = data.draw(st.integers(1, 40))
+            v = data.draw(st.integers(-32768, 32767))
+            frames.append(([v] * n, ("constant",)))
+            continue
+        if kind == "fixed":
+            order = data.draw(st.integers(0, 4))
+            p = data.draw(st.integers(0, 2))
+            # blocksize divisible by 2^p with a non-empty first partition
+            base = data.draw(st.integers(max(order + 1, 2), 12))
+            n = base * (1 << p)
+            spec = ("fixed", order, p)
+        elif kind == "lpc":
+            order = data.draw(st.integers(1, 3))
+            coefs = [data.draw(st.integers(-7, 7)) for _ in range(order)]
+            shift = data.draw(st.integers(0, 3))
+            n = data.draw(st.integers(order + 1, 40))
+            spec = ("lpc", coefs, shift, 4, 0)
+        else:
+            n = data.draw(st.integers(1, 40))
+            spec = ("verbatim",)
+        shiftable = data.draw(st.integers(0, 2))  # exercise wasted bits
+        lim = 32767 >> shiftable
+        samples = [
+            data.draw(st.integers(-lim - 1, lim)) << shiftable for _ in range(n)
+        ]
+        frames.append((samples, spec))
+    d = flac_decode_samples(flac_bytes(44100, 16, frames))
+    assert d["samples"] == [s for fr, _ in frames for s in fr]
+    assert d["n_frames"] == len(frames)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_adpcm_roundtrip_property(data):
+    """IMA ADPCM container round-trip on RANDOM block seeds and nibble
+    streams: the decoder's state walk must agree with an independent
+    in-test model for any predictor/index seed and any nibble sequence
+    (the gate fixture covers one closed-form family; this covers the
+    space)."""
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEP,
+        wav_adpcm_bytes,
+        wav_decode_samples,
+    )
+
+    spb = data.draw(st.integers(2, 40))
+    blocks = []
+    for _ in range(data.draw(st.integers(1, 3))):
+        pred = data.draw(st.integers(-32768, 32767))
+        idx = data.draw(st.integers(0, 88))
+        nibs = [data.draw(st.integers(0, 15)) for _ in range(spb - 1)]
+        blocks.append((pred, idx, nibs))
+    out = wav_decode_samples(wav_adpcm_bytes(8000, blocks, spb))["samples"]
+    exp = []
+    for pred, idx, nibs in blocks:
+        exp.append(pred)
+        for nib in nibs:
+            step = _IMA_STEP[idx]
+            diff = (step >> 3) + (step if nib & 4 else 0) \
+                + (step >> 1 if nib & 2 else 0) + (step >> 2 if nib & 1 else 0)
+            pred = max(-32768, min(32767, pred - diff if nib & 8 else pred + diff))
+            idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+            exp.append(pred)
+    assert out == exp
