@@ -377,6 +377,9 @@ _BPS_FROM_CODE = {v: k for k, v in _BPS_CODE.items()}
 
 
 def _md5_samples(frames: list[list[int]], bps: int) -> bytes:
+    """MD5 of the unencoded audio: interleaved samples, little-endian,
+    bps/8 bytes each (the spec's definition; ``frames`` hold samples
+    already in interleaved order)."""
     h = hashlib.md5()
     fmt = "<b" if bps == 8 else "<h"
     for samples in frames:
@@ -385,21 +388,45 @@ def _md5_samples(frames: list[list[int]], bps: int) -> bytes:
     return h.digest()
 
 
-def flac_bytes(sample_rate: int, bps: int, frames: list[tuple[list[int], object]]) -> bytes:
-    """Encode mono frames as a REAL FLAC stream.
+def flac_bytes(
+    sample_rate: int,
+    bps: int,
+    frames: list[tuple[object, object]],
+    channels: int = 1,
+) -> bytes:
+    """Encode frames as a REAL FLAC stream (mono or independent-channel
+    stereo/multichannel).
 
-    ``frames`` is a list of ``(samples, spec)`` where spec is
-    ``("constant",)``, ``("verbatim",)``, ``("fixed", order,
-    partition_order)`` or ``("lpc", coefs, shift, precision,
-    partition_order)``. Residuals are derived from the samples (the
+    Mono (``channels=1``): ``frames`` is a list of ``(samples, spec)``
+    where spec is ``("constant",)``, ``("verbatim",)``, ``("fixed",
+    order, partition_order)`` or ``("lpc", coefs, shift, precision,
+    partition_order)``. ``channels>1`` (independent channel
+    assignment, code ``channels-1``): each frame is
+    ``([ch0_samples, ch1_samples, ...], [spec0, spec1, ...])`` with
+    equal per-channel lengths — one subframe per channel, no
+    decorrelation. Residuals are derived from the samples (the
     lossless direction), Rice parameters chosen per partition, wasted
-    bits auto-detected, CRC-8/CRC-16 and the STREAMINFO MD5 computed
-    for real so the decoder's integrity checks have teeth."""
+    bits auto-detected, CRC-8/CRC-16 and the STREAMINFO MD5 (over the
+    interleaved stream) computed for real so the decoder's integrity
+    checks have teeth."""
     if bps not in _BPS_CODE:
         raise ValueError(f"only 8/16-bit FLAC supported, got {bps}")
+    if not 1 <= channels <= 8:
+        raise ValueError("FLAC supports 1..8 channels")
     body = bytearray()
+    interleaved: list[list[int]] = []
+    blocksizes: list[int] = []
     for idx, (samples, spec) in enumerate(frames):
-        if not samples:
+        if channels == 1:
+            chans, specs = [list(samples)], [spec]
+        else:
+            chans, specs = [list(c) for c in samples], list(spec)
+            if len(chans) != channels or len(specs) != channels:
+                raise ValueError("one sample list and one spec per channel")
+            if any(len(c) != len(chans[0]) for c in chans):
+                raise ValueError("per-channel sample counts differ")
+        blocksize = len(chans[0])
+        if blocksize == 0:
             raise ValueError("empty FLAC frame")
         hdr = _BitWriter()
         hdr.write(_SYNC, 14)
@@ -407,21 +434,24 @@ def flac_bytes(sample_rate: int, bps: int, frames: list[tuple[list[int], object]
         hdr.write(0, 1)  # fixed blocking strategy (number = frame index)
         hdr.write(0b0111, 4)  # blocksize: 16-bit value-1 at header end
         hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
-        hdr.write(0b0000, 4)  # channel assignment: mono
+        hdr.write(channels - 1, 4)  # independent channel assignment
         hdr.write(_BPS_CODE[bps], 3)
         hdr.write(0, 1)  # reserved
         hdr.align()
-        header = hdr.bytes() + _utf8_code(idx) + struct.pack(">H", len(samples) - 1)
+        header = hdr.bytes() + _utf8_code(idx) + struct.pack(">H", blocksize - 1)
         header += bytes([_crc8(header)])
         w = _BitWriter()
-        _encode_subframe(w, list(samples), bps, spec)
+        for c, s in zip(chans, specs):
+            _encode_subframe(w, c, bps, s)
         w.align()
         frame = header + w.bytes()
         frame += struct.pack(">H", _crc16(frame))
         body += frame
-    sample_lists = [s for s, _ in frames]
-    total = sum(len(s) for s in sample_lists)
-    blocksizes = [len(s) for s in sample_lists]
+        blocksizes.append(blocksize)
+        interleaved.append(
+            [chans[c][i] for i in range(blocksize) for c in range(channels)]
+        )
+    total = sum(blocksizes)
     # STREAMINFO: min/max blocksize, min/max framesize (0 = unknown),
     # 20-bit rate, 3-bit channels-1, 5-bit bps-1, 36-bit total, MD5
     si = _BitWriter()
@@ -430,11 +460,11 @@ def flac_bytes(sample_rate: int, bps: int, frames: list[tuple[list[int], object]
     si.write(0, 24)
     si.write(0, 24)
     si.write(sample_rate, 20)
-    si.write(0, 3)  # channels - 1 (mono)
+    si.write(channels - 1, 3)
     si.write(bps - 1, 5)
     si.write(total, 36)
     si.align()
-    streaminfo = si.bytes() + _md5_samples(sample_lists, bps)
+    streaminfo = si.bytes() + _md5_samples(interleaved, bps)
     meta = bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:] + streaminfo
     return b"fLaC" + meta + bytes(body)
 
@@ -498,11 +528,9 @@ def flac_decode_samples(b: bytes) -> dict:
         if r.read(1):
             raise ValueError("reserved frame-header bit set")
         if chan >= 0b1000:
-            raise ValueError("stereo decorrelation (left/right/mid-side) not supported")
+            raise ValueError("stereo decorrelation (left/side/mid-side) not supported")
         if chan + 1 != channels:
             raise ValueError("frame channel count disagrees with STREAMINFO")
-        if chan != 0:
-            raise ValueError("only mono FLAC decode supported")
         frame_no = _read_utf8_code(r)
         if frame_no != len(frames):
             raise ValueError(f"frame number {frame_no} out of order")
@@ -537,18 +565,28 @@ def flac_decode_samples(b: bytes) -> dict:
             raise ValueError("frame header not byte-aligned before CRC-8")
         if _crc8(b[pos:header_end]) != r.read(8):
             raise ValueError("frame header CRC-8 mismatch")
-        samples, kind = _decode_subframe(r, blocksize, bps)
+        chans = []
+        frame_kinds = []
+        for _ in range(channels):
+            samples, kind = _decode_subframe(r, blocksize, bps)
+            chans.append(samples)
+            frame_kinds.append(kind)
         r.align()
         crc_end = r.pos
         if _crc16(b[pos:crc_end]) != r.read(16):
             raise ValueError("frame CRC-16 mismatch")
         lo = -(1 << (bps - 1))
         hi = (1 << (bps - 1)) - 1
-        for s in samples:
-            if not lo <= s <= hi:
-                raise ValueError("decoded sample exceeds declared bits-per-sample")
-        frames.append(samples)
-        kinds.append(kind)
+        for c in chans:
+            for s in c:
+                if not lo <= s <= hi:
+                    raise ValueError("decoded sample exceeds declared bits-per-sample")
+        frames.append(
+            chans[0]
+            if channels == 1
+            else [chans[c][i] for i in range(blocksize) for c in range(channels)]
+        )
+        kinds.append("+".join(frame_kinds) if channels > 1 else frame_kinds[0])
         decoded += blocksize
         pos = r.pos
     if decoded != total:
@@ -563,7 +601,9 @@ def flac_decode_samples(b: bytes) -> dict:
         "bits": bps,
         "encoding": "flac",
         "n_frames": len(frames),
-        "n_samples": len(flat),
+        # per-channel count, matching wav_decode_samples' convention;
+        # ``samples`` is the interleaved stream
+        "n_samples": decoded,
         "subframes": ",".join(kinds),
         "samples": flat,
     }

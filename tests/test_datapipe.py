@@ -1610,6 +1610,18 @@ def test_flac_roundtrip():
     assert d["n_frames"] == 3 and d["subframes"] == "constant,fixed3,lpc2"
     # >127 frames exercises multi-byte UTF-8 frame numbers in-stream
     assert rt([([i % 100] * 8, ("constant",)) for i in range(140)])["n_frames"] == 140
+    # independent-channel stereo: per-channel subframes, interleaved
+    # output, MD5 over the interleaved stream (decorrelated left/side
+    # etc. stays an explicit refusal)
+    left = [rng.randint(-9000, 9000) for _ in range(40)]
+    right = [rng.randint(-9000, 9000) for _ in range(40)]
+    ds = flac_decode_samples(flac_bytes(
+        44100, 16,
+        [([left, right], [("fixed", 2, 1), ("verbatim",)])], channels=2,
+    ))
+    assert ds["channels"] == 2 and ds["n_samples"] == 40
+    assert ds["samples"] == [v for i in range(40) for v in (left[i], right[i])]
+    assert ds["subframes"] == "fixed2+verbatim"
     # corruption lands on CRC-16 (or MD5), never a silent mis-decode
     blob = bytearray(flac_bytes(
         44100, 16, [([rng.randint(-9000, 9000) for _ in range(40)], ("fixed", 2, 1))]
