@@ -1130,6 +1130,18 @@ UNCHECKED_PRIORITY: list[str] = [
     "jpeg12_progressive_stats",  # r11: 12-bit SOF2, extended AC alphabet
 ]
 
+# Round-12 queue (the r11 window is FULL at 50: flagship + 3
+# oracle-fixed + 9 unchecked + the 37 r6-era stale rows — adding any
+# further gate in r11 would have displaced a stale-row recheck).
+# Deferred to r12's UNCHECKED_PRIORITY / ORACLE_FIXED:
+# - media_poison_battery format spread: add FLAC + ADPCM payloads to
+#   synthesize_mixed_media's sniff-and-dispatch rotation (oracle
+#   changes → ORACLE_FIXED re-check)
+# - a stereo-FLAC or multichannel gate if one earns driver space
+#   (decode is pytest-proven as of r11; independent channels only)
+# - media_decode_bench refresh pricing the FLAC/ADPCM kernels
+# - r7-era staleness tail: run tools/freshness.py first, as always
+
 
 def reorder(registry: dict) -> dict:
     """Return the registry reordered for this round's CORRECTNESS window.
