@@ -506,7 +506,11 @@ def flac_decode_samples(b: bytes) -> dict:
     md5 = streaminfo[18:34]
     if bps not in _BPS_CODE:
         raise ValueError(f"only 8/16-bit FLAC supported, got {bps}")
-    if total * channels * (bps // 8) > MAX_DECODED_BYTES:
+    # samples decode into Python int lists (~8 bytes each, like the
+    # 12-bit JPEG planes — jpegcodec.py's cap precedent), NOT bps/8
+    # raw bytes; capping at the raw-byte rate would admit ~8-16x the
+    # intended memory from a ~50 KB crafted stream of constant frames
+    if total * channels * 8 > MAX_DECODED_BYTES:
         raise ValueError("decoded FLAC exceeds allocation cap")
     frames: list[list[int]] = []
     kinds: list[str] = []

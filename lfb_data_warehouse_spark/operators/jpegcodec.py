@@ -665,13 +665,7 @@ def jpeg_decode_pixels(b: bytes) -> dict:
                                     smax, max(0, int(round(px[y * 8 + x] + level)))
                                 )
     if precision == 12:
-        # 12-bit planes carry u16 samples: packed big-endian per plane
-        # (the same contract as 16-bit PNG), with the flat sample list
-        # exposed for sample-level stats
-        packed = [struct.pack(f">{len(p)}H", *p) for p in planes]
-        flat: list[int] = []
-        for p in planes:
-            flat.extend(p)
+        packed, flat = _pack_planes12(planes)
         return {
             "media_type": "image/jpeg",
             "width": width,
@@ -765,6 +759,20 @@ def _pt_ac(v: int, al: int) -> int:
     """AC point transform: magnitude shift toward zero (G.1.2.1 — AC
     coefficients are sign-magnitude, unlike DC's arithmetic shift)."""
     return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _pack_planes12(planes: list) -> tuple[list[bytes], list[int]]:
+    """The 12-bit return contract SHARED by the sequential (SOF1) and
+    progressive (SOF2) decoders: u16 samples packed big-endian per
+    plane (same convention as 16-bit PNG) plus the flat sample list
+    for sample-level stats. One definition so the two decoders — whose
+    outputs the parity tests and gates assume identical — cannot
+    silently diverge."""
+    packed = [struct.pack(f">{len(p)}H", *p) for p in planes]
+    flat: list[int] = []
+    for p in planes:
+        flat.extend(p)
+    return packed, flat
 
 
 def _quantized_zigzag_blocks(
@@ -1244,11 +1252,7 @@ def _jpeg_decode_progressive(b: bytes) -> dict:
         "progressive": True,
     }
     if precision == 12:
-        # u16 big-endian plane packing — the same contract as SOF1 12-bit
-        packed = [struct.pack(f">{len(p)}H", *p) for p in planes]
-        flat: list[int] = []
-        for p in planes:
-            flat.extend(p)
+        packed, flat = _pack_planes12(planes)
         return {
             **common,
             "bit_depth": 12,

@@ -1634,10 +1634,37 @@ def test_flac_roundtrip():
     blob2[42 - 3] ^= 0xFF  # last MD5 byte (streaminfo spans bytes 8..42)
     with _pytest.raises(ValueError):
         flac_decode_samples(bytes(blob2))
-    # stereo decorrelation is an explicit refusal: flip channel bits
-    blob3 = bytearray(flac_bytes(44100, 16, [([500] * 30, ("constant",))]))
-    with _pytest.raises(ValueError):
-        flac_decode_samples(bytes(blob3[:4]) + b"junk")
+    # allocation cap is denominated in int-list bytes (~8/sample), not
+    # raw bps/8 bytes: a crafted huge-total STREAMINFO must refuse
+    # BEFORE decoding (a ~50 KB stream of constant frames would
+    # otherwise expand to GBs of Python ints — a stage-killer)
+    import struct as _struct2
+
+    blob4 = bytearray(flac_bytes(44100, 16, [([0] * 16, ("constant",))]))
+    si = bytearray(blob4[8:42])
+    total = 2 ** 27  # 2^28 raw bytes — passes a bps/8 cap, fails the x8 cap
+    si[13] = (si[13] & 0xF0) | ((total >> 32) & 0x0F)
+    si[14:18] = _struct2.pack(">I", total & 0xFFFFFFFF)
+    blob4[8:42] = si
+    with _pytest.raises(ValueError, match="allocation cap"):
+        flac_decode_samples(bytes(blob4))
+    # stereo decorrelation is an explicit refusal: rewrite a valid
+    # independent-stereo frame's channel-assignment nibble to 0b1000
+    # (left/side) and re-sign the header CRC-8 so the refusal — not a
+    # CRC mismatch — is what fires
+    from lfb_data_warehouse_spark.operators.flaccodec import _crc8
+
+    blob3 = bytearray(flac_bytes(
+        44100, 16, [([[500] * 30, [250] * 30], [("constant",), ("constant",)])],
+        channels=2,
+    ))
+    fr = 42  # fLaC(4) + metadata header(4) + STREAMINFO(34)
+    assert blob3[fr] == 0xFF and blob3[fr + 3] >> 4 == 0b0001
+    blob3[fr + 3] = (0b1000 << 4) | (blob3[fr + 3] & 0x0F)
+    hdr_len = 4 + 1 + 2  # fixed fields + 1-byte frame number + 16-bit blocksize
+    blob3[fr + hdr_len] = _crc8(bytes(blob3[fr : fr + hdr_len]))
+    with _pytest.raises(ValueError, match="decorrelation"):
+        flac_decode_samples(bytes(blob3))
 
 
 def test_gif_roundtrip():
@@ -1756,12 +1783,14 @@ def test_jpeg12_progressive():
     rng = random.Random(13)
     # cross-decoder parity on random rasters, gray + subsampled color
     for (w, h), samp in [((16, 16), None), ((24, 16), [(3, 1), (1, 1), (1, 1)]),
-                         ((32, 16), [(2, 1), (1, 1), (1, 1)])]:
+                         ((32, 16), [(2, 1), (1, 1), (1, 1)]),
+                         ((16, 32), [(1, 2), (1, 1), (1, 1)])]:
         if samp is None:
             dims = [(w, h)]
         else:
             hmax = max(s[0] for s in samp)
-            dims = [(w * hs // hmax, h * vs) for hs, vs in samp]
+            vmax = max(s[1] for s in samp)
+            dims = [(w * hs // hmax, h * vs // vmax) for hs, vs in samp]
         planes = [[rng.randrange(4096) for _ in range(cw * ch)] for cw, ch in dims]
         dp = jpeg_decode_pixels(
             jpeg_progressive_bytes(w, h, planes, sampling=samp, precision=12))
