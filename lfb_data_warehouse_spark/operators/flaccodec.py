@@ -17,10 +17,15 @@ both directions:
   CRC-16 verify, final sample-count + MD5 verification against
   STREAMINFO.
 
-Not supported (explicit ValueError, never a silent mis-decode): stereo
-decorrelation (left/side, right/side, mid/side channel assignments),
-variable blocking strategy, sample sizes other than 8/16 bits.
-Independent-channel stereo decodes; the driver gate is mono.
+Stereo: independent channels (1..8) AND the decorrelated assignments
+every real encoder emits — left/side, right/side, mid/side, with the
+side channel's extra bit and the mid floor's parity recovery, so
+reconstruction is exact. The driver gate is mono; stereo is
+property-tested.
+
+Not supported (explicit ValueError, never a silent mis-decode):
+variable blocking strategy, sample sizes other than 8/16 bits,
+reserved channel assignments (0b1011+).
 
 Scale shape: like the other codecs, FLAC rides the Arrow
 ``mapInPandas`` media pattern (`operators/multimodal.py`) — payloads
@@ -388,11 +393,20 @@ def _md5_samples(frames: list[list[int]], bps: int) -> bytes:
     return h.digest()
 
 
+_ASSIGNMENT_CODES = {
+    "independent": None,  # code = channels - 1
+    "left_side": 0b1000,
+    "right_side": 0b1001,
+    "mid_side": 0b1010,
+}
+
+
 def flac_bytes(
     sample_rate: int,
     bps: int,
     frames: list[tuple[object, object]],
     channels: int = 1,
+    assignment: str = "independent",
 ) -> bytes:
     """Encode frames as a REAL FLAC stream (mono or independent-channel
     stereo/multichannel).
@@ -403,8 +417,14 @@ def flac_bytes(
     partition_order)``. ``channels>1`` (independent channel
     assignment, code ``channels-1``): each frame is
     ``([ch0_samples, ch1_samples, ...], [spec0, spec1, ...])`` with
-    equal per-channel lengths — one subframe per channel, no
-    decorrelation. Residuals are derived from the samples (the
+    equal per-channel lengths — one subframe per channel.
+    ``assignment`` (stereo only): ``"left_side"`` / ``"right_side"`` /
+    ``"mid_side"`` decorrelate each frame's ``[left, right]`` into the
+    coded channel pair (the side channel carries one extra bit; mid is
+    the ``(l+r)>>1`` floor with the lost low bit recovered from the
+    side's parity, so reconstruction is exact) — the layout every real
+    stereo FLAC encoder emits. Residuals are derived from the samples
+    (the
     lossless direction), Rice parameters chosen per partition, wasted
     bits auto-detected, CRC-8/CRC-16 and the STREAMINFO MD5 (over the
     interleaved stream) computed for real so the decoder's integrity
@@ -413,9 +433,16 @@ def flac_bytes(
         raise ValueError(f"only 8/16-bit FLAC supported, got {bps}")
     if not 1 <= channels <= 8:
         raise ValueError("FLAC supports 1..8 channels")
+    if assignment not in _ASSIGNMENT_CODES:
+        raise ValueError(f"unknown channel assignment {assignment!r}")
+    if assignment != "independent" and channels != 2:
+        raise ValueError("decorrelated assignments are stereo-only")
     body = bytearray()
     interleaved: list[list[int]] = []
     blocksizes: list[int] = []
+    chan_code = _ASSIGNMENT_CODES[assignment]
+    if chan_code is None:
+        chan_code = channels - 1
     for idx, (samples, spec) in enumerate(frames):
         if channels == 1:
             chans, specs = [list(samples)], [spec]
@@ -428,29 +455,44 @@ def flac_bytes(
         blocksize = len(chans[0])
         if blocksize == 0:
             raise ValueError("empty FLAC frame")
+        # MD5/interleave run over the ORIGINAL (reconstructed) stream
+        interleaved.append(
+            [chans[c][i] for i in range(blocksize) for c in range(channels)]
+        )
+        extras = [0] * channels
+        if assignment != "independent":
+            left, right = chans
+            side = [l - rr for l, rr in zip(left, right)]
+            if assignment == "left_side":
+                coded = [left, side]
+                extras = [0, 1]
+            elif assignment == "right_side":
+                coded = [side, right]
+                extras = [1, 0]
+            else:  # mid_side
+                coded = [[(l + rr) >> 1 for l, rr in zip(left, right)], side]
+                extras = [0, 1]
+            chans = coded
         hdr = _BitWriter()
         hdr.write(_SYNC, 14)
         hdr.write(0, 1)  # reserved
         hdr.write(0, 1)  # fixed blocking strategy (number = frame index)
         hdr.write(0b0111, 4)  # blocksize: 16-bit value-1 at header end
         hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
-        hdr.write(channels - 1, 4)  # independent channel assignment
+        hdr.write(chan_code, 4)
         hdr.write(_BPS_CODE[bps], 3)
         hdr.write(0, 1)  # reserved
         hdr.align()
         header = hdr.bytes() + _utf8_code(idx) + struct.pack(">H", blocksize - 1)
         header += bytes([_crc8(header)])
         w = _BitWriter()
-        for c, s in zip(chans, specs):
-            _encode_subframe(w, c, bps, s)
+        for c, s, extra in zip(chans, specs, extras):
+            _encode_subframe(w, c, bps + extra, s)
         w.align()
         frame = header + w.bytes()
         frame += struct.pack(">H", _crc16(frame))
         body += frame
         blocksizes.append(blocksize)
-        interleaved.append(
-            [chans[c][i] for i in range(blocksize) for c in range(channels)]
-        )
     total = sum(blocksizes)
     # STREAMINFO: min/max blocksize, min/max framesize (0 = unknown),
     # 20-bit rate, 3-bit channels-1, 5-bit bps-1, 36-bit total, MD5
@@ -531,9 +573,13 @@ def flac_decode_samples(b: bytes) -> dict:
         size_code = r.read(3)
         if r.read(1):
             raise ValueError("reserved frame-header bit set")
-        if chan >= 0b1000:
-            raise ValueError("stereo decorrelation (left/side/mid-side) not supported")
-        if chan + 1 != channels:
+        if chan > 0b1010:
+            raise ValueError(f"reserved channel assignment {chan:#06b}")
+        decor = chan >= 0b1000  # left/side, right/side, mid/side
+        if decor:
+            if channels != 2:
+                raise ValueError("decorrelated frame in a non-stereo stream")
+        elif chan + 1 != channels:
             raise ValueError("frame channel count disagrees with STREAMINFO")
         frame_no = _read_utf8_code(r)
         if frame_no != len(frames):
@@ -571,10 +617,28 @@ def flac_decode_samples(b: bytes) -> dict:
             raise ValueError("frame header CRC-8 mismatch")
         chans = []
         frame_kinds = []
-        for _ in range(channels):
-            samples, kind = _decode_subframe(r, blocksize, bps)
+        for ci in range(channels):
+            # the side (difference) channel codes one extra bit: it is
+            # ch1 for left/side and mid/side, ch0 for right/side
+            extra = 1 if decor and (
+                (chan in (0b1000, 0b1010) and ci == 1)
+                or (chan == 0b1001 and ci == 0)
+            ) else 0
+            samples, kind = _decode_subframe(r, blocksize, bps + extra)
             chans.append(samples)
             frame_kinds.append(kind)
+        if decor:
+            if chan == 0b1000:  # left/side: r = l - side
+                left, side = chans
+                chans = [left, [l - s for l, s in zip(left, side)]]
+            elif chan == 0b1001:  # right/side: l = r + side
+                side, right = chans
+                chans = [[rr + s for rr, s in zip(right, side)], right]
+            else:  # mid/side: m2 = (mid<<1)|(side&1) == l+r exactly
+                mid, side = chans
+                left = [((m << 1 | (s & 1)) + s) >> 1 for m, s in zip(mid, side)]
+                right = [((m << 1 | (s & 1)) - s) >> 1 for m, s in zip(mid, side)]
+                chans = [left, right]
         r.align()
         crc_end = r.pos
         if _crc16(b[pos:crc_end]) != r.read(16):

@@ -1648,10 +1648,27 @@ def test_flac_roundtrip():
     blob4[8:42] = si
     with _pytest.raises(ValueError, match="allocation cap"):
         flac_decode_samples(bytes(blob4))
-    # stereo decorrelation is an explicit refusal: rewrite a valid
-    # independent-stereo frame's channel-assignment nibble to 0b1000
-    # (left/side) and re-sign the header CRC-8 so the refusal — not a
-    # CRC mismatch — is what fires
+    # decorrelated stereo round-trips exactly — all three assignments,
+    # including the mid/side parity recovery and the 17-bit side
+    # channel at the int16 rails
+    left = [rng.randint(-20000, 20000) for _ in range(40)]
+    right = [rng.randint(-20000, 20000) for _ in range(40)]
+    exp2 = [v for i in range(40) for v in (left[i], right[i])]
+    for asg in ("left_side", "right_side", "mid_side"):
+        dd = flac_decode_samples(flac_bytes(
+            44100, 16, [([left, right], [("fixed", 2, 1), ("verbatim",)])],
+            channels=2, assignment=asg,
+        ))
+        assert dd["samples"] == exp2, asg
+    rails = flac_decode_samples(flac_bytes(
+        44100, 16, [([[32767] * 16, [-32768] * 16],
+                     [("constant",), ("constant",)])],
+        channels=2, assignment="left_side",
+    ))
+    assert rails["samples"][:2] == [32767, -32768]  # side needed bit 17
+    # a RESERVED channel assignment (0b1011) is an explicit refusal:
+    # rewrite a valid frame's assignment nibble and re-sign the header
+    # CRC-8 so the refusal — not a CRC mismatch — is what fires
     from lfb_data_warehouse_spark.operators.flaccodec import _crc8
 
     blob3 = bytearray(flac_bytes(
@@ -1660,10 +1677,10 @@ def test_flac_roundtrip():
     ))
     fr = 42  # fLaC(4) + metadata header(4) + STREAMINFO(34)
     assert blob3[fr] == 0xFF and blob3[fr + 3] >> 4 == 0b0001
-    blob3[fr + 3] = (0b1000 << 4) | (blob3[fr + 3] & 0x0F)
+    blob3[fr + 3] = (0b1011 << 4) | (blob3[fr + 3] & 0x0F)
     hdr_len = 4 + 1 + 2  # fixed fields + 1-byte frame number + 16-bit blocksize
     blob3[fr + hdr_len] = _crc8(bytes(blob3[fr : fr + hdr_len]))
-    with _pytest.raises(ValueError, match="decorrelation"):
+    with _pytest.raises(ValueError, match="reserved channel assignment"):
         flac_decode_samples(bytes(blob3))
 
 

@@ -552,6 +552,18 @@ def test_flac_roundtrip_property(data):
     d = flac_decode_samples(flac_bytes(44100, 16, frames))
     assert d["samples"] == [s for fr, _ in frames for s in fr]
     assert d["n_frames"] == len(frames)
+    # the same content decorrelated (random assignment per run) must
+    # reconstruct the identical interleaved stream — left/right pairs
+    # built from consecutive mono frames' kinds of content
+    asg = data.draw(st.sampled_from(["left_side", "right_side", "mid_side"]))
+    n = data.draw(st.integers(2, 24))
+    lch = [data.draw(st.integers(-32768, 32767)) for _ in range(n)]
+    rch = [data.draw(st.integers(-32768, 32767)) for _ in range(n)]
+    ds = flac_decode_samples(flac_bytes(
+        44100, 16, [([lch, rch], [("verbatim",), ("fixed", 1, 0)])],
+        channels=2, assignment=asg,
+    ))
+    assert ds["samples"] == [v for i in range(n) for v in (lch[i], rch[i])]
 
 
 @settings(max_examples=60, deadline=None)
