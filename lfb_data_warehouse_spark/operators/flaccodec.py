@@ -20,12 +20,14 @@ both directions:
 Stereo: independent channels (1..8) AND the decorrelated assignments
 every real encoder emits — left/side, right/side, mid/side, with the
 side channel's extra bit and the mid floor's parity recovery, so
-reconstruction is exact. The driver gate is mono; stereo is
-property-tested.
+reconstruction is exact. Both blocking strategies: fixed (the coded
+number is the frame index) and variable (the number is the frame's
+first-sample index — live-capture encoders' layout). The driver gate
+is mono/fixed; stereo and variable blocking are property-tested.
 
 Not supported (explicit ValueError, never a silent mis-decode):
-variable blocking strategy, sample sizes other than 8/16 bits,
-reserved channel assignments (0b1011+).
+sample sizes other than 8/16 bits, reserved channel assignments
+(0b1011+), reserved blocksize/sample-rate codes.
 
 Scale shape: like the other codecs, FLAC rides the Arrow
 ``mapInPandas`` media pattern (`operators/multimodal.py`) — payloads
@@ -407,6 +409,7 @@ def flac_bytes(
     frames: list[tuple[object, object]],
     channels: int = 1,
     assignment: str = "independent",
+    variable_blocking: bool = False,
 ) -> bytes:
     """Encode frames as a REAL FLAC stream (mono or independent-channel
     stereo/multichannel).
@@ -476,14 +479,17 @@ def flac_bytes(
         hdr = _BitWriter()
         hdr.write(_SYNC, 14)
         hdr.write(0, 1)  # reserved
-        hdr.write(0, 1)  # fixed blocking strategy (number = frame index)
+        # blocking strategy: fixed codes the frame index, variable the
+        # frame's first-sample index (live-capture encoders' layout)
+        hdr.write(1 if variable_blocking else 0, 1)
         hdr.write(0b0111, 4)  # blocksize: 16-bit value-1 at header end
         hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
         hdr.write(chan_code, 4)
         hdr.write(_BPS_CODE[bps], 3)
         hdr.write(0, 1)  # reserved
         hdr.align()
-        header = hdr.bytes() + _utf8_code(idx) + struct.pack(">H", blocksize - 1)
+        number = sum(blocksizes) if variable_blocking else idx
+        header = hdr.bytes() + _utf8_code(number) + struct.pack(">H", blocksize - 1)
         header += bytes([_crc8(header)])
         w = _BitWriter()
         for c, s, extra in zip(chans, specs, extras):
@@ -565,8 +571,10 @@ def flac_decode_samples(b: bytes) -> dict:
             raise ValueError("lost FLAC frame sync")
         if r.read(1):
             raise ValueError("reserved frame-header bit set")
-        if r.read(1):
-            raise ValueError("variable blocking strategy not supported")
+        # blocking strategy: 0 = fixed (coded number is the frame
+        # index), 1 = variable (coded number is the frame's FIRST
+        # SAMPLE index — round 11; what live-capture encoders emit)
+        variable = bool(r.read(1))
         bs_code = r.read(4)
         sr_code = r.read(4)
         chan = r.read(4)
@@ -582,7 +590,12 @@ def flac_decode_samples(b: bytes) -> dict:
         elif chan + 1 != channels:
             raise ValueError("frame channel count disagrees with STREAMINFO")
         frame_no = _read_utf8_code(r)
-        if frame_no != len(frames):
+        if variable:
+            if frame_no != decoded:
+                raise ValueError(
+                    f"sample number {frame_no} disagrees with {decoded} decoded"
+                )
+        elif frame_no != len(frames):
             raise ValueError(f"frame number {frame_no} out of order")
         if bs_code == 0b0110:
             blocksize = r.read(8) + 1

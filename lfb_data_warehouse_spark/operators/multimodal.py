@@ -716,34 +716,60 @@ _IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
 
 def wav_adpcm_bytes(
     sample_rate: int,
-    blocks: list[tuple[int, int, list[int]]],
+    blocks: list,
     samples_per_block: int,
+    channels: int = 1,
 ) -> bytes:
-    """WAV container around mono IMA ADPCM blocks (format tag 0x11).
+    """WAV container around IMA ADPCM blocks (format tag 0x11).
 
-    Each block is ``(init_pred, init_idx, nibbles)`` with exactly
+    Mono: each block is ``(init_pred, init_idx, nibbles)`` with exactly
     ``samples_per_block - 1`` nibbles: the 4-byte block header carries
     the int16 predictor (which IS the block's first output sample) and
     the step index, then nibbles pack two per byte, LOW nibble first.
+    Stereo (round 11): each block is a PAIR of those tuples, the
+    header carries both channels' 4-byte seeds, and nibble data
+    interleaves 4-byte words (8 samples) per channel — the standard
+    layout, which requires ``samples_per_block - 1`` divisible by 8.
     The fmt chunk carries the 2-byte extension (wSamplesPerBlock) and a
-    ``fact`` chunk the total sample count — the standard layout for
-    compressed WAV."""
+    ``fact`` chunk the total per-channel sample count."""
+    if channels not in (1, 2):
+        raise ValueError("IMA ADPCM WAV supports 1 or 2 channels")
     n_nib = samples_per_block - 1
-    block_align = 4 + (n_nib + 1) // 2
     chunks = []
-    for pred, idx, nibs in blocks:
-        if len(nibs) != n_nib:
-            raise ValueError("block nibble count != samples_per_block - 1")
-        body = bytearray(struct.pack("<hBB", pred, idx, 0))
-        for j in range(0, n_nib, 2):
-            lo = nibs[j] & 0x0F
-            hi = (nibs[j + 1] & 0x0F) << 4 if j + 1 < n_nib else 0
-            body.append(lo | hi)
-        chunks.append(bytes(body))
+    if channels == 1:
+        block_align = 4 + (n_nib + 1) // 2
+        for pred, idx, nibs in blocks:
+            if len(nibs) != n_nib:
+                raise ValueError("block nibble count != samples_per_block - 1")
+            body = bytearray(struct.pack("<hBB", pred, idx, 0))
+            for j in range(0, n_nib, 2):
+                lo = nibs[j] & 0x0F
+                hi = (nibs[j + 1] & 0x0F) << 4 if j + 1 < n_nib else 0
+                body.append(lo | hi)
+            chunks.append(bytes(body))
+    else:
+        if n_nib % 8:
+            raise ValueError(
+                "stereo IMA ADPCM needs samples_per_block - 1 divisible by 8"
+            )
+        block_align = 8 + n_nib  # two 4-byte headers + interleaved words
+        for chans in blocks:
+            if len(chans) != 2:
+                raise ValueError("stereo block must carry two channel tuples")
+            body = bytearray()
+            for pred, idx, nibs in chans:
+                if len(nibs) != n_nib:
+                    raise ValueError("block nibble count != samples_per_block - 1")
+                body += struct.pack("<hBB", pred, idx, 0)
+            for g in range(n_nib // 8):  # 4-byte word per channel, alternating
+                for pred, idx, nibs in chans:
+                    for j in range(g * 8, g * 8 + 8, 2):
+                        body.append((nibs[j] & 0x0F) | ((nibs[j + 1] & 0x0F) << 4))
+            chunks.append(bytes(body))
     data = b"".join(chunks)
     byte_rate = sample_rate * block_align // samples_per_block
     fmt = struct.pack(
-        "<HHIIHHHH", 17, 1, sample_rate, byte_rate, block_align, 4, 2,
+        "<HHIIHHHH", 17, channels, sample_rate, byte_rate, block_align, 4, 2,
         samples_per_block,
     )
     fact = struct.pack("<I", samples_per_block * len(blocks))
@@ -756,32 +782,64 @@ def wav_adpcm_bytes(
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
-def _adpcm_decode_block(blk: bytes, n_samples: int) -> list[int]:
-    """One IMA ADPCM block → linear samples: header predictor is sample
-    0, then each nibble moves the predictor by the step-table delta
+def _adpcm_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One IMA nibble: move the predictor by the step-table delta
     (diff = step>>3 plus step, step>>1, step>>2 for bits 4/2/1; bit 8
-    is the sign), clamps to int16, and nudges the step index."""
-    pred = struct.unpack("<h", blk[0:2])[0]
-    idx = blk[2]
+    is the sign), clamp to int16, nudge the step index."""
+    step = _IMA_STEP[idx]
+    diff = step >> 3
+    if nib & 4:
+        diff += step
+    if nib & 2:
+        diff += step >> 1
+    if nib & 1:
+        diff += step >> 2
+    pred = pred - diff if nib & 8 else pred + diff
+    return (
+        max(-32768, min(32767, pred)),
+        max(0, min(88, idx + _IMA_INDEX[nib & 7])),
+    )
+
+
+def _adpcm_seed(blk: bytes, off: int) -> tuple[int, int]:
+    pred = struct.unpack("<h", blk[off : off + 2])[0]
+    idx = blk[off + 2]
     if idx > 88:
         raise ValueError(f"IMA ADPCM step index {idx} out of range")
+    return pred, idx
+
+
+def _adpcm_decode_block(blk: bytes, n_samples: int) -> list[int]:
+    """One mono IMA ADPCM block → linear samples: header predictor is
+    sample 0, then nibbles walk LOW-first."""
+    pred, idx = _adpcm_seed(blk, 0)
     out = [pred]
     for j in range(n_samples - 1):
         byte = blk[4 + (j >> 1)]
         nib = (byte >> 4) if (j & 1) else (byte & 0x0F)
-        step = _IMA_STEP[idx]
-        diff = step >> 3
-        if nib & 4:
-            diff += step
-        if nib & 2:
-            diff += step >> 1
-        if nib & 1:
-            diff += step >> 2
-        pred = pred - diff if nib & 8 else pred + diff
-        pred = max(-32768, min(32767, pred))
-        idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+        pred, idx = _adpcm_step(pred, idx, nib)
         out.append(pred)
     return out
+
+
+def _adpcm_decode_block_stereo(blk: bytes, n_samples: int) -> list[int]:
+    """One stereo IMA ADPCM block → INTERLEAVED linear samples: two
+    4-byte channel headers, then nibble data in alternating 4-byte
+    words (8 samples per word, one word per channel) — the standard
+    stereo layout. Each channel's state machine is independent."""
+    state = [_adpcm_seed(blk, 0), _adpcm_seed(blk, 4)]
+    chans: list[list[int]] = [[state[0][0]], [state[1][0]]]
+    off = 8
+    for _ in range((n_samples - 1) // 8):
+        for c in range(2):
+            pred, idx = state[c]
+            for byte in blk[off : off + 4]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    pred, idx = _adpcm_step(pred, idx, nib)
+                    chans[c].append(pred)
+            state[c] = (pred, idx)
+            off += 4
+    return [v for i in range(n_samples) for v in (chans[0][i], chans[1][i])]
 
 
 @decode_valueerror_contract
@@ -822,20 +880,31 @@ def wav_decode_samples(b: bytes) -> dict:
     if fmt_code == 17:
         if bits != 4:
             raise ValueError(f"IMA ADPCM WAV must be 4 bits per sample, got {bits}")
-        if channels != 1:
-            raise ValueError("only mono IMA ADPCM supported")
+        if channels not in (1, 2):
+            raise ValueError("IMA ADPCM WAV supports 1 or 2 channels")
         if not samples_per_block or samples_per_block < 1:
             raise ValueError("IMA ADPCM wSamplesPerBlock must be >= 1")
-        if not block_align or block_align < 4:
-            raise ValueError("IMA ADPCM block align must be >= 4 (block header)")
-        if (block_align - 4) * 2 < samples_per_block - 1:
-            raise ValueError("IMA ADPCM block too small for wSamplesPerBlock")
+        if not block_align or block_align < 4 * channels:
+            raise ValueError("IMA ADPCM block align smaller than its headers")
+        if channels == 1:
+            if (block_align - 4) * 2 < samples_per_block - 1:
+                raise ValueError("IMA ADPCM block too small for wSamplesPerBlock")
+        else:
+            if (samples_per_block - 1) % 8:
+                raise ValueError(
+                    "stereo IMA ADPCM needs wSamplesPerBlock - 1 divisible by 8"
+                )
+            if block_align < 8 + (samples_per_block - 1):
+                raise ValueError("IMA ADPCM block too small for wSamplesPerBlock")
         if len(data) % block_align:
             raise ValueError("IMA ADPCM data chunk is not whole blocks")
+        decode_block = (
+            _adpcm_decode_block if channels == 1 else _adpcm_decode_block_stereo
+        )
         samples = []
         for off in range(0, len(data), block_align):
             samples.extend(
-                _adpcm_decode_block(data[off : off + block_align], samples_per_block)
+                decode_block(data[off : off + block_align], samples_per_block)
             )
     elif fmt_code in (6, 7):
         if bits != 8:

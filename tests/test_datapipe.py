@@ -1555,9 +1555,28 @@ def test_adpcm_decode():
     trunc[p + 4 : p + 8] = _struct.pack("<I", 16)
     with _pytest.raises(ValueError):
         wav_decode_samples(bytes(trunc))
-    # malformed: stereo ADPCM is an explicit refusal
+    # stereo (round 11): independent per-channel state machines over
+    # interleaved 4-byte nibble words — matches the reference model
+    # channel-by-channel, output interleaved
+    sblocks = [
+        [(-2000, 0, [i % 16 for i in range(32)]),
+         (1500, 88, [(7 * i) % 16 for i in range(32)])],
+        [(100, 44, [(3 * i) % 16 for i in range(32)]),
+         (-100, 22, [(5 * i) % 16 for i in range(32)])],
+    ]
+    ds = wav_decode_samples(wav_adpcm_bytes(8000, sblocks, 33, channels=2))
+    assert ds["channels"] == 2 and ds["n_samples"] == 66
+    exp = []
+    for chans in sblocks:
+        l, r = (ref([c], 33) for c in chans)
+        exp += [v for i in range(33) for v in (l[i], r[i])]
+    assert ds["samples"] == exp
+    # stereo needs wSamplesPerBlock - 1 divisible by 8 (word layout)
+    with _pytest.raises(ValueError):
+        wav_adpcm_bytes(8000, sblocks, 30, channels=2)
+    # 3-channel ADPCM stays an explicit refusal
     b2 = bytearray(wav_adpcm_bytes(8000, blocks, 34))
-    b2[p + 10] = 2
+    b2[p + 10] = 3
     with _pytest.raises(ValueError):
         wav_decode_samples(bytes(b2))
 
@@ -1666,6 +1685,13 @@ def test_flac_roundtrip():
         channels=2, assignment="left_side",
     ))
     assert rails["samples"][:2] == [32767, -32768]  # side needed bit 17
+    # variable blocking strategy: the coded number is the frame's
+    # first-sample index, verified against the running decode count
+    vb = [([rng.randint(-9000, 9000) for _ in range(30)], ("fixed", 2, 0)),
+          ([777] * 20, ("constant",)),
+          ([rng.randint(-9000, 9000) for _ in range(26)], ("verbatim",))]
+    dv = flac_decode_samples(flac_bytes(44100, 16, vb, variable_blocking=True))
+    assert dv["samples"] == [s for fr, _ in vb for s in fr]
     # a RESERVED channel assignment (0b1011) is an explicit refusal:
     # rewrite a valid frame's assignment nibble and re-sign the header
     # CRC-8 so the refusal — not a CRC mismatch — is what fires
