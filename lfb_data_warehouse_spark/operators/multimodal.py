@@ -497,16 +497,186 @@ def png_palette_bytes(width: int, height: int, indices: bytes, palette: bytes) -
     )
 
 
+def png_subbyte_bytes(
+    width: int, height: int, samples, depth: int, color_type: int = 0,
+    palette: bytes | None = None, interlace: bool = False,
+) -> bytes:
+    """REAL 1/2/4-bit PNG encode (round 11): ``samples`` is one value
+    per pixel (< 2^depth) — gray (type 0) or palette indices (type 3).
+    Rows pack MSB-first and are byte-padded (spec §7.2), THEN filtered
+    with the usual cycling types at bpp=1 — including per-pass inside
+    Adam7, where each pass's sub-image is packed and padded on its own
+    grid (the corner real decoders get wrong)."""
+    if depth not in (1, 2, 4):
+        raise ValueError("sub-byte depth must be 1, 2 or 4")
+    if color_type not in (0, 3):
+        raise ValueError("sub-byte PNGs are gray (0) or palette (3) only")
+    if len(samples) != width * height:
+        raise ValueError(f"need {width * height} samples, got {len(samples)}")
+    if max(samples) >= (1 << depth):
+        raise ValueError("sample exceeds the declared depth")
+    if color_type == 3:
+        if not palette or len(palette) % 3 or len(palette) > 768:
+            raise ValueError("palette must be 1..256 RGB triples")
+        if max(samples) >= len(palette) // 3:
+            raise ValueError("index out of palette range")
+
+    per = 8 // depth
+
+    def pack(vals, pw: int, ph: int) -> bytes:
+        sw = (pw * depth + 7) // 8
+        out = bytearray(sw * ph)
+        for y in range(ph):
+            for x in range(pw):
+                out[y * sw + x // per] |= vals[y * pw + x] << (
+                    8 - depth * (x % per + 1)
+                )
+        return bytes(out)
+
+    if interlace:
+        parts = []
+        for (xs, xstep, ys, ystep), (pw, ph) in zip(
+            _ADAM7, _adam7_pass_dims(width, height)
+        ):
+            if pw == 0 or ph == 0:
+                continue
+            sub = [
+                samples[(ys + py * ystep) * width + xs + px_i * xstep]
+                for py in range(ph)
+                for px_i in range(pw)
+            ]
+            parts.append(
+                _png_filter_scanlines(pack(sub, pw, ph), (pw * depth + 7) // 8, ph, 1)
+            )
+        filtered = b"".join(parts)
+    else:
+        sw = (width * depth + 7) // 8
+        filtered = _png_filter_scanlines(pack(samples, width, height), sw, height, 1)
+    ihdr_body = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    plte = _chunk(b"PLTE", palette) if color_type == 3 else b""
+    return (
+        _PNG_SIG + _chunk(b"IHDR", ihdr_body) + plte
+        + _png_idat_chunks(filtered) + _chunk(b"IEND", b"")
+    )
+
+
+def _png_inflate(idat: bytes, expected: int) -> bytes:
+    """Bounded IDAT inflate: cap at exactly the declared size (+1 probe
+    to detect overruns) so a decompression bomb fails as ValueError,
+    never a stage-killing MemoryError (fuzz-found, round 8)."""
+    obj = zlib.decompressobj()
+    try:
+        data = obj.decompress(bytes(idat), expected)
+        # consume the end-of-stream marker + adler32 (bounded: a bomb
+        # yields a nonzero byte here instead of gigabytes of inflate)
+        extra = obj.decompress(obj.unconsumed_tail, 1) if not obj.eof else b""
+    except zlib.error as e:  # header-only or corrupt stream
+        raise ValueError(f"PNG IDAT stream undecodable: {e}") from e
+    if extra or len(data) != expected or not obj.eof:
+        raise ValueError("IDAT payload does not match dimensions")
+    return data
+
+
+def _png_decode_subbyte(
+    b: bytes, width: int, height: int, depth: int, color_type: int,
+    interlace: int, idat: bytes, palette: bytes | None,
+) -> dict:
+    """1/2/4-bit PNG decode (round 11 — binarized scans, icons, small
+    palettes): filters operate on the PACKED bytes with bpp=1 (spec §9
+    rounds sub-byte pixel widths up to one byte), each scanline —
+    including every Adam7 pass's — is byte-padded, then samples unpack
+    MSB-first. Gray scales to 8-bit by the exact replication factor
+    (255, 85, 17 for depths 1/2/4); palette indices map through PLTE
+    unscaled."""
+    if width == 0 or height == 0:
+        raise ValueError("PNG with zero-area raster")
+    if width * height * (3 if color_type == 3 else 1) > _MAX_DECODED_BYTES:
+        raise ValueError("PNG declares implausible dimensions")
+
+    def rowbytes(pw: int) -> int:
+        return (pw * depth + 7) // 8
+
+    per = 8 // depth
+    mask = (1 << depth) - 1
+
+    def expand(sub: bytes, pw: int, ph: int) -> bytearray:
+        out = bytearray(pw * ph)
+        sw = rowbytes(pw)
+        for y in range(ph):
+            row = sub[y * sw : (y + 1) * sw]
+            base = y * pw
+            for x in range(pw):
+                out[base + x] = (
+                    row[x // per] >> (8 - depth * (x % per + 1))
+                ) & mask
+        return out
+
+    if interlace:
+        expected = sum(
+            (rowbytes(pw) + 1) * ph
+            for pw, ph in _adam7_pass_dims(width, height)
+            if pw and ph
+        )
+        data = _png_inflate(idat, expected)
+        samples = bytearray(width * height)
+        pos = 0
+        for (xs, xstep, ys, ystep), (pw, ph) in zip(
+            _ADAM7, _adam7_pass_dims(width, height)
+        ):
+            if pw == 0 or ph == 0:
+                continue
+            sw = rowbytes(pw)
+            sub = _png_unfilter(data[pos : pos + (sw + 1) * ph], sw, ph, 1)
+            pos += (sw + 1) * ph
+            vals = expand(sub, pw, ph)
+            for py in range(ph):
+                fy = ys + py * ystep
+                for px_i in range(pw):
+                    samples[fy * width + xs + px_i * xstep] = vals[py * pw + px_i]
+        if pos != len(data):
+            raise ValueError("IDAT payload does not match dimensions")
+    else:
+        sw = rowbytes(width)
+        data = _png_inflate(idat, (sw + 1) * height)
+        samples = expand(_png_unfilter(data, sw, height, 1), width, height)
+    palette_size = None
+    if color_type == 0:
+        scale = 255 // mask
+        raster = bytes(v * scale for v in samples)
+        channels = 1
+    else:
+        palette_size = len(palette) // 3
+        rgb = bytearray(width * height * 3)
+        for j, idx in enumerate(samples):
+            if idx >= palette_size:
+                raise ValueError("palette index out of PLTE range")
+            rgb[3 * j : 3 * j + 3] = palette[3 * idx : 3 * idx + 3]
+        raster = bytes(rgb)
+        channels = 3
+    return {
+        "media_type": "image/png",
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "bit_depth": depth,
+        "palette_size": palette_size,
+        "raster": raster,
+    }
+
+
 @decode_valueerror_contract
 def png_decode_pixels(b: bytes) -> dict:
     """REAL PNG pixel decode, stdlib only: walk the chunk stream,
     concatenate every IDAT, ``zlib.decompress``, then reverse the
     per-scanline filter (all five types incl. Paeth) to recover the
-    raw raster. Supports the non-interlaced 8-bit gray/RGB/gray+alpha/
-    RGBA/palette cases our encoders and common ML corpora use — indexed
-    color (type 3) unfilters the index scanlines at bpp 1 and maps them
-    through the PLTE chunk into an RGB raster; sub-byte depths and
-    Adam7 raise ValueError (they'd silently mis-decode otherwise)."""
+    raw raster. Supports 8/16-bit gray/RGB/gray+alpha/RGBA, 8-bit
+    palette, 1/2/4-bit gray and palette (round 11 — binarized scans,
+    icons), each sequential or Adam7-interlaced. Indexed color (type 3)
+    unfilters the index scanlines at bpp 1 and maps them through the
+    PLTE chunk into an RGB raster; other shapes raise ValueError
+    (they'd silently mis-decode otherwise)."""
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     i = 8
@@ -531,18 +701,23 @@ def png_decode_pixels(b: bytes) -> dict:
     if width is None:
         raise ValueError("PNG missing IHDR")
     if (
-        bit_depth not in (8, 16)
+        bit_depth not in (1, 2, 4, 8, 16)
         or color_type not in _PNG_CHANNELS
         or interlace not in (0, 1)
         or (bit_depth == 16 and color_type == 3)  # illegal per spec
+        or (bit_depth < 8 and color_type not in (0, 3))  # spec table 11.1
     ):
         raise ValueError(
             f"unsupported PNG shape (depth={bit_depth}, color={color_type}, "
-            f"interlace={interlace}): only 8/16-bit gray/RGB/LA/RGBA or "
-            f"8-bit palette, sequential or Adam7"
+            f"interlace={interlace}): 8/16-bit gray/RGB/LA/RGBA, 1/2/4-bit "
+            f"gray or palette, sequential or Adam7"
         )
     if color_type == 3 and (palette is None or not palette or len(palette) % 3):
         raise ValueError("palette PNG missing a well-formed PLTE chunk")
+    if bit_depth < 8:
+        return _png_decode_subbyte(
+            b, width, height, bit_depth, color_type, interlace, idat, palette
+        )
     channels = _PNG_CHANNELS[color_type]
     # filters operate on BYTES with a bpp offset (spec §9): a 16-bit
     # pixel is channels*2 bytes wide everywhere below
@@ -571,16 +746,7 @@ def png_decode_pixels(b: bytes) -> dict:
             f"PNG declares {expected} decoded bytes "
             f"(cap {_MAX_DECODED_BYTES}): implausible dimensions"
         )
-    obj = zlib.decompressobj()
-    try:
-        data = obj.decompress(bytes(idat), expected)
-        # consume the end-of-stream marker + adler32 (bounded: a bomb
-        # yields a nonzero byte here instead of gigabytes of inflate)
-        extra = obj.decompress(obj.unconsumed_tail, 1) if not obj.eof else b""
-    except zlib.error as e:  # header-only or corrupt stream
-        raise ValueError(f"PNG IDAT stream undecodable: {e}") from e
-    if extra or len(data) != expected or not obj.eof:
-        raise ValueError("IDAT payload does not match dimensions")
+    data = _png_inflate(idat, expected)
     if interlace:
         # Adam7: seven independently-filtered sub-images in one zlib
         # stream; unfilter each pass then scatter its pixels onto the

@@ -709,6 +709,7 @@ def test_decode_real_fuzz_valueerror_contract():
         decode_real,
         png_palette_bytes,
         png_pixel_bytes,
+        png_subbyte_bytes,
         wav_adpcm_bytes,
         wav_g711_bytes,
         wav_pcm_bytes,
@@ -757,6 +758,9 @@ def test_decode_real_fuzz_valueerror_contract():
         tiff_bytes(6, 5, bytes((5 * i) % 256 for i in range(30)),
                    rows_per_strip=2, packbits=True, big_endian=True),
         # round-11 codecs join the pinned contract
+        png_subbyte_bytes(9, 7, [i % 2 for i in range(63)], 1, 0),
+        png_subbyte_bytes(6, 5, [i % 16 for i in range(30)], 4, 3,
+                          palette=bytes(range(48)), interlace=True),
         wav_adpcm_bytes(8000, [(-500, 20, [i % 16 for i in range(29)]),
                                (800, 60, [(7 * i) % 16 for i in range(29)])], 30),
         flac_bytes(44100, 16, [([250] * 24, ("constant",)),
@@ -2885,3 +2889,44 @@ def test_line_dedup_boilerplate(spark):
     }
     assert out2[0] == "shared rare line\nuniq 0"
     assert out2[5] == "uniq 5"
+
+
+def test_png_subbyte_roundtrip():
+    """1/2/4-bit PNG (round 11 — binarized scans, icons): rows pack
+    MSB-first with byte padding per scanline INCLUDING per Adam7 pass,
+    filters run on the packed bytes at bpp=1, gray scales by the exact
+    replication factor and palette indices map unscaled — every
+    (depth, type, interlace, odd-width) combination round-trips."""
+    import random
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        png_decode_pixels,
+        png_subbyte_bytes,
+    )
+
+    rng = random.Random(17)
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        for il in (False, True):
+            # odd widths exercise the padded final byte of every row
+            for w, h in [(1, 1), (7, 3), (8, 5), (13, 9), (3, 11)]:
+                vals = [rng.randrange(1 << depth) for _ in range(w * h)]
+                d = png_decode_pixels(
+                    png_subbyte_bytes(w, h, vals, depth, 0, interlace=il))
+                assert d["raster"] == bytes(v * scale for v in vals)
+                assert d["bit_depth"] == depth and d["channels"] == 1
+                nc = 1 << depth
+                pal = bytes((7 * j) % 256 for j in range(3 * nc))
+                d = png_decode_pixels(png_subbyte_bytes(
+                    w, h, vals, depth, 3, palette=pal, interlace=il))
+                assert d["raster"] == b"".join(pal[3 * v : 3 * v + 3] for v in vals)
+                assert d["palette_size"] == nc
+    # contracts: over-depth sample, sub-byte truecolor, depth 3
+    with _pytest.raises(ValueError):
+        png_subbyte_bytes(4, 4, [4] * 16, 2)
+    with _pytest.raises(ValueError):
+        png_subbyte_bytes(4, 4, [0] * 16, 2, color_type=2)
+    with _pytest.raises(ValueError):
+        png_subbyte_bytes(4, 4, [0] * 16, 3)
