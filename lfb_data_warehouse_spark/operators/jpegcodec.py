@@ -63,9 +63,15 @@ Round 11 extended SOF2 to 12-bit precision (the coefficient machinery
 is precision-agnostic; the level shift, u16 packing and the extended
 progressive AC alphabet — sizes to 14 — are the delta).
 
+Round 11 also admitted restart intervals inside lossless scans (the
+DICOM interleave shape): cycling RSTn every Ri samples with the H.2.2
+prediction reset to the scan-start default.
+
 Not supported (explicit ValueError, never a silent mis-decode):
-arithmetic coding, hierarchical frames, restart intervals and
-subsampling inside lossless scans.
+arithmetic coding (deliberately — the QM-coder's 46-row Qe table
+cannot be verified offline here, and a mistranscribed table would
+round-trip our own streams while falsely claiming T.81 interop),
+hierarchical frames, subsampled lossless scans.
 """
 
 from __future__ import annotations
@@ -1468,12 +1474,16 @@ def jpeg_lossless_bytes(
     predictor: int = 1,
     precision: int = 8,
     point_transform: int = 0,
+    restart_interval: int = 0,
 ) -> bytes:
     """REAL lossless JPEG (SOF3) encode of 1 or 3 non-subsampled
     component planes (sequences of ints in 0..2^precision−1). Any
     dimensions — there is no block grid. ``point_transform`` (Al)
     drops that many low bits before prediction; the decoder restores
-    them as zeros (H.1)."""
+    them as zeros (H.1). ``restart_interval`` > 0 (round 11): a
+    cycling RSTn every Ri MCUs (one sample per component), with the
+    prediction of the first sample after each marker reset to the
+    H.2.2 default ``2^(P-Pt-1)`` exactly as at scan start."""
     ncomp = len(planes)
     if ncomp not in (1, 3):
         raise ValueError("1 (gray) or 3 (color) planes supported")
@@ -1491,14 +1501,26 @@ def jpeg_lossless_bytes(
             raise ValueError(f"plane must be {width * height} samples")
         if min(p) < 0 or max(p) > smax:
             raise ValueError(f"samples must lie in 0..{smax}")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError("restart interval must fit in 16 bits")
     shifted = [[v >> point_transform for v in p] for p in planes]
     enc = _huff_encode_table(LL_DC_BITS, LL_DC_VALS)
     default = 1 << (precision - point_transform - 1)
     w = _BitWriter()
+    mcu_i = rst = 0
+    reset_next = False
     for y in range(height):
         for x in range(width):  # interleaved MCU = one sample per component
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                w.restart(rst)
+                rst = (rst + 1) % 8
+                reset_next = True  # H.2.2: predict as at scan start
+            mcu_i += 1
             for p in shifted:
-                px = _ll_predict(p, x, y, width, predictor, default)
+                px = (
+                    default if reset_next
+                    else _ll_predict(p, x, y, width, predictor, default)
+                )
                 diff = (p[y * width + x] - px) & 0xFFFF  # modulo 2^16
                 if diff > 0x8000:
                     diff -= 0x10000  # signed in (-32768, 32768]
@@ -1511,6 +1533,7 @@ def jpeg_lossless_bytes(
                 w.write(code, ln)
                 if t:
                     w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            reset_next = False
     entropy = w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1521,6 +1544,8 @@ def jpeg_lossless_bytes(
     )
     out = b"\xff\xd8"
     out += seg(0xFFC4, b"\x00" + bytes(LL_DC_BITS) + bytes(LL_DC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFC3, struct.pack(">BHHB", precision, height, width, ncomp) + sof_comps)
     sos_comps = b"".join(struct.pack("BB", ci + 1, 0x00) for ci in range(ncomp))
     out += seg(
@@ -1574,10 +1599,8 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
                 if samp != 0x11:
                     raise ValueError("subsampled lossless scans not supported")
                 comp_ids.append(cid)
-        elif marker == 0xDD:
+        elif marker == 0xDD:  # DRI composes with lossless scans (round 11)
             restart_interval = struct.unpack(">H", body[:2])[0]
-            if restart_interval:
-                raise ValueError("restart intervals in lossless scans not supported")
         elif marker == 0xDA:
             if width is None:
                 raise ValueError("SOS before SOF3")
@@ -1613,11 +1636,21 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
     default = 1 << (precision - pt - 1)
     planes = [[0] * (width * height) for _ in range(ncomp)]
     mask = (1 << (precision - pt)) - 1
+    mcu_i = rst_m = 0
+    reset_next = False
     for y in range(height):
         for x in range(width):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                r.expect_restart(rst_m)  # byte-align + RSTn
+                rst_m = (rst_m + 1) % 8
+                reset_next = True  # H.2.2: predict as at scan start
+            mcu_i += 1
             for ci, (_, td) in enumerate(scan):
                 p = planes[ci]
-                px = _ll_predict(p, x, y, width, predictor, default)
+                px = (
+                    default if reset_next
+                    else _ll_predict(p, x, y, width, predictor, default)
+                )
                 t = r.read_huff(dc_tables[td])
                 if t == 16:
                     diff = 0x8000
@@ -1629,6 +1662,7 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
                 else:
                     diff = 0
                 p[y * width + x] = (px + diff) & 0xFFFF & mask
+            reset_next = False
     bit_depth = precision
     if pt:
         planes = [[v << pt for v in p] for p in planes]
@@ -1649,7 +1683,8 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
         "channels": ncomp,
         "bit_depth": bit_depth,
         "sampling": [(1, 1)] * ncomp,
-        "restart_interval": 0,
+        "restart_interval": restart_interval,
+        "n_restart_markers": r.restarts_consumed,
         "plane_dims": [(width, height)] * ncomp,
         "lossless": True,
         "predictor": predictor,

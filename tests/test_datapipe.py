@@ -2930,3 +2930,45 @@ def test_png_subbyte_roundtrip():
         png_subbyte_bytes(4, 4, [0] * 16, 2, color_type=2)
     with _pytest.raises(ValueError):
         png_subbyte_bytes(4, 4, [0] * 16, 3)
+
+
+def test_jpeg_lossless_restart_intervals():
+    """Restart markers inside lossless (SOF3) scans (round 11 — the
+    DICOM shape, formerly an explicit refusal): cycling RSTn every Ri
+    one-sample-per-component MCUs, prediction reset to the H.2.2
+    scan-start default after each marker — exact reconstruction across
+    precisions, predictors and interval lengths, with the consumed
+    marker count reported."""
+    import random
+    import struct as _struct
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_lossless_bytes,
+    )
+
+    rng = random.Random(21)
+    for precision, pt in [(8, 0), (12, 0), (16, 2), (4, 1)]:
+        smax = (1 << precision) - 1
+        for pred in (1, 4, 7):
+            for ri in (1, 3, 7):
+                w, h = 9, 5
+                planes = [[rng.randint(0, smax) for _ in range(w * h)]
+                          for _ in range(3)]
+                d = jpeg_decode_pixels(jpeg_lossless_bytes(
+                    w, h, planes, predictor=pred, precision=precision,
+                    point_transform=pt, restart_interval=ri))
+                lost = ~((1 << pt) - 1) & 0xFFFF
+                exp = [[v & lost for v in p] for p in planes]
+                if precision <= 8:
+                    got = [list(p) for p in d["planes"]]
+                else:
+                    got = [list(_struct.unpack(f">{w * h}H", p))
+                           for p in d["planes"]]
+                assert got == exp, (precision, pred, ri)
+                assert d["restart_interval"] == ri
+                assert d["n_restart_markers"] == (w * h - 1) // ri
+    # the no-DRI path is byte-identical to before
+    planes = [[rng.randint(0, 255) for _ in range(20)]]
+    d = jpeg_decode_pixels(jpeg_lossless_bytes(5, 4, planes, predictor=5))
+    assert list(d["planes"][0]) == planes[0] and d["n_restart_markers"] == 0
