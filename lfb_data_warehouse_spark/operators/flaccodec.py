@@ -458,6 +458,10 @@ def flac_bytes(
         blocksize = len(chans[0])
         if blocksize == 0:
             raise ValueError("empty FLAC frame")
+        if blocksize > 65536:
+            # the frame header codes blocksize-1 in 16 bits; anything
+            # larger would crash struct.pack below instead of erroring
+            raise ValueError("FLAC blocksize must be 1..65536")
         # MD5/interleave run over the ORIGINAL (reconstructed) stream
         interleaved.append(
             [chans[c][i] for i in range(blocksize) for c in range(channels)]

@@ -867,6 +867,10 @@ def jpeg_progressive_bytes(
             raise ValueError(f"plane must be {cw * ch} samples, got {len(p)}")
         if precision == 12 and (min(p) < 0 or max(p) > 4095):
             raise ValueError("12-bit samples must lie in 0..4095")
+        if precision == 8 and not isinstance(p, (bytes, bytearray)) and (
+            min(p) < 0 or max(p) > 255
+        ):
+            raise ValueError("8-bit samples must lie in 0..255")
     for ss, se in bands:
         if not (1 <= ss <= se <= 63):
             raise ValueError("AC bands must lie within 1..63")
@@ -1481,9 +1485,14 @@ def jpeg_lossless_bytes(
     dimensions — there is no block grid. ``point_transform`` (Al)
     drops that many low bits before prediction; the decoder restores
     them as zeros (H.1). ``restart_interval`` > 0 (round 11): a
-    cycling RSTn every Ri MCUs (one sample per component), with the
-    prediction of the first sample after each marker reset to the
-    H.2.2 default ``2^(P-Pt-1)`` exactly as at scan start."""
+    cycling RSTn every Ri MCUs (one sample per component), with
+    prediction restarting exactly as at scan start (T.81 H.1.1,
+    tightened round 12): first sample after the marker → the default
+    ``2^(P-Pt-1)``, remainder of that interval's first line → the 1-D
+    predictor Ra regardless of the selection, later lines → the
+    selected predictor. Prediction never references a sample coded
+    before the marker, so conforming external DICOM/T.81 streams with
+    DRI decode bit-exactly."""
     ncomp = len(planes)
     if ncomp not in (1, 3):
         raise ValueError("1 (gray) or 3 (color) planes supported")
@@ -1509,6 +1518,7 @@ def jpeg_lossless_bytes(
     w = _BitWriter()
     mcu_i = rst = 0
     reset_next = False
+    ra_row = -1  # row forced to Ra prediction after a restart (H.1.1)
     for y in range(height):
         for x in range(width):  # interleaved MCU = one sample per component
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
@@ -1517,10 +1527,15 @@ def jpeg_lossless_bytes(
                 reset_next = True  # H.2.2: predict as at scan start
             mcu_i += 1
             for p in shifted:
-                px = (
-                    default if reset_next
-                    else _ll_predict(p, x, y, width, predictor, default)
-                )
+                if reset_next:
+                    px = default
+                elif y == ra_row:
+                    # T.81 H.1.1: the restart interval's FIRST LINE uses
+                    # the 1-D predictor Ra regardless of the selection —
+                    # prediction never references across the marker
+                    px = p[y * width + x - 1]
+                else:
+                    px = _ll_predict(p, x, y, width, predictor, default)
                 diff = (p[y * width + x] - px) & 0xFFFF  # modulo 2^16
                 if diff > 0x8000:
                     diff -= 0x10000  # signed in (-32768, 32768]
@@ -1533,7 +1548,9 @@ def jpeg_lossless_bytes(
                 w.write(code, ln)
                 if t:
                     w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-            reset_next = False
+            if reset_next:
+                reset_next = False
+                ra_row = y  # remainder of this row is the interval's first line
     entropy = w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1638,6 +1655,7 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
     mask = (1 << (precision - pt)) - 1
     mcu_i = rst_m = 0
     reset_next = False
+    ra_row = -1  # row forced to Ra prediction after a restart (H.1.1)
     for y in range(height):
         for x in range(width):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
@@ -1647,10 +1665,14 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
             mcu_i += 1
             for ci, (_, td) in enumerate(scan):
                 p = planes[ci]
-                px = (
-                    default if reset_next
-                    else _ll_predict(p, x, y, width, predictor, default)
-                )
+                if reset_next:
+                    px = default
+                elif y == ra_row:
+                    # T.81 H.1.1: the restart interval's first line uses
+                    # Ra regardless of the selected predictor
+                    px = p[y * width + x - 1]
+                else:
+                    px = _ll_predict(p, x, y, width, predictor, default)
                 t = r.read_huff(dc_tables[td])
                 if t == 16:
                     diff = 0x8000
@@ -1662,7 +1684,9 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
                 else:
                     diff = 0
                 p[y * width + x] = (px + diff) & 0xFFFF & mask
-            reset_next = False
+            if reset_next:
+                reset_next = False
+                ra_row = y  # remainder of this row is the interval's first line
     bit_depth = precision
     if pt:
         planes = [[v << pt for v in p] for p in planes]

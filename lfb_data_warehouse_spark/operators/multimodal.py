@@ -1164,8 +1164,16 @@ def parse_media(b: bytes) -> dict:
                 "media_type": "image/tiff", "width": None, "height": None,
                 "channels": None, "sample_rate": None, "n_samples": None,
             }
-        if b[:4] == b"fLaC" and len(b) >= 42:
-            si = b[8:42]  # STREAMINFO is the mandatory first block
+        if (
+            b[:4] == b"fLaC"
+            and len(b) >= 42
+            and (b[4] & 0x7F) == 0
+            and int.from_bytes(b[5:8], "big") == 34
+        ):
+            # STREAMINFO is mandatory-first per the spec, but a stream
+            # whose first block is NOT type-0/34-byte would otherwise be
+            # misread as garbage rates — fall through to unknown instead
+            si = b[8:42]
             rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
             channels = ((si[12] >> 1) & 0x07) + 1
             total = ((si[13] & 0x0F) << 32) | int.from_bytes(si[14:18], "big")

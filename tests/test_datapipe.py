@@ -2972,3 +2972,92 @@ def test_jpeg_lossless_restart_intervals():
     planes = [[rng.randint(0, 255) for _ in range(20)]]
     d = jpeg_decode_pixels(jpeg_lossless_bytes(5, 4, planes, predictor=5))
     assert list(d["planes"][0]) == planes[0] and d["n_restart_markers"] == 0
+
+
+def test_jpeg_lossless_restart_first_line_uses_ra():
+    """T.81 H.1.1 conformance (round 12): after a restart marker the
+    interval's first line must use the 1-D Ra predictor regardless of
+    the selected predictor, so prediction NEVER references a sample
+    coded before the marker. Observable: with restart_interval == w and
+    h == 2, the entropy bytes after the RSTn marker depend only on row
+    2 — two images differing only in row 1 must encode identical
+    post-marker bytes (they did NOT pre-fix for predictors 2..7)."""
+    import random
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_lossless_bytes,
+    )
+
+    rng = random.Random(99)
+    w = 7
+    row2 = [rng.randint(0, 255) for _ in range(w)]
+    for pred in range(2, 8):
+        row1a = [rng.randint(0, 255) for _ in range(w)]
+        row1b = [(v + 101) % 256 for v in row1a]
+        enc_a = jpeg_lossless_bytes(w, 2, [row1a + row2],
+                                    predictor=pred, restart_interval=w)
+        enc_b = jpeg_lossless_bytes(w, 2, [row1b + row2],
+                                    predictor=pred, restart_interval=w)
+        # both streams contain exactly one RST0; compare the suffixes
+        ia, ib = enc_a.rfind(b"\xff\xd0"), enc_b.rfind(b"\xff\xd0")
+        assert ia > 0 and ib > 0
+        assert enc_a[ia:] == enc_b[ib:], pred
+        # and both still round-trip exactly
+        for enc, row1 in ((enc_a, row1a), (enc_b, row1b)):
+            d = jpeg_decode_pixels(enc)
+            assert list(d["planes"][0]) == row1 + row2, pred
+    # a later line INSIDE an interval resumes the selected predictor
+    # (H.1.1 scopes the Ra rule to the interval's first line only):
+    # interval spans the whole image -> one marker mid-row 1 max; use
+    # ri large enough that rows 2+ are plain 2-D prediction again
+    plane = [rng.randint(0, 255) for _ in range(6 * 4)]
+    d = jpeg_decode_pixels(
+        jpeg_lossless_bytes(6, 4, [plane], predictor=4, restart_interval=9))
+    assert list(d["planes"][0]) == plane
+
+
+def test_round12_advice_guards():
+    """Round-12 hardening: (1) flac_bytes rejects blocksize > 65536
+    with ValueError (not struct.error — the header codes blocksize-1
+    in 16 bits); (2) parse_media's FLAC sniff verifies the first
+    metadata block IS a 34-byte STREAMINFO before decoding it, else
+    generic-unknown; (3) jpeg_progressive_bytes range-checks 8-bit
+    int-list planes like it already did 12-bit ones."""
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.flaccodec import (
+        flac_bytes,
+        flac_decode_samples,
+    )
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_progressive_bytes,
+    )
+    from lfb_data_warehouse_spark.operators.multimodal import parse_media
+
+    with _pytest.raises(ValueError, match="1..65536"):
+        flac_bytes(44100, 16, [([0] * 65537, ("constant",))])
+    # 65536 itself is the legal maximum and still round-trips
+    d = flac_decode_samples(flac_bytes(8000, 8, [([5] * 65536, ("constant",))]))
+    assert d["n_samples"] == 65536
+
+    good = flac_bytes(44100, 16, [([9] * 32, ("constant",))])
+    meta = parse_media(good)
+    assert meta["media_type"] == "audio/flac" and meta["n_samples"] == 32
+    # first block claims type 4 (VORBIS_COMMENT): must NOT be read as
+    # STREAMINFO rates — generic fallback instead of garbage fields
+    evil = bytearray(good)
+    evil[4] = (evil[4] & 0x80) | 0x04
+    assert parse_media(bytes(evil))["media_type"] == "application/octet-stream"
+    # wrong declared STREAMINFO length is equally rejected
+    evil2 = bytearray(good)
+    evil2[7] = 35
+    assert parse_media(bytes(evil2))["media_type"] == "application/octet-stream"
+
+    with _pytest.raises(ValueError, match="0..255"):
+        jpeg_progressive_bytes(8, 8, [[300] * 64], bands=((1, 63),))
+    with _pytest.raises(ValueError, match="0..255"):
+        jpeg_progressive_bytes(8, 8, [[-1] * 64], bands=((1, 63),))
+    # bytes planes and in-range lists stay accepted
+    assert jpeg_progressive_bytes(
+        8, 8, [[255] * 64], bands=((1, 63),))[:2] == b"\xff\xd8"
