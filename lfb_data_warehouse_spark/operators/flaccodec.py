@@ -402,6 +402,12 @@ _ASSIGNMENT_CODES = {
     "mid_side": 0b1010,
 }
 
+_ASSIGNMENT_NAMES = {
+    0b1000: "left_side",
+    0b1001: "right_side",
+    0b1010: "mid_side",
+}
+
 
 def flac_bytes(
     sample_rate: int,
@@ -566,6 +572,7 @@ def flac_decode_samples(b: bytes) -> dict:
         raise ValueError("decoded FLAC exceeds allocation cap")
     frames: list[list[int]] = []
     kinds: list[str] = []
+    assignments: list[str] = []
     decoded = 0
     while decoded < total:
         if pos + 2 > len(b):
@@ -672,6 +679,7 @@ def flac_decode_samples(b: bytes) -> dict:
             else [chans[c][i] for i in range(blocksize) for c in range(channels)]
         )
         kinds.append("+".join(frame_kinds) if channels > 1 else frame_kinds[0])
+        assignments.append(_ASSIGNMENT_NAMES.get(chan, "independent"))
         decoded += blocksize
         pos = r.pos
     if decoded != total:
@@ -690,5 +698,6 @@ def flac_decode_samples(b: bytes) -> dict:
         # ``samples`` is the interleaved stream
         "n_samples": decoded,
         "subframes": ",".join(kinds),
+        "assignments": ",".join(assignments),
         "samples": flat,
     }

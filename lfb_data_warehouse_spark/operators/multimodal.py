@@ -2257,9 +2257,20 @@ POISON_STATS_SCHEMA = (
 def synthesize_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
     """Manufacture a HETEROGENEOUS corpus with deterministic poison —
     what a real crawl-derived payload column looks like: doc ``d``
-    carries a PNG / grayscale JPEG / PCM WAV by ``d%3``, and every odd
-    doc has its magic bytes stomped (``DE AD BE EF``) so type sniffing
-    fails — the corrupt-payload fraction a 100 TB corpus always has."""
+    carries a PNG / grayscale JPEG / PCM WAV / FLAC / IMA-ADPCM WAV by
+    ``d%5`` (the audio tier joined the rotation in round 12), and every
+    odd doc is poisoned two ways by ``d%4``: magic bytes stomped
+    (``DE AD BE EF`` — sniffing fails) or truncated to its first 8
+    bytes (sniffable magic, undecodable structure) — the corrupt-
+    payload mix a 100 TB crawl always has.
+
+    The ADPCM stream is the closed-form corner of the state machine:
+    ``idx0 = 0`` and all-sign-bit nibbles hold step at 7 (diff =
+    7>>3 = 0) and index clamped at 0, so the block decodes to its
+    header predictor repeated — the full nibble walk still runs, but
+    the oracle can price it arithmetically (the general state machine
+    is gated by ``adpcm_decode_stats``'s recursive-CTE oracle)."""
+    from .flaccodec import flac_bytes
     from .jpegcodec import jpeg_pixel_bytes
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2270,9 +2281,9 @@ def synthesize_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
             payloads = []
             for doc_id in ids:
                 d = int(doc_id)
-                t = d % 3
+                t = d % 5
                 if t == 0:
-                    n = d % 5 + 2
+                    n = d % 9 + 2
                     raster = bytes(
                         (3 * x + 5 * y + d) % 256
                         for y in range(n)
@@ -2281,13 +2292,23 @@ def synthesize_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
                     p = png_pixel_bytes(n, n, raster, 0)
                 elif t == 1:
                     p = jpeg_pixel_bytes(8, 8, bytes([(7 * d) % 256] * 64))
-                else:
+                elif t == 2:
                     n = d % 50 + 10
                     p = wav_pcm_bytes(
                         1, 8000, [((7 * d + 13 * i) % 2001) - 1000 for i in range(n)]
                     )
-                if d % 2 == 1:  # poison: stomp the magic
+                elif t == 3:
+                    n = d % 40 + 16
+                    samples = [((7 * d + 13 * i) % 2001) - 1000 for i in range(n)]
+                    p = flac_bytes(8000, 16, [(samples, ("verbatim",))])
+                else:
+                    spb = d % 30 + 9
+                    pred0 = (7 * d) % 2001 - 1000
+                    p = wav_adpcm_bytes(8000, [(pred0, 0, [8] * (spb - 1))], spb)
+                if d % 4 == 1:  # poison: stomp the magic
                     p = b"\xde\xad\xbe\xef" + p[4:]
+                elif d % 4 == 3:  # poison: magic intact, structure gone
+                    p = p[:8]
                 payloads.append(p)
             yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
 
@@ -2318,6 +2339,8 @@ def decode_media_poison_stats(media: DataFrame) -> DataFrame:
                     elif mt == "image/jpeg":
                         vals = d["raster"]
                     elif mt == "audio/wav":
+                        vals = d["samples"]  # PCM and block-framed ADPCM alike
+                    elif mt == "audio/flac":
                         vals = d["samples"]
                     else:
                         raise ValueError(f"unsniffable payload ({mt})")
@@ -3448,6 +3471,126 @@ def decode_flac_stats(media: DataFrame, strict: bool = True) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=FLAC_STATS_SCHEMA)
+
+
+FLAC_STEREO_STATS_SCHEMA = (
+    "doc_id long, channels long, n_frames long, n_samples long, "
+    "assignments string, subframes string, sum_left long, sum_right long, "
+    "peak long, first_left long, first_right long, last_left long, "
+    "last_right long"
+)
+
+
+def synthesize_flac_stereo(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL stereo FLAC streams (round 12 — the gate the
+    round-11 verdict queued): two frames of DIFFERENT blocksizes per
+    doc, channel assignment rotating ``d%4`` over independent /
+    left-side / right-side / mid-side (the decorrelated layouts every
+    real encoder emits: the side channel carries one extra bit, the
+    mid floor's lost low bit is recovered from the side's parity), and
+    VARIABLE blocking on even docs (frame headers code the first-
+    sample index, live-capture style) — so all four assignments AND
+    both blocking strategies are driver-gated, not just
+    property-tested. Left/right are closed-form curves over a global
+    sample index; reconstruction is exact, so the oracle replays the
+    arithmetic."""
+    from .flaccodec import flac_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                n0, n1 = d % 30 + 20, d % 20 + 16
+                left = [(13 * j + 29 * d) % 3001 - 1500 for j in range(n0 + n1)]
+                right = [(7 * j + 17 * d) % 2801 - 1400 for j in range(n0 + n1)]
+                frames = [
+                    (
+                        [left[:n0], right[:n0]],
+                        [("fixed", d % 5, 0), ("fixed", (d + 2) % 5, 0)],
+                    ),
+                    (
+                        [left[n0:], right[n0:]],
+                        [("verbatim",), ("fixed", 1, 0)],
+                    ),
+                ]
+                payloads.append(
+                    flac_bytes(
+                        44100, 16, frames, channels=2,
+                        assignment=["independent", "left_side", "right_side",
+                                    "mid_side"][d % 4],
+                        variable_blocking=d % 2 == 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_flac_stereo_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched stereo FLAC decode over (doc_id, payload):
+    per-channel stats come from the de-interleaved LOSSLESS samples,
+    so a wrong side-channel reconstruction (l−s / r+s / mid-parity), a
+    missed extra side bit, or a variable-blocking sample-number slip
+    lands on sum_left/sum_right exactly; ``assignments`` pins that the
+    intended decorrelated paths actually ran. ``strict=False`` =
+    poison-safe NULL-stats rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if d.get("encoding") != "flac" or d.get("channels") != 2:
+                        raise ValueError("expected a stereo FLAC stream")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "channels", "n_frames", "n_samples",
+                                    "assignments", "subframes", "sum_left",
+                                    "sum_right", "peak", "first_left",
+                                    "first_right", "last_left", "last_right",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                s = d["samples"]
+                left, right = s[0::2], s[1::2]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "channels": d["channels"],
+                        "n_frames": d["n_frames"],
+                        "n_samples": d["n_samples"],
+                        "assignments": d["assignments"],
+                        "subframes": d["subframes"],
+                        "sum_left": sum(left),
+                        "sum_right": sum(right),
+                        "peak": max(abs(v) for v in s),
+                        "first_left": left[0],
+                        "first_right": right[0],
+                        "last_left": left[-1],
+                        "last_right": right[-1],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=FLAC_STEREO_STATS_SCHEMA)
 
 
 GIF_STATS_SCHEMA = (

@@ -4360,20 +4360,20 @@ POISON_DOC_MOD = 7  # doc_id % 7 == 4 → ~1/7 of documents, half poisoned
     ),
     png AS (
       SELECT s.doc_id, 'image/png' AS media_type,
-             CAST((s.doc_id % 5 + 2) * (s.doc_id % 5 + 2) AS BIGINT) AS n_units,
+             CAST((s.doc_id % 9 + 2) * (s.doc_id % 9 + 2) AS BIGINT) AS n_units,
              CAST(sum((3 * gx.x + 5 * gy.y + s.doc_id) % 256) AS BIGINT)
                AS value_sum
       FROM sel s,
-           LATERAL (SELECT unnest(range(0, s.doc_id % 5 + 2)) AS x) gx,
-           LATERAL (SELECT unnest(range(0, s.doc_id % 5 + 2)) AS y) gy
-      WHERE s.doc_id % 3 = 0 AND s.doc_id % 2 = 0
+           LATERAL (SELECT unnest(range(0, s.doc_id % 9 + 2)) AS x) gx,
+           LATERAL (SELECT unnest(range(0, s.doc_id % 9 + 2)) AS y) gy
+      WHERE s.doc_id % 5 = 0 AND s.doc_id % 2 = 0
       GROUP BY s.doc_id
     ),
     jpg AS (
       SELECT doc_id, 'image/jpeg',
              CAST(64 AS BIGINT),
              CAST(64 * (7 * doc_id % 256) AS BIGINT)
-      FROM sel WHERE doc_id % 3 = 1 AND doc_id % 2 = 0
+      FROM sel WHERE doc_id % 5 = 1 AND doc_id % 2 = 0
     ),
     wav AS (
       SELECT s.doc_id, 'audio/wav',
@@ -4381,8 +4381,25 @@ POISON_DOC_MOD = 7  # doc_id % 7 == 4 → ~1/7 of documents, half poisoned
              CAST(sum((7 * s.doc_id + 13 * gi.i) % 2001 - 1000) AS BIGINT)
       FROM sel s,
            LATERAL (SELECT unnest(range(0, s.doc_id % 50 + 10)) AS i) gi
-      WHERE s.doc_id % 3 = 2 AND s.doc_id % 2 = 0
+      WHERE s.doc_id % 5 = 2 AND s.doc_id % 2 = 0
       GROUP BY s.doc_id
+    ),
+    flac AS (
+      SELECT s.doc_id, 'audio/flac',
+             CAST(s.doc_id % 40 + 16 AS BIGINT),
+             CAST(sum((7 * s.doc_id + 13 * gi.i) % 2001 - 1000) AS BIGINT)
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.doc_id % 40 + 16)) AS i) gi
+      WHERE s.doc_id % 5 = 3 AND s.doc_id % 2 = 0
+      GROUP BY s.doc_id
+    ),
+    adpcm AS (
+      -- idx0 = 0 + all-sign-bit nibbles pin the IMA step machine:
+      -- the block decodes to its header predictor repeated spb times
+      SELECT doc_id, 'audio/wav',
+             CAST(doc_id % 30 + 9 AS BIGINT),
+             CAST((doc_id % 30 + 9) * ((7 * doc_id) % 2001 - 1000) AS BIGINT)
+      FROM sel WHERE doc_id % 5 = 4 AND doc_id % 2 = 0
     ),
     bad AS (
       SELECT doc_id, CAST(NULL AS VARCHAR),
@@ -4392,16 +4409,20 @@ POISON_DOC_MOD = 7  # doc_id % 7 == 4 → ~1/7 of documents, half poisoned
     SELECT doc_id, media_type, media_type IS NOT NULL AS decoded,
            n_units, value_sum
     FROM (SELECT * FROM png UNION ALL SELECT * FROM jpg
-          UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM bad)
+          UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM flac
+          UNION ALL SELECT * FROM adpcm UNION ALL SELECT * FROM bad)
     """,
 )
 def media_poison_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heterogeneous dispatch + poison safety in ONE plan — what a real
-    crawl payload column is (round 10): synthesize_mixed_media hands
-    each doc a PNG / JPEG / WAV by residue and STOMPS the magic bytes
-    of every odd doc; decode_media_poison_stats must sniff-and-dispatch
-    per payload, run the full per-type decode on the good rows (their
-    pixel/sample sums are oracle-checked), and emit NULL-stats
+    crawl payload column is (round 10; audio tier rotated in round 12):
+    synthesize_mixed_media hands each doc a PNG / JPEG / PCM WAV /
+    FLAC / IMA-ADPCM WAV by ``d%5`` and poisons every odd doc two ways
+    (magic stomped, or truncated-to-8-bytes with magic intact);
+    decode_media_poison_stats must sniff-and-dispatch per payload, run
+    the full per-type decode on the good rows (their pixel/sample sums
+    are oracle-checked — the FLAC path walks the real bitstream, the
+    ADPCM path the real nibble machine), and emit NULL-stats
     ``decoded = false`` rows for the poison instead of killing the
     stage — the gate that proves the strict=False contract at query
     level, not just in pytest. Oracle: per-type closed-form arithmetic
@@ -5062,6 +5083,70 @@ def flac_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % FLAC_DOC_MOD == 10)
     )
     return decode_flac_stats(synthesize_flac(docs, "doc_id"))
+
+
+FLAC_STEREO_DOC_MOD = 13  # doc_id % 13 == 1 → ~1/13 of documents get a stereo FLAC
+
+
+@register(
+    "flac_stereo_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             doc_id % 30 + 20 AS n0,
+             doc_id % 20 + 16 AS n1,
+             CASE doc_id % 4 WHEN 0 THEN 'independent'
+                             WHEN 1 THEN 'left_side'
+                             WHEN 2 THEN 'right_side'
+                             ELSE 'mid_side' END AS a,
+             'fixed' || (doc_id % 5) || '+fixed' || ((doc_id + 2) % 5) AS sf0
+      FROM documents WHERE doc_id % {FLAC_STEREO_DOC_MOD} = 1
+    ),
+    samp AS (
+      SELECT s.doc_id, g.j,
+             (13 * g.j + 29 * s.doc_id) % 3001 - 1500 AS l,
+             (7 * g.j + 17 * s.doc_id) % 2801 - 1400 AS r,
+             s.n0 + s.n1 AS n
+      FROM sel s, LATERAL (SELECT unnest(range(0, s.n0 + s.n1)) AS j) g
+    )
+    SELECT p.doc_id,
+           CAST(2 AS BIGINT) AS channels,
+           CAST(2 AS BIGINT) AS n_frames,
+           CAST(any_value(p.n) AS BIGINT) AS n_samples,
+           any_value(s.a || ',' || s.a) AS assignments,
+           any_value(s.sf0 || ',verbatim+fixed1') AS subframes,
+           CAST(sum(p.l) AS BIGINT) AS sum_left,
+           CAST(sum(p.r) AS BIGINT) AS sum_right,
+           CAST(max(greatest(abs(p.l), abs(p.r))) AS BIGINT) AS peak,
+           CAST(max(CASE WHEN p.j = 0 THEN p.l END) AS BIGINT) AS first_left,
+           CAST(max(CASE WHEN p.j = 0 THEN p.r END) AS BIGINT) AS first_right,
+           CAST(max(CASE WHEN p.j = p.n - 1 THEN p.l END) AS BIGINT) AS last_left,
+           CAST(max(CASE WHEN p.j = p.n - 1 THEN p.r END) AS BIGINT) AS last_right
+    FROM samp p JOIN sel s ON s.doc_id = p.doc_id
+    GROUP BY p.doc_id
+    """,
+)
+def flac_stereo_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stereo/decorrelated FLAC decode end to end (round 12 — promotes
+    what round 11 left property-test-only): synthesize_flac_stereo
+    rotates all four channel assignments (independent, left/side,
+    right/side, mid/side — side channel's extra bit, mid parity
+    recovery) and both blocking strategies (variable on even docs)
+    across two different-blocksize frames; the decoder must
+    reconstruct l/r exactly from the coded pair and de-interleave.
+    Oracle: the same closed-form l/r curves in arithmetic SQL —
+    decorrelation must be output-invariant (FLAC is lossless)."""
+    from ..operators.multimodal import (
+        decode_flac_stereo_stats,
+        synthesize_flac_stereo,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % FLAC_STEREO_DOC_MOD == 1)
+    )
+    return decode_flac_stereo_stats(synthesize_flac_stereo(docs, "doc_id"))
 
 
 GIF_DOC_MOD = 11  # doc_id % 11 == 8 → ~1/11 of documents get a (multi-frame) GIF
