@@ -52,6 +52,7 @@ EXTRA_BENCH = (
     "crawl_to_corpus",
     "stream_sliding_bench",
     "media_decode_bench",
+    "audio_decode_bench",
 )
 
 # The rows benchmarked in BOTH round 10 and round 11 (the full
@@ -414,6 +415,43 @@ def media_decode_bench(spark, sf_dir):
         .filter(F.col("doc_id") % 5 <= 1)  # 2/5 of docs; 5 coprime to the dim mods
     )
     return decode_jpeg_subsampled_stats(synthesize_jpeg_subsampled(docs, "doc_id"))
+
+
+def audio_decode_bench(spark, sf_dir):
+    """Audio-tier execution-shape bench (VERDICT r11 item 5 —
+    media_decode_bench predates the FLAC/ADPCM kernels): full FLAC
+    bitstream decode (Rice, prediction, CRC-8/16, MD5) and IMA-ADPCM
+    nibble-machine decode over the union of the two gates' fixtures,
+    engine shape = one Arrow ``mapInPandas`` pass through the generic
+    sniff-and-dispatch stats decoder (payload bytes never shuffle).
+    The twin runs the IDENTICAL pure-Python codecs as a row-at-a-time
+    pickled UDF — same code both sides, so the ratio isolates Arrow
+    batch transfer vs per-row pickling on compute-dominated audio
+    payloads; parity is the honest expectation, the map-only
+    zero-exchange plan is the 100-TB shape. Output equality with the
+    twin is pytest-pinned (tests/test_bench_twins.py)."""
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        decode_audio_linear_stats,
+        synthesize_adpcm,
+        synthesize_flac,
+    )
+    from lfb_data_warehouse_spark.plans.datapipe_queries import (
+        ADPCM_DOC_MOD,
+        FLAC_DOC_MOD,
+    )
+    from lfb_data_warehouse_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = synthesize_flac(
+        docs.filter(F.col("doc_id") % FLAC_DOC_MOD == 10), "doc_id"
+    ).unionByName(
+        synthesize_adpcm(
+            docs.filter(F.col("doc_id") % ADPCM_DOC_MOD == 9), "doc_id"
+        )
+    )
+    return decode_audio_linear_stats(media)
 
 
 def _load_naive() -> dict:

@@ -3593,6 +3593,50 @@ def decode_flac_stereo_stats(media: DataFrame, strict: bool = True) -> DataFrame
     return media.mapInPandas(run, schema=FLAC_STEREO_STATS_SCHEMA)
 
 
+AUDIO_LINEAR_STATS_SCHEMA = (
+    "doc_id long, media_type string, encoding string, n_samples long, "
+    "sum_linear long, sum_abs long, peak long"
+)
+
+
+def decode_audio_linear_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched format-agnostic audio decode over (doc_id,
+    payload): every payload runs :func:`decode_real`'s sniff-and-
+    dispatch, so PCM / G.711 / IMA-ADPCM WAV and FLAC all land on the
+    same linear-sample stats row (round 12 — the execution-shape bench
+    for the audio tier prices THIS pass against its per-row pickled
+    twin). Strict: an undecodable payload raises — bench fixtures are
+    clean by construction (poison safety is media_poison_battery's
+    job)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_real(bytes(payload))
+                if "samples" not in d:
+                    raise ValueError(
+                        f"not an audio payload ({d.get('media_type')})"
+                    )
+                s = d["samples"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_type": d["media_type"],
+                        "encoding": d.get("encoding"),
+                        "n_samples": len(s),
+                        "sum_linear": sum(s),
+                        "sum_abs": sum(abs(v) for v in s),
+                        "peak": max(abs(v) for v in s),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=AUDIO_LINEAR_STATS_SCHEMA)
+
+
 GIF_STATS_SCHEMA = (
     "doc_id long, frame_index long, n_frames long, width long, height long, "
     "palette_size long, r_sum long, g_sum long, b_sum long, "

@@ -19,6 +19,17 @@ re-salt rows differently and double-count).
 Salting is algebra-aware: COUNT recombines by SUM, SUM by SUM, MIN by
 MIN, MAX by MAX (AVG must be decomposed to SUM+COUNT by the caller —
 an average of partial averages is wrong under skew by construction).
+
+Honest scope note (round 12, measured by tools/skew_crossover.py): for
+exactly the algebraic measures :func:`salted_agg` supports, Spark's
+map-side partial aggregation is ALREADY the skew insurance — each map
+task pre-combines the hot key to one partial row, so the unsalted
+single-exchange plan never inverts at any amplification (ratio flat
+1.6-2.1x from 100k to 10.2M hot rows). Use :func:`salted_agg` only
+when partial aggregation is defeated (wide group-state, spilling map
+hash); the operators that earn the second exchange on measurement are
+:func:`salted_collect_set` (holistic state — crossover ~4-5M hot rows,
+0.62x at 10.2M) and :func:`salted_join`.
 """
 
 from __future__ import annotations
@@ -76,6 +87,42 @@ def salted_agg(
     )
     return partial.groupBy(*keys).agg(
         *[_RECOMBINE[fn](alias).alias(alias) for _, fn, alias in measures]
+    )
+
+
+def salted_collect_set(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    alias: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase distinct-collect for skewed keys — the shape where
+    salting actually earns its second exchange.
+
+    Unlike the algebraic measures (see module docstring: map-side
+    combine already collapses those to one partial row per map task),
+    a collect_set's partial state is proportional to the key's DATA —
+    the unsalted plan's one hot reducer must merge every map task's
+    set for the hot key. Phase 1 here collects per (keys, salt-of-
+    value): the hot key's set merge spreads over ``buckets`` reducers,
+    each deduplicating a disjoint value shard; phase 2 flattens the
+    ≤ buckets pre-shrunk arrays per key (shards are disjoint by
+    construction — the salt is a hash OF THE VALUE — so the flatten
+    needs no re-dedup). Output equals the unsalted
+    ``collect_set(value)`` up to array order; sort before comparing.
+
+    Measured crossover (tools/skew_crossover.py, sf0.1 events, hot key
+    amplified with distinct values scaling): naive wins below ~2.5M
+    hot rows, salted wins from ~4-5M (0.62x at 10.2M rows / 780k
+    distinct values) — at 100 TB every skewed key is deep inside the
+    salted win regime."""
+    salted = df.withColumn("_salt", salt_column(value_col, buckets))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.collect_set(value_col).alias(alias)
+    )
+    return partial.groupBy(*keys).agg(
+        F.flatten(F.collect_list(alias)).alias(alias)
     )
 
 

@@ -1468,6 +1468,41 @@ def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_collect_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events GROUP BY 1
+    """,
+)
+def salted_collect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant HOLISTIC collect (round 12 — the shape where the
+    salted second exchange measurably earns its keep, unlike the
+    algebraic salted_agg_events; see operators/skew.py's scope note
+    and the tools/skew_crossover.py table in BASELINE.md): distinct
+    users are collected per (event_type, hash-of-user salt) so the hot
+    key's set merge spreads over 16 reducers, then the disjoint shards
+    flatten without re-dedup. The gate reduces the array to scalars
+    (size/min/max) so the oracle is the plain COUNT(DISTINCT) — the
+    salted collect must be content-invariant."""
+    from ..operators.skew import salted_collect_set
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_collect_set(
+        events, keys=["event_type"], value_col="user_id", alias="users",
+        buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.size("users").cast("long").alias("n_users"),
+        F.array_min("users").cast("long").alias("min_user"),
+        F.array_max("users").cast("long").alias("max_user"),
+    )
+
+
+@register(
     "salted_join_events",
     oracle="""
     WITH dim AS (SELECT DISTINCT event_type,

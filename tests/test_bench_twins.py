@@ -94,3 +94,22 @@ def test_media_decode_bench_twin_equal_result(spark):
     naive = sorted(tuple(r) for r in naive_df.select(*cols).collect())
     assert eng == naive
     assert eng, "empty media fixture would vacuously pass"
+
+
+def test_audio_decode_bench_twin_equal_result(spark):
+    """The row-at-a-time pickled-UDF twin must emit the exact per-
+    stream stats the Arrow batch pass emits — same FLAC/ADPCM codecs
+    both sides, so any drift would mean the bench ratio compares
+    different decodes."""
+    import bench as bench_mod
+
+    eng_df = bench_mod.audio_decode_bench(spark, SF_SMALL)
+    naive_df = _load_naive()["audio_decode_bench"](spark, SF_SMALL)
+    cols = sorted(eng_df.columns)
+    assert cols == sorted(naive_df.columns)
+    eng = sorted(tuple(r) for r in eng_df.select(*cols).collect())
+    naive = sorted(tuple(r) for r in naive_df.select(*cols).collect())
+    assert eng == naive
+    assert eng, "empty audio fixture would vacuously pass"
+    assert {r[2] for r in eng_df.select("doc_id", "media_type", "encoding")
+            .collect()} == {"flac", "ima_adpcm"}

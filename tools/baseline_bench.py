@@ -1110,8 +1110,59 @@ def media_decode_bench(spark, sf_dir):
     )
 
 
+def audio_decode_bench(spark, sf_dir):
+    # naive audio decode: the IDENTICAL pure-Python FLAC/ADPCM codecs,
+    # but as a row-at-a-time pickled UDF (BatchEvalPython; useArrow
+    # forced off) over the same synthesized fixtures — one pickle
+    # round-trip per stream instead of one Arrow batch per partition.
+    # Same codecs both sides, so the ratio prices the execution shape.
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        synthesize_adpcm,
+        synthesize_flac,
+    )
+    from lfb_data_warehouse_spark.plans.datapipe_queries import (
+        ADPCM_DOC_MOD,
+        FLAC_DOC_MOD,
+    )
+    from lfb_data_warehouse_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = synthesize_flac(
+        docs.filter(F.col("doc_id") % FLAC_DOC_MOD == 10), "doc_id"
+    ).unionByName(
+        synthesize_adpcm(
+            docs.filter(F.col("doc_id") % ADPCM_DOC_MOD == 9), "doc_id"
+        )
+    )
+
+    struct_t = (
+        "media_type string, encoding string, n_samples long, "
+        "sum_linear long, sum_abs long, peak long"
+    )
+
+    @F.udf(struct_t, useArrow=False)
+    def dec_one(payload):
+        from lfb_data_warehouse_spark.operators.multimodal import decode_real
+
+        d = decode_real(bytes(payload))
+        if "samples" not in d:
+            raise ValueError(f"not an audio payload ({d.get('media_type')})")
+        s = d["samples"]
+        return (
+            d["media_type"], d.get("encoding"), len(s),
+            sum(s), sum(abs(v) for v in s), max(abs(v) for v in s),
+        )
+
+    return media.select("doc_id", dec_one("payload").alias("s")).select(
+        "doc_id", "s.*"
+    )
+
+
 NAIVE = {
     "flagship_star_fact": flagship_star_fact,
+    "audio_decode_bench": audio_decode_bench,
     "asof_nearest_purchase": asof_nearest_purchase,
     "interval_join_purchase_clicks": interval_join_purchase_clicks,
     "salted_agg_events": salted_agg_events,
