@@ -1081,6 +1081,118 @@ _R11_RECHECK: list[str] = [
     "tpch_q21_waiting_supplier",
 ]
 
+# Round 11's driver window, 50/50 green (CORRECTNESS_r11): the three
+# r11 oracle-fixed rows, the nine r11-new gates, and the 37 stale
+# rechecks that fit after displacement (tpch_q15/q17 and the four
+# trailing r7 fills fell outside the 50 cut — tools/freshness.py keeps
+# them in the r7 queue below).
+_R11_GREEN: list[str] = [
+    "tiff_decode_stats",
+    "jpeg_progressive_restart_stats",
+    "html_text_extract",
+    "warc_poison_battery",
+    "crawl_to_corpus",
+    "tiff_palette_decode_stats",
+    "line_dedup_boilerplate",
+    "tiff_tiled_decode_stats",
+    "adpcm_decode_stats",
+    "flac_decode_stats",
+    "jpeg_311_decode_stats",
+    "jpeg12_progressive_stats",
+    "asof_backward_last_click",
+    "stream_dedup_events",
+    "stream_dedup_jittered",
+    "window_battery_customer_orders",
+    "window_trailing_30d",
+    "histogram_order_prices",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_variety",
+    "tpch_q18_large_volume",
+    "approx_distinct_segments",
+    "cdc_merge_orders",
+    "reconcile_order_snapshots",
+    "bloom_semijoin_revenue",
+    "dedup_keep_canonical",
+    "remix_token_budget",
+    "text_bigram_novelty",
+    "text_vocab_oov",
+    "near_dup_recall_audit",
+    "semantic_dedup_keep",
+    "text_sentences_udtf",
+    "text_readability_stats",
+    "dpp_partitioned_fact_join",
+    "xml_roundtrip_part",
+    "python_datasource_weekday_orders",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+]
+
+# Round 12 re-verification, in priority order: tools/freshness.py's
+# staleness queue after round 11 — the 49 rows whose last driver row
+# is round 7, oldest-first exactly as the tool prints them. 46 fit
+# the 50-slot window after flagship + 1 oracle-fixed + 2 new gates;
+# the last three (decontaminate_test_split, bucketed_join_colocated,
+# partitioned_scan_pruning) spill to the front of the r13 queue.
+_R12_RECHECK: list[str] = [
+    "fillna_value_battery",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promo_suppliers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_cheapest_supplier",
+    "tpch_q22_prospects",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_simhash_fingerprints",
+    "span_dedup_documents",
+    "text_unigram_logprob",
+    "embedding_random_projection",
+    "stream_late_data_drop",
+    "stream_sliding_halfhour",
+    "stratified_split_documents",
+    "shard_assignment_documents",
+    "url_parse_battery",
+    "grouping_sets_mart",
+    "ntile_quartile_acctbal",
+    "text_token_diversity",
+    "cross_source_dup_matrix",
+    "split_drift_audit",
+    "window_frames_battery",
+    "mode_priority_per_segment",
+    "user_event_type_profile",
+    "winsorize_prices_by_flag",
+    "pandas_grouped_agg_median",
+    "maparrow_embedding_norms",
+    "observe_ingest_metrics",
+    "file_provenance_documents",
+    "zorder_clustering_locality",
+    "skew_audit_user_events",
+    "schema_drift_union_safe_math",
+    "mad_scrub_event_values",
+    "tpch_q12_late_priority",
+    "user_event_sequences",
+    "array_hof_battery",
+    "dedup_simhash_near_dups",
+    "knn_bruteforce_cosine",
+    "embedding_near_dup_pairs",
+    "ann_ivf_topk",
+    "embedding_lsh_near_dups",
+    "int8_ann_topk_claim",
+    "ivf_centroid_assign",
+]
+
 _ALL_GREEN: list[str] = _dedupe_keep_last(
     _R1_GREEN
     + _R2_GREEN
@@ -1092,55 +1204,43 @@ _ALL_GREEN: list[str] = _dedupe_keep_last(
     + _R8_GREEN
     + _R9_GREEN
     + _R10_GREEN
+    + _R11_GREEN
 )
 
-# Changed-oracle re-checks (the historically riskiest class), round 11:
-# tiff_decode_stats (fixture grew LZW/predictor rows + a predictor
-# column), jpeg_progressive_restart_stats (n_restarts now the TOTAL
-# markers the decoder actually consumed — oracle 6x per-scan count),
-# html_text_extract (numeric character references + multi-line
-# uppercase blocks in fixture and extractor). tools/rotation_check.py
-# verifies the changed-hash set mechanically against
-# tools/oracle_hashes.json.
+# Changed-oracle re-checks (the historically riskiest class), round 12:
+# media_poison_battery (the d%3 three-format rotation became the d%5
+# five-format rotation with FLAC + constant-corner ADPCM branches and
+# a second poison variant — every per-type CTE rewritten).
+# tools/rotation_check.py verifies the changed-hash set mechanically
+# against tools/oracle_hashes.json.
 ORACLE_FIXED: list[str] = [
-    "tiff_decode_stats",
-    "jpeg_progressive_restart_stats",
-    "html_text_extract",
+    "media_poison_battery",
 ]
 
 VERIFIED_GREEN: list[str] = [
     n
-    for n in _R11_RECHECK + [m for m in _ALL_GREEN if m not in set(_R11_RECHECK)]
+    for n in _R12_RECHECK + [m for m in _ALL_GREEN if m not in set(_R12_RECHECK)]
     if n not in set(ORACLE_FIXED)
 ]
 
-# Never-driver-checked queries: the round-11 additions, each displacing
-# one _R11_RECHECK slot from the 50-slot window. (reorder()'s new-query
+# Never-driver-checked queries: the round-12 additions, each displacing
+# one _R12_RECHECK slot from the 50-slot window. (reorder()'s new-query
 # branch also fronts anything not yet listed anywhere, so a query added
 # mid-round is window-checked the same round even before it lands here.)
+# Registry-growth discipline (VERDICT r11 item 7): budget ≤6 new gates
+# this round; these two are the round's whole allowance spend so the
+# stale queue keeps draining.
 UNCHECKED_PRIORITY: list[str] = [
-    "warc_poison_battery",  # r11: record-type spread, identity, poison
-    "crawl_to_corpus",  # r11: composed WARC→HTML→gates→dedup→packing
-    "tiff_palette_decode_stats",  # r11: Photometric=3 ColorMap lookup
-    "line_dedup_boilerplate",  # r11: CCNet line-level boilerplate drop
-    "tiff_tiled_decode_stats",  # r11: tile grid, padded edges, 322-325
-    "adpcm_decode_stats",  # r11: IMA ADPCM state machine, recursive-CTE oracle
-    "flac_decode_stats",  # r11: full FLAC bitstream — Rice, LPC, CRC, MD5
-    "jpeg_311_decode_stats",  # r11: factor-3 MCU walk, both orientations
-    "jpeg12_progressive_stats",  # r11: 12-bit SOF2, extended AC alphabet
+    "salted_collect_users",  # r12: holistic salted collect, measured crossover
+    "flac_stereo_decode_stats",  # r12: all 4 assignments + variable blocking
 ]
 
-# Round-12 queue (the r11 window is FULL at 50: flagship + 3
-# oracle-fixed + 9 unchecked + the 37 r6-era stale rows — adding any
-# further gate in r11 would have displaced a stale-row recheck).
-# Deferred to r12's UNCHECKED_PRIORITY / ORACLE_FIXED:
-# - media_poison_battery format spread: add FLAC + ADPCM payloads to
-#   synthesize_mixed_media's sniff-and-dispatch rotation (oracle
-#   changes → ORACLE_FIXED re-check)
-# - a stereo-FLAC or multichannel gate if one earns driver space
-#   (decode is pytest-proven as of r11; independent channels only)
-# - media_decode_bench refresh pricing the FLAC/ADPCM kernels
-# - r7-era staleness tail: run tools/freshness.py first, as always
+# Round-13 queue: the three r7-era rows displaced from the r12 window
+# (decontaminate_test_split, bucketed_join_colocated,
+# partitioned_scan_pruning — front of the next freshness queue), then
+# the r8 tail (png_pixel_decode_stats, ivfpq_structured_recall_audit,
+# jpeg_pixel_decode_stats, audio_feature_stats, ... — run
+# tools/freshness.py first, as always).
 
 
 def reorder(registry: dict) -> dict:
