@@ -64,14 +64,19 @@ is precision-agnostic; the level shift, u16 packing and the extended
 progressive AC alphabet — sizes to 14 — are the delta).
 
 Round 11 also admitted restart intervals inside lossless scans (the
-DICOM interleave shape): cycling RSTn every Ri samples with the H.2.2
-prediction reset to the scan-start default.
+DICOM interleave shape): cycling RSTn every Ri samples with the full
+H.1.1 prediction reset (tightened round 12: the interval's first line
+uses Ra, so prediction never crosses a marker). Round 12 admitted
+SUBSAMPLED interleaved lossless scans: per-component (H, V) factors
+with the A.2.3 MCU walk, each component predicting over its own
+sampling grid.
 
 Not supported (explicit ValueError, never a silent mis-decode):
 arithmetic coding (deliberately — the QM-coder's 46-row Qe table
 cannot be verified offline here, and a mistranscribed table would
 round-trip our own streams while falsely claiming T.81 interop),
-hierarchical frames, subsampled lossless scans.
+hierarchical frames, restart intervals inside subsampled lossless
+scans, subsampled lossless scans with partial MCUs.
 """
 
 from __future__ import annotations
@@ -1434,9 +1439,12 @@ def _run_progressive_scan(
 # 2^16 (H.1.1.4.2), so any P-bit sample stream round-trips exactly —
 # which is what makes this codec fully verifiable in-container: the
 # oracle recomputes raw sample arithmetic, no DCT-exactness argument
-# needed. Restart intervals and subsampled lossless scans are out of
-# scope (explicit ValueError): no fixture here emits them and their
-# prediction-reset semantics would be pinned against nothing.
+# needed. Round 11 added restart intervals (H.1.1-conforming
+# prediction reset since round 12), round 12 added subsampled
+# interleaved scans (A.2.3 MCU walk, per-component sampling grids).
+# Still out of scope (explicit ValueError): restart intervals INSIDE
+# subsampled lossless scans and partial-MCU subsampled frames — their
+# combined reset semantics would be pinned against nothing.
 
 LL_DC_VALS = list(range(17))  # SSSS categories 0..16 (16 = +32768, no bits)
 LL_DC_BITS = [0] * 16
@@ -1479,20 +1487,30 @@ def jpeg_lossless_bytes(
     precision: int = 8,
     point_transform: int = 0,
     restart_interval: int = 0,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
-    """REAL lossless JPEG (SOF3) encode of 1 or 3 non-subsampled
-    component planes (sequences of ints in 0..2^precision−1). Any
-    dimensions — there is no block grid. ``point_transform`` (Al)
-    drops that many low bits before prediction; the decoder restores
-    them as zeros (H.1). ``restart_interval`` > 0 (round 11): a
-    cycling RSTn every Ri MCUs (one sample per component), with
+    """REAL lossless JPEG (SOF3) encode of 1 or 3 component planes
+    (sequences of ints in 0..2^precision−1). Any dimensions for the
+    non-subsampled case — there is no block grid. ``point_transform``
+    (Al) drops that many low bits before prediction; the decoder
+    restores them as zeros (H.1). ``restart_interval`` > 0 (round 11):
+    a cycling RSTn every Ri MCUs (one sample per component), with
     prediction restarting exactly as at scan start (T.81 H.1.1,
     tightened round 12): first sample after the marker → the default
     ``2^(P-Pt-1)``, remainder of that interval's first line → the 1-D
     predictor Ra regardless of the selection, later lines → the
     selected predictor. Prediction never references a sample coded
     before the marker, so conforming external DICOM/T.81 streams with
-    DRI decode bit-exactly."""
+    DRI decode bit-exactly.
+
+    ``sampling`` (round 12 — retires the r11 honest-unsupported
+    refusal): per-component (H, V) factors for SUBSAMPLED interleaved
+    lossless scans. Each MCU carries H×V samples per component
+    (T.81 H.2.1/A.2.3 ordering: components in scan order, V then H
+    within); each component plane predicts over its OWN sampling grid
+    at ``(width·H/Hmax) × (height·V/Vmax)``. Fixture constraint:
+    width/height divisible by Hmax/Vmax. Restart intervals inside
+    subsampled lossless scans remain an explicit refusal."""
     ncomp = len(planes)
     if ncomp not in (1, 3):
         raise ValueError("1 (gray) or 3 (color) planes supported")
@@ -1504,10 +1522,32 @@ def jpeg_lossless_bytes(
         raise ValueError("point transform must be 0..precision-1")
     if width <= 0 or height <= 0:
         raise ValueError("zero-area frame")
+    if sampling is None:
+        sampling = [(1, 1)] * ncomp
+    if len(sampling) != ncomp:
+        raise ValueError("one (H, V) sampling factor pair per plane")
+    if any(not 1 <= hs <= 4 or not 1 <= vs <= 4 for hs, vs in sampling):
+        raise ValueError("sampling factors must be 1..4 (T.81 B.2.2)")
+    if sum(hs * vs for hs, vs in sampling) > 10:
+        raise ValueError("interleaved MCU exceeds 10 data units (T.81 B.2.3)")
+    subsampled = any(s != (1, 1) for s in sampling)
+    if subsampled and ncomp == 1:
+        raise ValueError("sampling factors require a 3-component frame")
+    if subsampled and restart_interval:
+        raise ValueError(
+            "restart intervals inside subsampled lossless scans not supported"
+        )
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    if subsampled and (width % hmax or height % vmax):
+        raise ValueError(
+            f"fixture encoder requires multiple-of-{hmax}x{vmax} dimensions"
+        )
+    dims = [(width * hs // hmax, height * vs // vmax) for hs, vs in sampling]
     smax = (1 << precision) - 1
-    for p in planes:
-        if len(p) != width * height:
-            raise ValueError(f"plane must be {width * height} samples")
+    for p, (cw, ch) in zip(planes, dims):
+        if len(p) != cw * ch:
+            raise ValueError(f"plane must be {cw * ch} samples")
         if min(p) < 0 or max(p) > smax:
             raise ValueError(f"samples must lie in 0..{smax}")
     if restart_interval < 0 or restart_interval > 0xFFFF:
@@ -1516,48 +1556,69 @@ def jpeg_lossless_bytes(
     enc = _huff_encode_table(LL_DC_BITS, LL_DC_VALS)
     default = 1 << (precision - point_transform - 1)
     w = _BitWriter()
-    mcu_i = rst = 0
-    reset_next = False
-    ra_row = -1  # row forced to Ra prediction after a restart (H.1.1)
-    for y in range(height):
-        for x in range(width):  # interleaved MCU = one sample per component
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                w.restart(rst)
-                rst = (rst + 1) % 8
-                reset_next = True  # H.2.2: predict as at scan start
-            mcu_i += 1
-            for p in shifted:
+
+    def code_diff(sample: int, px: int) -> None:
+        diff = (sample - px) & 0xFFFF  # modulo 2^16
+        if diff > 0x8000:
+            diff -= 0x10000  # signed in (-32768, 32768]
+        if diff == 0x8000:
+            code, ln = enc[16]  # SSSS=16: no extension bits
+            w.write(code, ln)
+            return
+        t = _category(diff)
+        code, ln = enc[t]
+        w.write(code, ln)
+        if t:
+            w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+    if subsampled:
+        # interleaved MCU walk: H×V samples per component per MCU,
+        # V-then-H within (A.2.3); prediction runs over each
+        # component's OWN sampling grid
+        for my in range(height // vmax):
+            for mx in range(width // hmax):
+                for ci, p in enumerate(shifted):
+                    hs, vs = sampling[ci]
+                    cw = dims[ci][0]
+                    for v in range(vs):
+                        for h in range(hs):
+                            x, y = mx * hs + h, my * vs + v
+                            px = _ll_predict(p, x, y, cw, predictor, default)
+                            code_diff(p[y * cw + x], px)
+    else:
+        mcu_i = rst = 0
+        reset_next = False
+        ra_row = -1  # row forced to Ra prediction after a restart (H.1.1)
+        for y in range(height):
+            for x in range(width):  # interleaved MCU = one sample per component
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    w.restart(rst)
+                    rst = (rst + 1) % 8
+                    reset_next = True  # H.2.2: predict as at scan start
+                mcu_i += 1
+                for p in shifted:
+                    if reset_next:
+                        px = default
+                    elif y == ra_row:
+                        # T.81 H.1.1: the restart interval's FIRST LINE
+                        # uses the 1-D predictor Ra regardless of the
+                        # selection — prediction never references across
+                        # the marker
+                        px = p[y * width + x - 1]
+                    else:
+                        px = _ll_predict(p, x, y, width, predictor, default)
+                    code_diff(p[y * width + x], px)
                 if reset_next:
-                    px = default
-                elif y == ra_row:
-                    # T.81 H.1.1: the restart interval's FIRST LINE uses
-                    # the 1-D predictor Ra regardless of the selection —
-                    # prediction never references across the marker
-                    px = p[y * width + x - 1]
-                else:
-                    px = _ll_predict(p, x, y, width, predictor, default)
-                diff = (p[y * width + x] - px) & 0xFFFF  # modulo 2^16
-                if diff > 0x8000:
-                    diff -= 0x10000  # signed in (-32768, 32768]
-                if diff == 0x8000:
-                    code, ln = enc[16]  # SSSS=16: no extension bits
-                    w.write(code, ln)
-                    continue
-                t = _category(diff)
-                code, ln = enc[t]
-                w.write(code, ln)
-                if t:
-                    w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-            if reset_next:
-                reset_next = False
-                ra_row = y  # remainder of this row is the interval's first line
+                    reset_next = False
+                    ra_row = y  # rest of this row: the interval's first line
     entropy = w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     sof_comps = b"".join(
-        struct.pack("BBB", ci + 1, 0x11, 0) for ci in range(ncomp)
+        struct.pack("BBB", ci + 1, (sampling[ci][0] << 4) | sampling[ci][1], 0)
+        for ci in range(ncomp)
     )
     out = b"\xff\xd8"
     out += seg(0xFFC4, b"\x00" + bytes(LL_DC_BITS) + bytes(LL_DC_VALS))
@@ -1581,6 +1642,7 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
     dc_tables: dict[int, dict] = {}
     width = height = precision = None
     comp_ids: list[int] = []
+    comp_sampling: list[tuple[int, int]] = []
     scan: list[tuple[int, int]] = []
     predictor = pt = None
     restart_interval = 0
@@ -1613,9 +1675,11 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
                 raise ValueError("only 1- or 3-component frames supported")
             for ci in range(ncomp):
                 cid, samp, _ = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError("subsampled lossless scans not supported")
+                hs, vs = samp >> 4, samp & 0xF
+                if not 1 <= hs <= 4 or not 1 <= vs <= 4:
+                    raise ValueError("sampling factors must be 1..4 (T.81 B.2.2)")
                 comp_ids.append(cid)
+                comp_sampling.append((hs, vs))
         elif marker == 0xDD:  # DRI composes with lossless scans (round 11)
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
@@ -1648,45 +1712,87 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
     for _, td in scan:
         if td not in dc_tables:
             raise ValueError("JPEG scan references undefined table")
+    # sampling in SCAN component order (round 12 — subsampled lossless)
+    scan_sampling = [comp_sampling[comp_ids.index(cid)] for cid, _ in scan]
+    subsampled = ncomp > 1 and any(s != (1, 1) for s in scan_sampling)
+    hmax = max(hs for hs, _ in scan_sampling)
+    vmax = max(vs for _, vs in scan_sampling)
+    if subsampled:
+        if sum(hs * vs for hs, vs in scan_sampling) > 10:
+            raise ValueError(
+                "interleaved MCU exceeds 10 data units (T.81 B.2.3)"
+            )
+        if restart_interval:
+            raise ValueError(
+                "restart intervals inside subsampled lossless scans not supported"
+            )
+        if width % hmax or height % vmax:
+            raise ValueError(
+                "subsampled lossless scans with partial MCUs not supported"
+            )
+        dims = [
+            (width * hs // hmax, height * vs // vmax)
+            for hs, vs in scan_sampling
+        ]
+    else:
+        dims = [(width, height)] * ncomp
     end = b.rfind(b"\xff\xd9")
     r = _BitReader(b[entropy_start : end if end > entropy_start else len(b)])
     default = 1 << (precision - pt - 1)
-    planes = [[0] * (width * height) for _ in range(ncomp)]
+    planes = [[0] * (cw * ch) for cw, ch in dims]
     mask = (1 << (precision - pt)) - 1
-    mcu_i = rst_m = 0
-    reset_next = False
-    ra_row = -1  # row forced to Ra prediction after a restart (H.1.1)
-    for y in range(height):
-        for x in range(width):
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                r.expect_restart(rst_m)  # byte-align + RSTn
-                rst_m = (rst_m + 1) % 8
-                reset_next = True  # H.2.2: predict as at scan start
-            mcu_i += 1
-            for ci, (_, td) in enumerate(scan):
-                p = planes[ci]
+
+    def read_diff(td: int) -> int:
+        t = r.read_huff(dc_tables[td])
+        if t == 16:
+            return 0x8000
+        if t:
+            v = r.read_bits(t)
+            if v < (1 << (t - 1)):
+                v -= (1 << t) - 1
+            return v
+        return 0
+
+    if subsampled:
+        # interleaved MCU walk mirroring the encoder: H×V samples per
+        # component per MCU (A.2.3), prediction over each component's
+        # own sampling grid
+        for my in range(height // vmax):
+            for mx in range(width // hmax):
+                for ci, (_, td) in enumerate(scan):
+                    hs, vs = scan_sampling[ci]
+                    cw = dims[ci][0]
+                    p = planes[ci]
+                    for v in range(vs):
+                        for h in range(hs):
+                            x, y = mx * hs + h, my * vs + v
+                            px = _ll_predict(p, x, y, cw, predictor, default)
+                            p[y * cw + x] = (px + read_diff(td)) & 0xFFFF & mask
+    else:
+        mcu_i = rst_m = 0
+        reset_next = False
+        ra_row = -1  # row forced to Ra prediction after a restart (H.1.1)
+        for y in range(height):
+            for x in range(width):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    r.expect_restart(rst_m)  # byte-align + RSTn
+                    rst_m = (rst_m + 1) % 8
+                    reset_next = True  # H.2.2: predict as at scan start
+                mcu_i += 1
+                for ci, (_, td) in enumerate(scan):
+                    p = planes[ci]
+                    if reset_next:
+                        px = default
+                    elif y == ra_row:
+                        # T.81 H.1.1: the restart interval's first line
+                        # uses Ra regardless of the selected predictor
+                        px = p[y * width + x - 1]
+                    else:
+                        px = _ll_predict(p, x, y, width, predictor, default)
+                    p[y * width + x] = (px + read_diff(td)) & 0xFFFF & mask
                 if reset_next:
-                    px = default
-                elif y == ra_row:
-                    # T.81 H.1.1: the restart interval's first line uses
-                    # Ra regardless of the selected predictor
-                    px = p[y * width + x - 1]
-                else:
-                    px = _ll_predict(p, x, y, width, predictor, default)
-                t = r.read_huff(dc_tables[td])
-                if t == 16:
-                    diff = 0x8000
-                elif t:
-                    v = r.read_bits(t)
-                    if v < (1 << (t - 1)):
-                        v -= (1 << t) - 1
-                    diff = v
-                else:
-                    diff = 0
-                p[y * width + x] = (px + diff) & 0xFFFF & mask
-            if reset_next:
-                reset_next = False
-                ra_row = y  # remainder of this row is the interval's first line
+                    reset_next = False
+                    ra_row = y  # rest of this row: the interval's first line
     bit_depth = precision
     if pt:
         planes = [[v << pt for v in p] for p in planes]
@@ -1706,10 +1812,10 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
         "height": height,
         "channels": ncomp,
         "bit_depth": bit_depth,
-        "sampling": [(1, 1)] * ncomp,
+        "sampling": scan_sampling,
         "restart_interval": restart_interval,
         "n_restart_markers": r.restarts_consumed,
-        "plane_dims": [(width, height)] * ncomp,
+        "plane_dims": dims,
         "lossless": True,
         "predictor": predictor,
         "point_transform": pt,

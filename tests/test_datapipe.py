@@ -3061,3 +3061,61 @@ def test_round12_advice_guards():
     # bytes planes and in-range lists stay accepted
     assert jpeg_progressive_bytes(
         8, 8, [[255] * 64], bands=((1, 63),))[:2] == b"\xff\xd8"
+
+
+def test_jpeg_lossless_subsampled_roundtrip():
+    """Round 12 retires the subsampled-lossless refusal: interleaved
+    SOF3 scans with per-component (H, V) factors round-trip EXACTLY
+    across sampling shapes, precisions, predictors and point
+    transforms — each component predicts over its OWN sampling grid
+    and the A.2.3 MCU walk (V then H within the MCU) matches between
+    encoder and decoder. The narrowed refusals stay explicit."""
+    import random
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_lossless_bytes,
+    )
+
+    rng = random.Random(31)
+    for sampling in ([(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)],
+                     [(1, 2), (2, 2), (1, 1)], [(4, 1), (1, 1), (2, 1)]):
+        hmax = max(h for h, _ in sampling)
+        vmax = max(v for _, v in sampling)
+        w, h = hmax * 3, vmax * 2
+        dims = [(w * hs // hmax, h * vs // vmax) for hs, vs in sampling]
+        for prec, pt in ((8, 0), (16, 2), (12, 1)):
+            smax = (1 << prec) - 1
+            planes = [[rng.randint(0, smax) for _ in range(cw * ch)]
+                      for cw, ch in dims]
+            for pred in (1, 4, 7):
+                d = jpeg_decode_pixels(jpeg_lossless_bytes(
+                    w, h, planes, predictor=pred, precision=prec,
+                    point_transform=pt, sampling=sampling))
+                lost = ~((1 << pt) - 1) & 0xFFFF
+                exp = [[v & lost for v in p] for p in planes]
+                if prec <= 8:
+                    got = [list(p) for p in d["planes"]]
+                else:
+                    got = [list(_struct.unpack(f">{len(pl)}H", p))
+                           for pl, p in zip(planes, d["planes"])]
+                assert got == exp, (sampling, prec, pred)
+                assert d["sampling"] == sampling
+                assert d["plane_dims"] == dims
+                assert d["lossless"] and d["channels"] == 3
+    # narrowed refusals stay explicit
+    s420 = [(2, 2), (1, 1), (1, 1)]
+    full = [[0] * 16, [0] * 4, [0] * 4]
+    with _pytest.raises(ValueError, match="not supported"):
+        jpeg_lossless_bytes(4, 4, full, sampling=s420, restart_interval=2)
+    with _pytest.raises(ValueError, match="3-component"):
+        jpeg_lossless_bytes(4, 4, [[0] * 16], sampling=[(2, 2)])
+    with _pytest.raises(ValueError, match="multiple-of-2x2"):
+        jpeg_lossless_bytes(5, 4, [[0] * 20, [0] * 8, [0] * 8], sampling=s420)
+    with _pytest.raises(ValueError, match="10 data units"):
+        jpeg_lossless_bytes(
+            4, 4, [[0] * 16, [0] * 16, [0] * 16],
+            sampling=[(2, 2), (2, 2), (2, 2)])
