@@ -259,6 +259,13 @@ def main() -> None:
             "jpeg_311_decode_stats",
             "jpeg12_progressive_stats",
             "line_dedup_boilerplate",
+            # round-12 additions: the holistic salted collect (claimed
+            # two bounded exchanges of (key, salt, set) partials, never
+            # raw rows past phase 1), the stereo-FLAC zero-exchange
+            # pass, and the rewritten five-format poison battery
+            "salted_collect_users",
+            "flac_stereo_decode_stats",
+            "media_poison_battery",
         )
         runners.update({n: REGISTRY[n].fn for n in AUDIT_EXTRA})
         # bootstrap yesterday's labels UNTAGGED so the audit-only
