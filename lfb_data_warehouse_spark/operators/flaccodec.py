@@ -25,9 +25,11 @@ number is the frame index) and variable (the number is the frame's
 first-sample index — live-capture encoders' layout). The driver gate
 is mono/fixed; stereo and variable blocking are property-tested.
 
-Not supported (explicit ValueError, never a silent mis-decode):
-sample sizes other than 8/16 bits, reserved channel assignments
-(0b1011+), reserved blocksize/sample-rate codes.
+Sample sizes: the full RFC 9639 set — 8/12/16/20/24/32 bits (round
+12; 24-bit is the archival standard). Not supported (explicit
+ValueError, never a silent mis-decode): reserved sample-size code
+0b011, reserved channel assignments (0b1011+), reserved
+blocksize/sample-rate codes.
 
 Scale shape: like the other codecs, FLAC rides the Arrow
 ``mapInPandas`` media pattern (`operators/multimodal.py`) — payloads
@@ -379,7 +381,10 @@ def _decode_subframe(r: _BitReader, blocksize: int, bps: int) -> tuple[list[int]
     return samples, kind
 
 
-_BPS_CODE = {8: 0b001, 16: 0b100}
+# RFC 9639 §9.1.4 sample-size codes (0b000 = from STREAMINFO;
+# 0b011 reserved). Round 12 extends beyond 8/16 to the full set —
+# 24-bit is the common archival depth.
+_BPS_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110, 32: 0b111}
 _BPS_FROM_CODE = {v: k for k, v in _BPS_CODE.items()}
 
 
@@ -388,10 +393,10 @@ def _md5_samples(frames: list[list[int]], bps: int) -> bytes:
     bps/8 bytes each (the spec's definition; ``frames`` hold samples
     already in interleaved order)."""
     h = hashlib.md5()
-    fmt = "<b" if bps == 8 else "<h"
+    nbytes = (bps + 7) // 8  # 12 -> 2, 20/24 -> 3, 32 -> 4 (RFC 9639)
     for samples in frames:
         for s in samples:
-            h.update(struct.pack(fmt, s))
+            h.update(s.to_bytes(nbytes, "little", signed=True))
     return h.digest()
 
 
@@ -439,7 +444,7 @@ def flac_bytes(
     interleaved stream) computed for real so the decoder's integrity
     checks have teeth."""
     if bps not in _BPS_CODE:
-        raise ValueError(f"only 8/16-bit FLAC supported, got {bps}")
+        raise ValueError(f"FLAC bits-per-sample must be one of 8/12/16/20/24/32, got {bps}")
     if not 1 <= channels <= 8:
         raise ValueError("FLAC supports 1..8 channels")
     if assignment not in _ASSIGNMENT_CODES:
@@ -563,7 +568,7 @@ def flac_decode_samples(b: bytes) -> dict:
     total = r0.read(36)
     md5 = streaminfo[18:34]
     if bps not in _BPS_CODE:
-        raise ValueError(f"only 8/16-bit FLAC supported, got {bps}")
+        raise ValueError(f"FLAC bits-per-sample must be one of 8/12/16/20/24/32, got {bps}")
     # samples decode into Python int lists (~8 bytes each, like the
     # 12-bit JPEG planes — jpegcodec.py's cap precedent), NOT bps/8
     # raw bytes; capping at the raw-byte rate would admit ~8-16x the

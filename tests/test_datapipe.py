@@ -3119,3 +3119,47 @@ def test_jpeg_lossless_subsampled_roundtrip():
         jpeg_lossless_bytes(
             4, 4, [[0] * 16, [0] * 16, [0] * 16],
             sampling=[(2, 2), (2, 2), (2, 2)])
+
+
+def test_flac_deep_bit_depths():
+    """Round 12 extends FLAC beyond 8/16-bit to the full RFC 9639
+    sample-size set (12/20/24/32 — 24-bit is the archival standard):
+    round-trips are exact at every depth, the frame header carries the
+    right size code, the MD5 runs over ceil(bps/8)-byte little-endian
+    samples, and mid/side decorrelation survives the side channel's
+    extra bit at depth. Reserved code 0b011 (and every non-set width)
+    stays an explicit refusal."""
+    import random
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.flaccodec import (
+        flac_bytes,
+        flac_decode_samples,
+    )
+
+    rng = random.Random(13)
+    for bps in (12, 20, 24, 32):
+        lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+        s1 = [rng.randint(lo, hi) for _ in range(40)]
+        d = flac_decode_samples(flac_bytes(48000, bps, [(s1, ("verbatim",))]))
+        assert d["samples"] == s1 and d["bits"] == bps
+        s2 = [rng.randint(lo // 2, hi // 2) for _ in range(48)]
+        d = flac_decode_samples(flac_bytes(48000, bps, [(s2, ("fixed", 2, 1))]))
+        assert d["samples"] == s2
+        left = [rng.randint(lo // 2, hi // 2) for _ in range(32)]
+        right = [rng.randint(lo // 2, hi // 2) for _ in range(32)]
+        d = flac_decode_samples(flac_bytes(
+            48000, bps, [([left, right], [("fixed", 1, 0), ("verbatim",)])],
+            channels=2, assignment="mid_side"))
+        assert d["samples"] == [v for i in range(32)
+                                for v in (left[i], right[i])]
+    # corruption at depth still lands on CRC-16/MD5, never silence
+    blob = bytearray(flac_bytes(
+        48000, 24, [([rng.randint(-1 << 22, 1 << 22) for _ in range(40)],
+                     ("fixed", 2, 1))]))
+    blob[-3] ^= 0x40
+    with _pytest.raises(ValueError):
+        flac_decode_samples(bytes(blob))
+    with _pytest.raises(ValueError, match="8/12/16/20/24/32"):
+        flac_bytes(48000, 14, [([0] * 16, ("constant",))])
