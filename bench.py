@@ -55,13 +55,14 @@ EXTRA_BENCH = (
     "audio_decode_bench",
 )
 
-# The rows benchmarked in BOTH round 10 and round 11 (the full
-# round-10 suite including media_decode_bench, which joined in r10;
-# crawl_to_corpus is new in r11 and therefore NOT carried). Their
+# The rows benchmarked in BOTH round 11 and round 12 (the full
+# round-11 suite including crawl_to_corpus, which joined in r11;
+# audio_decode_bench is new in r12 and therefore NOT carried). Their
 # subtotal is reported alongside the full headline so genuine
 # regression separates from suite growth in one glance (VERDICT r6
 # item 6); rebuild this tuple whenever the suite changes.
 CARRIED_FROM_PREV = (
+    "crawl_to_corpus",
     "media_decode_bench",
     "stream_sliding_bench",
     "flagship_star_fact",

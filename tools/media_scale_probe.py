@@ -29,6 +29,10 @@ QUERIES = (
     "flac_decode_stats",
     "jpeg_311_decode_stats",
     "jpeg12_progressive_stats",
+    # round-12 gates: stereo/decorrelated FLAC and the five-format
+    # sniff-and-dispatch battery
+    "flac_stereo_decode_stats",
+    "media_poison_battery",
 )
 
 
