@@ -2257,12 +2257,16 @@ POISON_STATS_SCHEMA = (
 def synthesize_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
     """Manufacture a HETEROGENEOUS corpus with deterministic poison —
     what a real crawl-derived payload column looks like: doc ``d``
-    carries a PNG / grayscale JPEG / PCM WAV / FLAC / IMA-ADPCM WAV by
-    ``d%5`` (the audio tier joined the rotation in round 12), and every
-    odd doc is poisoned two ways by ``d%4``: magic bytes stomped
-    (``DE AD BE EF`` — sniffing fails) or truncated to its first 8
-    bytes (sniffable magic, undecodable structure) — the corrupt-
-    payload mix a 100 TB crawl always has.
+    carries a PNG / grayscale JPEG / PCM WAV / FLAC / IMA-ADPCM WAV /
+    GIF / BMP / TIFF by ``(d//2) % 8`` (the audio tier joined the
+    rotation in round 12, then the full image tier — every sniffable
+    container the engine decodes is now dispatch-tested in ONE gate),
+    and every odd doc is poisoned two ways by ``d%4``: magic bytes
+    stomped (``DE AD BE EF`` — sniffing fails) or truncated to its
+    first 8 bytes (sniffable magic, undecodable structure) — the
+    corrupt-payload mix a 100 TB crawl always has. The type selector
+    uses ``d//2`` so both parities reach every format: each format
+    class carries its own poison rows.
 
     The ADPCM stream is the closed-form corner of the state machine:
     ``idx0 = 0`` and all-sign-bit nibbles hold step at 7 (diff =
@@ -2271,7 +2275,9 @@ def synthesize_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
     the oracle can price it arithmetically (the general state machine
     is gated by ``adpcm_decode_stats``'s recursive-CTE oracle)."""
     from .flaccodec import flac_bytes
+    from .gifcodec import gif_bytes
     from .jpegcodec import jpeg_pixel_bytes
+    from .tiffcodec import tiff_bytes
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2281,7 +2287,7 @@ def synthesize_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
             payloads = []
             for doc_id in ids:
                 d = int(doc_id)
-                t = d % 5
+                t = (d // 2) % 8
                 if t == 0:
                     n = d % 9 + 2
                     raster = bytes(
@@ -2301,10 +2307,36 @@ def synthesize_mixed_media(df: DataFrame, id_col: str) -> DataFrame:
                     n = d % 40 + 16
                     samples = [((7 * d + 13 * i) % 2001) - 1000 for i in range(n)]
                     p = flac_bytes(8000, 16, [(samples, ("verbatim",))])
-                else:
+                elif t == 4:
                     spb = d % 30 + 9
                     pred0 = (7 * d) % 2001 - 1000
                     p = wav_adpcm_bytes(8000, [(pred0, 0, [8] * (spb - 1))], spb)
+                elif t == 5:
+                    gw, gh = d % 6 + 2, d % 4 + 2
+                    pal = bytes((7 * j) % 256 for j in range(12))
+                    idx = bytes(
+                        (x + 2 * y + d) % 4
+                        for y in range(gh)
+                        for x in range(gw)
+                    )
+                    p = gif_bytes(gw, gh, idx, pal)
+                elif t == 6:
+                    bw, bh = d % 7 + 2, d % 5 + 2
+                    rgb = bytes(
+                        (3 * x + 5 * y + 7 * d + 11 * c) % 256
+                        for y in range(bh)
+                        for x in range(bw)
+                        for c in range(3)
+                    )
+                    p = bmp_bytes(bw, bh, rgb)
+                else:
+                    tw, th = d % 8 + 3, d % 6 + 3
+                    raster = bytes(
+                        (3 * x + 5 * y + 7 * d) % 256
+                        for y in range(th)
+                        for x in range(tw)
+                    )
+                    p = tiff_bytes(tw, th, raster, channels=1)
                 if d % 4 == 1:  # poison: stomp the magic
                     p = b"\xde\xad\xbe\xef" + p[4:]
                 elif d % 4 == 3:  # poison: magic intact, structure gone
@@ -2334,14 +2366,11 @@ def decode_media_poison_stats(media: DataFrame) -> DataFrame:
                 try:
                     d = decode_real(bytes(payload))
                     mt = d.get("media_type")
-                    if mt == "image/png":
+                    if mt in ("image/png", "image/jpeg", "image/gif",
+                              "image/bmp", "image/tiff"):
                         vals = d["raster"]
-                    elif mt == "image/jpeg":
-                        vals = d["raster"]
-                    elif mt == "audio/wav":
-                        vals = d["samples"]  # PCM and block-framed ADPCM alike
-                    elif mt == "audio/flac":
-                        vals = d["samples"]
+                    elif mt in ("audio/wav", "audio/flac"):
+                        vals = d["samples"]  # PCM, block-framed ADPCM, FLAC
                     else:
                         raise ValueError(f"unsniffable payload ({mt})")
                     rows.append(

@@ -4366,14 +4366,14 @@ POISON_DOC_MOD = 7  # doc_id % 7 == 4 → ~1/7 of documents, half poisoned
       FROM sel s,
            LATERAL (SELECT unnest(range(0, s.doc_id % 9 + 2)) AS x) gx,
            LATERAL (SELECT unnest(range(0, s.doc_id % 9 + 2)) AS y) gy
-      WHERE s.doc_id % 5 = 0 AND s.doc_id % 2 = 0
+      WHERE (s.doc_id // 2) % 8 = 0 AND s.doc_id % 2 = 0
       GROUP BY s.doc_id
     ),
     jpg AS (
       SELECT doc_id, 'image/jpeg',
              CAST(64 AS BIGINT),
              CAST(64 * (7 * doc_id % 256) AS BIGINT)
-      FROM sel WHERE doc_id % 5 = 1 AND doc_id % 2 = 0
+      FROM sel WHERE (doc_id // 2) % 8 = 1 AND doc_id % 2 = 0
     ),
     wav AS (
       SELECT s.doc_id, 'audio/wav',
@@ -4381,7 +4381,7 @@ POISON_DOC_MOD = 7  # doc_id % 7 == 4 → ~1/7 of documents, half poisoned
              CAST(sum((7 * s.doc_id + 13 * gi.i) % 2001 - 1000) AS BIGINT)
       FROM sel s,
            LATERAL (SELECT unnest(range(0, s.doc_id % 50 + 10)) AS i) gi
-      WHERE s.doc_id % 5 = 2 AND s.doc_id % 2 = 0
+      WHERE (s.doc_id // 2) % 8 = 2 AND s.doc_id % 2 = 0
       GROUP BY s.doc_id
     ),
     flac AS (
@@ -4390,7 +4390,7 @@ POISON_DOC_MOD = 7  # doc_id % 7 == 4 → ~1/7 of documents, half poisoned
              CAST(sum((7 * s.doc_id + 13 * gi.i) % 2001 - 1000) AS BIGINT)
       FROM sel s,
            LATERAL (SELECT unnest(range(0, s.doc_id % 40 + 16)) AS i) gi
-      WHERE s.doc_id % 5 = 3 AND s.doc_id % 2 = 0
+      WHERE (s.doc_id // 2) % 8 = 3 AND s.doc_id % 2 = 0
       GROUP BY s.doc_id
     ),
     adpcm AS (
@@ -4399,7 +4399,43 @@ POISON_DOC_MOD = 7  # doc_id % 7 == 4 → ~1/7 of documents, half poisoned
       SELECT doc_id, 'audio/wav',
              CAST(doc_id % 30 + 9 AS BIGINT),
              CAST((doc_id % 30 + 9) * ((7 * doc_id) % 2001 - 1000) AS BIGINT)
-      FROM sel WHERE doc_id % 5 = 4 AND doc_id % 2 = 0
+      FROM sel WHERE (doc_id // 2) % 8 = 4 AND doc_id % 2 = 0
+    ),
+    gif AS (
+      -- indices (x + 2y + d) % 4 through the 4-entry palette whose
+      -- channel bytes are (7 * (3*idx + c)) % 256
+      SELECT s.doc_id, 'image/gif',
+             CAST((s.doc_id % 6 + 2) * (s.doc_id % 4 + 2) * 3 AS BIGINT),
+             CAST(sum((7 * (3 * ((gx.x + 2 * gy.y + s.doc_id) % 4) + gc.c))
+                      % 256) AS BIGINT)
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.doc_id % 6 + 2)) AS x) gx,
+           LATERAL (SELECT unnest(range(0, s.doc_id % 4 + 2)) AS y) gy,
+           LATERAL (SELECT unnest(range(0, 3)) AS c) gc
+      WHERE (s.doc_id // 2) % 8 = 5 AND s.doc_id % 2 = 0
+      GROUP BY s.doc_id
+    ),
+    bmp AS (
+      SELECT s.doc_id, 'image/bmp',
+             CAST((s.doc_id % 7 + 2) * (s.doc_id % 5 + 2) * 3 AS BIGINT),
+             CAST(sum((3 * gx.x + 5 * gy.y + 7 * s.doc_id + 11 * gc.c) % 256)
+               AS BIGINT)
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.doc_id % 7 + 2)) AS x) gx,
+           LATERAL (SELECT unnest(range(0, s.doc_id % 5 + 2)) AS y) gy,
+           LATERAL (SELECT unnest(range(0, 3)) AS c) gc
+      WHERE (s.doc_id // 2) % 8 = 6 AND s.doc_id % 2 = 0
+      GROUP BY s.doc_id
+    ),
+    tif AS (
+      SELECT s.doc_id, 'image/tiff',
+             CAST((s.doc_id % 8 + 3) * (s.doc_id % 6 + 3) AS BIGINT),
+             CAST(sum((3 * gx.x + 5 * gy.y + 7 * s.doc_id) % 256) AS BIGINT)
+      FROM sel s,
+           LATERAL (SELECT unnest(range(0, s.doc_id % 8 + 3)) AS x) gx,
+           LATERAL (SELECT unnest(range(0, s.doc_id % 6 + 3)) AS y) gy
+      WHERE (s.doc_id // 2) % 8 = 7 AND s.doc_id % 2 = 0
+      GROUP BY s.doc_id
     ),
     bad AS (
       SELECT doc_id, CAST(NULL AS VARCHAR),
@@ -4410,15 +4446,19 @@ POISON_DOC_MOD = 7  # doc_id % 7 == 4 → ~1/7 of documents, half poisoned
            n_units, value_sum
     FROM (SELECT * FROM png UNION ALL SELECT * FROM jpg
           UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM flac
-          UNION ALL SELECT * FROM adpcm UNION ALL SELECT * FROM bad)
+          UNION ALL SELECT * FROM adpcm UNION ALL SELECT * FROM gif
+          UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM tif
+          UNION ALL SELECT * FROM bad)
     """,
 )
 def media_poison_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heterogeneous dispatch + poison safety in ONE plan — what a real
-    crawl payload column is (round 10; audio tier rotated in round 12):
-    synthesize_mixed_media hands each doc a PNG / JPEG / PCM WAV /
-    FLAC / IMA-ADPCM WAV by ``d%5`` and poisons every odd doc two ways
-    (magic stomped, or truncated-to-8-bytes with magic intact);
+    crawl payload column is (round 10; audio tier + the full image
+    tier rotated in round 12): synthesize_mixed_media hands each doc a
+    PNG / JPEG / PCM WAV / FLAC / IMA-ADPCM WAV / GIF / BMP / TIFF by
+    ``(d//2)%8`` — every sniffable container the engine decodes, in
+    one gate — and poisons every odd doc two ways (magic stomped, or
+    truncated-to-8-bytes with magic intact);
     decode_media_poison_stats must sniff-and-dispatch per payload, run
     the full per-type decode on the good rows (their pixel/sample sums
     are oracle-checked — the FLAC path walks the real bitstream, the
