@@ -3163,3 +3163,34 @@ def test_flac_deep_bit_depths():
         flac_decode_samples(bytes(blob))
     with _pytest.raises(ValueError, match="8/12/16/20/24/32"):
         flac_bytes(48000, 14, [([0] * 16, ("constant",))])
+
+
+def test_mixed_media_eight_format_dispatch(spark):
+    """The round-12 battery rotation covers every sniffable container
+    in ONE pass: all eight media types decode next to both poison
+    variants (magic stomp, truncate-to-8) without killing the stage,
+    and per-type row counts match the (d//2)%8 selector."""
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        decode_media_poison_stats,
+        synthesize_mixed_media,
+    )
+
+    docs = spark.range(0, 256).select(F.col("id").alias("doc_id"))
+    out = decode_media_poison_stats(synthesize_mixed_media(docs, "doc_id"))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 256
+    types = {}
+    for d, r in rows.items():
+        if d % 2 == 1:
+            assert not r["decoded"] and r["media_type"] is None, d
+        else:
+            assert r["decoded"] and r["value_sum"] is not None, d
+            types.setdefault(r["media_type"], set()).add((d // 2) % 8)
+    # every good doc's reported type matches its selector class
+    assert types == {
+        "image/png": {0}, "image/jpeg": {1}, "audio/wav": {2, 4},
+        "audio/flac": {3}, "image/gif": {5}, "image/bmp": {6},
+        "image/tiff": {7},
+    }
