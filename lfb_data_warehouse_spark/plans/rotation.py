@@ -1208,11 +1208,17 @@ _ALL_GREEN: list[str] = _dedupe_keep_last(
 )
 
 # Changed-oracle re-checks (the historically riskiest class), round 12:
-# media_poison_battery (the d%3 three-format rotation became the d%5
-# five-format rotation with FLAC + constant-corner ADPCM branches and
-# a second poison variant — every per-type CTE rewritten).
+# media_poison_battery (the d%3 three-format rotation became the
+# (d//2)%8 eight-format rotation — audio tier + GIF/BMP/TIFF — with a
+# second poison variant; every per-type CTE rewritten).
 # tools/rotation_check.py verifies the changed-hash set mechanically
 # against tools/oracle_hashes.json.
+# Engine-plan-only change note: tpch_q18_large_volume's quantity gate
+# moved to the scaled-long fast path this round WITHOUT an oracle edit
+# (r11-green, outside the r12 window by freshness priority); verified
+# row-identical against its unchanged oracle at sf0.01 in-round, in
+# BOTH the engine session and a vanilla session (the post-change
+# targeted recheck that SWEEP_r12.json predates).
 ORACLE_FIXED: list[str] = [
     "media_poison_battery",
 ]
