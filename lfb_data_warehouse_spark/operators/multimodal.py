@@ -807,16 +807,21 @@ def wav_pcm_bytes(channels: int, sample_rate: int, samples: list[int], bits: int
     """PCM WAV with REAL sample data (``samples`` is the interleaved
     int16 stream) — the non-silent sibling of :func:`wav_bytes`, so
     sample-level decode and feature extraction have actual signal to
-    recover. ``bits`` selects the pack format (16-bit signed or 8-bit
-    unsigned PCM) so the header and the data chunk always agree —
-    writing a 16-bit stream under an 8-bit header produced a corrupt
-    WAV (round-8 ADVICE)."""
+    recover. ``bits`` selects the pack format (8-bit unsigned, or
+    16/24/32-bit signed — 24-bit is the studio-master depth, round 12)
+    so the header and the data chunk always agree — writing a 16-bit
+    stream under an 8-bit header produced a corrupt WAV (round-8
+    ADVICE)."""
     if bits == 16:
         data = struct.pack(f"<{len(samples)}h", *samples)
     elif bits == 8:
         data = struct.pack(f"<{len(samples)}B", *samples)
+    elif bits == 24:
+        data = b"".join(v.to_bytes(3, "little", signed=True) for v in samples)
+    elif bits == 32:
+        data = struct.pack(f"<{len(samples)}i", *samples)
     else:
-        raise ValueError(f"only 8/16-bit PCM supported, got {bits}")
+        raise ValueError(f"only 8/16/24/32-bit PCM supported, got {bits}")
     block_align = channels * bits // 8
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
                       sample_rate * block_align, block_align, bits)
@@ -1011,10 +1016,11 @@ def _adpcm_decode_block_stereo(blk: bytes, n_samples: int) -> list[int]:
 @decode_valueerror_contract
 def wav_decode_samples(b: bytes) -> dict:
     """REAL WAV sample decode: RIFF chunk walk to ``fmt ``/``data``,
-    then unpack the interleaved samples — PCM (fmt 1, 8-bit unsigned or
-    16-bit signed) or G.711 A-law/µ-law (fmt 6/7, round 10), whose
-    8-bit code bytes expand to 16-bit linear through the segment +
-    mantissa formulas."""
+    then unpack the interleaved samples — integer PCM (fmt 1: 8-bit
+    unsigned, 16/24/32-bit signed — 24-bit joined in round 12) or
+    G.711 A-law/µ-law (fmt 6/7, round 10), whose 8-bit code bytes
+    expand to 16-bit linear through the segment + mantissa
+    formulas."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     i = 12
@@ -1081,8 +1087,19 @@ def wav_decode_samples(b: bytes) -> dict:
         samples = list(struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2]))
     elif bits == 8:
         samples = list(data)
+    elif bits == 24:
+        n = len(data) // 3
+        samples = [
+            int.from_bytes(data[3 * j : 3 * j + 3], "little", signed=True)
+            for j in range(n)
+        ]
+    elif bits == 32:
+        samples = list(struct.unpack(f"<{len(data) // 4}i", data[: len(data) // 4 * 4]))
     else:
-        raise ValueError(f"only 8/16-bit PCM supported, got {bits}")
+        raise ValueError(
+            f"only 8/16/24/32-bit integer PCM supported, got {bits} "
+            "(IEEE-float WAV, fmt 3, is an explicit non-integer refusal)"
+        )
     if not samples:
         # no first/last sample for downstream stats — undecodable,
         # same zero-area rationale as png_decode_pixels.

@@ -2057,7 +2057,7 @@ def test_wav_pcm_bytes_8bit():
     samples = [0, 127, 255, 64, 200]
     got = wav_decode_samples(wav_pcm_bytes(1, 8000, samples, bits=8))
     assert got["bits"] == 8 and got["samples"] == samples
-    with _pytest.raises(ValueError, match="8/16-bit"):
+    with _pytest.raises(ValueError, match="8/16/24/32-bit"):
         wav_pcm_bytes(1, 8000, [0], bits=12)
 
 
@@ -3194,3 +3194,43 @@ def test_mixed_media_eight_format_dispatch(spark):
         "audio/flac": {3}, "image/gif": {5}, "image/bmp": {6},
         "image/tiff": {7},
     }
+
+
+def test_wav_deep_pcm_depths():
+    """Round 12: 24-bit (studio-master) and 32-bit integer PCM WAV
+    round-trip exactly, mono and stereo, with container metadata
+    agreeing; IEEE-float WAV stays an explicit refusal (fmt 3 is
+    non-integer), as does any other integer width."""
+    import random
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        decode_real,
+        parse_media,
+        wav_decode_samples,
+        wav_pcm_bytes,
+    )
+
+    rng = random.Random(17)
+    for bits in (24, 32):
+        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+        s = [rng.randint(lo, hi) for _ in range(50)]
+        d = decode_real(wav_pcm_bytes(1, 48000, s, bits=bits))
+        assert d["samples"] == s and d["bits"] == bits
+        s2 = [rng.randint(lo, hi) for _ in range(40)]
+        d2 = decode_real(wav_pcm_bytes(2, 48000, s2, bits=bits))
+        assert d2["samples"] == s2 and d2["n_samples"] == 20
+        assert parse_media(wav_pcm_bytes(2, 48000, s2, bits=bits))[
+            "n_samples"] == 20
+    with _pytest.raises(ValueError, match="8/16/24/32"):
+        wav_pcm_bytes(1, 8000, [0] * 4, bits=20)
+    # a float WAV (fmt 3) is refused at the format tag, never misread
+    fmt = _struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    data = _struct.pack("<4f", 0.1, -0.5, 0.9, 0.0)
+    body = (b"WAVEfmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data)
+    blob = b"RIFF" + _struct.pack("<I", len(body)) + body
+    with _pytest.raises(ValueError, match="fmt 1/6/7/17"):
+        wav_decode_samples(blob)
