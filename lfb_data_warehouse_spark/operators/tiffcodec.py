@@ -36,10 +36,15 @@ indices decoded then looked up to an RGB raster — and TILED TIFFs
 (tags 322/323/324/325, the GeoTIFF/BigTIFF layout: 16-multiple tile
 dims, edge tiles PADDED to full tile size and cropped on decode,
 compression applied per tile). That closes the whole round-10
-honest-unsupported TIFF list (LZW, Deflate, palette, tiled).
+honest-unsupported TIFF list (LZW, Deflate, palette, tiled). Round 12
+adds 16-bit samples (the scientific/microscopy depth): strip layout,
+either byte order, every compression, Predictor 2 differencing mod
+65536 at sample level, ``samples16`` output per the PNG16/lossless-
+JPEG convention.
 
 Not supported (explicit ValueError): JPEG compression,
-bits-per-sample other than 8, tiled+palette combined.
+bits-per-sample other than 8/16, tiled+palette combined, 16-bit
+palette, 16-bit tiled.
 """
 
 from __future__ import annotations
@@ -265,6 +270,7 @@ def tiff_bytes(
     predictor: int = 1,
     palette: bytes | None = None,
     tile: tuple[int, int] | None = None,
+    bits: int = 8,
 ) -> bytes:
     """REAL baseline TIFF encode: 8-bit grayscale (``channels=1``),
     RGB (``channels=3``), or palette (``palette`` = up to 256 RGB888
@@ -276,7 +282,18 @@ def tiff_bytes(
     317) composes with LZW or Deflate — the pairings real writers
     emit. ``tile=(tw, th)`` switches to the TILED layout (round 11 —
     tags 322/323/324/325; dims must be multiples of 16 per TIFF 6.0
-    §15; edge tiles are padded to full tile size)."""
+    §15; edge tiles are padded to full tile size). ``bits=16`` (round
+    12 — the scientific/microscopy sample depth): ``raster`` is then a
+    flat u16 sample LIST (the 16-bit-PNG contract), stored in the
+    file's byte order, Predictor 2 differencing mod 65536 on the
+    samples; strips only (16-bit palette and 16-bit tiles stay
+    explicit refusals)."""
+    if bits not in (8, 16):
+        raise ValueError("8 or 16 bits per sample supported")
+    if bits == 16 and palette is not None:
+        raise ValueError("16-bit palette TIFFs not supported")
+    if bits == 16 and tile is not None:
+        raise ValueError("16-bit tiled TIFFs not supported")
     if channels not in (1, 3):
         raise ValueError("1 (gray) or 3 (RGB) channels supported")
     if palette is not None:
@@ -287,7 +304,9 @@ def tiff_bytes(
         if raster and max(raster) >= len(palette) // 3:
             raise ValueError("index past the palette")
     if len(raster) != width * height * channels:
-        raise ValueError(f"need {width * height * channels} raster bytes")
+        raise ValueError(f"need {width * height * channels} raster samples")
+    if bits == 16 and any(not 0 <= v <= 0xFFFF for v in raster):
+        raise ValueError("16-bit samples must lie in 0..65535")
     if width <= 0 or height <= 0:
         raise ValueError("zero-area frame")
     if rows_per_strip <= 0:
@@ -305,11 +324,22 @@ def tiff_bytes(
         if palette is not None:
             raise ValueError("tiled palette TIFFs not supported")
     e = ">" if big_endian else "<"
-    rowbytes = width * channels
+    if bits == 16:
+        # predictor 2 differences the SAMPLES (mod 65536) per row, then
+        # the differenced values serialize in the file's byte order —
+        # strip slicing and compression below run on plain bytes
+        vals = list(raster)
+        if predictor == 2:
+            for y in range(height):
+                r0 = y * width * channels
+                for j in range(width * channels - 1, channels - 1, -1):
+                    vals[r0 + j] = (raster[r0 + j] - raster[r0 + j - channels]) & 0xFFFF
+        raster = struct.pack(f"{e}{len(vals)}H", *vals)
+    rowbytes = width * channels * (bits // 8)
 
     def coded(chunk: bytes, chunk_width: int) -> bytes:
         if lzw or deflate:
-            if predictor == 2:
+            if predictor == 2 and bits == 8:
                 chunk = _hdiff_encode(chunk, chunk_width, channels)
             return tiff_lzw_encode(chunk) if lzw else zlib.compress(chunk, 6)
         if packbits:
@@ -380,8 +410,9 @@ def tiff_bytes(
         cnt_array = struct.pack(f"{e}{n_strips}I", *[len(s) for s in strips])
         offsets_value = off_pos
         counts_value = cnt_pos
-    bps = 8  # one SHORT fits inline even for RGB (count=3 needs an array;
-    # spec allows count=1 meaning all samples — most writers inline it)
+    bps = bits  # one SHORT fits inline even for RGB (count=3 needs an
+    # array; spec allows count=1 meaning all samples — most writers
+    # inline it)
     ifd = struct.pack(f"{e}H", n_tags)
     ifd += tag(256, 3, 1, width)  # ImageWidth
     ifd += tag(257, 3, 1, height)  # ImageLength
@@ -479,8 +510,8 @@ def tiff_decode_pixels(b: bytes) -> dict:
     rps = value(278, height)
     predictor = value(317, 1)
     photometric = value(262, 1)
-    if bps != 8:
-        raise ValueError("only 8 bits per sample supported")
+    if bps not in (8, 16):
+        raise ValueError("only 8 or 16 bits per sample supported")
     if compression not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"compression {compression} not supported")
     if predictor not in (1, 2):
@@ -493,16 +524,20 @@ def tiff_decode_pixels(b: bytes) -> dict:
         raise ValueError(f"photometric {photometric} not supported")
     if photometric == 3 and channels != 1:
         raise ValueError("palette TIFF must carry one index sample per pixel")
+    if bps == 16 and photometric == 3:
+        raise ValueError("16-bit palette TIFFs not supported")
+    if bps == 16 and 322 in tags:
+        raise ValueError("16-bit tiled TIFFs not supported")
     if width == 0 or height == 0 or rps == 0:
         raise ValueError("TIFF with zero-area frame")
-    if width * height * 3 > MAX_DECODED_BYTES:
+    if width * height * 3 * (bps // 8) > MAX_DECODED_BYTES:
         raise ValueError("TIFF declares implausible dimensions")
     cmap = None
     if photometric == 3:
         # ColorMap: 2^bps entries per plane, R-plane then G then B,
         # 16 bits each — high byte is the 8-bit color
         cmap = array(320, 768)
-    rowbytes = width * channels
+    rowbytes = width * channels * (bps // 8)
     tiled = 322 in tags
 
     def decoded_chunk(raw_chunk: bytes, max_out: int, pred_width: int) -> bytes:
@@ -514,7 +549,9 @@ def tiff_decode_pixels(b: bytes) -> dict:
                 if compression == 5
                 else _inflate_strip(raw_chunk, max_out)
             )
-            if predictor == 2:
+            if predictor == 2 and bps == 8:
+                # 16-bit differencing is sample-level: applied after
+                # the u16 unpack at the end of the strip walk
                 out_ = _hdiff_decode(out_, pred_width, channels)
             return out_
         return raw_chunk
@@ -568,12 +605,28 @@ def tiff_decode_pixels(b: bytes) -> dict:
             rgb[3 * j + 2] = cmap[512 + idx] >> 8
         out = rgb
         channels = 3
-    return {
+    samples16 = None
+    if bps == 16:
+        n16 = len(out) // 2
+        samples16 = list(struct.unpack(f"{e}{n16}H", bytes(out)))
+        if predictor == 2:
+            # sample-level un-differencing, per row per channel mod 65536
+            rowsamp = width * channels
+            for y in range(height):
+                r0 = y * rowsamp
+                for j in range(channels, rowsamp):
+                    samples16[r0 + j] = (
+                        samples16[r0 + j] + samples16[r0 + j - channels]
+                    ) & 0xFFFF
+        # raster follows the 16-bit output convention of the other
+        # codecs here (PNG16 / lossless JPEG): big-endian packed
+        out = struct.pack(f">{n16}H", *samples16)
+    result = {
         "media_type": "image/tiff",
         "width": width,
         "height": height,
         "channels": channels,
-        "bit_depth": 8,
+        "bit_depth": bps,
         "compression": {
             1: "none", 5: "lzw", 8: "deflate", 32946: "deflate", 32773: "packbits",
         }[compression],
@@ -584,3 +637,6 @@ def tiff_decode_pixels(b: bytes) -> dict:
         "big_endian": e == ">",
         "raster": bytes(out),
     }
+    if samples16 is not None:
+        result["samples16"] = samples16
+    return result

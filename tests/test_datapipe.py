@@ -3234,3 +3234,41 @@ def test_wav_deep_pcm_depths():
     blob = b"RIFF" + _struct.pack("<I", len(body)) + body
     with _pytest.raises(ValueError, match="fmt 1/6/7/17"):
         wav_decode_samples(blob)
+
+
+def test_tiff_16bit_samples():
+    """Round 12: 16-bit TIFF (the scientific/microscopy depth) round-
+    trips exactly — gray and RGB, both byte orders, PackBits/LZW/
+    Deflate, Predictor 2 differencing mod 65536 at SAMPLE level — with
+    ``samples16`` following the PNG16/lossless-JPEG convention and the
+    raster big-endian packed. Narrowed refusals stay explicit."""
+    import random
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.tiffcodec import (
+        tiff_bytes,
+        tiff_decode_pixels,
+    )
+
+    rng = random.Random(41)
+    for ch in (1, 3):
+        for be in (False, True):
+            for comp in ({}, {"packbits": True}, {"lzw": True},
+                         {"deflate": True}, {"lzw": True, "predictor": 2},
+                         {"deflate": True, "predictor": 2}):
+                w, h = 7, 5
+                vals = [rng.randint(0, 65535) for _ in range(w * h * ch)]
+                d = tiff_decode_pixels(tiff_bytes(
+                    w, h, vals, channels=ch, rows_per_strip=2,
+                    big_endian=be, bits=16, **comp))
+                assert d["samples16"] == vals, (ch, be, comp)
+                assert d["bit_depth"] == 16 and d["channels"] == ch
+                assert d["raster"] == _struct.pack(f">{len(vals)}H", *vals)
+    with _pytest.raises(ValueError, match="16-bit palette"):
+        tiff_bytes(4, 4, [0] * 16, bits=16, palette=bytes(12))
+    with _pytest.raises(ValueError, match="16-bit tiled"):
+        tiff_bytes(4, 4, [0] * 16, bits=16, tile=(16, 16))
+    with _pytest.raises(ValueError, match="0..65535"):
+        tiff_bytes(4, 4, [70000] * 16, bits=16)
