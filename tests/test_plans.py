@@ -378,3 +378,27 @@ def test_ivfpq_residual_candidates_carry_codes(spark):
     assert "BroadcastExchange" in p  # (probe, list) LUT frame broadcast
     assert "Window" in p  # per-probe top-k
     assert "SortMergeJoin" not in p  # corpus rows never shuffle-join
+
+
+def test_salted_collect_two_bounded_exchanges(spark):
+    # the holistic salted collect must be exactly two exchanges — one
+    # on (key, salt) carrying partial_collect_set buffers, one on key
+    # carrying the <= buckets pre-shrunk arrays — with map-side partial
+    # collection on BOTH sides and a 2-column pruned scan
+    p = get_plan(spark, "salted_collect_users")
+    assert p.count("Arguments: hashpartitioning") == 2
+    assert "partial_collect_set" in p and "partial_collect_list" in p
+    assert "BatchEvalPython" not in p
+    assert "struct<user_id:bigint,event_type:string>" in p, "scan not pruned to 2 columns"
+
+
+def test_q18_gate_rides_long_sums(spark):
+    # the HAVING-subquery quantity gate must aggregate LONGs (the
+    # scaled-long fast path, round 12), never a decimal sum buffer
+    p = get_plan(spark, "tpch_q18_large_volume")
+    # the gate aggregate: sum(FLOOR(l_quantity*100 + 0.5)) — LONG sums
+    assert "sum(FLOOR(" in p, "quantity gate lost the scaled-long form"
+    assert "sum(l_quantity" not in p, "a raw decimal/double sum crept back in"
+    assert "BroadcastHashJoin LeftSemi" in p, "HAVING subquery must plan as broadcast semi join"
+    assert "partial_sum" in p
+    assert "BatchEvalPython" not in p
