@@ -189,3 +189,52 @@ def test_python_datasource_calendar_partitions_and_values(spark):
         | (F.col("is_weekend") != F.expr("weekday(day) >= 5"))
     ).count()
     assert mism == 0
+
+
+def test_write_table_parquet_bloom_filters(spark):
+    """Round 12: bloom_filter_for writes a real parquet bloom filter,
+    sized by the supplied NDV. pyarrow 16 has no bloom-offset metadata
+    API, so the pin is byte-level and behavioral: the bloomed file
+    carries measurably more footer-adjacent bytes than the identical
+    un-bloomed write (the filter bitset), an NDV-sized filter is
+    smaller than the 1 MiB-cap default, and a point lookup on the
+    bloomed column returns exact rows."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 97).alias("bucket"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    ).coalesce(1)
+
+    def table_bytes(name):
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+            .filter(F.col("col_name") == "Location").collect()[0]["data_type"]
+        )
+        files = glob.glob(loc.removeprefix("file:") + "/*.parquet")
+        assert files, f"no parquet files for {name}"
+        return sum(os.path.getsize(f) for f in files)
+
+    for name in ("t_bloom_none", "t_bloom_sized", "t_bloom_capped"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_table(df, "t_bloom_none", mode="overwrite")
+    write_table(df, "t_bloom_sized", mode="overwrite",
+                bloom_filter_for={"user_id": 5000})
+    write_table(df, "t_bloom_capped", mode="overwrite",
+                bloom_filter_for=["user_id"])  # parquet-mr default sizing
+    plain, sized, capped = (
+        table_bytes("t_bloom_none"),
+        table_bytes("t_bloom_sized"),
+        table_bytes("t_bloom_capped"),
+    )
+    # a 5000-NDV filter is ~8 KiB; the unsized default is far larger
+    assert sized > plain + 2048, (plain, sized)
+    assert capped > sized + 65536, (sized, capped)
+    got = spark.table("t_bloom_sized").filter(F.col("user_id") == 4242).collect()
+    assert len(got) == 1 and got[0]["bucket"] == 4242 % 97
+    for name in ("t_bloom_none", "t_bloom_sized", "t_bloom_capped"):
+        spark.sql(f"DROP TABLE {name}")
