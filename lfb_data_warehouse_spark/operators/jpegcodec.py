@@ -1450,9 +1450,6 @@ LL_DC_VALS = list(range(17))  # SSSS categories 0..16 (16 = +32768, no bits)
 LL_DC_BITS = [0] * 16
 LL_DC_BITS[4] = len(LL_DC_VALS)  # 17 codes of length 5 (≤ 2^5 − 1)
 
-_LL_INITIAL = object()  # sentinel: boundary prediction 1 << (P - Pt - 1)
-
-
 def _ll_predict(plane, x, y, w, predictor, default):
     """T.81 H.1.2 prediction: a = left, b = above, c = above-left, with
     the H.1.2.2 boundary rules (first sample → default, rest of first
