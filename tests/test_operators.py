@@ -772,3 +772,28 @@ def test_ewma_customer_spend_matches_python_model(spark):
         n, last, ewma = got[ck]
         assert n == len(vals) and last == vals[-1] and ewma == acc, ck
     assert set(got) == set(hist)
+
+
+def test_salted_collect_set_equals_plain_collect(spark):
+    """salted_collect_set (round 12) must be content-invariant vs the
+    unsalted collect_set — including NULL values (dropped by both, a
+    key whose values are all NULL still yields its empty-array row)
+    and a pathologically hot key."""
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.skew import salted_collect_set
+
+    rows = [("hot", i % 57) for i in range(4000)]
+    rows += [("cold", v) for v in (1, 2, 3)]
+    rows += [("hot", None), ("allnull", None), ("allnull", None)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = {
+        r["k"]: sorted(r["vals"])
+        for r in salted_collect_set(df, ["k"], "v", "vals", buckets=8).collect()
+    }
+    exp = {
+        r["k"]: sorted(r["vals"])
+        for r in df.groupBy("k").agg(F.collect_set("v").alias("vals")).collect()
+    }
+    assert got == exp
+    assert got["hot"] == list(range(57)) and got["allnull"] == []
