@@ -78,15 +78,36 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: Sequence[str] | None = None,
     cluster_by: Sequence[str] | None = None,
+    bloom_filter_for: Mapping[str, int | None] | Sequence[str] | None = None,
 ) -> None:
     """Parquet sink (S5); ``cluster_by`` applies the S8 clustering
-    fallback (see :func:`_cluster`) to a path-based write."""
+    fallback (see :func:`_cluster`) to a path-based write;
+    ``bloom_filter_for`` writes NDV-sized parquet bloom filters (see
+    :func:`write_table`)."""
     if cluster_by:
         df = _cluster(df, cluster_by)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    writer = _with_bloom_options(writer, bloom_filter_for)
     writer.parquet(path)
+
+
+def _with_bloom_options(writer, bloom_filter_for):
+    """Apply parquet bloom-filter write options (round 12): enable per
+    column, plus expected-NDV sizing when a mapping is passed."""
+    for col in bloom_filter_for or ():
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        ndv = (
+            bloom_filter_for[col]
+            if isinstance(bloom_filter_for, Mapping)
+            else None
+        )
+        if ndv:
+            writer = writer.option(
+                f"parquet.bloom.filter.expected.ndv#{col}", str(int(ndv))
+            )
+    return writer
 
 
 def _delta_available(spark: SparkSession) -> bool:
@@ -133,17 +154,7 @@ def write_table(
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    for col in bloom_filter_for or ():
-        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
-        ndv = (
-            bloom_filter_for[col]
-            if isinstance(bloom_filter_for, Mapping)
-            else None
-        )
-        if ndv:
-            writer = writer.option(
-                f"parquet.bloom.filter.expected.ndv#{col}", str(int(ndv))
-            )
+    writer = _with_bloom_options(writer, bloom_filter_for)
     if _delta_available(spark):
         writer = writer.format("delta").option("delta.autoOptimize.optimizeWrite", "true")
     else:
