@@ -1246,7 +1246,12 @@ UNCHECKED_PRIORITY: list[str] = [
 # partitioned_scan_pruning — front of the next freshness queue), then
 # the r8 tail (png_pixel_decode_stats, ivfpq_structured_recall_audit,
 # jpeg_pixel_decode_stats, audio_feature_stats, ... — run
-# tools/freshness.py first, as always).
+# tools/freshness.py first, as always). Gate candidates earned but not
+# spent this round (budget discipline): a bloom-filter point-lookup
+# gate over write_table(bloom_filter_for=...) (operator + measured
+# cost/benefit landed r12, sources/io.py), and a 16-bit TIFF or
+# deep-bps FLAC row IF consolidated into an existing battery rather
+# than a new singleton.
 
 
 def reorder(registry: dict) -> dict:
