@@ -600,3 +600,52 @@ def test_adpcm_roundtrip_property(data):
             idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
             exp.append(pred)
     assert out == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_tiff16_roundtrip_property(data):
+    """decode(encode(samples)) == samples for RANDOM 16-bit TIFFs
+    across dims, channels, strip heights, compressions, predictor and
+    endianness — random 16-bit values stress the sample-level mod-65536
+    differencing and the byte-order plumbing harder than the
+    closed-form gate fixtures."""
+    from lfb_data_warehouse_spark.operators.tiffcodec import (
+        tiff_bytes,
+        tiff_decode_pixels,
+    )
+
+    w = data.draw(st.integers(1, 10))
+    h = data.draw(st.integers(1, 8))
+    ch = data.draw(st.sampled_from([1, 3]))
+    vals = [data.draw(st.integers(0, 65535)) for _ in range(w * h * ch)]
+    comp = data.draw(st.sampled_from(
+        [{}, {"packbits": True}, {"lzw": True}, {"deflate": True},
+         {"lzw": True, "predictor": 2}, {"deflate": True, "predictor": 2}]))
+    d = tiff_decode_pixels(tiff_bytes(
+        w, h, vals, channels=ch,
+        rows_per_strip=data.draw(st.integers(1, 5)),
+        big_endian=data.draw(st.booleans()), bits=16, **comp))
+    assert d["samples16"] == vals and d["bit_depth"] == 16
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_wav_deep_pcm_roundtrip_property(data):
+    """decode(encode(samples)) == samples for RANDOM 16/24/32-bit PCM
+    WAVs, mono and stereo — full-range values stress sign extension at
+    every width (the 3-byte case has no struct code and is hand
+    assembled)."""
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        wav_decode_samples,
+        wav_pcm_bytes,
+    )
+
+    bits = data.draw(st.sampled_from([16, 24, 32]))
+    ch = data.draw(st.sampled_from([1, 2]))
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    n = data.draw(st.integers(1, 30)) * ch
+    vals = [data.draw(st.integers(lo, hi)) for _ in range(n)]
+    d = wav_decode_samples(wav_pcm_bytes(ch, 8000, vals, bits=bits))
+    assert d["samples"] == vals and d["bits"] == bits
+    assert d["n_samples"] == n // ch
