@@ -22,8 +22,10 @@ every real encoder emits — left/side, right/side, mid/side, with the
 side channel's extra bit and the mid floor's parity recovery, so
 reconstruction is exact. Both blocking strategies: fixed (the coded
 number is the frame index) and variable (the number is the frame's
-first-sample index — live-capture encoders' layout). The driver gate
-is mono/fixed; stereo and variable blocking are property-tested.
+first-sample index — live-capture encoders' layout). Driver gates:
+`audio_decode_bench` (mono/fixed) and `flac_stereo_decode_stats`
+(round 12 — all four stereo assignments plus variable blocking);
+both shapes are also property-tested.
 
 Sample sizes: the full RFC 9639 set — 8/12/16/20/24/32 bits (round
 12; 24-bit is the archival standard). Not supported (explicit

@@ -49,7 +49,28 @@ def _stage(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         from ..sources.io import write_parquet
 
         li = load_table(spark, sf_dir, "lineitem")
-        write_parquet(li, path, mode="overwrite", cluster_by=["l_shipdate"])
+        # round 13: the clustered copy also carries an NDV-sized parquet
+        # bloom filter on l_partkey — the point-lookup column the
+        # l_shipdate sort does NOT order, so row-group min/max stats
+        # cannot prune `l_partkey = K` probes; the bloom filter can.
+        # 20k expected distincts per row group bounds the per-group
+        # partkey NDV at driver scales (sf0.01: ~2k distincts/group;
+        # sf0.1: ~20k) without a pre-scan — per SCALE.md:20, sizing to
+        # the GLOBAL count is the +51%-bytes anti-pattern. Dictionary
+        # is disabled for the bloomed column only: at driver scale
+        # partkey would stay fully dictionary-encoded and parquet-mr
+        # would omit the filter entirely (the dictionary already skips
+        # exactly); at 100 TB a point-lookup column overflows the
+        # dictionary cap and lands PLAIN + bloom — the shape this
+        # stage pins (see io._with_bloom_options).
+        write_parquet(
+            li,
+            path,
+            mode="overwrite",
+            cluster_by=["l_shipdate"],
+            bloom_filter_for={"l_partkey": 20_000},
+            options={"parquet.enable.dictionary#l_partkey": "false"},
+        )
     elif fmt == "corrupt_csv":
         orders = load_table(spark, sf_dir, "orders")
         bad = F.col("o_orderkey") % 100 == 0
@@ -209,31 +230,66 @@ def partition_overwrite_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "clustered_write_skipping",
     oracle="""
-    SELECT l_returnflag,
+    SELECT 'shipdate_range' AS leg, l_returnflag,
            COUNT(*) AS n,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-02-01'
-    GROUP BY 1
+    GROUP BY 2
+    UNION ALL
+    SELECT 'partkey_point' AS leg, l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    WHERE l_partkey = 1
+    GROUP BY 2
     """,
 )
 def clustered_write_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Z-ORDER fallback as a gate query (SURVEY §2.1 S8): lineitem
-    rewritten range-partitioned + sorted on l_shipdate, then a narrow
-    date filter reads it back. Clustering gives every parquet row group
-    a tight min/max on the sort key, so the pushed filter skips almost
-    all of them — the OSS substitute for Delta's OPTIMIZE ZORDER, paid
-    once at write time. The oracle proves the clustered copy is
-    value-identical to the original."""
+    rewritten range-partitioned + sorted on l_shipdate — with an
+    NDV-sized parquet bloom filter on l_partkey (round 13; the round-12
+    `bloom_filter_for` write option made query-visible) — then read
+    back through the two skipping mechanisms the layout pays for:
+
+    * **shipdate_range leg**: a narrow date filter on the sort key —
+      clustering gives every row group a tight min/max on l_shipdate,
+      so the pushed filter skips almost all of them (the OSS substitute
+      for Delta's OPTIMIZE ZORDER, paid once at write time).
+    * **partkey_point leg**: a point lookup on l_partkey, a column the
+      sort does NOT order — min/max stats cover the whole key range in
+      every group, so only the bloom filter can skip (parquet-mr
+      consults it before decoding the page; each skipped group is an
+      unread GET on object storage).
+
+    The oracle recomputes both legs from the ORIGINAL parquet, so a
+    hash match proves the clustered+bloomed copy is value-identical AND
+    that bloom-filter reads return exact results (a bloom false
+    positive costs a wasted read, never a wrong row)."""
     path = _stage(spark, sf_dir, "clustered")
-    back = spark.read.parquet(path).filter(
-        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
+    back = spark.read.parquet(path)
+    range_leg = (
+        back.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-02-01").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            sum_exact("l_extendedprice").alias("total_price"),
+        )
+        .select(F.lit("shipdate_range").alias("leg"), "*")
     )
-    return back.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        sum_exact("l_extendedprice").alias("total_price"),
+    point_leg = (
+        back.filter(F.col("l_partkey") == 1)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            sum_exact("l_extendedprice").alias("total_price"),
+        )
+        .select(F.lit("partkey_point").alias("leg"), "*")
     )
+    return range_leg.unionByName(point_leg)
 
 
 @register(

@@ -1193,6 +1193,75 @@ _R12_RECHECK: list[str] = [
     "ivf_centroid_assign",
 ]
 
+# Round 12's driver window, 50/50 green (CORRECTNESS_r12): flagship,
+# the oracle-fixed eight-format poison battery, the two r12 gates, and
+# the 46 r7-era stale rechecks that fit the window.
+_R12_GREEN: list[str] = [
+    "flagship_star_fact",
+    "media_poison_battery",
+    "salted_collect_users",
+    "flac_stereo_decode_stats",
+] + _R12_RECHECK
+
+# Round 13 re-verification, in priority order: the three r7-era rows
+# displaced from the r12 window, then the r8 tail oldest-first exactly
+# as tools/freshness.py prints it. clustered_write_skipping is NOT
+# here — its oracle changed this round (bloom point-lookup leg), so it
+# rides ORACLE_FIXED instead. 1 flagship + 1 oracle-fixed + these 49:
+# the last row (ivf_persisted_search) spills past the 50-slot cut to
+# the front of the r14 queue.
+_R13_RECHECK: list[str] = [
+    "decontaminate_test_split",
+    "bucketed_join_colocated",
+    "partitioned_scan_pruning",
+    "png_pixel_decode_stats",
+    "ivfpq_structured_recall_audit",
+    "jpeg_pixel_decode_stats",
+    "audio_feature_stats",
+    "jpeg_color_decode_stats",
+    "partition_overwrite_backfill",
+    "csv_roundtrip_orders",
+    "orc_roundtrip_lineitem",
+    "jsonl_roundtrip_events",
+    "csv_permissive_corrupt_rows",
+    "schema_evolution_merge",
+    "compaction_roundtrip",
+    "dedup_components_star",
+    "ann_pq_adc_topk",
+    "gopher_quality_gates",
+    "gopher_repetition_gates",
+    "text_char_entropy",
+    "retention_cohort_weekly",
+    "text_quality_stats",
+    "text_lang_id",
+    "text_token_counts",
+    "c4_clean_documents",
+    "text_tfidf_top_terms",
+    "text_heavy_hitters",
+    "text_pii_redact",
+    "doc_fingerprints",
+    "doc_rolling_hash",
+    "text_repeated_ngrams",
+    "chunk_documents_sliding",
+    "pandas_udf_quality_sigmoid",
+    "dense_ids_documents",
+    "pack_sequences_documents",
+    "multimodal_decode",
+    "stream_tumbling_hourly",
+    "stream_stateful_user_stats",
+    "stream_upsert_idempotent",
+    "stream_sessionize",
+    "stream_interval_join",
+    "stream_static_enrich",
+    "sketch_mart_mergeable",
+    "approx_percentile_claim",
+    "remix_source_mixture",
+    "sample_orders_deterministic",
+    "quality_weighted_sample",
+    "per_source_sample",
+    "ivf_persisted_search",
+]
+
 _ALL_GREEN: list[str] = _dedupe_keep_last(
     _R1_GREEN
     + _R2_GREEN
@@ -1205,53 +1274,41 @@ _ALL_GREEN: list[str] = _dedupe_keep_last(
     + _R9_GREEN
     + _R10_GREEN
     + _R11_GREEN
+    + _R12_GREEN
 )
 
-# Changed-oracle re-checks (the historically riskiest class), round 12:
-# media_poison_battery (the d%3 three-format rotation became the
-# (d//2)%8 eight-format rotation — audio tier + GIF/BMP/TIFF — with a
-# second poison variant; every per-type CTE rewritten).
+# Changed-oracle re-checks (the historically riskiest class), round 13:
+# clustered_write_skipping grew the bloom point-lookup leg (the r12
+# gate candidate spent by consolidation, per the r12 verdict: the
+# staged clustered lineitem copy now also writes an NDV-sized parquet
+# bloom filter on l_partkey with dictionary disabled for that column —
+# the at-scale PLAIN+bloom shape — and the query/oracle gained a
+# `partkey_point` leg proving bloom-filtered point lookups return
+# exact values). Registry stays 243: a consolidation, not a singleton.
 # tools/rotation_check.py verifies the changed-hash set mechanically
 # against tools/oracle_hashes.json.
-# Engine-plan-only change note: tpch_q18_large_volume's quantity gate
-# moved to the scaled-long fast path this round WITHOUT an oracle edit
-# (r11-green, outside the r12 window by freshness priority); verified
-# row-identical against its unchanged oracle at sf0.01 in-round, in
-# BOTH the engine session and a vanilla session (the post-change
-# targeted recheck that SWEEP_r12.json predates).
 ORACLE_FIXED: list[str] = [
-    "media_poison_battery",
+    "clustered_write_skipping",
 ]
 
 VERIFIED_GREEN: list[str] = [
     n
-    for n in _R12_RECHECK + [m for m in _ALL_GREEN if m not in set(_R12_RECHECK)]
+    for n in _R13_RECHECK + [m for m in _ALL_GREEN if m not in set(_R13_RECHECK)]
     if n not in set(ORACLE_FIXED)
 ]
 
-# Never-driver-checked queries: the round-12 additions, each displacing
-# one _R12_RECHECK slot from the 50-slot window. (reorder()'s new-query
-# branch also fronts anything not yet listed anywhere, so a query added
-# mid-round is window-checked the same round even before it lands here.)
-# Registry-growth discipline (VERDICT r11 item 7): budget ≤6 new gates
-# this round; these two are the round's whole allowance spend so the
-# stale queue keeps draining.
-UNCHECKED_PRIORITY: list[str] = [
-    "salted_collect_users",  # r12: holistic salted collect, measured crossover
-    "flac_stereo_decode_stats",  # r12: all 4 assignments + variable blocking
-]
+# Never-driver-checked queries: none pending — round 13 added no new
+# registry rows (the bloom gate consolidated into
+# clustered_write_skipping above). (reorder()'s new-query branch still
+# fronts anything not yet listed anywhere, so a query added mid-round
+# is window-checked the same round even before it lands here.)
+UNCHECKED_PRIORITY: list[str] = []
 
-# Round-13 queue: the three r7-era rows displaced from the r12 window
-# (decontaminate_test_split, bucketed_join_colocated,
-# partitioned_scan_pruning — front of the next freshness queue), then
-# the r8 tail (png_pixel_decode_stats, ivfpq_structured_recall_audit,
-# jpeg_pixel_decode_stats, audio_feature_stats, ... — run
-# tools/freshness.py first, as always). Gate candidates earned but not
-# spent this round (budget discipline): a bloom-filter point-lookup
-# gate over write_table(bloom_filter_for=...) (operator + measured
-# cost/benefit landed r12, sources/io.py), and a 16-bit TIFF or
-# deep-bps FLAC row IF consolidated into an existing battery rather
-# than a new singleton.
+# Round-14 queue: ivf_persisted_search (the one r8 row the 50-slot
+# window cuts this round), then the r9 tail oldest-first
+# (multimodal_resize, multimodal_frame_sample, palette_png_decode_stats,
+# jpeg_subsampled_decode_stats, ... — run tools/freshness.py first, as
+# always).
 
 
 def reorder(registry: dict) -> dict:

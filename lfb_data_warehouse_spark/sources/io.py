@@ -79,23 +79,37 @@ def write_parquet(
     partition_by: Sequence[str] | None = None,
     cluster_by: Sequence[str] | None = None,
     bloom_filter_for: Mapping[str, int | None] | Sequence[str] | None = None,
+    options: Mapping[str, str] | None = None,
 ) -> None:
     """Parquet sink (S5); ``cluster_by`` applies the S8 clustering
     fallback (see :func:`_cluster`) to a path-based write;
     ``bloom_filter_for`` writes NDV-sized parquet bloom filters (see
-    :func:`write_table`)."""
+    :func:`write_table`); ``options`` passes arbitrary writer options
+    through (e.g. ``parquet.enable.dictionary#col``)."""
     if cluster_by:
         df = _cluster(df, cluster_by)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer = _with_bloom_options(writer, bloom_filter_for)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
     writer.parquet(path)
 
 
 def _with_bloom_options(writer, bloom_filter_for):
     """Apply parquet bloom-filter write options (round 12): enable per
-    column, plus expected-NDV sizing when a mapping is passed."""
+    column, plus expected-NDV sizing when a mapping is passed.
+
+    Dictionary interaction (round 13, measured): parquet-mr OMITS the
+    bloom filter for a column chunk whose pages are all
+    dictionary-encoded — the dictionary page is already an exact
+    row-group membership filter, so the bloom would be redundant
+    bytes. At real scale the user_id-class columns this option targets
+    overflow the dictionary-page cap and land PLAIN-encoded, which is
+    when the filter is actually written; to reproduce that shape on
+    small test data, additionally pass
+    ``options={"parquet.enable.dictionary#col": "false"}``."""
     for col in bloom_filter_for or ():
         writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
         ndv = (
@@ -125,6 +139,7 @@ def write_table(
     partition_by: Sequence[str] | None = None,
     cluster_by: Sequence[str] | None = None,
     bloom_filter_for: Mapping[str, int | None] | Sequence[str] | None = None,
+    options: Mapping[str, str] | None = None,
 ) -> None:
     """Managed-table sink (S7) with data clustering (S8).
 
@@ -157,6 +172,8 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer = _with_bloom_options(writer, bloom_filter_for)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
     if _delta_available(spark):
         writer = writer.format("delta").option("delta.autoOptimize.optimizeWrite", "true")
     else:

@@ -238,3 +238,86 @@ def test_write_table_parquet_bloom_filters(spark):
     assert len(got) == 1 and got[0]["bucket"] == 4242 % 97
     for name in ("t_bloom_none", "t_bloom_sized", "t_bloom_capped"):
         spark.sql(f"DROP TABLE {name}")
+
+
+def test_clustered_stage_carries_partkey_bloom_filter(spark):
+    """clustered_write_skipping's staged layout (round 13): the
+    l_shipdate-clustered lineitem copy also carries an NDV-sized bloom
+    filter on l_partkey. Pins: (a) the bloomed column is PLAIN-encoded
+    (the at-scale shape — parquet-mr omits bloom filters for
+    all-dictionary chunks, so a dictionary here would mean NO filter
+    was written), (b) the staged files carry the filter bitset bytes
+    vs an identical write differing only in bloom_filter_for (pyarrow
+    16 exposes no bloom-offset API, so byte-delta is the pin), (c) the
+    point-lookup leg pushes the l_partkey equality into the parquet
+    scan (where parquet-mr consults the filter), (d) the point lookup
+    returns exactly the source rows."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lfb_data_warehouse_spark.plans.io_queries import (
+        _STAGED,
+        clustered_write_skipping,
+    )
+    from lfb_data_warehouse_spark.sources.io import write_parquet
+    from lfb_data_warehouse_spark.sources.testdata import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = clustered_write_skipping(spark, sf_dir)  # stages on first call
+    path = _STAGED[("clustered", sf_dir)]
+
+    def dir_bytes(p):
+        files = glob.glob(f"{p}/part-*.parquet")
+        assert files, f"no parquet files under {p}"
+        return sum(os.path.getsize(f) for f in files)
+
+    md = pq.ParquetFile(glob.glob(f"{path}/part-*.parquet")[0]).metadata
+    rg = md.row_group(0)
+    partkey_cols = [
+        rg.column(i)
+        for i in range(rg.num_columns)
+        if rg.column(i).path_in_schema == "l_partkey"
+    ]
+    assert partkey_cols and "PLAIN" in partkey_cols[0].encodings
+    assert "PLAIN_DICTIONARY" not in partkey_cols[0].encodings
+
+    li = load_table(spark, sf_dir, "lineitem")
+    import tempfile
+
+    nobloom = tempfile.mkdtemp(prefix="lfb_io_clustered_nobloom_")
+    write_parquet(
+        li,
+        nobloom,
+        mode="overwrite",
+        cluster_by=["l_shipdate"],
+        options={"parquet.enable.dictionary#l_partkey": "false"},
+    )
+    # 20k-NDV bloom bitset is ~32 KiB per row group
+    assert dir_bytes(path) > dir_bytes(nobloom) + 16384, (
+        dir_bytes(path),
+        dir_bytes(nobloom),
+    )
+
+    point = spark.read.parquet(path).filter(F.col("l_partkey") == 1)
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        point.explain()
+    plan = buf.getvalue()
+    assert any(
+        "PushedFilters" in l and "EqualTo(l_partkey,1)" in l
+        for l in plan.splitlines()
+    ), plan
+    got = {r["l_orderkey"] for r in point.select("l_orderkey").collect()}
+    want = {
+        r["l_orderkey"]
+        for r in li.filter(F.col("l_partkey") == 1).select("l_orderkey").collect()
+    }
+    assert got == want and want
+    rows = out.collect()
+    legs = {r["leg"] for r in rows}
+    assert legs == {"shipdate_range", "partkey_point"}
