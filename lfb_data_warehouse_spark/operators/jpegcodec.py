@@ -69,14 +69,23 @@ H.1.1 prediction reset (tightened round 12: the interval's first line
 uses Ra, so prediction never crosses a marker). Round 12 admitted
 SUBSAMPLED interleaved lossless scans: per-component (H, V) factors
 with the A.2.3 MCU walk, each component predicting over its own
-sampling grid.
+sampling grid. Round 13 composed the two: restart intervals inside
+subsampled lossless scans, the H.1.1 reset applied per component
+grid.
 
 Not supported (explicit ValueError, never a silent mis-decode):
 arithmetic coding (deliberately — the QM-coder's 46-row Qe table
 cannot be verified offline here, and a mistranscribed table would
 round-trip our own streams while falsely claiming T.81 interop),
-hierarchical frames, restart intervals inside subsampled lossless
-scans, subsampled lossless scans with partial MCUs.
+hierarchical frames (deliberately — T.81 Annex J's SOF5-7/13-15 +
+DHP/EXP pyramid was never adopted: libjpeg, the ecosystem's reference
+decoder, has never implemented it ("provision for hierarchical storage
+... not implemented" in its own docs), no mainstream encoder emits it,
+and JPEG's own later scalable formats (JPEG 2000) superseded it — so
+real corpora contain no such streams and an implementation here would
+have nothing independent to verify against, the same
+unverifiable-interop reasoning as the arithmetic-coding refusal),
+subsampled lossless scans with partial MCUs.
 """
 
 from __future__ import annotations
@@ -1506,8 +1515,10 @@ def jpeg_lossless_bytes(
     (T.81 H.2.1/A.2.3 ordering: components in scan order, V then H
     within); each component plane predicts over its OWN sampling grid
     at ``(width·H/Hmax) × (height·V/Vmax)``. Fixture constraint:
-    width/height divisible by Hmax/Vmax. Restart intervals inside
-    subsampled lossless scans remain an explicit refusal."""
+    width/height divisible by Hmax/Vmax. Restart intervals compose
+    with subsampling (round 13 — the refusal retired): the H.1.1
+    reset applies per component grid — first sample after the marker
+    → default, remainder of that component's first line → Ra."""
     ncomp = len(planes)
     if ncomp not in (1, 3):
         raise ValueError("1 (gray) or 3 (color) planes supported")
@@ -1530,10 +1541,6 @@ def jpeg_lossless_bytes(
     subsampled = any(s != (1, 1) for s in sampling)
     if subsampled and ncomp == 1:
         raise ValueError("sampling factors require a 3-component frame")
-    if subsampled and restart_interval:
-        raise ValueError(
-            "restart intervals inside subsampled lossless scans not supported"
-        )
     hmax = max(hs for hs, _ in sampling)
     vmax = max(vs for _, vs in sampling)
     if subsampled and (width % hmax or height % vmax):
@@ -1571,17 +1578,40 @@ def jpeg_lossless_bytes(
     if subsampled:
         # interleaved MCU walk: H×V samples per component per MCU,
         # V-then-H within (A.2.3); prediction runs over each
-        # component's OWN sampling grid
+        # component's OWN sampling grid. Restart intervals (round 13 —
+        # the refusal retired) mirror the non-subsampled H.1.1 rules
+        # per component grid: the component's first sample after the
+        # marker (h=0, v=0 of the next MCU) → default, the remainder
+        # of that component's first line since the marker (its v=0
+        # row, through the end of the MCU row) → Ra, later lines →
+        # the selected predictor.
+        mcu_i = rst = 0
+        reset_next = False
+        ra_rows = [-1] * ncomp
         for my in range(height // vmax):
             for mx in range(width // hmax):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    w.restart(rst)
+                    rst = (rst + 1) % 8
+                    reset_next = True
+                mcu_i += 1
                 for ci, p in enumerate(shifted):
                     hs, vs = sampling[ci]
                     cw = dims[ci][0]
                     for v in range(vs):
                         for h in range(hs):
                             x, y = mx * hs + h, my * vs + v
-                            px = _ll_predict(p, x, y, cw, predictor, default)
+                            if reset_next and v == 0:
+                                px = default if h == 0 else p[y * cw + x - 1]
+                            elif y == ra_rows[ci]:
+                                px = p[y * cw + x - 1]
+                            else:
+                                px = _ll_predict(p, x, y, cw, predictor, default)
                             code_diff(p[y * cw + x], px)
+                if reset_next:
+                    reset_next = False
+                    for ci in range(ncomp):
+                        ra_rows[ci] = my * sampling[ci][1]
     else:
         mcu_i = rst = 0
         reset_next = False
@@ -1719,10 +1749,6 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
             raise ValueError(
                 "interleaved MCU exceeds 10 data units (T.81 B.2.3)"
             )
-        if restart_interval:
-            raise ValueError(
-                "restart intervals inside subsampled lossless scans not supported"
-            )
         if width % hmax or height % vmax:
             raise ValueError(
                 "subsampled lossless scans with partial MCUs not supported"
@@ -1753,9 +1779,18 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
     if subsampled:
         # interleaved MCU walk mirroring the encoder: H×V samples per
         # component per MCU (A.2.3), prediction over each component's
-        # own sampling grid
+        # own sampling grid; restart prediction reset per component
+        # grid exactly as the encoder (round 13)
+        mcu_i = rst_m = 0
+        reset_next = False
+        ra_rows = [-1] * ncomp
         for my in range(height // vmax):
             for mx in range(width // hmax):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    r.expect_restart(rst_m)  # byte-align + RSTn
+                    rst_m = (rst_m + 1) % 8
+                    reset_next = True
+                mcu_i += 1
                 for ci, (_, td) in enumerate(scan):
                     hs, vs = scan_sampling[ci]
                     cw = dims[ci][0]
@@ -1763,8 +1798,17 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
                     for v in range(vs):
                         for h in range(hs):
                             x, y = mx * hs + h, my * vs + v
-                            px = _ll_predict(p, x, y, cw, predictor, default)
+                            if reset_next and v == 0:
+                                px = default if h == 0 else p[y * cw + x - 1]
+                            elif y == ra_rows[ci]:
+                                px = p[y * cw + x - 1]
+                            else:
+                                px = _ll_predict(p, x, y, cw, predictor, default)
                             p[y * cw + x] = (px + read_diff(td)) & 0xFFFF & mask
+                if reset_next:
+                    reset_next = False
+                    for ci in range(ncomp):
+                        ra_rows[ci] = my * scan_sampling[ci][1]
     else:
         mcu_i = rst_m = 0
         reset_next = False

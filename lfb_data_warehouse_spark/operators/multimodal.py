@@ -897,14 +897,16 @@ def wav_adpcm_bytes(
     ``samples_per_block - 1`` nibbles: the 4-byte block header carries
     the int16 predictor (which IS the block's first output sample) and
     the step index, then nibbles pack two per byte, LOW nibble first.
-    Stereo (round 11): each block is a PAIR of those tuples, the
-    header carries both channels' 4-byte seeds, and nibble data
-    interleaves 4-byte words (8 samples) per channel — the standard
+    Multichannel (stereo round 11, generalized to any channel count
+    round 13 — the refusal retired): each block is a list of
+    ``channels`` of those tuples, the header carries every channel's
+    4-byte seed in order, and nibble data interleaves 4-byte words
+    (8 samples) per channel rotating channel 0..N-1 — the standard
     layout, which requires ``samples_per_block - 1`` divisible by 8.
     The fmt chunk carries the 2-byte extension (wSamplesPerBlock) and a
     ``fact`` chunk the total per-channel sample count."""
-    if channels not in (1, 2):
-        raise ValueError("IMA ADPCM WAV supports 1 or 2 channels")
+    if channels < 1:
+        raise ValueError("IMA ADPCM WAV needs at least 1 channel")
     n_nib = samples_per_block - 1
     chunks = []
     if channels == 1:
@@ -921,18 +923,21 @@ def wav_adpcm_bytes(
     else:
         if n_nib % 8:
             raise ValueError(
-                "stereo IMA ADPCM needs samples_per_block - 1 divisible by 8"
+                "multichannel IMA ADPCM needs samples_per_block - 1 divisible by 8"
             )
-        block_align = 8 + n_nib  # two 4-byte headers + interleaved words
+        # one 4-byte header per channel + interleaved words
+        block_align = 4 * channels + n_nib * channels // 2
         for chans in blocks:
-            if len(chans) != 2:
-                raise ValueError("stereo block must carry two channel tuples")
+            if len(chans) != channels:
+                raise ValueError(
+                    f"block must carry {channels} channel tuples, got {len(chans)}"
+                )
             body = bytearray()
             for pred, idx, nibs in chans:
                 if len(nibs) != n_nib:
                     raise ValueError("block nibble count != samples_per_block - 1")
                 body += struct.pack("<hBB", pred, idx, 0)
-            for g in range(n_nib // 8):  # 4-byte word per channel, alternating
+            for g in range(n_nib // 8):  # 4-byte word per channel, rotating
                 for pred, idx, nibs in chans:
                     for j in range(g * 8, g * 8 + 8, 2):
                         body.append((nibs[j] & 0x0F) | ((nibs[j + 1] & 0x0F) << 4))
@@ -993,16 +998,17 @@ def _adpcm_decode_block(blk: bytes, n_samples: int) -> list[int]:
     return out
 
 
-def _adpcm_decode_block_stereo(blk: bytes, n_samples: int) -> list[int]:
-    """One stereo IMA ADPCM block → INTERLEAVED linear samples: two
-    4-byte channel headers, then nibble data in alternating 4-byte
-    words (8 samples per word, one word per channel) — the standard
-    stereo layout. Each channel's state machine is independent."""
-    state = [_adpcm_seed(blk, 0), _adpcm_seed(blk, 4)]
-    chans: list[list[int]] = [[state[0][0]], [state[1][0]]]
-    off = 8
+def _adpcm_decode_block_multi(blk: bytes, n_samples: int, channels: int) -> list[int]:
+    """One multichannel IMA ADPCM block → INTERLEAVED linear samples:
+    one 4-byte header per channel, then nibble data in rotating 4-byte
+    words (8 samples per word, one word per channel 0..N-1) — the
+    standard layout, stereo round 11, any channel count round 13. Each
+    channel's state machine is independent."""
+    state = [_adpcm_seed(blk, 4 * c) for c in range(channels)]
+    chans: list[list[int]] = [[s[0]] for s in state]
+    off = 4 * channels
     for _ in range((n_samples - 1) // 8):
-        for c in range(2):
+        for c in range(channels):
             pred, idx = state[c]
             for byte in blk[off : off + 4]:
                 for nib in (byte & 0x0F, byte >> 4):
@@ -1010,7 +1016,7 @@ def _adpcm_decode_block_stereo(blk: bytes, n_samples: int) -> list[int]:
                     chans[c].append(pred)
             state[c] = (pred, idx)
             off += 4
-    return [v for i in range(n_samples) for v in (chans[0][i], chans[1][i])]
+    return [chans[c][i] for i in range(n_samples) for c in range(channels)]
 
 
 @decode_valueerror_contract
@@ -1052,8 +1058,8 @@ def wav_decode_samples(b: bytes) -> dict:
     if fmt_code == 17:
         if bits != 4:
             raise ValueError(f"IMA ADPCM WAV must be 4 bits per sample, got {bits}")
-        if channels not in (1, 2):
-            raise ValueError("IMA ADPCM WAV supports 1 or 2 channels")
+        if channels < 1:
+            raise ValueError("IMA ADPCM WAV needs at least 1 channel")
         if not samples_per_block or samples_per_block < 1:
             raise ValueError("IMA ADPCM wSamplesPerBlock must be >= 1")
         if not block_align or block_align < 4 * channels:
@@ -1064,19 +1070,19 @@ def wav_decode_samples(b: bytes) -> dict:
         else:
             if (samples_per_block - 1) % 8:
                 raise ValueError(
-                    "stereo IMA ADPCM needs wSamplesPerBlock - 1 divisible by 8"
+                    "multichannel IMA ADPCM needs wSamplesPerBlock - 1 divisible by 8"
                 )
-            if block_align < 8 + (samples_per_block - 1):
+            if block_align < 4 * channels + (samples_per_block - 1) * channels // 2:
                 raise ValueError("IMA ADPCM block too small for wSamplesPerBlock")
         if len(data) % block_align:
             raise ValueError("IMA ADPCM data chunk is not whole blocks")
-        decode_block = (
-            _adpcm_decode_block if channels == 1 else _adpcm_decode_block_stereo
-        )
         samples = []
         for off in range(0, len(data), block_align):
+            blk = data[off : off + block_align]
             samples.extend(
-                decode_block(data[off : off + block_align], samples_per_block)
+                _adpcm_decode_block(blk, samples_per_block)
+                if channels == 1
+                else _adpcm_decode_block_multi(blk, samples_per_block, channels)
             )
     elif fmt_code in (6, 7):
         if bits != 8:

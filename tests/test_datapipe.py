@@ -763,6 +763,15 @@ def test_decode_real_fuzz_valueerror_contract():
                           palette=bytes(range(48)), interlace=True),
         wav_adpcm_bytes(8000, [(-500, 20, [i % 16 for i in range(29)]),
                                (800, 60, [(7 * i) % 16 for i in range(29)])], 30),
+        # round-13 shapes join the pinned contract
+        wav_adpcm_bytes(8000, [[(900 * c - 1000, (13 * c) % 89,
+                                 [(j * (c + 2)) % 16 for j in range(16)])
+                                for c in range(3)]], 17, channels=3),
+        jpeg_lossless_bytes(8, 4, [[(19 * i) % 256 for i in range(32)],
+                                   [(23 * i) % 256 for i in range(8)],
+                                   [(29 * i) % 256 for i in range(8)]],
+                            predictor=6, restart_interval=3,
+                            sampling=[(2, 2), (1, 1), (1, 1)]),
         flac_bytes(44100, 16, [([250] * 24, ("constant",)),
                                ([(53 * i) % 3001 - 1500 for i in range(32)],
                                 ("fixed", 2, 1)),
@@ -1578,7 +1587,20 @@ def test_adpcm_decode():
     # stereo needs wSamplesPerBlock - 1 divisible by 8 (word layout)
     with _pytest.raises(ValueError):
         wav_adpcm_bytes(8000, sblocks, 30, channels=2)
-    # 3-channel ADPCM stays an explicit refusal
+    # N-channel (round 13 — the 3+-channel refusal retired): one
+    # 4-byte seed per channel, words rotating channel 0..N-1, output
+    # interleaved; each channel matches the reference model
+    qblocks = [[
+        (-2000 + 900 * c, (17 * c + 3) % 89, [(j * (c + 3)) % 16 for j in range(16)])
+        for c in range(4)
+    ]]
+    dq = wav_decode_samples(wav_adpcm_bytes(8000, qblocks, 17, channels=4))
+    assert dq["channels"] == 4 and dq["n_samples"] == 17
+    per_chan = [ref([t], 17) for t in qblocks[0]]
+    assert dq["samples"] == [per_chan[c][i] for i in range(17) for c in range(4)]
+    # a channel count inconsistent with the block layout still raises:
+    # flipping a mono stream's fmt channels to 3 leaves block_align
+    # smaller than the three 4-byte seed headers
     b2 = bytearray(wav_adpcm_bytes(8000, blocks, 34))
     b2[p + 10] = 3
     with _pytest.raises(ValueError):
@@ -3108,9 +3130,6 @@ def test_jpeg_lossless_subsampled_roundtrip():
                 assert d["lossless"] and d["channels"] == 3
     # narrowed refusals stay explicit
     s420 = [(2, 2), (1, 1), (1, 1)]
-    full = [[0] * 16, [0] * 4, [0] * 4]
-    with _pytest.raises(ValueError, match="not supported"):
-        jpeg_lossless_bytes(4, 4, full, sampling=s420, restart_interval=2)
     with _pytest.raises(ValueError, match="3-component"):
         jpeg_lossless_bytes(4, 4, [[0] * 16], sampling=[(2, 2)])
     with _pytest.raises(ValueError, match="multiple-of-2x2"):
@@ -3119,6 +3138,79 @@ def test_jpeg_lossless_subsampled_roundtrip():
         jpeg_lossless_bytes(
             4, 4, [[0] * 16, [0] * 16, [0] * 16],
             sampling=[(2, 2), (2, 2), (2, 2)])
+
+
+def test_jpeg_lossless_subsampled_restart_intervals():
+    """Round 13 retires the restart-in-subsampled-lossless refusal by
+    composing the two existing mechanisms: cycling RSTn every Ri
+    interleaved MCUs, with the H.1.1 prediction reset applied per
+    COMPONENT GRID — each component's first sample after the marker
+    takes the scan-start default, the remainder of that component's
+    first line (its v=0 row through the end of the MCU row) takes Ra,
+    and later lines resume the selected predictor. Pins: exact
+    reconstruction across sampling shapes / precisions / predictors /
+    interval lengths (including intervals that restart mid-MCU-row
+    and spans crossing MCU-row boundaries), the consumed-marker
+    count, and encoder/decoder cross-marker symmetry (post-marker
+    entropy bytes invariant to pre-marker first-line content)."""
+    import random
+    import struct as _struct
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_lossless_bytes,
+    )
+
+    rng = random.Random(47)
+    for sampling in ([(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)],
+                     [(1, 2), (2, 2), (1, 1)]):
+        hmax = max(h for h, _ in sampling)
+        vmax = max(v for _, v in sampling)
+        w, h = hmax * 4, vmax * 3  # 12 MCUs
+        dims = [(w * hs // hmax, h * vs // vmax) for hs, vs in sampling]
+        for prec, pt in ((8, 0), (16, 2)):
+            smax = (1 << prec) - 1
+            planes = [[rng.randint(0, smax) for _ in range(cw * ch)]
+                      for cw, ch in dims]
+            for pred in (1, 2, 4, 7):
+                for ri in (1, 3, 5):  # mid-row and row-spanning intervals
+                    d = jpeg_decode_pixels(jpeg_lossless_bytes(
+                        w, h, planes, predictor=pred, precision=prec,
+                        point_transform=pt, sampling=sampling,
+                        restart_interval=ri))
+                    lost = ~((1 << pt) - 1) & 0xFFFF
+                    exp = [[v & lost for v in p] for p in planes]
+                    if prec <= 8:
+                        got = [list(p) for p in d["planes"]]
+                    else:
+                        got = [list(_struct.unpack(f">{len(pl)}H", p))
+                               for pl, p in zip(planes, d["planes"])]
+                    assert got == exp, (sampling, prec, pred, ri)
+                    n_mcu = (w // hmax) * (h // vmax)
+                    assert d["n_restart_markers"] == (n_mcu - 1) // ri
+    # cross-marker symmetry: with ri = one MCU row, the bytes after the
+    # marker depend only on the second MCU row — per component, the
+    # post-restart first line uses Ra and the first sample the default,
+    # never a pre-marker sample (predictors 2..7 would reference across
+    # the marker without the per-grid reset)
+    s = [(2, 2), (1, 1), (1, 1)]
+    w, h = 8, 4  # 2 MCU rows of 4
+    dims = [(8, 4), (4, 2), (4, 2)]
+    row2 = [[rng.randint(0, 255) for _ in range(cw * (ch // 2))]
+            for cw, ch in dims]
+    for pred in range(2, 8):
+        rowa = [[rng.randint(0, 255) for _ in range(cw * (ch // 2))]
+                for cw, ch in dims]
+        rowb = [[(v + 77) % 256 for v in p] for p in rowa]
+        enc = []
+        for top in (rowa, rowb):
+            planes = [t + r2 for t, r2 in zip(top, row2)]
+            enc.append(jpeg_lossless_bytes(
+                w, h, planes, predictor=pred, sampling=s,
+                restart_interval=4))
+        ia, ib = enc[0].rfind(b"\xff\xd0"), enc[1].rfind(b"\xff\xd0")
+        assert ia > 0 and ib > 0
+        assert enc[0][ia:] == enc[1][ib:], pred
 
 
 def test_flac_deep_bit_depths():

@@ -570,10 +570,11 @@ def test_flac_roundtrip_property(data):
 @given(data=st.data())
 def test_adpcm_roundtrip_property(data):
     """IMA ADPCM container round-trip on RANDOM block seeds and nibble
-    streams: the decoder's state walk must agree with an independent
-    in-test model for any predictor/index seed and any nibble sequence
-    (the gate fixture covers one closed-form family; this covers the
-    space)."""
+    streams at RANDOM channel counts (1..5 — mono, the stereo layout,
+    and the round-13 N-channel generalization): the decoder's state
+    walk must agree with an independent in-test model per channel for
+    any predictor/index seed and any nibble sequence (the gate fixture
+    covers one closed-form family; this covers the space)."""
     from lfb_data_warehouse_spark.operators.multimodal import (
         _IMA_INDEX,
         _IMA_STEP,
@@ -581,17 +582,29 @@ def test_adpcm_roundtrip_property(data):
         wav_decode_samples,
     )
 
-    spb = data.draw(st.integers(2, 40))
-    blocks = []
-    for _ in range(data.draw(st.integers(1, 3))):
+    channels = data.draw(st.integers(1, 5))
+    if channels == 1:
+        spb = data.draw(st.integers(2, 40))
+    else:
+        spb = 8 * data.draw(st.integers(1, 4)) + 1  # word layout
+
+    def draw_chan():
         pred = data.draw(st.integers(-32768, 32767))
         idx = data.draw(st.integers(0, 88))
         nibs = [data.draw(st.integers(0, 15)) for _ in range(spb - 1)]
-        blocks.append((pred, idx, nibs))
-    out = wav_decode_samples(wav_adpcm_bytes(8000, blocks, spb))["samples"]
-    exp = []
-    for pred, idx, nibs in blocks:
-        exp.append(pred)
+        return (pred, idx, nibs)
+
+    n_blocks = data.draw(st.integers(1, 3))
+    if channels == 1:
+        blocks = [draw_chan() for _ in range(n_blocks)]
+    else:
+        blocks = [[draw_chan() for _ in range(channels)] for _ in range(n_blocks)]
+    out = wav_decode_samples(
+        wav_adpcm_bytes(8000, blocks, spb, channels=channels)
+    )["samples"]
+
+    def model(pred, idx, nibs):
+        exp = [pred]
         for nib in nibs:
             step = _IMA_STEP[idx]
             diff = (step >> 3) + (step if nib & 4 else 0) \
@@ -599,6 +612,15 @@ def test_adpcm_roundtrip_property(data):
             pred = max(-32768, min(32767, pred - diff if nib & 8 else pred + diff))
             idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
             exp.append(pred)
+        return exp
+
+    exp = []
+    for blk in blocks:
+        if channels == 1:
+            exp.extend(model(*blk))
+        else:
+            per = [model(*t) for t in blk]
+            exp.extend(per[c][i] for i in range(spb) for c in range(channels))
     assert out == exp
 
 
