@@ -197,6 +197,61 @@ def all_pairs_jaccard(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list,
+    prefix_len: int,
+    threshold: int,
+) -> DataFrame:
+    """Blocked edit-distance (Levenshtein) near-dup pairs — the
+    character-level near-dup family the shingle/minhash/simhash tiers
+    do not cover (they are token/bag measures; edit distance catches
+    single-character corruptions, OCR noise, and template fills that
+    shift every shingle).
+
+    Semantics (blocked, as in standard entity-resolution practice):
+    candidates are pairs sharing every ``block_cols`` value; each is
+    scored by ``levenshtein`` over the first ``prefix_len`` chars and
+    kept when the distance is <= ``threshold``. Blocking is part of
+    the operator contract, not an approximation knob — the oracle
+    applies the same blocks.
+
+    Scale shape: the self-join shuffles only (id, block key,
+    ``prefix_len``-char prefix) — never full text; within-block
+    pairing bounds the quadratic by block size (pick block keys to
+    keep blocks ~10³ rows at corpus scale); the length-difference
+    lower bound (|len_a − len_b| ≤ k ⇒ cheap int compare) prunes
+    before the O(prefix_len²) distance; and ``F.levenshtein`` is a
+    JVM codegen expression — no Python in the hot path."""
+    pfx = F.substring(F.col(text_col), 1, prefix_len)
+    d = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], pfx.alias("pfx")
+    )
+    a = d.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c) for c in block_cols],
+        F.col("pfx").alias("pfx_a"),
+    )
+    b = d.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c) for c in block_cols],
+        F.col("pfx").alias("pfx_b"),
+    )
+    return (
+        a.join(b, on=block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        # |len_a - len_b| is a lower bound on levenshtein: free prune
+        .filter(
+            F.abs(F.length("pfx_a") - F.length("pfx_b")) <= F.lit(threshold)
+        )
+        .withColumn("dist", F.levenshtein("pfx_a", "pfx_b"))
+        .filter(F.col("dist") <= F.lit(threshold))
+        .select("id_a", "id_b", "dist", *block_cols)
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,

@@ -167,6 +167,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EDIT_PREFIX_LEN = 40
+EDIT_THRESHOLD = 16
+EDIT_LEN_BUCKET = 50
+
+
+def _edit_distance_oracle() -> str:
+    return f"""
+    WITH d AS (SELECT doc_id, lang, n_chars // {EDIT_LEN_BUCKET} AS len_bucket,
+                      substr(text, 1, {EDIT_PREFIX_LEN}) AS pfx
+               FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS dist,
+           a.lang AS lang, a.len_bucket AS len_bucket
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+    WHERE abs(length(a.pfx) - length(b.pfx)) <= {EDIT_THRESHOLD}
+      AND levenshtein(a.pfx, b.pfx) <= {EDIT_THRESHOLD}
+    """
+
+
+@register("dedup_edit_distance_pairs", oracle=_edit_distance_oracle())
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein near-dup pairs (round 13) — the
+    CHARACTER-level near-dup family the shingle tiers miss: OCR noise,
+    single-character template fills, and truncation variants move
+    every shingle but stay within a small edit distance. Documents
+    block on (lang, n_chars bucket); each block self-joins and scores
+    ``levenshtein`` over the first {EDIT_PREFIX_LEN} chars, keeping
+    pairs at distance <= {EDIT_THRESHOLD}. Blocking is the operator's
+    contract (the oracle applies the same blocks), the shuffle carries
+    only (id, block key, prefix), the length-difference lower bound
+    prunes before the O(L²) distance, and F.levenshtein is JVM
+    codegen — no Python in the hot path. See
+    operators/dedup.py:edit_distance_pairs."""
+    from ..operators.dedup import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / EDIT_LEN_BUCKET).cast("long")
+    )
+    return edit_distance_pairs(
+        docs,
+        "doc_id",
+        "text",
+        block_cols=["lang", "len_bucket"],
+        prefix_len=EDIT_PREFIX_LEN,
+        threshold=EDIT_THRESHOLD,
+    ).select(
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("dist"),
+        F.col("lang"),
+        F.col("len_bucket"),
+    )
+
+
 CONTAIN_THRESHOLD = 0.3
 
 

@@ -1207,9 +1207,10 @@ _R12_GREEN: list[str] = [
 # displaced from the r12 window, then the r8 tail oldest-first exactly
 # as tools/freshness.py prints it. clustered_write_skipping is NOT
 # here — its oracle changed this round (bloom point-lookup leg), so it
-# rides ORACLE_FIXED instead. 1 flagship + 1 oracle-fixed + these 49:
-# the last row (ivf_persisted_search) spills past the 50-slot cut to
-# the front of the r14 queue.
+# rides ORACLE_FIXED instead. 1 flagship + 1 oracle-fixed + 1 new gate
+# (dedup_edit_distance_pairs) + these 49: the last two rows
+# (per_source_sample, ivf_persisted_search) spill past the 50-slot cut
+# to the front of the r14 queue.
 _R13_RECHECK: list[str] = [
     "decontaminate_test_split",
     "bucketed_join_colocated",
@@ -1297,18 +1298,22 @@ VERIFIED_GREEN: list[str] = [
     if n not in set(ORACLE_FIXED)
 ]
 
-# Never-driver-checked queries: none pending — round 13 added no new
-# registry rows (the bloom gate consolidated into
-# clustered_write_skipping above). (reorder()'s new-query branch still
-# fronts anything not yet listed anywhere, so a query added mid-round
-# is window-checked the same round even before it lands here.)
-UNCHECKED_PRIORITY: list[str] = []
+# Never-driver-checked queries: round 13's one new registry row
+# (budget ≤3; the bloom gate consolidated into clustered_write_skipping
+# above, costing no registry growth). (reorder()'s new-query branch
+# still fronts anything not yet listed anywhere, so a query added
+# mid-round is window-checked the same round even before it lands
+# here.)
+UNCHECKED_PRIORITY: list[str] = [
+    "dedup_edit_distance_pairs",  # r13: blocked Levenshtein near-dups
+]
 
-# Round-14 queue: ivf_persisted_search (the one r8 row the 50-slot
-# window cuts this round), then the r9 tail oldest-first
-# (multimodal_resize, multimodal_frame_sample, palette_png_decode_stats,
-# jpeg_subsampled_decode_stats, ... — run tools/freshness.py first, as
-# always).
+# Round-14 queue: per_source_sample and ivf_persisted_search (the two
+# r8 rows the 50-slot window cuts this round — flagship + 1
+# oracle-fixed + 1 new gate + 47 rechecks), then the r9 tail
+# oldest-first (multimodal_resize, multimodal_frame_sample,
+# palette_png_decode_stats, jpeg_subsampled_decode_stats, ... — run
+# tools/freshness.py first, as always).
 
 
 def reorder(registry: dict) -> dict:

@@ -124,6 +124,39 @@ def test_simhash_banding_guard(docs):
         simhash_near_dup_pairs(docs, "doc_id", "text", bands=4, max_hamming=4)
 
 
+def test_edit_distance_pairs_blocked(spark):
+    """Blocked Levenshtein near-dups (round 13): single-character
+    OCR-style edits pair with their exact distance, blocking excludes
+    cross-block candidates even at distance 0 (blocking is the
+    contract, not an approximation), the id_a < id_b canonical order
+    dedupes the symmetric pair, and the plan stays a block-key
+    equi-join — no cartesian product."""
+    from lfb_data_warehouse_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "the quick brown fox", "en"),
+        (2, "the quick brovn fox", "en"),   # 1 substitution from doc 1
+        (3, "the quick brown fox", "de"),   # identical text, other block
+        (4, "completely different text!", "en"),
+        (5, "the quick brown ox", "en"),    # 1 deletion from doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = edit_distance_pairs(
+        df, "doc_id", "text", block_cols=["lang"], prefix_len=30, threshold=3
+    )
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    assert got == {(1, 2): 1, (1, 5): 1, (2, 5): 2}
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
 def test_ivf_topk_recall_within_probed_lists(emb):
     # nprobe covering all 3 centroids makes IVF equal to brute force
     full = ivf_topk(emb, "vec_id", "embedding", "label", probe_ids=[0], k=2, nprobe=3)
