@@ -84,8 +84,10 @@ decoder, has never implemented it ("provision for hierarchical storage
 and JPEG's own later scalable formats (JPEG 2000) superseded it — so
 real corpora contain no such streams and an implementation here would
 have nothing independent to verify against, the same
-unverifiable-interop reasoning as the arithmetic-coding refusal),
-subsampled lossless scans with partial MCUs.
+unverifiable-interop reasoning as the arithmetic-coding refusal).
+Round 13 retired the last two mechanical lossless refusals: restart
+intervals inside subsampled scans, and partial MCUs (non-divisible
+dimensions pad to whole MCUs by edge replication, cropped on decode).
 """
 
 from __future__ import annotations
@@ -1459,6 +1461,30 @@ LL_DC_VALS = list(range(17))  # SSSS categories 0..16 (16 = +32768, no bits)
 LL_DC_BITS = [0] * 16
 LL_DC_BITS[4] = len(LL_DC_VALS)  # 17 codes of length 5 (≤ 2^5 − 1)
 
+def _pad_edge(p, cw, ch, pw, ph):
+    """Extend a ``cw × ch`` plane to ``pw × ph`` by replicating the
+    right/bottom edge — the T.81 A.2.4 completion of partial MCUs
+    (any padding decodes consistently; edge replication codes the
+    smallest differences)."""
+    if (pw, ph) == (cw, ch):
+        return p
+    out = []
+    for y in range(ph):
+        row = p[min(y, ch - 1) * cw : min(y, ch - 1) * cw + cw]
+        out.extend(row)
+        out.extend([row[-1]] * (pw - cw))
+    return out
+
+
+def _crop_plane(p, pw, cw, ch):
+    """Drop the padded right/bottom samples: ``pw``-wide rows → the
+    true ``cw × ch`` plane."""
+    out = []
+    for y in range(ch):
+        out.extend(p[y * pw : y * pw + cw])
+    return out
+
+
 def _ll_predict(plane, x, y, w, predictor, default):
     """T.81 H.1.2 prediction: a = left, b = above, c = above-left, with
     the H.1.2.2 boundary rules (first sample → default, rest of first
@@ -1514,11 +1540,13 @@ def jpeg_lossless_bytes(
     lossless scans. Each MCU carries H×V samples per component
     (T.81 H.2.1/A.2.3 ordering: components in scan order, V then H
     within); each component plane predicts over its OWN sampling grid
-    at ``(width·H/Hmax) × (height·V/Vmax)``. Fixture constraint:
-    width/height divisible by Hmax/Vmax. Restart intervals compose
-    with subsampling (round 13 — the refusal retired): the H.1.1
-    reset applies per component grid — first sample after the marker
-    → default, remainder of that component's first line → Ra."""
+    at ``ceil(width·H/Hmax) × ceil(height·V/Vmax)`` (A.1.1). Partial
+    MCUs (round 13 — the refusal retired): dimensions not divisible by
+    Hmax/Vmax code whole MCUs over an edge-replicated padded grid that
+    the decoder crops away (A.2.4). Restart intervals compose with
+    subsampling (also round 13): the H.1.1 reset applies per component
+    grid — first sample after the marker → default, remainder of that
+    component's first line → Ra."""
     ncomp = len(planes)
     if ncomp not in (1, 3):
         raise ValueError("1 (gray) or 3 (color) planes supported")
@@ -1543,11 +1571,14 @@ def jpeg_lossless_bytes(
         raise ValueError("sampling factors require a 3-component frame")
     hmax = max(hs for hs, _ in sampling)
     vmax = max(vs for _, vs in sampling)
-    if subsampled and (width % hmax or height % vmax):
-        raise ValueError(
-            f"fixture encoder requires multiple-of-{hmax}x{vmax} dimensions"
-        )
-    dims = [(width * hs // hmax, height * vs // vmax) for hs, vs in sampling]
+    # T.81 A.1.1 component dims (ceil); partial MCUs (round 13 — the
+    # refusal retired): the scan codes whole MCUs over a padded grid,
+    # padding replicates the right/bottom edge, the decoder crops
+    dims = [
+        (-(-width * hs // hmax), -(-height * vs // vmax)) for hs, vs in sampling
+    ]
+    mcux, mcuy = -(-width // hmax), -(-height // vmax)
+    pdims = [(mcux * hs, mcuy * vs) for hs, vs in sampling]
     smax = (1 << precision) - 1
     for p, (cw, ch) in zip(planes, dims):
         if len(p) != cw * ch:
@@ -1557,6 +1588,11 @@ def jpeg_lossless_bytes(
     if restart_interval < 0 or restart_interval > 0xFFFF:
         raise ValueError("restart interval must fit in 16 bits")
     shifted = [[v >> point_transform for v in p] for p in planes]
+    if subsampled:
+        shifted = [
+            _pad_edge(p, cw, ch, pw, ph)
+            for p, (cw, ch), (pw, ph) in zip(shifted, dims, pdims)
+        ]
     enc = _huff_encode_table(LL_DC_BITS, LL_DC_VALS)
     default = 1 << (precision - point_transform - 1)
     w = _BitWriter()
@@ -1588,8 +1624,8 @@ def jpeg_lossless_bytes(
         mcu_i = rst = 0
         reset_next = False
         ra_rows = [-1] * ncomp
-        for my in range(height // vmax):
-            for mx in range(width // hmax):
+        for my in range(mcuy):
+            for mx in range(mcux):
                 if restart_interval and mcu_i and mcu_i % restart_interval == 0:
                     w.restart(rst)
                     rst = (rst + 1) % 8
@@ -1597,7 +1633,7 @@ def jpeg_lossless_bytes(
                 mcu_i += 1
                 for ci, p in enumerate(shifted):
                     hs, vs = sampling[ci]
-                    cw = dims[ci][0]
+                    cw = pdims[ci][0]  # walk/predict over the padded grid
                     for v in range(vs):
                         for h in range(hs):
                             x, y = mx * hs + h, my * vs + v
@@ -1749,20 +1785,21 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
             raise ValueError(
                 "interleaved MCU exceeds 10 data units (T.81 B.2.3)"
             )
-        if width % hmax or height % vmax:
-            raise ValueError(
-                "subsampled lossless scans with partial MCUs not supported"
-            )
+        # T.81 A.1.1 ceil dims; partial MCUs (round 13) decode over the
+        # encoder's padded whole-MCU grid and crop afterwards
         dims = [
-            (width * hs // hmax, height * vs // vmax)
+            (-(-width * hs // hmax), -(-height * vs // vmax))
             for hs, vs in scan_sampling
         ]
+        mcux, mcuy = -(-width // hmax), -(-height // vmax)
+        pdims = [(mcux * hs, mcuy * vs) for hs, vs in scan_sampling]
     else:
         dims = [(width, height)] * ncomp
+        pdims = dims
     end = b.rfind(b"\xff\xd9")
     r = _BitReader(b[entropy_start : end if end > entropy_start else len(b)])
     default = 1 << (precision - pt - 1)
-    planes = [[0] * (cw * ch) for cw, ch in dims]
+    planes = [[0] * (pw * ph) for pw, ph in pdims]
     mask = (1 << (precision - pt)) - 1
 
     def read_diff(td: int) -> int:
@@ -1784,8 +1821,8 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
         mcu_i = rst_m = 0
         reset_next = False
         ra_rows = [-1] * ncomp
-        for my in range(height // vmax):
-            for mx in range(width // hmax):
+        for my in range(mcuy):
+            for mx in range(mcux):
                 if restart_interval and mcu_i and mcu_i % restart_interval == 0:
                     r.expect_restart(rst_m)  # byte-align + RSTn
                     rst_m = (rst_m + 1) % 8
@@ -1793,7 +1830,7 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
                 mcu_i += 1
                 for ci, (_, td) in enumerate(scan):
                     hs, vs = scan_sampling[ci]
-                    cw = dims[ci][0]
+                    cw = pdims[ci][0]  # decode over the padded grid
                     p = planes[ci]
                     for v in range(vs):
                         for h in range(hs):
@@ -1834,6 +1871,11 @@ def _jpeg_decode_lossless(b: bytes) -> dict:
                 if reset_next:
                     reset_next = False
                     ra_row = y  # rest of this row: the interval's first line
+    if pdims != dims:  # drop the partial-MCU padding (round 13)
+        planes = [
+            _crop_plane(p, pw, cw, ch)
+            for p, (pw, _), (cw, ch) in zip(planes, pdims, dims)
+        ]
     bit_depth = precision
     if pt:
         planes = [[v << pt for v in p] for p in planes]

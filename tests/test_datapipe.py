@@ -805,6 +805,11 @@ def test_decode_real_fuzz_valueerror_contract():
                                    [(29 * i) % 256 for i in range(8)]],
                             predictor=6, restart_interval=3,
                             sampling=[(2, 2), (1, 1), (1, 1)]),
+        jpeg_lossless_bytes(7, 5, [[(41 * i) % 256 for i in range(35)],
+                                   [(43 * i) % 256 for i in range(12)],
+                                   [(47 * i) % 256 for i in range(12)]],
+                            predictor=4,
+                            sampling=[(2, 2), (1, 1), (1, 1)]),  # partial MCUs
         flac_bytes(44100, 16, [([250] * 24, ("constant",)),
                                ([(53 * i) % 3001 - 1500 for i in range(32)],
                                 ("fixed", 2, 1)),
@@ -3165,8 +3170,15 @@ def test_jpeg_lossless_subsampled_roundtrip():
     s420 = [(2, 2), (1, 1), (1, 1)]
     with _pytest.raises(ValueError, match="3-component"):
         jpeg_lossless_bytes(4, 4, [[0] * 16], sampling=[(2, 2)])
-    with _pytest.raises(ValueError, match="multiple-of-2x2"):
+    # partial MCUs (round 13 — formerly a refusal): odd dims take the
+    # A.1.1 ceil component dims; plane sizes are validated against them
+    with _pytest.raises(ValueError, match="plane must be 6 samples"):
         jpeg_lossless_bytes(5, 4, [[0] * 20, [0] * 8, [0] * 8], sampling=s420)
+    d = jpeg_decode_pixels(jpeg_lossless_bytes(
+        5, 4, [[7] * 20, [9] * 6, [11] * 6], sampling=s420))
+    assert d["plane_dims"] == [(5, 4), (3, 2), (3, 2)]
+    assert list(d["planes"][0]) == [7] * 20
+    assert list(d["planes"][1]) == [9] * 6
     with _pytest.raises(ValueError, match="10 data units"):
         jpeg_lossless_bytes(
             4, 4, [[0] * 16, [0] * 16, [0] * 16],
@@ -3244,6 +3256,53 @@ def test_jpeg_lossless_subsampled_restart_intervals():
         ia, ib = enc[0].rfind(b"\xff\xd0"), enc[1].rfind(b"\xff\xd0")
         assert ia > 0 and ib > 0
         assert enc[0][ia:] == enc[1][ib:], pred
+
+
+def test_jpeg_lossless_subsampled_partial_mcus():
+    """Round 13 retires the partial-MCU refusal: subsampled lossless
+    frames whose dimensions are NOT multiples of Hmax/Vmax take the
+    T.81 A.1.1 ceil component dims, code whole MCUs over an
+    edge-replicated padded grid (A.2.4), and the decoder crops the
+    padding away — exact round-trips across sampling shapes, odd
+    dimensions, precisions, predictors, and restart intervals (the
+    padded walk composes with the round-13 per-grid H.1.1 reset)."""
+    import random
+    import struct as _struct
+
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_lossless_bytes,
+    )
+
+    rng = random.Random(5)
+    for sampling in ([(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)],
+                     [(1, 2), (2, 2), (1, 1)], [(3, 1), (1, 1), (1, 1)]):
+        hmax = max(h for h, _ in sampling)
+        vmax = max(v for _, v in sampling)
+        for (w, h) in [(7, 5), (hmax * 2 + 1, vmax * 3),
+                       (hmax * 2, vmax * 2 + 1), (5, 3)]:
+            dims = [(-(-w * hs // hmax), -(-h * vs // vmax))
+                    for hs, vs in sampling]
+            for prec, pt in ((8, 0), (16, 2)):
+                smax = (1 << prec) - 1
+                planes = [[rng.randint(0, smax) for _ in range(cw * ch)]
+                          for cw, ch in dims]
+                for pred in (1, 4, 7):
+                    for ri in (0, 3):
+                        d = jpeg_decode_pixels(jpeg_lossless_bytes(
+                            w, h, planes, predictor=pred, precision=prec,
+                            point_transform=pt, sampling=sampling,
+                            restart_interval=ri))
+                        lost = ~((1 << pt) - 1) & 0xFFFF
+                        exp = [[v & lost for v in p] for p in planes]
+                        if prec <= 8:
+                            got = [list(p) for p in d["planes"]]
+                        else:
+                            got = [list(_struct.unpack(f">{len(pl)}H", p))
+                                   for pl, p in zip(planes, d["planes"])]
+                        assert got == exp, (sampling, (w, h), prec, pred, ri)
+                        assert d["plane_dims"] == dims
+                        assert (d["width"], d["height"]) == (w, h)
 
 
 def test_flac_deep_bit_depths():
