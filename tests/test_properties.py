@@ -671,3 +671,55 @@ def test_wav_deep_pcm_roundtrip_property(data):
     d = wav_decode_samples(wav_pcm_bytes(ch, 8000, vals, bits=bits))
     assert d["samples"] == vals and d["bits"] == bits
     assert d["n_samples"] == n // ch
+
+
+@settings(max_examples=50, deadline=None)
+@given(data=st.data())
+def test_jpeg_lossless_roundtrip_property(data):
+    """decode(encode(planes)) == planes for RANDOM lossless JPEGs
+    across the full round-13 feature space at once: random dims
+    (including non-multiples of the MCU size — partial MCUs), random
+    per-component sampling, every predictor, random point transforms,
+    random precisions 2..16, and random restart intervals — the
+    composition no deterministic battery enumerates exhaustively."""
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_decode_pixels,
+        jpeg_lossless_bytes,
+    )
+
+    ncomp = data.draw(st.sampled_from([1, 3]))
+    if ncomp == 1:
+        sampling = [(1, 1)]
+    else:
+        sampling = [
+            (data.draw(st.integers(1, 2)), data.draw(st.integers(1, 2)))
+            for _ in range(3)
+        ]
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    w = data.draw(st.integers(1, 9))
+    h = data.draw(st.integers(1, 7))
+    dims = [(-(-w * hs // hmax), -(-h * vs // vmax)) for hs, vs in sampling]
+    prec = data.draw(st.integers(2, 16))
+    pt = data.draw(st.integers(0, min(3, prec - 1)))
+    pred = data.draw(st.integers(1, 7))
+    ri = data.draw(st.sampled_from([0, 1, 2, 5]))
+    smax = (1 << prec) - 1
+    planes = [
+        [data.draw(st.integers(0, smax)) for _ in range(cw * ch)]
+        for cw, ch in dims
+    ]
+    d = jpeg_decode_pixels(jpeg_lossless_bytes(
+        w, h, planes, predictor=pred, precision=prec, point_transform=pt,
+        sampling=sampling, restart_interval=ri))
+    lost = ~((1 << pt) - 1) & 0xFFFF
+    exp = [[v & lost for v in p] for p in planes]
+    if prec <= 8:
+        got = [list(p) for p in d["planes"]]
+    else:
+        import struct as _struct
+
+        got = [list(_struct.unpack(f">{len(pl)}H", p))
+               for pl, p in zip(planes, d["planes"])]
+    assert got == exp
+    assert d["plane_dims"] == dims
