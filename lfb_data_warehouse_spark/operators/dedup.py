@@ -225,6 +225,15 @@ def edit_distance_pairs(
     lower bound (|len_a − len_b| ≤ k ⇒ cheap int compare) prunes
     before the O(prefix_len²) distance; and ``F.levenshtein`` is a
     JVM codegen expression — no Python in the hot path."""
+    if not block_cols:
+        # an empty block key would make the self-join a cartesian
+        # product — the O(n²) plan this operator exists to avoid; make
+        # all-pairs an explicit caller choice (a constant column), not
+        # a default
+        raise ValueError(
+            "edit_distance_pairs requires at least one blocking column; "
+            "for deliberate all-pairs use a constant block column"
+        )
     pfx = F.substring(F.col(text_col), 1, prefix_len)
     d = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], pfx.alias("pfx")

@@ -155,6 +155,9 @@ def test_edit_distance_pairs_blocked(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan
+    # an empty block key is refused, not silently cartesian
+    with pytest.raises(ValueError, match="blocking column"):
+        edit_distance_pairs(df, "doc_id", "text", [], 30, 3)
 
 
 def test_ivf_topk_recall_within_probed_lists(emb):
