@@ -830,6 +830,31 @@ def wav_pcm_bytes(channels: int, sample_rate: int, samples: list[int], bits: int
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def wav_float_bytes(
+    channels: int, sample_rate: int, samples: list[float], bits: int = 32
+) -> bytes:
+    """IEEE-float WAV (format tag 3, round 13 — the last WAV-format
+    refusal retired): ``samples`` is the interleaved float stream,
+    packed little-endian float32 or float64. Non-PCM formats carry a
+    ``fact`` chunk with the per-channel frame count (RIFF spec). The
+    DAW-export format: nominal full scale is ±1.0 but values are NOT
+    clamped — float WAV's point is headroom above 0 dBFS."""
+    if bits == 32:
+        data = struct.pack(f"<{len(samples)}f", *samples)
+    elif bits == 64:
+        data = struct.pack(f"<{len(samples)}d", *samples)
+    else:
+        raise ValueError(f"IEEE-float WAV must be 32 or 64 bits, got {bits}")
+    block_align = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 3, channels, sample_rate,
+                      sample_rate * block_align, block_align, bits)
+    fact = struct.pack("<I", len(samples) // channels)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", 4) + fact
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def ulaw_expand(u: int) -> int:
     """G.711 µ-law code byte → 16-bit linear sample (segment + mantissa
     expansion with the 0x84 bias; code bytes are stored complemented)."""
@@ -1023,10 +1048,12 @@ def _adpcm_decode_block_multi(blk: bytes, n_samples: int, channels: int) -> list
 def wav_decode_samples(b: bytes) -> dict:
     """REAL WAV sample decode: RIFF chunk walk to ``fmt ``/``data``,
     then unpack the interleaved samples — integer PCM (fmt 1: 8-bit
-    unsigned, 16/24/32-bit signed — 24-bit joined in round 12) or
-    G.711 A-law/µ-law (fmt 6/7, round 10), whose 8-bit code bytes
-    expand to 16-bit linear through the segment + mantissa
-    formulas."""
+    unsigned, 16/24/32-bit signed — 24-bit joined in round 12),
+    IEEE-float (fmt 3: float32/float64, round 13 — samples stay
+    floats, never scaled onto an int grid), G.711 A-law/µ-law
+    (fmt 6/7, round 10) whose 8-bit code bytes expand to 16-bit
+    linear through the segment + mantissa formulas, or IMA ADPCM
+    (fmt 17, any channel count since round 13)."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     i = 12
@@ -1040,9 +1067,10 @@ def wav_decode_samples(b: bytes) -> dict:
             fmt_code, channels, rate, _, block_align, bits = struct.unpack(
                 "<HHIIHH", b[i + 8 : i + 24]
             )
-            if fmt_code not in (1, 6, 7, 17):
+            if fmt_code not in (1, 3, 6, 7, 17):
                 raise ValueError(
-                    f"only PCM/A-law/u-law/IMA-ADPCM (fmt 1/6/7/17) supported, got {fmt_code}"
+                    "only PCM/IEEE-float/A-law/u-law/IMA-ADPCM "
+                    f"(fmt 1/3/6/7/17) supported, got {fmt_code}"
                 )
             if fmt_code == 17:
                 # the 2-byte extension: samples decoded per block
@@ -1054,7 +1082,33 @@ def wav_decode_samples(b: bytes) -> dict:
         i += 8 + sz + (sz & 1)
     if channels is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    encoding = {1: "pcm", 6: "alaw", 7: "ulaw", 17: "ima_adpcm"}[fmt_code]
+    encoding = {1: "pcm", 3: "float", 6: "alaw", 7: "ulaw", 17: "ima_adpcm"}[fmt_code]
+    if fmt_code == 3:
+        # IEEE-float (round 13): samples stay floats — float WAV's
+        # point is headroom above nominal ±1.0 full scale, so scaling
+        # to an int grid would silently clip; downstream stats consume
+        # the floats directly
+        if bits == 32:
+            samples = list(
+                struct.unpack(f"<{len(data) // 4}f", data[: len(data) // 4 * 4])
+            )
+        elif bits == 64:
+            samples = list(
+                struct.unpack(f"<{len(data) // 8}d", data[: len(data) // 8 * 8])
+            )
+        else:
+            raise ValueError(f"IEEE-float WAV must be 32 or 64 bits, got {bits}")
+        if not samples:
+            raise ValueError("WAV with empty data chunk")
+        return {
+            "media_type": "audio/wav",
+            "channels": channels,
+            "sample_rate": rate,
+            "bits": bits,
+            "encoding": encoding,
+            "n_samples": len(samples) // channels,
+            "samples": samples,
+        }
     if fmt_code == 17:
         if bits != 4:
             raise ValueError(f"IMA ADPCM WAV must be 4 bits per sample, got {bits}")
@@ -1104,7 +1158,7 @@ def wav_decode_samples(b: bytes) -> dict:
     else:
         raise ValueError(
             f"only 8/16/24/32-bit integer PCM supported, got {bits} "
-            "(IEEE-float WAV, fmt 3, is an explicit non-integer refusal)"
+            "(IEEE-float streams carry format tag 3, handled above)"
         )
     if not samples:
         # no first/last sample for downstream stats — undecodable,

@@ -747,6 +747,7 @@ def test_decode_real_fuzz_valueerror_contract():
         png_pixel_bytes,
         png_subbyte_bytes,
         wav_adpcm_bytes,
+        wav_float_bytes,
         wav_g711_bytes,
         wav_pcm_bytes,
     )
@@ -789,6 +790,7 @@ def test_decode_real_fuzz_valueerror_contract():
         jpeg_progressive_bytes(16, 8, [g * 2], restart_interval=1),  # r10: DRI in SOF2
         jpeg_planes_bytes(8, 8, [[(37 * i) % 4096 for i in range(64)]], precision=12),
         wav_pcm_bytes(1, 8000, [100, -100, 50]),
+        wav_float_bytes(2, 48000, [0.5, -1.25, 3.75, -0.0]),  # r13: fmt 3
         wav_g711_bytes(1, 8000, bytes(range(0, 256, 7)), "ulaw"),
         bmp_bytes(5, 4, bytes((3 * i) % 256 for i in range(60))),
         tiff_bytes(6, 5, bytes((5 * i) % 256 for i in range(30)),
@@ -3386,8 +3388,9 @@ def test_mixed_media_eight_format_dispatch(spark):
 def test_wav_deep_pcm_depths():
     """Round 12: 24-bit (studio-master) and 32-bit integer PCM WAV
     round-trip exactly, mono and stereo, with container metadata
-    agreeing; IEEE-float WAV stays an explicit refusal (fmt 3 is
-    non-integer), as does any other integer width."""
+    agreeing; unsupported integer widths and unknown format tags stay
+    explicit refusals. (IEEE-float fmt 3 became a supported decode in
+    round 13 — the hand-built fmt-3 stream here now decodes.)"""
     import random
     import struct as _struct
 
@@ -3413,14 +3416,64 @@ def test_wav_deep_pcm_depths():
             "n_samples"] == 20
     with _pytest.raises(ValueError, match="8/16/24/32"):
         wav_pcm_bytes(1, 8000, [0] * 4, bits=20)
-    # a float WAV (fmt 3) is refused at the format tag, never misread
+    # a HAND-BUILT float WAV (fmt 3, external producer) decodes — the
+    # round-13 retirement of the float refusal, checked against an
+    # independently assembled stream rather than our own encoder
     fmt = _struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
     data = _struct.pack("<4f", 0.1, -0.5, 0.9, 0.0)
     body = (b"WAVEfmt " + _struct.pack("<I", len(fmt)) + fmt
             + b"data" + _struct.pack("<I", len(data)) + data)
     blob = b"RIFF" + _struct.pack("<I", len(body)) + body
-    with _pytest.raises(ValueError, match="fmt 1/6/7/17"):
-        wav_decode_samples(blob)
+    df = wav_decode_samples(blob)
+    assert df["encoding"] == "float" and df["bits"] == 32
+    assert df["samples"] == [
+        _struct.unpack("<f", _struct.pack("<f", v))[0]
+        for v in (0.1, -0.5, 0.9, 0.0)
+    ]
+    # an unknown format tag (2 = MS ADPCM) is still a named refusal
+    fmt2 = _struct.pack("<HHIIHH", 2, 1, 8000, 32000, 4, 4)
+    body2 = (b"WAVEfmt " + _struct.pack("<I", len(fmt2)) + fmt2
+             + b"data" + _struct.pack("<I", 4) + b"\x00" * 4)
+    with _pytest.raises(ValueError, match="fmt 1/3/6/7/17"):
+        wav_decode_samples(b"RIFF" + _struct.pack("<I", len(body2)) + body2)
+
+
+def test_wav_float_decode():
+    """IEEE-float WAV (fmt 3, round 13): float32/float64 round-trips
+    are exact (float64 bit-identical; float32 through one pack
+    quantization), values beyond nominal ±1.0 full scale survive
+    unclamped (the headroom the format exists for), the fact chunk is
+    emitted, and non-32/64 widths refuse on both sides."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        decode_real,
+        parse_media,
+        wav_decode_samples,
+        wav_float_bytes,
+    )
+
+    vals = [0.5, -1.25, 3.75, -0.0, 1e-20, 123456.75]
+    d = decode_real(wav_float_bytes(2, 48000, vals, bits=32))
+    assert d["encoding"] == "float" and d["bits"] == 32
+    assert d["samples"] == [
+        _struct.unpack("<f", _struct.pack("<f", v))[0] for v in vals
+    ]
+    assert d["n_samples"] == 3 and d["channels"] == 2
+    assert d["samples"][2] == 3.75  # > 0 dBFS headroom unclamped
+    d64 = wav_decode_samples(wav_float_bytes(1, 8000, vals, bits=64))
+    assert d64["samples"] == vals and d64["bits"] == 64
+    assert b"fact" in wav_float_bytes(1, 8000, vals)
+    assert parse_media(wav_float_bytes(2, 48000, vals))["n_samples"] == 3
+    with _pytest.raises(ValueError, match="32 or 64"):
+        wav_float_bytes(1, 8000, vals, bits=24)
+    b = bytearray(wav_float_bytes(1, 8000, [0.5] * 4))
+    p = b.find(b"fmt ")
+    b[p + 8 + 14 : p + 8 + 16] = _struct.pack("<H", 16)
+    with _pytest.raises(ValueError, match="32 or 64"):
+        wav_decode_samples(bytes(b))
 
 
 def test_tiff_16bit_samples():

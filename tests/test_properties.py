@@ -723,3 +723,35 @@ def test_jpeg_lossless_roundtrip_property(data):
                for pl, p in zip(planes, d["planes"])]
     assert got == exp
     assert d["plane_dims"] == dims
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_wav_float_roundtrip_property(data):
+    """decode(encode(samples)) is exact for RANDOM IEEE-float WAVs
+    (fmt 3, round 13): float64 round-trips identically; float32
+    round-trips through one float32 quantization (the pack) — values
+    beyond ±1.0 survive untouched, the headroom float WAV exists
+    for."""
+    import math
+    import struct as _struct
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        wav_decode_samples,
+        wav_float_bytes,
+    )
+
+    bits = data.draw(st.sampled_from([32, 64]))
+    ch = data.draw(st.sampled_from([1, 2, 4]))
+    n = data.draw(st.integers(1, 20)) * ch
+    vals = [
+        data.draw(st.floats(-8.0, 8.0, allow_nan=False)) for _ in range(n)
+    ]
+    d = wav_decode_samples(wav_float_bytes(ch, 48000, vals, bits=bits))
+    if bits == 64:
+        want = vals
+    else:
+        want = [_struct.unpack("<f", _struct.pack("<f", v))[0] for v in vals]
+    assert d["samples"] == want
+    assert d["encoding"] == "float" and d["bits"] == bits
+    assert d["n_samples"] == n // ch and d["channels"] == ch
