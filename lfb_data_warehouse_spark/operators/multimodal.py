@@ -1082,6 +1082,11 @@ def wav_decode_samples(b: bytes) -> dict:
         i += 8 + sz + (sz & 1)
     if channels is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if channels < 1:
+        # a zero-channel fmt chunk would divide-by-zero in the
+        # n_samples computation — a ZeroDivisionError escaping the
+        # ValueError contract (found by a round-13 poison probe)
+        raise ValueError("WAV fmt chunk declares zero channels")
     encoding = {1: "pcm", 3: "float", 6: "alaw", 7: "ulaw", 17: "ima_adpcm"}[fmt_code]
     if fmt_code == 3:
         # IEEE-float (round 13): samples stay floats — float WAV's

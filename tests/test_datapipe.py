@@ -3474,6 +3474,18 @@ def test_wav_float_decode():
     b[p + 8 + 14 : p + 8 + 16] = _struct.pack("<H", 16)
     with _pytest.raises(ValueError, match="32 or 64"):
         wav_decode_samples(bytes(b))
+    # a zero-channel fmt chunk must raise ValueError, not escape as
+    # ZeroDivisionError from the n_samples division (round-13
+    # zero-field poison probe finding; applies to every WAV format)
+    from lfb_data_warehouse_spark.operators.multimodal import wav_pcm_bytes
+
+    for blob in (wav_pcm_bytes(1, 8000, [100, -100]),
+                 wav_float_bytes(1, 8000, [0.5, -0.5])):
+        z = bytearray(blob)
+        q = z.find(b"fmt ")
+        z[q + 8 + 2 : q + 8 + 4] = _struct.pack("<H", 0)
+        with _pytest.raises(ValueError, match="zero channels"):
+            wav_decode_samples(bytes(z))
 
 
 def test_tiff_16bit_samples():
