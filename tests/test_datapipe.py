@@ -843,6 +843,58 @@ def test_decode_real_fuzz_valueerror_contract():
             check(bytes(b))
 
 
+def test_zero_field_poison_probe():
+    """Systematic zero-field probe (round 13): zero every 2-byte
+    window of one valid payload per container family and decode — the
+    ValueError-only contract must hold on all of them. This
+    deterministic sweep complements the random fuzz: zeroing aligned
+    header fields reaches count/divisor semantics random bit flips
+    rarely hit (it found the WAV zero-channel ZeroDivisionError the
+    120-mutation random battery never drew)."""
+    from lfb_data_warehouse_spark.operators.flaccodec import flac_bytes
+    from lfb_data_warehouse_spark.operators.gifcodec import gif_bytes
+    from lfb_data_warehouse_spark.operators.jpegcodec import (
+        jpeg_lossless_bytes,
+        jpeg_pixel_bytes,
+    )
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        bmp_bytes,
+        decode_real,
+        png_pixel_bytes,
+        wav_adpcm_bytes,
+        wav_float_bytes,
+        wav_pcm_bytes,
+    )
+    from lfb_data_warehouse_spark.operators.tiffcodec import tiff_bytes
+
+    g = bytes((3 * i) % 256 for i in range(64))
+    payloads = [
+        wav_pcm_bytes(2, 8000, [100, -100, 50, 7]),
+        wav_float_bytes(2, 48000, [0.5, -1.25, 3.75, -0.0]),
+        wav_adpcm_bytes(8000, [(-500, 20, [i % 16 for i in range(16)])], 17),
+        png_pixel_bytes(8, 8, g, 0),
+        jpeg_pixel_bytes(8, 8, g),
+        jpeg_lossless_bytes(5, 4, [[(911 * i) % 65536 for i in range(20)]],
+                            predictor=4, precision=16),
+        gif_bytes(6, 5, bytes((3 * i) % 4 for i in range(30)), bytes(range(12))),
+        bmp_bytes(5, 4, bytes((3 * i) % 256 for i in range(60))),
+        tiff_bytes(6, 5, bytes((5 * i) % 256 for i in range(30)),
+                   rows_per_strip=2, packbits=True),
+        flac_bytes(44100, 16, [([250] * 24, ("constant",))]),
+    ]
+    for base in payloads:
+        for off in range(len(base) - 1):
+            b = bytearray(base)
+            if b[off : off + 2] == b"\x00\x00":
+                continue
+            b[off : off + 2] = b"\x00\x00"
+            try:
+                out = decode_real(bytes(b))
+                assert isinstance(out, dict)
+            except ValueError:
+                pass  # the one allowed failure mode
+
+
 def test_decode_error_contract_normalized():
     """Malformed payloads surface as ValueError ONLY — truncated
     headers (struct.error), scans referencing undefined tables
