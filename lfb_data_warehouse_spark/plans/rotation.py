@@ -1207,10 +1207,11 @@ _R12_GREEN: list[str] = [
 # displaced from the r12 window, then the r8 tail oldest-first exactly
 # as tools/freshness.py prints it. clustered_write_skipping is NOT
 # here — its oracle changed this round (bloom point-lookup leg), so it
-# rides ORACLE_FIXED instead. 1 flagship + 1 oracle-fixed + 1 new gate
-# (dedup_edit_distance_pairs) + these 49: the last two rows
-# (per_source_sample, ivf_persisted_search) spill past the 50-slot cut
-# to the front of the r14 queue.
+# rides ORACLE_FIXED instead. 1 flagship + 1 oracle-fixed + 2 new gates
+# (dedup_edit_distance_pairs, stream_interval_join_outer) + these 49:
+# the last three rows (quality_weighted_sample, per_source_sample,
+# ivf_persisted_search) spill past the 50-slot cut to the front of the
+# r14 queue.
 _R13_RECHECK: list[str] = [
     "decontaminate_test_split",
     "bucketed_join_colocated",
@@ -1306,12 +1307,13 @@ VERIFIED_GREEN: list[str] = [
 # here.)
 UNCHECKED_PRIORITY: list[str] = [
     "dedup_edit_distance_pairs",  # r13: blocked Levenshtein near-dups
+    "stream_interval_join_outer",  # r13: left-outer stream-stream join
 ]
 
-# Round-14 queue: per_source_sample and ivf_persisted_search (the two
-# r8 rows the 50-slot window cuts this round — flagship + 1
-# oracle-fixed + 1 new gate + 47 rechecks), then the r9 tail
-# oldest-first (multimodal_resize, multimodal_frame_sample,
+# Round-14 queue: quality_weighted_sample, per_source_sample and
+# ivf_persisted_search (the three r8 rows the 50-slot window cuts this
+# round — flagship + 1 oracle-fixed + 2 new gates + 46 rechecks), then
+# the r9 tail oldest-first (multimodal_resize, multimodal_frame_sample,
 # palette_png_decode_stats, jpeg_subsampled_decode_stats, ... — run
 # tools/freshness.py first, as always).
 

@@ -256,6 +256,84 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join_outer",
+    oracle="""
+    WITH wm AS (
+      SELECT least((SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+                   (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
+             - INTERVAL '3 hours' - INTERVAL '10 seconds' AS horizon
+    )
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts
+    FROM events p
+    LEFT JOIN events c
+      ON c.event_type = 'click'
+     AND c.user_id = p.user_id
+     AND epoch_us(c.ts) >= epoch_us(p.ts)
+     AND epoch_us(c.ts) <= epoch_us(p.ts) + 7200000000
+    CROSS JOIN wm
+    WHERE p.event_type = 'purchase' AND p.ts <= wm.horizon
+    """,
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join executed for real
+    (round 13): every purchase inside the watermark-safe horizon, with
+    its attributed clicks if any and NULL click_id if none — the
+    "attribution with nulls" shape inner joins cannot express.
+
+    Unmatched rows emit only via watermark eviction (Spark's
+    join-state solver works in whole milliseconds with a left-value
+    ceiling — boundary pinned in test_streaming.py), so the gate
+    restricts BOTH sides to purchases at least window + delay + 10 s
+    older than the younger stream's max event: rows Spark could still
+    be buffering at stream end are excluded from the comparison by
+    construction, and inside the horizon the streamed outer result
+    must equal the batch LEFT JOIN oracle exactly — nulls included."""
+    from ..streaming.ops import stream_stream_interval_join
+
+    events, src = _stage_events(spark, sf_dir)
+    horizon = (
+        events.agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            ).alias("m")
+        )
+        .select(F.col("m") - F.expr("INTERVAL 3 hours") - F.expr("INTERVAL 10 seconds"))
+        .first()[0]
+    )
+    purchases = (
+        spark.readStream.schema(events.schema)
+        .parquet(src)
+        .filter("event_type = 'purchase'")
+        .selectExpr("event_id AS purchase_id", "user_id", "ts AS p_ts")
+    )
+    clicks = (
+        spark.readStream.schema(events.schema)
+        .parquet(src)
+        .filter("event_type = 'click'")
+        .selectExpr("event_id AS click_id", "user_id", "ts AS c_ts")
+    )
+    joined = stream_stream_interval_join(
+        purchases, clicks, left_ts="p_ts", right_ts="c_ts",
+        on=["user_id"], window="2 hours", how="leftOuter",
+    ).select("purchase_id", "click_id", "user_id", "p_ts")
+    name = f"stream_ivlo_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = joined.writeStream.format("memory").queryName(name).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("p_ts") <= F.lit(horizon))
+        .select(
+            "purchase_id", "click_id", "user_id",
+            F.col("p_ts").alias("purchase_ts"),
+        )
+    )
+
+
+@register(
     "stream_stateful_user_stats",
     oracle="""
     SELECT user_id,

@@ -108,6 +108,7 @@ def stream_stream_interval_join(
     on: Sequence[str],
     window: str = "2 hours",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: right rows whose timestamp falls in
     [left_ts, left_ts + window], per equality key — the streaming twin
@@ -120,6 +121,20 @@ def stream_stream_interval_join(
     the range the state would grow forever on an unbounded stream.
     Caller must pre-rename colliding columns (streaming joins can't
     rename post-hoc without breaking the watermark lineage).
+
+    ``how="leftOuter"`` (round 13): unmatched left rows ALSO emit, with
+    NULL right columns, once the global watermark proves no match can
+    still arrive — the attribution-with-nulls shape ("every purchase,
+    with its click if any"). Emission timing is watermark-bound:
+    Spark's join-state solver works in whole milliseconds with a
+    left-value CEILING, so a left row emits null-joined only when
+    ``ceil_ms(left_ts) + window < floor_ms(min stream max) − delay``
+    (pinned empirically across 16 boundary cases in
+    test_streaming.py::test_stream_interval_join_outer_eviction_boundary);
+    rows inside that horizon stay buffered at stream end. Callers
+    comparing against a batch twin should restrict both sides to a
+    watermark-safe horizon (see plans.streaming_queries.
+    stream_interval_join_outer).
     """
     keys = list(on)
     l_wm = left.withWatermark(left_ts, watermark)
@@ -131,7 +146,7 @@ def stream_stream_interval_join(
     time_lo = r_wm[right_ts] >= l_wm[left_ts]
     time_hi = r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {window}")
     cond = (cond & time_lo & time_hi) if cond is not None else (time_lo & time_hi)
-    return l_wm.join(r_wm, cond, "inner").drop(*(r_wm[k] for k in keys))
+    return l_wm.join(r_wm, cond, how).drop(*(r_wm[k] for k in keys))
 
 
 def stream_incremental_upsert(

@@ -218,3 +218,97 @@ def test_transform_with_state_unavailable(spark, source_dir):
     assert out.schema.simpleString() == (
         "struct<user_id:bigint,event_count:bigint,value_sum:double,last_seen:timestamp>"
     )
+
+
+def test_stream_interval_join_outer_eviction_boundary(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join (round 13): unmatched
+    left rows emit null-joined only once the watermark proves no match
+    can arrive. This test PINS the exact eviction boundary Spark's
+    join-state solver uses — whole milliseconds with a left-value
+    CEILING: a left row emits iff
+
+        ceil_ms(left_ts) + window < floor_ms(min stream max) - delay
+
+    (fitted and confirmed on 16 empirical boundary cases during the
+    round-13 bring-up; the `stream_interval_join_outer` gate stays
+    boundary-insensitive by restricting both sides to a safe horizon,
+    so THIS test is what breaks loudly if a Spark upgrade changes the
+    solver's rounding)."""
+    import uuid as _uuid
+
+    from lfb_data_warehouse_spark.streaming.ops import (
+        stream_stream_interval_join,
+    )
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def at(sec):
+        return T0 + dt.timedelta(microseconds=int(round(sec * 1e6)))
+
+    def run(click_s, purchases):
+        rows = [
+            (pid, uid, "purchase", at(s)) for pid, uid, s in purchases
+        ] + [
+            ("pLate", "uL", "purchase", at(3600 * 30)),  # purchase wm high
+            ("c1", "u9x", "click", at(click_s)),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id string, user_id string, event_type string, ts timestamp"
+        )
+        src = str(tmp_path / f"ivl_{_uuid.uuid4().hex[:6]}")
+        df.write.mode("overwrite").parquet(src)
+        p = (
+            spark.readStream.schema(df.schema).parquet(src)
+            .filter("event_type = 'purchase'")
+            .selectExpr("event_id AS purchase_id", "user_id", "ts AS p_ts")
+        )
+        c = (
+            spark.readStream.schema(df.schema).parquet(src)
+            .filter("event_type = 'click'")
+            .selectExpr("event_id AS click_id", "user_id", "ts AS c_ts")
+        )
+        j = stream_stream_interval_join(
+            p, c, left_ts="p_ts", right_ts="c_ts", on=["user_id"],
+            window="2 hours", how="leftOuter",
+        ).select("purchase_id", "click_id")
+        name = "ivlo_" + _uuid.uuid4().hex[:6]
+        q = (
+            j.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return sorted(
+            r["purchase_id"]
+            for r in spark.table(name).collect()
+            if r["click_id"] is None
+        )
+
+    # wm = 12h + 0.5s (click 13h+0.5 - 1h delay); eviction cutoff for
+    # p: ceil_ms(p) + 2h < wm  ->  p strictly below 10h+0.5 at ms grain
+    got = run(3600 * 13 + 0.5, [
+        ("atV", "u1", 3600 * 10.0),              # ceil_ms = 10h < 10h+0.5 -> emit
+        ("aboveV", "u2", 3600 * 10 + 0.000001),  # ceil_ms = 10h+1ms -> emit
+        ("justUnder", "u3", 3600 * 10 + 0.499),  # ceil_ms = +0.499 -> emit? NO: == cutoff-1ms < cutoff -> emit
+        ("atCut", "u4", 3600 * 10 + 0.5),        # ceil_ms = +0.5 == cutoff -> withhold
+    ])
+    assert got == ["aboveV", "atV", "justUnder"], got
+
+    # wm = 12h exactly; cutoff 10h: sub-ms above a whole second rounds
+    # UP on the left side (the ceiling), exact 10h withheld
+    got = run(3600 * 13, [
+        ("whole", "u1", 3600 * 10 - 1.0),            # ceil 9:59:59 -> emit
+        ("subMs", "u2", 3600 * 10 - 1 + 0.000001),   # ceil 9:59:59.001 -> emit
+        ("tenh", "u3", 3600 * 10.0),                 # ceil 10h == cutoff -> withhold
+    ])
+    assert got == ["subMs", "whole"], got
+
+    # wm floors to ms from a us max: click at 13h+0.123456 -> wm
+    # 12h+0.123; a left value whose ceil_ms lands ON the cutoff is
+    # withheld even though its raw us value is below it
+    got = run(3600 * 13 + 0.123456, [
+        ("below", "u1", 3600 * 10.0),                # ceil 10h < 10h+0.123 -> emit
+        ("ceilHit", "u2", 3600 * 10 + 0.122456),     # ceil 10h+0.123 == cutoff -> withhold
+        ("rawBeyond", "u3", 3600 * 10 + 0.123455),   # ceil 10h+0.124 -> withhold
+    ])
+    assert got == ["below"], got
