@@ -204,6 +204,7 @@ def edit_distance_pairs(
     block_cols: list,
     prefix_len: int,
     threshold: int,
+    ascii_fold: bool = True,
 ) -> DataFrame:
     """Blocked edit-distance (Levenshtein) near-dup pairs — the
     character-level near-dup family the shingle/minhash/simhash tiers
@@ -224,7 +225,20 @@ def edit_distance_pairs(
     keep blocks ~10³ rows at corpus scale); the length-difference
     lower bound (|len_a − len_b| ≤ k ⇒ cheap int compare) prunes
     before the O(prefix_len²) distance; and ``F.levenshtein`` is a
-    JVM codegen expression — no Python in the hot path."""
+    JVM codegen expression — no Python in the hot path.
+
+    ``ascii_fold`` (default on) maps every non-ASCII codepoint to
+    ``'?'`` BEFORE the prefix is cut, so the scored strings are pure
+    ASCII where byte-, code-unit- and codepoint-level Levenshtein all
+    agree — engines disagree on which unit they count (Spark
+    ``F.levenshtein`` is codepoint-based; DuckDB's is byte-based:
+    levenshtein('café','cafe') is 1 vs 2), and without the fold a
+    multilingual corpus silently flips pair membership near the
+    threshold depending on who computes. The fold is distance-
+    preserving for the ASCII-noise family this operator targets (OCR
+    noise, template fills) and collapses non-ASCII runs to equal-
+    length '?' runs; pass ``ascii_fold=False`` only when every caller
+    in the pipeline is pinned to one codepoint-correct engine."""
     if not block_cols:
         # an empty block key would make the self-join a cartesian
         # product — the O(n²) plan this operator exists to avoid; make
@@ -234,7 +248,12 @@ def edit_distance_pairs(
             "edit_distance_pairs requires at least one blocking column; "
             "for deliberate all-pairs use a constant block column"
         )
-    pfx = F.substring(F.col(text_col), 1, prefix_len)
+    src = (
+        F.regexp_replace(F.col(text_col), r"[^\x00-\x7F]", "?")
+        if ascii_fold
+        else F.col(text_col)
+    )
+    pfx = F.substring(src, 1, prefix_len)
     d = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], pfx.alias("pfx")
     )

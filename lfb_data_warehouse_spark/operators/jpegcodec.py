@@ -66,7 +66,14 @@ progressive AC alphabet — sizes to 14 — are the delta).
 Round 11 also admitted restart intervals inside lossless scans (the
 DICOM interleave shape): cycling RSTn every Ri samples with the full
 H.1.1 prediction reset (tightened round 12: the interval's first line
-uses Ra, so prediction never crosses a marker). Round 12 admitted
+uses Ra, so for ROW-ALIGNED intervals — the shape real encoders emit,
+and the only shape H.1.1's "first line of the restart interval" is
+unambiguous for — prediction never crosses a marker; for intervals
+that restart mid-MCU-row in subsampled scans, rows below each
+component's v=0 row of the first post-marker MCU still predict from
+pre-marker neighbours — encoder and decoder are symmetric so
+round-trips stay exact, but independent resync holds only row-aligned;
+ADVICE r13). Round 12 admitted
 SUBSAMPLED interleaved lossless scans: per-component (H, V) factors
 with the A.2.3 MCU walk, each component predicting over its own
 sampling grid. Round 13 composed the two: restart intervals inside
@@ -1620,7 +1627,14 @@ def jpeg_lossless_bytes(
         # marker (h=0, v=0 of the next MCU) → default, the remainder
         # of that component's first line since the marker (its v=0
         # row, through the end of the MCU row) → Ra, later lines →
-        # the selected predictor.
+        # the selected predictor. NOTE (ADVICE r13): only the v=0 row
+        # gets the reset, so for intervals that restart MID-MCU-row,
+        # v>=1 rows of the first post-marker MCU still predict from
+        # pre-marker samples — decode below is symmetric (round-trips
+        # exact), but the no-prediction-across-markers resync
+        # property holds only for row-aligned intervals (the shape
+        # real DICOM encoders emit; H.1.1's "first line of the
+        # restart interval" is only unambiguous there).
         mcu_i = rst = 0
         reset_next = False
         ra_rows = [-1] * ncomp

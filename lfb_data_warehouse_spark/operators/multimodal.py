@@ -1088,6 +1088,19 @@ def wav_decode_samples(b: bytes) -> dict:
         # ValueError contract (found by a round-13 poison probe)
         raise ValueError("WAV fmt chunk declares zero channels")
     encoding = {1: "pcm", 3: "float", 6: "alaw", 7: "ulaw", 17: "ima_adpcm"}[fmt_code]
+    if fmt_code in (1, 3, 6, 7):
+        # strict decode contract (ADVICE r13): a data chunk that is
+        # not a whole number of frames (sample width × channels) is a
+        # truncated or mis-framed stream — raise, never silently drop
+        # the ragged tail (the module's rule elsewhere: explicit
+        # ValueError, no silent partial decode)
+        width = 1 if fmt_code in (6, 7) else max(1, bits // 8)
+        if len(data) % (width * channels):
+            raise ValueError(
+                f"WAV data chunk ({len(data)} bytes) is not whole "
+                f"{width * channels}-byte frames ({bits}-bit × "
+                f"{channels} ch)"
+            )
     if fmt_code == 3:
         # IEEE-float (round 13): samples stay floats — float WAV's
         # point is headroom above nominal ±1.0 full scale, so scaling

@@ -173,9 +173,14 @@ EDIT_LEN_BUCKET = 50
 
 
 def _edit_distance_oracle() -> str:
+    # the same ASCII fold as the engine (non-ASCII codepoint → '?')
+    # BEFORE the prefix cut: DuckDB levenshtein is byte-based while
+    # Spark's is codepoint-based, and they only provably agree on pure
+    # ASCII (ADVICE r13 medium — café/cafe is 2 vs 1 unfolded)
     return f"""
     WITH d AS (SELECT doc_id, lang, n_chars // {EDIT_LEN_BUCKET} AS len_bucket,
-                      substr(text, 1, {EDIT_PREFIX_LEN}) AS pfx
+                      substr(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'),
+                             1, {EDIT_PREFIX_LEN}) AS pfx
                FROM documents)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS dist,
@@ -195,13 +200,14 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-character template fills, and truncation variants move
     every shingle but stay within a small edit distance. Documents
     block on (lang, n_chars bucket); each block self-joins and scores
-    ``levenshtein`` over the first {EDIT_PREFIX_LEN} chars, keeping
-    pairs at distance <= {EDIT_THRESHOLD}. Blocking is the operator's
-    contract (the oracle applies the same blocks), the shuffle carries
-    only (id, block key, prefix), the length-difference lower bound
-    prunes before the O(L²) distance, and F.levenshtein is JVM
-    codegen — no Python in the hot path. See
-    operators/dedup.py:edit_distance_pairs."""
+    ``levenshtein`` over the first 40 chars of the ASCII-folded text
+    (non-ASCII codepoint → '?', so byte- and codepoint-level distance
+    provably agree between engines — ADVICE r13), keeping pairs at
+    distance <= 16. Blocking is the operator's contract (the oracle
+    applies the same blocks), the shuffle carries only (id, block key,
+    prefix), the length-difference lower bound prunes before the
+    O(L²) distance, and F.levenshtein is JVM codegen — no Python in
+    the hot path. See operators/dedup.py:edit_distance_pairs."""
     from ..operators.dedup import edit_distance_pairs
 
     docs = load_table(spark, sf_dir, "documents").withColumn(

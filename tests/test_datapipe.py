@@ -160,6 +160,51 @@ def test_edit_distance_pairs_blocked(spark):
         edit_distance_pairs(df, "doc_id", "text", [], 30, 3)
 
 
+def test_edit_distance_ascii_fold_cross_engine(spark):
+    """ASCII fold (ADVICE r13 medium): Spark's levenshtein is
+    codepoint-based, DuckDB's byte-based — levenshtein('café','cafe')
+    is 1 vs 2, so unfolded non-ASCII text flips pair membership near
+    the threshold depending on who computes. With the fold (non-ASCII
+    codepoint → '?', BEFORE the prefix cut) both engines score the
+    same pure-ASCII strings and must emit identical pair sets."""
+    import duckdb
+
+    from lfb_data_warehouse_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "café au lait, s'il vous plaît", "fr"),
+        (2, "cafe au lait, s'il vous plait", "fr"),  # accents dropped
+        (3, "café au lait, s'il vous plaît!", "fr"),
+        (4, "\U0001F600 smiley prefix café", "fr"),  # astral codepoint
+        (5, "? smiley prefix cafe", "fr"),
+        (6, "völlig anderer text hier über alles", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = edit_distance_pairs(
+        df, "doc_id", "text", block_cols=["lang"], prefix_len=20, threshold=3
+    )
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in out.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?)", rows)
+    want = {
+        (ia, ib): dist
+        for ia, ib, dist in con.execute(
+            r"""
+            WITH p AS (SELECT doc_id, lang,
+                substr(regexp_replace(text, '[^\x00-\x7F]', '?', 'g'),
+                       1, 20) AS pfx FROM d)
+            SELECT a.doc_id, b.doc_id, levenshtein(a.pfx, b.pfx)
+            FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE abs(length(a.pfx) - length(b.pfx)) <= 3
+              AND levenshtein(a.pfx, b.pfx) <= 3
+            """
+        ).fetchall()
+    }
+    assert got == want and (1, 2) in got  # the café/cafe pair survives
+    assert (4, 5) in got  # astral emoji folds to one '?', distance 0
+
+
 def test_ivf_topk_recall_within_probed_lists(emb):
     # nprobe covering all 3 centroids makes IVF equal to brute force
     full = ivf_topk(emb, "vec_id", "embedding", "label", probe_ids=[0], k=2, nprobe=3)
@@ -3253,8 +3298,14 @@ def test_jpeg_lossless_subsampled_restart_intervals():
     reconstruction across sampling shapes / precisions / predictors /
     interval lengths (including intervals that restart mid-MCU-row
     and spans crossing MCU-row boundaries), the consumed-marker
-    count, and encoder/decoder cross-marker symmetry (post-marker
-    entropy bytes invariant to pre-marker first-line content)."""
+    count, and encoder/decoder cross-marker symmetry for ROW-ALIGNED
+    intervals (post-marker entropy bytes invariant to pre-marker
+    first-line content). The symmetry claim is deliberately scoped to
+    row-aligned ri (ADVICE r13): mid-row intervals reset only each
+    component's v=0 row, so v>=1 rows of the first post-marker MCU
+    predict across the marker — symmetric in encode and decode (the
+    exactness pins above cover ri 1/3/5), but not independently
+    resync-able."""
     import random
     import struct as _struct
 
