@@ -101,6 +101,10 @@ def decode_real(payload: bytes) -> dict:
         from .flaccodec import flac_decode_samples
 
         return flac_decode_samples(payload)
+    if meta["media_type"] == "video/avi":
+        from .avicodec import avi_decode_frames
+
+        return avi_decode_frames(payload)
     return meta
 
 
@@ -1044,6 +1048,145 @@ def _adpcm_decode_block_multi(blk: bytes, n_samples: int, channels: int) -> list
     return [chans[c][i] for i in range(n_samples) for c in range(channels)]
 
 
+# MS ADPCM (WAV format tag 0x02, round 14 — the last mechanically-
+# implementable WAV refusal retired): Microsoft's block codec with a
+# TWO-TAP linear predictor chosen per block from a coefficient table
+# carried in the fmt-chunk extension, plus a per-nibble adaptive delta.
+# Constants from the public Microsoft Multimedia Standards Update spec:
+# the 16-entry delta-adaptation table and the 7 standard coefficient
+# pairs (a stream may declare more pairs; this decoder reads the table
+# from the stream, standard-first). Spec pseudo-code divides by 256
+# with C semantics — TRUNCATION toward zero — which ffmpeg matches
+# exactly (its /64 over coef/4 tables); libsndfile's >>8 floors and can
+# differ by 1 LSB on negative predictor sums, a known ecosystem
+# divergence we resolve in the spec/ffmpeg direction.
+_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+_MS_COEF = (
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+    (460, -208), (392, -232),
+)
+
+
+def _trunc_div_256(v: int) -> int:
+    """C-style `/ 256`: truncation toward zero (Python // floors)."""
+    return v // 256 if v >= 0 else -((-v) // 256)
+
+
+def wav_msadpcm_bytes(
+    sample_rate: int,
+    blocks: list,
+    samples_per_block: int,
+    channels: int = 1,
+    coefs: tuple = _MS_COEF,
+) -> bytes:
+    """WAV container around MS ADPCM blocks (format tag 0x02).
+
+    Mono: each block is ``(coef_idx, delta0, samp1, samp2, nibbles)``
+    with exactly ``samples_per_block - 2`` nibbles — the 7-byte block
+    header carries the coefficient-pair index, the initial delta and
+    the two seed samples (which ARE the block's first two outputs,
+    samp2 then samp1). Multichannel: each block is a list of
+    ``channels`` of those tuples; the header carries all predictor
+    bytes, then all int16 deltas, then all samp1, then all samp2, and
+    data nibbles rotate channel 0..N-1 per NIBBLE, packed HIGH nibble
+    first (the opposite of IMA's low-first order). The fmt chunk
+    carries the full extension: wSamplesPerBlock, wNumCoef and every
+    coefficient pair, standard-first, as real encoders write it."""
+    if channels < 1:
+        raise ValueError("MS ADPCM WAV needs at least 1 channel")
+    if samples_per_block < 2:
+        raise ValueError("MS ADPCM needs samples_per_block >= 2 (the header seeds)")
+    n_nib = samples_per_block - 2
+    if (n_nib * channels) % 2:
+        raise ValueError("MS ADPCM block nibbles must fill whole bytes")
+    block_align = 7 * channels + n_nib * channels // 2
+    chunks = []
+    for blk in blocks:
+        chans = [blk] if channels == 1 else list(blk)
+        if len(chans) != channels:
+            raise ValueError(
+                f"block must carry {channels} channel tuples, got {len(chans)}"
+            )
+        body = bytearray()
+        for ci, _, _, _, nibs in chans:
+            if not 0 <= ci < len(coefs):
+                raise ValueError(f"MS ADPCM predictor index {ci} out of range")
+            if len(nibs) != n_nib:
+                raise ValueError("block nibble count != samples_per_block - 2")
+            body.append(ci)
+        for field in (1, 2, 3):  # delta0, samp1, samp2 — per channel
+            for tup in chans:
+                body += struct.pack("<h", tup[field])
+        nib_seq = [
+            chans[k % channels][4][k // channels]
+            for k in range(n_nib * channels)
+        ]
+        for j in range(0, len(nib_seq), 2):
+            body.append(((nib_seq[j] & 0x0F) << 4) | (nib_seq[j + 1] & 0x0F))
+        chunks.append(bytes(body))
+    data = b"".join(chunks)
+    byte_rate = sample_rate * block_align // samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHHH",
+        2, channels, sample_rate, byte_rate, block_align, 4,
+        4 + 4 * len(coefs),  # cbSize: spb + num + pairs
+        samples_per_block, len(coefs),
+    ) + b"".join(struct.pack("<hh", c1, c2) for c1, c2 in coefs)
+    fact = struct.pack("<I", samples_per_block * len(blocks))
+    riff = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _msadpcm_decode_block(
+    blk: bytes, channels: int, coefs: list, spb: int
+) -> list:
+    """One MS ADPCM block → INTERLEAVED linear samples. The 7·channels
+    header bytes seed each channel's (coef pair, delta, samp1, samp2);
+    outputs start with the seeds themselves (samp2 then samp1 — they
+    are samples 0 and 1), then each HIGH-first nibble k (channel
+    k mod channels) moves that channel's predictor:
+    trunc((s1·c1 + s2·c2)/256) + signed_nibble·delta, int16-clamped,
+    with delta re-adapted through the 16-entry table (floor 16)."""
+    preds = blk[:channels]
+    for p in preds:
+        if p >= len(coefs):
+            raise ValueError(f"MS ADPCM predictor index {p} out of range")
+    off = channels
+    delta = list(struct.unpack(f"<{channels}h", blk[off : off + 2 * channels]))
+    off += 2 * channels
+    s1 = list(struct.unpack(f"<{channels}h", blk[off : off + 2 * channels]))
+    off += 2 * channels
+    s2 = list(struct.unpack(f"<{channels}h", blk[off : off + 2 * channels]))
+    off += 2 * channels
+    chans = [[s2[c], s1[c]] for c in range(channels)]
+    n_nib = (spb - 2) * channels
+    nibs = []
+    for byte in blk[off:]:
+        nibs.append(byte >> 4)
+        nibs.append(byte & 0x0F)
+    for k in range(n_nib):
+        c = k % channels
+        nib = nibs[k]
+        c1, c2 = coefs[preds[c]]
+        pred = _trunc_div_256(s1[c] * c1 + s2[c] * c2) + (
+            nib - 16 if nib >= 8 else nib
+        ) * delta[c]
+        pred = max(-32768, min(32767, pred))
+        s2[c], s1[c] = s1[c], pred
+        chans[c].append(pred)
+        d = _trunc_div_256(_MS_ADAPT[nib] * delta[c])
+        delta[c] = d if d >= 16 else 16
+    return [chans[c][i] for i in range(spb) for c in range(channels)]
+
+
 @decode_valueerror_contract
 def wav_decode_samples(b: bytes) -> dict:
     """REAL WAV sample decode: RIFF chunk walk to ``fmt ``/``data``,
@@ -1052,13 +1195,16 @@ def wav_decode_samples(b: bytes) -> dict:
     IEEE-float (fmt 3: float32/float64, round 13 — samples stay
     floats, never scaled onto an int grid), G.711 A-law/µ-law
     (fmt 6/7, round 10) whose 8-bit code bytes expand to 16-bit
-    linear through the segment + mantissa formulas, or IMA ADPCM
-    (fmt 17, any channel count since round 13)."""
+    linear through the segment + mantissa formulas, IMA ADPCM
+    (fmt 17, any channel count since round 13), or MS ADPCM (fmt 2,
+    round 14 — two-tap predictor from the stream's own coefficient
+    table, spec/ffmpeg truncating division)."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     i = 12
     channels = rate = bits = fmt_code = None
     block_align = samples_per_block = None
+    ms_coefs = None
     data = None
     while i + 8 <= len(b):
         cid = b[i : i + 4]
@@ -1067,16 +1213,36 @@ def wav_decode_samples(b: bytes) -> dict:
             fmt_code, channels, rate, _, block_align, bits = struct.unpack(
                 "<HHIIHH", b[i + 8 : i + 24]
             )
-            if fmt_code not in (1, 3, 6, 7, 17):
+            if fmt_code not in (1, 2, 3, 6, 7, 17):
                 raise ValueError(
-                    "only PCM/IEEE-float/A-law/u-law/IMA-ADPCM "
-                    f"(fmt 1/3/6/7/17) supported, got {fmt_code}"
+                    "only PCM/MS-ADPCM/IEEE-float/A-law/u-law/IMA-ADPCM "
+                    f"(fmt 1/2/3/6/7/17) supported, got {fmt_code}"
                 )
             if fmt_code == 17:
                 # the 2-byte extension: samples decoded per block
                 if sz < 20:
                     raise ValueError("IMA ADPCM fmt chunk missing wSamplesPerBlock")
                 samples_per_block = struct.unpack("<H", b[i + 26 : i + 28])[0]
+            elif fmt_code == 2:
+                # MS ADPCM extension: wSamplesPerBlock, wNumCoef, then
+                # the coefficient-pair table the block headers index —
+                # a real decoder MUST read it from the stream (encoders
+                # may append pairs beyond the 7 standard ones)
+                if sz < 22:
+                    raise ValueError(
+                        "MS ADPCM fmt chunk missing wSamplesPerBlock/wNumCoef"
+                    )
+                samples_per_block, n_coef = struct.unpack(
+                    "<HH", b[i + 26 : i + 30]
+                )
+                if n_coef < 1:
+                    raise ValueError("MS ADPCM needs at least one coefficient pair")
+                if sz < 22 + 4 * n_coef:
+                    raise ValueError("MS ADPCM fmt chunk truncates its coefficient table")
+                ms_coefs = [
+                    struct.unpack("<hh", b[i + 30 + 4 * k : i + 34 + 4 * k])
+                    for k in range(n_coef)
+                ]
         elif cid == b"data":
             data = b[i + 8 : i + 8 + sz]
         i += 8 + sz + (sz & 1)
@@ -1087,7 +1253,10 @@ def wav_decode_samples(b: bytes) -> dict:
         # n_samples computation — a ZeroDivisionError escaping the
         # ValueError contract (found by a round-13 poison probe)
         raise ValueError("WAV fmt chunk declares zero channels")
-    encoding = {1: "pcm", 3: "float", 6: "alaw", 7: "ulaw", 17: "ima_adpcm"}[fmt_code]
+    encoding = {
+        1: "pcm", 2: "ms_adpcm", 3: "float", 6: "alaw", 7: "ulaw",
+        17: "ima_adpcm",
+    }[fmt_code]
     if fmt_code in (1, 3, 6, 7):
         # strict decode contract (ADVICE r13): a data chunk that is
         # not a whole number of frames (sample width × channels) is a
@@ -1127,7 +1296,34 @@ def wav_decode_samples(b: bytes) -> dict:
             "n_samples": len(samples) // channels,
             "samples": samples,
         }
-    if fmt_code == 17:
+    if fmt_code == 2:
+        if bits != 4:
+            raise ValueError(f"MS ADPCM WAV must be 4 bits per sample, got {bits}")
+        if not samples_per_block or samples_per_block < 2:
+            raise ValueError(
+                "MS ADPCM wSamplesPerBlock must be >= 2 (the header seeds)"
+            )
+        if not block_align or block_align < 7 * channels:
+            raise ValueError("MS ADPCM block align smaller than its headers")
+        if (block_align - 7 * channels) * 2 != (samples_per_block - 2) * channels:
+            raise ValueError(
+                "MS ADPCM block geometry inconsistent: "
+                f"align {block_align} cannot carry {samples_per_block} "
+                f"samples x {channels} ch"
+            )
+        if len(data) % block_align:
+            raise ValueError("MS ADPCM data chunk is not whole blocks")
+        samples = []
+        for off in range(0, len(data), block_align):
+            samples.extend(
+                _msadpcm_decode_block(
+                    data[off : off + block_align],
+                    channels,
+                    ms_coefs,
+                    samples_per_block,
+                )
+            )
+    elif fmt_code == 17:
         if bits != 4:
             raise ValueError(f"IMA ADPCM WAV must be 4 bits per sample, got {bits}")
         if channels < 1:
@@ -1283,6 +1479,29 @@ def parse_media(b: bytes) -> dict:
                 "media_type": "image/gif", "width": w, "height": h,
                 "channels": 3, "sample_rate": None, "n_samples": None,
             }
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            # container-only metadata from the avih main header —
+            # width/height/frame count priced without any frame decode
+            i = 12
+            while i + 8 <= len(b):
+                cid = b[i:i + 4]
+                sz = struct.unpack("<I", b[i + 4:i + 8])[0]
+                if cid == b"LIST" and b[i + 8:i + 12] == b"hdrl":
+                    j = i + 12
+                    while j + 8 <= i + 8 + sz:
+                        scid = b[j:j + 4]
+                        ssz = struct.unpack("<I", b[j + 4:j + 8])[0]
+                        if scid == b"avih" and ssz >= 40:
+                            vals = struct.unpack("<10I", b[j + 8:j + 48])
+                            return {
+                                "media_type": "video/avi",
+                                "width": vals[8], "height": vals[9],
+                                "channels": None, "sample_rate": None,
+                                "n_samples": vals[4],  # frames
+                            }
+                        j += 8 + ssz + (ssz & 1)
+                i += 8 + sz + (sz & 1)
+            return dict(_EMPTY_MEDIA)
         if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             i = 12
             channels = rate = bits = data_size = None
@@ -1294,12 +1513,14 @@ def parse_media(b: bytes) -> dict:
                     fmt_code, channels, rate, _, block_align, bits = struct.unpack(
                         "<HHIIHH", b[i + 8:i + 24]
                     )
-                    if fmt_code == 17 and sz >= 20:
+                    if fmt_code in (2, 17) and sz >= 20:
+                        # both ADPCM variants put wSamplesPerBlock first
+                        # in the fmt extension
                         samples_per_block = struct.unpack("<H", b[i + 26:i + 28])[0]
                 elif cid == b"data":
                     data_size = sz
                 i += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
-            if fmt_code == 17:
+            if fmt_code in (2, 17):
                 # block-framed compressed WAV: sample count comes from
                 # whole blocks × samples-per-block, not bytes ÷ width
                 if channels and block_align and samples_per_block and data_size is not None:
@@ -3428,12 +3649,99 @@ def synthesize_adpcm(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def decode_adpcm_stats(media: DataFrame, strict: bool = True) -> DataFrame:
-    """Arrow-batched IMA ADPCM decode over (doc_id, payload): stats
-    come from the RECONSTRUCTED 16-bit predictor trail, so a wrong
-    step-table entry, clamp, index adjustment, nibble order (low
-    first!) or a block header not re-seeding the state lands on
-    sum_linear/peak immediately. ``strict=False`` = poison-safe
+def synthesize_msadpcm(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL MS ADPCM WAVs (format tag 0x02 — the two-tap
+    coefficient-predictor codec; round 14): ``1 + d%2`` blocks of
+    ``2·(d%10 + 15)`` nibbles each (30..48, even — whole data bytes),
+    block ``b`` seeded with coefficient pair ``(d + b) mod 7`` (all 7
+    standard pairs appear across the corpus), delta ``16 + (13d +
+    29b) mod 1500``, samp1 ``(37d + 101b) mod 4001 − 2000`` and samp2
+    ``(53d + 7b) mod 4001 − 2000`` (both signs of the predictor sum —
+    the truncating division's hard case); nibbles are the closed-form
+    ``(5i + 3d + 7b) mod 16`` the oracle can replay. The full-alphabet
+    nibble walk makes the adaptive delta grow past int64 mid-stream,
+    which is why the oracle carries it as HUGEINT."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                n_nib = 2 * (d % 10 + 15)
+                blocks = []
+                for blk in range(1 + d % 2):
+                    blocks.append((
+                        (d + blk) % 7,
+                        16 + (13 * d + 29 * blk) % 1500,
+                        (37 * d + 101 * blk) % 4001 - 2000,
+                        (53 * d + 7 * blk) % 4001 - 2000,
+                        [(5 * i + 3 * d + 7 * blk) % 16 for i in range(n_nib)],
+                    ))
+                payloads.append(wav_msadpcm_bytes(8000, blocks, n_nib + 2))
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+AVI_STATS_SCHEMA = (
+    "doc_id long, frame_idx long, width long, height long, n_frames long, "
+    "px_sum long, first_px long, last_px long"
+)
+
+
+def synthesize_avi_mjpeg(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture REAL AVI/MJPEG videos (round 14 — video becomes the
+    fourth real-decode modality): doc ``d`` carries ``d%4 + 2`` frames
+    of ``8·(d%3+1) × 8·(d%2+1)`` grayscale, frame ``f`` encoded through
+    the FULL baseline-JPEG pipeline as constant 8×8 tiles valued
+    ``(11tx + 23ty + 7d + 41f) mod 256`` — the exact-at-quant-1
+    fixture, now varying per frame so a decoder that re-serves frame 0
+    (or misorders '00dc' chunks) lands on the per-frame stats. The
+    container is the standard header tree + movi list + idx1 index
+    (see :mod:`.avicodec`)."""
+    from .avicodec import avi_mjpeg_bytes
+    from .jpegcodec import jpeg_pixel_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = 8 * (d % 3 + 1), 8 * (d % 2 + 1)
+                frames = []
+                for f in range(d % 4 + 2):
+                    raster = bytes(
+                        (11 * (x // 8) + 23 * (y // 8) + 7 * d + 41 * f) % 256
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    frames.append(jpeg_pixel_bytes(w, h, raster))
+                payloads.append(
+                    avi_mjpeg_bytes(w, h, frames, fps=5 + d % 10)
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
+def decode_avi_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched REAL AVI/MJPEG decode over (doc_id, payload) —
+    ONE ROW PER FRAME, every stat from the frame's entropy-DECODED
+    raster (container walk, structural validation, then the full
+    baseline JPEG decoder per '00dc' chunk — see
+    :func:`avicodec.avi_decode_frames`). A decoder that trusts the
+    index, skips a frame, or returns metadata instead of pixels
+    cannot produce these sums. ``strict=False`` = poison-safe
     NULL-stats rows (see :func:`decode_png_stats`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3444,8 +3752,65 @@ def decode_adpcm_stats(media: DataFrame, strict: bool = True) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     d = decode_real(bytes(payload))
-                    if d.get("encoding") != "ima_adpcm":
-                        raise ValueError("expected an IMA ADPCM WAV")
+                    if d.get("media_type") != "video/avi":
+                        raise ValueError("expected an AVI stream")
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            **{
+                                k: None
+                                for k in (
+                                    "frame_idx", "width", "height",
+                                    "n_frames", "px_sum", "first_px",
+                                    "last_px",
+                                )
+                            },
+                        }
+                    )
+                    continue
+                for k, fr in enumerate(d["frames"]):
+                    raster = fr["raster"]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": k,
+                            "width": d["width"],
+                            "height": d["height"],
+                            "n_frames": d["n_frames"],
+                            "px_sum": sum(raster),
+                            "first_px": raster[0],
+                            "last_px": raster[-1],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=AVI_STATS_SCHEMA)
+
+
+def decode_adpcm_stats(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched ADPCM decode over (doc_id, payload) — IMA (fmt
+    17) and, since round 14, MS (fmt 2) streams side by side (the
+    ``encoding`` column says which): stats come from the
+    RECONSTRUCTED 16-bit predictor trail, so a wrong step/adaptation
+    table entry, clamp, coefficient pair, truncation direction,
+    nibble order (IMA low-first, MS HIGH-first!) or a block header
+    not re-seeding the state lands on sum_linear/peak immediately.
+    ``strict=False`` = poison-safe NULL-stats rows (see
+    :func:`decode_png_stats`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if d.get("encoding") not in ("ima_adpcm", "ms_adpcm"):
+                        raise ValueError("expected an IMA or MS ADPCM WAV")
                 except ValueError:
                     if strict:
                         raise

@@ -5039,6 +5039,22 @@ def _adpcm_steptab_sql() -> str:
     return ",".join(f"({i},{v})" for i, v in enumerate(_IMA_STEP))
 
 
+def _ms_coeftab_sql() -> str:
+    """The 7 standard MS ADPCM coefficient pairs, from the decoder's
+    own constant (operators.multimodal._MS_COEF)."""
+    from ..operators.multimodal import _MS_COEF
+
+    return ",".join(f"({i},{c1},{c2})" for i, (c1, c2) in enumerate(_MS_COEF))
+
+
+def _ms_adapttab_sql() -> str:
+    """The 16-entry MS ADPCM delta-adaptation table, from the
+    decoder's own constant (operators.multimodal._MS_ADAPT)."""
+    from ..operators.multimodal import _MS_ADAPT
+
+    return ",".join(f"({i},{v})" for i, v in enumerate(_MS_ADAPT))
+
+
 @register(
     "adpcm_decode_stats",
     oracle=f"""
@@ -5079,6 +5095,49 @@ def _adpcm_steptab_sql() -> str:
         )
       )
     )
+    ,
+    msel AS (
+      SELECT doc_id, 2 * (doc_id % 10 + 15) AS n_nib, 1 + doc_id % 2 AS nblocks
+      FROM documents WHERE doc_id % {ADPCM_DOC_MOD} = 4
+    ),
+    mblocks AS (
+      SELECT s.doc_id, s.n_nib, gb.b,
+             (s.doc_id + gb.b) % 7 AS ipred,
+             16 + (13 * s.doc_id + 29 * gb.b) % 1500 AS delta0,
+             (37 * s.doc_id + 101 * gb.b) % 4001 - 2000 AS s1_0,
+             (53 * s.doc_id + 7 * gb.b) % 4001 - 2000 AS s2_0
+      FROM msel s, LATERAL (SELECT unnest(range(0, s.nblocks)) AS b) gb
+    ),
+    coeftab(ci, c1, c2) AS (VALUES {_ms_coeftab_sql()}),
+    adapttab(nb, ad) AS (VALUES {_ms_adapttab_sql()}),
+    -- the MS ADPCM two-tap predictor, one recursion step per nibble:
+    -- row i holds s1 = output sample i+1 (samples 0 and 1 are the
+    -- block-header seeds s2_0/s1_0). delta is HUGEINT on purpose —
+    -- the closed-form full-alphabet nibble walk grows the adaptive
+    -- delta past int64 mid-stream; `//` is DuckDB's TRUNCATING
+    -- division, exactly the spec's C-style `/ 256`
+    mwalk(doc_id, b, n_nib, i, s1, s2, delta, c1, c2) AS (
+      SELECT mb.doc_id, mb.b, mb.n_nib, 0,
+             CAST(mb.s1_0 AS HUGEINT), CAST(mb.s2_0 AS HUGEINT),
+             CAST(mb.delta0 AS HUGEINT), ct.c1, ct.c2
+      FROM mblocks mb JOIN coeftab ct ON ct.ci = mb.ipred
+      UNION ALL
+      SELECT doc_id, b, n_nib, i + 1,
+             GREATEST(-32768, LEAST(32767,
+               (s1 * c1 + s2 * c2) // 256
+               + (CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END) * delta)),
+             s1,
+             GREATEST(16, (ad * delta) // 256),
+             c1, c2
+      FROM (
+        SELECT w.doc_id, w.b, w.n_nib, w.i, w.s1, w.s2, w.delta,
+               w.c1, w.c2, a.ad,
+               (5 * w.i + 3 * w.doc_id + 7 * w.b) % 16 AS nib
+        FROM mwalk w JOIN adapttab a
+          ON a.nb = (5 * w.i + 3 * w.doc_id + 7 * w.b) % 16
+        WHERE w.i < w.n_nib
+      )
+    )
     SELECT doc_id,
            CAST(any_value('ima_adpcm') AS VARCHAR) AS encoding,
            CAST(count(*) AS BIGINT) AS n_samples,
@@ -5090,28 +5149,116 @@ def _adpcm_steptab_sql() -> str:
            CAST(max(CASE WHEN b = doc_id % 2 AND i = n_nib THEN pred END) AS BIGINT)
              AS last_sample
     FROM walk GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id,
+           CAST(any_value('ms_adpcm') AS VARCHAR) AS encoding,
+           CAST(count(*) + sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_samples,
+           CAST(sum(s1) + sum(CASE WHEN i = 0 THEN s2 ELSE 0 END) AS BIGINT)
+             AS sum_linear,
+           CAST(sum(abs(s1)) + sum(CASE WHEN i = 0 THEN abs(s2) ELSE 0 END)
+             AS BIGINT) AS sum_abs,
+           CAST(max(GREATEST(abs(s1),
+             CASE WHEN i = 0 THEN abs(s2) ELSE 0 END)) AS BIGINT) AS peak,
+           CAST(max(CASE WHEN b = 0 AND i = 0 THEN s2 END) AS BIGINT)
+             AS first_sample,
+           CAST(max(CASE WHEN b = doc_id % 2 AND i = n_nib THEN s1 END)
+             AS BIGINT) AS last_sample
+    FROM mwalk GROUP BY doc_id
     """,
 )
 def adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IMA ADPCM WAV decode end to end — the 4-bit block codec of
-    classic voice/game audio (format tag 0x11; round 11, the audio
-    tier's first *stateful* codec): synthesize_adpcm writes real
-    block-framed streams (1-2 blocks, 30-119 nibbles, every step-table
-    region seeded via the block headers); the decoder must re-seed
-    predictor+index from each block header, walk nibbles LOW-first,
-    apply the exact step-table delta with int16 clamping and the
-    index-adjust table — any slip compounds through the recursion and
-    lands on sum_linear/peak. Oracle: the SAME state machine replayed
-    in SQL as a recursive CTE joining the step table per nibble — the
-    first driver gate whose oracle is itself a stateful decoder."""
-    from ..operators.multimodal import decode_adpcm_stats, synthesize_adpcm
+    """ADPCM WAV decode end to end — IMA (format tag 0x11; round 11,
+    the audio tier's first *stateful* codec) and MS (format tag 0x02;
+    round 14, the last WAV refusal retired) side by side:
+    synthesize_adpcm / synthesize_msadpcm write real block-framed
+    streams (IMA: 1-2 blocks, 30-119 nibbles, every step-table region
+    seeded via the block headers; MS: all 7 standard coefficient
+    pairs, both predictor-sum signs, 30-48 full-alphabet nibbles);
+    the decoder must re-seed state from each block header, walk
+    nibbles in the right order (IMA LOW-first, MS HIGH-first), apply
+    the exact table arithmetic with int16 clamping — IMA's step/index
+    tables, MS's two-tap coefficient predictor with TRUNCATING
+    division and adaptive delta — and any slip compounds through the
+    recursion onto sum_linear/peak. Oracle: BOTH state machines
+    replayed in SQL as recursive CTEs joining their tables per
+    nibble; the MS walk carries delta as HUGEINT because the
+    full-alphabet adaptation outgrows int64."""
+    from ..operators.multimodal import (
+        decode_adpcm_stats,
+        synthesize_adpcm,
+        synthesize_msadpcm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ima = synthesize_adpcm(
+        docs.filter(F.col("doc_id") % ADPCM_DOC_MOD == 9), "doc_id"
+    )
+    ms = synthesize_msadpcm(
+        docs.filter(F.col("doc_id") % ADPCM_DOC_MOD == 4), "doc_id"
+    )
+    return decode_adpcm_stats(ima.unionByName(ms))
+
+
+AVI_DOC_MOD = 17  # doc_id % 17 == 6 → ~1/17 of documents get an AVI
+
+
+@register(
+    "avi_mjpeg_decode_stats",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id,
+             8 * (doc_id % 3 + 1) AS width,
+             8 * (doc_id % 2 + 1) AS height,
+             doc_id % 4 + 2 AS n_frames
+      FROM documents WHERE doc_id % {AVI_DOC_MOD} = 6
+    ),
+    fr AS (
+      SELECT s.doc_id, s.width, s.height, s.n_frames, gf.f
+      FROM sel s, LATERAL (SELECT unnest(range(0, s.n_frames)) AS f) gf
+    ),
+    tiles AS (
+      SELECT fr.doc_id, fr.f, fr.width, fr.height, fr.n_frames,
+             (11 * gx.tx + 23 * gy.ty + 7 * fr.doc_id + 41 * fr.f) % 256 AS v
+      FROM fr,
+           LATERAL (SELECT unnest(range(0, fr.width // 8)) AS tx) gx,
+           LATERAL (SELECT unnest(range(0, fr.height // 8)) AS ty) gy
+    )
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(any_value(width) AS BIGINT) AS width,
+           CAST(any_value(height) AS BIGINT) AS height,
+           CAST(any_value(n_frames) AS BIGINT) AS n_frames,
+           CAST(64 * sum(v) AS BIGINT) AS px_sum,
+           CAST((7 * doc_id + 41 * f) % 256 AS BIGINT) AS first_px,
+           CAST((11 * (any_value(width) // 8 - 1)
+                 + 23 * (any_value(height) // 8 - 1)
+                 + 7 * doc_id + 41 * f) % 256 AS BIGINT) AS last_px
+    FROM tiles GROUP BY doc_id, f
+    """,
+)
+def avi_mjpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end to end (round 14 — the modality the r13
+    verdict called out as the one without a container walk):
+    synthesize_avi_mjpeg writes genuine AVI containers (RIFF header
+    tree, movi list, idx1 index) whose '00dc' chunks each carry a
+    complete baseline JPEG built through the full encode pipeline —
+    constant 8×8 tiles, closed-form in (doc_id, frame) so the oracle
+    prices every frame arithmetically; decode_avi_stats must walk the
+    RIFF tree, validate the header tree against the actual chunks,
+    and entropy-decode EVERY frame (one output row per frame — a
+    decoder that re-serves frame 0 or drops a trailing frame fails on
+    px_sum/frame_idx). Composes the two verified pieces per the r13
+    plan: the WAV-family RIFF walk and the JPEG codec. See
+    operators/avicodec.py."""
+    from ..operators.multimodal import decode_avi_stats, synthesize_avi_mjpeg
 
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .filter(F.col("doc_id") % ADPCM_DOC_MOD == 9)
+        .filter(F.col("doc_id") % AVI_DOC_MOD == 6)
     )
-    return decode_adpcm_stats(synthesize_adpcm(docs, "doc_id"))
+    return decode_avi_stats(synthesize_avi_mjpeg(docs, "doc_id"))
 
 
 FLAC_DOC_MOD = 13  # doc_id % 13 == 10 → ~1/13 of documents get a FLAC stream

@@ -788,6 +788,7 @@ def test_decode_real_fuzz_valueerror_contract():
     from lfb_data_warehouse_spark.operators.multimodal import (
         bmp_bytes,
         decode_real,
+        wav_msadpcm_bytes,
         png_palette_bytes,
         png_pixel_bytes,
         png_subbyte_bytes,
@@ -818,6 +819,8 @@ def test_decode_real_fuzz_valueerror_contract():
         jpeg_lossless_bytes,
         jpeg_planes_bytes,
     )
+
+    from lfb_data_warehouse_spark.operators.avicodec import avi_mjpeg_bytes
 
     from lfb_data_warehouse_spark.operators.gifcodec import gif_bytes
     from lfb_data_warehouse_spark.operators.tiffcodec import tiff_bytes
@@ -850,6 +853,17 @@ def test_decode_real_fuzz_valueerror_contract():
         wav_adpcm_bytes(8000, [[(900 * c - 1000, (13 * c) % 89,
                                  [(j * (c + 2)) % 16 for j in range(16)])
                                 for c in range(3)]], 17, channels=3),
+        # round-14: MS ADPCM (fmt 2) joins the pinned contract
+        wav_msadpcm_bytes(8000, [(1, 40, 900, -800, [i % 16 for i in range(12)]),
+                                 (5, 16, -1200, 700,
+                                  [(7 * i) % 16 for i in range(12)])], 14),
+        wav_msadpcm_bytes(8000, [[(0, 30, 500, -400, [(3 * j) % 16 for j in range(8)]),
+                                  (6, 25, -600, 300, [(5 * j + 1) % 16 for j in range(8)])]],
+                          10, channels=2),
+        avi_mjpeg_bytes(8, 8, [jpeg_pixel_bytes(8, 8, bytes((3 * i) % 256
+                                                             for i in range(64))),
+                               jpeg_pixel_bytes(8, 8, bytes((5 * i) % 256
+                                                            for i in range(64)))]),
         jpeg_lossless_bytes(8, 4, [[(19 * i) % 256 for i in range(32)],
                                    [(23 * i) % 256 for i in range(8)],
                                    [(29 * i) % 256 for i in range(8)]],
@@ -902,11 +916,14 @@ def test_zero_field_poison_probe():
         jpeg_lossless_bytes,
         jpeg_pixel_bytes,
     )
+
+    from lfb_data_warehouse_spark.operators.avicodec import avi_mjpeg_bytes
     from lfb_data_warehouse_spark.operators.multimodal import (
         bmp_bytes,
         decode_real,
         png_pixel_bytes,
         wav_adpcm_bytes,
+        wav_msadpcm_bytes,
         wav_float_bytes,
         wav_pcm_bytes,
     )
@@ -917,6 +934,8 @@ def test_zero_field_poison_probe():
         wav_pcm_bytes(2, 8000, [100, -100, 50, 7]),
         wav_float_bytes(2, 48000, [0.5, -1.25, 3.75, -0.0]),
         wav_adpcm_bytes(8000, [(-500, 20, [i % 16 for i in range(16)])], 17),
+        wav_msadpcm_bytes(8000, [(3, 50, 700, -600, [i % 16 for i in range(10)])], 12),
+        avi_mjpeg_bytes(8, 8, [jpeg_pixel_bytes(8, 8, g)]),
         png_pixel_bytes(8, 8, g, 0),
         jpeg_pixel_bytes(8, 8, g),
         jpeg_lossless_bytes(5, 4, [[(911 * i) % 65536 for i in range(20)]],
@@ -1745,6 +1764,210 @@ def test_adpcm_decode():
     b2[p + 10] = 3
     with _pytest.raises(ValueError):
         wav_decode_samples(bytes(b2))
+
+
+def test_msadpcm_decode():
+    """MS ADPCM (format tag 0x02, round 14 — the last WAV refusal
+    retired): the two-tap coefficient predictor + adaptive delta
+    matches an independent in-test reference model over every nibble
+    value, all 7 standard coefficient pairs and a non-standard 8th
+    pair read from the STREAM's fmt table; division is the spec's
+    C-style truncation toward zero (the ffmpeg behavior — a floor
+    here drifts 1 LSB on negative predictor sums); the header seeds
+    ARE samples 0 and 1 (samp2 first); nibbles walk HIGH-first
+    rotating channels; and malformed geometry / predictor indexes /
+    ragged blocks raise."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        _MS_ADAPT,
+        _MS_COEF,
+        parse_media,
+        wav_decode_samples,
+        wav_msadpcm_bytes,
+    )
+
+    def tdiv(v):  # independent truncating /256
+        return int(v / 256)
+
+    def ref(chan_blocks, spb):
+        # independent model, one channel at a time (the decoder must
+        # interleave; we compare de-interleaved)
+        out = []
+        for ci, delta, s1, s2, nibs in chan_blocks:
+            c1, c2 = _MS_COEF[ci]
+            vals = [s2, s1]
+            for nib in nibs[: spb - 2]:
+                sgn = nib - 16 if nib >= 8 else nib
+                p = tdiv(s1 * c1 + s2 * c2) + sgn * delta
+                p = max(-32768, min(32767, p))
+                s2, s1 = s1, p
+                vals.append(p)
+                delta = max(16, tdiv(_MS_ADAPT[nib] * delta))
+            out.append(vals)
+        return out
+
+    # mono: every nibble value, every standard coefficient pair across
+    # blocks, negative predictor sums (exercising trunc-vs-floor)
+    blocks = [
+        (ci, 16 + 37 * ci, (1000 * ci - 3000) % 4001 - 2000,
+         (777 * ci + 11) % 4001 - 2000, [(i + ci) % 16 for i in range(34)])
+        for ci in range(7)
+    ]
+    d = wav_decode_samples(wav_msadpcm_bytes(8000, blocks, 36))
+    assert d["encoding"] == "ms_adpcm" and d["channels"] == 1
+    want = [v for blk in ref(blocks, 36) for v in blk]
+    assert d["samples"] == want
+    assert d["n_samples"] == 36 * 7
+    # trunc-vs-floor distinguisher: coef pair 1 (512,-256) with s1=0,
+    # s2=1 gives predictor sum -256·1 = -256 → trunc(-256/256) = -1
+    # either way; use s2=1,c2=-255? table is fixed — craft sum not
+    # divisible by 256: s1=1,s2=2 with (512,-256): 512-512=0; use
+    # (460,-208): 460-416=44 → 0 both. negative: s1=-1,s2=0 → -460
+    # → trunc=-1, floor=-2. delta=16, nib=0 → sample=trunc only.
+    tb = [(5, 16, -1, 0, [0] * 2)]
+    dt = wav_decode_samples(wav_msadpcm_bytes(8000, tb, 4))
+    assert dt["samples"][2] == -1  # floor would give -2
+    # stereo: channels advance independent state, nibbles rotate per
+    # channel, output interleaves ch0,ch1 starting from the samp2 seeds
+    sblocks = [[
+        (1, 100, 900, -800, [(3 * i) % 16 for i in range(10)]),
+        (6, 48, -1200, 700, [(5 * i + 1) % 16 for i in range(10)]),
+    ]]
+    ds = wav_decode_samples(wav_msadpcm_bytes(8000, sblocks, 12, channels=2))
+    assert ds["channels"] == 2 and ds["n_samples"] == 12
+    r0, r1 = ref(sblocks[0], 12)
+    assert ds["samples"] == [v for i in range(12) for v in (r0[i], r1[i])]
+    # a NON-STANDARD 8th coefficient pair carried by the stream is
+    # honored (the table comes from the fmt chunk, not a constant)
+    xco = _MS_COEF + ((300, -100),)
+    xb = [(7, 20, 500, -400, [(9 * i) % 16 for i in range(8)])]
+    dx = wav_decode_samples(
+        wav_msadpcm_bytes(8000, xb, 10, coefs=xco)
+    )
+    c1, c2 = 300, -100
+    s2v, s1v, delta = -400, 500, 20
+    vals = [s2v, s1v]
+    for nib in xb[0][4]:
+        sgn = nib - 16 if nib >= 8 else nib
+        p = max(-32768, min(32767, tdiv(s1v * c1 + s2v * c2) + sgn * delta))
+        s2v, s1v = s1v, p
+        vals.append(p)
+        delta = max(16, tdiv(_MS_ADAPT[nib] * delta))
+    assert dx["samples"] == vals
+    # parse_media prices block-framed sample counts without decoding
+    meta = parse_media(wav_msadpcm_bytes(8000, blocks, 36))
+    assert meta["media_type"] == "audio/wav" and meta["n_samples"] == 36 * 7
+    # malformed: predictor index past the stream's table
+    bad = bytearray(wav_msadpcm_bytes(8000, [(0, 16, 0, 0, [0] * 8)], 10))
+    p = bad.find(b"data") + 8
+    bad[p] = 7  # 7 standard pairs → max index 6
+    with _pytest.raises(ValueError, match="predictor index"):
+        wav_decode_samples(bytes(bad))
+    # malformed: data chunk not whole blocks
+    whole = wav_msadpcm_bytes(8000, [(0, 16, 0, 0, [0] * 8)], 10)
+    with _pytest.raises(ValueError, match="whole blocks"):
+        wav_decode_samples(whole[:-2])
+    # malformed: block align inconsistent with wSamplesPerBlock
+    ba = bytearray(whole)
+    q = ba.find(b"fmt ") + 8 + 12
+    ba[q:q + 2] = _struct.pack("<H", 13)
+    with _pytest.raises(ValueError, match="geometry"):
+        wav_decode_samples(bytes(ba))
+    # encoder-side guards
+    with _pytest.raises(ValueError, match="whole bytes"):
+        wav_msadpcm_bytes(8000, [(0, 16, 0, 0, [0] * 7)], 9)
+    with _pytest.raises(ValueError, match="out of range"):
+        wav_msadpcm_bytes(8000, [(9, 16, 0, 0, [0] * 8)], 10)
+
+
+def test_avi_mjpeg_decode():
+    """AVI/MJPEG (round 14 — video's first real container walk):
+    decode(encode(frames)) recovers every frame's raster exactly
+    (constant-tile baseline JPEG per '00dc' chunk), the header tree
+    round-trips (dims, frame count, frame period), parse_media prices
+    the container without decoding, and the structural contract
+    raises on: frame-count lies, audio streams, non-MJPEG codecs,
+    uncompressed frames, dimension mismatches and chunk overruns."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.avicodec import (
+        avi_decode_frames,
+        avi_mjpeg_bytes,
+    )
+    from lfb_data_warehouse_spark.operators.jpegcodec import jpeg_pixel_bytes
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        decode_real,
+        parse_media,
+    )
+
+    w, h = 16, 8
+    rasters = [
+        bytes((11 * (x // 8) + 23 * (y // 8) + 41 * f) % 256
+              for y in range(h) for x in range(w))
+        for f in range(3)
+    ]
+    frames = [jpeg_pixel_bytes(w, h, r) for r in rasters]
+    blob = avi_mjpeg_bytes(w, h, frames, fps=8)
+    d = avi_decode_frames(blob)
+    assert (d["media_type"], d["width"], d["height"], d["n_frames"]) == (
+        "video/avi", w, h, 3,
+    )
+    assert d["usec_per_frame"] == 1_000_000 // 8
+    assert [bytes(fr["raster"]) for fr in d["frames"]] == rasters
+    # decode_real dispatches on the sniffed container
+    assert decode_real(blob)["media_type"] == "video/avi"
+    # container-only pricing: dims + frame count, no frame decode
+    meta = parse_media(blob)
+    assert (meta["media_type"], meta["width"], meta["height"],
+            meta["n_samples"]) == ("video/avi", w, h, 3)
+    # odd-sized frames get word-aligned: JPEG blobs are arbitrary-length
+    one = avi_mjpeg_bytes(8, 8, [jpeg_pixel_bytes(8, 8, bytes(64))])
+    assert avi_decode_frames(one)["n_frames"] == 1
+    # frame-count lie in avih: declared != carried
+    m = bytearray(blob)
+    p = m.find(b"avih") + 8
+    m[p + 16:p + 20] = _struct.pack("<I", 4)
+    with _pytest.raises(ValueError, match="declares 4 frames"):
+        avi_decode_frames(bytes(m))
+    # an audio stream is a named refusal
+    m = bytearray(blob)
+    p = m.find(b"strh") + 8
+    m[p:p + 4] = b"auds"
+    with _pytest.raises(ValueError, match="vids"):
+        avi_decode_frames(bytes(m))
+    # a non-MJPEG codec (both strh handler and strf compression) raises
+    m = bytearray(blob)
+    p = m.find(b"strh") + 8
+    m[p + 4:p + 8] = b"dvsd"
+    q = m.find(b"strf") + 8
+    m[q + 16:q + 20] = b"dvsd"
+    with _pytest.raises(ValueError, match="MJPEG"):
+        avi_decode_frames(bytes(m))
+    # uncompressed '00db' frames are refused by name
+    m = bytearray(blob)
+    p = m.find(b"00dc")
+    m[p:p + 4] = b"00db"
+    with _pytest.raises(ValueError, match="db"):
+        avi_decode_frames(bytes(m))
+    # header/frame dimension mismatch
+    m = bytearray(blob)
+    p = m.find(b"avih") + 8
+    m[p + 32:p + 36] = _struct.pack("<I", w + 8)
+    with _pytest.raises(ValueError, match="stream header says"):
+        avi_decode_frames(bytes(m))
+    # a chunk overrunning its parent (truncation) raises
+    with _pytest.raises(ValueError, match="overruns"):
+        avi_decode_frames(blob[:-7])
+    # encoder guards
+    with _pytest.raises(ValueError, match="at least one frame"):
+        avi_mjpeg_bytes(8, 8, [])
+    with _pytest.raises(ValueError, match="positive"):
+        avi_mjpeg_bytes(0, 8, frames)
 
 
 def test_flac_roundtrip():
@@ -3533,12 +3756,30 @@ def test_wav_deep_pcm_depths():
         _struct.unpack("<f", _struct.pack("<f", v))[0]
         for v in (0.1, -0.5, 0.9, 0.0)
     ]
-    # an unknown format tag (2 = MS ADPCM) is still a named refusal
+    # MS ADPCM (fmt 2) decodes since round 14 — the old refusal poison
+    # (a fmt-2 chunk with NO coefficient-table extension) is now a
+    # structural-consistency ValueError, not an unsupported-format one
     fmt2 = _struct.pack("<HHIIHH", 2, 1, 8000, 32000, 4, 4)
     body2 = (b"WAVEfmt " + _struct.pack("<I", len(fmt2)) + fmt2
              + b"data" + _struct.pack("<I", 4) + b"\x00" * 4)
-    with _pytest.raises(ValueError, match="fmt 1/3/6/7/17"):
+    with _pytest.raises(ValueError, match="wSamplesPerBlock/wNumCoef"):
         wav_decode_samples(b"RIFF" + _struct.pack("<I", len(body2)) + body2)
+    # a HAND-BUILT MS ADPCM stream (external-producer shape: standard
+    # 7-pair table written out in the fmt extension) decodes: seeds
+    # come back as samples 0/1 and nibble 0x0F (sgn −1, delta 16)
+    # steps the two-tap predictor down
+    coefs = b"".join(_struct.pack("<hh", c1, c2) for c1, c2 in
+                     ((256, 0), (512, -256), (0, 0), (192, 64),
+                      (240, 0), (460, -208), (392, -232)))
+    fmt_ms = _struct.pack("<HHIIHHHHH", 2, 1, 8000, 4000, 8, 4, 32, 4, 7) + coefs
+    blk = bytes([0]) + _struct.pack("<hhh", 16, 100, 200) + bytes([0xF0])
+    body_ms = (b"WAVEfmt " + _struct.pack("<I", len(fmt_ms)) + fmt_ms
+               + b"data" + _struct.pack("<I", len(blk)) + blk)
+    dms = wav_decode_samples(b"RIFF" + _struct.pack("<I", len(body_ms)) + body_ms)
+    assert dms["encoding"] == "ms_adpcm"
+    # coef pair 0 = (256,0): pred = trunc(100·256/256) − 1·16 = 84,
+    # then pred = trunc(84·256/256) + 0 = 84 (nibble 0 after the pad)
+    assert dms["samples"] == [200, 100, 84, 84]
 
 
 def test_wav_float_decode():

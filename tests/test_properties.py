@@ -624,6 +624,76 @@ def test_adpcm_roundtrip_property(data):
     assert out == exp
 
 
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_msadpcm_roundtrip_property(data):
+    """MS ADPCM (fmt 2, round 14) container round-trip on RANDOM
+    coefficient indexes, deltas, seed samples and nibble streams at
+    RANDOM channel counts (1..4) and block counts: the decoder's
+    two-tap predictor walk must agree with an independent in-test
+    model per channel — any sign of predictor sum (the truncating
+    division's hard case), any delta including degenerate <= 0 header
+    deltas (re-floored to 16 by the adaptation step), any
+    coefficient pair of the standard table."""
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        _MS_ADAPT,
+        _MS_COEF,
+        wav_decode_samples,
+        wav_msadpcm_bytes,
+    )
+
+    channels = data.draw(st.integers(1, 4))
+    # nibbles must fill whole bytes: even per-block nibble total
+    n_nib = 2 * data.draw(st.integers(1, 20)) if channels % 2 else \
+        data.draw(st.integers(1, 40))
+    spb = n_nib + 2
+
+    def draw_chan():
+        return (
+            data.draw(st.integers(0, 6)),
+            data.draw(st.integers(-32768, 32767)),
+            data.draw(st.integers(-32768, 32767)),
+            data.draw(st.integers(-32768, 32767)),
+            [data.draw(st.integers(0, 15)) for _ in range(n_nib)],
+        )
+
+    n_blocks = data.draw(st.integers(1, 3))
+    blocks = [
+        draw_chan() if channels == 1
+        else [draw_chan() for _ in range(channels)]
+        for _ in range(n_blocks)
+    ]
+    out = wav_decode_samples(
+        wav_msadpcm_bytes(8000, blocks, spb, channels=channels)
+    )["samples"]
+
+    def tdiv256(v):
+        # exact C-style truncation (float int(v/256) loses exactness
+        # once runaway deltas pass 2**53)
+        return -((-v) // 256) if v < 0 else v // 256
+
+    def model(ci, delta, s1, s2, nibs):
+        c1, c2 = _MS_COEF[ci]
+        exp = [s2, s1]
+        for nib in nibs:
+            sgn = nib - 16 if nib >= 8 else nib
+            p = tdiv256(s1 * c1 + s2 * c2) + sgn * delta
+            p = max(-32768, min(32767, p))
+            s2, s1 = s1, p
+            exp.append(p)
+            delta = max(16, tdiv256(_MS_ADAPT[nib] * delta))
+        return exp
+
+    exp = []
+    for blk in blocks:
+        if channels == 1:
+            exp.extend(model(*blk))
+        else:
+            per = [model(*t) for t in blk]
+            exp.extend(per[c][i] for i in range(spb) for c in range(channels))
+    assert out == exp
+
+
 @settings(max_examples=40, deadline=None)
 @given(data=st.data())
 def test_tiff16_roundtrip_property(data):
