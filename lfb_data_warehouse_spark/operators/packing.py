@@ -86,3 +86,57 @@ def pack_sequences(
         )
         .drop("__pid", "__offset", "__tok")
     )
+
+
+def training_order_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str,
+    n_shards: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Seeded deterministic global training-order shuffle (round 14) —
+    the standard corpus-prep step between packing and shard writing:
+    every epoch consumes documents in a pseudorandom but REPRODUCIBLE
+    order, so reruns, resumes and multi-engine audits all see the same
+    stream. Order key = ``sha256(seed | id)`` (engine-portable — any
+    system with sha256 replays the order; change ``seed`` per epoch);
+    ``order_pos`` = dense global rank over that key (the two-phase
+    prefix sum from :func:`ids.assign_dense_ids` — no single-reducer
+    window); ``shard`` = ``order_pos mod n_shards`` (round-robin
+    stripe: equal sizes ±1, each shard itself hash-ordered, so loaders
+    stream shard files sequentially and the concatenation order is the
+    global order); ``pos_in_shard`` = ``order_pos div n_shards`` (the
+    within-file write order).
+
+    Scale: one range exchange on the hash key (uniform by
+    construction — sha256 output has no skew) + a per-partition-counts
+    collect of ``num_partitions`` rows; the shard stripe is a map-side
+    expression. Writers follow with
+    ``repartition(n_shards, 'shard').sortWithinPartitions('pos_in_shard')``.
+    """
+    if n_shards < 1:
+        raise ValueError("training_order_shuffle needs n_shards >= 1")
+    from .ids import assign_dense_ids
+
+    key = F.sha2(
+        F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")), 256
+    )
+    ordered = assign_dense_ids(
+        df.withColumn("__okey", key),
+        ["__okey", id_col],
+        id_col="order_pos",
+        num_partitions=num_partitions,
+    )
+    return (
+        ordered.withColumn(
+            "shard", (F.col("order_pos") % n_shards).cast("long")
+        )
+        .withColumn(
+            # integer DIV on longs, exact for the full range (same
+            # rationale as pack_id above)
+            "pos_in_shard",
+            F.expr(f"CAST(order_pos DIV {int(n_shards)} AS LONG)"),
+        )
+        .drop("__okey")
+    )

@@ -123,6 +123,56 @@ def shard_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Seeded global training-order shuffle (epoch ordering for loaders)
+# ---------------------------------------------------------------------------
+
+TRAIN_ORDER_SEED = "order-v1-seed42"  # change per epoch for a fresh order
+TRAIN_ORDER_SHARDS = 8
+
+
+@register(
+    "training_order_shuffle",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY sha256(concat_ws('|', '{TRAIN_ORDER_SEED}',
+                                         CAST(doc_id AS VARCHAR))),
+                        doc_id) - 1 AS pos
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(pos AS BIGINT) AS order_pos,
+           CAST(pos % {TRAIN_ORDER_SHARDS} AS BIGINT) AS shard,
+           CAST(pos // {TRAIN_ORDER_SHARDS} AS BIGINT) AS pos_in_shard
+    FROM p
+    """,
+)
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic training-order shuffle (round 14 — the
+    corpus-prep step between sequence packing and shard assignment
+    that had no named operator): every document gets its epoch
+    position ``order_pos`` = dense rank of ``sha256(seed | doc_id)``,
+    a round-robin ``shard`` stripe and the within-shard write order —
+    reproducible on any engine with sha256 (the oracle replays the
+    identical order in DuckDB; per-document rows, so one transposed
+    position anywhere fails the gate).
+
+    Scale: the oracle's ``ROW_NUMBER() OVER (ORDER BY hash)`` is the
+    single-reducer naive plan; the engine runs the two-phase
+    prefix-sum dense rank (range exchange on the skew-free hash key +
+    a partition-counts collect) from operators/ids.py — identical
+    answer, no task sees more than one partition. See
+    operators/packing.py:training_order_shuffle."""
+    from ..operators.packing import training_order_shuffle as tos
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return tos(docs, "doc_id", TRAIN_ORDER_SEED, TRAIN_ORDER_SHARDS).select(
+        "doc_id", "order_pos", "shard", "pos_in_shard"
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL parsing / normalization (web-scrape provenance battery)
 # ---------------------------------------------------------------------------
 

@@ -527,6 +527,48 @@ def test_assign_dense_ids_matches_global_rank(spark):
     assert got == [(i, i) for i in range(997)]  # dense, 0-based, order-aligned
 
 
+def test_training_order_shuffle(spark):
+    """Seeded training-order shuffle (round 14): positions are a
+    permutation of 0..n-1 aligned with the sha256 order, shards are
+    round-robin (equal sizes ±1, each shard internally hash-ordered),
+    the whole thing is deterministic across runs, and a different
+    seed yields a genuinely different order."""
+    from lfb_data_warehouse_spark.operators.packing import training_order_shuffle
+
+    df = spark.range(0, 503).select(F.col("id").alias("doc_id"))
+    out = training_order_shuffle(df, "doc_id", "seed-a", 8, num_partitions=7)
+    rows = out.collect()
+    # permutation + alignment with the naive global hash order
+    assert sorted(r["order_pos"] for r in rows) == list(range(503))
+    naive = df.select(
+        "doc_id",
+        F.sha2(F.concat_ws("|", F.lit("seed-a"), F.col("doc_id").cast("string")), 256).alias("h"),
+    ).collect()
+    want_pos = {
+        r["doc_id"]: i
+        for i, r in enumerate(sorted(naive, key=lambda r: (r["h"], r["doc_id"])))
+    }
+    assert {r["doc_id"]: r["order_pos"] for r in rows} == want_pos
+    # round-robin stripe: 503 = 8*62 + 7 -> seven shards of 63, one of 62
+    from collections import Counter
+
+    sizes = Counter(r["shard"] for r in rows)
+    assert sorted(sizes.values()) == [62] + [63] * 7
+    assert all(r["shard"] == r["order_pos"] % 8 for r in rows)
+    assert all(r["pos_in_shard"] == r["order_pos"] // 8 for r in rows)
+    # deterministic rerun; different seed -> different permutation
+    again = {r["doc_id"]: r["order_pos"]
+             for r in training_order_shuffle(df, "doc_id", "seed-a", 8).collect()}
+    assert again == want_pos
+    other = {r["doc_id"]: r["order_pos"]
+             for r in training_order_shuffle(df, "doc_id", "seed-b", 8).collect()}
+    assert other != want_pos
+    import pytest
+
+    with pytest.raises(ValueError, match="n_shards"):
+        training_order_shuffle(df, "doc_id", "s", 0)
+
+
 def test_pack_sequences_matches_naive_window(spark):
     from pyspark.sql import Window
 
