@@ -1440,20 +1440,53 @@ def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UNIGRAM_VOCAB = 256
 UNIGRAM_LOGP_MIN = -9.0
+BIGRAM_TOP = 512        # bounded bigram table — broadcastable by design
+LM_TRAIN_MOD = 10       # doc_id % 10 < 8 → the held training slice
+LM_TRAIN_KEEP = 8
+LM_LAMBDA = 0.7         # bigram weight; 0.3 below is NOT computed as
+LM_LAMBDA_1 = 0.3       # 1-0.7 (float 0.30000000000000004 != SQL 0.3)
 
 
 @register(
     "text_unigram_logprob",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {tokens_sql('text')} AS w FROM documents),
-    e AS (SELECT doc_id, unnest(w) AS tok FROM t),
+    WITH tr AS (SELECT doc_id, {tokens_sql('text')} AS w FROM documents
+                WHERE doc_id % {LM_TRAIN_MOD} < {LM_TRAIN_KEEP}),
+    e AS (SELECT doc_id, unnest(w) AS tok FROM tr),
     c AS (SELECT tok, COUNT(*) AS cnt FROM e GROUP BY 1),
     tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
     v AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT {UNIGRAM_VOCAB}),
-    s AS (SELECT e.doc_id, COUNT(*) AS n_tokens,
-                 SUM(ln(COALESCE(CAST(v.cnt AS DOUBLE), 0.5)
-                        / (SELECT total FROM tot))) AS lp
-          FROM e LEFT JOIN v USING (tok) GROUP BY 1)
+    ep AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos
+           FROM tr),
+    bp AS (SELECT tok, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           FROM ep),
+    c2 AS (SELECT prev || chr(31) || tok AS pk, COUNT(*) AS cnt2
+           FROM bp WHERE prev IS NOT NULL GROUP BY 1),
+    b AS (SELECT pk, cnt2 FROM c2 ORDER BY cnt2 DESC, pk LIMIT {BIGRAM_TOP}),
+    ap AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos
+           FROM (SELECT doc_id, {tokens_sql('text')} AS w FROM documents)),
+    sc AS (SELECT doc_id, pos, tok,
+                  lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           FROM ap),
+    terms AS (
+      SELECT s.doc_id,
+             CASE WHEN s.prev IS NULL
+                  THEN ln(COALESCE(CAST(vc.cnt AS DOUBLE), 0.5)
+                          / (SELECT total FROM tot))
+                  ELSE ln({LM_LAMBDA} * (CASE WHEN b.cnt2 IS NOT NULL
+                                              AND vp.cnt IS NOT NULL
+                              THEN CAST(b.cnt2 AS DOUBLE) / CAST(vp.cnt AS DOUBLE)
+                              ELSE 0.0 END)
+                          + {LM_LAMBDA_1} * COALESCE(CAST(vc.cnt AS DOUBLE), 0.5)
+                            / (SELECT total FROM tot))
+             END AS term
+      FROM sc s
+      LEFT JOIN v vc ON vc.tok = s.tok
+      LEFT JOIN v vp ON vp.tok = s.prev
+      LEFT JOIN b ON b.pk = s.prev || chr(31) || s.tok
+    ),
+    s AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(term) AS lp
+          FROM terms GROUP BY 1)
     SELECT doc_id, n_tokens,
            round(lp / n_tokens, 6) AS mean_logp,
            round(exp(-(lp / n_tokens)), 2) AS ppl_proxy,
@@ -1462,24 +1495,32 @@ UNIGRAM_LOGP_MIN = -9.0
     """,
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style perplexity-proxy quality gate: score each document by
-    its mean unigram log-probability under the corpus's own top-V
-    language model (OOV tokens get a 0.5-count floor). Low-probability
-    docs are gibberish/code/foreign contamination; improbably HIGH ones
-    are repetitive boilerplate — this is the standard cheap stand-in
-    for a KenLM perplexity filter.
+    """CCNet-style perplexity quality gate, upgraded round 14 from a
+    pure unigram proxy to an INTERPOLATED BIGRAM language model
+    trained on a held corpus slice (doc_id % 10 < 8) and scored over
+    every document: token i >= 1 scores ln(λ·p2 + (1−λ)·p1) with
+    p2 = cnt2(prev,tok)/cnt1(prev) from the top-B bigram table and
+    p1 = (cnt1(tok) | 0.5-floor)/T from the top-V unigram table; the
+    first token scores unigram-only. Low scores are gibberish/
+    code/foreign contamination, improbably high ones repetitive
+    boilerplate — the standard cheap stand-in for a KenLM filter,
+    now with real context sensitivity (a shuffled-word document keeps
+    its unigram score but loses its bigram mass).
 
-    Scale shape: one wordcount shuffle (map-side partial) builds the
-    model; the model itself is two BOUNDED driver collects (one scalar
-    total + V vocab rows, V={UNIGRAM_VOCAB}) folded into a literal map —
-    so per-doc scoring is a PURE MAP pass (element_at on the broadcast
-    map inside array HOFs, no join, no second shuffle), unlike
-    text_vocab_oov's broadcast-join formulation: at 100 TB the token
-    stream is never re-shuffled for scoring. Scores round at 6dp (JVM
-    Math.log vs libm ln can differ in the last ulp; double summation
-    order differs too — both vanish at 1e-6)."""
+    Scale shape: model training is two wordcount shuffles over the
+    TRAIN SLICE ONLY (map-side partial; the bigram exchange carries
+    (pair, count) — vocabulary-bounded, never documents); the model
+    itself is three BOUNDED driver collects (scalar total + V=256
+    vocab rows + B=512 bigram rows) folded into literal maps, so
+    per-doc scoring stays a PURE MAP pass — element_at on foldable
+    maps inside array HOFs (zip_with over the token array against its
+    own tail), no join, no second shuffle of the corpus. Scores round
+    at 6dp (log ulp + summation order, as before). λ and 1−λ are
+    BOTH literal constants — computing 1−0.7 in float gives
+    0.30000000000000004, which is not SQL's 0.3."""
     docs = load_table(spark, sf_dir, "documents")
-    ex = docs.select(F.explode(tokens("text")).alias("tok"))
+    train = docs.filter(F.col("doc_id") % LM_TRAIN_MOD < LM_TRAIN_KEEP)
+    ex = train.select(F.explode(tokens("text")).alias("tok"))
     counts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = float(counts.agg(F.sum("cnt")).collect()[0][0])
     vocab_rows = (
@@ -1489,18 +1530,53 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in vocab_rows:
         entries += [F.lit(r["tok"]), F.lit(float(r["cnt"]))]
     vmap = F.create_map(*entries)
+    tw = tokens("text")
+    tn = F.size(tw)
+    pairs = train.select(
+        F.explode(
+            F.zip_with(
+                F.slice(tw, F.lit(1), tn - 1),
+                F.slice(tw, F.lit(2), tn - 1),
+                lambda a, b: F.concat_ws("\x1f", a, b),
+            )
+        ).alias("pk")
+    )
+    bigram_rows = (
+        pairs.groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("cnt2"))
+        .orderBy(F.col("cnt2").desc(), F.col("pk"))
+        .limit(BIGRAM_TOP)
+        .collect()
+    )
+    bentries: list = []
+    for r in bigram_rows:
+        bentries += [F.lit(r["pk"]), F.lit(float(r["cnt2"]))]
+    bmap = F.create_map(*bentries)
+
+    def p1(t):
+        return F.coalesce(F.element_at(vmap, t), F.lit(0.5)) / F.lit(total)
+
     w = tokens("text")
-    lp = F.aggregate(
-        F.transform(
-            w,
-            lambda t: F.log(
-                F.coalesce(F.element_at(vmap, t), F.lit(0.5)) / F.lit(total)
+    n = F.size(w)
+    first = F.log(p1(F.element_at(w, 1)))
+    rest = F.aggregate(
+        F.zip_with(
+            F.slice(w, F.lit(1), n - 1),
+            F.slice(w, F.lit(2), n - 1),
+            lambda a, b: F.log(
+                F.lit(LM_LAMBDA)
+                * F.coalesce(
+                    F.element_at(bmap, F.concat_ws("\x1f", a, b))
+                    / F.element_at(vmap, a),
+                    F.lit(0.0),
+                )
+                + F.lit(LM_LAMBDA_1) * p1(b)
             ),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    n = F.size(w)
+    lp = first + rest
     mean = F.round(lp / n, 6)
     return docs.filter(F.size(w) > 0).select(
         "doc_id",

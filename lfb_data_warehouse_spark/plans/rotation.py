@@ -1264,6 +1264,126 @@ _R13_RECHECK: list[str] = [
     "ivf_persisted_search",
 ]
 
+# Round 13's driver window, 50/50 green (CORRECTNESS_r13): flagship,
+# the oracle-fixed clustered_write_skipping, the two r13 gates, and
+# the 46 rechecks that fit before the 50-slot cut.
+_R13_GREEN: list[str] = [
+    "flagship_star_fact",
+    "clustered_write_skipping",
+    "dedup_edit_distance_pairs",
+    "stream_interval_join_outer",
+    "decontaminate_test_split",
+    "bucketed_join_colocated",
+    "partitioned_scan_pruning",
+    "png_pixel_decode_stats",
+    "ivfpq_structured_recall_audit",
+    "jpeg_pixel_decode_stats",
+    "audio_feature_stats",
+    "jpeg_color_decode_stats",
+    "partition_overwrite_backfill",
+    "csv_roundtrip_orders",
+    "orc_roundtrip_lineitem",
+    "jsonl_roundtrip_events",
+    "csv_permissive_corrupt_rows",
+    "schema_evolution_merge",
+    "compaction_roundtrip",
+    "dedup_components_star",
+    "ann_pq_adc_topk",
+    "gopher_quality_gates",
+    "gopher_repetition_gates",
+    "text_char_entropy",
+    "retention_cohort_weekly",
+    "text_quality_stats",
+    "text_lang_id",
+    "text_token_counts",
+    "c4_clean_documents",
+    "text_tfidf_top_terms",
+    "text_heavy_hitters",
+    "text_pii_redact",
+    "doc_fingerprints",
+    "doc_rolling_hash",
+    "text_repeated_ngrams",
+    "chunk_documents_sliding",
+    "pandas_udf_quality_sigmoid",
+    "dense_ids_documents",
+    "pack_sequences_documents",
+    "multimodal_decode",
+    "stream_tumbling_hourly",
+    "stream_stateful_user_stats",
+    "stream_upsert_idempotent",
+    "stream_sessionize",
+    "stream_interval_join",
+    "stream_static_enrich",
+    "sketch_mart_mergeable",
+    "approx_percentile_claim",
+    "remix_source_mixture",
+    "sample_orders_deterministic",
+]
+
+# Round 14 re-verification, in priority order: the three r8-era rows
+# displaced from the r13 window, then the whole r9 tail oldest-first
+# exactly as tools/freshness.py prints it. dedup_edit_distance_pairs
+# (ASCII-fold, ADVICE r13 medium), adpcm_decode_stats (MS ADPCM leg)
+# and text_unigram_logprob (interpolated-bigram upgrade) are NOT here
+# — their oracles changed this round, so they ride ORACLE_FIXED.
+# 1 flagship + 3 oracle-fixed + 2 new gates (avi_mjpeg_decode_stats,
+# training_order_shuffle) + the first 44 of these 52; the last 8
+# spill past the 50-slot cut to the front of the r15 queue.
+_R14_RECHECK: list[str] = [
+    "quality_weighted_sample",
+    "per_source_sample",
+    "ivf_persisted_search",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "palette_png_decode_stats",
+    "jpeg_subsampled_decode_stats",
+    "jpeg_restart_decode_stats",
+    "audio_downsample_stats",
+    "jpeg_resize_stats",
+    "interlaced_png_decode_stats",
+    "jpeg_progressive_decode_stats",
+    "bpe_learned_merges",
+    "bpe_subword_counts",
+    "png16_decode_stats",
+    "salted_join_events",
+    "semantic_dedup_kmeans",
+    "doc_containment_pairs",
+    "cogroup_click_purchase_profile",
+    "mom_revenue_growth",
+    "gap_fill_daily_revenue",
+    "null_semantics_battery",
+    "cube_segment_priority",
+    "cohort_intersect_except",
+    "grouped_zscore_chars",
+    "regression_chars_vs_tokens",
+    "kmeans_fit_centroids",
+    "ann_ivf_kmeans_recall",
+    "approx_ntile_price_quartiles",
+    "incremental_dedup_components",
+    "incremental_dedup_survivors",
+    "pq_codebook_learned",
+    "ann_ivf_pq_topk",
+    "ann_ivf_pq_residual_topk",
+    "ivfpq_residual_recall_audit",
+    "ivf_incremental_append",
+    "embedding_pca_claim",
+    "heavy_hitters_sketch",
+    "sketch_overlap_yoy",
+    "ewma_customer_spend",
+    "anomaly_daily_revenue",
+    "rfm_customer_scores",
+    "basket_brand_affinity",
+    "event_transition_matrix",
+    "pareto_abc_brands",
+    "customer_order_gap_stats",
+    "dup_cluster_size_histogram",
+    "seasonality_month_index",
+    "new_vs_returning_revenue",
+    "sql_api_top_segment_customers",
+    "ivf_recall_audit",
+    "prepare_training_corpus",
+]
+
 _ALL_GREEN: list[str] = _dedupe_keep_last(
     _R1_GREEN
     + _R2_GREEN
@@ -1277,45 +1397,48 @@ _ALL_GREEN: list[str] = _dedupe_keep_last(
     + _R10_GREEN
     + _R11_GREEN
     + _R12_GREEN
+    + _R13_GREEN
 )
 
-# Changed-oracle re-checks (the historically riskiest class), round 13:
-# clustered_write_skipping grew the bloom point-lookup leg (the r12
-# gate candidate spent by consolidation, per the r12 verdict: the
-# staged clustered lineitem copy now also writes an NDV-sized parquet
-# bloom filter on l_partkey with dictionary disabled for that column —
-# the at-scale PLAIN+bloom shape — and the query/oracle gained a
-# `partkey_point` leg proving bloom-filtered point lookups return
-# exact values). Registry stays 243: a consolidation, not a singleton.
+# Changed-oracle re-checks (the historically riskiest class), round 14
+# — three consolidations, zero registry growth among them:
+# dedup_edit_distance_pairs folds every non-ASCII codepoint to '?'
+# BEFORE the prefix cut on both sides (ADVICE r13 medium: DuckDB
+# levenshtein is byte-based, Spark's codepoint-based — they only
+# provably agree on pure ASCII); adpcm_decode_stats grew the MS ADPCM
+# (fmt 2) leg with its own recursive-CTE state machine (HUGEINT
+# delta); text_unigram_logprob upgraded from the unigram proxy to an
+# interpolated bigram LM trained on a held slice (verdict r13 item 8).
 # tools/rotation_check.py verifies the changed-hash set mechanically
 # against tools/oracle_hashes.json.
 ORACLE_FIXED: list[str] = [
-    "clustered_write_skipping",
+    "dedup_edit_distance_pairs",
+    "adpcm_decode_stats",
+    "text_unigram_logprob",
 ]
 
 VERIFIED_GREEN: list[str] = [
     n
-    for n in _R13_RECHECK + [m for m in _ALL_GREEN if m not in set(_R13_RECHECK)]
+    for n in _R14_RECHECK + [m for m in _ALL_GREEN if m not in set(_R14_RECHECK)]
     if n not in set(ORACLE_FIXED)
 ]
 
-# Never-driver-checked queries: round 13's one new registry row
-# (budget ≤3; the bloom gate consolidated into clustered_write_skipping
-# above, costing no registry growth). (reorder()'s new-query branch
-# still fronts anything not yet listed anywhere, so a query added
-# mid-round is window-checked the same round even before it lands
-# here.)
+# Never-driver-checked queries: round 14's two new registry rows
+# (budget ≤3; MS ADPCM and the bigram LM consolidated into existing
+# gates above, costing no registry growth). (reorder()'s new-query
+# branch still fronts anything not yet listed anywhere, so a query
+# added mid-round is window-checked the same round even before it
+# lands here.)
 UNCHECKED_PRIORITY: list[str] = [
-    "dedup_edit_distance_pairs",  # r13: blocked Levenshtein near-dups
-    "stream_interval_join_outer",  # r13: left-outer stream-stream join
+    "avi_mjpeg_decode_stats",  # r14: AVI/MJPEG container walk (video)
+    "training_order_shuffle",  # r14: seeded epoch-order shuffle
 ]
 
-# Round-14 queue: quality_weighted_sample, per_source_sample and
-# ivf_persisted_search (the three r8 rows the 50-slot window cuts this
-# round — flagship + 1 oracle-fixed + 2 new gates + 46 rechecks), then
-# the r9 tail oldest-first (multimodal_resize, multimodal_frame_sample,
-# palette_png_decode_stats, jpeg_subsampled_decode_stats, ... — run
-# tools/freshness.py first, as always).
+# Round-15 queue: the 8 r9-era rows the 50-slot window cuts this round
+# (ivf_recall_audit, prepare_training_corpus, and the 6 before them in
+# _R14_RECHECK order), then the r10 tail oldest-first
+# (resize_png16_stats, jpeg12_decode_stats, jpeg_411_decode_stats,
+# ... — run tools/freshness.py first, as always).
 
 
 def reorder(registry: dict) -> dict:

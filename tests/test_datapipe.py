@@ -504,6 +504,32 @@ def test_unigram_logprob_orders_by_commonness(spark, docs, tmp_path):
     assert out[3]["ppl_proxy"] > out[1]["ppl_proxy"]
 
 
+def test_bigram_lm_is_context_sensitive(spark, tmp_path):
+    """Round 14: the interpolated bigram upgrade actually uses context
+    — a held-out document with the SAME word bag as the dominant
+    training sentence but a scrambled order keeps its unigram mass
+    yet loses its bigram mass, so it must score strictly lower (the
+    pure-unigram model this gate replaced scored both identically)."""
+    import pyspark.sql.functions as SF
+
+    from lfb_data_warehouse_spark.plans.datapipe_queries import text_unigram_logprob
+
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "dog the over jumps lazy quick the brown fox"  # same bag, new order
+    rows = [(i, a) for i in (1, 2, 3, 4, 6, 7)] + [(8, b), (9, a)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "sf")
+    df.select(
+        "doc_id", "text", SF.lit("en").alias("lang"),
+        SF.lit("src0").alias("source"), SF.length("text").alias("n_chars"),
+    ).write.parquet(d + "/documents.parquet")
+    out = {r["doc_id"]: r for r in text_unigram_logprob(spark, d).collect()}
+    # docs 8 and 9 are both held out (doc_id % 10 >= 8): 9 rides the
+    # trained bigrams, 8's scrambled order falls back to unigram mass
+    assert out[8]["mean_logp"] < out[9]["mean_logp"]
+    assert out[9]["mean_logp"] == out[1]["mean_logp"]  # same text, same score
+
+
 def test_media_codec_roundtrip():
     from lfb_data_warehouse_spark.operators.multimodal import (
         jpeg_bytes,
