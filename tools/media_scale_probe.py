@@ -33,6 +33,16 @@ QUERIES = (
     # sniff-and-dispatch battery
     "flac_stereo_decode_stats",
     "media_poison_battery",
+    # round-14: the AVI/MJPEG walk (video) — adpcm_decode_stats above
+    # already carries the new MS ADPCM leg
+    "avi_mjpeg_decode_stats",
+    # round-14 documents-table gates riding the same ×K amplification
+    # (not media, but the probe's recipe applies): the seeded epoch
+    # shuffle (expectation: near-linear — the range exchange carries
+    # (id, 64-char hash)) and the bigram-LM scorer (near-linear: two
+    # bounded count shuffles + a map-only scoring pass)
+    "training_order_shuffle",
+    "text_unigram_logprob",
 )
 
 

@@ -266,6 +266,17 @@ def main() -> None:
             "salted_collect_users",
             "flac_stereo_decode_stats",
             "media_poison_battery",
+            # round-13/14 additions: blocked Levenshtein (claimed the
+            # exchange carries only (id, block, 40-char prefix)), the
+            # AVI/MJPEG walk (claimed zero-exchange map pass), the
+            # seeded training-order shuffle (one range exchange on the
+            # hash key), and the bigram-LM upgrade (claimed the counts
+            # exchanges are vocabulary-bounded and scoring adds no
+            # second corpus shuffle)
+            "dedup_edit_distance_pairs",
+            "avi_mjpeg_decode_stats",
+            "training_order_shuffle",
+            "text_unigram_logprob",
         )
         runners.update({n: REGISTRY[n].fn for n in AUDIT_EXTRA})
         # bootstrap yesterday's labels UNTAGGED so the audit-only
@@ -353,9 +364,13 @@ now measured):
   exchange is the PARAGRAPH span (~27 spans/doc here), each exactly
   once into the span-hash groupBy — there is no per-pair or windowed
   traffic, so it scales with corpus token count, not doc count².
-- `text_unigram_logprob` (~1.1): one pass of token rows into the
-  bounded (V=256) vocab aggregate plus the scoring join — linear, no
-  blow-up.
+- `text_unigram_logprob` (~2.4 since the round-14 bigram upgrade; was
+  ~1.1 unigram-only): TWO counting passes over the train slice — token
+  rows into the bounded (V=256) vocab aggregate, pair rows into the
+  bounded (B=512) bigram aggregate — both map-side-partial, both
+  carrying (token/pair, count) never documents; the interpolated
+  scoring pass itself adds ZERO shuffle rows (literal maps inside
+  array HOFs — the model ships in the plan, not over the network).
 - `dedup_components_star` (~52 vs keep_canonical's 35): the log-round
   guarantee costs ~1.5× the propagation variant's traffic on easy
   graphs (each star round re-materializes the full edge set both
@@ -502,7 +517,27 @@ now measured):
     term rides a broadcast 1-row aggregate and the boilerplate drop
     join broadcasts the (tiny) frequent-line set. At 100 TB the
     shuffle is line-count-bounded at ~40 bytes/line vs the multi-KB
-    documents that stay put.""")
+    documents that stay put.
+- Round-13/14 rows:
+  - `dedup_edit_distance_pairs` (sh/in exactly 1.000, 0.9 MB at
+    sf0.1): ONE row per document enters the exchange — (id, block
+    key, 40-char ASCII-folded prefix), never full text; the
+    within-block self-join reads the same exchange twice (w 0.9 /
+    r 1.8 MB). The quadratic lives inside blocks after the exchange
+    and is bounded by block size (tools/edit_blocking_probe.py's
+    linear-vs-quadratic table).
+  - `avi_mjpeg_decode_stats` (sh/in 0.059, 0.0 MB): video joins the
+    media tier's zero-exchange shape — the AVI tree walk and the
+    per-frame JPEG entropy decode are per-payload CPU inside one
+    Arrow pass; only the loader's 8-byte-id fan-out and per-frame
+    stats rows move.
+  - `training_order_shuffle` (sh/in 1.002, 0.8 MB): the irreducible
+    epoch-shuffle exchange — each row crosses ONCE as (doc_id,
+    64-char hash) into the range exchange; the dense-rank offsets ride
+    a partition-counts collect (rows = partitions, not data) and a
+    broadcast join; the shard stripe is a map-side expression. At
+    100 TB this is the floor for a global deterministic permutation:
+    one row-width-bounded pass, no global window.""")
     finally:
         shutil.rmtree(event_dir, ignore_errors=True)
 
