@@ -136,15 +136,16 @@ def _walk_chunks(buf: bytes, i: int, end: int):
 
 
 @decode_valueerror_contract
-def avi_decode_frames(b: bytes) -> dict:
-    """REAL AVI/MJPEG decode: RIFF tree walk (hdrl → avih + strl,
-    movi → '00dc' frames), structural validation (declared frame
-    count vs actual chunks, per-frame JPEG dimensions vs the stream
-    header), then a full baseline-JPEG entropy decode of EVERY frame.
-    Returns header metadata plus the per-frame decoded dicts (each
-    with the recovered raster) so feature stages read pixels, not
-    metadata. idx1, JUNK and other non-frame chunks are walked and
-    skipped; audio streams and non-MJPG codecs raise."""
+def avi_frame_blobs(b: bytes) -> dict:
+    """The container walk WITHOUT frame decode: RIFF tree walk (hdrl →
+    avih + strl, movi → '00dc' chunks), structural validation
+    (declared frame count vs actual chunks, single MJPEG 'vids'
+    stream), returning header metadata plus the RAW per-frame JPEG
+    blobs. This is the seek path a frame SAMPLER needs — at 100 TB of
+    video you walk every container but entropy-decode only the frames
+    you keep (:func:`avi_decode_frames` decodes all of them). idx1,
+    JUNK and other non-frame chunks are walked and skipped; audio
+    streams and non-MJPG codecs raise."""
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI stream")
     width = height = n_frames = usec_per_frame = None
@@ -210,20 +211,36 @@ def avi_decode_frames(b: bytes) -> dict:
         raise ValueError(
             f"AVI declares {n_frames} frames but carries {len(frame_blobs)}"
         )
-    frames = []
-    for k, blob in enumerate(frame_blobs):
-        d = jpeg_decode_pixels(blob)
-        if d["width"] != width or d["height"] != height:
-            raise ValueError(
-                f"frame {k} is {d['width']}x{d['height']}, "
-                f"stream header says {width}x{height}"
-            )
-        frames.append(d)
     return {
         "media_type": "video/avi",
         "width": width,
         "height": height,
         "n_frames": n_frames,
         "usec_per_frame": usec_per_frame,
-        "frames": frames,
+        "frame_blobs": frame_blobs,
     }
+
+
+def decode_avi_frame(meta: dict, k: int) -> dict:
+    """Entropy-decode frame ``k`` of an :func:`avi_frame_blobs` result,
+    validating its dimensions against the stream header."""
+    d = jpeg_decode_pixels(meta["frame_blobs"][k])
+    if d["width"] != meta["width"] or d["height"] != meta["height"]:
+        raise ValueError(
+            f"frame {k} is {d['width']}x{d['height']}, "
+            f"stream header says {meta['width']}x{meta['height']}"
+        )
+    return d
+
+
+@decode_valueerror_contract
+def avi_decode_frames(b: bytes) -> dict:
+    """REAL AVI/MJPEG decode: the :func:`avi_frame_blobs` container
+    walk + a full baseline-JPEG entropy decode of EVERY frame. Returns
+    header metadata plus the per-frame decoded dicts (each with the
+    recovered raster) so feature stages read pixels, not metadata."""
+    meta = avi_frame_blobs(b)
+    frames = [decode_avi_frame(meta, k) for k in range(meta["n_frames"])]
+    out = {k: v for k, v in meta.items() if k != "frame_blobs"}
+    out["frames"] = frames
+    return out

@@ -3586,6 +3586,25 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM fr,
            LATERAL (SELECT unnest(range(0, fr.width)) AS x) gx,
            LATERAL (SELECT unnest(range(0, fr.height)) AS y) gy
+    ),
+    asel AS (
+      SELECT doc_id,
+             doc_id % 4 + 2 AS n_frames,
+             8 * (doc_id % 3 + 1) AS width,
+             8 * (doc_id % 2 + 1) AS height
+      FROM documents WHERE doc_id % {FRAME_DOC_MOD} = 2
+    ),
+    afr AS (
+      SELECT s.doc_id, s.n_frames, s.width, s.height, gf.f
+      FROM asel s,
+           LATERAL (SELECT unnest(range(0, s.n_frames, {FRAME_EVERY})) AS f) gf
+    ),
+    atile AS (
+      SELECT afr.doc_id, afr.n_frames, afr.width, afr.height, afr.f,
+             (11 * gx.tx + 23 * gy.ty + 7 * afr.doc_id + 41 * afr.f) % 256 AS v
+      FROM afr,
+           LATERAL (SELECT unnest(range(0, afr.width // 8)) AS tx) gx,
+           LATERAL (SELECT unnest(range(0, afr.height // 8)) AS ty) gy
     )
     SELECT doc_id,
            CAST(f AS BIGINT) AS frame_index,
@@ -3597,27 +3616,46 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((3 * (any_value(width) - 1) + 5 * (any_value(height) - 1)
                  + 11 * f + doc_id) % 256 AS BIGINT) AS last_px
     FROM px GROUP BY doc_id, f
+    UNION ALL
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_index,
+           CAST(any_value(n_frames) AS BIGINT) AS n_frames,
+           CAST(any_value(width) AS BIGINT) AS width,
+           CAST(any_value(height) AS BIGINT) AS height,
+           CAST(64 * sum(v) AS BIGINT) AS px_sum,
+           CAST((7 * doc_id + 41 * f) % 256 AS BIGINT) AS first_px,
+           CAST((11 * (any_value(width) // 8 - 1)
+                 + 23 * (any_value(height) // 8 - 1)
+                 + 7 * doc_id + 41 * f) % 256 AS BIGINT) AS last_px
+    FROM atile GROUP BY doc_id, f
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL frame sampling end to end — replaces the round-4 byte-slice
-    stub (r8 VERDICT item 4): synthesize_png_stream writes multi-frame
-    containers (concatenated full PNGs, each frame's pixels closed-form
-    in doc_id and frame index); sample_frames WALKS the container's
-    chunk structure to find frame boundaries (no signature scanning —
-    IDAT bytes may contain the signature), keeps every 2nd frame, and
-    DECODES each kept frame to report stats from its actual raster —
-    so a boundary-walk or per-frame-decode bug lands on
+    stub (r8 VERDICT item 4); since round 14 it samples from a REAL
+    VIDEO container too: PNG-stream docs (doc_id%7==6, concatenated
+    full PNGs, chunk-walked to each IEND) and AVI/MJPEG docs
+    (doc_id%7==2, the same closed-form constant-tile frames as
+    avi_mjpeg_decode_stats, RIFF-tree-walked to the raw '00dc' blobs).
+    sample_frames keeps every 2nd frame and ENTROPY-DECODES ONLY THE
+    KEPT ONES — the property that matters at 100 TB of video — so a
+    boundary-walk, dispatch, or per-frame-decode bug lands on
     px_sum/first_px/last_px per (doc, frame). 1→N Arrow explode;
     payloads never shuffle or collect."""
-    from ..operators.multimodal import sample_frames, synthesize_png_stream
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .filter(F.col("doc_id") % FRAME_DOC_MOD == 6)
+    from ..operators.multimodal import (
+        sample_frames,
+        synthesize_avi_mjpeg,
+        synthesize_png_stream,
     )
-    return sample_frames(synthesize_png_stream(docs, "doc_id"), FRAME_EVERY).select(
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pngs = synthesize_png_stream(
+        docs.filter(F.col("doc_id") % FRAME_DOC_MOD == 6), "doc_id"
+    )
+    avis = synthesize_avi_mjpeg(
+        docs.filter(F.col("doc_id") % FRAME_DOC_MOD == 2), "doc_id"
+    )
+    return sample_frames(pngs.unionByName(avis), FRAME_EVERY).select(
         "doc_id", "frame_index", "n_frames", "width", "height",
         "px_sum", "first_px", "last_px",
     )

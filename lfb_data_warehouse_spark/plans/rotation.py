@@ -1326,9 +1326,12 @@ _R13_GREEN: list[str] = [
 # (ASCII-fold, ADVICE r13 medium), adpcm_decode_stats (MS ADPCM leg)
 # and text_unigram_logprob (interpolated-bigram upgrade) are NOT here
 # — their oracles changed this round, so they ride ORACLE_FIXED.
-# 1 flagship + 3 oracle-fixed + 2 new gates (avi_mjpeg_decode_stats,
-# training_order_shuffle) + the first 44 of these 52; the last 8
-# spill past the 50-slot cut to the front of the r15 queue.
+# 1 flagship + 4 oracle-fixed (the three above + the frame-sample
+# AVI-leg upgrade, which was already in this queue) + 2 new gates
+# (avi_mjpeg_decode_stats, training_order_shuffle) + the first 43 of
+# these 52 (multimodal_frame_sample rides ORACLE_FIXED, so 43 recheck
+# slots remain); the last 9 spill past the 50-slot cut to the front
+# of the r15 queue.
 _R14_RECHECK: list[str] = [
     "quality_weighted_sample",
     "per_source_sample",
@@ -1415,6 +1418,11 @@ ORACLE_FIXED: list[str] = [
     "dedup_edit_distance_pairs",
     "adpcm_decode_stats",
     "text_unigram_logprob",
+    # frame sampling gained the REAL AVI leg (every-Nth MJPEG frame,
+    # decode-only-kept) — it was already in this round's recheck
+    # window (r9 freshness tail), so riding ORACLE_FIXED instead
+    # costs zero extra slots
+    "multimodal_frame_sample",
 ]
 
 VERIFIED_GREEN: list[str] = [
@@ -1434,8 +1442,8 @@ UNCHECKED_PRIORITY: list[str] = [
     "training_order_shuffle",  # r14: seeded epoch-order shuffle
 ]
 
-# Round-15 queue: the 8 r9-era rows the 50-slot window cuts this round
-# (ivf_recall_audit, prepare_training_corpus, and the 6 before them in
+# Round-15 queue: the 9 r9-era rows the 50-slot window cuts this round
+# (ivf_recall_audit, prepare_training_corpus, and the 7 before them in
 # _R14_RECHECK order), then the r10 tail oldest-first
 # (resize_png16_stats, jpeg12_decode_stats, jpeg_411_decode_stats,
 # ... — run tools/freshness.py first, as always).

@@ -407,6 +407,62 @@ def test_sample_frames_parses_real_container(spark):
     assert len(nul) == 1 and nul[0]["frame_index"] is None
 
 
+def test_sample_frames_avi_decodes_only_kept(spark):
+    """Round 14: the sampler dispatches REAL AVI containers through
+    the RIFF walk and — the property that matters at 100 TB of video
+    — entropy-decodes ONLY the kept frames: corrupting an odd
+    (skipped) frame's JPEG payload leaves every_n=2 sampling intact,
+    while the decode-everything path (avi_decode_frames) raises on
+    the same bytes."""
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.avicodec import (
+        avi_decode_frames,
+        avi_mjpeg_bytes,
+    )
+    from lfb_data_warehouse_spark.operators.jpegcodec import jpeg_pixel_bytes
+
+    w, h, n_frames = 16, 8, 4
+    rasters = [
+        bytes((11 * (x // 8) + 23 * (y // 8) + 41 * f) % 256
+              for y in range(h) for x in range(w))
+        for f in range(n_frames)
+    ]
+    blob = avi_mjpeg_bytes(w, h, [jpeg_pixel_bytes(w, h, r) for r in rasters])
+    media = spark.createDataFrame(
+        [(7, bytearray(blob))], "doc_id long, payload binary"
+    )
+    rows = sorted(
+        sample_frames(media, every_n=2).collect(), key=lambda r: r["frame_index"]
+    )
+    assert [r["frame_index"] for r in rows] == [0, 2]
+    for r in rows:
+        fr = rasters[r["frame_index"]]
+        assert (r["n_frames"], r["width"], r["height"]) == (n_frames, w, h)
+        assert (r["px_sum"], r["first_px"], r["last_px"]) == (
+            sum(fr), fr[0], fr[-1],
+        )
+    # poison frame 1 (skipped by every_n=2) by stomping its SOI: the
+    # walk still sees a well-formed chunk, the JPEG no longer decodes
+    # — the sampler must not notice; the full decode must
+    b = bytearray(blob)
+    p = b.find(b"00dc")          # frame 0's chunk header (movi precedes idx1)
+    p = b.find(b"00dc", p + 4)   # frame 1
+    b[p + 8 : p + 10] = b"\x00\x00"
+    poisoned = bytes(b)
+    with _pytest.raises(ValueError):
+        avi_decode_frames(poisoned)
+    media2 = spark.createDataFrame(
+        [(8, bytearray(poisoned))], "doc_id long, payload binary"
+    )
+    rows2 = sorted(
+        sample_frames(media2, every_n=2).collect(),
+        key=lambda r: r["frame_index"],
+    )
+    assert [r["frame_index"] for r in rows2] == [0, 2]
+    assert [r["px_sum"] for r in rows2] == [sum(rasters[0]), sum(rasters[2])]
+
+
 def test_bpe_train_learns_expected_merges(spark):
     """Hand-checked merge sequence on a tiny corpus, including the
     count-tie lexicographic break and greedy non-overlapping
