@@ -3688,6 +3688,115 @@ def synthesize_msadpcm(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+AHASH_SCHEMA = "doc_id long, ahash string, width long, height long"
+
+
+def ahash_bits(raster, width: int, height: int) -> str:
+    """64-bit average-hash of a grayscale raster as a '0'/'1' string
+    (row-major 8×8 cell order): the image is box-reduced to an 8×8
+    grid of cell sums and bit i is ``64·cell_sum_i > total_sum`` — the
+    INTEGER-EXACT form of "cell mean above image mean" (no float
+    division, so any engine reproduces it bit-for-bit). aHash is
+    mean-relative: a global brightness shift that wraps nowhere leaves
+    every bit unchanged, while moving content between cells flips
+    bits — the cheap perceptual fingerprint image-dedup pipelines
+    (LAION-style) bucket on before any expensive embedding pass.
+    Dimensions must be multiples of 8 (exact cells, no interpolation
+    policy to disagree over)."""
+    if width % 8 or height % 8 or width < 8 or height < 8:
+        raise ValueError(
+            f"ahash needs dimensions divisible by 8, got {width}x{height}"
+        )
+    bw, bh = width // 8, height // 8
+    cells = [0] * 64
+    for y in range(height):
+        row = y // bh * 8
+        base = y * width
+        for x in range(width):
+            cells[row + x // bw] += raster[base + x]
+    total = sum(cells)
+    return "".join("1" if 64 * c > total else "0" for c in cells)
+
+
+def image_ahash(media: DataFrame, strict: bool = True) -> DataFrame:
+    """Arrow-batched perceptual hashing over (doc_id, payload): REAL
+    decode (:func:`decode_real`) to the raster, then the 64-bit
+    average hash (:func:`ahash_bits`). Only the (doc_id, 64-char hash)
+    pair ever leaves the pass — the dedup groupBy downstream shuffles
+    hashes, never pixels, the same 100 TB shape as the text-dedup
+    tiers. ``strict=False`` = poison-safe NULL-hash rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    d = decode_real(bytes(payload))
+                    if "raster" not in d:
+                        raise ValueError(
+                            f"not a hashable raster: {d.get('media_type')}"
+                        )
+                    if d.get("channels", 1) not in (None, 1):
+                        raise ValueError("ahash expects a grayscale raster")
+                    h = ahash_bits(d["raster"], d["width"], d["height"])
+                except ValueError:
+                    if strict:
+                        raise
+                    rows.append(
+                        {"doc_id": doc_id, "ahash": None,
+                         "width": None, "height": None}
+                    )
+                    continue
+                rows.append(
+                    {"doc_id": doc_id, "ahash": h,
+                     "width": d["width"], "height": d["height"]}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def synthesize_ahash_pngs(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture a corpus with REAL duplicate images for the
+    perceptual-dedup gate: selected docs come in triples sharing
+    ``g = doc_id // 11`` (the gate selects residues 2/3/4 mod 11, so
+    each g contributes doc_ids 11g+2..4); variants 0 and 1 are
+    BYTE-IDENTICAL grayscale PNGs of the ``(3x + 5y + 7g) mod 256``
+    lattice at ``8(g%3+1) × 8(g%2+1)``, variant 2 adds 100 (mod 256)
+    on the checkerboard of even 8×8 cells — content moved between
+    cells, so its hash differs while the first two collide. Every
+    pixel is closed-form in (g, v, x, y), so the oracle recomputes the
+    hash arithmetically while the engine must decode the real PNG."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                g, v = d // 11, d % 11 - 2
+                w, h = 8 * (g % 3 + 1), 8 * (g % 2 + 1)
+                bw, bh = w // 8, h // 8
+                raster = bytes(
+                    (
+                        3 * x + 5 * y + 7 * g
+                        + (100 if v == 2 and (x // bw + y // bh) % 2 == 0 else 0)
+                    ) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(png_pixel_bytes(w, h, raster, 0))
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
 AVI_STATS_SCHEMA = (
     "doc_id long, frame_idx long, width long, height long, n_frames long, "
     "px_sum long, first_px long, last_px long"

@@ -5375,6 +5375,90 @@ def avi_mjpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_avi_stats(synthesize_avi_mjpeg(docs, "doc_id"))
 
 
+AHASH_DOC_MOD = 11  # residues 2/3/4 → triples sharing g = doc_id // 11
+
+
+@register(
+    "image_ahash_dedup",
+    oracle=f"""
+    WITH sel AS (
+      SELECT doc_id, doc_id // {AHASH_DOC_MOD} AS g,
+             doc_id % {AHASH_DOC_MOD} - 2 AS v
+      FROM documents WHERE doc_id % {AHASH_DOC_MOD} IN (2, 3, 4)
+    ),
+    dims AS (
+      SELECT doc_id, g, v,
+             8 * (g % 3 + 1) AS w, 8 * (g % 2 + 1) AS h
+      FROM sel
+    ),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             (gy.y // (d.h // 8)) * 8 + (gx.x // (d.w // 8)) AS cell,
+             (3 * gx.x + 5 * gy.y + 7 * d.g
+              + CASE WHEN d.v = 2
+                     AND ((gx.x // (d.w // 8)) + (gy.y // (d.h // 8))) % 2 = 0
+                     THEN 100 ELSE 0 END) % 256 AS p
+      FROM dims d,
+           LATERAL (SELECT unnest(range(0, d.w)) AS x) gx,
+           LATERAL (SELECT unnest(range(0, d.h)) AS y) gy
+    ),
+    cells AS (
+      SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+             cell, SUM(p) AS cs
+      FROM px GROUP BY doc_id, cell
+    ),
+    tot AS (SELECT doc_id, SUM(cs) AS ts FROM cells GROUP BY doc_id),
+    hashes AS (
+      SELECT c.doc_id, any_value(c.w) AS w, any_value(c.h) AS h,
+             string_agg(CASE WHEN 64 * c.cs > t.ts THEN '1' ELSE '0' END,
+                        '' ORDER BY c.cell) AS ahash
+      FROM cells c JOIN tot t USING (doc_id)
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, ahash,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS group_size,
+           doc_id = MIN(doc_id) OVER (PARTITION BY ahash) AS is_canonical
+    FROM hashes
+    """,
+)
+def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE dedup end to end (round 14) — the cheap
+    fingerprint pass image-training-data pipelines (LAION-style)
+    bucket on before any embedding: synthesize_ahash_pngs writes real
+    grayscale PNGs where doc triples share byte-identical content
+    (variants 0/1) and variant 2 moves content between 8×8 cells;
+    image_ahash DECODES each PNG and computes the integer-exact
+    64-bit average hash (bit i = 64·cell_sum > total_sum — no float
+    mean, so engines agree bit-for-bit); the dedup layer groups by
+    hash for group sizes and a canonical keep. Oracle: the same hash
+    recomputed arithmetically from the closed-form lattice — a
+    decode, cell-geometry, threshold, or bit-order bug lands on the
+    hash string. Scale: the shuffle carries only (doc_id, 64-char
+    hash); pixels never leave the Arrow decode pass; the per-hash
+    window is group-bounded."""
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import image_ahash, synthesize_ahash_pngs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter((F.col("doc_id") % AHASH_DOC_MOD).isin(2, 3, 4))
+    )
+    hashed = image_ahash(synthesize_ahash_pngs(docs, "doc_id"))
+    w = Window.partitionBy("ahash")
+    return hashed.select(
+        "doc_id",
+        "ahash",
+        "width",
+        "height",
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )
+
+
 FLAC_DOC_MOD = 13  # doc_id % 13 == 10 → ~1/13 of documents get a FLAC stream
 
 

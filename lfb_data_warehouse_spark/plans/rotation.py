@@ -1328,10 +1328,10 @@ _R13_GREEN: list[str] = [
 # — their oracles changed this round, so they ride ORACLE_FIXED.
 # 1 flagship + 4 oracle-fixed (the three above + the frame-sample
 # AVI-leg upgrade, which was already in this queue) + 2 new gates
-# (avi_mjpeg_decode_stats, training_order_shuffle) + the first 43 of
-# these 52 (multimodal_frame_sample rides ORACLE_FIXED, so 43 recheck
-# slots remain); the last 9 spill past the 50-slot cut to the front
-# of the r15 queue.
+# (avi_mjpeg_decode_stats, training_order_shuffle,
+# image_ahash_dedup) + the first 42 of these 52
+# (multimodal_frame_sample rides ORACLE_FIXED); the last 10 spill
+# past the 50-slot cut to the front of the r15 queue.
 _R14_RECHECK: list[str] = [
     "quality_weighted_sample",
     "per_source_sample",
@@ -1431,8 +1431,9 @@ VERIFIED_GREEN: list[str] = [
     if n not in set(ORACLE_FIXED)
 ]
 
-# Never-driver-checked queries: round 14's two new registry rows
-# (budget ≤3; MS ADPCM and the bigram LM consolidated into existing
+# Never-driver-checked queries: round 14's three new registry rows
+# (budget ≤3, spent exactly; MS ADPCM, the bigram LM and the
+# AVI-frame-sample leg consolidated into existing
 # gates above, costing no registry growth). (reorder()'s new-query
 # branch still fronts anything not yet listed anywhere, so a query
 # added mid-round is window-checked the same round even before it
@@ -1440,11 +1441,12 @@ VERIFIED_GREEN: list[str] = [
 UNCHECKED_PRIORITY: list[str] = [
     "avi_mjpeg_decode_stats",  # r14: AVI/MJPEG container walk (video)
     "training_order_shuffle",  # r14: seeded epoch-order shuffle
+    "image_ahash_dedup",       # r14: perceptual-hash image dedup
 ]
 
-# Round-15 queue: the 9 r9-era rows the 50-slot window cuts this round
-# (ivf_recall_audit, prepare_training_corpus, and the 7 before them in
-# _R14_RECHECK order), then the r10 tail oldest-first
+# Round-15 queue: the 10 r9-era rows the 50-slot window cuts this
+# round (ivf_recall_audit, prepare_training_corpus, and the 8 before
+# them in _R14_RECHECK order), then the r10 tail oldest-first
 # (resize_png16_stats, jpeg12_decode_stats, jpeg_411_decode_stats,
 # ... — run tools/freshness.py first, as always).
 

@@ -463,6 +463,48 @@ def test_sample_frames_avi_decodes_only_kept(spark):
     assert [r["px_sum"] for r in rows2] == [sum(rasters[0]), sum(rasters[2])]
 
 
+def test_image_ahash_perceptual_properties(spark):
+    """aHash (round 14): mean-relative — a global brightness shift
+    (no wrap) leaves the 64-bit hash unchanged; moving content
+    between cells flips bits; byte-identical images collide; the
+    integer-exact threshold (64·cell > total) needs no float mean;
+    non-multiple-of-8 dims refuse."""
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        ahash_bits,
+        image_ahash,
+        png_pixel_bytes,
+    )
+
+    w, h = 16, 8
+    base = [(7 * x + 3 * y) % 100 for y in range(h) for x in range(w)]
+    h0 = ahash_bits(base, w, h)
+    assert len(h0) == 64 and set(h0) <= {"0", "1"}
+    # brightness shift without wrap: same hash
+    assert ahash_bits([p + 50 for p in base], w, h) == h0
+    # content moved between cells: different hash
+    moved = list(base)
+    for y in range(h):
+        for x in range(w // 2):
+            moved[y * w + x] = 255
+    assert ahash_bits(moved, w, h) != h0
+    with _pytest.raises(ValueError, match="divisible by 8"):
+        ahash_bits(base, 12, 8)
+    # through the real decode path: identical PNGs collide, the
+    # perturbed one does not; NULL-hash poison row in lenient mode
+    blob = png_pixel_bytes(w, h, bytes(base), 0)
+    blob2 = png_pixel_bytes(w, h, bytes(moved), 0)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(blob)), (3, bytearray(blob2)),
+         (4, bytearray(b"garbage"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r["ahash"]
+            for r in image_ahash(media, strict=False).collect()}
+    assert rows[1] == rows[2] == h0 and rows[3] != h0 and rows[4] is None
+
+
 def test_bpe_train_learns_expected_merges(spark):
     """Hand-checked merge sequence on a tiny corpus, including the
     count-tie lexicographic break and greedy non-overlapping
