@@ -43,6 +43,10 @@ QUERIES = (
     # bounded count shuffles + a map-only scoring pass)
     "training_order_shuffle",
     "text_unigram_logprob",
+    # round-14 late additions: AVI-leg frame sampling (decode only
+    # kept frames) and perceptual-hash image dedup
+    "multimodal_frame_sample",
+    "image_ahash_dedup",
 )
 
 
