@@ -277,6 +277,10 @@ def main() -> None:
             "avi_mjpeg_decode_stats",
             "training_order_shuffle",
             "text_unigram_logprob",
+            # perceptual image dedup (claimed: only (doc_id, 64-char
+            # hash) crosses the exchange) and the AVI-leg frame sampler
+            "image_ahash_dedup",
+            "multimodal_frame_sample",
         )
         runners.update({n: REGISTRY[n].fn for n in AUDIT_EXTRA})
         # bootstrap yesterday's labels UNTAGGED so the audit-only
