@@ -567,6 +567,16 @@ def test_training_order_shuffle(spark):
 
     with pytest.raises(ValueError, match="n_shards"):
         training_order_shuffle(df, "doc_id", "s", 0)
+    # degenerate shapes: fewer rows than range partitions (empty
+    # partitions in the prefix sum), more shards than rows, one row
+    tiny = spark.range(0, 3).select(F.col("id").alias("doc_id"))
+    t = training_order_shuffle(tiny, "doc_id", "s", 8, num_partitions=7).collect()
+    assert sorted(r["order_pos"] for r in t) == [0, 1, 2]
+    assert all(r["shard"] == r["order_pos"] and r["pos_in_shard"] == 0 for r in t)
+    one = training_order_shuffle(
+        spark.range(0, 1).select(F.col("id").alias("doc_id")), "doc_id", "s", 4
+    ).collect()
+    assert (one[0]["order_pos"], one[0]["shard"], one[0]["pos_in_shard"]) == (0, 0, 0)
 
 
 def test_pack_sequences_matches_naive_window(spark):
