@@ -131,6 +131,12 @@ def test_no_cartesian_products(spark, name):
         "jpeg_color_decode_stats",
         "audio_feature_stats",
         "multimodal_decode",
+        # round-14 media gates: both ADPCM families, the AVI walk,
+        # the two-container frame sampler, perceptual image dedup
+        "adpcm_decode_stats",
+        "avi_mjpeg_decode_stats",
+        "multimodal_frame_sample",
+        "image_ahash_dedup",
     ],
 )
 def test_media_decode_gates_never_shuffle_payload(spark, name):
@@ -402,3 +408,22 @@ def test_q18_gate_rides_long_sums(spark):
     assert "BroadcastHashJoin LeftSemi" in p, "HAVING subquery must plan as broadcast semi join"
     assert "partial_sum" in p
     assert "BatchEvalPython" not in p
+
+
+def test_training_order_exchange_carries_hash_only(spark):
+    """The epoch-shuffle's one data exchange (the range partitioning on
+    the order key) may carry only (doc_id, 64-char hash) — never text
+    or payloads; the dense-rank window must be keyed (no
+    whole-dataset window partition), and the offsets join broadcast."""
+    import re
+
+    p = get_plan(spark, "training_order_shuffle")
+    assert "BatchEvalPython" not in p
+    assert "BroadcastHashJoin" in p, "offsets must broadcast"
+    for m in re.finditer(r"\(\d+\) Exchange\n((?:.+\n)+?)\n", p):
+        block = m.group(1)
+        if "rangepartitioning" in block:
+            assert "text" not in block and "payload" not in block
+    # the window is partitioned by __pid (never 'Window operation!'
+    # single-partition): formatted plans show the partition spec
+    assert re.search(r"Window.*__pid", p, re.S), "dense-rank window lost its partition key"
