@@ -78,7 +78,7 @@ def avi_mjpeg_bytes(
         1_000_000 // fps,       # dwMicroSecPerFrame
         max_size * fps,         # dwMaxBytesPerSec
         0,                      # dwPaddingGranularity
-        0x10,                   # dwFlags: AVIF_HASINDEX
+        0x10 if with_index else 0,  # dwFlags: AVIF_HASINDEX iff idx1 written
         len(frames),            # dwTotalFrames
         0,                      # dwInitialFrames
         1,                      # dwStreams
@@ -184,6 +184,14 @@ def avi_frame_blobs(b: bytes) -> dict:
                             compression = b[toff + 16 : toff + 20]
         elif ltype == b"movi":
             for scid, soff, ssz in _walk_chunks(b, off + 4, off + sz):
+                if scid[2:4] in (b"dc", b"db", b"wb") and scid[:2] != b"00":
+                    # data for a stream the single declared 'vids' strl
+                    # does not cover — decoding it as stream-0 frames
+                    # would be a silent mis-decode
+                    raise ValueError(
+                        f"AVI chunk {scid!r} belongs to an undeclared "
+                        "stream (single-stream container)"
+                    )
                 if scid[2:4] == b"dc":
                     frame_blobs.append(b[soff : soff + ssz])
                 elif scid[2:4] == b"db":
@@ -211,6 +219,11 @@ def avi_frame_blobs(b: bytes) -> dict:
         raise ValueError(
             f"AVI declares {n_frames} frames but carries {len(frame_blobs)}"
         )
+    if not frame_blobs:
+        # symmetric with the encoder's refusal: a frameless video has
+        # no first/last frame for downstream stats (the zero-area
+        # rationale of png_decode_pixels)
+        raise ValueError("AVI with no frames")
     return {
         "media_type": "video/avi",
         "width": width,

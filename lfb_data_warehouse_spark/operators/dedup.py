@@ -236,9 +236,16 @@ def edit_distance_pairs(
     multilingual corpus silently flips pair membership near the
     threshold depending on who computes. The fold is distance-
     preserving for the ASCII-noise family this operator targets (OCR
-    noise, template fills) and collapses non-ASCII runs to equal-
-    length '?' runs; pass ``ascii_fold=False`` only when every caller
-    in the pipeline is pinned to one codepoint-correct engine."""
+    noise, template fills). Folding also has a failure mode the
+    operator guards against: a predominantly non-Latin document folds
+    to a near-uniform ``'????…'`` prefix, and two UNRELATED such
+    documents would land at distance ~0 — so with the fold on,
+    documents whose folded prefix is less than half non-``'?'`` are
+    EXCLUDED from pairing (they carry no signal this operator can
+    score; route non-Latin scripts through the shingle/MinHash tiers,
+    which are codepoint-clean). Pass ``ascii_fold=False`` only when
+    every caller in the pipeline is pinned to one codepoint-correct
+    engine."""
     if not block_cols:
         # an empty block key would make the self-join a cartesian
         # product — the O(n²) plan this operator exists to avoid; make
@@ -257,6 +264,15 @@ def edit_distance_pairs(
     d = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], pfx.alias("pfx")
     )
+    if ascii_fold:
+        # signal guard (see docstring): a mostly-'?' folded prefix has
+        # nothing for edit distance to measure — excluding it prevents
+        # the unrelated-non-Latin-documents-at-distance-0 collapse
+        d = d.filter(
+            F.length(F.replace(F.col("pfx"), F.lit("?"), F.lit("")))
+            * 2
+            >= F.length("pfx")
+        )
     a = d.select(
         F.col(id_col).alias("id_a"),
         *[F.col(c) for c in block_cols],

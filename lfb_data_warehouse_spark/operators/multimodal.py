@@ -3894,7 +3894,8 @@ def decode_avi_stats(media: DataFrame, strict: bool = True) -> DataFrame:
                             "last_px": raster[-1],
                         }
                     )
-            yield pd.DataFrame(rows)
+            if rows:  # an all-poison batch must not yield a 0-column frame
+                yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=AVI_STATS_SCHEMA)
 

@@ -104,10 +104,16 @@ def training_order_shuffle(
     ``order_pos`` = dense global rank over that key (the two-phase
     prefix sum from :func:`ids.assign_dense_ids` — no single-reducer
     window); ``shard`` = ``order_pos mod n_shards`` (round-robin
-    stripe: equal sizes ±1, each shard itself hash-ordered, so loaders
-    stream shard files sequentially and the concatenation order is the
-    global order); ``pos_in_shard`` = ``order_pos div n_shards`` (the
-    within-file write order).
+    stripe: equal sizes ±1, each shard itself hash-ordered);
+    ``pos_in_shard`` = ``order_pos div n_shards`` (the within-file
+    write order). Reading contract: each shard file alone is a
+    uniform, hash-ordered 1/n_shards subsample of the epoch (what
+    N independent data-loader workers consume); reconstructing the
+    EXACT global order requires round-robin interleaving one document
+    at a time across the shard files — plain concatenation of shard
+    files yields 0, n, 2n, …, 1, n+1, …, NOT the global permutation
+    (use a contiguous-block stripe, shard = pos·n/total, if
+    concatenation-order is the requirement).
 
     Scale: one range exchange on the hash key (uniform by
     construction — sha256 output has no skew) + a per-partition-counts

@@ -178,10 +178,14 @@ def _edit_distance_oracle() -> str:
     # Spark's is codepoint-based, and they only provably agree on pure
     # ASCII (ADVICE r13 medium — café/cafe is 2 vs 1 unfolded)
     return f"""
-    WITH d AS (SELECT doc_id, lang, n_chars // {EDIT_LEN_BUCKET} AS len_bucket,
-                      substr(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'),
-                             1, {EDIT_PREFIX_LEN}) AS pfx
-               FROM documents)
+    WITH d0 AS (SELECT doc_id, lang, n_chars // {EDIT_LEN_BUCKET} AS len_bucket,
+                       substr(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'),
+                              1, {EDIT_PREFIX_LEN}) AS pfx
+                FROM documents),
+    -- the signal guard: mostly-'?' folded prefixes carry nothing for
+    -- edit distance to measure (operators/dedup.py docstring)
+    d AS (SELECT * FROM d0
+          WHERE length(replace(pfx, '?', '')) * 2 >= length(pfx))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS dist,
            a.lang AS lang, a.len_bucket AS len_bucket
@@ -1532,7 +1536,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vmap = F.create_map(*entries)
     tw = tokens("text")
     tn = F.size(tw)
-    pairs = train.select(
+    # only docs with >= 2 tokens carry pairs — and F.slice with a
+    # negative length (tn - 1 when tn = 0, e.g. whitespace-only text)
+    # is a SparkRuntimeException, not an empty array, so the guard is
+    # load-bearing, not cosmetic. The oracle agrees for free: unnest
+    # of an empty token array produces no lag() rows.
+    pairs = train.filter(tn >= 2).select(
         F.explode(
             F.zip_with(
                 F.slice(tw, F.lit(1), tn - 1),

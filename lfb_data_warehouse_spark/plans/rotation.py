@@ -1327,11 +1327,11 @@ _R13_GREEN: list[str] = [
 # and text_unigram_logprob (interpolated-bigram upgrade) are NOT here
 # — their oracles changed this round, so they ride ORACLE_FIXED.
 # 1 flagship + 4 oracle-fixed (the three above + the frame-sample
-# AVI-leg upgrade, which was already in this queue) + 2 new gates
+# AVI-leg upgrade, which was already in this queue) + 3 new gates
 # (avi_mjpeg_decode_stats, training_order_shuffle,
-# image_ahash_dedup) + the first 42 of these 52
-# (multimodal_frame_sample rides ORACLE_FIXED); the last 10 spill
-# past the 50-slot cut to the front of the r15 queue.
+# image_ahash_dedup) + 42 recheck slots over the 51 still-eligible
+# rows below (multimodal_frame_sample rides ORACLE_FIXED); the last
+# 9 spill past the 50-slot cut to the front of the r15 queue.
 _R14_RECHECK: list[str] = [
     "quality_weighted_sample",
     "per_source_sample",
@@ -1444,8 +1444,8 @@ UNCHECKED_PRIORITY: list[str] = [
     "image_ahash_dedup",       # r14: perceptual-hash image dedup
 ]
 
-# Round-15 queue: the 10 r9-era rows the 50-slot window cuts this
-# round (ivf_recall_audit, prepare_training_corpus, and the 8 before
+# Round-15 queue: the 9 r9-era rows the 50-slot window cuts this
+# round (ivf_recall_audit, prepare_training_corpus, and the 7 before
 # them in _R14_RECHECK order), then the r10 tail oldest-first
 # (resize_png16_stats, jpeg12_decode_stats, jpeg_411_decode_stats,
 # ... — run tools/freshness.py first, as always).

@@ -203,6 +203,21 @@ def test_edit_distance_ascii_fold_cross_engine(spark):
     }
     assert got == want and (1, 2) in got  # the café/cafe pair survives
     assert (4, 5) in got  # astral emoji folds to one '?', distance 0
+    # signal guard: two UNRELATED non-Latin documents fold to
+    # near-uniform '?' prefixes — they must be EXCLUDED, not reported
+    # as distance-0 near-duplicates (the mass-collapse failure mode)
+    zh = [
+        (10, "中文文档第一 " * 5, "zh"),
+        (11, "完全不同的内容 " * 5, "zh"),
+        (12, "ascii doc one two three", "zh"),
+        (13, "ascii doc one two四three", "zh"),  # 1 CJK char folds, still >50% signal
+    ]
+    zdf = spark.createDataFrame(zh, "doc_id long, text string, lang string")
+    zgot = {(r["id_a"], r["id_b"]) for r in edit_distance_pairs(
+        zdf, "doc_id", "text", block_cols=["lang"], prefix_len=20, threshold=6
+    ).collect()}
+    assert (10, 11) not in zgot  # guarded out, not distance-0 "dups"
+    assert (12, 13) in zgot      # mostly-ASCII docs still score
 
 
 def test_ivf_topk_recall_within_probed_lists(emb):
@@ -2092,6 +2107,30 @@ def test_avi_mjpeg_decode():
         avi_mjpeg_bytes(8, 8, [])
     with _pytest.raises(ValueError, match="positive"):
         avi_mjpeg_bytes(0, 8, frames)
+    # a '01dc' chunk under a single declared stream is a structural
+    # lie — decoding it as a stream-0 frame would silently mis-order
+    m = bytearray(blob)
+    p = m.find(b"00dc")
+    m[p:p + 2] = b"01"
+    with _pytest.raises(ValueError, match="undeclared stream"):
+        avi_decode_frames(bytes(m))
+    # a frameless AVI raises (symmetric with the encoder refusal):
+    # hand-build a container declaring 0 frames with an empty movi list
+    hdr_end = blob.find(b"LIST", blob.find(b"movi") - 8)
+    hdrl = blob[12:hdr_end]
+    movi = b"LIST" + _struct.pack("<I", 4) + b"movi"
+    body = hdrl + movi
+    empty = bytearray(b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"AVI " + body)
+    p = empty.find(b"avih") + 8
+    empty[p + 16:p + 20] = _struct.pack("<I", 0)
+    with _pytest.raises(ValueError, match="no frames"):
+        avi_decode_frames(bytes(empty))
+    # with_index=False: no idx1 chunk AND the AVIF_HASINDEX flag off
+    noidx = avi_mjpeg_bytes(w, h, frames, with_index=False)
+    assert b"idx1" not in noidx
+    p = noidx.find(b"avih") + 8
+    assert _struct.unpack("<I", noidx[p + 12:p + 16])[0] == 0  # dwFlags
+    assert avi_decode_frames(noidx)["n_frames"] == 3
 
 
 def test_flac_roundtrip():
