@@ -12,12 +12,23 @@ Container structure per the public Microsoft *AVI RIFF File Reference*:
     RIFF 'AVI '
       LIST 'hdrl'
         avih  — MainAVIHeader (frame period, total frames, dims)
-        LIST 'strl'
-          strh — AVIStreamHeader (fccType 'vids', handler 'MJPG')
-          strf — BITMAPINFOHEADER (biCompression 'MJPG')
+        LIST 'strl'  (stream 0, video)
+          strh — AVIStreamHeader (fccType 'vids', handler 'MJPG'/'DIB ')
+          strf — BITMAPINFOHEADER ('MJPG' or BI_RGB uncompressed)
+        LIST 'strl'  (optional stream 1, audio)
+          strh — AVIStreamHeader (fccType 'auds')
+          strf — WAVEFORMATEX (PCM16)
       LIST 'movi'
-        '00dc' — one compressed (JPEG) frame per chunk, word-aligned
-      idx1    — optional index: (ckid, flags, offset, size) per frame
+        '00dc'/'00db' — one video frame per chunk, word-aligned,
+        interleaved with '01wb' audio chunks (arbitrary byte splits,
+        including mid-sample — decoders must concatenate before
+        sample-decoding)
+      idx1    — optional index: (ckid, flags, offset, size) per chunk
+
+Since round 14b the walk covers the standard A/V interleave shape:
+MJPEG ('00dc') or uncompressed 24-bit BI_RGB DIB ('00db', bottom-up
+AND top-down) video, plus an optional PCM16 'auds' stream — retiring
+the round-14 "audio streams / uncompressed frames" refusals.
 
 Scale shape: the codec is plain ``bytes -> dict`` used inside
 Arrow-batched ``mapInPandas`` passes — zero-exchange per-partition
@@ -26,12 +37,13 @@ decode, same as every other media family (see SCALE.md media curves).
 Reference parity: the reference repo (a single-purpose PySpark ETL,
 see SURVEY.md §2) has no video surface — this module is
 beyond-reference training-data-pipeline scope, built only from the
-public AVI/RIFF and T.81 specifications.
+public AVI/RIFF, BITMAPINFOHEADER/WAVEFORMATEX and T.81 specifications.
 
 Not supported (explicit ValueError, never a silent mis-decode):
-non-'vids' streams (audio tracks), non-MJPG video codecs (real DV/
-H.264/... payloads need bitstream decoders out of scope here), and
-uncompressed '00db' frames.
+more than two streams, non-'auds' second streams (text/midi tracks),
+non-MJPG/non-BI_RGB video codecs (real DV/H.264/... payloads need
+bitstream decoders out of scope here), non-24-bit DIB frames, and
+non-PCM16 audio codecs.
 """
 
 from __future__ import annotations
@@ -52,27 +64,93 @@ def _list(list_type: bytes, payload: bytes) -> bytes:
     return _chunk(b"LIST", list_type + payload)
 
 
-def avi_mjpeg_bytes(
+def _dib_rows(width: int, height: int, raster: bytes, bottom_up: bool) -> bytes:
+    """Pack a top-down BGR24 raster into DIB storage: rows padded to a
+    4-byte stride, flipped when bottom-up (positive biHeight)."""
+    stride_pad = b"\x00" * ((-width * 3) % 4)
+    rows = [
+        raster[y * width * 3 : (y + 1) * width * 3] + stride_pad
+        for y in range(height)
+    ]
+    if bottom_up:
+        rows.reverse()
+    return b"".join(rows)
+
+
+def avi_av_bytes(
     width: int,
     height: int,
     frames: list,
+    codec: str = "MJPG",
     fps: int = 10,
     with_index: bool = True,
+    audio: bytes | None = None,
+    audio_rate: int = 8000,
+    audio_channels: int = 1,
+    bottom_up: bool = True,
+    audio_splits: list | None = None,
 ) -> bytes:
-    """AVI container around MJPEG frames — each frame a COMPLETE
-    baseline-JPEG blob (callers encode via :func:`jpegcodec.
-    jpeg_pixel_bytes` / ``jpeg_planes_bytes``). Writes the standard
-    header tree (avih + one 'vids'/'MJPG' strl), the 'movi' list with
-    one word-aligned '00dc' chunk per frame, and (by default) the
-    idx1 index real muxers append — offsets relative to the 'movi'
-    fourcc, AVIIF_KEYFRAME on every frame (MJPEG is all-intra)."""
+    """General AVI muxer: one 'vids' stream (``codec='MJPG'``: each
+    frame a COMPLETE baseline-JPEG blob; ``codec='DIB'``: each frame a
+    top-down BGR24 raster, stored padded-stride and bottom-up unless
+    ``bottom_up=False`` writes the top-down negative-biHeight form)
+    plus an optional interleaved PCM16 'auds' stream. ``audio`` is raw
+    little-endian int16 bytes; ``audio_splits`` picks the '01wb' chunk
+    byte sizes (default: split evenly across frames) — splits may land
+    MID-SAMPLE, which is legal AVI and exactly what forces decoders to
+    concatenate before sample-decoding. Writes the standard header
+    tree, the 'movi' list (video chunk k interleaved with audio chunk
+    k), and (by default) the idx1 index real muxers append — offsets
+    relative to the 'movi' fourcc, AVIIF_KEYFRAME on every video frame
+    (MJPEG/DIB are all-intra)."""
     if width < 1 or height < 1:
         raise ValueError("AVI dimensions must be positive")
     if fps < 1:
         raise ValueError("AVI fps must be >= 1")
     if not frames:
         raise ValueError("AVI needs at least one frame")
-    max_size = max(len(f) for f in frames)
+    if codec not in ("MJPG", "DIB"):
+        raise ValueError(f"unsupported AVI encode codec {codec!r}")
+    if codec == "DIB":
+        for f in frames:
+            if len(f) != width * height * 3:
+                raise ValueError(
+                    f"DIB frame carries {len(f)} bytes, "
+                    f"geometry needs {width * height * 3}"
+                )
+        stride = (width * 3 + 3) & ~3
+        chunks = [_dib_rows(width, height, bytes(f), bottom_up) for f in frames]
+        vid_ck, handler = b"00db", b"DIB "
+        strf_v = struct.pack(
+            "<IiiHHIIiiII",
+            40, width, height if bottom_up else -height, 1, 24, 0,
+            stride * height, 0, 0, 0, 0,
+        )
+    else:
+        chunks = [bytes(f) for f in frames]
+        vid_ck, handler = b"00dc", b"MJPG"
+        strf_v = struct.pack(
+            "<IiiHH4sIiiII",
+            40, width, height, 1, 24, b"MJPG",
+            width * height * 3, 0, 0, 0, 0,
+        )
+    block_align = 2 * audio_channels
+    if audio is not None:
+        if audio_channels < 1:
+            raise ValueError("AVI audio needs at least one channel")
+        if len(audio) % block_align:
+            raise ValueError("AVI audio bytes must be frame-aligned")
+        if audio_splits is None:
+            if not audio:
+                audio_splits = []
+            else:
+                n = min(len(frames), len(audio))
+                per = len(audio) // n
+                audio_splits = [per] * (n - 1) + [len(audio) - per * (n - 1)]
+        if sum(audio_splits) != len(audio) or any(s < 0 for s in audio_splits):
+            raise ValueError("audio_splits must partition the audio bytes")
+    max_size = max(len(c) for c in chunks)
+    n_streams = 2 if audio is not None else 1
     avih = struct.pack(
         "<14I",
         1_000_000 // fps,       # dwMicroSecPerFrame
@@ -81,13 +159,13 @@ def avi_mjpeg_bytes(
         0x10 if with_index else 0,  # dwFlags: AVIF_HASINDEX iff idx1 written
         len(frames),            # dwTotalFrames
         0,                      # dwInitialFrames
-        1,                      # dwStreams
+        n_streams,              # dwStreams
         max_size,               # dwSuggestedBufferSize
         width, height,
         0, 0, 0, 0,             # dwReserved[4]
     )
-    strh = (
-        b"vids" + b"MJPG"
+    strh_v = (
+        b"vids" + handler
         + struct.pack(
             "<IHHIIIIIIII",
             0,                  # dwFlags
@@ -102,25 +180,66 @@ def avi_mjpeg_bytes(
         )
         + struct.pack("<4h", 0, 0, width, height)  # rcFrame
     )
-    strf = struct.pack(
-        "<IiiHH4sIiiII",
-        40, width, height, 1, 24, b"MJPG",
-        width * height * 3, 0, 0, 0, 0,
-    )
-    hdrl = _list(
-        b"hdrl",
-        _chunk(b"avih", avih)
-        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
-    )
+    strls = _list(b"strl", _chunk(b"strh", strh_v) + _chunk(b"strf", strf_v))
+    audio_chunks: list[bytes] = []
+    if audio is not None:
+        strh_a = (
+            b"auds" + b"\x00\x00\x00\x00"
+            + struct.pack(
+                "<IHHIIIIIIII",
+                0, 0, 0, 0,
+                block_align,                    # dwScale = block align
+                audio_rate * block_align,       # dwRate = bytes/sec
+                0,
+                len(audio) // block_align,      # dwLength (in samples)
+                max(audio_splits) if audio_splits else 0,
+                0xFFFFFFFF,
+                block_align,                    # dwSampleSize
+            )
+            + struct.pack("<4h", 0, 0, 0, 0)
+        )
+        strf_a = struct.pack(
+            "<HHIIHH",
+            1, audio_channels, audio_rate,
+            audio_rate * block_align, block_align, 16,
+        )
+        strls += _list(b"strl", _chunk(b"strh", strh_a) + _chunk(b"strf", strf_a))
+        pos = 0
+        for s in audio_splits:
+            audio_chunks.append(audio[pos : pos + s])
+            pos += s
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strls)
     movi_payload = b""
     index = b""
-    for f in frames:
+
+    def _emit(cid: bytes, data: bytes, flags: int) -> None:
+        nonlocal movi_payload, index
         # idx1 offsets point at the ckid, relative to the 'movi' fourcc
-        index += b"00dc" + struct.pack("<III", 0x10, 4 + len(movi_payload), len(f))
-        movi_payload += _chunk(b"00dc", bytes(f))
+        index += cid + struct.pack("<III", flags, 4 + len(movi_payload), len(data))
+        movi_payload += _chunk(cid, data)
+
+    for k, c in enumerate(chunks):
+        _emit(vid_ck, c, 0x10)  # AVIIF_KEYFRAME
+        if k < len(audio_chunks):
+            _emit(b"01wb", audio_chunks[k], 0)
+    for c in audio_chunks[len(chunks):]:
+        _emit(b"01wb", c, 0)
     movi = _list(b"movi", movi_payload)
     body = hdrl + movi + (_chunk(b"idx1", index) if with_index else b"")
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def avi_mjpeg_bytes(
+    width: int,
+    height: int,
+    frames: list,
+    fps: int = 10,
+    with_index: bool = True,
+) -> bytes:
+    """AVI container around MJPEG frames — the single-stream shape
+    (round 14); see :func:`avi_av_bytes` for the general muxer."""
+    return avi_av_bytes(width, height, frames, codec="MJPG", fps=fps,
+                        with_index=with_index)
 
 
 def _walk_chunks(buf: bytes, i: int, end: int):
@@ -138,20 +257,26 @@ def _walk_chunks(buf: bytes, i: int, end: int):
 @decode_valueerror_contract
 def avi_frame_blobs(b: bytes) -> dict:
     """The container walk WITHOUT frame decode: RIFF tree walk (hdrl →
-    avih + strl, movi → '00dc' chunks), structural validation
-    (declared frame count vs actual chunks, single MJPEG 'vids'
-    stream), returning header metadata plus the RAW per-frame JPEG
-    blobs. This is the seek path a frame SAMPLER needs — at 100 TB of
-    video you walk every container but entropy-decode only the frames
-    you keep (:func:`avi_decode_frames` decodes all of them). idx1,
-    JUNK and other non-frame chunks are walked and skipped; audio
-    streams and non-MJPG codecs raise."""
+    avih + strls, movi → '00dc'/'00db'/'01wb' chunks), structural
+    validation (declared frame count vs actual chunks, declared stream
+    list vs chunk stream ids, declared audio sample count vs carried
+    bytes), returning header metadata plus the RAW per-frame blobs and
+    the concatenated-but-undecoded audio bytes. This is the seek path
+    a frame SAMPLER needs — at 100 TB of video you walk every
+    container but entropy-decode only the frames you keep
+    (:func:`avi_decode_frames` decodes all of them). idx1, JUNK and
+    other non-data chunks are walked and skipped. Supported stream
+    shapes: stream 0 'vids' as MJPEG ('00dc') or 24-bit BI_RGB DIB
+    ('00db', bottom-up and top-down); optional stream 1 'auds' as
+    PCM16 ('01wb', chunk splits may land mid-sample — bytes are
+    concatenated before any sample decode). Everything else raises."""
     if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI stream")
     width = height = n_frames = usec_per_frame = None
-    handler = compression = None
     n_streams_declared = None
+    streams: list[dict] = []  # per strl: fcc_type / handler / strf / dwLength
     frame_blobs: list[bytes] = []
+    audio_parts: list[bytes] = []
     for cid, off, sz in _walk_chunks(b, 12, min(len(b), 8 + struct.unpack("<I", b[4:8])[0])):
         if cid != b"LIST":
             continue  # idx1 / JUNK at top level
@@ -166,55 +291,165 @@ def avi_frame_blobs(b: bytes) -> dict:
                     n_streams_declared = vals[6]
                     width, height = vals[8], vals[9]
                 elif scid == b"LIST" and b[soff : soff + 4] == b"strl":
+                    st: dict = {}
                     for tcid, toff, tsz in _walk_chunks(b, soff + 4, soff + ssz):
                         if tcid == b"strh":
                             if tsz < 8:
                                 raise ValueError("AVI strh truncated")
-                            fcc_type = b[toff : toff + 4]
-                            if fcc_type != b"vids":
-                                raise ValueError(
-                                    "only 'vids' AVI streams supported, "
-                                    f"got {fcc_type!r} (audio/text tracks "
-                                    "are out of scope)"
-                                )
-                            handler = b[toff + 4 : toff + 8]
+                            st["fcc_type"] = b[toff : toff + 4]
+                            st["handler"] = b[toff + 4 : toff + 8]
+                            # dwLength at +32, dwSampleSize at +44 —
+                            # needed for the audio byte-count check
+                            st["dw_length"] = (
+                                struct.unpack("<I", b[toff + 32 : toff + 36])[0]
+                                if tsz >= 36 else None
+                            )
                         elif tcid == b"strf":
-                            if tsz < 20:
-                                raise ValueError("AVI strf (BITMAPINFOHEADER) truncated")
-                            compression = b[toff + 16 : toff + 20]
+                            st["strf"] = b[toff : toff + tsz]
+                    streams.append(st)
         elif ltype == b"movi":
             for scid, soff, ssz in _walk_chunks(b, off + 4, off + sz):
-                if scid[2:4] in (b"dc", b"db", b"wb") and scid[:2] != b"00":
-                    # data for a stream the single declared 'vids' strl
-                    # does not cover — decoding it as stream-0 frames
-                    # would be a silent mis-decode
+                kind = scid[2:4]
+                if kind not in (b"dc", b"db", b"wb"):
+                    continue  # rec lists / padding chunks
+                try:
+                    sno = int(scid[:2], 16)
+                except ValueError:
+                    sno = -1
+                if sno < 0 or sno >= len(streams):
                     raise ValueError(
                         f"AVI chunk {scid!r} belongs to an undeclared "
-                        "stream (single-stream container)"
+                        f"stream ({len(streams)}-stream container)"
                     )
-                if scid[2:4] == b"dc":
-                    frame_blobs.append(b[soff : soff + ssz])
-                elif scid[2:4] == b"db":
-                    raise ValueError(
-                        "uncompressed AVI frames ('..db') not supported"
-                    )
+                fcc = streams[sno].get("fcc_type")
+                if kind == b"wb":
+                    if fcc != b"auds":
+                        raise ValueError(
+                            f"AVI audio chunk {scid!r} targets a "
+                            f"non-'auds' ({fcc!r}) stream"
+                        )
+                    audio_parts.append(b[soff : soff + ssz])
+                else:
+                    if fcc != b"vids":
+                        raise ValueError(
+                            f"AVI video chunk {scid!r} targets a "
+                            f"non-'vids' ({fcc!r}) stream"
+                        )
+                    frame_blobs.append((kind, b[soff : soff + ssz]))
     if width is None or n_frames is None:
         raise ValueError("AVI missing avih main header")
     if width < 1 or height < 1:
         raise ValueError("AVI declares non-positive dimensions")
-    if n_streams_declared != 1:
+    if n_streams_declared != len(streams):
         raise ValueError(
-            f"only single-stream AVIs supported, header declares "
+            f"AVI header declares {n_streams_declared} streams but "
+            f"carries {len(streams)} strl lists"
+        )
+    if not 1 <= len(streams) <= 2:
+        raise ValueError(
+            f"only 1- or 2-stream AVIs supported, header declares "
             f"{n_streams_declared}"
         )
-    if handler is None or compression is None:
-        raise ValueError("AVI missing strh/strf stream headers")
-    # real muxers write MJPG in both places; accept either spelling
-    # carrying the other but refuse anything that is not MJPEG
-    if handler not in (b"MJPG", b"mjpg") and compression not in (b"MJPG", b"mjpg"):
+    vid = streams[0]
+    if vid.get("fcc_type") != b"vids":
         raise ValueError(
-            f"only MJPEG AVIs supported (strh {handler!r} / strf {compression!r})"
+            "AVI stream 0 must be 'vids', got "
+            f"{vid.get('fcc_type')!r} (audio-first containers are out "
+            "of scope)"
         )
+    if "handler" not in vid or "strf" not in vid:
+        raise ValueError("AVI missing strh/strf stream headers")
+    strf_v = vid["strf"]
+    if len(strf_v) < 20:
+        raise ValueError("AVI strf (BITMAPINFOHEADER) truncated")
+    handler, compression = vid["handler"], strf_v[16:20]
+    # real muxers write MJPG in both places; accept either spelling
+    # carrying the other. A zero biCompression is BI_RGB: uncompressed
+    # DIB frames. Anything else is a named refusal.
+    dib_bottom_up = None
+    if handler in (b"MJPG", b"mjpg") or compression in (b"MJPG", b"mjpg"):
+        codec = "mjpg"
+    elif compression == b"\x00\x00\x00\x00":
+        codec = "dib"
+        bi_w, bi_h = struct.unpack("<ii", strf_v[4:12])
+        bits = struct.unpack("<H", strf_v[14:16])[0]
+        if bits != 24:
+            raise ValueError(
+                f"only 24-bit uncompressed AVI frames supported "
+                f"(biBitCount={bits})"
+            )
+        if bi_h == 0 or bi_w != width or abs(bi_h) != height:
+            raise ValueError(
+                f"DIB geometry {bi_w}x{bi_h} contradicts the avih "
+                f"{width}x{height}"
+            )
+        dib_bottom_up = bi_h > 0
+    else:
+        raise ValueError(
+            "only MJPEG or uncompressed (BI_RGB) AVIs supported "
+            f"(strh {handler!r} / strf {compression!r})"
+        )
+    want_kind = b"dc" if codec == "mjpg" else b"db"
+    for kind, _ in frame_blobs:
+        if kind != want_kind:
+            raise ValueError(
+                f"AVI '..{kind.decode()}' chunk in a "
+                f"{'MJPEG' if codec == 'mjpg' else 'DIB'}-declared stream"
+            )
+    frame_blobs = [blob for _, blob in frame_blobs]
+    audio = None
+    if len(streams) == 2:
+        aud = streams[1]
+        if aud.get("fcc_type") != b"auds":
+            raise ValueError(
+                "AVI stream 1 must be 'auds', got "
+                f"{aud.get('fcc_type')!r} (text/midi tracks are out of "
+                "scope)"
+            )
+        strf_a = aud.get("strf")
+        if strf_a is None or len(strf_a) < 16:
+            raise ValueError("AVI audio strf (WAVEFORMATEX) truncated")
+        tag, channels, rate, _avg, block_align, bits = struct.unpack(
+            "<HHIIHH", strf_a[:16]
+        )
+        if tag != 1:
+            raise ValueError(
+                f"AVI audio codec (wFormatTag={tag}) not supported — "
+                "PCM only"
+            )
+        if channels < 1:
+            raise ValueError("AVI audio declares zero channels")
+        if bits != 16:
+            raise ValueError(
+                f"only 16-bit PCM AVI audio supported (bits={bits})"
+            )
+        if block_align != 2 * channels:
+            raise ValueError(
+                f"AVI audio block align {block_align} contradicts "
+                f"{channels}-channel 16-bit PCM"
+            )
+        data = b"".join(audio_parts)
+        if len(data) % block_align:
+            raise ValueError(
+                f"AVI audio carries {len(data)} bytes, not "
+                f"frame-aligned to block align {block_align}"
+            )
+        declared = aud.get("dw_length")
+        if declared is not None and declared != len(data) // block_align:
+            raise ValueError(
+                f"AVI declares {declared} audio samples but carries "
+                f"{len(data) // block_align}"
+            )
+        audio = {
+            "rate": rate,
+            "channels": channels,
+            "bits": bits,
+            "block_align": block_align,
+            "n_samples": len(data) // block_align,
+            "data": data,
+        }
+    elif audio_parts:
+        raise ValueError("AVI carries audio chunks without an 'auds' strl")
     if len(frame_blobs) != n_frames:
         raise ValueError(
             f"AVI declares {n_frames} frames but carries {len(frame_blobs)}"
@@ -230,14 +465,33 @@ def avi_frame_blobs(b: bytes) -> dict:
         "height": height,
         "n_frames": n_frames,
         "usec_per_frame": usec_per_frame,
+        "codec": codec,
+        "dib_bottom_up": dib_bottom_up,
+        "audio": audio,
         "frame_blobs": frame_blobs,
     }
 
 
 def decode_avi_frame(meta: dict, k: int) -> dict:
-    """Entropy-decode frame ``k`` of an :func:`avi_frame_blobs` result,
-    validating its dimensions against the stream header."""
-    d = jpeg_decode_pixels(meta["frame_blobs"][k])
+    """Decode frame ``k`` of an :func:`avi_frame_blobs` result,
+    validating its dimensions against the stream header. MJPEG frames
+    run the full baseline-JPEG entropy decode; DIB frames unpack the
+    padded-stride storage (flipping bottom-up rows) back to the
+    top-down BGR24 raster."""
+    blob = meta["frame_blobs"][k]
+    if meta.get("codec") == "dib":
+        w, h = meta["width"], meta["height"]
+        stride = (w * 3 + 3) & ~3
+        if len(blob) != stride * h:
+            raise ValueError(
+                f"frame {k} carries {len(blob)} bytes, DIB geometry "
+                f"needs {stride * h}"
+            )
+        rows = [blob[y * stride : y * stride + w * 3] for y in range(h)]
+        if meta["dib_bottom_up"]:
+            rows.reverse()
+        return {"width": w, "height": h, "raster": b"".join(rows)}
+    d = jpeg_decode_pixels(blob)
     if d["width"] != meta["width"] or d["height"] != meta["height"]:
         raise ValueError(
             f"frame {k} is {d['width']}x{d['height']}, "
@@ -246,14 +500,35 @@ def decode_avi_frame(meta: dict, k: int) -> dict:
     return d
 
 
+def decode_avi_audio(meta: dict) -> list:
+    """Decode the PCM16 'auds' payload of an :func:`avi_frame_blobs`
+    result to interleaved int16 samples (the '01wb' chunk bytes were
+    already concatenated by the walk — chunk splits may land
+    mid-sample, so per-chunk decoding would be wrong)."""
+    a = meta["audio"]
+    if a is None:
+        return []
+    n = a["n_samples"] * a["channels"]
+    return list(struct.unpack(f"<{n}h", a["data"]))
+
+
 @decode_valueerror_contract
 def avi_decode_frames(b: bytes) -> dict:
-    """REAL AVI/MJPEG decode: the :func:`avi_frame_blobs` container
-    walk + a full baseline-JPEG entropy decode of EVERY frame. Returns
-    header metadata plus the per-frame decoded dicts (each with the
-    recovered raster) so feature stages read pixels, not metadata."""
+    """REAL AVI decode: the :func:`avi_frame_blobs` container walk + a
+    full decode of EVERY frame (baseline-JPEG entropy decode for
+    MJPEG, padded-stride unpack for DIB) and of the interleaved PCM16
+    audio stream when present. Returns header metadata plus the
+    per-frame decoded dicts (each with the recovered raster) and
+    ``audio`` (with the recovered int16 ``samples``) so feature stages
+    read pixels and samples, not metadata."""
     meta = avi_frame_blobs(b)
     frames = [decode_avi_frame(meta, k) for k in range(meta["n_frames"])]
     out = {k: v for k, v in meta.items() if k != "frame_blobs"}
     out["frames"] = frames
+    if meta["audio"] is not None:
+        out["audio"] = {
+            k: meta["audio"][k]
+            for k in ("rate", "channels", "bits", "n_samples")
+        }
+        out["audio"]["samples"] = decode_avi_audio(meta)
     return out

@@ -3798,8 +3798,9 @@ def synthesize_ahash_pngs(df: DataFrame, id_col: str) -> DataFrame:
 
 
 AVI_STATS_SCHEMA = (
-    "doc_id long, frame_idx long, width long, height long, n_frames long, "
-    "px_sum long, first_px long, last_px long"
+    "doc_id long, frame_idx long, codec string, width long, height long, "
+    "n_frames long, px_sum long, first_px long, last_px long, "
+    "audio_n_samples long, audio_sum long"
 )
 
 
@@ -3843,15 +3844,70 @@ def synthesize_avi_mjpeg(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def synthesize_avi_av(df: DataFrame, id_col: str) -> DataFrame:
+    """Manufacture interleaved A/V AVIs (round 14b — the standard
+    two-stream container shape, retiring the audio-stream and
+    uncompressed-frame refusals): doc ``d`` carries ``d%3 + 2``
+    UNCOMPRESSED 24-bit DIB frames of ``(d%5+3) × (d%4+2)`` — widths
+    3..7 so the 4-byte row stride actually pads — stored bottom-up for
+    even ``d`` and top-down (negative biHeight) for odd ``d``, pixel
+    byte ``(x,y,c)`` of frame ``f`` valued ``(3x + 5y + 11c + 7d +
+    41f) mod 256``; plus a mono PCM16 'auds' stream of ``40 + d%50``
+    samples valued ``(37i + 13d) mod 4001 − 2000``, split into '01wb'
+    chunks at byte 7 — MID-SAMPLE, which is legal AVI and forces the
+    decoder to concatenate before sample-decoding."""
+    from .avicodec import avi_av_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = d % 5 + 3, d % 4 + 2
+                frames = [
+                    bytes(
+                        (3 * x + 5 * y + 11 * c + 7 * d + 41 * f) % 256
+                        for y in range(h)
+                        for x in range(w)
+                        for c in range(3)
+                    )
+                    for f in range(d % 3 + 2)
+                ]
+                n = 40 + d % 50
+                audio = struct.pack(
+                    f"<{n}h", *((37 * i + 13 * d) % 4001 - 2000 for i in range(n))
+                )
+                payloads.append(
+                    avi_av_bytes(
+                        w, h, frames, codec="DIB",
+                        audio=audio, audio_rate=8000 + 100 * (d % 5),
+                        fps=5 + d % 10, bottom_up=(d % 2 == 0),
+                        audio_splits=[7, len(audio) - 7],
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids.to_numpy(), "payload": payloads})
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
 def decode_avi_stats(media: DataFrame, strict: bool = True) -> DataFrame:
-    """Arrow-batched REAL AVI/MJPEG decode over (doc_id, payload) —
-    ONE ROW PER FRAME, every stat from the frame's entropy-DECODED
-    raster (container walk, structural validation, then the full
-    baseline JPEG decoder per '00dc' chunk — see
-    :func:`avicodec.avi_decode_frames`). A decoder that trusts the
-    index, skips a frame, or returns metadata instead of pixels
-    cannot produce these sums. ``strict=False`` = poison-safe
-    NULL-stats rows (see :func:`decode_png_stats`)."""
+    """Arrow-batched REAL AVI decode over (doc_id, payload) — ONE ROW
+    PER FRAME, every stat from the frame's DECODED raster (container
+    walk, structural validation, then the full baseline JPEG decoder
+    per '00dc' chunk or the padded-stride DIB unpack per '00db' — see
+    :func:`avicodec.avi_decode_frames`). When the container interleaves
+    a PCM16 'auds' stream, ``audio_n_samples``/``audio_sum`` carry the
+    decoded-sample stats (constant per doc, NULL for silent
+    containers). A decoder that trusts the index, skips a frame,
+    returns metadata instead of pixels, or sample-decodes '01wb'
+    chunks independently (splits land mid-sample) cannot produce these
+    sums. ``strict=False`` = poison-safe NULL-stats rows (see
+    :func:`decode_png_stats`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3872,26 +3928,33 @@ def decode_avi_stats(media: DataFrame, strict: bool = True) -> DataFrame:
                             **{
                                 k: None
                                 for k in (
-                                    "frame_idx", "width", "height",
-                                    "n_frames", "px_sum", "first_px",
-                                    "last_px",
+                                    "frame_idx", "codec", "width",
+                                    "height", "n_frames", "px_sum",
+                                    "first_px", "last_px",
+                                    "audio_n_samples", "audio_sum",
                                 )
                             },
                         }
                     )
                     continue
+                audio = d.get("audio")
+                audio_n = audio["n_samples"] if audio else None
+                audio_sum = sum(audio["samples"]) if audio else None
                 for k, fr in enumerate(d["frames"]):
                     raster = fr["raster"]
                     rows.append(
                         {
                             "doc_id": doc_id,
                             "frame_idx": k,
+                            "codec": d["codec"],
                             "width": d["width"],
                             "height": d["height"],
                             "n_frames": d["n_frames"],
                             "px_sum": sum(raster),
                             "first_px": raster[0],
                             "last_px": raster[-1],
+                            "audio_n_samples": audio_n,
+                            "audio_sum": audio_sum,
                         }
                     )
             if rows:  # an all-poison batch must not yield a 0-column frame

@@ -959,7 +959,12 @@ def test_decode_real_fuzz_valueerror_contract():
         jpeg_planes_bytes,
     )
 
-    from lfb_data_warehouse_spark.operators.avicodec import avi_mjpeg_bytes
+    import struct
+
+    from lfb_data_warehouse_spark.operators.avicodec import (
+        avi_av_bytes,
+        avi_mjpeg_bytes,
+    )
 
     from lfb_data_warehouse_spark.operators.gifcodec import gif_bytes
     from lfb_data_warehouse_spark.operators.tiffcodec import tiff_bytes
@@ -1003,6 +1008,13 @@ def test_decode_real_fuzz_valueerror_contract():
                                                              for i in range(64))),
                                jpeg_pixel_bytes(8, 8, bytes((5 * i) % 256
                                                             for i in range(64)))]),
+        # round-14b: the interleaved A/V DIB+PCM shape joins the contract
+        avi_av_bytes(5, 3, [bytes((3 * i + 11 * f) % 256 for i in range(45))
+                            for f in range(2)],
+                     codec="DIB", bottom_up=False,
+                     audio=struct.pack("<21h", *((37 * i) % 4001 - 2000
+                                                 for i in range(21))),
+                     audio_splits=[7, 35]),
         jpeg_lossless_bytes(8, 4, [[(19 * i) % 256 for i in range(32)],
                                    [(23 * i) % 256 for i in range(8)],
                                    [(29 * i) % 256 for i in range(8)]],
@@ -1056,7 +1068,12 @@ def test_zero_field_poison_probe():
         jpeg_pixel_bytes,
     )
 
-    from lfb_data_warehouse_spark.operators.avicodec import avi_mjpeg_bytes
+    import struct
+
+    from lfb_data_warehouse_spark.operators.avicodec import (
+        avi_av_bytes,
+        avi_mjpeg_bytes,
+    )
     from lfb_data_warehouse_spark.operators.multimodal import (
         bmp_bytes,
         decode_real,
@@ -1075,6 +1092,12 @@ def test_zero_field_poison_probe():
         wav_adpcm_bytes(8000, [(-500, 20, [i % 16 for i in range(16)])], 17),
         wav_msadpcm_bytes(8000, [(3, 50, 700, -600, [i % 16 for i in range(10)])], 12),
         avi_mjpeg_bytes(8, 8, [jpeg_pixel_bytes(8, 8, g)]),
+        # round-14b: the A/V interleave — zeroing header fields reaches
+        # stream counts, block aligns, dwLength, biBitCount, biHeight
+        avi_av_bytes(4, 3, [bytes((5 * i) % 256 for i in range(36))],
+                     codec="DIB",
+                     audio=struct.pack("<9h", *((41 * i) % 2001 - 1000
+                                                for i in range(9)))),
         png_pixel_bytes(8, 8, g, 0),
         jpeg_pixel_bytes(8, 8, g),
         jpeg_lossless_bytes(5, 4, [[(911 * i) % 65536 for i in range(20)]],
@@ -2131,6 +2154,119 @@ def test_avi_mjpeg_decode():
     p = noidx.find(b"avih") + 8
     assert _struct.unpack("<I", noidx[p + 12:p + 16])[0] == 0  # dwFlags
     assert avi_decode_frames(noidx)["n_frames"] == 3
+
+
+def test_avi_av_interleaved_decode():
+    """AVI two-stream interleave (round 14b — retires the round-14
+    audio-stream and uncompressed-frame refusals): uncompressed 24-bit
+    DIB frames round-trip exactly through padded-stride storage in
+    BOTH orientations (bottom-up positive biHeight, top-down
+    negative), PCM16 audio round-trips through '01wb' chunks split
+    MID-SAMPLE (decoders must concatenate before sample-decoding), and
+    the structural contract raises on: non-24-bit DIB, non-PCM audio
+    tags, zero-channel/8-bit audio, block-align lies, sample-count
+    lies, chunks targeting undeclared or wrong-type streams, stream
+    lists contradicting the avih count, and audio chunks without an
+    'auds' strl."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.avicodec import (
+        avi_av_bytes,
+        avi_decode_frames,
+        avi_frame_blobs,
+        decode_avi_audio,
+    )
+
+    w, h, nf = 5, 3, 2  # stride 16 > 15: the row padding is real
+    frames = [
+        bytes((3 * x + 5 * y + 11 * c + 41 * f) % 256
+              for y in range(h) for x in range(w) for c in range(3))
+        for f in range(nf)
+    ]
+    samples = [(37 * i + 13) % 4001 - 2000 for i in range(45)]
+    audio = _struct.pack(f"<{len(samples)}h", *samples)
+    for bottom_up in (True, False):
+        blob = avi_av_bytes(w, h, frames, codec="DIB", audio=audio,
+                            audio_rate=8100, bottom_up=bottom_up,
+                            audio_splits=[7, len(audio) - 7])
+        d = avi_decode_frames(blob)
+        assert d["codec"] == "dib"
+        assert [bytes(fr["raster"]) for fr in d["frames"]] == frames
+        assert d["audio"]["samples"] == samples
+        assert (d["audio"]["rate"], d["audio"]["channels"],
+                d["audio"]["n_samples"]) == (8100, 1, 45)
+        # the cheap walk keeps audio bytes undecoded; decode_avi_audio
+        # concatenates across the mid-sample chunk split
+        meta = avi_frame_blobs(blob)
+        assert decode_avi_audio(meta) == samples
+    # stereo: n_samples counts frames (blocks), not int16 values
+    st = [(29 * i) % 4001 - 2000 for i in range(20)]
+    d2 = avi_decode_frames(
+        avi_av_bytes(4, 2, [bytes(24)], codec="DIB",
+                     audio=_struct.pack("<20h", *st), audio_channels=2)
+    )
+    assert d2["audio"]["n_samples"] == 10 and d2["audio"]["samples"] == st
+    # an 'auds' stream with zero samples is consistent, not a poison
+    d3 = avi_decode_frames(
+        avi_av_bytes(4, 2, [bytes(24)], codec="DIB", audio=b"")
+    )
+    assert d3["audio"]["n_samples"] == 0 and d3["audio"]["samples"] == []
+    # silent A/V-capable container: MJPEG wrapper path carries audio=None
+    blob = avi_av_bytes(w, h, frames, codec="DIB", audio=audio,
+                        audio_splits=[7, len(audio) - 7])
+
+    def poison(mutate, match):
+        m = bytearray(blob)
+        mutate(m)
+        with _pytest.raises(ValueError, match=match):
+            avi_decode_frames(bytes(m))
+
+    def at(m, marker, last=False):
+        return (m.rfind(marker) if last else m.find(marker)) + 8
+
+    # non-24-bit DIB (biBitCount=8)
+    poison(lambda m: m.__setitem__(slice(at(m, b"strf") + 14, at(m, b"strf") + 16),
+                                   _struct.pack("<H", 8)), "24-bit")
+    # non-PCM audio (wFormatTag=2, MS ADPCM inside AVI is out of scope)
+    poison(lambda m: m.__setitem__(slice(at(m, b"strf", True), at(m, b"strf", True) + 2),
+                                   _struct.pack("<H", 2)), "PCM only")
+    # zero-channel audio
+    poison(lambda m: m.__setitem__(slice(at(m, b"strf", True) + 2, at(m, b"strf", True) + 4),
+                                   _struct.pack("<H", 0)), "zero channels")
+    # block-align lie (4 for mono 16-bit)
+    poison(lambda m: m.__setitem__(slice(at(m, b"strf", True) + 12, at(m, b"strf", True) + 14),
+                                   _struct.pack("<H", 4)), "block align")
+    # sample-count lie in strh dwLength
+    poison(lambda m: m.__setitem__(slice(at(m, b"strh", True) + 32, at(m, b"strh", True) + 36),
+                                   _struct.pack("<I", 99)), "declares 99 audio samples")
+    # '02wb': a stream the header tree never declared
+    poison(lambda m: m.__setitem__(slice(m.find(b"01wb"), m.find(b"01wb") + 2),
+                                   b"02"), "undeclared")
+    # audio chunk targeting the video stream
+    poison(lambda m: m.__setitem__(slice(m.find(b"01wb"), m.find(b"01wb") + 2),
+                                   b"00"), "non-'auds'")
+    # compressed chunk in the DIB-declared stream
+    poison(lambda m: m.__setitem__(slice(m.find(b"00db"), m.find(b"00db") + 4),
+                                   b"00dc"), "DIB-declared")
+    # second strl retyped: text tracks are a named refusal
+    poison(lambda m: m.__setitem__(slice(at(m, b"strh", True), at(m, b"strh", True) + 4),
+                                   b"txts"), "targets")
+    # avih stream count contradicting the strl list
+    poison(lambda m: m.__setitem__(slice(at(m, b"avih") + 24, at(m, b"avih") + 28),
+                                   _struct.pack("<I", 1)), "strl lists")
+    # DIB geometry lie in strf biWidth
+    poison(lambda m: m.__setitem__(slice(at(m, b"strf") + 4, at(m, b"strf") + 8),
+                                   _struct.pack("<i", 6)), "contradicts")
+    # encoder guards
+    with _pytest.raises(ValueError, match="frame-aligned"):
+        avi_av_bytes(4, 2, [bytes(24)], codec="DIB", audio=audio[:-1])
+    with _pytest.raises(ValueError, match="partition"):
+        avi_av_bytes(4, 2, [bytes(24)], codec="DIB", audio=audio,
+                     audio_splits=[4])
+    with _pytest.raises(ValueError, match="geometry"):
+        avi_av_bytes(4, 2, [bytes(23)], codec="DIB")
 
 
 def test_flac_roundtrip():

@@ -825,3 +825,54 @@ def test_wav_float_roundtrip_property(data):
     assert d["samples"] == want
     assert d["encoding"] == "float" and d["bits"] == bits
     assert d["n_samples"] == n // ch and d["channels"] == ch
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_avi_av_roundtrip_property(data):
+    """decode(encode(frames, audio)) is exact for RANDOM interleaved
+    A/V AVIs (round 14b): random dims (including padding-free
+    stride-multiple widths), frame counts, orientations (bottom-up /
+    top-down DIB), audio channel counts, sample values and '01wb'
+    chunk splits — including splits landing mid-sample — all recover
+    the rasters and int16 samples bit-for-bit."""
+    import struct as _struct
+
+    from lfb_data_warehouse_spark.operators.avicodec import (
+        avi_av_bytes,
+        avi_decode_frames,
+    )
+
+    w = data.draw(st.integers(1, 9))
+    h = data.draw(st.integers(1, 7))
+    nf = data.draw(st.integers(1, 4))
+    bottom_up = data.draw(st.booleans())
+    frames = [
+        bytes(data.draw(st.integers(0, 255)) for _ in range(w * h * 3))
+        for _ in range(nf)
+    ]
+    ch = data.draw(st.sampled_from([1, 2, 3]))
+    n = data.draw(st.integers(0, 12)) * ch
+    samples = [data.draw(st.integers(-32768, 32767)) for _ in range(n)]
+    audio = _struct.pack(f"<{n}h", *samples)
+    # random chunking of the audio bytes, mid-sample splits included
+    splits = []
+    left = len(audio)
+    while left > 0:
+        s = data.draw(st.integers(1, left))
+        splits.append(s)
+        left -= s
+    blob = avi_av_bytes(
+        w, h, frames, codec="DIB", audio=audio,
+        audio_rate=data.draw(st.sampled_from([8000, 44100])),
+        audio_channels=ch, bottom_up=bottom_up,
+        audio_splits=splits or None,
+        with_index=data.draw(st.booleans()),
+    )
+    d = avi_decode_frames(blob)
+    assert d["codec"] == "dib"
+    assert (d["width"], d["height"], d["n_frames"]) == (w, h, nf)
+    assert [bytes(fr["raster"]) for fr in d["frames"]] == frames
+    assert d["audio"]["samples"] == samples
+    assert d["audio"]["n_samples"] == n // ch
+    assert d["audio"]["channels"] == ch
