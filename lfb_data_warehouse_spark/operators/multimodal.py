@@ -3688,7 +3688,9 @@ def synthesize_msadpcm(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-AHASH_SCHEMA = "doc_id long, ahash string, width long, height long"
+AHASH_SCHEMA = (
+    "doc_id long, ahash string, dhash string, width long, height long"
+)
 
 
 def ahash_bits(raster, width: int, height: int) -> str:
@@ -3707,6 +3709,14 @@ def ahash_bits(raster, width: int, height: int) -> str:
         raise ValueError(
             f"ahash needs dimensions divisible by 8, got {width}x{height}"
         )
+    cells = _cell_sums(raster, width, height)
+    total = sum(cells)
+    return "".join("1" if 64 * c > total else "0" for c in cells)
+
+
+def _cell_sums(raster, width: int, height: int) -> list:
+    """8×8 grid of cell sums shared by the hash families (dimensions
+    pre-validated by the callers)."""
     bw, bh = width // 8, height // 8
     cells = [0] * 64
     for y in range(height):
@@ -3714,17 +3724,44 @@ def ahash_bits(raster, width: int, height: int) -> str:
         base = y * width
         for x in range(width):
             cells[row + x // bw] += raster[base + x]
-    total = sum(cells)
-    return "".join("1" if 64 * c > total else "0" for c in cells)
+    return cells
+
+
+def dhash_bits(raster, width: int, height: int) -> str:
+    """56-bit difference-hash (gradient) of a grayscale raster as a
+    '0'/'1' string: over the same 8×8 cell-sum grid as
+    :func:`ahash_bits`, bit (r, c) is ``cell_sum[r][c+1] >
+    cell_sum[r][c]`` — 7 adjacent-column comparisons per row,
+    row-major. This is the INTEGER-EXACT form of the classic 9×8
+    dHash: equal-area cells make adjacent sums directly comparable,
+    with no resample interpolation policy for engines to disagree
+    over. dHash is differential where aHash is mean-relative — a
+    LOCAL gradient flip (re-ordered content within a row) moves
+    dHash even when the cell means straddle the global mean
+    identically, which is why image-dedup pipelines bucket on both.
+    Same divisibility contract as aHash."""
+    if width % 8 or height % 8 or width < 8 or height < 8:
+        raise ValueError(
+            f"dhash needs dimensions divisible by 8, got {width}x{height}"
+        )
+    cells = _cell_sums(raster, width, height)
+    return "".join(
+        "1" if cells[r * 8 + c + 1] > cells[r * 8 + c] else "0"
+        for r in range(8)
+        for c in range(7)
+    )
 
 
 def image_ahash(media: DataFrame, strict: bool = True) -> DataFrame:
     """Arrow-batched perceptual hashing over (doc_id, payload): REAL
-    decode (:func:`decode_real`) to the raster, then the 64-bit
-    average hash (:func:`ahash_bits`). Only the (doc_id, 64-char hash)
-    pair ever leaves the pass — the dedup groupBy downstream shuffles
-    hashes, never pixels, the same 100 TB shape as the text-dedup
-    tiers. ``strict=False`` = poison-safe NULL-hash rows."""
+    decode (:func:`decode_real`) to the raster, then BOTH cheap
+    fingerprint families over one shared cell-sum pass — the 64-bit
+    average hash (:func:`ahash_bits`, mean-relative) and the 56-bit
+    difference hash (:func:`dhash_bits`, gradient). Only the (doc_id,
+    hash, hash) triple ever leaves the pass — the dedup groupBys
+    downstream shuffle hashes, never pixels, the same 100 TB shape as
+    the text-dedup tiers. ``strict=False`` = poison-safe NULL-hash
+    rows."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3741,16 +3778,17 @@ def image_ahash(media: DataFrame, strict: bool = True) -> DataFrame:
                     if d.get("channels", 1) not in (None, 1):
                         raise ValueError("ahash expects a grayscale raster")
                     h = ahash_bits(d["raster"], d["width"], d["height"])
+                    dh = dhash_bits(d["raster"], d["width"], d["height"])
                 except ValueError:
                     if strict:
                         raise
                     rows.append(
-                        {"doc_id": doc_id, "ahash": None,
+                        {"doc_id": doc_id, "ahash": None, "dhash": None,
                          "width": None, "height": None}
                     )
                     continue
                 rows.append(
-                    {"doc_id": doc_id, "ahash": h,
+                    {"doc_id": doc_id, "ahash": h, "dhash": dh,
                      "width": d["width"], "height": d["height"]}
                 )
             yield pd.DataFrame(rows)

@@ -5480,13 +5480,24 @@ AHASH_DOC_MOD = 11  # residues 2/3/4 → triples sharing g = doc_id // 11
                         '' ORDER BY c.cell) AS ahash
       FROM cells c JOIN tot t USING (doc_id)
       GROUP BY c.doc_id
+    ),
+    dh AS (
+      SELECT c1.doc_id,
+             string_agg(CASE WHEN c2.cs > c1.cs THEN '1' ELSE '0' END,
+                        '' ORDER BY c1.cell) AS dhash
+      FROM cells c1 JOIN cells c2
+        ON c2.doc_id = c1.doc_id AND c2.cell = c1.cell + 1
+      WHERE c1.cell % 8 < 7
+      GROUP BY c1.doc_id
     )
-    SELECT doc_id, ahash,
+    SELECT doc_id, ahash, dhash,
            CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height,
            CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS group_size,
+           CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT)
+             AS dhash_group_size,
            doc_id = MIN(doc_id) OVER (PARTITION BY ahash) AS is_canonical
-    FROM hashes
+    FROM hashes JOIN dh USING (doc_id)
     """,
 )
 def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5495,15 +5506,19 @@ def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket on before any embedding: synthesize_ahash_pngs writes real
     grayscale PNGs where doc triples share byte-identical content
     (variants 0/1) and variant 2 moves content between 8×8 cells;
-    image_ahash DECODES each PNG and computes the integer-exact
-    64-bit average hash (bit i = 64·cell_sum > total_sum — no float
-    mean, so engines agree bit-for-bit); the dedup layer groups by
-    hash for group sizes and a canonical keep. Oracle: the same hash
-    recomputed arithmetically from the closed-form lattice — a
-    decode, cell-geometry, threshold, or bit-order bug lands on the
-    hash string. Scale: the shuffle carries only (doc_id, 64-char
-    hash); pixels never leave the Arrow decode pass; the per-hash
-    window is group-bounded."""
+    image_ahash DECODES each PNG and computes BOTH fingerprint
+    families over one cell-sum pass — the integer-exact 64-bit
+    average hash (bit i = 64·cell_sum > total_sum — no float mean,
+    so engines agree bit-for-bit) and, since round 14b, the 56-bit
+    difference hash (bit (r,c) = cell_sum[r][c+1] > cell_sum[r][c] —
+    the gradient family, integer-exact for the same reason); the
+    dedup layer groups by each hash for group sizes and a canonical
+    keep. Oracle: both hashes recomputed arithmetically from the
+    closed-form lattice — a decode, cell-geometry, threshold,
+    comparison-direction, or bit-order bug lands on a hash string.
+    Scale: the shuffle carries only (doc_id, two hash strings);
+    pixels never leave the Arrow decode pass; the per-hash windows
+    are group-bounded."""
     from pyspark.sql import Window
 
     from ..operators.multimodal import image_ahash, synthesize_ahash_pngs
@@ -5515,12 +5530,15 @@ def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = image_ahash(synthesize_ahash_pngs(docs, "doc_id"))
     w = Window.partitionBy("ahash")
+    wd = Window.partitionBy("dhash")
     return hashed.select(
         "doc_id",
         "ahash",
+        "dhash",
         "width",
         "height",
         F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        F.count(F.lit(1)).over(wd).cast("long").alias("dhash_group_size"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
     )
 

@@ -520,6 +520,61 @@ def test_image_ahash_perceptual_properties(spark):
     assert rows[1] == rows[2] == h0 and rows[3] != h0 and rows[4] is None
 
 
+def test_image_dhash_gradient_properties(spark):
+    """dHash (round 14b): the gradient family over the same cell-sum
+    grid — 56 bits (7 adjacent-column comparisons × 8 rows),
+    brightness-shift invariant like aHash, but sensitive to a WITHIN-
+    ROW cell swap that aHash provably cannot see (both swapped cells
+    stay on the same side of the global mean); byte-identical images
+    collide through the real decode path."""
+    import pytest as _pytest
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        ahash_bits,
+        dhash_bits,
+        image_ahash,
+        png_pixel_bytes,
+    )
+
+    w, h = 16, 8  # 2x1-pixel cells
+    # cell (r, c) constant-valued: strictly increasing along each row,
+    # so every gradient bit is 1 and every cell's side of the global
+    # mean is unambiguous
+    cellv = lambda r, c: 10 + 20 * c + r  # noqa: E731 — test-local
+    base = [cellv(y, x // 2) for y in range(h) for x in range(w)]
+    d0 = dhash_bits(base, w, h)
+    assert d0 == "1" * 56
+    a0 = ahash_bits(base, w, h)
+    # brightness shift without wrap: both hashes unchanged
+    assert dhash_bits([p + 60 for p in base], w, h) == d0
+    # swap cell columns 5 and 6 in row 0 only: both cells are above
+    # the global mean before AND after (values 110/130 vs mean ~80),
+    # so aHash is blind to it — dHash flips the local gradient bits
+    swapped = list(base)
+    for x in range(16):
+        c = x // 2
+        if c == 5:
+            swapped[x] = cellv(0, 6)
+        elif c == 6:
+            swapped[x] = cellv(0, 5)
+    assert ahash_bits(swapped, w, h) == a0
+    ds = dhash_bits(swapped, w, h)
+    assert ds != d0 and ds[4] == "1" and ds[5] == "0" and ds[6] == "1"
+    with _pytest.raises(ValueError, match="divisible by 8"):
+        dhash_bits(base, 12, 8)
+    # through the real decode path both hash columns ride one pass
+    blob = png_pixel_bytes(w, h, bytes(base), 0)
+    blob2 = png_pixel_bytes(w, h, bytes(swapped), 0)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(blob)), (3, bytearray(blob2))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: (r["ahash"], r["dhash"])
+            for r in image_ahash(media).collect()}
+    assert rows[1] == rows[2] == (a0, d0)
+    assert rows[3][0] == a0 and rows[3][1] == ds  # the aHash-blind dup
+
+
 def test_bpe_train_learns_expected_merges(spark):
     """Hand-checked merge sequence on a tiny corpus, including the
     count-tie lexicographic break and greedy non-overlapping
