@@ -339,24 +339,19 @@ def simhash_near_dup_pairs(
     and self-join on slice equality — by pigeonhole, any pair within
     hamming distance < ``bands`` shares at least one identical slice, so
     banding is *exact* (no recall loss) for ``max_hamming ≤ bands - 1``.
-    Candidates are verified with the true hamming distance
-    (``bit_count(a XOR b)`` on the conv'd fingerprint — one CPU
-    instruction per pair, no per-bit loop).
+    Since round 14b this is a thin wrapper over the generic
+    :func:`hamming_near_dup_pairs` (the pairing is fingerprint-agnostic
+    — the image perceptual hashes ride the same kernel); candidates are
+    verified with the true hamming distance summed per band
+    (``bit_count(slice_a XOR slice_b)`` — a few CPU instructions per
+    pair, no per-bit loop, and no 62-bit whole-string conv cap).
 
     Scale shape: fingerprints shuffle once on (band, slice); the
     quadratic blow-up is bounded per bucket, exactly like MinHash-LSH
     but with zero false negatives inside the radius.
     """
-    if max_hamming >= bands:
-        raise ValueError("banding is only exact for max_hamming <= bands - 1")
     if bits % bands:
         raise ValueError("bits must divide evenly into bands")
-    if bits > 62:
-        # the hamming kernel goes through conv(bitstring, 2, 10) cast to
-        # long; at 63+ bits the unsigned value overflows to NULL and
-        # every pair would be silently dropped
-        raise ValueError("bits must be <= 62 (hamming uses signed-long XOR)")
-    width = bits // bands
     # both sides of the band self-join scan the fingerprints; the table
     # is flat (id + bitstring) so its columnar cache is near-free and
     # saves the md5-array signing from running twice. NOTE: the cache
@@ -366,26 +361,69 @@ def simhash_near_dup_pairs(
     fp = simhash_fingerprints(df, id_col, text_col, bits)
     if persist_fp:
         fp = fp.persist()
+    return hamming_near_dup_pairs(fp, id_col, "simhash", bits, bands, max_hamming)
+
+
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Multi-index Hamming pairing over ANY precomputed fixed-width
+    '0'/'1' fingerprint column (SimHash, aHash/dHash perceptual image
+    hashes, audio chromaprints): band the bitstring into ``bands``
+    equal slices and self-join on slice equality — by pigeonhole, any
+    pair within hamming distance < ``bands`` shares at least one
+    identical slice, so candidate generation is *exact* (zero false
+    negatives) for ``max_hamming ≤ bands − 1``, never all-pairs.
+    Candidates are verified with the true distance computed as the SUM
+    of per-band ``bit_count(conv(slice_a) XOR conv(slice_b))`` — each
+    band parses into its own signed long, so (unlike a whole-string
+    ``conv``) fingerprints up to 62·bands bits are exact; a 64-bit
+    image hash fits with room to spare.
+
+    Returns (id_a, id_b, hamming) with ``id_a < id_b``, distance
+    ``≤ max_hamming``. Scale shape: fingerprints shuffle once on
+    (band, slice); the quadratic blow-up is bounded per bucket — the
+    multi-index-hashing structure of Norouzi et al. (CVPR'12)
+    expressed as one equi-join.
+    """
+    if max_hamming >= bands:
+        raise ValueError("banding is only exact for max_hamming <= bands - 1")
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
+    if width > 62:
+        raise ValueError("band width must be <= 62 bits (signed-long XOR)")
     slices = [
         F.struct(
             F.lit(b).alias("band"),
-            F.substring("simhash", b * width + 1, width).alias("sl"),
+            F.substring(hash_col, b * width + 1, width).alias("sl"),
         )
         for b in range(bands)
     ]
-    banded = fp.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*slices)).alias("b")
-    ).select(id_col, "simhash", F.col("b.band").alias("band"), F.col("b.sl").alias("sl"))
+    banded = df.select(
+        F.col(id_col), F.col(hash_col), F.explode(F.array(*slices)).alias("b")
+    ).select(id_col, hash_col, F.col("b.band").alias("band"), F.col("b.sl").alias("sl"))
     a, b = banded.alias("a"), banded.alias("b")
-    to_long = lambda c: F.conv(c, 2, 10).cast("long")  # noqa: E731
-    hamming = F.bit_count(
-        to_long("a.simhash").bitwiseXOR(to_long("b.simhash"))
+
+    def band_long(side: str, k: int):
+        return F.conv(
+            F.substring(F.col(f"{side}.{hash_col}"), k * width + 1, width), 2, 10
+        ).cast("long")
+
+    hamming = sum(
+        F.bit_count(band_long("a", k).bitwiseXOR(band_long("b", k)))
+        for k in range(bands)
     ).cast("long")
     # hamming is computed and filtered BEFORE the cross-band dedup: the
     # distinct then runs over (id_a, id_b, hamming) triples of surviving
-    # pairs only, instead of shuffling two 32-char fingerprints per raw
-    # band collision (on a self-similar corpus that is ~4× the rows at
-    # ~10× the bytes)
+    # pairs only, instead of shuffling two fingerprints per raw band
+    # collision (on a self-similar corpus that is ~4× the rows at ~10×
+    # the bytes)
     return (
         a.join(
             b,

@@ -3798,13 +3798,17 @@ def image_ahash(media: DataFrame, strict: bool = True) -> DataFrame:
 
 def synthesize_ahash_pngs(df: DataFrame, id_col: str) -> DataFrame:
     """Manufacture a corpus with REAL duplicate images for the
-    perceptual-dedup gate: selected docs come in triples sharing
-    ``g = doc_id // 11`` (the gate selects residues 2/3/4 mod 11, so
-    each g contributes doc_ids 11g+2..4); variants 0 and 1 are
+    perceptual-dedup gate: selected docs come in quadruples sharing
+    ``g = doc_id // 11`` (the gate selects residues 2/3/4/5 mod 11, so
+    each g contributes doc_ids 11g+2..5); variants 0 and 1 are
     BYTE-IDENTICAL grayscale PNGs of the ``(3x + 5y + 7g) mod 256``
     lattice at ``8(g%3+1) × 8(g%2+1)``, variant 2 adds 100 (mod 256)
     on the checkerboard of even 8×8 cells — content moved between
-    cells, so its hash differs while the first two collide. Every
+    cells, so its hash lands FAR (measured aHash hamming 19–43 across
+    g < 460) while the first two collide — and variant 3 (round 14c)
+    perturbs only the top-left cell, a NEAR-duplicate: its aHash lands
+    at hamming 0–5 of variant 0 (mostly 1–3), the radius the banded
+    multi-index pairing must find without ever going all-pairs. Every
     pixel is closed-form in (g, v, x, y), so the oracle recomputes the
     hash arithmetically while the engine must decode the real PNG."""
 
@@ -3823,6 +3827,7 @@ def synthesize_ahash_pngs(df: DataFrame, id_col: str) -> DataFrame:
                     (
                         3 * x + 5 * y + 7 * g
                         + (100 if v == 2 and (x // bw + y // bh) % 2 == 0 else 0)
+                        + (100 if v == 3 and x < bw and y < bh else 0)
                     ) % 256
                     for y in range(h)
                     for x in range(w)

@@ -5441,7 +5441,9 @@ def avi_mjpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_avi_stats(mjpeg.unionByName(av))
 
 
-AHASH_DOC_MOD = 11  # residues 2/3/4 → triples sharing g = doc_id // 11
+AHASH_DOC_MOD = 11  # residues 2/3/4/5 → quadruples sharing g = doc_id // 11
+AHASH_BANDS = 4  # multi-index bands: pigeonhole-exact for hamming <= 3
+AHASH_MAX_HAMMING = 3
 
 
 @register(
@@ -5450,7 +5452,7 @@ AHASH_DOC_MOD = 11  # residues 2/3/4 → triples sharing g = doc_id // 11
     WITH sel AS (
       SELECT doc_id, doc_id // {AHASH_DOC_MOD} AS g,
              doc_id % {AHASH_DOC_MOD} - 2 AS v
-      FROM documents WHERE doc_id % {AHASH_DOC_MOD} IN (2, 3, 4)
+      FROM documents WHERE doc_id % {AHASH_DOC_MOD} IN (2, 3, 4, 5)
     ),
     dims AS (
       SELECT doc_id, g, v,
@@ -5463,6 +5465,9 @@ AHASH_DOC_MOD = 11  # residues 2/3/4 → triples sharing g = doc_id // 11
              (3 * gx.x + 5 * gy.y + 7 * d.g
               + CASE WHEN d.v = 2
                      AND ((gx.x // (d.w // 8)) + (gy.y // (d.h // 8))) % 2 = 0
+                     THEN 100
+                     WHEN d.v = 3
+                     AND gx.x < d.w // 8 AND gy.y < d.h // 8
                      THEN 100 ELSE 0 END) % 256 AS p
       FROM dims d,
            LATERAL (SELECT unnest(range(0, d.w)) AS x) gx,
@@ -5489,6 +5494,24 @@ AHASH_DOC_MOD = 11  # residues 2/3/4 → triples sharing g = doc_id // 11
         ON c2.doc_id = c1.doc_id AND c2.cell = c1.cell + 1
       WHERE c1.cell % 8 < 7
       GROUP BY c1.doc_id
+    ),
+    pairs AS (
+      -- GROUND-TRUTH all-pairs hamming: the engine's banded
+      -- multi-index join must reproduce this set EXACTLY (pigeonhole:
+      -- 4 bands are lossless for distance <= 3)
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             bit_count(xor(CAST(a.ahash AS BIT), CAST(b.ahash AS BIT))) AS hd
+      FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    ),
+    near AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS near_dup_count,
+             CAST(MIN(hd) AS BIGINT) AS near_min_dist,
+             CAST(MIN(partner) AS BIGINT) AS near_min_partner
+      FROM (SELECT ia AS doc_id, ib AS partner, hd
+            FROM pairs WHERE hd <= {AHASH_MAX_HAMMING}
+            UNION ALL
+            SELECT ib, ia, hd FROM pairs WHERE hd <= {AHASH_MAX_HAMMING})
+      GROUP BY doc_id
     )
     SELECT doc_id, ahash, dhash,
            CAST(w AS BIGINT) AS width,
@@ -5496,50 +5519,83 @@ AHASH_DOC_MOD = 11  # residues 2/3/4 → triples sharing g = doc_id // 11
            CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS group_size,
            CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT)
              AS dhash_group_size,
-           doc_id = MIN(doc_id) OVER (PARTITION BY ahash) AS is_canonical
-    FROM hashes JOIN dh USING (doc_id)
+           doc_id = MIN(doc_id) OVER (PARTITION BY ahash) AS is_canonical,
+           CAST(COALESCE(n.near_dup_count, 0) AS BIGINT) AS near_dup_count,
+           n.near_min_dist, n.near_min_partner
+    FROM hashes JOIN dh USING (doc_id) LEFT JOIN near n USING (doc_id)
     """,
 )
 def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash IMAGE dedup end to end (round 14) — the cheap
     fingerprint pass image-training-data pipelines (LAION-style)
     bucket on before any embedding: synthesize_ahash_pngs writes real
-    grayscale PNGs where doc triples share byte-identical content
-    (variants 0/1) and variant 2 moves content between 8×8 cells;
-    image_ahash DECODES each PNG and computes BOTH fingerprint
-    families over one cell-sum pass — the integer-exact 64-bit
-    average hash (bit i = 64·cell_sum > total_sum — no float mean,
-    so engines agree bit-for-bit) and, since round 14b, the 56-bit
-    difference hash (bit (r,c) = cell_sum[r][c+1] > cell_sum[r][c] —
-    the gradient family, integer-exact for the same reason); the
-    dedup layer groups by each hash for group sizes and a canonical
-    keep. Oracle: both hashes recomputed arithmetically from the
-    closed-form lattice — a decode, cell-geometry, threshold,
-    comparison-direction, or bit-order bug lands on a hash string.
-    Scale: the shuffle carries only (doc_id, two hash strings);
-    pixels never leave the Arrow decode pass; the per-hash windows
-    are group-bounded."""
+    grayscale PNGs where doc quadruples share byte-identical content
+    (variants 0/1), variant 2 moves content between 8×8 cells (far —
+    aHash hamming 19+), and variant 3 perturbs one cell (NEAR — mostly
+    hamming 1–3); image_ahash DECODES each PNG and computes BOTH
+    fingerprint families over one cell-sum pass — the integer-exact
+    64-bit average hash (bit i = 64·cell_sum > total_sum — no float
+    mean, so engines agree bit-for-bit) and, since round 14b, the
+    56-bit difference hash (bit (r,c) = cell_sum[r][c+1] >
+    cell_sum[r][c] — the gradient family, integer-exact for the same
+    reason); the dedup layer groups by each hash for group sizes and a
+    canonical keep, and (round 14c) pairs WITHIN-RADIUS near-dups via
+    the banded multi-index hamming join (hamming_near_dup_pairs — 4
+    bands, pigeonhole-exact for distance ≤ 3, never all-pairs). Oracle:
+    both hashes recomputed arithmetically from the closed-form lattice,
+    and the near-dup columns from GROUND-TRUTH all-pairs hamming
+    (bit_count(xor) on DuckDB BIT) — so a banding recall loss, band
+    split, XOR, or distance bug lands on near_dup_count/near_min_dist.
+    Scale: the shuffle carries only (doc_id, two hash strings) and
+    (band, slice) keys; pixels never leave the Arrow decode pass; the
+    per-hash windows are group-bounded."""
     from pyspark.sql import Window
 
+    from ..operators.dedup import hamming_near_dup_pairs
     from ..operators.multimodal import image_ahash, synthesize_ahash_pngs
 
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
-        .filter((F.col("doc_id") % AHASH_DOC_MOD).isin(2, 3, 4))
+        .filter((F.col("doc_id") % AHASH_DOC_MOD).isin(2, 3, 4, 5))
     )
-    hashed = image_ahash(synthesize_ahash_pngs(docs, "doc_id"))
+    # the flat (id, hash) frame feeds the windows once and BOTH sides
+    # of the band self-join — persist so the PNG decode pass runs once
+    hashed = image_ahash(synthesize_ahash_pngs(docs, "doc_id")).persist()
+    pairs = hamming_near_dup_pairs(
+        hashed, "doc_id", "ahash", 64, AHASH_BANDS, AHASH_MAX_HAMMING
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("partner"), "hamming"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("doc_id"), F.col("id_a").alias("partner"), "hamming"
+        )
+    )
+    near = sym.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("near_dup_count"),
+        F.min("hamming").cast("long").alias("near_min_dist"),
+        F.min("partner").cast("long").alias("near_min_partner"),
+    )
     w = Window.partitionBy("ahash")
     wd = Window.partitionBy("dhash")
-    return hashed.select(
-        "doc_id",
-        "ahash",
-        "dhash",
-        "width",
-        "height",
-        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
-        F.count(F.lit(1)).over(wd).cast("long").alias("dhash_group_size"),
-        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    return (
+        hashed.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "ahash",
+            "dhash",
+            "width",
+            "height",
+            F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+            F.count(F.lit(1)).over(wd).cast("long").alias("dhash_group_size"),
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+            F.coalesce("near_dup_count", F.lit(0).cast("long")).alias(
+                "near_dup_count"
+            ),
+            "near_min_dist",
+            "near_min_partner",
+        )
     )
 
 

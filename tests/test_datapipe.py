@@ -575,6 +575,98 @@ def test_image_dhash_gradient_properties(spark):
     assert rows[3][0] == a0 and rows[3][1] == ds  # the aHash-blind dup
 
 
+def test_hamming_near_dup_pairs_exact_vs_brute_force(spark):
+    """The banded multi-index join must equal ground-truth all-pairs
+    hamming for max_dist ≤ bands−1 (pigeonhole) — including the
+    adversarial spread where the 3 differing bits land in 3 DIFFERENT
+    bands (caught only through the 4th, untouched band), a distance-4
+    pair that shares a band (candidate generated, then filtered), and
+    64-bit hashes (past the signed-long whole-string conv cap)."""
+    from lfb_data_warehouse_spark.operators.dedup import hamming_near_dup_pairs
+
+    def flip(s, *idx):
+        out = list(s)
+        for i in idx:
+            out[i] = "1" if out[i] == "0" else "0"
+        return "".join(out)
+
+    base = ("01" * 32)  # 64 bits, non-trivial in every band
+    hashes = {
+        1: base,
+        2: flip(base, 3, 20, 50),    # 3 bits in bands 0/1/3 → via band 2
+        3: flip(base, 0, 17, 34, 51),  # 4 bits, one per band: NO shared
+        4: flip(base, 5, 6, 7, 8),   # 4 bits: shares bands 1/2/3 but
+        5: base,                     # must be filtered on true distance
+        6: flip(base, 63),           # last-bit edge
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in hashes.items()], "doc_id long, h string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_dup_pairs(df, "doc_id", "h", 64, 4, 3).collect()
+    }
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    want = {
+        (a, b): ham(hashes[a], hashes[b])
+        for a in hashes
+        for b in hashes
+        if a < b and ham(hashes[a], hashes[b]) <= 3
+    }
+    assert got == want
+    assert (1, 2) in got and got[(1, 5)] == 0 and got[(1, 6)] == 1
+    assert (1, 3) not in got and (1, 4) not in got  # distance 4: out
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands - 1"):
+        hamming_near_dup_pairs(df, "doc_id", "h", 64, 4, 4)
+    with _pytest.raises(ValueError, match="divide evenly"):
+        hamming_near_dup_pairs(df, "doc_id", "h", 64, 5, 3)
+
+
+def test_image_ahash_near_dup_gate_semantics(spark):
+    """Gate-level property on the synthesized quadruples: byte-identical
+    variants 0/1 pair at distance 0; the single-cell perturbation
+    (variant 3) is found as a near-dup of its group's v0/v1 whenever its
+    true distance ≤ 3 (the common case by construction); the
+    checkerboard variant 2 (distance 19+) NEVER pairs."""
+    from lfb_data_warehouse_spark.plans.datapipe_queries import image_ahash_dedup
+
+    rows = {r["doc_id"]: r for r in
+            image_ahash_dedup(spark, "/root/testdata/sf0.001").collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    found_near_v3 = 0
+    for doc_id, r in rows.items():
+        g, v = doc_id // 11, doc_id % 11 - 2
+        ids = {u: 11 * g + 2 + u for u in range(4)}
+        # in-test brute-force oracle over ALL collected hashes (aHash is
+        # brightness-invariant and g→g+1 is a +7 shift, so qualifying
+        # partners routinely cross groups — the banded join must agree
+        # with ground truth over the whole corpus, not per group)
+        partners = {
+            o: ham(r["ahash"], rows[o]["ahash"])
+            for o in rows
+            if o != doc_id and ham(r["ahash"], rows[o]["ahash"]) <= 3
+        }
+        assert r["near_dup_count"] == len(partners)
+        if partners:
+            assert r["near_min_dist"] == min(partners.values())
+            assert r["near_min_partner"] == min(partners)
+        else:
+            assert r["near_min_dist"] is None and r["near_min_partner"] is None
+        if v == 0 and ids[1] in rows:
+            # the byte-identical twin always qualifies at distance 0
+            assert r["near_dup_count"] >= 1 and r["near_min_dist"] == 0
+        if v == 2:
+            # far variant: never pairs with its OWN group
+            for u in (0, 1, 3):
+                if ids[u] in rows:
+                    assert ham(r["ahash"], rows[ids[u]]["ahash"]) > 3
+        if v == 3 and ids[0] in rows and ham(r["ahash"], rows[ids[0]]["ahash"]) <= 3:
+            found_near_v3 += 1
+    assert found_near_v3 >= 3  # the within-radius case actually exercised
+
+
 def test_bpe_train_learns_expected_merges(spark):
     """Hand-checked merge sequence on a tiny corpus, including the
     count-tie lexicographic break and greedy non-overlapping
