@@ -3843,8 +3843,14 @@ def synthesize_ahash_pngs(df: DataFrame, id_col: str) -> DataFrame:
 AVI_STATS_SCHEMA = (
     "doc_id long, frame_idx long, codec string, width long, height long, "
     "n_frames long, px_sum long, first_px long, last_px long, "
-    "audio_n_samples long, audio_sum long"
+    "audio_n_samples long, audio_sum long, diff_prev long, "
+    "is_scene_cut boolean"
 )
+
+# scene-cut threshold: mean absolute per-sample difference vs the
+# previous frame strictly above this flags a cut (integer-exact:
+# diff_prev > SCENE_CUT_MEAN_DIFF * n_samples on both engines)
+SCENE_CUT_MEAN_DIFF = 64
 
 
 def synthesize_avi_mjpeg(df: DataFrame, id_col: str) -> DataFrame:
@@ -3949,8 +3955,16 @@ def decode_avi_stats(media: DataFrame, strict: bool = True) -> DataFrame:
     containers). A decoder that trusts the index, skips a frame,
     returns metadata instead of pixels, or sample-decodes '01wb'
     chunks independently (splits land mid-sample) cannot produce these
-    sums. ``strict=False`` = poison-safe NULL-stats rows (see
-    :func:`decode_png_stats`)."""
+    sums. Temporal analysis rides the same pass (round 14c):
+    ``diff_prev`` is the L1 frame difference Σ|sample − previous
+    frame's sample| over the decoded rasters (NULL on frame 0) and
+    ``is_scene_cut`` flags a mean absolute difference strictly above
+    :data:`SCENE_CUT_MEAN_DIFF` — the shot-boundary heuristic
+    frame-selection pipelines key on, computed WHERE THE PIXELS ALREADY
+    ARE (consecutive frames of one video sit in one Arrow batch, so
+    the 100 TB shape needs no self-join of rasters and no pixel ever
+    crosses an Exchange). ``strict=False`` = poison-safe NULL-stats
+    rows (see :func:`decode_png_stats`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3975,6 +3989,7 @@ def decode_avi_stats(media: DataFrame, strict: bool = True) -> DataFrame:
                                     "height", "n_frames", "px_sum",
                                     "first_px", "last_px",
                                     "audio_n_samples", "audio_sum",
+                                    "diff_prev", "is_scene_cut",
                                 )
                             },
                         }
@@ -3983,8 +3998,14 @@ def decode_avi_stats(media: DataFrame, strict: bool = True) -> DataFrame:
                 audio = d.get("audio")
                 audio_n = audio["n_samples"] if audio else None
                 audio_sum = sum(audio["samples"]) if audio else None
+                prev = None
                 for k, fr in enumerate(d["frames"]):
                     raster = fr["raster"]
+                    diff_prev = (
+                        None
+                        if prev is None
+                        else sum(abs(a - b) for a, b in zip(raster, prev))
+                    )
                     rows.append(
                         {
                             "doc_id": doc_id,
@@ -3998,8 +4019,18 @@ def decode_avi_stats(media: DataFrame, strict: bool = True) -> DataFrame:
                             "last_px": raster[-1],
                             "audio_n_samples": audio_n,
                             "audio_sum": audio_sum,
+                            "diff_prev": diff_prev,
+                            "is_scene_cut": (
+                                None
+                                if diff_prev is None
+                                else bool(
+                                    diff_prev
+                                    > SCENE_CUT_MEAN_DIFF * len(raster)
+                                )
+                            ),
                         }
                     )
+                    prev = raster
             if rows:  # an all-poison batch must not yield a 0-column frame
                 yield pd.DataFrame(rows)
 

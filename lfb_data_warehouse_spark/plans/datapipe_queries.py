@@ -5342,7 +5342,9 @@ AVI_DOC_MOD = 17  # doc_id % 17 == 6 → ~1/17 of documents get an AVI
     ),
     tiles AS (
       SELECT fr.doc_id, fr.f, fr.width, fr.height, fr.n_frames,
-             (11 * gx.tx + 23 * gy.ty + 7 * fr.doc_id + 41 * fr.f) % 256 AS v
+             (11 * gx.tx + 23 * gy.ty + 7 * fr.doc_id + 41 * fr.f) % 256 AS v,
+             (11 * gx.tx + 23 * gy.ty + 7 * fr.doc_id
+              + 41 * fr.f + 215) % 256 AS vp
       FROM fr,
            LATERAL (SELECT unnest(range(0, fr.width // 8)) AS tx) gx,
            LATERAL (SELECT unnest(range(0, fr.height // 8)) AS ty) gy
@@ -5362,7 +5364,9 @@ AVI_DOC_MOD = 17  # doc_id % 17 == 6 → ~1/17 of documents get an AVI
     px2 AS (
       SELECT fr2.doc_id, fr2.f, fr2.width, fr2.height, fr2.n_frames, fr2.a_n,
              (3 * gx.x + 5 * gy.y + 11 * gc.c
-              + 7 * fr2.doc_id + 41 * fr2.f) % 256 AS v
+              + 7 * fr2.doc_id + 41 * fr2.f) % 256 AS v,
+             (3 * gx.x + 5 * gy.y + 11 * gc.c
+              + 7 * fr2.doc_id + 41 * fr2.f + 215) % 256 AS vp
       FROM fr2,
            LATERAL (SELECT unnest(range(0, fr2.width)) AS x) gx,
            LATERAL (SELECT unnest(range(0, fr2.height)) AS y) gy,
@@ -5386,7 +5390,13 @@ AVI_DOC_MOD = 17  # doc_id % 17 == 6 → ~1/17 of documents get an AVI
                  + 23 * (any_value(height) // 8 - 1)
                  + 7 * doc_id + 41 * f) % 256 AS BIGINT) AS last_px,
            CAST(NULL AS BIGINT) AS audio_n_samples,
-           CAST(NULL AS BIGINT) AS audio_sum
+           CAST(NULL AS BIGINT) AS audio_sum,
+           CAST(CASE WHEN f = 0 THEN NULL
+                ELSE 64 * SUM(ABS(v - vp)) END AS BIGINT) AS diff_prev,
+           CASE WHEN f = 0 THEN NULL
+                ELSE 64 * SUM(ABS(v - vp))
+                     > 64 * any_value(width) * any_value(height)
+           END AS is_scene_cut
     FROM tiles GROUP BY doc_id, f
     UNION ALL
     SELECT p.doc_id,
@@ -5401,7 +5411,13 @@ AVI_DOC_MOD = 17  # doc_id % 17 == 6 → ~1/17 of documents get an AVI
                  + 5 * (any_value(p.height) - 1) + 22
                  + 7 * p.doc_id + 41 * p.f) % 256 AS BIGINT) AS last_px,
            CAST(any_value(p.a_n) AS BIGINT) AS audio_n_samples,
-           CAST(any_value(a.a_sum) AS BIGINT) AS audio_sum
+           CAST(any_value(a.a_sum) AS BIGINT) AS audio_sum,
+           CAST(CASE WHEN p.f = 0 THEN NULL
+                ELSE SUM(ABS(p.v - p.vp)) END AS BIGINT) AS diff_prev,
+           CASE WHEN p.f = 0 THEN NULL
+                ELSE SUM(ABS(p.v - p.vp))
+                     > 64 * any_value(p.width) * any_value(p.height) * 3
+           END AS is_scene_cut
     FROM px2 p JOIN aud a USING (doc_id) GROUP BY p.doc_id, p.f
     """,
 )
@@ -5424,7 +5440,15 @@ def avi_mjpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one output row per frame; a decoder that re-serves frame 0, drops
     a trailing frame, skips the DIB row flip, or sample-decodes audio
     chunks independently fails on px_sum/first_px/last_px/audio_sum.
-    See operators/avicodec.py."""
+    Round 14c adds TEMPORAL analysis on the same pass: diff_prev (L1
+    frame difference against the previous decoded frame) and
+    is_scene_cut (mean abs difference > 64 — the shot-boundary
+    heuristic keyframe-selection pipelines use; the +41/frame lattice
+    wraps mod 256, so per-pixel diffs split 41/215 and the flag
+    genuinely varies per frame). The oracle recomputes both
+    closed-form (vp = value at f−1 via +215 ≡ −41 mod 256), so a
+    re-served frame, wrong diff pairing, or threshold bug lands on
+    diff_prev/is_scene_cut. See operators/avicodec.py."""
     from ..operators.multimodal import (
         decode_avi_stats,
         synthesize_avi_av,

@@ -422,6 +422,32 @@ def test_sample_frames_parses_real_container(spark):
     assert len(nul) == 1 and nul[0]["frame_index"] is None
 
 
+def test_avi_scene_cut_detection(spark):
+    """Temporal leg of the AVI stats pass: diff_prev is the exact L1
+    difference between consecutive DECODED frames (NULL on frame 0)
+    and is_scene_cut fires iff the mean absolute difference strictly
+    exceeds 64 — a static-ish frame pair stays below, a hard cut
+    lands above, and the boundary case (mean exactly 64) stays False
+    (strict inequality pinned on both engines)."""
+    from lfb_data_warehouse_spark.operators.avicodec import avi_mjpeg_bytes
+    from lfb_data_warehouse_spark.operators.jpegcodec import jpeg_pixel_bytes
+    from lfb_data_warehouse_spark.operators.multimodal import decode_avi_stats
+
+    w, h = 8, 8  # one constant tile per frame → exact decode
+    vals = [100, 110, 240, 176]  # diffs: 10 (no cut), 130 (cut), 64 (edge)
+    blob = avi_mjpeg_bytes(
+        w, h, [jpeg_pixel_bytes(w, h, bytes([v] * 64)) for v in vals]
+    )
+    media = spark.createDataFrame(
+        [(3, bytearray(blob))], "doc_id long, payload binary"
+    )
+    rows = sorted(
+        decode_avi_stats(media).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["diff_prev"] for r in rows] == [None, 640, 8320, 4096]
+    assert [r["is_scene_cut"] for r in rows] == [None, False, True, False]
+
+
 def test_sample_frames_avi_decodes_only_kept(spark):
     """Round 14: the sampler dispatches REAL AVI containers through
     the RIFF walk and — the property that matters at 100 TB of video
