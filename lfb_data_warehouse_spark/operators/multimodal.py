@@ -4977,8 +4977,40 @@ def decode_audio_stats(media: DataFrame, strict: bool = True) -> DataFrame:
 AUDIO_DS_SCHEMA = (
     "doc_id long, in_samples long, out_samples long, in_rate long, out_rate long, "
     "channels long, payload binary, sum_abs long, energy long, "
-    "first_sample long, last_sample long"
+    "first_sample long, last_sample long, vad_windows long, "
+    "vad_silent long, vad_segments long, vad_longest long"
 )
+
+
+def vad_segment_counts(
+    samples, channels: int, window: int = 25, threshold: int = 500
+) -> tuple:
+    """Energy-based voice-activity segmentation over decoded PCM — the
+    silence-trim / segment-count statistic speech-data curation keys
+    on: frame the clip into non-overlapping windows of ``window``
+    frames (trailing partial window cropped — deterministic), classify
+    a window VOICED iff its sum of absolute samples (all channels)
+    ``>= threshold * window * channels`` (the integer-exact form of
+    "mean absolute amplitude at least threshold" — no float division,
+    any engine reproduces it), then count. Returns ``(n_windows,
+    n_silent, n_segments, longest_voiced)`` where segments are maximal
+    voiced runs."""
+    n_frames = len(samples) // channels
+    n_windows = n_frames // window
+    gate = threshold * window * channels
+    n_silent = n_segments = longest = run = 0
+    for wi in range(n_windows):
+        seg = samples[wi * window * channels : (wi + 1) * window * channels]
+        if sum(abs(x) for x in seg) >= gate:
+            run += 1
+            if run == 1:
+                n_segments += 1
+            if run > longest:
+                longest = run
+        else:
+            n_silent += 1
+            run = 0
+    return n_windows, n_silent, n_segments, longest
 
 
 def downsample_audio(media: DataFrame, factor: int = 4, strict: bool = True) -> DataFrame:
@@ -4989,7 +5021,11 @@ def downsample_audio(media: DataFrame, factor: int = 4, strict: bool = True) -> 
     output rate = input rate // factor), re-encode
     (:func:`wav_pcm_bytes`), and report features from DECODING THE
     RE-ENCODED payload — one Arrow batch, full
-    decode→resample→encode→decode cycle proven. ``strict=False`` =
+    decode→resample→encode→decode cycle proven. The ``vad_*`` columns
+    (round 14c) run :func:`vad_segment_counts` on the ORIGINAL
+    full-resolution samples in the same pass — silence/segment
+    statistics computed where the samples already are, no second
+    decode and nothing but counts leaving the pass. ``strict=False`` =
     poison-safe NULL-stats rows (see :func:`decode_png_stats`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -5026,13 +5062,16 @@ def downsample_audio(media: DataFrame, factor: int = 4, strict: bool = True) -> 
                                     "in_samples", "out_samples", "in_rate",
                                     "out_rate", "channels", "payload",
                                     "sum_abs", "energy", "first_sample",
-                                    "last_sample",
+                                    "last_sample", "vad_windows",
+                                    "vad_silent", "vad_segments",
+                                    "vad_longest",
                                 )
                             },
                         }
                     )
                     continue
                 cs = check["samples"]
+                vw, vs, vseg, vlong = vad_segment_counts(s, ch)
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -5046,6 +5085,10 @@ def downsample_audio(media: DataFrame, factor: int = 4, strict: bool = True) -> 
                         "energy": sum(x * x for x in cs),
                         "first_sample": cs[0],
                         "last_sample": cs[-1],
+                        "vad_windows": vw,
+                        "vad_silent": vs,
+                        "vad_segments": vseg,
+                        "vad_longest": vlong,
                     }
                 )
             yield pd.DataFrame(rows)

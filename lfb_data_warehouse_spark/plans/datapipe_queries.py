@@ -6107,6 +6107,8 @@ def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AUDIO_DS_DOC_MOD = 11  # doc_id % 11 == 5 → ~1/11 of documents get a resample clip
 AUDIO_DS_FACTOR = 4
+AUDIO_VAD_WINDOW = 25  # VAD frames per window (full-resolution samples)
+AUDIO_VAD_THRESHOLD = 500  # voiced iff window mean |sample| >= this
 
 
 @register(
@@ -6126,8 +6128,43 @@ AUDIO_DS_FACTOR = 4
       SELECT doc_id, n, k // {AUDIO_DS_FACTOR} AS j,
              CAST(floor(sum(v) / {AUDIO_DS_FACTOR}.0) AS BIGINT) AS ov
       FROM smp GROUP BY doc_id, n, k // {AUDIO_DS_FACTOR}
+    ),
+    -- VAD over the FULL-RESOLUTION series (range(0, n), not the
+    -- downsampler's cropped range): voiced iff the window's sum of
+    -- absolute samples >= threshold * window (integer-exact mean gate)
+    vwin AS (
+      SELECT s.doc_id, gk.k // {AUDIO_VAD_WINDOW} AS wi,
+             SUM(ABS((7 * s.doc_id + 13 * gk.k) % 2001 - 1000))
+               >= {AUDIO_VAD_THRESHOLD} * {AUDIO_VAD_WINDOW} AS voiced
+      FROM sel s, LATERAL (SELECT unnest(range(0, s.n)) AS k) gk
+      WHERE gk.k < {AUDIO_VAD_WINDOW} * (s.n // {AUDIO_VAD_WINDOW})
+      GROUP BY s.doc_id, gk.k // {AUDIO_VAD_WINDOW}
+    ),
+    vflag AS (
+      SELECT doc_id, wi, voiced,
+             CASE WHEN voiced AND NOT COALESCE(
+               LAG(voiced) OVER (PARTITION BY doc_id ORDER BY wi), FALSE)
+               THEN 1 ELSE 0 END AS strt
+      FROM vwin
+    ),
+    vagg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS vad_windows,
+             CAST(SUM(CASE WHEN voiced THEN 0 ELSE 1 END) AS BIGINT)
+               AS vad_silent,
+             CAST(SUM(strt) AS BIGINT) AS vad_segments
+      FROM vflag GROUP BY doc_id
+    ),
+    visl AS (
+      SELECT doc_id, CAST(MAX(run) AS BIGINT) AS vad_longest
+      FROM (SELECT doc_id, COUNT(*) AS run
+            FROM (SELECT doc_id, wi,
+                         wi - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                 ORDER BY wi) AS grp
+                  FROM vwin WHERE voiced)
+            GROUP BY doc_id, grp)
+      GROUP BY doc_id
     )
-    SELECT doc_id,
+    SELECT ds.doc_id,
            CAST(any_value(n) AS BIGINT) AS in_samples,
            CAST(any_value(n) // {AUDIO_DS_FACTOR} AS BIGINT) AS out_samples,
            CAST(8000 AS BIGINT) AS in_rate,
@@ -6137,8 +6174,16 @@ AUDIO_DS_FACTOR = 4
            CAST(sum(ov * ov) AS BIGINT) AS energy,
            CAST(max(CASE WHEN j = 0 THEN ov END) AS BIGINT) AS first_sample,
            CAST(max(CASE WHEN j = n // {AUDIO_DS_FACTOR} - 1 THEN ov END) AS BIGINT)
-             AS last_sample
-    FROM ds GROUP BY doc_id
+             AS last_sample,
+           any_value(va.vad_windows) AS vad_windows,
+           any_value(va.vad_silent) AS vad_silent,
+           any_value(va.vad_segments) AS vad_segments,
+           CAST(COALESCE(any_value(vi.vad_longest), 0) AS BIGINT)
+             AS vad_longest
+    FROM ds
+    JOIN vagg va ON ds.doc_id = va.doc_id
+    LEFT JOIN visl vi ON ds.doc_id = vi.doc_id
+    GROUP BY ds.doc_id
     """,
 )
 def audio_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6152,8 +6197,15 @@ def audio_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     full decode→resample→encode→decode cycle. The oracle recomputes
     every output sample by grouping the generating series into blocks
     (floor(x/4.0) is exact in double at these magnitudes, and matches
-    Python's floor division where DuckDB's // would truncate). Map-only
-    Arrow pass; payloads never shuffle."""
+    Python's floor division where DuckDB's // would truncate). Round
+    14c adds VAD columns on the same pass (vad_segment_counts over the
+    FULL-RESOLUTION samples: 25-frame windows, voiced iff sum|x| >=
+    500·25 — the integer-exact mean-amplitude gate; the fixture's
+    |sample| mean sits at ~500.25, so the flag is a genuine per-window
+    coin flip and 453/455 sf0.1 clips land mixed); the oracle
+    recomputes windows/silent/segments/longest-run with a
+    gaps-and-islands pass over the generating series. Map-only Arrow
+    pass; payloads never shuffle."""
     from ..operators.multimodal import downsample_audio, synthesize_wav_pcm
 
     docs = (

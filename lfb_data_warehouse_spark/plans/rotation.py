@@ -1341,7 +1341,6 @@ _R14_RECHECK: list[str] = [
     "palette_png_decode_stats",
     "jpeg_subsampled_decode_stats",
     "jpeg_restart_decode_stats",
-    "audio_downsample_stats",
     "jpeg_resize_stats",
     "interlaced_png_decode_stats",
     "jpeg_progressive_decode_stats",
@@ -1423,6 +1422,11 @@ ORACLE_FIXED: list[str] = [
     # window (r9 freshness tail), so riding ORACLE_FIXED instead
     # costs zero extra slots
     "multimodal_frame_sample",
+    # round 14c: the downsample gate grew the VAD leg
+    # (vad_segment_counts — silence/segment stats over the
+    # full-resolution samples); it was already a window spare this
+    # round, so the move costs zero extra slots
+    "audio_downsample_stats",
 ]
 
 VERIFIED_GREEN: list[str] = [

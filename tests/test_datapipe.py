@@ -422,6 +422,30 @@ def test_sample_frames_parses_real_container(spark):
     assert len(nul) == 1 and nul[0]["frame_index"] is None
 
 
+def test_vad_segment_counts():
+    """Hand-checked VAD framing: window crop, the strict >= boundary,
+    segment/run accounting across voiced islands, and channel folding
+    (a stereo frame contributes both channels' |samples| to its
+    window's energy)."""
+    from lfb_data_warehouse_spark.operators.multimodal import vad_segment_counts
+
+    loud, quiet = [600] * 4, [10] * 4  # windows of 4 mono frames
+    sig = loud + quiet + loud + loud + quiet + loud
+    assert vad_segment_counts(sig, 1, window=4, threshold=500) == (6, 2, 3, 2)
+    # trailing partial window cropped: 3 extra frames change nothing
+    assert vad_segment_counts(sig + [9999] * 3, 1, 4, 500) == (6, 2, 3, 2)
+    # boundary: sum == threshold*window*channels is VOICED (>=)
+    assert vad_segment_counts([500] * 4, 1, 4, 500) == (1, 0, 1, 1)
+    assert vad_segment_counts([499] * 4, 1, 4, 500) == (1, 1, 0, 0)
+    # stereo: 2 channels, window of 2 frames = 4 samples per window;
+    # a loud left channel can carry a quiet right one past the gate
+    st = [900, 200, 900, 200] + [100, 100, 100, 100]
+    assert vad_segment_counts(st, 2, window=2, threshold=500) == (2, 1, 1, 1)
+    # all silent / empty
+    assert vad_segment_counts([0] * 8, 1, 4, 500) == (2, 2, 0, 0)
+    assert vad_segment_counts([], 1, 4, 500) == (0, 0, 0, 0)
+
+
 def test_avi_scene_cut_detection(spark):
     """Temporal leg of the AVI stats pass: diff_prev is the exact L1
     difference between consecutive DECODED frames (NULL on frame 0)
