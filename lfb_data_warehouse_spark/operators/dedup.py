@@ -398,6 +398,18 @@ def hamming_near_dup_pairs(
     width = bits // bands
     if width > 62:
         raise ValueError("band width must be <= 62 bits (signed-long XOR)")
+    # a fingerprint shorter/longer than `bits` would band-split and
+    # XOR silently wrong — fail loudly instead (one JVM comparison per
+    # row, negligible next to the join)
+    checked = F.when(F.length(hash_col) == bits, F.col(hash_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"hamming_near_dup_pairs: expected a {bits}-char "),
+                F.lit("fingerprint, got length "),
+                F.length(hash_col).cast("string"),
+            )
+        )
+    )
     slices = [
         F.struct(
             F.lit(b).alias("band"),
@@ -406,7 +418,7 @@ def hamming_near_dup_pairs(
         for b in range(bands)
     ]
     banded = df.select(
-        F.col(id_col), F.col(hash_col), F.explode(F.array(*slices)).alias("b")
+        F.col(id_col), checked.alias(hash_col), F.explode(F.array(*slices)).alias("b")
     ).select(id_col, hash_col, F.col("b.band").alias("band"), F.col("b.sl").alias("sl"))
     a, b = banded.alias("a"), banded.alias("b")
 

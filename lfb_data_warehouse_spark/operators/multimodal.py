@@ -3801,16 +3801,24 @@ def synthesize_ahash_pngs(df: DataFrame, id_col: str) -> DataFrame:
     perceptual-dedup gate: selected docs come in quadruples sharing
     ``g = doc_id // 11`` (the gate selects residues 2/3/4/5 mod 11, so
     each g contributes doc_ids 11g+2..5); variants 0 and 1 are
-    BYTE-IDENTICAL grayscale PNGs of the ``(3x + 5y + 7g) mod 256``
-    lattice at ``8(g%3+1) × 8(g%2+1)``, variant 2 adds 100 (mod 256)
-    on the checkerboard of even 8×8 cells — content moved between
-    cells, so its hash lands FAR (measured aHash hamming 19–43 across
-    g < 460) while the first two collide — and variant 3 (round 14c)
-    perturbs only the top-left cell, a NEAR-duplicate: its aHash lands
-    at hamming 0–5 of variant 0 (mostly 1–3), the radius the banded
-    multi-index pairing must find without ever going all-pairs. Every
-    pixel is closed-form in (g, v, x, y), so the oracle recomputes the
-    hash arithmetically while the engine must decode the real PNG."""
+    BYTE-IDENTICAL grayscale PNGs of the ``(3x + 5y + 7g + x²(g%11) +
+    y²(g%13)) mod 256`` lattice at ``8(g%3+1) × 8(g%2+1)`` — the
+    quadratic terms diversify the hash ACROSS groups (a pure
+    ``3x+5y+7g`` lattice differs between groups only by a brightness
+    shift, which aHash is invariant to by design, so most of the
+    corpus collapsed into a handful of giant hash classes — realistic
+    image corpora don't do that, and the degenerate buckets blew the
+    banded join's per-bucket quadratic to sh/in 47; with the quadratic
+    terms the largest hash class at g < 460 is 3 and band buckets cap
+    at 24). Variant 2 adds 100 (mod 256) on the checkerboard of even
+    8×8 cells — content moved between cells, so its hash lands FAR
+    (aHash hamming ≥ 14 from its group across g < 460) — and variant 3
+    (round 14c) perturbs only the top-left cell, a NEAR-duplicate: its
+    aHash lands mostly at hamming 1–3 of variant 0 (423/460 within the
+    ≤3 radius), the radius the banded multi-index pairing must find
+    without ever going all-pairs. Every pixel is closed-form in
+    (g, v, x, y), so the oracle recomputes the hash arithmetically
+    while the engine must decode the real PNG."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3826,6 +3834,7 @@ def synthesize_ahash_pngs(df: DataFrame, id_col: str) -> DataFrame:
                 raster = bytes(
                     (
                         3 * x + 5 * y + 7 * g
+                        + x * x * (g % 11) + y * y * (g % 13)
                         + (100 if v == 2 and (x // bw + y // bh) % 2 == 0 else 0)
                         + (100 if v == 3 and x < bw and y < bh else 0)
                     ) % 256

@@ -5487,6 +5487,7 @@ AHASH_MAX_HAMMING = 3
       SELECT d.doc_id, d.w, d.h,
              (gy.y // (d.h // 8)) * 8 + (gx.x // (d.w // 8)) AS cell,
              (3 * gx.x + 5 * gy.y + 7 * d.g
+              + gx.x * gx.x * (d.g % 11) + gy.y * gy.y * (d.g % 13)
               + CASE WHEN d.v = 2
                      AND ((gx.x // (d.w // 8)) + (gy.y // (d.h // 8))) % 2 = 0
                      THEN 100
@@ -5555,7 +5556,7 @@ def image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket on before any embedding: synthesize_ahash_pngs writes real
     grayscale PNGs where doc quadruples share byte-identical content
     (variants 0/1), variant 2 moves content between 8×8 cells (far —
-    aHash hamming 19+), and variant 3 perturbs one cell (NEAR — mostly
+    aHash hamming ≥ 14), and variant 3 perturbs one cell (NEAR — mostly
     hamming 1–3); image_ahash DECODES each PNG and computes BOTH
     fingerprint families over one cell-sum pass — the integer-exact
     64-bit average hash (bit i = 64·cell_sum > total_sum — no float

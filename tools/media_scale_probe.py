@@ -47,6 +47,9 @@ QUERIES = (
     # kept frames) and perceptual-hash image dedup
     "multimodal_frame_sample",
     "image_ahash_dedup",
+    # round 14c: the VAD leg rides the downsample pass (expectation:
+    # flat — zero-exchange map pass with per-clip CPU)
+    "audio_downsample_stats",
 )
 
 

@@ -278,9 +278,14 @@ def main() -> None:
             "training_order_shuffle",
             "text_unigram_logprob",
             # perceptual image dedup (claimed: only (doc_id, 64-char
-            # hash) crosses the exchange) and the AVI-leg frame sampler
+            # hash) crosses the exchange — round 14c adds the banded
+            # hamming self-join, still hash-bounded) and the AVI-leg
+            # frame sampler
             "image_ahash_dedup",
             "multimodal_frame_sample",
+            # round 14c: the VAD leg rides the downsample pass —
+            # claimed still a zero-exchange map pass (counts only)
+            "audio_downsample_stats",
         )
         runners.update({n: REGISTRY[n].fn for n in AUDIT_EXTRA})
         # bootstrap yesterday's labels UNTAGGED so the audit-only
@@ -542,12 +547,28 @@ now measured):
     broadcast join; the shard stripe is a map-side expression. At
     100 TB this is the floor for a global deterministic permutation:
     one row-width-bounded pass, no global window.
-  - `image_ahash_dedup` (sh/in 0.546, 0.1 MB): pixels never leave the
-    Arrow decode pass — the only exchange is the (doc_id, 64-char
-    hash) rows entering the per-hash dedup window, hash-bounded
-    groups. `multimodal_frame_sample` with the AVI leg stays at
-    sh/in 0.143, 0.0 MB: both container families are zero-exchange
-    walk+decode passes.""")
+  - `image_ahash_dedup` (sh/in 2.257, 0.7 MB): pixels never leave the
+    Arrow decode pass — the exchanges carry (doc_id, 64-char hash)
+    into the per-hash windows plus the round-14c banded multi-index
+    hamming join's irreducible fan-out: 4 (band, 16-char slice) rows
+    per document (read by both sides of the self-join) and the
+    surviving near-dup pairs. The per-bucket quadratic is
+    bucket-bounded BY FIXTURE DESIGN TOO: the first fixture's
+    `3x+5y+7g` lattice differed across groups only by a brightness
+    shift — invisible to aHash by design — so most of the corpus
+    collapsed into a few giant hash classes and the join measured
+    sh/in 47; the quadratic `x²(g%11)+y²(g%13)` terms restore the
+    realistic regime (max hash class 3, max band bucket 24 at sf0.1).
+    The degenerate-mass lesson generalizes: on a corpus with massive
+    EXACT duplication, collapse exact-hash classes first
+    (exact_dup_groups) and radius-pair the distinct hashes.
+    `multimodal_frame_sample` with the AVI leg stays at sh/in 0.143,
+    0.0 MB; `audio_downsample_stats` with the round-14c VAD leg stays
+    a zero-exchange map pass (sh/in 0.091, 0.0 MB — the VAD counts
+    ride the same per-clip Arrow pass), and the scene-cut columns
+    leave `avi_mjpeg_decode_stats` at its media-tier shape (sh/in
+    0.059, 0.0 MB — frame diffs computed inside the batch, no raster
+    self-join).""")
     finally:
         shutil.rmtree(event_dir, ignore_errors=True)
 
