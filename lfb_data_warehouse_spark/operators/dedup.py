@@ -398,15 +398,18 @@ def hamming_near_dup_pairs(
     width = bits // bands
     if width > 62:
         raise ValueError("band width must be <= 62 bits (signed-long XOR)")
-    # a fingerprint shorter/longer than `bits` would band-split and
+    # a fingerprint shorter/longer than `bits` (or NULL — e.g. a
+    # strict=False poison row fed in unfiltered) would band-split and
     # XOR silently wrong — fail loudly instead (one JVM comparison per
-    # row, negligible next to the join)
+    # row, negligible next to the join). The length rides a coalesce:
+    # concat null-propagates, and raise_error(NULL) aborts with a
+    # useless '[USER_RAISED_EXCEPTION] null'.
     checked = F.when(F.length(hash_col) == bits, F.col(hash_col)).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"hamming_near_dup_pairs: expected a {bits}-char "),
                 F.lit("fingerprint, got length "),
-                F.length(hash_col).cast("string"),
+                F.coalesce(F.length(hash_col).cast("string"), F.lit("NULL")),
             )
         )
     )

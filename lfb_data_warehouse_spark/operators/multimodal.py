@@ -5022,7 +5022,13 @@ def vad_segment_counts(
     return n_windows, n_silent, n_segments, longest
 
 
-def downsample_audio(media: DataFrame, factor: int = 4, strict: bool = True) -> DataFrame:
+def downsample_audio(
+    media: DataFrame,
+    factor: int = 4,
+    strict: bool = True,
+    vad_window: int = 25,
+    vad_threshold: int = 500,
+) -> DataFrame:
     """REAL audio downsample — the audio sibling of :func:`resize_image`:
     decode the WAV payload (:func:`wav_decode_samples`), decimate by
     averaging each run of ``factor`` frames per channel
@@ -5080,7 +5086,9 @@ def downsample_audio(media: DataFrame, factor: int = 4, strict: bool = True) -> 
                     )
                     continue
                 cs = check["samples"]
-                vw, vs, vseg, vlong = vad_segment_counts(s, ch)
+                vw, vs, vseg, vlong = vad_segment_counts(
+                    s, ch, vad_window, vad_threshold
+                )
                 rows.append(
                     {
                         "doc_id": doc_id,

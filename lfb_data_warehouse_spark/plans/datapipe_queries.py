@@ -5325,6 +5325,11 @@ def adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AVI_DOC_MOD = 17  # doc_id % 17 == 6 → ~1/17 of documents get an AVI
 
+# the scene-cut threshold the engine pass uses (operators/multimodal),
+# interpolated into the oracle so the two sides share ONE constant —
+# the oracle's other literal 64s are pixels-per-8×8-tile, NOT this
+from ..operators.multimodal import SCENE_CUT_MEAN_DIFF  # noqa: E402
+
 
 @register(
     "avi_mjpeg_decode_stats",
@@ -5395,7 +5400,7 @@ AVI_DOC_MOD = 17  # doc_id % 17 == 6 → ~1/17 of documents get an AVI
                 ELSE 64 * SUM(ABS(v - vp)) END AS BIGINT) AS diff_prev,
            CASE WHEN f = 0 THEN NULL
                 ELSE 64 * SUM(ABS(v - vp))
-                     > 64 * any_value(width) * any_value(height)
+                     > {SCENE_CUT_MEAN_DIFF} * any_value(width) * any_value(height)
            END AS is_scene_cut
     FROM tiles GROUP BY doc_id, f
     UNION ALL
@@ -5416,7 +5421,7 @@ AVI_DOC_MOD = 17  # doc_id % 17 == 6 → ~1/17 of documents get an AVI
                 ELSE SUM(ABS(p.v - p.vp)) END AS BIGINT) AS diff_prev,
            CASE WHEN p.f = 0 THEN NULL
                 ELSE SUM(ABS(p.v - p.vp))
-                     > 64 * any_value(p.width) * any_value(p.height) * 3
+                     > {SCENE_CUT_MEAN_DIFF} * any_value(p.width) * any_value(p.height) * 3
            END AS is_scene_cut
     FROM px2 p JOIN aud a USING (doc_id) GROUP BY p.doc_id, p.f
     """,
@@ -6176,13 +6181,16 @@ AUDIO_VAD_THRESHOLD = 500  # voiced iff window mean |sample| >= this
            CAST(max(CASE WHEN j = 0 THEN ov END) AS BIGINT) AS first_sample,
            CAST(max(CASE WHEN j = n // {AUDIO_DS_FACTOR} - 1 THEN ov END) AS BIGINT)
              AS last_sample,
-           any_value(va.vad_windows) AS vad_windows,
-           any_value(va.vad_silent) AS vad_silent,
-           any_value(va.vad_segments) AS vad_segments,
+           CAST(COALESCE(any_value(va.vad_windows), 0) AS BIGINT)
+             AS vad_windows,
+           CAST(COALESCE(any_value(va.vad_silent), 0) AS BIGINT)
+             AS vad_silent,
+           CAST(COALESCE(any_value(va.vad_segments), 0) AS BIGINT)
+             AS vad_segments,
            CAST(COALESCE(any_value(vi.vad_longest), 0) AS BIGINT)
              AS vad_longest
     FROM ds
-    JOIN vagg va ON ds.doc_id = va.doc_id
+    LEFT JOIN vagg va ON ds.doc_id = va.doc_id
     LEFT JOIN visl vi ON ds.doc_id = vi.doc_id
     GROUP BY ds.doc_id
     """,
@@ -6215,7 +6223,10 @@ def audio_downsample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % AUDIO_DS_DOC_MOD == 5)
     )
     return downsample_audio(
-        synthesize_wav_pcm(docs, "doc_id"), AUDIO_DS_FACTOR
+        synthesize_wav_pcm(docs, "doc_id"),
+        AUDIO_DS_FACTOR,
+        vad_window=AUDIO_VAD_WINDOW,
+        vad_threshold=AUDIO_VAD_THRESHOLD,
     ).drop("payload")
 
 

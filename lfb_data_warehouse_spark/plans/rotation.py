@@ -1326,12 +1326,14 @@ _R13_GREEN: list[str] = [
 # (ASCII-fold, ADVICE r13 medium), adpcm_decode_stats (MS ADPCM leg)
 # and text_unigram_logprob (interpolated-bigram upgrade) are NOT here
 # — their oracles changed this round, so they ride ORACLE_FIXED.
-# 1 flagship + 4 oracle-fixed (the three above + the frame-sample
-# AVI-leg upgrade, which was already in this queue) + 3 new gates
+# 1 flagship + 5 oracle-fixed (the three above + the frame-sample
+# AVI-leg upgrade and the round-14c VAD leg on audio_downsample_stats,
+# both of which were already in this queue) + 3 new gates
 # (avi_mjpeg_decode_stats, training_order_shuffle,
-# image_ahash_dedup) + 42 recheck slots over the 51 still-eligible
-# rows below (multimodal_frame_sample rides ORACLE_FIXED); the last
-# 9 spill past the 50-slot cut to the front of the r15 queue.
+# image_ahash_dedup) + 41 recheck slots over the 50 still-eligible
+# rows below (multimodal_frame_sample and audio_downsample_stats ride
+# ORACLE_FIXED); the last 9 spill past the 50-slot cut to the front
+# of the r15 queue.
 _R14_RECHECK: list[str] = [
     "quality_weighted_sample",
     "per_source_sample",

@@ -674,6 +674,49 @@ def test_hamming_near_dup_pairs_exact_vs_brute_force(spark):
         hamming_near_dup_pairs(df, "doc_id", "h", 64, 5, 3)
 
 
+def test_hamming_near_dup_pairs_randomized_equivalence(spark):
+    """Seeded randomized sweep: 70 hashes drawn as clusters around 12
+    random centers (flip 0–6 bits each, so the population straddles
+    the ≤3 radius from both sides) — the banded join must equal
+    ground-truth all-pairs exactly, for two different band counts."""
+    import random
+
+    from lfb_data_warehouse_spark.operators.dedup import hamming_near_dup_pairs
+
+    rng = random.Random(20260817)
+    hashes = {}
+    hid = 0
+    centers = [
+        "".join(rng.choice("01") for _ in range(64)) for _ in range(12)
+    ]
+    for c in centers:
+        for _ in range(rng.randint(3, 8)):
+            bits = list(c)
+            for i in rng.sample(range(64), rng.randint(0, 6)):
+                bits[i] = "1" if bits[i] == "0" else "0"
+            hashes[hid] = "".join(bits)
+            hid += 1
+    df = spark.createDataFrame(
+        [(k, v) for k, v in hashes.items()], "doc_id long, h string"
+    )
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    for bands, k in ((4, 3), (8, 7)):
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in hamming_near_dup_pairs(
+                df, "doc_id", "h", 64, bands, k
+            ).collect()
+        }
+        want = {
+            (a, b): ham(hashes[a], hashes[b])
+            for a in hashes
+            for b in hashes
+            if a < b and ham(hashes[a], hashes[b]) <= k
+        }
+        assert got == want, f"bands={bands}: {len(got)} vs {len(want)} pairs"
+        assert len(want) > 20  # the sweep actually exercises the radius
+
+
 def test_image_ahash_near_dup_gate_semantics(spark):
     """Gate-level property on the synthesized quadruples: byte-identical
     variants 0/1 pair at distance 0; the single-cell perturbation
