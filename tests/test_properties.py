@@ -761,10 +761,19 @@ def test_jpeg_lossless_roundtrip_property(data):
     if ncomp == 1:
         sampling = [(1, 1)]
     else:
-        sampling = [
-            (data.draw(st.integers(1, 2)), data.draw(st.integers(1, 2)))
-            for _ in range(3)
-        ]
+        # T.81 B.2.3: an interleaved MCU may carry at most 10 data
+        # units, so Σ Hi·Vi ≤ 10 — three unconstrained (1..2, 1..2)
+        # draws can reach 12 (e.g. 2,2 / 2,2 / 2,2), which the encoder
+        # correctly REFUSES; draw the valid combination directly
+        sampling = data.draw(
+            st.tuples(
+                *(
+                    st.tuples(st.integers(1, 2), st.integers(1, 2))
+                    for _ in range(3)
+                )
+            ).filter(lambda s: sum(hs * vs for hs, vs in s) <= 10)
+        )
+        sampling = list(sampling)
     hmax = max(h for h, _ in sampling)
     vmax = max(v for _, v in sampling)
     w = data.draw(st.integers(1, 9))
