@@ -885,3 +885,43 @@ def test_avi_av_roundtrip_property(data):
     assert d["audio"]["samples"] == samples
     assert d["audio"]["n_samples"] == n // ch
     assert d["audio"]["channels"] == ch
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_vad_segment_counts_property(data):
+    """vad_segment_counts vs an independently-written model (windows
+    via explicit slicing, runs via itertools.groupby) over random
+    signals, channel counts, window sizes and thresholds — including
+    the adversarial all-at-gate signal where every window sits exactly
+    on the strict >= boundary."""
+    import itertools
+
+    from lfb_data_warehouse_spark.operators.multimodal import (
+        vad_segment_counts,
+    )
+
+    ch = data.draw(st.integers(1, 3))
+    window = data.draw(st.integers(1, 6))
+    threshold = data.draw(st.integers(0, 600))
+    n_frames = data.draw(st.integers(0, 40))
+    at_gate = data.draw(st.booleans())
+    if at_gate and window * ch > 0:
+        # every sample exactly threshold: each window sum == gate
+        samples = [threshold] * (n_frames * ch)
+    else:
+        samples = [
+            data.draw(st.integers(-1500, 1500)) for _ in range(n_frames * ch)
+        ]
+
+    # independent model
+    nw = n_frames // window
+    gate = threshold * window * ch
+    voiced = [
+        sum(abs(x) for x in samples[w * window * ch : (w + 1) * window * ch])
+        >= gate
+        for w in range(nw)
+    ]
+    runs = [len(list(g)) for v, g in itertools.groupby(voiced) if v]
+    expect = (nw, voiced.count(False), len(runs), max(runs, default=0))
+    assert vad_segment_counts(samples, ch, window, threshold) == expect
