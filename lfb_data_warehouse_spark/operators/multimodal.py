@@ -5151,7 +5151,8 @@ def extract_features(media: DataFrame) -> DataFrame:
 RESIZE_SCHEMA = (
     "doc_id long, in_width long, in_height long, out_width long, out_height long, "
     "channels long, orig_bytes long, resized_bytes long, payload binary, "
-    "out_px_sum long, out_first_px long, out_last_px long"
+    "out_px_sum long, out_first_px long, out_last_px long, crop_size long, "
+    "crop_px_sum long, crop_first_px long, crop_last_px long"
 )
 
 # channels -> PNG color type, for re-encoding a decoded raster
@@ -5202,6 +5203,29 @@ def _box_mean_samples(
                         s += px[row + dx * channels]
                 out[(oy * out_w + ox) * channels + c] = s // f2
     return out, out_w, out_h
+
+
+def center_crop_stats(samples, width: int, height: int, channels: int) -> tuple:
+    """CLIP-style centered square crop over an interleaved raster:
+    side = ``min(w, h)``, offsets ``floor((dim − side) / 2)`` — the
+    torchvision CenterCrop convention image-training preprocessing
+    standardized on. Returns ``(side, px_sum, first, last)`` of the
+    crop region WITHOUT materializing it — the audit stats a
+    crop-aware ingest needs, computed where the pixels already are.
+    Works on 8-bit rasters and 16/12-bit sample arrays alike (the
+    caller passes whichever the decode produced)."""
+    cs = min(width, height)
+    x0 = (width - cs) // 2
+    y0 = (height - cs) // 2
+    tot = 0
+    for j in range(cs):
+        base = ((y0 + j) * width + x0) * channels
+        tot += sum(samples[base : base + cs * channels])
+    first = samples[(y0 * width + x0) * channels]
+    last = samples[
+        ((y0 + cs - 1) * width + (x0 + cs - 1)) * channels + channels - 1
+    ]
+    return cs, tot, first, last
 
 
 def resize_image(media: DataFrame, factor: int = 2, strict: bool = True) -> DataFrame:
@@ -5277,11 +5301,20 @@ def resize_image(media: DataFrame, factor: int = 2, strict: bool = True) -> Data
                                     "out_height", "channels", "orig_bytes",
                                     "resized_bytes", "payload", "out_px_sum",
                                     "out_first_px", "out_last_px",
+                                    "crop_size", "crop_px_sum",
+                                    "crop_first_px", "crop_last_px",
                                 )
                             },
                         }
                     )
                     continue
+                # crop stats over the ORIGINAL decoded samples (the
+                # same Arrow pass — round 14c): deep inputs crop their
+                # 16/12-bit samples, 8-bit inputs their raster
+                ccs, cct, ccf, ccl = center_crop_stats(
+                    d.get("samples16") or d["raster"],
+                    d["width"], d["height"], d["channels"],
+                )
                 rows.append(
                     {
                         "doc_id": doc_id,
@@ -5296,6 +5329,10 @@ def resize_image(media: DataFrame, factor: int = 2, strict: bool = True) -> Data
                         "out_px_sum": sum(stats_px),
                         "out_first_px": stats_px[0],
                         "out_last_px": stats_px[-1],
+                        "crop_size": ccs,
+                        "crop_px_sum": cct,
+                        "crop_first_px": ccf,
+                        "crop_last_px": ccl,
                     }
                 )
             yield pd.DataFrame(rows)

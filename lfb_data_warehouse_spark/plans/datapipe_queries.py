@@ -3533,21 +3533,52 @@ FRAME_DOC_MOD = 7  # doc_id % 7 == 6 → ~1/7 of documents get a PNG stream
       SELECT doc_id, width, height, channels, ox, oy, c,
              sum(v) // {RESIZE_FACTOR * RESIZE_FACTOR} AS ov
       FROM px GROUP BY ALL
+    ),
+    -- centered square crop over the FULL original dims (the resize
+    -- path above crops only the trailing box remainder): side =
+    -- min(w, h), offsets floor((dim - side)/2) — CenterCrop semantics
+    cr AS (
+      SELECT s.doc_id, s.channels,
+             LEAST(s.width, s.height) AS cs,
+             (s.width - LEAST(s.width, s.height)) // 2 AS x0,
+             (s.height - LEAST(s.width, s.height)) // 2 AS y0
+      FROM sel s
+    ),
+    crs AS (
+      SELECT c2.doc_id,
+             SUM((3 * (c2.x0 + gi.i) + 5 * (c2.y0 + gj.j)
+                  + 17 * gc.c + c2.doc_id) % 256) AS cp_sum
+      FROM cr c2,
+           LATERAL (SELECT unnest(range(0, c2.cs)) AS i) gi,
+           LATERAL (SELECT unnest(range(0, c2.cs)) AS j) gj,
+           LATERAL (SELECT unnest(range(0, c2.channels)) AS c) gc
+      GROUP BY c2.doc_id
     )
-    SELECT doc_id,
+    SELECT boxed.doc_id,
            CAST(any_value(width) AS BIGINT) AS in_width,
            CAST(any_value(height) AS BIGINT) AS in_height,
            CAST(any_value(width) // {RESIZE_FACTOR} AS BIGINT) AS out_width,
            CAST(any_value(height) // {RESIZE_FACTOR} AS BIGINT) AS out_height,
-           CAST(any_value(channels) AS BIGINT) AS channels,
+           CAST(any_value(boxed.channels) AS BIGINT) AS channels,
            CAST(sum(ov) AS BIGINT) AS out_px_sum,
            CAST(max(CASE WHEN ox = 0 AND oy = 0 AND c = 0 THEN ov END)
                 AS BIGINT) AS out_first_px,
            CAST(max(CASE WHEN ox = width // {RESIZE_FACTOR} - 1
                           AND oy = height // {RESIZE_FACTOR} - 1
-                          AND c = channels - 1 THEN ov END)
-                AS BIGINT) AS out_last_px
-    FROM boxed GROUP BY doc_id
+                          AND c = boxed.channels - 1 THEN ov END)
+                AS BIGINT) AS out_last_px,
+           CAST(any_value(cr.cs) AS BIGINT) AS crop_size,
+           CAST(any_value(crs.cp_sum) AS BIGINT) AS crop_px_sum,
+           CAST(any_value((3 * cr.x0 + 5 * cr.y0 + boxed.doc_id) % 256)
+                AS BIGINT) AS crop_first_px,
+           CAST(any_value((3 * (cr.x0 + cr.cs - 1)
+                           + 5 * (cr.y0 + cr.cs - 1)
+                           + 17 * (cr.channels - 1)
+                           + boxed.doc_id) % 256) AS BIGINT) AS crop_last_px
+    FROM boxed
+    JOIN cr ON boxed.doc_id = cr.doc_id
+    JOIN crs ON boxed.doc_id = crs.doc_id
+    GROUP BY boxed.doc_id
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3558,10 +3589,16 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (out = floor(sum of each 2×2 block / 4), trailing remainder
     cropped), PNG-RE-ENCODES, and reports stats from DECODING the
     re-encoded payload — so the gate proves the full
-    decode→resize→encode→decode cycle. The oracle recomputes every
-    output pixel arithmetically (group input pixels by output
-    coordinate, floor-divide the block sums). One Arrow map pass;
-    payload bytes never shuffle."""
+    decode→resize→encode→decode cycle. Round 14c adds the CLIP-style
+    CENTER CROP audit on the same pass (center_crop_stats: side =
+    min(w,h), floor((dim−side)/2) offsets — the torchvision
+    CenterCrop convention — over the FULL original pixels, where the
+    resize path crops only the trailing box remainder; an off-by-one
+    in either offset or the side lands on crop_px_sum or the corner
+    pixels). The oracle recomputes every output pixel arithmetically
+    (group input pixels by output coordinate, floor-divide the block
+    sums) and the crop stats over the cropped index range. One Arrow
+    map pass; payload bytes never shuffle."""
     from ..operators.multimodal import resize_image, synthesize_png_pixels
 
     docs = (
@@ -3572,6 +3609,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_image(synthesize_png_pixels(docs, "doc_id"), RESIZE_FACTOR).select(
         "doc_id", "in_width", "in_height", "out_width", "out_height",
         "channels", "out_px_sum", "out_first_px", "out_last_px",
+        "crop_size", "crop_px_sum", "crop_first_px", "crop_last_px",
     )
 
 

@@ -1326,19 +1326,18 @@ _R13_GREEN: list[str] = [
 # (ASCII-fold, ADVICE r13 medium), adpcm_decode_stats (MS ADPCM leg)
 # and text_unigram_logprob (interpolated-bigram upgrade) are NOT here
 # — their oracles changed this round, so they ride ORACLE_FIXED.
-# 1 flagship + 5 oracle-fixed (the three above + the frame-sample
-# AVI-leg upgrade and the round-14c VAD leg on audio_downsample_stats,
-# both of which were already in this queue) + 3 new gates
-# (avi_mjpeg_decode_stats, training_order_shuffle,
-# image_ahash_dedup) + 41 recheck slots over the 50 still-eligible
-# rows below (multimodal_frame_sample and audio_downsample_stats ride
-# ORACLE_FIXED); the last 9 spill past the 50-slot cut to the front
-# of the r15 queue.
+# 1 flagship + 6 oracle-fixed (the three above + the frame-sample
+# AVI-leg upgrade and the round-14c legs on audio_downsample_stats
+# (VAD) and multimodal_resize (CenterCrop), all of which were already
+# in this queue) + 3 new gates (avi_mjpeg_decode_stats,
+# training_order_shuffle, image_ahash_dedup) + 40 recheck slots over
+# the 49 still-eligible rows below (multimodal_frame_sample,
+# audio_downsample_stats and multimodal_resize ride ORACLE_FIXED);
+# the last 9 spill past the 50-slot cut to the front of the r15 queue.
 _R14_RECHECK: list[str] = [
     "quality_weighted_sample",
     "per_source_sample",
     "ivf_persisted_search",
-    "multimodal_resize",
     "multimodal_frame_sample",
     "palette_png_decode_stats",
     "jpeg_subsampled_decode_stats",
@@ -1429,6 +1428,9 @@ ORACLE_FIXED: list[str] = [
     # full-resolution samples); it was already a window spare this
     # round, so the move costs zero extra slots
     "audio_downsample_stats",
+    # round 14c: the resize gate grew the CenterCrop audit leg
+    # (center_crop_stats); also already a window spare this round
+    "multimodal_resize",
 ]
 
 VERIFIED_GREEN: list[str] = [

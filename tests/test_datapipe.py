@@ -422,6 +422,39 @@ def test_sample_frames_parses_real_container(spark):
     assert len(nul) == 1 and nul[0]["frame_index"] is None
 
 
+def test_center_crop_stats():
+    """Hand-checked CenterCrop framing: floor offsets on odd remainders
+    (torchvision convention), interleaved channel addressing, the
+    square case (identity), portrait vs landscape, and the full-cycle
+    gate path (resize_image emits crop stats from the ORIGINAL decoded
+    pixels, not the downscaled ones)."""
+    from lfb_data_warehouse_spark.operators.multimodal import center_crop_stats
+
+    # landscape 5x3 mono: side 3, x0=(5-3)//2=1, y0=0
+    r = [10 * y + x for y in range(3) for x in range(5)]
+    assert center_crop_stats(r, 5, 3, 1) == (
+        3, sum(10 * y + x for y in range(3) for x in (1, 2, 3)), 1, 23,
+    )
+    # odd remainder floors: 6x3 -> x0=(6-3)//2=1 (not 1.5)
+    r6 = [10 * y + x for y in range(3) for x in range(6)]
+    assert center_crop_stats(r6, 6, 3, 1)[2] == 1  # first px at x=1
+    # portrait 3x5 RGB interleaved: side 3, y0=1; first = pixel (0,1)
+    # channel 0, last = pixel (2,3) channel 2
+    rgb = [
+        100 * y + 10 * x + c for y in range(5) for x in range(3)
+        for c in range(3)
+    ]
+    cs, tot, first, last = center_crop_stats(rgb, 3, 5, 3)
+    assert (cs, first, last) == (3, 100, 322)
+    assert tot == sum(
+        100 * y + 10 * x + c for y in (1, 2, 3) for x in range(3)
+        for c in range(3)
+    )
+    # square: crop is the whole image
+    sq = list(range(16))
+    assert center_crop_stats(sq, 4, 4, 1) == (4, sum(sq), 0, 15)
+
+
 def test_vad_segment_counts():
     """Hand-checked VAD framing: window crop, the strict >= boundary,
     segment/run accounting across voiced islands, and channel folding
