@@ -157,10 +157,22 @@ def _shingle_pair_counts(
     """(id_a, id_b, inter, sz_a, sz_b) for every doc pair sharing ≥1
     shingle (optionally within ``group_col``) — the common core of the
     exact Jaccard and containment kernels. The shingle equi-join
-    bounds the blow-up to docs actually sharing a shingle."""
+    bounds the blow-up to docs actually sharing a shingle.
+
+    Per-doc set sizes are computed MAP-SIDE (``size`` of the distinct
+    shingle array) rather than by a groupBy over the exploded
+    occurrences: the size is a property of the row's own array, so
+    counting it after the explode paid a full shuffle of every shingle
+    occurrence for a number already known before the explode. The
+    empty-array filter keeps ``sizes`` row-identical to the exploded
+    formulation (explode emits no row for an empty set)."""
     ws = tokens(text_col)
     keep = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
-    sets = df.select(*keep, F.explode(F.array_distinct(shingles(ws, shingle_n))).alias("shingle"))
+    arrs = df.select(*keep, F.array_distinct(shingles(ws, shingle_n)).alias("__ss"))
+    sets = arrs.select(
+        *[F.col(c) for c in ([id_col] + ([group_col] if group_col else []))],
+        F.explode("__ss").alias("shingle"),
+    )
     join_cols = ["shingle"] + ([group_col] if group_col else [])
     a = sets.select(*[F.col(c) for c in join_cols], F.col(id_col).alias("id_a"))
     b = sets.select(*[F.col(c) for c in join_cols], F.col(id_col).alias("id_b"))
@@ -170,7 +182,9 @@ def _shingle_pair_counts(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sizes = arrs.filter(F.size("__ss") > 0).select(
+        F.col(id_col), F.size("__ss").cast("long").alias("sz")
+    )
     return inter.join(
         sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a"
     ).join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
@@ -594,9 +608,13 @@ def incremental_jaccard_pairs(
     )
     keep = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
 
+    def arrs(df: DataFrame) -> DataFrame:
+        return df.select(*keep, F.array_distinct(shingles(ws, shingle_n)).alias("__ss"))
+
     def sets(df: DataFrame) -> DataFrame:
-        return df.select(
-            *keep, F.explode(F.array_distinct(shingles(ws, shingle_n))).alias("shingle")
+        return arrs(df).select(
+            *[F.col(c) for c in ([id_col] + ([group_col] if group_col else []))],
+            F.explode("__ss").alias("shingle"),
         )
 
     jcols = ["shingle"] + ([group_col] if group_col else [])
@@ -619,12 +637,20 @@ def incremental_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     cand_old = pruned_old.select(F.col(id_col)).distinct()
+    # set sizes are MAP-SIDE array lengths (see _shingle_pair_counts):
+    # the old groupBy-over-exploded-occurrences formulation paid a
+    # shuffle of every candidate shingle row for a per-row property
     old_sz = (
-        old_sets.join(F.broadcast(cand_old), id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("sz"))
+        arrs(old)
+        .join(F.broadcast(cand_old), id_col, "left_semi")
+        .select(F.col(id_col), F.size("__ss").cast("long").alias("sz"))
     )
-    sizes = new_sets.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz")).unionByName(old_sz)
+    sizes = (
+        arrs(new)
+        .filter(F.size("__ss") > 0)
+        .select(F.col(id_col), F.size("__ss").cast("long").alias("sz"))
+        .unionByName(old_sz)
+    )
     return (
         inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")

@@ -50,6 +50,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
+    pinned = labels  # the persisted frame backing `labels`, for unpersist
     for i in range(max_iter):
         # candidate labels from neighbors: neighbor's current component
         neighbor_min = (
@@ -58,31 +59,33 @@ def connected_components(
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("a", "node")
         )
-        new_labels = (
+        # the frame computing the new label already holds the OLD label,
+        # so the changed-count reads it off the same persisted frame —
+        # re-joining new_labels against labels to recover a column this
+        # join just dropped was one whole extra shuffle join per round
+        stepped = (
             labels.join(neighbor_min, on="node", how="left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("__changed"),
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             # truncate the join-loop lineage (executor-side, no driver collect)
-            new_labels = new_labels.localCheckpoint(eager=True)
-        new_labels = new_labels.persist()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), on="node")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+            stepped = stepped.localCheckpoint(eager=True)
+        stepped = stepped.persist()
+        changed = stepped.filter(F.col("__changed")).count()
+        pinned.unpersist()
+        pinned = stepped
+        labels = stepped.select("node", "component")
         if changed == 0:
             break
     else:
         sym.unpersist()
-        labels.unpersist()
+        pinned.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(graph diameter exceeds max_iter) — labels would be silently "
@@ -93,7 +96,7 @@ def connected_components(
     # cache: localCheckpoint blocks are GC-managed (ContextCleaner),
     # persist() blocks would stay pinned until the caller unpersists
     out = labels.localCheckpoint(eager=True)
-    labels.unpersist()
+    pinned.unpersist()
     return out
 
 

@@ -1044,7 +1044,20 @@ def semantic_dedup(
     assigned = ivf_assign(
         emb, id_col, vec_col, label_col, cents=cents, quantized=q
     ).select(F.col(id_col), "assigned_label")
-    qa = q.select(F.col(id_col), "q", "norm").join(assigned, id_col)
+    # materialize the assigned+quantized corpus ONCE (r14): ``qa`` is
+    # consumed three times downstream (both sides of the within-cluster
+    # self-join and the final anti-join), and every lazy reuse re-ran
+    # the whole scan → quantize → centroid fan-out → assignment
+    # aggregate chain — 18 parquet scans and 3 assignment shuffles in
+    # one plan. localCheckpoint (not persist) so the blocks are
+    # ContextCleaner-managed and a library call leaks no session-lived
+    # cache entry; this is the in-query form of the documented
+    # at-scale advice (run dedup from the materialized ivf_build index).
+    qa = (
+        q.select(F.col(id_col), "q", "norm")
+        .join(assigned, id_col)
+        .localCheckpoint(eager=True)
+    )
     return _within_cluster_survivors(qa, id_col, threshold)
 
 

@@ -2630,27 +2630,43 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: top-20 brand pairs by LIFT —
     P(a,b) / (P(a)·P(b)) over order baskets, the co-occurrence signal
-    behind cross-sell and assortment analytics. Scale shape: baskets
-    reduce to DISTINCT (order, brand) first (pairs per order bounded
-    by distinct-brands-per-basket², not lineitems²), the pair join is
-    an equi-join co-partitioned on the order key, and the per-brand
+    behind cross-sell and assortment analytics. Scale shape (r14):
+    baskets reduce to one SORTED DISTINCT brand array per order
+    (``collect_set`` — one shuffle of (order, brand) pairs), and the
+    within-basket brand pairs are generated MAP-SIDE from each order's
+    own array, partially aggregated before the tiny |brands|² pair
+    exchange — the former ``ob``-self-join on the order key (a
+    SortMergeJoin shuffling the distinct table twice more) is gone.
+    The blow-up stays bounded by distinct-brands-per-basket², and the
+    brand vocabulary bounds every post-basket row count. Per-brand
     supports + the 1-row order count join back as broadcasts. Lift is
     one division of two exact integer products ((sab·n)/(sa·sb) — both
     < 2⁶³), so the double is bit-identical on any engine; min-support
     20 prunes noise pairs before ranking."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
     )
-    tot = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    per = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("support"))
-    a = ob.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
-    b = ob.select(F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("brand_b"))
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    per = (
+        baskets.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    # all (a < b) brand pairs of each basket, from the sorted array —
+    # pure map work, no self-join; the pair aggregate's map-side partial
+    # reduces to ≤ |brands|² rows per task before the exchange
+    pair_structs = F.expr(
+        "flatten(transform(brands, (x, i) -> "
+        "transform(slice(brands, i + 2, size(brands)), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"
+    )
     pairs = (
-        a.join(b, (F.col("ok_b") == F.col("l_orderkey")) & (F.col("brand_a") < F.col("brand_b")))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.brand_a", "p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("support_ab"))
         .filter(F.col("support_ab") >= 20)
