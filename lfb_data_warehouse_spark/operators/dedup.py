@@ -133,7 +133,16 @@ def minhash_near_dups(
     cache entries per call. At warehouse scale, checkpoint
     ``shingle_arrays`` to parquet once and build both stages from it."""
     arrs = shingle_arrays(df, id_col, text_col, shingle_n)
-    sig = minhash_signatures_mapside(arrs, id_col, num_hashes)
+    # materialize the SIGNATURES once (r14): both sides of the LSH
+    # band self-join otherwise recompute the full tokenize → shingle →
+    # 8×salted-md5 signing pass (the md5s dominate the map work). The
+    # signature table is flat and tiny — id + num_hashes 16-char
+    # strings — so the checkpoint is near-free, unlike the shingle
+    # ARRAYS, whose cache build was measured at ~6× their recompute
+    # (docstring below); localCheckpoint keeps blocks GC-managed.
+    sig = minhash_signatures_mapside(arrs, id_col, num_hashes).localCheckpoint(
+        eager=True
+    )
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
     a = arrs.select(F.col(id_col).alias("id_a"), F.col("ss").alias("sa"))
     b = arrs.select(F.col(id_col).alias("id_b"), F.col("ss").alias("sb"))
