@@ -1039,32 +1039,58 @@ def semantic_dedup(
     (3.3 s → 2.6 s, the payload forces SortAggregate on every reuse).
     At warehouse scale, run dedup from the materialized
     :func:`ivf_build` index parquet instead — one scan, no recompute."""
+    qa = _assigned_quantized(emb, id_col, vec_col, label_col, dim=dim)
+    return _within_cluster_survivors(qa, id_col, threshold)
+
+
+def semantic_dedup_drops(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    threshold: float,
+    dim: int | None = None,
+) -> DataFrame:
+    """The DROPPED-id complement of :func:`semantic_dedup` — same
+    assignment, same within-cluster pair stage, but returns the ids the
+    min-id survivor policy removes. A consumer that needs the drop set
+    (e.g. to anti-join a document corpus) previously had to re-derive
+    it as ``emb ∖ survivors`` — two extra anti-join exchanges and an
+    extra corpus scan for a frame the pair stage had already computed
+    (every drop id comes from the assigned corpus, so
+    ``emb ∖ (qa ∖ drops) ≡ drops``)."""
+    qa = _assigned_quantized(emb, id_col, vec_col, label_col, dim=dim)
+    return _within_cluster_drops(qa, id_col, threshold)
+
+
+def _assigned_quantized(
+    emb: DataFrame, id_col: str, vec_col: str, label_col: str, dim: int | None
+) -> DataFrame:
+    """(id, q, norm, assigned_label) for the whole corpus — SemDeDup's
+    shared build stage. Materialized ONCE (r14): ``qa`` is consumed
+    three times downstream (both sides of the within-cluster self-join
+    and the final anti-join), and every lazy reuse re-ran the whole
+    scan → quantize → centroid fan-out → assignment aggregate chain —
+    18 parquet scans and 3 assignment shuffles in one plan.
+    localCheckpoint (not persist) so the blocks are
+    ContextCleaner-managed and a library call leaks no session-lived
+    cache entry; this is the in-query form of the documented at-scale
+    advice (run dedup from the materialized ivf_build index)."""
     q = quantize(emb, id_col, vec_col, keep=(label_col,))
     cents = label_centroids(emb, id_col, vec_col, label_col, dim=dim, quantized=q)
     assigned = ivf_assign(
         emb, id_col, vec_col, label_col, cents=cents, quantized=q
     ).select(F.col(id_col), "assigned_label")
-    # materialize the assigned+quantized corpus ONCE (r14): ``qa`` is
-    # consumed three times downstream (both sides of the within-cluster
-    # self-join and the final anti-join), and every lazy reuse re-ran
-    # the whole scan → quantize → centroid fan-out → assignment
-    # aggregate chain — 18 parquet scans and 3 assignment shuffles in
-    # one plan. localCheckpoint (not persist) so the blocks are
-    # ContextCleaner-managed and a library call leaks no session-lived
-    # cache entry; this is the in-query form of the documented
-    # at-scale advice (run dedup from the materialized ivf_build index).
-    qa = (
+    return (
         q.select(F.col(id_col), "q", "norm")
         .join(assigned, id_col)
         .localCheckpoint(eager=True)
     )
-    return _within_cluster_survivors(qa, id_col, threshold)
 
 
-def _within_cluster_survivors(qa: DataFrame, id_col: str, threshold: float) -> DataFrame:
-    """SemDeDup's pair stage over an assigned corpus ``qa`` =
-    (id, assigned_label, q, norm): within-cluster cosine pairs only,
-    min-id survivor policy; returns surviving (id, assigned_label)."""
+def _within_cluster_drops(qa: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """The dropped-id set of SemDeDup's pair stage: every id with a
+    lower-id cluster-mate at cosine ≥ threshold, distinct."""
     a = qa.select(
         F.col("assigned_label").alias("cl"), F.col(id_col).alias("id_a"),
         F.col("q").alias("qa"), F.col("norm").alias("na"),
@@ -1073,7 +1099,7 @@ def _within_cluster_survivors(qa: DataFrame, id_col: str, threshold: float) -> D
         F.col("assigned_label").alias("cl"), F.col(id_col).alias("id_b"),
         F.col("q").alias("qb"), F.col("norm").alias("nb"),
     )
-    drops = (
+    return (
         a.join(b, "cl")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
@@ -1082,6 +1108,13 @@ def _within_cluster_survivors(qa: DataFrame, id_col: str, threshold: float) -> D
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
+
+
+def _within_cluster_survivors(qa: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """SemDeDup's pair stage over an assigned corpus ``qa`` =
+    (id, assigned_label, q, norm): within-cluster cosine pairs only,
+    min-id survivor policy; returns surviving (id, assigned_label)."""
+    drops = _within_cluster_drops(qa, id_col, threshold)
     return qa.join(drops, id_col, "left_anti").select(F.col(id_col), "assigned_label")
 
 

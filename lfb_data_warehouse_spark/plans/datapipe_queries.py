@@ -41,6 +41,7 @@ from ..operators.similarity import (
     ivf_topk,
     quantize,
     semantic_dedup,
+    semantic_dedup_drops,
 )
 from ..sources.testdata import load_table
 from .queries import register
@@ -7105,14 +7106,15 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(rep_dup <= F.lit(REPEAT_DUP_MAX))
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    sem_surv = semantic_dedup(
+    # the SemDeDup DROP set directly (r14): the survivor-complement
+    # formulation (emb anti-join survivors, then corpus anti-join that)
+    # paid two extra anti-join exchanges and an extra embeddings scan to
+    # re-derive a frame the pair stage had already computed — every
+    # dropped id comes from the assigned corpus, so the sets are equal
+    # by construction (oracle-verified identical output)
+    sem_drop = semantic_dedup_drops(
         emb, "vec_id", "embedding", "label", threshold=SEMDEDUP_COS, dim=EMB_DIM
-    ).select("vec_id")
-    sem_drop = (
-        emb.select("vec_id")
-        .join(sem_surv, "vec_id", "left_anti")
-        .select(F.col("vec_id").alias("doc_id"))
-    )
+    ).select(F.col("vec_id").alias("doc_id"))
     filtered = gated.join(sem_drop, "doc_id", "left_anti")
     from pyspark.sql import Window
 
