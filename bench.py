@@ -151,17 +151,15 @@ def incremental_dedup_daily(spark, sf_dir):
     ).select("id_a", "id_b")
     merged = incremental_components(labels, new_edges, src="id_a", dst="id_b")
     sizes = merged.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    drop = merged.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("doc_id")
-    )
-    canon = (
-        merged.filter(F.col("node") == F.col("component"))
-        .join(sizes, "component")
-        .select(F.col("node").alias("doc_id"), "cluster_size")
+    # survivor decision is ONE left join + filter (r14; see
+    # dedup_keep_canonical — the anti+left formulation probed the
+    # corpus twice)
+    info = merged.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "component", "cluster_size"
     )
     return (
-        docs.join(drop, "doc_id", "left_anti")
-        .join(canon, "doc_id", "left")
+        docs.join(info, "doc_id", "left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
         .select(
             "doc_id", "source",
             F.coalesce("cluster_size", F.lit(1).cast("long")).alias("represents"),

@@ -450,22 +450,20 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the operator a training-data pipeline actually runs: the
     pair/cluster queries are its observability views.
 
-    Scale shape: the keep/drop decision is two key joins on doc_id
-    (anti vs the non-canonical set, left vs the canonical sizes) — both
-    shuffle-partitioned by doc_id and reusable from one exchange;
-    nothing is collected."""
+    Scale shape: the keep/drop decision is ONE left join of the corpus
+    against the per-node (component, cluster_size) frame followed by a
+    filter — the oracle's own shape (r14, guide §2.4: the previous
+    anti-join + left-join formulation probed every corpus row TWICE
+    against two different label-derived sides; folding the drop
+    decision into the filter halves the corpus-side join passes).
+    Nothing is collected."""
     docs, labels, sizes = _jaccard_cluster_labels(spark, sf_dir)
-    drop = labels.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("doc_id")
-    )
-    canon = (
-        labels.filter(F.col("node") == F.col("component"))
-        .join(sizes, "component")
-        .select(F.col("node").alias("doc_id"), "cluster_size")
+    info = labels.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "component", "cluster_size"
     )
     return (
-        docs.join(drop, "doc_id", "left_anti")
-        .join(canon, "doc_id", "left")
+        docs.join(info, "doc_id", "left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
         .select(
             "doc_id",
             "source",
@@ -560,19 +558,15 @@ def incremental_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: nothing old×old is ever re-paired; per-round traffic
     is labels-as-edges (|old nodes in dup clusters|) + |new edges|, and
     the pair-finder's joins move only batch-pruned rows (SHUFFLE.md
-    measures the bound)."""
+    measures the bound). The survivor decision is one left join +
+    filter — the oracle's own shape (r14; see dedup_keep_canonical)."""
     docs, labels, sizes = _incremental_labels(spark, sf_dir)
-    drop = labels.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("doc_id")
-    )
-    canon = (
-        labels.filter(F.col("node") == F.col("component"))
-        .join(sizes, "component")
-        .select(F.col("node").alias("doc_id"), "cluster_size")
+    info = labels.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "component", "cluster_size"
     )
     return (
-        docs.join(drop, "doc_id", "left_anti")
-        .join(canon, "doc_id", "left")
+        docs.join(info, "doc_id", "left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
         .select(
             "doc_id",
             "source",

@@ -2268,33 +2268,42 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: large-volume orders. The HAVING subquery becomes an
-    aggregate + LEFT SEMI join on orderkey; at scale the heavy
-    lineitem⋈orders shuffle only carries the ~1% of orders that survive
-    the quantity gate, and AQE converts the semi join's probe side to
-    broadcast when the survivor set is small. The quantity gate rides
-    the scaled-long fast path (round 12 — same trick as
-    salted_agg_events: grid-scale to LONG per row, plain long sums,
-    integer threshold): exact on the 2dp grid, ~20% off the whole-query
-    wall-clock vs the decimal aggregate (interleaved best-of-3,
-    BASELINE.md)."""
+    aggregate whose per-orderkey quantity total is CARRIED through the
+    join (r14, guide §2.4): the oracle's outer GROUP BY keys include
+    o_orderkey, which is unique in orders, so each output group is
+    exactly one qualifying order and its sum_qty is exactly the total
+    the gate already computed. Carrying it drops the second lineitem
+    scan, the second broadcast of the survivor set, and the final
+    5-key groupBy exchange that the join-again-then-reaggregate
+    formulation paid (plan: 4 scans/5 exchanges → 3 scans/1 content
+    exchange). The quantity gate rides the scaled-long fast path
+    (round 12): grid-scale to LONG per row, plain long sums, integer
+    threshold — exact on the 2dp grid; ``unscale`` divides the carried
+    total back in the decimal domain, bit-identical to the old
+    ``sum_exact`` finalization (verified vs the oracle at
+    sf0.001/0.01/0.1)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(scale_to_long(F.col("l_quantity"), "decimal(18,2)")).alias("q"))
         .filter(F.col("q") > 150 * 100)
-        .select("l_orderkey")
+        .withColumnRenamed("l_orderkey", "big_orderkey")
     )
-    orders = load_table(spark, sf_dir, "orders").join(
-        big.withColumnRenamed("l_orderkey", "big_orderkey"),
-        F.col("o_orderkey") == F.col("big_orderkey"),
-        "left_semi",
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
-        li, F.col("o_orderkey") == li.l_orderkey
-    )
-    return joined.groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice").agg(
-        sum_exact("l_quantity").alias("sum_qty")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("big_orderkey"))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            unscale(F.col("q").cast("decimal(38,0)")).alias("sum_qty"),
+        )
     )
 
 

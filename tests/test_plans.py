@@ -405,9 +405,16 @@ def test_q18_gate_rides_long_sums(spark):
     # the gate aggregate: sum(FLOOR(l_quantity*100 + 0.5)) — LONG sums
     assert "sum(FLOOR(" in p, "quantity gate lost the scaled-long form"
     assert "sum(l_quantity" not in p, "a raw decimal/double sum crept back in"
-    assert "BroadcastHashJoin LeftSemi" in p, "HAVING subquery must plan as broadcast semi join"
     assert "partial_sum" in p
     assert "BatchEvalPython" not in p
+    # r14: the per-orderkey total is CARRIED through the join (orderkey
+    # is unique in orders, so the outer 5-key group is exactly one
+    # qualifying order) — lineitem must be scanned exactly ONCE and the
+    # join-again-then-reaggregate shape (a second lineitem scan plus a
+    # second aggregate exchange) must not come back
+    assert p.count("lineitem.parquet") == 1, "lineitem re-scan crept back in"
+    n_aggs = len([ln for ln in p.splitlines() if ln.strip().startswith("Keys [")])
+    assert n_aggs <= 2, f"expected one partial+final gate aggregate, got {n_aggs} Keys blocks"
 
 
 def test_training_order_exchange_carries_hash_only(spark):
