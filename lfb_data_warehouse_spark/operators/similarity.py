@@ -1124,13 +1124,20 @@ def semantic_dedup_from_index(inv: DataFrame, id_col: str, threshold: float) -> 
     index) — with LEARNED k-means clusters this is the paper's actual
     formulation (Abbas et al. 2023 cluster with k-means, not given
     labels), and at warehouse scale it runs straight off the
-    materialized index parquet: one scan, no re-assignment."""
+    materialized index parquet: one scan, no re-assignment.
+
+    The assigned corpus is materialized ONCE (localCheckpoint) before
+    the pair stage — the same r14 fix as :func:`semantic_dedup`: the
+    within-cluster self-join and the survivor anti-join reference the
+    assignment three times, and lazy reuse re-ran the whole upstream
+    chain (for the k-means entry point: seeding + every Lloyd round +
+    the final assignment, 3×) per reference."""
     qa = inv.select(
         F.col("neighbor_id").alias(id_col),
         F.col("assigned_label"),
         F.col("nq").alias("q"),
         F.col("nn").alias("norm"),
-    )
+    ).localCheckpoint(eager=True)
     return _within_cluster_survivors(qa, id_col, threshold)
 
 

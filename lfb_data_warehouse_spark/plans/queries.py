@@ -1244,28 +1244,54 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis: view → first click at-or-after the
     first view → first purchase at-or-after that click, plus 24h
     conversion — the sequential-pattern query every events warehouse
-    runs. Expressed as three conditional-min aggregations chained by
-    joins (each stage shrinks the key set), not a self-join explosion:
-    per-user event counts never multiply."""
-    events = load_table(spark, sf_dir, "events")
+    runs. One scan, one exchange (r14, guide §2.4): the three
+    conditional mins are CHAINED WINDOWS over the same user_id
+    partitioning — each stage's min conditions on the previous stage's
+    window column, so consecutive Window operators share one shuffle
+    and one sort, and the per-user collapse reuses the same
+    partitioning (no second exchange). The previous join-chained
+    formulation recomputed each stage's lineage (the v aggregate ran
+    3×, c ran 2× — six scans of events in one plan); per-user event
+    counts still never multiply (no self-join)."""
+    from pyspark.sql import Window
 
-    def first_at_or_after(etype: str, anchor: DataFrame, anchor_ts: str, out_ts: str) -> DataFrame:
-        e = events.filter(F.col("event_type") == etype).select("user_id", "ts")
-        return (
-            e.join(anchor, "user_id")
-            .filter(F.col("ts") >= F.col(anchor_ts))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out_ts))
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        events.withColumn(
+            "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
         )
-
-    v = (
-        events.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    c = first_at_or_after("click", v, "t_view", "t_click")
-    p = first_at_or_after("purchase", c, "t_click", "t_purchase")
-    funnel = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    funnel = (
+        staged.filter(F.col("t_view").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.first("t_purchase").alias("t_purchase"),
+        )
+    )
     return funnel.agg(
         F.count(F.lit(1)).alias("viewed"),
         F.count("t_click").alias("clicked"),
