@@ -47,31 +47,57 @@ class PCAModel:
 def pca_fit(emb: DataFrame, id_col: str, vec_col: str, dim: int, k: int) -> PCAModel:
     """Fit PCA with one exact-integer moment pass + driver eigh.
 
-    The aggregate is built as a single selectExpr call (one py4j
-    round-trip, one parse) carrying COUNT + dim SUMs + the
-    dim·(dim+1)/2 upper-triangle cross sums; the collect is exactly
-    one row of bounded width. Eigenvector sign is normalized
-    deterministically (largest-|component| entry made positive) so
-    repeated fits are identical."""
+    The moment pass is ONE vectorized Arrow pass (r14, guide §4.2):
+    each task stacks its batches into an integer matrix and
+    accumulates (count, column sums, XᵀX) with one rank-k update per
+    batch, emitting a single partial row; the driver sums the bounded
+    partials (one per task, ~17 KB each) in exact arbitrary-precision
+    Python integers. This replaces the previous
+    1 + dim + dim·(dim+1)/2 (= 2,145 at dim 64) JVM aggregate
+    expressions — each a bounds-checked element_at pair per row, far
+    outside whole-stage codegen's comfort zone — with C-speed
+    arithmetic; the integer moments are associative, so the partial
+    split is bit-exact against the oracle's single-pass replay
+    (int64 task partials hold to ~9e10 rows/task at |q| ≤ 1e4).
+    Eigenvector sign is normalized deterministically
+    (largest-|component| entry made positive) so repeated fits are
+    identical."""
     import numpy as np
 
-    q = quantize(emb, id_col, vec_col)
-    aggs = ["COUNT(1) AS n"]
-    aggs += [f"SUM(element_at(q, {i + 1})) AS s{i}" for i in range(dim)]
-    aggs += [
-        f"SUM(element_at(q, {i + 1}) * element_at(q, {j + 1})) AS p{i}_{j}"
-        for i in range(dim)
-        for j in range(i, dim)
-    ]
-    row = q.selectExpr(*aggs).first()  # bounded: one row, O(dim²) scalars
-    n = int(row["n"])
+    iu = np.triu_indices(dim)
+
+    def _partials(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        n_ = 0
+        s_ = _np.zeros(dim, dtype=_np.int64)
+        pp = _np.zeros((dim, dim), dtype=_np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _np.vstack(pdf["q"].to_numpy()).astype(_np.int64, copy=False)
+            if x.shape[1] != dim:
+                raise ValueError(f"pca_fit: vector dim {x.shape[1]} != {dim}")
+            n_ += x.shape[0]
+            s_ += x.sum(axis=0, dtype=_np.int64)
+            pp += x.T @ x
+        yield _pd.DataFrame({"n": [n_], "s": [s_.tolist()], "p": [pp[iu].tolist()]})
+
+    part = (
+        quantize(emb, id_col, vec_col)
+        .select("q")  # only the vector crosses the Python boundary
+        .mapInPandas(_partials, "n long, s array<long>, p array<long>")
+        .collect()
+    )
+    n = sum(int(r["n"]) for r in part)
     if n == 0:
         raise ValueError("pca_fit: empty input")
-    s = [int(row[f"s{i}"]) for i in range(dim)]
+    s = [sum(int(r["s"][i]) for r in part) for i in range(dim)]
+    tri = [sum(int(r["p"][t]) for r in part) for t in range(len(iu[0]))]
     p = {}
-    for i in range(dim):
-        for j in range(i, dim):
-            p[(i, j)] = int(row[f"p{i}_{j}"])
+    for t, (i, j) in enumerate(zip(iu[0], iu[1])):
+        p[(int(i), int(j))] = tri[t]
     trace_num = n * sum(p[(i, i)] for i in range(dim)) - sum(v * v for v in s)
     mean = [v / n for v in s]
     cov = np.empty((dim, dim), dtype=np.float64)

@@ -3501,6 +3501,27 @@ def test_pca_fit_matches_numpy_reference(spark):
         assert r["orthonormal_ok"] and r["monotone_ok"] and r["var_matches_eigenvalue"]
 
 
+def test_pca_fit_partition_invariant(spark):
+    """r14: the moment pass is a per-task Arrow partial (count, Σx,
+    XᵀX) summed on the driver — integer moments are associative, so the
+    fit must be BIT-identical regardless of how rows split across
+    tasks. Pins the vectorized-partial rewrite against a 1-partition
+    run (which exercises the single-partial degenerate case too)."""
+    from lfb_data_warehouse_spark.operators.pca import pca_fit
+
+    rows = [
+        (i, [((i * 13 + d * 7) % 29 - 14) / 10.0 for d in range(5)]) for i in range(37)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    one = pca_fit(emb.coalesce(1), "vec_id", "embedding", dim=5, k=5)
+    many = pca_fit(emb.repartition(7), "vec_id", "embedding", dim=5, k=5)
+    assert one.trace_num == many.trace_num
+    assert one.n == many.n
+    assert one.mean == many.mean
+    assert one.eigenvalues == many.eigenvalues
+    assert one.components == many.components
+
+
 def test_ivf_index_append_equals_frozen_rebuild(spark):
     """ivf_index_append's invariant: appending a batch against frozen
     centroids produces the EXACT index a from-scratch
