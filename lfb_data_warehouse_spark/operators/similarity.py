@@ -660,9 +660,15 @@ def kmeans_centroids_q(
             F.col("nq").alias("q"),
             F.col("nn").alias("norm"),
         )
+        # materialize the k-row centroid frame each round (r14): the
+        # next round's assignment references `cents`, so a lazy frame
+        # NESTS the lineage — round i re-ran every previous round's
+        # full corpus assignment (and the caller's final assignment
+        # re-ran them all again). The checkpoint is k rows; with it
+        # each Lloyd round scans the corpus exactly once.
         cents = label_centroids(
             ql, id_col, "q", "assigned_label", dim=dim, quantized=ql
-        )
+        ).localCheckpoint(eager=True)
     return cents
 
 
