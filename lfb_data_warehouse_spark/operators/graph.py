@@ -137,11 +137,16 @@ def _large_star(e: DataFrame) -> DataFrame:
         .agg(F.min("v").alias("mn"))
         .select("u", F.least("u", "mn").alias("m"))
     )
+    # NO distinct here (r14): the only consumer is _small_star, whose
+    # per-u min is duplicate-insensitive and whose own output IS
+    # distinct'd — so deduping large-star's output paid a full (u, v)
+    # shuffle per round for a set the next operator re-derives anyway.
+    # The join cannot expand rows (one output row per sym row with
+    # v > u), so the multiset stays bounded by |sym|.
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
