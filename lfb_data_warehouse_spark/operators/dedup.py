@@ -169,34 +169,42 @@ def _shingle_pair_counts(
     bounds the blow-up to docs actually sharing a shingle.
 
     Per-doc set sizes are computed MAP-SIDE (``size`` of the distinct
-    shingle array) rather than by a groupBy over the exploded
-    occurrences: the size is a property of the row's own array, so
-    counting it after the explode paid a full shuffle of every shingle
-    occurrence for a number already known before the explode. The
-    empty-array filter keeps ``sizes`` row-identical to the exploded
-    formulation (explode emits no row for an empty set)."""
+    shingle array) and CARRIED through the explode on each join side
+    (r14): the previous formulation joined a separate sizes frame back
+    onto the aggregated pairs twice (sz_a, sz_b) — two more
+    tokenize+shingle scans of the corpus and two joins — where +8
+    bytes per exploded row lets the pair aggregate read the sizes via
+    ``first()`` (constant within each (id_a, id_b) group). Docs with
+    empty shingle sets emit no explode rows, exactly as before."""
     ws = tokens(text_col)
     keep = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
     arrs = df.select(*keep, F.array_distinct(shingles(ws, shingle_n)).alias("__ss"))
     sets = arrs.select(
         *[F.col(c) for c in ([id_col] + ([group_col] if group_col else []))],
+        F.size("__ss").cast("long").alias("sz"),
         F.explode("__ss").alias("shingle"),
     )
     join_cols = ["shingle"] + ([group_col] if group_col else [])
-    a = sets.select(*[F.col(c) for c in join_cols], F.col(id_col).alias("id_a"))
-    b = sets.select(*[F.col(c) for c in join_cols], F.col(id_col).alias("id_b"))
-    inter = (
+    a = sets.select(
+        *[F.col(c) for c in join_cols],
+        F.col(id_col).alias("id_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = sets.select(
+        *[F.col(c) for c in join_cols],
+        F.col(id_col).alias("id_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    return (
         a.join(b, join_cols)
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
     )
-    sizes = arrs.filter(F.size("__ss") > 0).select(
-        F.col(id_col), F.size("__ss").cast("long").alias("sz")
-    )
-    return inter.join(
-        sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a"
-    ).join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
 
 
 def all_pairs_jaccard(
@@ -608,21 +616,25 @@ def incremental_jaccard_pairs(
     Re-ingested ids: an id present in BOTH frames (a doc re-submitted
     today) is treated as new — the old side drops it up front via a
     broadcast anti-join on the batch's ids (batch-sized, so the
-    broadcast is free at daily-ingest scale). Without this the sizes
-    union would carry two rows for the id and the sz_a/sz_b joins
-    would silently duplicate pairs with corrupt jaccard values."""
+    broadcast is free at daily-ingest scale). Without this a pair
+    would meet via both the old and new copy and silently duplicate.
+
+    Set sizes are MAP-SIDE array lengths CARRIED through the explode
+    (r14; see _shingle_pair_counts): the previous sizes-union (new
+    sizes + pruned-old candidate sizes) re-derived the shingle arrays
+    of both sides and joined back onto the aggregated pairs twice;
+    +8 bytes per exploded row replaces two scans and two joins."""
     ws = tokens(text_col)
     old = old.join(
         F.broadcast(new.select(id_col).distinct()), id_col, "left_anti"
     )
     keep = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
 
-    def arrs(df: DataFrame) -> DataFrame:
-        return df.select(*keep, F.array_distinct(shingles(ws, shingle_n)).alias("__ss"))
-
     def sets(df: DataFrame) -> DataFrame:
-        return arrs(df).select(
+        arrs = df.select(*keep, F.array_distinct(shingles(ws, shingle_n)).alias("__ss"))
+        return arrs.select(
             *[F.col(c) for c in ([id_col] + ([group_col] if group_col else []))],
+            F.size("__ss").cast("long").alias("sz"),
             F.explode("__ss").alias("shingle"),
         )
 
@@ -635,35 +647,43 @@ def incremental_jaccard_pairs(
         new_sets.withColumn("__new", F.lit(True))
     )
     raw = (
-        left.select(*[F.col(c) for c in jcols], F.col(id_col).alias("lid"), "__new")
-        .join(new_sets.select(*[F.col(c) for c in jcols], F.col(id_col).alias("rid")), jcols)
+        left.select(
+            *[F.col(c) for c in jcols],
+            F.col(id_col).alias("lid"),
+            F.col("sz").alias("lsz"),
+            "__new",
+        )
+        .join(
+            new_sets.select(
+                *[F.col(c) for c in jcols],
+                F.col(id_col).alias("rid"),
+                F.col("sz").alias("rsz"),
+            ),
+            jcols,
+        )
         .filter((~F.col("__new")) | (F.col("lid") < F.col("rid")))
         .filter(F.col("lid") != F.col("rid"))
     )
-    inter = (
-        raw.select(F.least("lid", "rid").alias("id_a"), F.greatest("lid", "rid").alias("id_b"))
+    counts = (
+        raw.select(
+            F.least("lid", "rid").alias("id_a"),
+            F.greatest("lid", "rid").alias("id_b"),
+            F.when(F.col("lid") < F.col("rid"), F.col("lsz"))
+            .otherwise(F.col("rsz"))
+            .alias("sz_a"),
+            F.when(F.col("lid") < F.col("rid"), F.col("rsz"))
+            .otherwise(F.col("lsz"))
+            .alias("sz_b"),
+        )
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    cand_old = pruned_old.select(F.col(id_col)).distinct()
-    # set sizes are MAP-SIDE array lengths (see _shingle_pair_counts):
-    # the old groupBy-over-exploded-occurrences formulation paid a
-    # shuffle of every candidate shingle row for a per-row property
-    old_sz = (
-        arrs(old)
-        .join(F.broadcast(cand_old), id_col, "left_semi")
-        .select(F.col(id_col), F.size("__ss").cast("long").alias("sz"))
-    )
-    sizes = (
-        arrs(new)
-        .filter(F.size("__ss") > 0)
-        .select(F.col(id_col), F.size("__ss").cast("long").alias("sz"))
-        .unionByName(old_sz)
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
     )
     return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .select(
+        counts.select(
             "id_a",
             "id_b",
             (
