@@ -2994,6 +2994,15 @@ def sketch_overlap_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps KB-sized state per year, and the pair stage is a broadcast
     self-join of one row per year."""
     orders = load_table(spark, sf_dir, "orders")
+    # r14 (guide §2.4): the exact baseline collects each customer's
+    # year SET in one pass and counts years whose successor is
+    # present, replacing the distinct + (year, custkey) self-join
+    # formulation that evaluated the distinct subtree twice — 4 orders
+    # scans -> 3, and the distinct + join shuffles collapse to one
+    # map-side-combined collect_set exchange. (An eager checkpoint of
+    # the tiny per-year sketch frame was ALSO tried and reverted: the
+    # extra materialization job cost more than the one pruned scan it
+    # saved at this scale.)
     sk = (
         orders.select(F.year("o_orderdate").cast("long").alias("y"), "o_custkey")
         .groupBy("y")
@@ -3007,19 +3016,21 @@ def sketch_overlap_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.hll_sketch_estimate("sk_b")
         - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
     )
-    distinct_y = orders.select(
-        F.year("o_orderdate").cast("long").alias("y"), "o_custkey"
-    ).distinct()
-    ov_a = distinct_y.select(F.col("y").alias("year_a"), "o_custkey")
-    ov_b = distinct_y.select(F.col("y").alias("year_b"), F.col("o_custkey").alias("ck_b"))
     exact = (
-        ov_a.join(
-            ov_b,
-            (F.col("ck_b") == F.col("o_custkey"))
-            & (F.col("year_b") == F.col("year_a") + 1),
+        orders.select(F.year("o_orderdate").cast("long").alias("y"), "o_custkey")
+        .groupBy("o_custkey")
+        .agg(F.collect_set("y").alias("ys"))
+        .select(
+            F.explode(
+                F.filter(
+                    F.col("ys"),
+                    lambda y: F.array_contains(F.col("ys"), y + F.lit(1).cast("long")),
+                )
+            ).alias("year_a")
         )
-        .groupBy("year_a", "year_b")
+        .groupBy("year_a")
         .agg(F.count(F.lit(1)).alias("exact_overlap"))
+        .withColumn("year_b", F.col("year_a") + 1)
     )
     err = F.abs(est - F.col("exact_overlap")) / F.col("exact_overlap")
     return (
@@ -3438,15 +3449,31 @@ def cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cohort_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT cohort analysis (set ops the reference lacks —
-    SURVEY §2.7 'no intersect/except'). Both compile to hash semi/anti
-    joins on the distinct key sets; each side is pre-aggregated to
-    distinct keys so the set op shuffles keys, not order rows."""
+    SURVEY §2.7 'no intersect/except'), computed as ONE pass (r14,
+    guide §2.4): a single per-customer aggregation over the two-year
+    slice derives membership flags, and the cohort label is a
+    conditional over them — INTERSECT = in both, EXCEPT = in 1997
+    only. The set-op formulation evaluated each year-side subtree
+    twice (4 scans, two hash semi/anti set-op shuffles); this is one
+    pruned scan and one key shuffle with map-side partial
+    aggregation, and the distinct-keys semantics of the set ops falls
+    out of the groupBy."""
     orders = load_table(spark, sf_dir, "orders")
-    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
-    y98 = orders.filter(F.year("o_orderdate") == 1998).select("o_custkey")
-    retained = y97.intersect(y98).select(F.lit("retained").alias("cohort"), "o_custkey")
-    churned = y97.subtract(y98).select(F.lit("churned").alias("cohort"), "o_custkey")
-    return retained.unionByName(churned)
+    flags = (
+        orders.select("o_custkey", F.year("o_orderdate").alias("__y"))
+        .filter(F.col("__y").isin(1997, 1998))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("__y") == 1997).alias("__in97"),
+            F.max(F.col("__y") == 1998).alias("__in98"),
+        )
+    )
+    return flags.filter(F.col("__in97")).select(
+        F.when(F.col("__in98"), F.lit("retained"))
+        .otherwise(F.lit("churned"))
+        .alias("cohort"),
+        "o_custkey",
+    )
 
 
 # ---------------------------------------------------------------------------
