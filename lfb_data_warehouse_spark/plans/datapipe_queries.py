@@ -7121,6 +7121,15 @@ def prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("doc_id", "source", "tok")
     )
+    # LAZY localCheckpoint before packing (r14, guide §2.4/§3.3):
+    # pack_sequences opens with repartitionByRange, whose range-boundary
+    # SAMPLING pass executes the child once before the real exchange —
+    # without the checkpoint the entire gate → SemDeDup-anti-join →
+    # window-dedup chain above ran TWICE per query. eager=False makes
+    # the sampling job itself materialize the (doc_id, source, tok)
+    # blocks — ~24 bytes/row — so the exchange pass re-reads blocks
+    # instead of re-running the pipeline; no extra job is scheduled.
+    survivors = survivors.localCheckpoint(eager=False)
     packed = pack_sequences(
         survivors, group_col="source", order_cols=["doc_id"], token_col="tok",
         seq_len=PACK_SEQ_LEN,
@@ -7266,6 +7275,14 @@ def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok",
         )
     )
+    # LAZY localCheckpoint before packing (r14): repartitionByRange's
+    # boundary-sampling pass executes the child once before the real
+    # exchange — here the child is the two Arrow passes (WARC parse,
+    # synthesis) plus the HTML strip and gates, the most expensive
+    # upstream in the suite to run twice. eager=False: the sampling
+    # job itself materializes the tiny (doc_id, shard, tok) blocks,
+    # adding no extra job (see prepare_training_corpus).
+    survivors = survivors.localCheckpoint(eager=False)
     packed = pack_sequences(
         survivors, group_col="shard", order_cols=["doc_id"], token_col="tok",
         seq_len=PACK_SEQ_LEN,
