@@ -1065,12 +1065,22 @@ def semantic_dedup_drops(
     extra corpus scan for a frame the pair stage had already computed
     (every drop id comes from the assigned corpus, so
     ``emb ∖ (qa ∖ drops) ≡ drops``)."""
-    qa = _assigned_quantized(emb, id_col, vec_col, label_col, dim=dim)
+    # no checkpoint here (r14): with the grouped-Arrow pair stage the
+    # assignment chain has exactly ONE consumer on this path, so the
+    # eager materialization job would be pure overhead
+    qa = _assigned_quantized(
+        emb, id_col, vec_col, label_col, dim=dim, checkpoint=False
+    )
     return _within_cluster_drops(qa, id_col, threshold)
 
 
 def _assigned_quantized(
-    emb: DataFrame, id_col: str, vec_col: str, label_col: str, dim: int | None
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    dim: int | None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(id, q, norm, assigned_label) for the whole corpus — SemDeDup's
     shared build stage. Materialized ONCE (r14): ``qa`` is consumed
@@ -1087,32 +1097,65 @@ def _assigned_quantized(
     assigned = ivf_assign(
         emb, id_col, vec_col, label_col, cents=cents, quantized=q
     ).select(F.col(id_col), "assigned_label")
-    return (
-        q.select(F.col(id_col), "q", "norm")
-        .join(assigned, id_col)
-        .localCheckpoint(eager=True)
-    )
+    out = q.select(F.col(id_col), "q", "norm").join(assigned, id_col)
+    return out.localCheckpoint(eager=True) if checkpoint else out
 
 
 def _within_cluster_drops(qa: DataFrame, id_col: str, threshold: float) -> DataFrame:
     """The dropped-id set of SemDeDup's pair stage: every id with a
-    lower-id cluster-mate at cosine ≥ threshold, distinct."""
-    a = qa.select(
-        F.col("assigned_label").alias("cl"), F.col(id_col).alias("id_a"),
-        F.col("q").alias("qa"), F.col("norm").alias("na"),
-    )
-    b = qa.select(
-        F.col("assigned_label").alias("cl"), F.col(id_col).alias("id_b"),
-        F.col("q").alias("qb"), F.col("norm").alias("nb"),
-    )
+    lower-id cluster-mate at cosine ≥ threshold, distinct.
+
+    One grouped Arrow pass per cluster (r14, guide §4.2) — the
+    within-cluster self-join + per-pair HOF dot product evaluated
+    |cluster|² zip_with/aggregate folds, each allocating a 64-element
+    intermediate array; a blockwise BLAS matmul over the cluster's
+    quantized matrix does the same arithmetic vectorized. BIT-EXACT by
+    construction: the quantized values and squared norms are integers
+    whose pairwise dot products stay < 2^53, so every float64
+    intermediate in the matmul is an exactly-representable integer
+    (no rounding anywhere, any summation order), and the final
+    cosine — dot / (sqrt(na)·sqrt(nb)) — applies the same three IEEE
+    ops in the same order as the JVM `_cosine`; zero-norm rows score
+    0.0 on both sides (equivalence vs the join formulation is
+    test-pinned). Distribution shape is unchanged: one exchange keyed
+    on the cluster assignment, pairs never cross clusters; per-task
+    memory is the cluster's n×dim int matrix + a ≤64 MB score block
+    (the join formulation's per-partition hash relation was the same
+    order)."""
+    import pandas as pd
+
+    id_type = qa.schema[id_col].dataType.simpleString()
+
+    def drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({id_col: pdf[id_col].iloc[:0]})
+        order = np.argsort(pdf[id_col].to_numpy())
+        ids = pdf[id_col].to_numpy()[order]
+        q = np.vstack(pdf["q"].to_numpy()[order]).astype(np.float64)
+        nm = pdf["norm"].to_numpy()[order].astype(np.float64)
+        rt = np.sqrt(nm)
+        pos = nm > 0.0
+        dropped = np.zeros(n, dtype=bool)
+        cols = np.arange(n)
+        block = max(1, min(4096, 8_000_000 // n))
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            dot = q[s:e] @ q.T  # exact: integer-valued doubles < 2^53
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (rt[s:e, None] * rt[None, :])
+            hit = (cos >= threshold) & pos[s:e, None] & pos[None, :]
+            dropped |= np.any(
+                hit & (np.arange(s, e)[:, None] < cols[None, :]), axis=0
+            )
+        return pd.DataFrame({id_col: ids[dropped]})
+
     return (
-        a.join(b, "cl")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")) >= threshold
-        )
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+        qa.select(F.col(id_col), "assigned_label", "q", "norm")
+        .groupBy("assigned_label")
+        .applyInPandas(drops, schema=f"{id_col} {id_type}")
     )
 
 

@@ -849,3 +849,66 @@ def test_salted_collect_set_equals_plain_collect(spark):
     }
     assert got == exp
     assert got["hot"] == list(range(57)) and got["allnull"] == []
+
+
+def test_within_cluster_drops_arrow_equals_join_formulation(spark):
+    """The r14 grouped-Arrow SemDeDup pair stage must return EXACTLY the
+    drop set of the JVM join formulation it replaced — including a pair
+    sitting exactly ON the cosine threshold (dot=4, norms 1 and 25 →
+    cos = 4/(1·5): both sides must take the same ≥ branch), zero-norm
+    vectors (score 0.0 on both sides, never NaN), a singleton cluster,
+    and ids arriving in arbitrary row/partition order."""
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.similarity import (
+        _cosine,
+        _dot,
+        _within_cluster_drops,
+    )
+
+    rows = [
+        # cluster A: 1↔2 identical (cos 1), 3 orthogonal, 4 at cos=0.8
+        # of id 1 exactly (the threshold), 5 zero-norm
+        (1, "A", [1, 0, 0], 1),
+        (2, "A", [2, 0, 0], 4),
+        (3, "A", [0, 1, 0], 1),
+        (4, "A", [4, 3, 0], 25),
+        (5, "A", [0, 0, 0], 0),
+        # cluster B: near-but-below-threshold pair plus an exact dup
+        (6, "B", [3, 4, 0], 25),
+        (7, "B", [4, 3, 0], 25),  # cos 24/25 = 0.96 vs id 6
+        (8, "B", [6, 8, 0], 100),  # cos 1 vs id 6
+        # cluster C: singleton
+        (9, "C", [1, 1, 1], 3),
+    ]
+    qa = spark.createDataFrame(
+        rows, "vec_id long, assigned_label string, q array<bigint>, norm long"
+    ).repartition(7)  # arbitrary partitioning: the grouped pass must re-key
+    got = sorted(
+        r["vec_id"]
+        for r in _within_cluster_drops(qa, "vec_id", 0.8).collect()
+    )
+    # reference: the pre-r14 JVM join formulation, verbatim
+    a = qa.select(
+        F.col("assigned_label").alias("cl"), F.col("vec_id").alias("id_a"),
+        F.col("q").alias("qa"), F.col("norm").alias("na"),
+    )
+    b = qa.select(
+        F.col("assigned_label").alias("cl"), F.col("vec_id").alias("id_b"),
+        F.col("q").alias("qb"), F.col("norm").alias("nb"),
+    )
+    exp = sorted(
+        r["vec_id"]
+        for r in (
+            a.join(b, "cl")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb"))
+                >= 0.8
+            )
+            .select(F.col("id_b").alias("vec_id"))
+            .distinct()
+        ).collect()
+    )
+    assert got == exp
+    assert got == [2, 4, 7, 8]  # threshold pair 4 IS dropped; 5 (zero-norm) is not

@@ -107,7 +107,7 @@ INTENDED_CROSS = {
     "pareto_abc_brands",  # brand revenues × broadcast(1-row grand-total aggregate)
     "dup_cluster_size_histogram",  # corpus total × broadcast(1-row clustered-count aggregate)
     "line_dedup_boilerplate",  # line frequencies × broadcast(1-row corpus-size aggregate)
-    "semantic_dedup_keep",  # corpus × broadcast(centroids) — the pair join itself is an equi-join on the cluster
+    "semantic_dedup_keep",  # corpus × broadcast(centroids) — the pair stage is a grouped Arrow pass keyed on the cluster
 }
 
 
@@ -278,17 +278,22 @@ def test_dpp_fact_scan_has_dynamic_partition_filter(spark):
 
 
 def test_semantic_dedup_pairs_only_within_clusters(spark):
-    """The semantic-dedup pair join must be an equi-join ON THE CLUSTER
-    ASSIGNMENT (corpus²/nlist), never an all-pairs cartesian. Pinned
-    two ways: no CartesianProduct anywhere (the centroid fan-outs must
-    stay broadcast BNLJs), and a shuffled equi-join keyed on the
-    cluster column `cl` exists — if the pair join degraded to a
-    non-equi/nested-loop form, no join would carry `cl` as its key."""
+    """The semantic-dedup pair stage must run ONLY within a cluster
+    (corpus²/nlist), never all-pairs. Since r14 the stage is a grouped
+    Arrow pass (`FlatMapGroupsInPandas`) keyed on the cluster
+    assignment — pinned two ways: no CartesianProduct anywhere (the
+    centroid fan-outs must stay broadcast BNLJs), and the grouped-map
+    node exists with `assigned_label` as its grouping key (if the pair
+    stage degraded to an ungrouped/all-pairs form, the node or its key
+    would vanish)."""
     import re
 
     p = get_plan(spark, "semantic_dedup_keep")
     assert "CartesianProduct" not in p
-    assert re.search(r"Left keys \[\d+\]: \[cl#", p), "no equi-join keyed on cluster"
+    assert "FlatMapGroupsInPandas" in p, "pair stage lost its grouped Arrow pass"
+    assert re.search(
+        r"Arguments: \[assigned_label#\d+\], drops\(", p
+    ), "grouped pass not keyed on the cluster assignment"
 
 
 def test_hash_split_and_shard_are_map_side(spark):
