@@ -321,8 +321,15 @@ def edit_distance_pairs(
         .filter(
             F.abs(F.length("pfx_a") - F.length("pfx_b")) <= F.lit(threshold)
         )
-        .withColumn("dist", F.levenshtein("pfx_a", "pfx_b"))
-        .filter(F.col("dist") <= F.lit(threshold))
+        # bounded levenshtein (r14, Spark 3.5+ threshold arg): banded
+        # DP visits O(threshold·len) cells instead of O(len²) and
+        # early-exits past the bound, returning -1 — for every pair
+        # the ≤-threshold filter keeps, the bounded value IS the exact
+        # distance, so the output is bit-identical to the unbounded
+        # form (the -1 rows are exactly the rows the old filter
+        # discarded)
+        .withColumn("dist", F.levenshtein("pfx_a", "pfx_b", int(threshold)))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= F.lit(threshold)))
         .select("id_a", "id_b", "dist", *block_cols)
     )
 
