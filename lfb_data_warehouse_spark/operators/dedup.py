@@ -140,8 +140,12 @@ def minhash_near_dups(
     # strings — so the checkpoint is near-free, unlike the shingle
     # ARRAYS, whose cache build was measured at ~6× their recompute
     # (docstring below); localCheckpoint keeps blocks GC-managed.
+    # eager=False (r14): the first band-join stage that touches the
+    # signatures materializes the blocks as it computes them, so the
+    # other side reads blocks without a dedicated checkpoint job
+    # (measured −0.1–0.2 s min-of-8 over two same-box A/Bs).
     sig = minhash_signatures_mapside(arrs, id_col, num_hashes).localCheckpoint(
-        eager=True
+        eager=False
     )
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
     a = arrs.select(F.col(id_col).alias("id_a"), F.col("ss").alias("sa"))
