@@ -338,9 +338,23 @@ Reading the numbers:
   shuffle only their post-partial-aggregation group rows: sh/in ≈ 0.
 - The as-of/interval/salted designs hold: ≤ 4% of scanned rows cross
   the network (bucket replication and salting are row-bounded).
-- q21 (0.38) and q18 (0.13) carry genuinely irreducible same-key
+- q21 (0.38) and q18 (0.19) carry genuinely irreducible same-key
   fact-fact shuffles; with bucket-written tables they drop to zero
-  (proven in `bucketed_join_colocated`).
+  (proven in `bucketed_join_colocated`). q18's RATIO rose in r14 while
+  its absolute shuffle rows fell (177k → 147k): the carried-total
+  rewrite removed the second lineitem scan, so the input-row
+  denominator halved — read sh/in movements against the absolute
+  columns whenever a change removes redundant scans.
+- The r14 optimization round cut the absolute shuffle budget of every
+  row it touched: `basket_brand_affinity` 2.37M → 296k shuffle rows
+  (the order-key SortMergeJoin replaced by map-side pair generation),
+  `dedup_minhash_lsh` sh/in 16.5 → 5.8 (signatures computed once),
+  `prepare_training_corpus` 26.4k → 15.0k, `sketch_overlap_yoy`
+  79k → 15k, `semantic_dedup_keep` 14.3k → 12.3k. The exact-dedup
+  family's sh/in went UP (e.g. `dedup_keep_canonical` 35 → 51) for
+  the q18 reason: their irreducible pair traffic is unchanged while
+  the redundant tokenize/scan passes that used to inflate the input
+  denominator are gone.
 - `window_trailing_30d` = 1.0 by necessity: a per-key time-range window
   must co-locate each key's rows once. Irreducible, and exactly 1× —
   no accidental double exchange.
