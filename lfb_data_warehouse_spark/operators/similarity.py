@@ -626,18 +626,116 @@ def kmeans_centroids(
     return kmeans_centroids_q(q, id_col, k, iters=iters, dim=dim)
 
 
-def kmeans_centroids_q(
-    q: DataFrame, id_col: str, k: int, iters: int, dim: int
-) -> DataFrame:
-    """The Lloyd loop of :func:`kmeans_centroids` over an ALREADY
-    quantized ``(id, q, norm)`` frame — shared by the full-vector entry
-    point above and the per-subspace codebook trainer
-    (:func:`pq_codebook_kmeans`), so the seeding/tiebreak/update recipe
-    exists exactly once."""
-    # seed from the ACTUAL k smallest ids (takeOrdered over a k-row
-    # result, not a `id < k` filter that silently under-seeds — or
-    # yields zero centroids — on sparse/offset id spaces)
-    cents = (
+def _np_centroid_arrays(rows):
+    """Collected centroid rows → (labels, C, cnorm) numpy triple for the
+    Arrow assignment kernels, sorted ASCENDING by label so that
+    ``np.argmax`` (first-max) reproduces the JVM/SQL tiebreak exactly:
+    highest cosine wins, exact float ties go to the smallest label."""
+    import numpy as np
+
+    srows = sorted(rows, key=lambda r: r["centroid_label"])
+    labels = [r["centroid_label"] for r in srows]
+    C = np.array([list(r["cq"]) for r in srows], dtype=np.float64)
+    cn = np.array([r["cnorm"] for r in srows], dtype=np.float64)
+    return labels, C, cn
+
+
+def _exactness_guard(dim: int, max_q: float, max_c: float) -> None:
+    """The bit-exactness license of the Arrow kernels (r14 batch 12):
+    every float64 intermediate of the BLAS dot products must be an
+    exactly-representable integer, i.e. |dot| ≤ dim·max|q|·max|c| < 2^53
+    — then any summation order is exact and the final cosine applies
+    the same three IEEE ops as the JVM ``_cosine``. Raises instead of
+    silently degrading; quantize()'s 1e4 scale at dim 64 leaves ~5
+    orders of magnitude of headroom on unit-scale embeddings."""
+    if dim * max_q * max_c >= 2.0**53:
+        raise ValueError(
+            f"quantized values too large for exact float64 dot products: "
+            f"dim={dim} · max|q|={max_q:.3g} · max|c|={max_c:.3g} ≥ 2^53"
+        )
+
+
+def _lloyd_round(q: DataFrame, cent_rows, id_col: str, dim: int) -> list:
+    """ONE Lloyd refinement round, fused (r15): nearest-centroid
+    assignment AND the per-label integer partial sums happen inside a
+    single Arrow ``mapInPandas`` pass — no k-way crossJoin fan-out, no
+    per-id max_by aggregate, no full-corpus shuffle. The only exchange
+    per round carries ≤ tasks·k partial rows (label, n, s[dim]); the
+    centroid finalization ``round(CAST(sum AS DOUBLE)/n)`` stays in
+    Spark SQL, the IDENTICAL expression :func:`label_centroids` uses,
+    so the replayed oracle arithmetic is untouched.
+
+    Bit-exactness: cosine scores come from a float64 BLAS matmul over
+    integer-valued matrices (exact while < 2^53 — guarded), divided by
+    the same sqrt(norm)·sqrt(cnorm) product the JVM computes; ties pick
+    the smallest label via first-max argmax over label-sorted centroid
+    columns. Partial sums accumulate in int64 (exact). Returns the
+    collected k'-row centroid list (a label that loses every member
+    emits no partials and disappears, like the GROUP BY it replaces)."""
+    import numpy as np
+
+    labels, C, cn = _np_centroid_arrays(cent_rows)
+    rt_c = np.sqrt(cn)
+    cpos = cn > 0.0
+    max_c = float(np.abs(C).max()) if C.size else 0.0
+    label_t = q.schema[id_col].dataType.simpleString()
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = np.vstack(pdf["q"].to_numpy()).astype(np.int64)
+            Qf = Q.astype(np.float64)
+            _exactness_guard(dim, float(np.abs(Qf).max()), max_c)
+            nm = pdf["norm"].to_numpy().astype(np.float64)
+            dot = Qf @ C.T  # exact: integer-valued float64 < 2^53
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (np.sqrt(nm)[:, None] * rt_c[None, :])
+            cos = np.where((nm[:, None] > 0.0) & cpos[None, :], cos, 0.0)
+            best = np.argmax(cos, axis=1)  # first max = smallest label
+            out_l, out_n, out_s = [], [], []
+            for li in np.unique(best):
+                sel = Q[best == li]
+                out_l.append(labels[int(li)])
+                out_n.append(sel.shape[0])
+                out_s.append(sel.sum(axis=0).tolist())
+            yield pd.DataFrame(
+                {"assigned_label": out_l, "n": out_n, "s": out_s}
+            )
+
+    part = q.select("q", "norm").mapInPandas(
+        partials, schema=f"assigned_label {label_t}, n bigint, s array<bigint>"
+    )
+    # identical finalization arithmetic to label_centroids: integer
+    # total → CAST AS DOUBLE → / count → Spark round (HALF_UP) → BIGINT
+    cq_sql = "array({}) AS cq".format(
+        ",".join(
+            f"CAST(round(CAST(SUM(element_at(s, {i + 1})) AS DOUBLE) / SUM(n)) AS BIGINT)"
+            for i in range(dim)
+        )
+    )
+    out = (
+        part.groupBy("assigned_label")
+        .agg(F.expr(cq_sql))
+        .select(F.col("assigned_label").alias("centroid_label"), "cq")
+        .withColumn(
+            "cnorm",
+            F.expr(
+                "aggregate(zip_with(cq, cq, (a, b) -> a * b), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ),
+        )
+    )
+    return out.collect()
+
+
+def _kmeans_rows(q: DataFrame, id_col: str, k: int, iters: int, dim: int) -> list:
+    """The Lloyd loop as collected k-row centroid lists (r15): seeds are
+    collected once (one job — the eager-checkpoint + count pair it
+    replaces was two), then each round is exactly one Spark job (the
+    fused Arrow round's collect). Only k-row centroid sets ever touch
+    the driver; the corpus stays distributed."""
+    seeds = (
         q.orderBy(F.col(id_col).asc())
         .limit(k)
         .select(
@@ -645,31 +743,40 @@ def kmeans_centroids_q(
             F.col("q").alias("cq"),
             F.col("norm").alias("cnorm"),
         )
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    n_seeds = cents.count()
-    if n_seeds < k:
+    if len(seeds) < k:
         raise ValueError(
-            f"kmeans_centroids: only {n_seeds} vectors available for k={k} seeds"
+            f"kmeans_centroids: only {len(seeds)} vectors available for k={k} seeds"
         )
+    rows = seeds
     for _ in range(iters):
-        assigned = ivf_index_from_cents(q, cents, id_col)
-        ql = assigned.select(
-            F.col("neighbor_id").alias(id_col),
-            F.col("assigned_label"),
-            F.col("nq").alias("q"),
-            F.col("nn").alias("norm"),
-        )
-        # materialize the k-row centroid frame each round (r14): the
-        # next round's assignment references `cents`, so a lazy frame
-        # NESTS the lineage — round i re-ran every previous round's
-        # full corpus assignment (and the caller's final assignment
-        # re-ran them all again). The checkpoint is k rows; with it
-        # each Lloyd round scans the corpus exactly once.
-        cents = label_centroids(
-            ql, id_col, "q", "assigned_label", dim=dim, quantized=ql
-        ).localCheckpoint(eager=True)
-    return cents
+        rows = _lloyd_round(q, rows, id_col, dim)
+    return rows
+
+
+def kmeans_centroids_q(
+    q: DataFrame, id_col: str, k: int, iters: int, dim: int
+) -> DataFrame:
+    """The Lloyd loop of :func:`kmeans_centroids` over an ALREADY
+    quantized ``(id, q, norm)`` frame — shared by the full-vector entry
+    point above and the per-subspace codebook trainer
+    (:func:`pq_codebook_kmeans`), so the seeding/tiebreak/update recipe
+    exists exactly once.
+
+    Since r15 each round is the fused Arrow assignment+update pass of
+    :func:`_lloyd_round` (see its docstring for the exactness argument);
+    the k-row centroid set rides the driver between rounds — the same
+    bound as the r14 per-round localCheckpoint, minus one job per round
+    and the full-corpus assignment shuffle. Seeding is unchanged: the
+    ACTUAL k smallest ids (never an `id < k` filter that under-seeds on
+    sparse/offset id spaces)."""
+    rows = _kmeans_rows(q, id_col, k, iters, dim)
+    label_t = q.schema[id_col].dataType.simpleString()
+    return q.sparkSession.createDataFrame(
+        [(r["centroid_label"], list(r["cq"]), int(r["cnorm"])) for r in rows],
+        schema=f"centroid_label {label_t}, cq array<bigint>, cnorm bigint",
+    )
 
 
 def pq_codebook_kmeans(
@@ -710,8 +817,12 @@ def pq_codebook_kmeans(
         qs = q.select(F.col(id_col), sv.alias("q")).withColumn(
             "norm", _dot(F.col("q"), F.col("q"))
         )
-        cents = kmeans_centroids_q(qs, id_col, cb_k, iters=iters, dim=sub)
-        rows = cents.orderBy("centroid_label").collect()  # ≤ cb_k rows
+        # rows straight from the Lloyd loop (r15) — the per-subspace
+        # createDataFrame→orderBy→collect round-trip added nothing
+        rows = sorted(
+            _kmeans_rows(qs, id_col, cb_k, iters=iters, dim=sub),
+            key=lambda r: r["centroid_label"],
+        )  # ≤ cb_k rows
         cbs.append([[int(v) for v in r["cq"]] for r in rows])
     return cbs
 

@@ -851,6 +851,66 @@ def test_salted_collect_set_equals_plain_collect(spark):
     assert got["hot"] == list(range(57)) and got["allnull"] == []
 
 
+def test_lloyd_round_arrow_equals_hof_formulation(spark):
+    """The r15 fused Arrow Lloyd round must return EXACTLY the centroid
+    set of the HOF formulation it replaced (ivf_index_from_cents +
+    label_centroids), including: a bit-exact cosine TIE between two
+    centroids (one is the other doubled — scaling by a power of two is
+    IEEE-exact, so scores match bitwise and the smaller label must win
+    on both sides), a zero-norm vector (scores 0.0 everywhere → falls
+    to the smallest label), a zero-norm centroid (never wins a member
+    with positive scores), a centroid that loses every member (must
+    DISAPPEAR from the output on both sides), negative components, and
+    arbitrary input partitioning."""
+    from lfb_data_warehouse_spark.operators.similarity import (
+        _lloyd_round,
+        ivf_index_from_cents,
+        label_centroids,
+    )
+
+    rows = [
+        (1, [10, 0, 0], 100),
+        (2, [9, 1, 0], 82),
+        (3, [-3, -4, 0], 25),
+        (4, [0, 7, 1], 50),
+        (5, [0, 0, 0], 0),  # zero-norm: cos 0.0 vs every centroid
+        (6, [1, 2, -2], 9),
+    ]
+    q = spark.createDataFrame(
+        rows, "vec_id long, q array<bigint>, norm long"
+    ).repartition(5)
+    cents = spark.createDataFrame(
+        [
+            (10, [2, 0, 0], 4),
+            (11, [4, 0, 0], 16),  # 10 doubled: exact score tie → 10 wins
+            (12, [0, 1, 0], 1),
+            (13, [0, 0, 0], 0),  # zero-norm centroid: must lose everything
+            (14, [-1, -1, 0], 2),
+        ],
+        "centroid_label long, cq array<bigint>, cnorm long",
+    )
+    got = {
+        r["centroid_label"]: (list(r["cq"]), r["cnorm"])
+        for r in _lloyd_round(q, cents.collect(), "vec_id", 3)
+    }
+    # reference: the pre-r15 HOF round, verbatim
+    assigned = ivf_index_from_cents(q, cents, "vec_id")
+    ql = assigned.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("assigned_label"),
+        F.col("nq").alias("q"),
+        F.col("nn").alias("norm"),
+    )
+    exp = {
+        r["centroid_label"]: (list(r["cq"]), r["cnorm"])
+        for r in label_centroids(
+            ql, "vec_id", "q", "assigned_label", dim=3, quantized=ql
+        ).collect()
+    }
+    assert got == exp
+    assert 11 not in got and 13 not in got  # tie-loser & zero-norm both empty
+
+
 def test_within_cluster_drops_arrow_equals_join_formulation(spark):
     """The r14 grouped-Arrow SemDeDup pair stage must return EXACTLY the
     drop set of the JVM join formulation it replaced — including a pair

@@ -45,6 +45,12 @@ def main() -> None:
     spark = get_spark("plan-dump")
     runners = {n: s.fn for n, s in REGISTRY.items() if s.headline}
     runners.update({n: getattr(bench, n) for n in bench.EXTRA_BENCH})
+    # named non-headline registry queries are dumpable on request (r15:
+    # the optimization targets include oracle-gate-only paths like the
+    # kmeans trainers); the default no-args sweep stays headline+extra
+    for n in only - set(runners):
+        if n in REGISTRY:
+            runners[n] = REGISTRY[n].fn
     for name, fn in runners.items():
         if only and name not in only:
             continue
