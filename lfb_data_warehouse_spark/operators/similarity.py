@@ -484,33 +484,12 @@ def ivf_assign(
         q = quantized.join(emb.select(F.col(id_col), F.col(label_col)), id_col)
     if cents is None:
         cents = label_centroids(emb, id_col, vec_col, label_col, dim=dim, quantized=q)
-    scored = q.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        F.col(label_col),
-        F.col("centroid_label"),
-        _cosine(_dot(F.col("q"), F.col("cq")), F.col("norm"), F.col("cnorm")).alias("score"),
-    )
-    # deterministic argmax: highest score, then smallest centroid label.
-    # min_by over (-score, label) rather than max_by over (score,
-    # -label): score is always numeric so -score is safe, while
-    # negating the label would restrict label_col to numeric types
-    # (ANSI UnaryMinus rejects strings).
-    pick = F.min_by(
-        F.struct(
-            F.col("centroid_label").alias("assigned_label"),
-            F.col("score").alias("centroid_score"),
-        ),
-        F.struct((-F.col("score")).alias("ns"), F.col("centroid_label").alias("l")),
-    )
-    return (
-        scored.groupBy(id_col, label_col)
-        .agg(pick.alias("_b"))
-        .select(
-            F.col(id_col),
-            F.col(label_col),
-            F.col("_b.assigned_label").alias("assigned_label"),
-            F.col("_b.centroid_score").alias("centroid_score"),
-        )
+    # r15: map-only Arrow argmax (no fan-out, no per-(id,label) max_by
+    # exchange); deterministic tiebreak unchanged — highest score, then
+    # smallest centroid label — and the emitted centroid_score double is
+    # the identical IEEE cosine (see _arrow_nearest_centroid).
+    return _arrow_nearest_centroid(
+        q, cents, id_col, out_id=id_col, keep_cols=(label_col,), score=True
     )
 
 
@@ -537,33 +516,100 @@ def ivf_build(
     return ivf_index_from_cents(q, cents, id_col), cents
 
 
+def _arrow_nearest_centroid(
+    q: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    out_id: str,
+    keep_cols: tuple = (),
+    payload: bool = False,
+    score: bool = False,
+) -> DataFrame:
+    """Shared map-only Arrow nearest-centroid kernel (r15): the k-way
+    broadcast crossJoin HOF fan-out + per-id max_by aggregate both
+    :func:`ivf_index_from_cents` and :func:`ivf_assign` used is an
+    argmax per row — no aggregation is needed at all, so the full-corpus
+    ``groupBy(id)`` exchange (n rows WITH quantized payload) disappears
+    from every index build and assignment. The centroid set is collected
+    (bounded: nlist/k rows — the same driver-side footprint the
+    broadcast paid) and the per-batch scoring is one float64 BLAS
+    matmul, bit-identical to the JVM ``_cosine`` by the guarded < 2^53
+    integer argument (see :func:`_exactness_guard`); exact score ties
+    pick the smallest centroid label via first-max argmax over
+    label-sorted columns, the min_by struct order it replaces.
+
+    ``keep_cols`` pass through untouched; ``payload`` re-emits (q, norm)
+    as (nq, nn); ``score`` emits the winning cosine (``centroid_score``,
+    the identical IEEE ops → identical double). Empty centroid sets
+    yield the empty frame the crossJoin produced."""
+    import numpy as np
+
+    rows = cents.collect()
+    id_t = q.schema[id_col].dataType.simpleString()
+    keep_ts = [(c, q.schema[c].dataType.simpleString()) for c in keep_cols]
+    label_t = cents.schema["centroid_label"].dataType.simpleString()
+    fields = [f"{out_id} {id_t}"]
+    fields += [f"{c} {t}" for c, t in keep_ts]
+    fields.append(f"assigned_label {label_t}")
+    if payload:
+        fields += ["nq array<bigint>", "nn bigint"]
+    if score:
+        fields.append("centroid_score double")
+    schema = ", ".join(fields)
+    in_cols = [F.col(id_col)] + [F.col(c) for c in keep_cols] + [F.col("q"), F.col("norm")]
+    if not rows:
+        empty = [F.col(id_col).alias(out_id)]
+        empty += [F.col(c) for c in keep_cols]
+        empty.append(F.lit(None).cast(label_t).alias("assigned_label"))
+        if payload:
+            empty += [F.col("q").alias("nq"), F.col("norm").alias("nn")]
+        if score:
+            empty.append(F.lit(None).cast("double").alias("centroid_score"))
+        return q.filter(F.lit(False)).select(*empty)
+    labels, C, cn = _np_centroid_arrays(rows)
+    dim = C.shape[1]
+    rt_c = np.sqrt(cn)
+    cpos = cn > 0.0
+    max_c = float(np.abs(C).max())
+    labels_arr = np.array(labels)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Qf = np.vstack(pdf["q"].to_numpy()).astype(np.float64)
+            _exactness_guard(dim, float(np.abs(Qf).max()), max_c)
+            nm = pdf["norm"].to_numpy().astype(np.float64)
+            dot = Qf @ C.T  # exact: integer-valued float64 < 2^53
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (np.sqrt(nm)[:, None] * rt_c[None, :])
+            cos = np.where((nm[:, None] > 0.0) & cpos[None, :], cos, 0.0)
+            best = np.argmax(cos, axis=1)  # first max = smallest label
+            out = {out_id: pdf[id_col]}
+            for c, _ in keep_ts:
+                out[c] = pdf[c]
+            out["assigned_label"] = labels_arr.take(best)
+            if payload:
+                out["nq"] = pdf["q"]
+                out["nn"] = pdf["norm"]
+            if score:
+                out["centroid_score"] = cos[np.arange(len(best)), best]
+            yield pd.DataFrame(out)
+
+    return q.select(*in_cols).mapInPandas(assign, schema=schema)
+
+
 def ivf_index_from_cents(q: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     """Inverted list for ANY centroid set — label-derived
     (:func:`label_centroids`) or learned (:func:`kmeans_centroids`):
     assign each quantized vector to its nearest centroid WITH its
-    quantized payload. One broadcast fan-out + one max-by aggregate;
-    the payload rides along so search never joins back to the corpus."""
-    iscored = q.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("centroid_label"),
-        F.col("q"),
-        F.col("norm"),
-        _cosine(_dot(F.col("q"), F.col("cq")), F.col("norm"), F.col("cnorm")).alias("cscore"),
-    )
-    # min_by over (-score, label): same any-label-type rationale as
-    # ivf_assign's pick
-    ipick = F.min_by(
-        F.struct(
-            F.col("centroid_label").alias("assigned_label"),
-            F.col("q").alias("nq"),
-            F.col("norm").alias("nn"),
-        ),
-        F.struct((-F.col("cscore")).alias("ns"), F.col("centroid_label").alias("l")),
-    )
-    return (
-        iscored.groupBy("neighbor_id")
-        .agg(ipick.alias("_b"))
-        .select("neighbor_id", "_b.assigned_label", "_b.nq", "_b.nn")
+    quantized payload. Since r15 this is the map-only Arrow argmax
+    kernel (:func:`_arrow_nearest_centroid`) — ZERO exchanges: the old
+    broadcast-fan-out + per-id max-by shape shuffled the whole corpus
+    (with payload) once per build. The payload rides along so search
+    never joins back to the corpus."""
+    return _arrow_nearest_centroid(
+        q, cents, id_col, out_id="neighbor_id", payload=True
     )
 
 
@@ -1194,21 +1240,27 @@ def _assigned_quantized(
     checkpoint: bool = True,
 ) -> DataFrame:
     """(id, q, norm, assigned_label) for the whole corpus — SemDeDup's
-    shared build stage. Materialized ONCE (r14): ``qa`` is consumed
-    three times downstream (both sides of the within-cluster self-join
-    and the final anti-join), and every lazy reuse re-ran the whole
-    scan → quantize → centroid fan-out → assignment aggregate chain —
-    18 parquet scans and 3 assignment shuffles in one plan.
-    localCheckpoint (not persist) so the blocks are
+    shared build stage. Materialized ONCE (r14): ``qa`` feeds the
+    grouped Arrow pair pass and the survivor anti-join (two consumers),
+    and every lazy reuse re-ran the whole scan → quantize → centroid →
+    assignment chain. localCheckpoint (not persist) so the blocks are
     ContextCleaner-managed and a library call leaks no session-lived
     cache entry; this is the in-query form of the documented at-scale
-    advice (run dedup from the materialized ivf_build index)."""
+    advice (run dedup from the materialized ivf_build index).
+
+    Since r15 the assignment itself is the map-only Arrow argmax
+    (:func:`_arrow_nearest_centroid`) carrying the quantized payload
+    through — the previous shape re-joined the assignment frame back
+    onto the corpus on id (a full SortMergeJoin exchange pair) just to
+    recover (q, norm)."""
     q = quantize(emb, id_col, vec_col, keep=(label_col,))
     cents = label_centroids(emb, id_col, vec_col, label_col, dim=dim, quantized=q)
-    assigned = ivf_assign(
-        emb, id_col, vec_col, label_col, cents=cents, quantized=q
-    ).select(F.col(id_col), "assigned_label")
-    out = q.select(F.col(id_col), "q", "norm").join(assigned, id_col)
+    out = ivf_index_from_cents(q, cents, id_col).select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("nq").alias("q"),
+        F.col("nn").alias("norm"),
+        "assigned_label",
+    )
     return out.localCheckpoint(eager=True) if checkpoint else out
 
 
@@ -1232,9 +1284,25 @@ def _within_cluster_drops(qa: DataFrame, id_col: str, threshold: float) -> DataF
     on the cluster assignment, pairs never cross clusters; per-task
     memory is the cluster's n×dim int matrix + a ≤64 MB score block
     (the join formulation's per-partition hash relation was the same
-    order)."""
+    order).
+
+    Requires ``threshold > 0`` (r15, ADVICE): the positive-norm mask
+    excludes zero-norm rows from pairing, which matches the JVM
+    formulation (zero-norm pairs score 0.0, below any positive
+    threshold) ONLY for positive thresholds — a degenerate
+    ``threshold ≤ 0`` would diverge, so it fails loudly instead.
+    NULL cluster labels are excluded before the groupBy (r15, ADVICE):
+    the old equi-join silently dropped NULL-labeled rows from pairing,
+    whereas applyInPandas would form a real NULL group — the filter is
+    free when labels are non-null (every current producer) and pins
+    the join semantics otherwise."""
     import pandas as pd
 
+    if threshold <= 0.0:
+        raise ValueError(
+            f"semantic-dedup threshold must be > 0 (got {threshold}); "
+            "zero-norm handling diverges at degenerate thresholds"
+        )
     id_type = qa.schema[id_col].dataType.simpleString()
 
     def drops(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1265,6 +1333,7 @@ def _within_cluster_drops(qa: DataFrame, id_col: str, threshold: float) -> DataF
 
     return (
         qa.select(F.col(id_col), "assigned_label", "q", "norm")
+        .filter(F.col("assigned_label").isNotNull())
         .groupBy("assigned_label")
         .applyInPandas(drops, schema=f"{id_col} {id_type}")
     )
