@@ -1202,8 +1202,9 @@ def semantic_dedup(
     (3.3 s → 2.6 s, the payload forces SortAggregate on every reuse).
     At warehouse scale, run dedup from the materialized
     :func:`ivf_build` index parquet instead — one scan, no recompute."""
+    n = emb.count()  # gates the mega-cluster probe; parquet-metadata cheap
     qa = _assigned_quantized(emb, id_col, vec_col, label_col, dim=dim)
-    return _within_cluster_survivors(qa, id_col, threshold)
+    return _within_cluster_survivors(qa, id_col, threshold, corpus_rows=n)
 
 
 def semantic_dedup_drops(
@@ -1222,13 +1223,17 @@ def semantic_dedup_drops(
     extra corpus scan for a frame the pair stage had already computed
     (every drop id comes from the assigned corpus, so
     ``emb ∖ (qa ∖ drops) ≡ drops``)."""
-    # no checkpoint here (r14): with the grouped-Arrow pair stage the
-    # assignment chain has exactly ONE consumer on this path, so the
-    # eager materialization job would be pure overhead
+    # the mega-cluster guard's size probe would be a SECOND consumer of
+    # the assignment chain, so the r14 single-consumer no-checkpoint
+    # rule holds only when the corpus count gate skips the probe (≤ cap
+    # rows — every test/dev corpus); above the cap the chain checkpoints
+    # so probe + pair stage read blocks instead of recomputing it
+    n = emb.count()  # parquet-metadata cheap; also gates the probe
+    small = n <= _semdedup_cluster_cap()
     qa = _assigned_quantized(
-        emb, id_col, vec_col, label_col, dim=dim, checkpoint=False
+        emb, id_col, vec_col, label_col, dim=dim, checkpoint=not small
     )
-    return _within_cluster_drops(qa, id_col, threshold)
+    return _within_cluster_drops(qa, id_col, threshold, corpus_rows=n)
 
 
 def _assigned_quantized(
@@ -1264,7 +1269,24 @@ def _assigned_quantized(
     return out.localCheckpoint(eager=True) if checkpoint else out
 
 
-def _within_cluster_drops(qa: DataFrame, id_col: str, threshold: float) -> DataFrame:
+def _semdedup_cluster_cap() -> int:
+    """Rows per cluster above which SemDeDup's pair stage leaves the
+    grouped Arrow pass for the blocked join (see
+    :func:`_within_cluster_drops`). 200k rows ≈ a 100 MB n×dim int64
+    matrix at dim 64 — comfortably inside one task's memory; override
+    per deployment with ``LFB_SEMDEDUP_CLUSTER_CAP``."""
+    import os
+
+    return int(os.environ.get("LFB_SEMDEDUP_CLUSTER_CAP", 200_000))
+
+
+def _within_cluster_drops(
+    qa: DataFrame,
+    id_col: str,
+    threshold: float,
+    cluster_cap: int | None = None,
+    corpus_rows: int | None = None,
+) -> DataFrame:
     """The dropped-id set of SemDeDup's pair stage: every id with a
     lower-id cluster-mate at cosine ≥ threshold, distinct.
 
@@ -1295,7 +1317,27 @@ def _within_cluster_drops(qa: DataFrame, id_col: str, threshold: float) -> DataF
     the old equi-join silently dropped NULL-labeled rows from pairing,
     whereas applyInPandas would form a real NULL group — the filter is
     free when labels are non-null (every current producer) and pins
-    the join semantics otherwise."""
+    the join semantics otherwise.
+
+    MEGA-CLUSTER GUARD (r15, VERDICT r14 item 1): ``applyInPandas``
+    materializes an entire cluster in one Python worker, so a skewed
+    label owning 10M+ rows would OOM the task where the old self-join
+    streamed pairs. A one-job size probe over ``qa`` (collected: ≤
+    nlist rows) routes every cluster above ``cluster_cap`` rows
+    (default 200k ≈ a 100 MB n×dim int64 matrix at dim 64; env
+    ``LFB_SEMDEDUP_CLUSTER_CAP``) through the pre-r14 blocked JOIN
+    formulation — same integer arithmetic, bit-identical drop set,
+    memory bounded per task by the join's hash relation — while every
+    normal cluster keeps the grouped Arrow pass. When no cluster
+    exceeds the cap (every current corpus: k-means balance and the
+    label fixture keep clusters ~corpus/nlist) the returned plan is
+    IDENTICAL to the unguarded one — no filters, no union. Callers
+    that know the TOTAL corpus row count pass it as ``corpus_rows``:
+    a corpus at or under the cap cannot contain an oversized cluster,
+    so the probe job is skipped outright (measured 0.17 s on
+    materialized blocks at sf0.1 — small, but it sat on two bench
+    rows; the count gate is a 0.2 s parquet-metadata job the caller
+    usually needs anyway)."""
     import pandas as pd
 
     if threshold <= 0.0:
@@ -1303,6 +1345,8 @@ def _within_cluster_drops(qa: DataFrame, id_col: str, threshold: float) -> DataF
             f"semantic-dedup threshold must be > 0 (got {threshold}); "
             "zero-norm handling diverges at degenerate thresholds"
         )
+    if cluster_cap is None:
+        cluster_cap = _semdedup_cluster_cap()
     id_type = qa.schema[id_col].dataType.simpleString()
 
     def drops(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1331,19 +1375,66 @@ def _within_cluster_drops(qa: DataFrame, id_col: str, threshold: float) -> DataF
             )
         return pd.DataFrame({id_col: ids[dropped]})
 
-    return (
-        qa.select(F.col(id_col), "assigned_label", "q", "norm")
-        .filter(F.col("assigned_label").isNotNull())
-        .groupBy("assigned_label")
-        .applyInPandas(drops, schema=f"{id_col} {id_type}")
+    def grouped(src: DataFrame) -> DataFrame:
+        return (
+            src.select(F.col(id_col), "assigned_label", "q", "norm")
+            .filter(F.col("assigned_label").isNotNull())
+            .groupBy("assigned_label")
+            .applyInPandas(drops, schema=f"{id_col} {id_type}")
+        )
+
+    # a corpus at or under the cap cannot hold an oversized cluster —
+    # skip the probe job entirely (the common case at test/dev scale)
+    if corpus_rows is not None and corpus_rows <= cluster_cap:
+        return grouped(qa)
+    # size probe: one tiny job (≤ nlist result rows); labels above the
+    # cap route through the blocked join, everything else stays grouped
+    big = [
+        r["assigned_label"]
+        for r in (
+            qa.groupBy("assigned_label")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > cluster_cap)
+            .collect()
+        )
+        if r["assigned_label"] is not None
+    ]
+    if not big:
+        return grouped(qa)
+    small_drops = grouped(qa.filter(~F.col("assigned_label").isin(big)))
+    bigqa = qa.filter(F.col("assigned_label").isin(big))
+    a = bigqa.select(
+        F.col("assigned_label").alias("cl"),
+        F.col(id_col).alias("id_a"),
+        F.col("q").alias("qa"),
+        F.col("norm").alias("na"),
     )
+    b = bigqa.select(
+        F.col("assigned_label").alias("cl"),
+        F.col(id_col).alias("id_b"),
+        F.col("q").alias("qb"),
+        F.col("norm").alias("nb"),
+    )
+    big_drops = (
+        a.join(b, "cl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb"))
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return small_drops.unionByName(big_drops)
 
 
-def _within_cluster_survivors(qa: DataFrame, id_col: str, threshold: float) -> DataFrame:
+def _within_cluster_survivors(
+    qa: DataFrame, id_col: str, threshold: float, corpus_rows: int | None = None
+) -> DataFrame:
     """SemDeDup's pair stage over an assigned corpus ``qa`` =
     (id, assigned_label, q, norm): within-cluster cosine pairs only,
     min-id survivor policy; returns surviving (id, assigned_label)."""
-    drops = _within_cluster_drops(qa, id_col, threshold)
+    drops = _within_cluster_drops(qa, id_col, threshold, corpus_rows=corpus_rows)
     return qa.join(drops, id_col, "left_anti").select(F.col(id_col), "assigned_label")
 
 
@@ -1367,7 +1458,10 @@ def semantic_dedup_from_index(inv: DataFrame, id_col: str, threshold: float) -> 
         F.col("nq").alias("q"),
         F.col("nn").alias("norm"),
     ).localCheckpoint(eager=True)
-    return _within_cluster_survivors(qa, id_col, threshold)
+    # count on materialized blocks (~0.1 s) gates the mega-cluster probe
+    return _within_cluster_survivors(
+        qa, id_col, threshold, corpus_rows=qa.count()
+    )
 
 
 def lsh_hyperplanes(planes: int, dim: int, scale: int = 10000) -> list[list[int]]:

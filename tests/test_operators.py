@@ -851,6 +851,57 @@ def test_salted_collect_set_equals_plain_collect(spark):
     assert got["hot"] == list(range(57)) and got["allnull"] == []
 
 
+def test_semdedup_mega_cluster_guard_routes_and_matches(spark):
+    """r15 mega-cluster guard: a cluster above ``cluster_cap`` must
+    route through the blocked JOIN pair path (bounded per-task memory)
+    and return the BIT-IDENTICAL drop set the grouped Arrow pass
+    produces; clusters under the cap keep the grouped pass, and with no
+    oversized cluster the plan must stay exactly the unguarded one (no
+    probe-side filters, no union)."""
+    import contextlib
+    import io
+
+    from lfb_data_warehouse_spark.operators.similarity import (
+        _within_cluster_drops,
+    )
+
+    # cluster H: 40 rows on 3 rays (many near-dup pairs); cluster S: 3
+    rows = []
+    for i in range(40):
+        ray = i % 3
+        base = [[5, 0, 0], [0, 4, 0], [3, 4, 0]][ray]
+        v = [c * (1 + i // 3) for c in base]
+        rows.append((i, "H", v, sum(x * x for x in v)))
+    rows += [
+        (100, "S", [1, 2, 2], 9),
+        (101, "S", [2, 4, 4], 36),  # same ray as 100 → dropped
+        (102, "S", [9, 0, 1], 82),
+    ]
+    qa = spark.createDataFrame(
+        rows, "vec_id long, assigned_label string, q array<bigint>, norm long"
+    ).repartition(6)
+    unguarded = sorted(
+        r["vec_id"] for r in _within_cluster_drops(qa, "vec_id", 0.95, 10**9).collect()
+    )
+    routed = _within_cluster_drops(qa, "vec_id", 0.95, cluster_cap=10)
+    assert sorted(r["vec_id"] for r in routed.collect()) == unguarded
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    # guarded path: cluster H left the grouped pass for a bounded join
+    p_routed = plan(routed)
+    assert "FlatMapGroupsInPandas" in p_routed and "Union" in p_routed
+    assert "Join" in p_routed
+    # normal path (cap not exceeded): plan identical to the unguarded one
+    p_normal = plan(_within_cluster_drops(qa, "vec_id", 0.95, cluster_cap=1000))
+    assert "Union" not in p_normal and "Join" not in p_normal
+    assert "FlatMapGroupsInPandas" in p_normal
+
+
 def test_lloyd_round_arrow_equals_hof_formulation(spark):
     """The r15 fused Arrow Lloyd round must return EXACTLY the centroid
     set of the HOF formulation it replaced (ivf_index_from_cents +
