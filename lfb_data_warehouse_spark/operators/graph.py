@@ -74,9 +74,15 @@ def connected_components(
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            # truncate the join-loop lineage (executor-side, no driver collect)
-            stepped = stepped.localCheckpoint(eager=True)
-        stepped = stepped.persist()
+            # truncate the join-loop lineage (executor-side, no driver
+            # collect). eager=False (r15): the changed-count below is
+            # the materializing action either way, so the dedicated
+            # checkpoint job was one whole extra pass per checkpoint
+            # round; lazy blocks land during the count and the next
+            # round reads them identically.
+            stepped = stepped.localCheckpoint(eager=False)
+        else:
+            stepped = stepped.persist()
         changed = stepped.filter(F.col("__changed")).count()
         pinned.unpersist()
         pinned = stepped
@@ -189,7 +195,10 @@ def connected_components_star(
         edges.selectExpr(f"{src} AS u", f"{dst} AS v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # eager=False (r15): the count below materializes the blocks in
+        # the same job — the eager form paid a dedicated checkpoint job
+        # before the count read it back
+        .localCheckpoint(eager=False)
     )
     n_edges = e.count()  # one job: doubles as the empty check
     if n_edges == 0:
@@ -197,7 +206,10 @@ def connected_components_star(
     for i in range(max_iter):
         e2 = _small_star(_large_star(e))
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            e2 = e2.localCheckpoint(eager=True)
+            # lazy for the same reason as the seed checkpoint: n2's
+            # count is the materializing action, saving one job per
+            # checkpoint round (every 2nd round here)
+            e2 = e2.localCheckpoint(eager=False)
         else:
             e2 = e2.persist()
         n2 = e2.count()
