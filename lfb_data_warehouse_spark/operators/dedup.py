@@ -24,10 +24,72 @@ reproducible on any engine (see functions.text).
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import HEX_HIGH, shingles, tokens
+
+# Hot-shingle guard for the exact pair kernels (r15). A shingle shared
+# by d docs generates d^2 join rows IN ONE TASK of the shuffle join —
+# and because d rows are only ~d*40 shuffled bytes, AQE's size-based
+# skew split never sees the blow-up (measured: tools/shingle_skew_probe
+# — the straggler survives AQE with fixture-scaled thresholds). Keys
+# with document frequency > PAIR_HOT_CAP therefore get an explicit
+# salted split (guide §2.5): the left side hashed into S buckets by id,
+# the right side replicated S ways, so each task generates <= d^2/S
+# pairs. The guard only engages when the corpus CAN contain a hot key:
+# array_distinct bounds every shingle's frequency by the doc count, so
+# a corpus of <= PAIR_HOT_CAP docs takes the plain single-join plan
+# with no frequency pass at all (one count job is the whole cost —
+# that keeps the local bench on the exact r14 plan).
+PAIR_HOT_CAP = int(os.environ.get("LFB_SHINGLE_HOT_CAP", "8192"))
+# target pair rows per salted task chunk; S = ceil(max_d^2 / target)
+_PAIR_SALT_TARGET = 1_000_000
+_PAIR_SALT_MAX = 256
+
+
+def _salt_count(max_d: int) -> int:
+    return max(2, min(_PAIR_SALT_MAX, math.ceil(max_d * max_d / _PAIR_SALT_TARGET)))
+
+
+def _more_rows_than(df: DataFrame, cap: int) -> bool:
+    """True iff ``df`` has more than ``cap`` rows, as ONE job over a
+    zero-data-column projection: the lit(1) select prunes every real
+    column off the scan and the limit bounds each task's output at
+    cap+1 rows. (take() would stop earlier at scale but runs 3-4
+    scale-up jobs when the answer is "not more" — the case every
+    local-SF bench call hits; count-over-limit is one job both ways.)"""
+    return df.select(F.lit(1)).limit(cap + 1).count() > cap
+
+
+def _hot_keys(sets: DataFrame, join_cols: list[str], hot_cap: int):
+    """Collect the (provably tiny) hot-key set of an exploded shingle
+    frame: keys with frequency > hot_cap number at most rows/hot_cap.
+    Returns (hot_frame_or_None, salt_count, hot_join_partitions).
+
+    The partition count matters as much as the salt: both the AQE skew
+    splitter AND the AQE partition coalescer size partitions by map
+    OUTPUT BYTES, and a hot key's rows are tiny in bytes (the d^2 blow-
+    up happens at join time) — measured in tools/shingle_skew_probe,
+    coalescing merged the salt buckets straight back into one task. The
+    hot join therefore uses an explicit user-specified repartition
+    (which AQE leaves alone) sized to one (key, salt) chunk per task."""
+    freq = sets.groupBy(*[F.col(c) for c in join_cols]).agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    hot_rows = freq.filter(F.col("__df") > hot_cap).collect()
+    if not hot_rows:
+        return None, 0, 0
+    spark = sets.sparkSession
+    hot = spark.createDataFrame(hot_rows, schema=freq.schema).select(
+        *[F.col(c) for c in join_cols]
+    )
+    n_salt = _salt_count(max(r["__df"] for r in hot_rows))
+    n_part = min(4096, len(hot_rows) * n_salt)
+    return F.broadcast(hot), n_salt, n_part
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -166,6 +228,7 @@ def _shingle_pair_counts(
     text_col: str,
     shingle_n: int,
     group_col: str | None = None,
+    hot_cap: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, inter, sz_a, sz_b) for every doc pair sharing ≥1
     shingle (optionally within ``group_col``) — the common core of the
@@ -179,7 +242,18 @@ def _shingle_pair_counts(
     tokenize+shingle scans of the corpus and two joins — where +8
     bytes per exploded row lets the pair aggregate read the sizes via
     ``first()`` (constant within each (id_a, id_b) group). Docs with
-    empty shingle sets emit no explode rows, exactly as before."""
+    empty shingle sets emit no explode rows, exactly as before.
+
+    Hot-shingle guard (r15, see PAIR_HOT_CAP): above ``hot_cap`` docs
+    the kernel counts per-shingle frequency once (over a checkpointed
+    explode, so tokenize runs once instead of twice) and routes keys
+    with frequency > hot_cap through a salted join — id_a hashed into
+    S buckets, the (tiny) hot slice of the b side replicated S ways —
+    so one viral shingle's d^2 pair generation spreads over S tasks
+    instead of one. Every (id_a, id_b, shingle) co-occurrence still
+    meets exactly once, so the aggregate below is unchanged."""
+    if hot_cap is None:
+        hot_cap = PAIR_HOT_CAP
     ws = tokens(text_col)
     keep = [F.col(id_col)] + ([F.col(group_col)] if group_col else [])
     arrs = df.select(*keep, F.array_distinct(shingles(ws, shingle_n)).alias("__ss"))
@@ -189,6 +263,18 @@ def _shingle_pair_counts(
         F.explode("__ss").alias("shingle"),
     )
     join_cols = ["shingle"] + ([group_col] if group_col else [])
+    hot, n_salt, n_part = None, 0, 0
+    # bounded-cost gate: "more docs than cap?" — the constant-column
+    # select prunes the scan to zero data columns and CollectLimit
+    # stops at cap+1 rows, so the gate never reads document bodies and
+    # never scans past the cap at any corpus size (a plain count is a
+    # full pass)
+    if hot_cap and _more_rows_than(df, hot_cap):
+        # only now CAN a hot shingle exist (frequency <= doc count);
+        # lazy checkpoint: the frequency job materializes the blocks,
+        # the join sides below read them (tokenize runs once, not twice)
+        sets = sets.localCheckpoint(eager=False)
+        hot, n_salt, n_part = _hot_keys(sets, join_cols, hot_cap)
     a = sets.select(
         *[F.col(c) for c in join_cols],
         F.col(id_col).alias("id_a"),
@@ -199,9 +285,30 @@ def _shingle_pair_counts(
         F.col(id_col).alias("id_b"),
         F.col("sz").alias("sz_b"),
     )
+    if hot is None:
+        raw = a.join(b, join_cols)
+    else:
+        cold = a.join(hot, join_cols, "left_anti").join(
+            b.join(hot, join_cols, "left_anti"), join_cols
+        )
+        salt_keys = [F.col(c) for c in join_cols] + [F.col("__salt")]
+        a_hot = (
+            a.join(hot, join_cols, "left_semi")
+            .withColumn(
+                "__salt", F.pmod(F.xxhash64("id_a"), F.lit(n_salt)).cast("int")
+            )
+            .repartition(n_part, *salt_keys)
+        )
+        b_hot = (
+            b.join(hot, join_cols, "left_semi")
+            .withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+            .repartition(n_part, *salt_keys)
+        )
+        raw = cold.unionByName(
+            a_hot.join(b_hot, join_cols + ["__salt"]).drop("__salt")
+        )
     return (
-        a.join(b, join_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
+        raw.filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("inter"),
@@ -218,10 +325,11 @@ def all_pairs_jaccard(
     shingle_n: int,
     threshold: float,
     group_col: str | None = None,
+    hot_cap: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard (optionally only within ``group_col``
     groups). Restrict to groups / candidates at corpus scale."""
-    counts = _shingle_pair_counts(df, id_col, text_col, shingle_n, group_col)
+    counts = _shingle_pair_counts(df, id_col, text_col, shingle_n, group_col, hot_cap)
     return counts.select(
         "id_a",
         "id_b",
@@ -603,6 +711,7 @@ def incremental_jaccard_pairs(
     shingle_n: int,
     threshold: float,
     group_col: str | None = None,
+    hot_cap: int | None = None,
 ) -> DataFrame:
     """NEW-BATCH near-dup pair finding for incremental (daily-ingest)
     dedup: emits exactly the new×new and new×old Jaccard pairs — never
@@ -634,7 +743,25 @@ def incremental_jaccard_pairs(
     (r14; see _shingle_pair_counts): the previous sizes-union (new
     sizes + pruned-old candidate sizes) re-derived the shingle arrays
     of both sides and joined back onto the aggregated pairs twice;
-    +8 bytes per exploded row replaces two scans and two joins."""
+    +8 bytes per exploded row replaces two scans and two joins.
+
+    Hot-shingle guard (r15, see PAIR_HOT_CAP): the work one join key
+    produces here is (old candidates sharing it) × (new docs sharing
+    it) rows — in one task. Above ``hot_cap`` total docs the kernel
+    counts key frequency over the (checkpointed) left side — which
+    contains the new side, so a key hot on either side is caught —
+    and salts those keys exactly as :func:`_shingle_pair_counts`
+    does. Below the gate the plan is the r14 one, untouched."""
+    if hot_cap is None:
+        hot_cap = PAIR_HOT_CAP
+    # bounded-cost gate (see _more_rows_than): both sides small ⇒ no
+    # key can be hot; a single union'd probe keeps it to one job
+    guard = bool(hot_cap) and _more_rows_than(
+        old.select(F.lit(1).alias("__one")).unionByName(
+            new.select(F.lit(1).alias("__one"))
+        ),
+        hot_cap,
+    )
     ws = tokens(text_col)
     old = old.join(
         F.broadcast(new.select(id_col).distinct()), id_col, "left_anti"
@@ -652,29 +779,55 @@ def incremental_jaccard_pairs(
     jcols = ["shingle"] + ([group_col] if group_col else [])
     new_sets = sets(new)
     old_sets = sets(old)
+    if guard:
+        # 3 consumers below (probe, left union, right side) — one
+        # tokenize pass instead of three once the guard engages
+        new_sets = new_sets.localCheckpoint(eager=False)
     probe = new_sets.select(*[F.col(c) for c in jcols]).distinct()
     pruned_old = old_sets.join(F.broadcast(probe), jcols, "left_semi")
     left = pruned_old.withColumn("__new", F.lit(False)).unionByName(
         new_sets.withColumn("__new", F.lit(True))
     )
-    raw = (
-        left.select(
-            *[F.col(c) for c in jcols],
-            F.col(id_col).alias("lid"),
-            F.col("sz").alias("lsz"),
-            "__new",
-        )
-        .join(
-            new_sets.select(
-                *[F.col(c) for c in jcols],
-                F.col(id_col).alias("rid"),
-                F.col("sz").alias("rsz"),
-            ),
-            jcols,
-        )
-        .filter((~F.col("__new")) | (F.col("lid") < F.col("rid")))
-        .filter(F.col("lid") != F.col("rid"))
+    hot, n_salt, n_part = None, 0, 0
+    if guard:
+        left = left.localCheckpoint(eager=False)
+        hot, n_salt, n_part = _hot_keys(left, jcols, hot_cap)
+    lhs = left.select(
+        *[F.col(c) for c in jcols],
+        F.col(id_col).alias("lid"),
+        F.col("sz").alias("lsz"),
+        "__new",
     )
+    rhs = new_sets.select(
+        *[F.col(c) for c in jcols],
+        F.col(id_col).alias("rid"),
+        F.col("sz").alias("rsz"),
+    )
+    if hot is None:
+        joined = lhs.join(rhs, jcols)
+    else:
+        cold = lhs.join(hot, jcols, "left_anti").join(
+            rhs.join(hot, jcols, "left_anti"), jcols
+        )
+        salt_keys = [F.col(c) for c in jcols] + [F.col("__salt")]
+        l_hot = (
+            lhs.join(hot, jcols, "left_semi")
+            .withColumn(
+                "__salt", F.pmod(F.xxhash64("lid"), F.lit(n_salt)).cast("int")
+            )
+            .repartition(n_part, *salt_keys)
+        )
+        r_hot = (
+            rhs.join(hot, jcols, "left_semi")
+            .withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+            .repartition(n_part, *salt_keys)
+        )
+        joined = cold.unionByName(
+            l_hot.join(r_hot, jcols + ["__salt"]).drop("__salt")
+        )
+    raw = joined.filter(
+        (~F.col("__new")) | (F.col("lid") < F.col("rid"))
+    ).filter(F.col("lid") != F.col("rid"))
     counts = (
         raw.select(
             F.least("lid", "rid").alias("id_a"),

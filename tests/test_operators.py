@@ -851,6 +851,88 @@ def test_salted_collect_set_equals_plain_collect(spark):
     assert got["hot"] == list(range(57)) and got["allnull"] == []
 
 
+def test_shingle_hot_key_salting_equals_plain_join(spark):
+    """The r15 hot-shingle salted split must return EXACTLY the pair
+    set of the plain shingle self-join — same (id_a, id_b) keys, same
+    bit-exact jaccard doubles — on a fixture with one shingle hot
+    enough to cross the cap, cold shingles below it, a group split
+    (the same shingle in two groups must not pair across them), and
+    a cap low enough that the guard genuinely engages."""
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.dedup import all_pairs_jaccard
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("source"),
+        F.when(
+            F.col("id") % 3 == 0,
+            F.concat(F.lit("alpha beta gamma t"), F.col("id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("u"),
+                F.col("id").cast("string"),
+                F.lit(" alpha beta x"),
+                (F.col("id") % 7).cast("string"),
+            )
+        )
+        .alias("body"),
+    )
+    plain = all_pairs_jaccard(
+        docs, "doc_id", "body", 2, 0.05, group_col="source", hot_cap=0
+    )
+    salted = all_pairs_jaccard(
+        docs, "doc_id", "body", 2, 0.05, group_col="source", hot_cap=20
+    )
+    p = {(r["id_a"], r["id_b"]): r["jaccard"] for r in plain.collect()}
+    s = {(r["id_a"], r["id_b"]): r["jaccard"] for r in salted.collect()}
+    assert p == s and len(p) > 0
+    # no cross-group pair leaked through the salted path
+    assert all((a % 2) == (b % 2) for a, b in s)
+
+
+def test_incremental_hot_key_salting_equals_plain_join(spark):
+    """Same pin for incremental_jaccard_pairs: salted == plain on a
+    hot fixture including re-ingested ids (present in old AND new) and
+    a shingle hot on the OLD side only (caught because frequency is
+    counted over the left union, which contains both sides)."""
+    from pyspark.sql import functions as F
+
+    from lfb_data_warehouse_spark.operators.dedup import incremental_jaccard_pairs
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") % 2 == 0,
+                F.concat(F.lit("alpha beta gamma t"), F.col("id").cast("string")),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("u"),
+                    F.col("id").cast("string"),
+                    F.lit(" alpha beta x"),
+                    (F.col("id") % 7).cast("string"),
+                )
+            )
+            .alias("body"),
+        )
+
+    old, new = mk(0, 150), mk(140, 200)  # ids 140-149 re-ingested
+    plain = incremental_jaccard_pairs(
+        old, new, "doc_id", "body", 2, 0.05, hot_cap=0
+    )
+    salted = incremental_jaccard_pairs(
+        old, new, "doc_id", "body", 2, 0.05, hot_cap=20
+    )
+    p = {(r["id_a"], r["id_b"]): r["jaccard"] for r in plain.collect()}
+    s = {(r["id_a"], r["id_b"]): r["jaccard"] for r in salted.collect()}
+    assert p == s and len(p) > 0
+    # old×old pairs must not appear (both sides pre-date the batch)
+    assert all(b >= 140 for _a, b in s)
+
+
 def test_semdedup_mega_cluster_guard_routes_and_matches(spark):
     """r15 mega-cluster guard: a cluster above ``cluster_cap`` must
     route through the blocked JOIN pair path (bounded per-task memory)
