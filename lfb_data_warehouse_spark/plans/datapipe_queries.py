@@ -3332,7 +3332,14 @@ def ivfpq_structured_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         structured_embeddings,
     )
 
-    emb = structured_embeddings(load_table(spark, sf_dir, "embeddings").select("vec_id"))
+    # materialize the synthesized corpus ONCE (r15 dup-subtree audit:
+    # emb feeds four sub-pipelines — exact topk, probes, two index
+    # builds — and each build re-derives it again for its centroid
+    # aggregate; lazily that was an 18-scan plan re-running the Arrow
+    # synth per consumer)
+    emb = structured_embeddings(
+        load_table(spark, sf_dir, "embeddings").select("vec_id")
+    ).localCheckpoint(eager=True)
     exact = cosine_topk(emb, "vec_id", "embedding", range(KNN_PROBES), KNN_K).select(
         "probe_id", "neighbor_id"
     )
